@@ -1,13 +1,839 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Transforms => T, Warehouse => W}
+
+/** Driver contract — one `queries` entry per operator in SURVEY.md §2, each
+  * with a DuckDB-equivalent `oracleSql` where ANSI-SQL-expressible.
+  *
+  * Determinism rules (SURVEY §5.1): every oracle query ends in ORDER BY on a
+  * unique key; double aggregation goes through exact decimal arithmetic and
+  * is cast back to double at the end (identical bits in Spark and DuckDB);
+  * date/timestamp outputs are formatted strings or epoch-micros bigints so
+  * both engines hash the same values.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query (TPC-H Q1 shape) on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.aggGroup(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracles
+}
+
+private[graft] object Queries {
+
+  /** Exact decimal view of a double column that carries a fixed-scale value
+    * (TPC-H money/discount columns). Keeps aggregation order-independent and
+    * bit-identical across engines.
+    */
+  private def dec(c: Column, p: Int = 12, s: Int = 2): Column = c.cast(s"decimal($p,$s)")
+  private def asDouble(c: Column): Column = c.cast("double")
+  private val TsFmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+  private val TsFmtSql = "%Y-%m-%d %H:%M:%S.%f"
+
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+
+  // ================================================================ flagship
+  /** TPC-H Q1: scan → pushed filter → hash agg (partial+final, single
+    * shuffle on 6 grouping values) → sort. SURVEY §2.7 q_agg_group.
+    */
+  def aggGroup(s: SparkSession, d: String): DataFrame = {
+    val price = dec(col("l_extendedprice"))
+    val disc = dec(col("l_discount"))
+    val tax = dec(col("l_tax"))
+    li(s, d)
+      .filter(col("l_shipdate") <= lit("1998-12-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        asDouble(sum(price)).as("sum_base_price"),
+        asDouble(sum(price * (lit(1) - disc))).as("sum_disc_price"),
+        asDouble(sum(price * (lit(1) - disc) * (lit(1) + tax))).as("sum_charge"),
+        (asDouble(sum(dec(col("l_quantity")))) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val aggGroupSql =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))) * (1 + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      | COUNT(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+      |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ================================================================ S1: scan + pushdown
+  def scanPushdown(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(T.watermarkFilter(li(s, d), "l_shipdate", lit("2001-01-01").cast("timestamp")))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"), col("l_quantity"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val scanPushdownSql =
+    """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day, l_quantity
+      |FROM lineitem WHERE l_shipdate > TIMESTAMP '2001-01-01'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ================================================================ S2+S5: CSV round-trip (write TSV with NULL '', read back)
+  def scanCsv(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/root/repo/target/fixtures/csv_roundtrip_${new java.io.File(d).getName}"
+    ord(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"))
+      .write.mode("overwrite")
+      .option("header", "true").option("sep", "\t").option("nullValue", "")
+      .csv(dir)
+    s.read
+      .schema("o_orderkey bigint, o_orderstatus string, o_orderpriority string, o_totalprice double, o_day string")
+      .option("header", "true").option("sep", "\t").option("nullValue", "")
+      .csv(dir)
+      .orderBy("o_orderkey")
+  }
+
+  private val scanCsvSql =
+    """SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice,
+      | strftime(o_orderdate, '%Y-%m-%d') AS o_day
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ================================================================ S3+S4: JSONL round-trip (append-shaped sink, schema'd scan)
+  def scanJsonl(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/root/repo/target/fixtures/jsonl_roundtrip_${new java.io.File(d).getName}"
+    cust(s, d).select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+      .write.mode("overwrite").json(dir)
+    s.read
+      .schema("c_custkey bigint, c_name string, c_nationkey int, c_mktsegment string")
+      .json(dir)
+      .orderBy("c_custkey")
+  }
+
+  private val scanJsonlSql =
+    "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer ORDER BY c_custkey"
+
+  // ================================================================ P1: rename
+  def rename(s: SparkSession, d: String): DataFrame = {
+    val upperCased = ord(s, d).toDF(ord(s, d).columns.map(_.toUpperCase).toIndexedSeq: _*)
+    T.normalizeColumnCase(upperCased)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  private val renameSql =
+    "SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders ORDER BY o_orderkey"
+
+  // ================================================================ P2: add missing column with default
+  def addDefaultCol(s: SparkSession, d: String): DataFrame =
+    T.addMissingColumn(Tables.nation(s, d), "n_comment", lit(""))
+      .select("n_nationkey", "n_name", "n_regionkey", "n_comment")
+      .orderBy("n_nationkey")
+
+  private val addDefaultColSql =
+    "SELECT n_nationkey, n_name, n_regionkey, '' AS n_comment FROM nation ORDER BY n_nationkey"
+
+  // ================================================================ P3: drop column
+  def dropCol(s: SparkSession, d: String): DataFrame =
+    T.dropIfPresent(T.dropIfPresent(cust(s, d), "c_acctbal"), "not_a_column")
+      .orderBy("c_custkey")
+
+  private val dropColSql =
+    "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer ORDER BY c_custkey"
+
+  // ================================================================ P4: projection/reorder with fill
+  def projectReorder(s: SparkSession, d: String): DataFrame =
+    T.projectReorder(ord(s, d),
+      Seq("o_orderkey", "o_orderstatus", "o_clerk", "o_orderpriority"), lit(""))
+      .orderBy("o_orderkey")
+
+  private val projectReorderSql =
+    "SELECT o_orderkey, o_orderstatus, '' AS o_clerk, o_orderpriority FROM orders ORDER BY o_orderkey"
+
+  // ================================================================ F1: drop-null filter
+  def filterNotNull(s: SparkSession, d: String): DataFrame =
+    T.dropNullKeys(
+      ord(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 7 === 0, lit(null: String)).otherwise(col("o_orderstatus")).as("maybe_status")),
+      Seq("o_orderkey", "maybe_status"))
+      .orderBy("o_orderkey")
+
+  private val filterNotNullSql =
+    """SELECT o_orderkey, CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS maybe_status
+      |FROM orders WHERE o_orderkey IS NOT NULL AND (CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END) IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ================================================================ F2: non-blank filter
+  def filterNonBlank(s: SparkSession, d: String): DataFrame =
+    T.filterNonBlank(
+      ord(s, d).select(col("o_orderkey"),
+        when(col("o_orderkey") % 5 === 0, lit("  ")).otherwise(col("o_orderpriority")).as("maybe_blank")),
+      Seq("maybe_blank"))
+      .orderBy("o_orderkey")
+
+  private val filterNonBlankSql =
+    """SELECT * FROM (
+      | SELECT o_orderkey, CASE WHEN o_orderkey % 5 = 0 THEN '  ' ELSE o_orderpriority END AS maybe_blank
+      | FROM orders) WHERE trim(maybe_blank) <> '' ORDER BY o_orderkey""".stripMargin
+
+  // ================================================================ F3: watermark predicate
+  def filterWatermark(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .filter(T.watermarkFilter(li(s, d), "l_shipdate", lit("1999-06-01").cast("timestamp")))
+      .groupBy("l_returnflag").agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  private val filterWatermarkSql =
+    """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+      |WHERE l_shipdate > TIMESTAMP '1999-06-01' GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ================================================================ E1: cast-to-string, missing→''
+  def castString(s: SparkSession, d: String): DataFrame =
+    li(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      T.castToStringEmptyNull(col("l_linenumber")).as("ln_str"),
+      T.castToStringEmptyNull(when(col("l_linenumber") === 1, col("l_orderkey"))).as("maybe_str"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val castStringSql =
+    """SELECT l_orderkey, l_linenumber, CAST(l_linenumber AS VARCHAR) AS ln_str,
+      | COALESCE(CAST(CASE WHEN l_linenumber = 1 THEN l_orderkey END AS VARCHAR), '') AS maybe_str
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ================================================================ E2: law-category guard (domain CASE with default)
+  def caseLawcat(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .select(T.lawCategoryGuard(col("l_linestatus")).as("law_cat"))
+      .groupBy("law_cat").agg(count(lit(1)).as("n"))
+      .orderBy("law_cat")
+
+  private val caseLawcatSql =
+    """SELECT CASE WHEN UPPER(l_linestatus) IN ('F','M','V','I') THEN UPPER(l_linestatus) ELSE 'U' END AS law_cat,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ================================================================ E3: dictionary map with passthrough (borough)
+  def mapBorough(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), substring(col("n_name"), 1, 1).as("code"))
+      .withColumn("mapped", T.mapWithPassthrough(col("code"), T.BoroughMap))
+      .orderBy("n_nationkey")
+
+  private val mapBoroughSql =
+    """SELECT n_nationkey, n_name, substring(n_name, 1, 1) AS code,
+      | CASE substring(n_name, 1, 1)
+      |   WHEN 'B' THEN 'Bronx' WHEN 'K' THEN 'Brooklyn' WHEN 'M' THEN 'Manhattan'
+      |   WHEN 'Q' THEN 'Queens' WHEN 'S' THEN 'Staten Island'
+      |   ELSE substring(n_name, 1, 1) END AS mapped
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // ================================================================ E4+E6: lenient date parse + format
+  def dateParse(s: SparkSession, d: String): DataFrame =
+    ord(s, d).select(
+      col("o_orderkey"),
+      date_format(T.lenientDateParse(date_format(col("o_orderdate"), "yyyy-MM-dd")), "yyyy-MM-dd").as("parsed_day"),
+      date_format(T.lenientDateParse(col("o_orderstatus")), "yyyy-MM-dd").as("junk_day"))
+      .orderBy("o_orderkey")
+
+  private val dateParseSql =
+    """SELECT o_orderkey,
+      | strftime(TRY_CAST(strftime(o_orderdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS parsed_day,
+      | strftime(TRY_CAST(o_orderstatus AS DATE), '%Y-%m-%d') AS junk_day
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ================================================================ E5: epoch-millis fallback parse
+  def dateEpochMs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      unix_millis(col("ts")).as("epoch_ms"),
+      date_format(T.dateOrEpochMillis(unix_millis(col("ts")).cast("string")), "yyyy-MM-dd").as("day"),
+      date_format(T.dateOrEpochMillis(date_format(col("ts"), "yyyy-MM-dd")), "yyyy-MM-dd").as("day_iso"))
+      .orderBy("event_id")
+
+  private val dateEpochMsSql =
+    """SELECT event_id, epoch_ms(ts) AS epoch_ms,
+      | strftime(CAST(make_timestamp(epoch_ms(ts)*1000) AS DATE), '%Y-%m-%d') AS day,
+      | strftime(ts, '%Y-%m-%d') AS day_iso
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ================================================================ E7: lenient double cast
+  def castDouble(s: SparkSession, d: String): DataFrame =
+    cust(s, d).select(
+      col("c_custkey"),
+      T.lenientDouble(col("c_mktsegment")).as("junk_dbl"),
+      T.lenientDouble(col("c_custkey")).as("key_dbl"))
+      .orderBy("c_custkey")
+
+  private val castDoubleSql =
+    """SELECT c_custkey, TRY_CAST(c_mktsegment AS DOUBLE) AS junk_dbl,
+      | TRY_CAST(CAST(c_custkey AS VARCHAR) AS DOUBLE) AS key_dbl
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ================================================================ E8: lenient int cast (float-leak fix: "83.0" → 83)
+  def castInt(s: SparkSession, d: String): DataFrame =
+    li(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      T.lenientInt(concat(col("l_linenumber").cast("string"), lit(".0"))).as("ln_int"),
+      T.lenientInt(col("l_returnflag")).as("junk_int"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val castIntSql =
+    """SELECT l_orderkey, l_linenumber,
+      | TRY_CAST(TRY_CAST(CAST(l_linenumber AS VARCHAR) || '.0' AS DOUBLE) AS INTEGER) AS ln_int,
+      | TRY_CAST(TRY_CAST(l_returnflag AS DOUBLE) AS INTEGER) AS junk_int
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ================================================================ E9: sentinel fills
+  def fillna(s: SparkSession, d: String): DataFrame =
+    T.fillSentinels(
+      li(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_linenumber"), lit(1)).as("precinct_like"),
+        nullif(col("l_quantity"), lit(1.0)).as("coord_like")),
+      intFills = Map("precinct_like" -> -1),
+      doubleFills = Map("coord_like" -> 0.0))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val fillnaSql =
+    """SELECT l_orderkey, l_linenumber,
+      | COALESCE(NULLIF(l_linenumber, 1), -1) AS precinct_like,
+      | COALESCE(NULLIF(l_quantity, 1.0), 0.0) AS coord_like
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ================================================================ E10/E11: uppercase + trim
+  def upperTrim(s: SparkSession, d: String): DataFrame =
+    T.upperCols(
+      cust(s, d).select(col("c_custkey"), col("c_mktsegment"),
+        trim(concat(lit("  "), col("c_name"), lit(" "))).as("c_trimmed")),
+      Seq("c_mktsegment"))
+      .orderBy("c_custkey")
+
+  private val upperTrimSql =
+    """SELECT c_custkey, UPPER(c_mktsegment) AS c_mktsegment,
+      | trim('  ' || c_name || ' ') AS c_trimmed
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ================================================================ E12: sex domain guard
+  def caseSex(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .select(T.sexGuard(col("l_linestatus")).as("sex"), T.sexGuard(col("l_returnflag")).as("sex2"))
+      .groupBy("sex", "sex2").agg(count(lit(1)).as("n"))
+      .orderBy("sex", "sex2")
+
+  private val caseSexSql =
+    """SELECT CASE WHEN UPPER(l_linestatus) IN ('M','F') THEN UPPER(l_linestatus) ELSE 'U' END AS sex,
+      | CASE WHEN UPPER(l_returnflag) IN ('M','F') THEN UPPER(l_returnflag) ELSE 'U' END AS sex2,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ================================================================ A1: ungrouped MAX watermark with default
+  def aggMax(s: SparkSession, d: String): DataFrame =
+    li(s, d).agg(
+      date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("hwm"),
+      coalesce(
+        date_format(max(when(col("l_quantity") < 0, col("l_shipdate"))), "yyyy-MM-dd"),
+        lit("1900-01-01")).as("hwm_empty"))
+
+  private val aggMaxSql =
+    """SELECT strftime(MAX(l_shipdate), '%Y-%m-%d') AS hwm,
+      | COALESCE(strftime(MAX(CASE WHEN l_quantity < 0 THEN l_shipdate END), '%Y-%m-%d'), '1900-01-01') AS hwm_empty
+      |FROM lineitem""".stripMargin
+
+  // ================================================================ A2: count
+  def countRows(s: SparkSession, d: String): DataFrame =
+    li(s, d).agg(count(lit(1)).as("n"))
+
+  private val countRowsSql = "SELECT COUNT(*) AS n FROM lineitem"
+
+  // ================================================================ D2: PK dedup with deterministic tiebreak
+  /** The synthetic lineitem deliberately contains duplicate
+    * (l_orderkey, l_linenumber) pairs with differing payloads, so the
+    * tiebreak totally orders the row — the winner is deterministic across
+    * engines and runs.
+    */
+  def dedupPk(s: SparkSession, d: String): DataFrame =
+    W.dedupByKey(li(s, d), Seq("l_orderkey"),
+      Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+        col("l_extendedprice"), col("l_quantity")))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey")
+
+  private val dedupPkSql =
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (
+      | SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |  row_number() OVER (PARTITION BY l_orderkey
+      |    ORDER BY l_linenumber, l_partkey, l_suppkey, l_extendedprice, l_quantity) AS rn
+      | FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin
+
+  // ================================================================ D1: insert-if-absent upsert (anti join)
+  def upsertAnti(s: SparkSession, d: String): DataFrame = {
+    val incoming = ord(s, d).filter(col("o_orderkey") % 3 === 0)
+    val target = ord(s, d).filter(col("o_orderkey") % 2 === 0)
+    W.upsertNewRows(incoming, target, Seq("o_orderkey"))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val upsertAntiSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+      |WHERE o_orderkey % 3 = 0
+      | AND NOT EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey % 2 = 0 AND t.o_orderkey = o.o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ================================================================ I1: high-water-mark incremental read
+  def incremental(s: SparkSession, d: String): DataFrame = {
+    val warehouse = li(s, d).filter(col("l_shipdate") < lit("1999-01-01").cast("timestamp"))
+    W.incrementalAfterWatermark(
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")),
+      warehouse, "l_shipdate", lit("1900-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val incrementalSql =
+    """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
+      |FROM lineitem
+      |WHERE l_shipdate > (SELECT MAX(l_shipdate) FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01')
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ================================================================ joins
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    ord(s, d).join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_name", "c_mktsegment")
+      .orderBy("o_orderkey")
+
+  private val joinBroadcastSql =
+    """SELECT o_orderkey, c_name, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** TPC-H Q5 shape: 6-table join. Dims (customer/supplier/nation/region)
+    * broadcast; the only shuffle is lineitem⋈orders on orderkey + final agg.
+    */
+  def joinMultiway(s: SparkSession, d: String): DataFrame = {
+    val revenue = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    li(s, d)
+      .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy("n_name")
+      .agg(asDouble(sum(revenue)).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val joinMultiwaySql =
+    """SELECT n_name,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem, orders, customer, supplier, nation, region
+      |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey AND l_suppkey = s_suppkey
+      | AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      | AND r_name = 'ASIA'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  def joinOuter(s: SparkSession, d: String): DataFrame =
+    cust(s, d).join(ord(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        asDouble(coalesce(sum(dec(col("o_totalprice"))), lit(0).cast("decimal(12,2)"))).as("total_spend"))
+      .orderBy("c_custkey")
+
+  private val joinOuterSql =
+    """SELECT c_custkey, COUNT(o_orderkey) AS n_orders,
+      | CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 0) AS DOUBLE) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    cust(s, d).join(
+      ord(s, d).filter(col("o_totalprice") > 100000.0), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  private val joinSemiSql =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Equi + range (banded) join: shipdate within [orderdate+30d, orderdate+60d].
+    * The equi key carries the shuffle; the band is a post-join filter, so no
+    * cross product materializes (check: plan stays SortMergeJoin/ShuffledHash
+    * with join condition, not BroadcastNestedLoop).
+    */
+  def joinRange(s: SparkSession, d: String): DataFrame =
+    li(s, d).join(ord(s, d),
+      col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 30 DAYS") &&
+        col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val joinRangeSql =
+    """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+      | strftime(o_orderdate, '%Y-%m-%d') AS order_day
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      | AND l_shipdate BETWEEN o_orderdate + INTERVAL 30 DAY AND o_orderdate + INTERVAL 60 DAY
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ================================================================ windows
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+    li(s, d)
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        row_number().over(w).as("rn"), rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+      .filter(col("rn") <= 3)
+      .orderBy("l_suppkey", "rn")
+  }
+
+  private val windowRankSql =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice, rn, rnk, drnk FROM (
+      | SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+      |  row_number() OVER w AS rn, rank() OVER w AS rnk, dense_rank() OVER w AS drnk
+      | FROM lineitem
+      | WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber)
+      |) WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
+
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ord(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        asDouble(sum(dec(col("o_totalprice"))).over(w)).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val windowRunningSql =
+    """SELECT o_custkey, o_orderkey,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lead(col("event_type"), 1).over(w).as("next_type"))
+      .orderBy("event_id")
+  }
+
+  private val windowLagSql =
+    """SELECT event_id, user_id,
+      | lag(event_type, 1) OVER w AS prev_type, lead(event_type, 1) OVER w AS next_type
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY event_id""".stripMargin
+
+  // ================================================================ top-k (TakeOrderedAndProject)
+  def topk(s: SparkSession, d: String): DataFrame =
+    ord(s, d).select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  private val topkSql =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  // ================================================================ set ops
+  def unionAll(s: SparkSession, d: String): DataFrame = {
+    val a = cust(s, d).filter(col("c_custkey") % 5 === 0)
+      .select(col("c_custkey"), lit("a").as("src"))
+    val b = cust(s, d).filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey"), lit("b").as("src"))
+    a.unionByName(b).orderBy("c_custkey", "src")
+  }
+
+  private val unionAllSql =
+    """SELECT c_custkey, 'a' AS src FROM customer WHERE c_custkey % 5 = 0
+      |UNION ALL SELECT c_custkey, 'b' AS src FROM customer WHERE c_custkey % 7 = 0
+      |ORDER BY c_custkey, src""".stripMargin
+
+  def intersectOp(s: SparkSession, d: String): DataFrame =
+    cust(s, d).filter(col("c_custkey") % 2 === 0).select("c_custkey")
+      .intersect(cust(s, d).filter(col("c_custkey") % 3 === 0).select("c_custkey"))
+      .orderBy("c_custkey")
+
+  private val intersectSql =
+    """SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+      |INTERSECT SELECT c_custkey FROM customer WHERE c_custkey % 3 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  def exceptOp(s: SparkSession, d: String): DataFrame =
+    cust(s, d).filter(col("c_custkey") % 2 === 0).select("c_custkey")
+      .except(cust(s, d).filter(col("c_custkey") % 6 === 0).select("c_custkey"))
+      .orderBy("c_custkey")
+
+  private val exceptSql =
+    """SELECT c_custkey FROM customer WHERE c_custkey % 2 = 0
+      |EXCEPT SELECT c_custkey FROM customer WHERE c_custkey % 6 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  // ================================================================ rollup / cube
+  def rollupOp(s: SparkSession, d: String): DataFrame =
+    li(s, d).rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  private val rollupSql =
+    """SELECT COALESCE(l_returnflag, '(all)') AS flag, COALESCE(l_linestatus, '(all)') AS status,
+      | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  def cubeOp(s: SparkSession, d: String): DataFrame =
+    li(s, d).cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  private val cubeSql =
+    """SELECT COALESCE(l_returnflag, '(all)') AS flag, COALESCE(l_linestatus, '(all)') AS status,
+      | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  // ================================================================ distinct / approx distinct
+  def distinctOp(s: SparkSession, d: String): DataFrame =
+    li(s, d).agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_returnflag"), col("l_linestatus")).as("n_flag_status"))
+
+  private val distinctSql =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts, COUNT(DISTINCT l_suppkey) AS n_supps,
+      | COUNT(DISTINCT (l_returnflag, l_linestatus)) AS n_flag_status
+      |FROM lineitem""".stripMargin
+
+  /** HLL++ approximate distinct — no DuckDB oracle (approx ≠ approx);
+    * bounded-error property is unit-tested instead.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    li(s, d).agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  // ================================================================ math scalars
+  def mathOp(s: SparkSession, d: String): DataFrame =
+    li(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      abs(col("l_quantity") - 25.0).as("abs_dev"),
+      floor(col("l_extendedprice")).as("price_floor"),
+      ceil(col("l_extendedprice")).as("price_ceil"),
+      sqrt(col("l_quantity")).as("qty_sqrt"),
+      (col("l_orderkey") % 97).as("key_mod"),
+      greatest(col("l_quantity"), lit(10.0)).as("qty_hi"),
+      least(col("l_quantity"), lit(10.0)).as("qty_lo"),
+      signum(col("l_quantity") - 25.0).as("dev_sign"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private val mathSql =
+    """SELECT l_orderkey, l_linenumber,
+      | abs(l_quantity - 25.0) AS abs_dev,
+      | CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+      | CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+      | sqrt(l_quantity) AS qty_sqrt,
+      | l_orderkey % 97 AS key_mod,
+      | greatest(l_quantity, 10.0) AS qty_hi,
+      | least(l_quantity, 10.0) AS qty_lo,
+      | CASE WHEN l_quantity - 25.0 > 0 THEN 1.0 WHEN l_quantity - 25.0 < 0 THEN -1.0 ELSE 0.0 END AS dev_sign
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ================================================================ array scalars (embeddings)
+  def arrayOp(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(
+      col("vec_id"),
+      size(col("embedding")).as("dim"),
+      element_at(col("embedding"), 1).as("first_elem"),
+      array_max(col("embedding")).as("max_elem"),
+      array_min(col("embedding")).as("min_elem"),
+      size(filter(col("embedding"), x => x > 0.0f)).as("n_positive"))
+      .orderBy("vec_id")
+
+  private val arrayOpSql =
+    """SELECT vec_id, len(embedding) AS dim, embedding[1] AS first_elem,
+      | list_max(embedding) AS max_elem, list_min(embedding) AS min_elem,
+      | len(list_filter(embedding, x -> x > 0.0)) AS n_positive
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  // ================================================================ JSON scalars (events.props)
+  def jsonOp(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").as("k_get"),
+      from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k_struct"))
+      .orderBy("event_id")
+
+  private val jsonOpSql =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k_get,
+      | CAST(json_extract_string(props, '$.k') AS INT) AS k_struct
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ================================================================ streaming-shaped (batch oracle forms)
+  /** Tumbling window agg — batch form of the Structured Streaming query
+    * (stream↔batch equivalence is unit-tested; see graft.streaming).
+    * 6-hour buckets are epoch-aligned in Spark and (since 2000-01-03 is
+    * midnight-aligned) in DuckDB's time_bucket too.
+    */
+  def streamTumbling(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("value"), 18, 6))).as("sum_value"))
+      .select(date_format(col("window.start"), TsFmt).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  private val streamTumblingSql =
+    s"""SELECT strftime(time_bucket(INTERVAL '6 hours', ts), '$TsFmtSql') AS win_start,
+       | event_type, COUNT(*) AS n,
+       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** Session windows (30-minute gap) — batch form; DuckDB oracle is the
+    * classic gaps-and-islands rewrite.
+    */
+  def streamSession(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), TsFmt).as("session_start"),
+        date_format(col("session_window.end"), TsFmt).as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  private val streamSessionSql =
+    s"""WITH marked AS (
+       | SELECT user_id, ts,
+       |  CASE WHEN lag(ts) OVER w IS NULL
+       |        OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+       | FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+       |sess AS (
+       | SELECT user_id, ts,
+       |  SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+       | FROM marked)
+       |SELECT user_id, strftime(MIN(ts), '$TsFmtSql') AS session_start,
+       | strftime(MAX(ts) + INTERVAL 30 MINUTE, '$TsFmtSql') AS session_end,
+       | COUNT(*) AS n_events
+       |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
+
+  // ================================================================ registry
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_group" -> (aggGroup _),
+    "q_scan_pushdown" -> (scanPushdown _),
+    "q_scan_csv" -> (scanCsv _),
+    "q_scan_jsonl" -> (scanJsonl _),
+    "q_rename" -> (rename _),
+    "q_add_default_col" -> (addDefaultCol _),
+    "q_drop_col" -> (dropCol _),
+    "q_project_reorder" -> (projectReorder _),
+    "q_filter_notnull" -> (filterNotNull _),
+    "q_filter_nonblank" -> (filterNonBlank _),
+    "q_filter_watermark" -> (filterWatermark _),
+    "q_cast_string" -> (castString _),
+    "q_case_lawcat" -> (caseLawcat _),
+    "q_map_borough" -> (mapBorough _),
+    "q_date_parse" -> (dateParse _),
+    "q_date_epoch_ms" -> (dateEpochMs _),
+    "q_cast_double" -> (castDouble _),
+    "q_cast_int" -> (castInt _),
+    "q_fillna" -> (fillna _),
+    "q_upper" -> (upperTrim _),
+    "q_case_sex" -> (caseSex _),
+    "q_agg_max" -> (aggMax _),
+    "q_count" -> (countRows _),
+    "q_dedup_pk" -> (dedupPk _),
+    "q_upsert_anti" -> (upsertAnti _),
+    "q_incremental" -> (incremental _),
+    "q_join_broadcast" -> (joinBroadcast _),
+    "q_join_multiway" -> (joinMultiway _),
+    "q_join_outer" -> (joinOuter _),
+    "q_join_semi" -> (joinSemi _),
+    "q_join_range" -> (joinRange _),
+    "q_window_rank" -> (windowRank _),
+    "q_window_running" -> (windowRunning _),
+    "q_window_lag" -> (windowLag _),
+    "q_topk" -> (topk _),
+    "q_union" -> (unionAll _),
+    "q_intersect" -> (intersectOp _),
+    "q_except" -> (exceptOp _),
+    "q_rollup" -> (rollupOp _),
+    "q_cube" -> (cubeOp _),
+    "q_distinct" -> (distinctOp _),
+    "q_approx_distinct" -> (approxDistinct _),
+    "q_math" -> (mathOp _),
+    "q_array" -> (arrayOp _),
+    "q_json" -> (jsonOp _),
+    "q_stream_tumbling" -> (streamTumbling _),
+    "q_stream_session" -> (streamSession _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_group" -> aggGroupSql,
+    "q_scan_pushdown" -> scanPushdownSql,
+    "q_scan_csv" -> scanCsvSql,
+    "q_scan_jsonl" -> scanJsonlSql,
+    "q_rename" -> renameSql,
+    "q_add_default_col" -> addDefaultColSql,
+    "q_drop_col" -> dropColSql,
+    "q_project_reorder" -> projectReorderSql,
+    "q_filter_notnull" -> filterNotNullSql,
+    "q_filter_nonblank" -> filterNonBlankSql,
+    "q_filter_watermark" -> filterWatermarkSql,
+    "q_cast_string" -> castStringSql,
+    "q_case_lawcat" -> caseLawcatSql,
+    "q_map_borough" -> mapBoroughSql,
+    "q_date_parse" -> dateParseSql,
+    "q_date_epoch_ms" -> dateEpochMsSql,
+    "q_cast_double" -> castDoubleSql,
+    "q_cast_int" -> castIntSql,
+    "q_fillna" -> fillnaSql,
+    "q_upper" -> upperTrimSql,
+    "q_case_sex" -> caseSexSql,
+    "q_agg_max" -> aggMaxSql,
+    "q_count" -> countRowsSql,
+    "q_dedup_pk" -> dedupPkSql,
+    "q_upsert_anti" -> upsertAntiSql,
+    "q_incremental" -> incrementalSql,
+    "q_join_broadcast" -> joinBroadcastSql,
+    "q_join_multiway" -> joinMultiwaySql,
+    "q_join_outer" -> joinOuterSql,
+    "q_join_semi" -> joinSemiSql,
+    "q_join_range" -> joinRangeSql,
+    "q_window_rank" -> windowRankSql,
+    "q_window_running" -> windowRunningSql,
+    "q_window_lag" -> windowLagSql,
+    "q_topk" -> topkSql,
+    "q_union" -> unionAllSql,
+    "q_intersect" -> intersectSql,
+    "q_except" -> exceptSql,
+    "q_rollup" -> rollupSql,
+    "q_cube" -> cubeSql,
+    "q_distinct" -> distinctSql,
+    "q_math" -> mathSql,
+    "q_array" -> arrayOpSql,
+    "q_json" -> jsonOpSql,
+    "q_stream_tumbling" -> streamTumblingSql,
+    "q_stream_session" -> streamSessionSql,
+  )
 }

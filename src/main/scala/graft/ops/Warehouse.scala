@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-shaped operators from SURVEY.md §2.4-2.6: the reference's
+  * upsert/dedup/watermark machinery (/root/reference/scripts/load.py,
+  * scripts/extract.py), re-expressed as distributed Spark plans.
+  */
+object Warehouse {
+
+  // ---------------------------------------------------------------- D2
+  /** Primary-key dedup with a deterministic tiebreak
+    * (load.py:146 `ON CONFLICT DO NOTHING` within a chunk = first row per
+    * key wins; we order explicitly so the winner is stable across runs).
+    *
+    * Single shuffle on the key columns; the window + filter compiles to one
+    * sort within each hash partition. At 100 TB the key hash-partitions
+    * evenly as long as keys are high-cardinality (PKs are).
+    */
+  def dedupByKey(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- D1
+  /** Insert-if-absent upsert, first-writer-wins (load.py:107-159
+    * `INSERT ... SELECT ... ON CONFLICT (arrest_key) DO NOTHING`).
+    *
+    * Spark-first shape: LEFT ANTI join of incoming against the existing
+    * target keys, then append. The anti join shuffles only the join keys of
+    * the target side after column pruning; when the incoming batch is small
+    * relative to the target (the common incremental case), AQE converts it
+    * to a broadcast of the incoming side. Returns the rows that WOULD be
+    * inserted; the caller appends them to the warehouse path.
+    */
+  def upsertNewRows(incoming: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(target.select(keys.map(col): _*), keys, "left_anti")
+
+  /** Full upsert against a parquet warehouse directory: dedup the batch,
+    * anti-join against current target keys, append. Idempotent — re-running
+    * with the same batch inserts zero rows (ScalaCheck property in tests).
+    */
+  def upsertIntoParquet(incoming: DataFrame, warehouseDir: String,
+                        keys: Seq[String], tiebreak: Seq[Column]): Long = {
+    val spark = incoming.sparkSession
+    val deduped = dedupByKey(incoming, keys, tiebreak)
+    val exists = new org.apache.hadoop.fs.Path(warehouseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .exists(new org.apache.hadoop.fs.Path(warehouseDir))
+    val toInsert =
+      if (exists) upsertNewRows(deduped, spark.read.parquet(warehouseDir), keys)
+      else deduped
+    // Two actions on the same plan — cache the (small) insert set, not the scan.
+    toInsert.cache()
+    val n = toInsert.count()
+    if (n > 0) toInsert.write.mode("append").parquet(warehouseDir)
+    toInsert.unpersist()
+    n
+  }
+
+  // ---------------------------------------------------------------- A1
+  /** Ungrouped MAX watermark with empty-table default
+    * (extract.py:42-54 `SELECT MAX(arrest_date)`, default '1900-01-01').
+    * Partial max per partition → single-row final: no wide shuffle.
+    */
+  def highWaterMark(df: DataFrame, tsCol: String, default: Column): Column =
+    coalesce(max(col(tsCol)), default)
+
+  // ---------------------------------------------------------------- I1
+  /** High-water-mark incremental read (extract.py:103 + :63), composed as a
+    * single plan: scalar-subquery-style max over the warehouse, then a
+    * strict `>` filter on the source. Spark plans the 1-row side as a
+    * broadcast nested loop (free); the filter itself is pushed to the scan.
+    * Fixes the §1.5 watermark quirk when used with [[upsertNewRows]]
+    * (>= + PK dedup would also work; strict > matches the reference).
+    */
+  def incrementalAfterWatermark(source: DataFrame, warehouse: DataFrame,
+                                tsCol: String, default: Column): DataFrame = {
+    val hwm = warehouse.agg(highWaterMark(warehouse, tsCol, default).as("__hwm"))
+    source.join(broadcast(hwm), col(tsCol) > col("__hwm")).drop("__hwm")
+  }
+}
