@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{Transforms => T, Warehouse => W}
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps, Transforms => T, Warehouse => W}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2, each
   * with a DuckDB-equivalent `oracleSql` where ANSI-SQL-expressible.
@@ -737,6 +737,222 @@ private[graft] object Queries {
        | COUNT(*) AS n_events
        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin
 
+  // ================================================================ north-star: dedup family
+  /** Exact full-content dedup on documents (deterministic winner). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    DedupOps.exactDedup(Tables.documents(s, d), Seq("text"), Seq(col("doc_id")))
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+
+  private val dedupExactSql =
+    """SELECT doc_id, source, n_chars FROM (
+      | SELECT doc_id, source, n_chars, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Content-hash dedup: dedup key is sha256(text) — at scale the wide text
+    * column never reaches the shuffle.
+    */
+  def dedupHash(s: SparkSession, d: String): DataFrame =
+    DedupOps.exactDedup(
+      Tables.documents(s, d).withColumn("content_sha", DedupOps.contentHash(col("text"))),
+      Seq("content_sha"), Seq(col("doc_id")))
+      .select("doc_id", "content_sha")
+      .orderBy("doc_id")
+
+  private val dedupHashSql =
+    """SELECT doc_id, content_sha FROM (
+      | SELECT doc_id, sha256(text) AS content_sha,
+      |  row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      | FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Exact 3-gram Jaccard near-dup pairs, blocked by source. The oracle
+    * replicates shingling + set ops in DuckDB list functions.
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), DedupOps.shingles(col("text"), 3).as("sh"))
+    val a = docs.alias("a")
+    val b = docs.alias("b")
+    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        DedupOps.jaccard(col("a.sh"), col("b.sh")).as("jac"))
+      .filter(col("jac") >= 0.6)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val ngramJaccardSql =
+    """WITH sh AS (
+      | SELECT doc_id, source,
+      |  list_distinct(list_transform(range(1, greatest(len(text)-2, 1)+1),
+      |    i -> substring(text, CAST(i AS INT), 3))) AS s
+      | FROM documents)
+      |SELECT id_a, id_b, jac FROM (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |    / len(list_distinct(a.s || b.s)) AS jac
+      | FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id)
+      |WHERE jac >= 0.6 ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH near-dup candidates — hash-dependent, so no SQL oracle;
+    * recall vs exact Jaccard is unit-tested (DedupSpec).
+    */
+  def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    DedupOps.minhashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      n = 3, k = 64, bands = 8, threshold = 0.7)
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs — hash-dependent, no SQL oracle; unit-tested. */
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 8)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding-cosine near-dup pairs blocked by label. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    SimilarityOps.cosinePairsAbove(Tables.embeddings(s, d), "label", 0.35)
+      .orderBy("id_a", "id_b")
+
+  private val dedupEmbeddingSql =
+    """SELECT id_a, id_b, cos FROM (
+      | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(a.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(b.embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS cos
+      | FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+      |WHERE cos >= 0.35 ORDER BY id_a, id_b""".stripMargin
+
+  // ================================================================ north-star: similarity search
+  /** Brute-force exact top-10 cosine neighbours for query vectors 0-4. */
+  def similarityTopk(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, 10)
+      .orderBy("query_id", "rnk")
+  }
+
+  private val similarityTopkSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5),
+      |scored AS (
+      | SELECT query_id, vec_id,
+      |  list_sum(list_transform(list_zip(q_emb, embedding),
+      |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(q_emb, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(embedding, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))) AS score
+      | FROM embeddings CROSS JOIN q WHERE query_id <> vec_id)
+      |SELECT query_id, vec_id, score, rnk FROM (
+      | SELECT query_id, vec_id, score,
+      |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rnk
+      | FROM scored) WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin
+
+  /** RHP-LSH approximate top-k — bucket layout is hash-defined, no SQL
+    * oracle; recall vs brute force is unit-tested (SimilaritySpec).
+    */
+  def similarityLsh(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    SimilarityOps.lshTopK(emb.filter(col("vec_id") < 5), emb, 10,
+      dim = 64, bits = 4, tables = 8)
+      .orderBy("query_id", "rnk")
+  }
+
+  // ================================================================ north-star: text analysis
+  /** Token frequencies: tokenize → explode (generator) → hash agg → top-100. */
+  def textTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(100)
+
+  private val textTokensSql =
+    """SELECT token, COUNT(*) AS n FROM (
+      | SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+      |WHERE token <> '' GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin
+
+  /** Per-document quality signals (length/punct/stopword/uniqueness). */
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_obs"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.stopwordCount(col("text")).as("n_stopwords"),
+      TextOps.uniqueTokenRatio(col("text")).as("uniq_ratio"),
+      TextOps.meanTokenLength(col("text")).as("mean_tok_len"))
+      .orderBy("doc_id")
+
+  private val textQualitySql =
+    """WITH t AS (
+      | SELECT doc_id, len(text) AS n_chars_obs,
+      |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+      | FROM documents)
+      |SELECT doc_id, n_chars_obs, len(toks) AS n_tokens,
+      | len(list_filter(toks, x -> list_contains(['the','a','an','of','and','to','in','is','it','that','for','on','with','as'], x))) AS n_stopwords,
+      | CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS uniq_ratio,
+      | CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE) / greatest(len(toks), 1) AS mean_tok_len
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Stopword-vote language ID with fixed tie priority (en>es>fr>de>zh). */
+  def textLangid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        TextOps.langId(col("text")).as("lang_guess"))
+      .orderBy("doc_id")
+
+  private val textLangidSql = {
+    val hits = TextOps.LangStopwords.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString("[", ",", "]")
+      s"len(list_filter(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''), x -> list_contains($arr, x))) AS c_$lang"
+    }.mkString(", ")
+    val langs = TextOps.LangStopwords.map(_._1)
+    val caseChain = langs.map { l =>
+      val others = langs.filterNot(_ == l).map(o => s"c_$o")
+      s"WHEN c_$l > 0 AND c_$l >= greatest(${others.mkString(", ")}) THEN '$l'"
+    }.mkString(" ")
+    s"""WITH h AS (SELECT doc_id, lang AS lang_label, $hits FROM documents)
+       |SELECT doc_id, lang_label, CASE $caseChain ELSE 'und' END AS lang_guess
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  /** Polynomial rolling-hash fingerprint (mod 1e9+7), identical fold in
+    * both engines.
+    */
+  def textFingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  private val textFingerprintSql =
+    """SELECT doc_id,
+      | list_reduce(
+      |   list_prepend(CAST(0 AS BIGINT),
+      |     list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+      |       c -> CAST(unicode(c) AS BIGINT))),
+      |   (h, c) -> (h * 31 + c) % 1000000007) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ================================================================ north-star: multimodal
+  /** Binary-column metadata path (oracle-able: byte length + sha256). */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame =
+    MultimodalOps.attachBinary(Tables.documents(s, d), "text", "text/plain")
+      .select("doc_id", "media_type", "n_bytes", "content_sha")
+      .orderBy("doc_id")
+
+  private val multimodalMetaSql =
+    """SELECT doc_id, 'text/plain' AS media_type, octet_length(encode(text)) AS n_bytes,
+      | sha256(text) AS content_sha
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Partition-wise stubbed decode (schema/batch plumbing; deterministic
+    * fake codec) — no SQL oracle, unit-tested.
+    */
+  def multimodalDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = MultimodalOps.attachBinary(Tables.documents(s, d), "text", "image/fake")
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[MultimodalOps.MediaRecord]
+    MultimodalOps.decodeFeatures(media).toDF()
+      .select("doc_id", "n_bytes", "width", "height", "features")
+      .orderBy("doc_id")
+  }
+
   // ================================================================ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
@@ -786,6 +1002,20 @@ private[graft] object Queries {
     "q_json" -> (jsonOp _),
     "q_stream_tumbling" -> (streamTumbling _),
     "q_stream_session" -> (streamSession _),
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_hash" -> (dedupHash _),
+    "q_ngram_jaccard" -> (ngramJaccard _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_similarity_topk" -> (similarityTopk _),
+    "q_similarity_lsh" -> (similarityLsh _),
+    "q_text_tokens" -> (textTokens _),
+    "q_text_quality" -> (textQuality _),
+    "q_text_langid" -> (textLangid _),
+    "q_text_fingerprint" -> (textFingerprint _),
+    "q_multimodal_meta" -> (multimodalMeta _),
+    "q_multimodal_decode" -> (multimodalDecode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -835,5 +1065,15 @@ private[graft] object Queries {
     "q_json" -> jsonOpSql,
     "q_stream_tumbling" -> streamTumblingSql,
     "q_stream_session" -> streamSessionSql,
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_hash" -> dedupHashSql,
+    "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_similarity_topk" -> similarityTopkSql,
+    "q_text_tokens" -> textTokensSql,
+    "q_text_quality" -> textQualitySql,
+    "q_text_langid" -> textLangidSql,
+    "q_text_fingerprint" -> textFingerprintSql,
+    "q_multimodal_meta" -> multimodalMetaSql,
   )
 }

@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for LLM-data pipelines (SURVEY §2.7 north-star):
+  * exact, content-hash, MinHash+LSH, SimHash, n-gram Jaccard.
+  *
+  * Scale design: exact/hash dedup is one shuffle on the hash key; MinHash
+  * signatures and SimHash are per-row expressions (no shuffle); LSH candidate
+  * generation shuffles (band_idx, band_hash) — a high-cardinality key that
+  * partitions evenly — and never materializes the O(n²) pair space.
+  */
+object DedupOps {
+
+  // ------------------------------------------------------------- exact
+  /** Exact dedup on a column set, deterministic winner per group. */
+  def exactDedup(df: DataFrame, cols: Seq[String], tiebreak: Seq[Column]): DataFrame =
+    Warehouse.dedupByKey(df, cols, tiebreak)
+
+  /** 256-bit content hash (hex) — dedup key for full-content equality.
+    * Hashing first means the wide text column is dropped before the
+    * shuffle: at 100 TB you shuffle 32-byte digests, not documents.
+    */
+  def contentHash(c: Column): Column = sha2(c, 256)
+
+  // ------------------------------------------------------------- shingles
+  /** Distinct character n-gram shingles. Strings shorter than n contribute
+    * themselves (substring is length-clamped).
+    */
+  def shingles(c: Column, n: Int): Column =
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
+        i => c.substr(i, lit(n))))
+
+  /** Exact n-gram Jaccard similarity of two shingle-set columns.
+    * |A ∩ B| / |A ∪ B| as exact int/int double division.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  // ------------------------------------------------------------- MinHash
+  /** k-permutation MinHash signature over a shingle array: component i is
+    * min over shingles of xxhash64(i, shingle). One expression, no shuffle.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    array((0 until k).map(i =>
+      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))): _*)
+
+  /** Estimated Jaccard from two MinHash signatures: fraction of equal
+    * components.
+    */
+  def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), e => e))
+      .cast("double") / lit(k.toDouble)
+
+  /** LSH banding: hash each of `bands` contiguous `rowsPerBand`-sized slices
+    * of the signature. Docs sharing any band hash are candidates.
+    */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      hash(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
+
+  /** MinHash-LSH candidate pairs above an estimated-Jaccard threshold.
+    *
+    * Plan shape (the part that must survive 100×): per-row signature +
+    * band hashes (narrow) → posexplode to (band, hash) → self-equi-join on
+    * the band key (shuffle partitions by band hash — uniform) → distinct
+    * pair ids → verify with the signature estimate. The quadratic blowup is
+    * confined to rows sharing a band hash, i.e. actual near-dup clusters.
+    */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5): DataFrame = {
+    val withSig = df.select(
+      col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+    val withBands = withSig.select(
+      col("id"), col("sig"),
+      posexplode(lshBandHashes(col("sig"), bands, k / bands)).as(Seq("band", "bhash")))
+    val a = withBands.alias("a")
+    val b = withBands.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("est_jaccard", minhashEstimate(col("sig_a"), col("sig_b"), k))
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  // ------------------------------------------------------------- SimHash
+  /** 64-bit SimHash over a token array: per-token xxhash64, per-bit ±1
+    * votes folded in one aggregate pass, sign → bit. Pure expression.
+    */
+  def simhash(tokensCol: Column): Column = {
+    val votes = aggregate(
+      tokensCol,
+      array_repeat(lit(0), 64),
+      (acc, t) => {
+        val h = xxhash64(t)
+        zip_with(acc, sequence(lit(0), lit(63)),
+          (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, j) => when(v >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Hamming distance between two 64-bit SimHashes. */
+  def hamming64(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: block on 16-bit quadrants (a true near-dup at
+    * distance ≤3 must agree on at least one quadrant — pigeonhole), then
+    * verify exact Hamming distance. Same shuffle discipline as MinHash-LSH.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDistance: Int = 3): DataFrame = {
+    val withHash = df.select(col(idCol).as("id"),
+      simhash(TextOps.tokens(col(textCol))).as("sh"))
+    val blocked = withHash.select(col("id"), col("sh"),
+      posexplode(array((0 until 4).map(q =>
+        shiftright(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("q", "block")))
+    val a = blocked.alias("a")
+    val b = blocked.alias("b")
+    a.join(b, col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+      .filter(col("hamming") <= maxDistance)
+      .select("id_a", "id_b", "hamming")
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data-pipeline workloads (SURVEY §2.7
+  * north-star): tokenization, quality scoring, language ID, fingerprinting.
+  * All pure built-in expressions — codegen'd, shuffle-free per row, viable
+  * over 100 TB of documents.
+  */
+object TextOps {
+
+  /** Whitespace tokenization, dropping empty tokens (Spark's split keeps a
+    * trailing '' that DuckDB's splitter also keeps; both sides filter it).
+    */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword-count proxy: words plus intra-word punctuation/digit
+    * boundaries, approximating tokenizer inflation without a vocab file.
+    */
+  def tokenCountBpeIsh(c: Column): Column =
+    size(filter(split(c, "[\\s]+|(?=[\\p{Punct}])|(?<=[\\p{Punct}])"), t => t =!= ""))
+
+  /** Quality-signal bundle (length / punctuation / stopword / uniqueness
+    * ratios). Ratios are exact int/int double divisions — deterministic.
+    */
+  val StopwordsEn: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that", "for", "on", "with", "as")
+
+  def punctCount(c: Column): Column =
+    size(filter(split(c, ""), ch => ch.rlike("[\\p{Punct}]")))
+
+  def digitCount(c: Column): Column =
+    size(filter(split(c, ""), ch => ch.rlike("[0-9]")))
+
+  def stopwordCount(c: Column): Column =
+    size(filter(tokens(c), t => t.isin(StopwordsEn: _*)))
+
+  def uniqueTokenRatio(c: Column): Column =
+    size(array_distinct(tokens(c))).cast("double") /
+      greatest(size(tokens(c)), lit(1)).cast("double")
+
+  def meanTokenLength(c: Column): Column =
+    aggregate(tokens(c), lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(tokens(c)), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]-ish: rewards stopword presence and
+    * token diversity, penalizes very short docs — the usual pre-training
+    * heuristic shape (cf. C4/Gopher rules, public).
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = greatest(tokenCount(c), lit(1)).cast("double")
+    val stopRatio = stopwordCount(c).cast("double") / nTok
+    val lenScore = least(nTok / lit(100.0), lit(1.0))
+    val uniq = uniqueTokenRatio(c)
+    (stopRatio + lenScore + uniq) / lit(3.0)
+  }
+
+  /** Language-ID by stopword-hit counting with a fixed priority order on
+    * ties (en > es > fr > de > zh) — the classic n-gram/function-word
+    * heuristic, expressible identically in ANSI SQL for the oracle.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "del", "se"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de" -> Seq("der", "die", "und", "das", "von", "den", "im", "ein", "zu", "mit"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "他", "这", "中", "大"))
+
+  def langHits(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(lower(c)), t => t.isin(words: _*)))
+
+  def langId(c: Column): Column = {
+    val hits = LangStopwords.map { case (lang, words) => lang -> langHits(c, words) }
+    val maxHit = greatest(hits.map(_._2): _*)
+    hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
+      when(h > 0 && h === maxHit, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  /** Polynomial rolling-hash document fingerprint, mod 1e9+7 (kept small so
+    * every intermediate fits a 64-bit multiply — no overflow divergence
+    * between engines).
+    */
+  def fingerprint(c: Column): Column =
+    aggregate(
+      filter(split(c, ""), ch => ch =!= ""),
+      lit(0L),
+      (h, ch) => (h * 31 + ascii(ch)) % 1000000007L)
+}

@@ -115,7 +115,7 @@ object Transforms {
   def dateOrEpochMillis(c: Column): Column =
     coalesce(
       try_to_date(c),
-      to_date(timestamp_millis(c.cast("bigint"))))
+      to_date(timestamp_millis(c.try_cast("bigint"))))
 
   // ---------------------------------------------------------------- E6
   /** Format a date `YYYY-MM-DD` (transform.py:117). */

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.DedupOps
+
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("minhash estimate tracks exact jaccard (±0.2) on identical/disjoint") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "zz yy xx ww vv uu tt ss rr qq pp oo nn mm")).toDF("doc_id", "text")
+    val sig = df.select($"doc_id",
+      DedupOps.minhashSignature(DedupOps.shingles($"text", 3), 64).as("sig"))
+    val pairs = sig.as("a").join(sig.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        DedupOps.minhashEstimate($"a.sig", $"b.sig", 64).as("est"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.find(p => p._1 == 1 && p._2 == 2).get._3 == 1.0) // identical
+    assert(pairs.find(p => p._1 == 1 && p._2 == 3).get._3 < 0.2)  // disjoint
+  }
+
+  test("minhash-LSH finds the planted near-dups with high recall at j≥0.8") {
+    val sh = docs.select($"doc_id", $"source", DedupOps.shingles($"text", 3).as("sh"))
+    val truth = sh.as("a").join(sh.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        DedupOps.jaccard($"a.sh", $"b.sh").as("jac"))
+      .filter($"jac" >= 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain planted near-dups")
+    val found = DedupOps.minhashLshPairs(docs, "doc_id", "text",
+        n = 3, k = 64, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.intersect(found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
+  }
+
+  test("simhash: identical texts at distance 0, different texts far") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "one two three four five six seven eight nine ten")).toDF("doc_id", "text")
+    val hashed = df.select($"doc_id",
+      DedupOps.simhash(graft.ops.TextOps.tokens($"text")).as("sh")).collect()
+    val h = hashed.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 8)
+  }
+
+  test("content-hash dedup equals exact text dedup") {
+    val byText = DedupOps.exactDedup(docs, Seq("text"), Seq($"doc_id")).count()
+    val byHash = DedupOps.exactDedup(
+      docs.withColumn("h", DedupOps.contentHash($"text")), Seq("h"), Seq($"doc_id")).count()
+    assert(byText == byHash)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.SimilarityOps
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("cosine of a vector with itself is 1.0") {
+    val one = emb.limit(1).select(
+      SimilarityOps.cosine($"embedding", $"embedding").as("c")).collect().head.getDouble(0)
+    assert(math.abs(one - 1.0) < 1e-12)
+  }
+
+  test("brute-force top-k is ordered and self-excluding") {
+    val res = SimilarityOps.bruteForceTopK(emb.filter($"vec_id" < 3), emb, 5)
+      .collect()
+    assert(res.length == 15)
+    val byQ = res.groupBy(_.getAs[Long]("query_id"))
+    byQ.foreach { case (q, rows) =>
+      val scores = rows.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(!rows.exists(_.getAs[Long]("vec_id") == q))
+    }
+  }
+
+  test("multi-table LSH top-k reaches ≥0.3 recall@10 vs brute force") {
+    val brute = SimilarityOps.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val lsh = SimilarityOps.lshTopK(emb.filter($"vec_id" < 5), emb, 10,
+        dim = 64, bits = 4, tables = 8)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // random vectors are the adversarial case for LSH (no cluster
+    // structure); 8 tables × 4 bits probes ~1/3 of the corpus
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+    assert(lsh.nonEmpty)
+  }
+}

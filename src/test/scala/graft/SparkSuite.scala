@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local SparkSession across all suites (forked test JVM). */
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-tests")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+abstract class SparkSuite extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  val sf: String = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.Warehouse
+
+class WarehouseSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("dedupByKey keeps exactly one row per key, deterministic winner") {
+    val df = Seq((1, "b", 2.0), (1, "a", 1.0), (2, "c", 3.0), (1, "a", 0.5))
+      .toDF("k", "s", "v")
+    val out = Warehouse.dedupByKey(df, Seq("k"), Seq($"s", $"v"))
+      .orderBy("k").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(out(0).getString(1) == "a" && out(0).getDouble(2) == 0.5)
+  }
+
+  test("upsertNewRows = incoming minus existing keys") {
+    val target = Seq((1, "t"), (2, "t")).toDF("k", "v")
+    val incoming = Seq((2, "i"), (3, "i")).toDF("k", "v")
+    val out = Warehouse.upsertNewRows(incoming, target, Seq("k")).collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(3))
+  }
+
+  test("property: upsert is idempotent and first-writer-wins (ScalaCheck)") {
+    val genBatch = Gen.listOfN(30,
+      Gen.zip(Gen.choose(0, 9), Gen.alphaStr.map(_.take(5))))
+    val prop = Prop.forAll(genBatch, genBatch) { (b1, b2) =>
+      val wh = Files.createTempDirectory("prop_wh").toString + "/t"
+      val d1 = b1.toDF("k", "v")
+      val d2 = b2.toDF("k", "v")
+      val tb = Seq($"v")
+      val n1 = Warehouse.upsertIntoParquet(d1, wh, Seq("k"), tb)
+      val n1again = Warehouse.upsertIntoParquet(d1, wh, Seq("k"), tb)
+      val stored1 = spark.read.parquet(wh).as[(Int, String)].collect().toMap
+      Warehouse.upsertIntoParquet(d2, wh, Seq("k"), tb)
+      val stored2 = spark.read.parquet(wh).as[(Int, String)].collect().toMap
+      val distinct1 = b1.map(_._1).distinct.size
+      n1 == distinct1 &&
+        n1again == 0 &&
+        // first batch's values survive the second batch (first-writer-wins)
+        stored1.forall { case (k, v) => stored2(k) == v } &&
+        // every key present
+        (b1.map(_._1) ++ b2.map(_._1)).toSet == stored2.keySet
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(result.passed, result.status.toString)
+  }
+
+  test("highWaterMark falls back to default on empty input") {
+    val empty = Seq.empty[(String, String)].toDF("k", "d")
+    val hwm = empty.agg(Warehouse.highWaterMark(empty, "d", lit("1900-01-01")))
+      .collect().head.getString(0)
+    assert(hwm == "1900-01-01")
+  }
+}
