@@ -1,0 +1,146 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector / dedup hot paths.
+  *
+  * Spark's higher-order array functions (`transform`, `zip_with`,
+  * `aggregate`, `array_intersect`…) are `CodegenFallback` — evaluated
+  * interpreted with one boxed object per array element. For the O(pairs)
+  * inner loops of similarity search and near-dup detection that cost
+  * dominates everything, so each hot kernel is a real `Expression` whose
+  * `doGenCode` stays inside whole-stage codegen and calls a static
+  * primitive-loop kernel in [[VecKernels]].
+  *
+  * All are null-intolerant scalars: null in → null out, handled by
+  * `nullSafeCodeGen`/`nullSafeEval`.
+  */
+object VectorExpressions {
+
+  /** Dot product of two float-array columns in double precision (strict
+    * left-to-right accumulation — oracle-bit-identical).
+    */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_dot"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VecKernels.dotFF($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** Σ v², double, left-to-right — `sqrt` of this is the L2 norm. */
+  case class NormSq(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_normsq"
+    override protected def nullSafeEval(a: Any): Any =
+      VecKernels.normSqF(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.normSqF($a)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Exact set-Jaccard of two string arrays — semantics identical to
+    * `size(array_intersect)/size(array_union)` including 0/0 → NaN.
+    */
+  case class JaccardSim(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_jaccard"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VecKernels.jaccard($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** k-component MinHash signature of a shingle array, single pass
+    * (double-hashing; see [[VecKernels.minhashSig]]).
+    */
+  case class MinHashSig(child: Expression, k: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_minhash"
+    override protected def nullSafeEval(a: Any): Any =
+      new GenericArrayData(VecKernels.minhashSig(a.asInstanceOf[ArrayData], k))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.VecKernels.minhashSig($a, $k));""".stripMargin)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Fraction of equal components of two long-array signatures (the MinHash
+    * Jaccard estimator).
+    */
+  case class SigEqFrac(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_sig_eq_frac"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.sigEqFrac(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VecKernels.sigEqFrac($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** 64-bit SimHash of a token array (xxhash64 seed 42 per token). */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_simhash"
+    override protected def nullSafeEval(a: Any): Any =
+      VecKernels.simhash64(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.simhash64($a)")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** `tables` random-hyperplane sign-LSH bucket ids (`bits` bits each) for a
+    * float embedding. Hyperplane weights are deterministic hash-derived
+    * constants, cached per (dim, bits, tables) in the executor.
+    */
+  case class RhpBuckets(child: Expression, bits: Int, tables: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_rhp_buckets"
+    override protected def nullSafeEval(a: Any): Any =
+      new GenericArrayData(VecKernels.rhpBuckets(a.asInstanceOf[ArrayData], bits, tables))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.VecKernels.rhpBuckets($a, $bits, $tables));""".stripMargin)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ----------------------------------------------------------- Column API
+  private def e(c: Column): Expression = GraftShim.expression(c)
+
+  def dotProduct(a: Column, b: Column): Column = GraftShim.column(DotProduct(e(a), e(b)))
+  def normSq(a: Column): Column = GraftShim.column(NormSq(e(a)))
+  def jaccardSim(a: Column, b: Column): Column = GraftShim.column(JaccardSim(e(a), e(b)))
+  def minhashSig(a: Column, k: Int): Column = GraftShim.column(MinHashSig(e(a), k))
+  def sigEqFrac(a: Column, b: Column): Column = GraftShim.column(SigEqFrac(e(a), e(b)))
+  def simhash64(a: Column): Column = GraftShim.column(SimHash64(e(a)))
+  def rhpBuckets(a: Column, bits: Int, tables: Int): Column =
+    GraftShim.column(RhpBuckets(e(a), bits, tables))
+}

@@ -34,27 +34,28 @@ object DedupOps {
         sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
         i => c.substr(i, lit(n))))
 
-  /** Exact n-gram Jaccard similarity of two shingle-set columns.
-    * |A ∩ B| / |A ∪ B| as exact int/int double division.
+  /** Exact n-gram Jaccard similarity of two shingle-set columns:
+    * |A ∩ B| / |A ∪ B| as exact int/int double division. Native single-pass
+    * hash-set kernel ([[graft.functions.VectorExpressions.JaccardSim]]) —
+    * same semantics as `size(array_intersect)/size(array_union)` without
+    * materializing either intermediate array.
     */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    graft.functions.VectorExpressions.jaccardSim(a, b)
 
   // ------------------------------------------------------------- MinHash
-  /** k-permutation MinHash signature over a shingle array: component i is
-    * min over shingles of xxhash64(i, shingle). One expression, no shuffle.
+  /** k-permutation MinHash signature over a shingle array — ONE native
+    * expression pass with Kirsch–Mitzenmacher double hashing (2 xxhash64
+    * calls per shingle, not k). No shuffle.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    array((0 until k).map(i =>
-      array_min(transform(shingleCol, s => xxhash64(lit(i), s)))): _*)
+    graft.functions.VectorExpressions.minhashSig(shingleCol, k)
 
   /** Estimated Jaccard from two MinHash signatures: fraction of equal
-    * components.
+    * components (native kernel; `k` is implied by signature length).
     */
   def minhashEstimate(sigA: Column, sigB: Column, k: Int): Column =
-    size(filter(zip_with(sigA, sigB, (x, y) => x === y), e => e))
-      .cast("double") / lit(k.toDouble)
+    graft.functions.VectorExpressions.sigEqFrac(sigA, sigB)
 
   /** LSH banding: hash each of `bands` contiguous `rowsPerBand`-sized slices
     * of the signature. Docs sharing any band hash are candidates.
@@ -94,23 +95,12 @@ object DedupOps {
   }
 
   // ------------------------------------------------------------- SimHash
-  /** 64-bit SimHash over a token array: per-token xxhash64, per-bit ±1
-    * votes folded in one aggregate pass, sign → bit. Pure expression.
+  /** 64-bit SimHash over a token array: per-token xxhash64 (seed 42, same
+    * as Spark's builtin), per-bit ±1 votes, sign → bit — one native
+    * expression pass ([[graft.functions.VectorExpressions.SimHash64]]).
     */
-  def simhash(tokensCol: Column): Column = {
-    val votes = aggregate(
-      tokensCol,
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        zip_with(acc, sequence(lit(0), lit(63)),
-          (a, j) => a + when(call_function("shiftright", h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, j) => when(v >= 0, call_function("shiftleft", lit(1L), j)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  def simhash(tokensCol: Column): Column =
+    graft.functions.VectorExpressions.simhash64(tokensCol)
 
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column =
