@@ -10,6 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup: touch every table (file listing, parquet footers, reader JIT)
+    // and run the flagship once so per-query timings measure steady-state
+    // execution rather than first-query session initialization.
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach { t =>
+      try Tables(spark, sfDir, t).count() catch { case _: Throwable => () }
+    }
+    try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -769,13 +769,18 @@ private[graft] object Queries {
     * replicates shingling + set ops in DuckDB list functions.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    // Shingle arrays are sorted ONCE per row so the per-pair kernel is an
+    // allocation-free merge scan with threshold early-exit (exact result
+    // for every emitted row; pruned pairs are below 0.6 by construction).
     val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), DedupOps.shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), col("source"),
+        DedupOps.sortedShingles(col("text"), 3).as("sh"))
     val a = docs.alias("a")
     val b = docs.alias("b")
     a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        DedupOps.jaccard(col("a.sh"), col("b.sh")).as("jac"))
+        graft.functions.VectorExpressions
+          .jaccardSortedGE(col("a.sh"), col("b.sh"), 0.6).as("jac"))
       .filter(col("jac") >= 0.6)
       .orderBy("id_a", "id_b")
   }
@@ -856,8 +861,11 @@ private[graft] object Queries {
   // ================================================================ north-star: text analysis
   /** Token frequencies: tokenize → explode (generator) → hash agg → top-100. */
   def textTokens(s: SparkSession, d: String): DataFrame =
+    // explode the raw split and drop empties AFTER — a codegen'd row filter,
+    // vs. filter() over the array which is an interpreted higher-order fn.
     Tables.documents(s, d)
-      .select(explode(TextOps.tokens(col("text"))).as("token"))
+      .select(explode(split(col("text"), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(100)

@@ -3,7 +3,7 @@ package graft.functions
 import java.util.concurrent.ConcurrentHashMap
 
 import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Branch-free primitive kernels invoked from generated code by the native
@@ -72,14 +72,108 @@ object VecKernels {
     inter.toDouble / union.toDouble
   }
 
+  /** Jaccard over two SORTED-DISTINCT string arrays (binary order, as
+    * produced by `array_sort`; no null elements) with a threshold
+    * early-exit: returns the exact Jaccard when it is ≥ `thresh`, else
+    * -1.0. Downstream `>= thresh` filters are therefore unchanged — a
+    * pruned pair's true Jaccard is below the threshold by construction.
+    *
+    * Linear merge, no allocation, no hashing; the upper bound
+    * (inter + remaining)/(|A|+|B|−(inter + remaining)) is monotonically
+    * tightening, so the scan aborts as soon as the pair can no longer
+    * reach the threshold — for mostly-dissimilar corpora that is ~halfway
+    * through. This is the verification kernel of the prefix-filter
+    * similarity-join family (PPJoin et al., public literature).
+    */
+  def jaccardSortedGE(a: ArrayData, b: ArrayData, thresh: Double): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    // J = I/(na+nb-I) ≥ t  ⟺  I·(1+t) ≥ t·(na+nb): one fused bound check
+    // per step against the best-case final intersection, no division.
+    val need = thresh * (na + nb)
+    val onePlusT = 1.0 + thresh
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      if ((inter + math.min(na - i, nb - j)) * onePlusT < need) return -1.0
+      val cmp = a.getUTF8String(i).binaryCompare(b.getUTF8String(j))
+      if (cmp == 0) { inter += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    val jac = inter.toDouble / (na + nb - inter).toDouble
+    if (jac >= thresh) jac else -1.0
+  }
+
+  /** Distinct character n-gram shingles of a string, optionally in binary
+    * sorted order — native replacement for
+    * `array_distinct(transform(sequence(1, greatest(len-n+1, 1)), i ->
+    * substr(i, n)))` with identical SET semantics (first-occurrence order
+    * differs once sorted; every consumer is order-insensitive):
+    * a string shorter than n (including empty) contributes itself, clamped.
+    * Char-correct for multi-byte UTF-8: one pass records char start
+    * offsets, shingles are byte slices between them.
+    */
+  def charShingles(s: UTF8String, n: Int, sorted: Boolean): ArrayData = {
+    val numBytes = s.numBytes
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    // char-start byte offsets (ASCII fast path would scan identically)
+    val starts = new Array[Int](s.numChars + 1)
+    var c = 0
+    var b = 0
+    while (b < numBytes) {
+      starts(c) = b
+      b += UTF8String.numBytesForFirstByte(org.apache.spark.unsafe.Platform.getByte(base, off + b))
+      c += 1
+    }
+    starts(c) = numBytes
+    val numChars = c
+    if (numChars < n) {
+      return new GenericArrayData(Array[Any](s.copy()))
+    }
+    val set = new java.util.LinkedHashSet[UTF8String](numChars * 2)
+    var i = 0
+    while (i + n <= numChars) {
+      val from = starts(i)
+      val until = starts(i + n)
+      val bytes = new Array[Byte](until - from)
+      org.apache.spark.unsafe.Platform.copyMemory(
+        base, off + from, bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        until - from)
+      set.add(UTF8String.fromBytes(bytes))
+      i += 1
+    }
+    val arr = set.toArray(new Array[UTF8String](set.size))
+    if (sorted) {
+      java.util.Arrays.sort(arr, new java.util.Comparator[UTF8String] {
+        override def compare(x: UTF8String, y: UTF8String): Int = x.binaryCompare(y)
+      })
+    }
+    new GenericArrayData(arr.asInstanceOf[Array[Any]])
+  }
+
   private final val Seed1 = 42L   // Spark's xxhash64 default seed
   private final val Seed2 = 7919L
 
-  /** k-component MinHash signature in ONE pass over the shingle array via
-    * Kirsch–Mitzenmacher double hashing: g_i(s) = h1(s) + i·h2(s). Two
-    * xxhash64 calls per shingle instead of k — the classic trick (public,
-    * "Less Hashing, Same Performance", Kirsch & Mitzenmacher 2006) that
-    * preserves MinHash's collision-probability guarantee.
+  /** Murmur3 64-bit finalizer — full-avalanche bit mix. */
+  @inline private def fmix64(x: Long): Long = {
+    var h = x
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
+  /** k-component MinHash signature in ONE pass over the shingle array:
+    * component i is min over shingles of fmix64(h1(s) + i·h2(s)) — double
+    * hashing ("Less Hashing, Same Performance", Kirsch & Mitzenmacher
+    * 2006, public) so each shingle costs 2 xxhash64 calls instead of k.
+    * The fmix64 finalizer is load-bearing: without it, adjacent components
+    * share their argmin shingle (h1 + i·h2 is monotone in i between
+    * shingles), entire LSH bands collide spuriously, and the band join's
+    * candidate count explodes.
     */
   def minhashSig(shingles: ArrayData, k: Int): Array[Long] = {
     val mins = Array.fill(k)(Long.MaxValue)
@@ -93,7 +187,8 @@ object VecKernels {
         var j = 0
         var g = h1
         while (j < k) {
-          if (g < mins(j)) mins(j) = g
+          val v = fmix64(g)
+          if (v < mins(j)) mins(j) = v
           g += h2
           j += 1
         }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the vector / dedup hot paths.
   *
@@ -68,6 +69,25 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Threshold-pruned exact Jaccard over SORTED-DISTINCT string arrays:
+    * exact value when ≥ `thresh`, −1.0 otherwise (early-exit merge scan —
+    * see [[VecKernels.jaccardSortedGE]]). A downstream `>= thresh` filter
+    * yields exactly the rows the unpruned kernel would.
+    */
+  case class JaccardSortedGE(left: Expression, right: Expression, thresh: Double)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_jaccard_sorted_ge"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.jaccardSortedGE(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], thresh)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VecKernels.jaccardSortedGE($a, $b, $thresh);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** k-component MinHash signature of a shingle array, single pass
     * (double-hashing; see [[VecKernels.minhashSig]]).
     */
@@ -82,6 +102,22 @@ object VectorExpressions {
       nullSafeCodeGen(ctx, ev, a =>
         s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
            |  graft.functions.VecKernels.minhashSig($a, $k));""".stripMargin)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Distinct character n-gram shingles (optionally binary-sorted) — see
+    * [[VecKernels.charShingles]].
+    */
+  case class CharShingles(child: Expression, n: Int, sorted: Boolean)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_shingles"
+    override protected def nullSafeEval(a: Any): Any =
+      VecKernels.charShingles(a.asInstanceOf[UTF8String], n, sorted)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VecKernels.charShingles($a, $n, $sorted);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
@@ -138,6 +174,10 @@ object VectorExpressions {
   def dotProduct(a: Column, b: Column): Column = GraftShim.column(DotProduct(e(a), e(b)))
   def normSq(a: Column): Column = GraftShim.column(NormSq(e(a)))
   def jaccardSim(a: Column, b: Column): Column = GraftShim.column(JaccardSim(e(a), e(b)))
+  def jaccardSortedGE(a: Column, b: Column, thresh: Double): Column =
+    GraftShim.column(JaccardSortedGE(e(a), e(b), thresh))
+  def charShingles(a: Column, n: Int, sorted: Boolean = false): Column =
+    GraftShim.column(CharShingles(e(a), n, sorted))
   def minhashSig(a: Column, k: Int): Column = GraftShim.column(MinHashSig(e(a), k))
   def sigEqFrac(a: Column, b: Column): Column = GraftShim.column(SigEqFrac(e(a), e(b)))
   def simhash64(a: Column): Column = GraftShim.column(SimHash64(e(a)))

@@ -26,13 +26,18 @@ object DedupOps {
 
   // ------------------------------------------------------------- shingles
   /** Distinct character n-gram shingles. Strings shorter than n contribute
-    * themselves (substring is length-clamped).
+    * themselves (substring is length-clamped). Native single-pass kernel
+    * ([[graft.functions.VectorExpressions.CharShingles]]).
     */
   def shingles(c: Column, n: Int): Column =
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(length(c) - (n - 1), lit(1))),
-        i => c.substr(i, lit(n))))
+    graft.functions.VectorExpressions.charShingles(c, n)
+
+  /** [[shingles]] in binary-sorted order — the required input form for the
+    * merge-scan Jaccard kernel
+    * ([[graft.functions.VectorExpressions.JaccardSortedGE]]).
+    */
+  def sortedShingles(c: Column, n: Int): Column =
+    graft.functions.VectorExpressions.charShingles(c, n, sorted = true)
 
   /** Exact n-gram Jaccard similarity of two shingle-set columns:
     * |A ∩ B| / |A ∪ B| as exact int/int double division. Native single-pass
@@ -83,14 +88,17 @@ object DedupOps {
       posexplode(lshBandHashes(col("sig"), bands, k / bands)).as(Seq("band", "bhash")))
     val a = withBands.alias("a")
     val b = withBands.alias("b")
+    // Verify BEFORE deduplicating: the estimator is a cheap native kernel,
+    // so re-evaluating it once per agreeing band costs less than shuffling
+    // both 8·k-byte signatures through dropDuplicates. The surviving rows
+    // are (long, long, double) — the dedup shuffle moves 24-byte rows.
     a.join(b,
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("est_jaccard", minhashEstimate(col("sig_a"), col("sig_b"), k))
+        minhashEstimate(col("a.sig"), col("b.sig"), k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "est_jaccard")
   }
 
@@ -119,13 +127,14 @@ object DedupOps {
         shiftright(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("q", "block")))
     val a = blocked.alias("a")
     val b = blocked.alias("b")
+    // Verify (one XOR+popcount) before dedup — same shuffle discipline as
+    // minhashLshPairs: only surviving 20-byte rows reach dropDuplicates.
     a.join(b, col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
         col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", hamming64(col("sh_a"), col("sh_b")))
+        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
+      .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
 }
