@@ -1,0 +1,81 @@
+package graft
+
+/** Physical-plan shape assertions — the 100 TB posture, checked at test
+  * scale. A query that silently loses its parquet filter pushdown, its
+  * broadcast join, or its whole-stage codegen span would still pass the
+  * value-level oracle at sf0.01 but regress catastrophically at cluster
+  * scale, so the plan shape itself is part of the contract.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_scan_pushdown: watermark predicate reaches the parquet scan") {
+    val p = plan("q_scan_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"watermark filter not pushed to scan:\n$p")
+  }
+
+  test("q_scan_pushdown: scan reads only the projected columns") {
+    val p = plan("q_scan_pushdown")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_extendedprice"),
+      s"column pruning failed — scan reads unprojected columns: $readSchema")
+  }
+
+  test("q_join_broadcast: planner chose a broadcast hash join") {
+    val p = plan("q_join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), s"expected BroadcastHashJoin:\n$p")
+    assert(!p.contains("SortMergeJoin"), "dim join should not sort-merge")
+  }
+
+  test("q_join_multiway: all dimension joins broadcast; no dim shuffles") {
+    val p = plan("q_join_multiway")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).size
+    assert(broadcasts >= 4, s"expected >=4 broadcast joins (cust/supp/nation/region), got $broadcasts")
+  }
+
+  test("q_agg_group: two-phase hash aggregation (map-side partial)") {
+    val p = plan("q_agg_group")
+    val hashAggs = "HashAggregate".r.findAllIn(p).size
+    assert(hashAggs >= 2, s"expected partial+final HashAggregate, got $hashAggs:\n$p")
+  }
+
+  test("q_agg_group: pipeline runs inside whole-stage codegen") {
+    // codegen'd operators carry the `*(stageId)` marker in plan toString
+    val df = SparkEntry.queries("q_agg_group")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) HashAggregate") || p.contains("*(1) Filter"),
+      s"scan→filter→partial-agg not codegen-fused:\n$p")
+  }
+
+  test("q_topk: sort+limit fuses into TakeOrderedAndProject") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("q_similarity_topk: query side broadcast, no cartesian shuffle") {
+    val p = plan("q_similarity_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query set should broadcast:\n$p")
+  }
+
+  test("native kernels stay inside codegen (no CodegenFallback in hot ops)") {
+    // The scoring projection (graft_dot / norm product) must carry the
+    // `*(n)` whole-stage-codegen marker — a CodegenFallback expression
+    // would demote its Project to an uncodegen'd node.
+    val df = SparkEntry.queries("q_similarity_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scoreLine = p.linesIterator.find(_.contains("graft_dot")).getOrElse("")
+    assert(scoreLine.contains("*("), s"scoring projection not codegen'd: $scoreLine\n$p")
+  }
+
+  test("q_dedup_pk: single shuffle keyed on the dedup key") {
+    val p = plan("q_dedup_pk")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"dedup should shuffle once on the key, got $exchanges:\n$p")
+  }
+}
