@@ -121,6 +121,33 @@ private[graft] object Queries {
   private val scanJsonlSql =
     "SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer ORDER BY c_custkey"
 
+  // ================================================================ S1: paginated-API scan (DSv2, pushdown)
+  /** The reference's Socrata extract re-expressed as a real connector:
+    * `graft-paged` (DataSource V2, [[graft.sources.PagedJsonTableProvider]])
+    * reads JSONL "API pages" with the watermark predicate pruning whole
+    * pages at planning time (the `$where arrest_date > hwm` pushdown,
+    * `scripts/extract.py:63`) and pages fetched in parallel. The watermark
+    * is `max(key)·3/5`, computed identically by the DuckDB oracle.
+    */
+  def scanPaged(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/root/repo/target/fixtures/paged_${new java.io.File(d).getName}"
+    if (!new java.io.File(dir, "_manifest.json").exists()) {
+      graft.sources.PagedManifest.writeFixture(
+        ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+        dir, "o_orderkey", pageSize = 2000)
+    }
+    val hwm = ord(s, d).agg(max("o_orderkey")).head().getLong(0) * 3 / 5
+    s.read.format("graft-paged").load(dir)
+      .filter(col("o_orderkey") > lit(hwm))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  private val scanPagedSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+      |WHERE o_orderkey > (SELECT (max(o_orderkey)*3)//5 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ================================================================ P1: rename
   def rename(s: SparkSession, d: String): DataFrame = {
     val upperCased = ord(s, d).toDF(ord(s, d).columns.map(_.toUpperCase).toIndexedSeq: _*)
@@ -967,6 +994,7 @@ private[graft] object Queries {
     "q_scan_pushdown" -> (scanPushdown _),
     "q_scan_csv" -> (scanCsv _),
     "q_scan_jsonl" -> (scanJsonl _),
+    "q_scan_paged" -> (scanPaged _),
     "q_rename" -> (rename _),
     "q_add_default_col" -> (addDefaultCol _),
     "q_drop_col" -> (dropCol _),
@@ -1031,6 +1059,7 @@ private[graft] object Queries {
     "q_scan_pushdown" -> scanPushdownSql,
     "q_scan_csv" -> scanCsvSql,
     "q_scan_jsonl" -> scanJsonlSql,
+    "q_scan_paged" -> scanPagedSql,
     "q_rename" -> renameSql,
     "q_add_default_col" -> addDefaultColSql,
     "q_drop_col" -> dropColSql,

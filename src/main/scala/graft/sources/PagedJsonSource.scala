@@ -1,0 +1,290 @@
+package graft.sources
+
+import java.io.{BufferedReader, File, FileReader, PrintWriter}
+import java.util
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 connector modeling the reference's paginated-API extract
+  * (`scripts/extract.py:56-72`: Socrata SoQL GET with `$limit`/`$offset`
+  * pages and a `$where=arrest_date > '<hwm>'` watermark predicate pushed to
+  * the server — SURVEY §2.1 S1).
+  *
+  * The "API" here is a local directory of JSONL page files plus a
+  * `_manifest.json` carrying the schema and per-page (rows, minKey, maxKey)
+  * stats over a designated watermark key column — standing in for the
+  * server's ability to answer a filtered, paged query. The connector is the
+  * part that must be Spark-correct at 100 TB:
+  *
+  *  - `SupportsPushDownFilters`: comparison predicates on the key column
+  *    prune whole pages at PLANNING time via manifest stats (the moral
+  *    equivalent of the server evaluating `$where`). Pruning is
+  *    conservative — every filter is also kept as a residual for exact
+  *    row-level evaluation by Spark, so correctness never depends on stats.
+  *  - `SupportsPushDownLimit`: pages are admitted only until their
+  *    cumulative row count covers the limit (the `$limit` analog);
+  *    partial pushdown, Spark still applies the exact limit.
+  *  - `SupportsPushDownRequiredColumns`: readers parse only requested
+  *    fields (column pruning into the "wire format").
+  *  - One `InputPartition` per page → pages fetch/parse in parallel across
+  *    executors, unlike the reference's serial page loop.
+  */
+class PagedJsonTableProvider extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-paged"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PagedManifest.read(options.get("path")).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new PagedTable(properties.get("path"), schema)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class PagedTable(path: String, schema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft-paged:$path"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new PagedScanBuilder(path, schema)
+}
+
+class PagedScanBuilder(path: String, fullSchema: StructType)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+
+  private val manifest = PagedManifest.read(path)
+  private var lowerBound: Option[Long] = None  // key > / >= bound
+  private var upperBound: Option[Long] = None  // key < / <= bound
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var required: StructType = fullSchema
+
+  /** Accept comparison predicates on the manifest key column for page-level
+    * pruning; EVERYTHING stays residual (returned back) so Spark re-checks
+    * rows exactly — stats pruning must never be load-bearing.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val key = manifest.keyCol
+    def longOf(v: Any): Option[Long] = v match {
+      case l: Long => Some(l)
+      case i: Int => Some(i.toLong)
+      case _ => None
+    }
+    val accepted = ArrayBuffer[Filter]()
+    filters.foreach {
+      case f @ GreaterThan(c, v) if c == key && longOf(v).isDefined =>
+        lowerBound = Some(lowerBound.fold(longOf(v).get)(math.max(_, longOf(v).get)))
+        accepted += f
+      case f @ GreaterThanOrEqual(c, v) if c == key && longOf(v).isDefined =>
+        lowerBound = Some(lowerBound.fold(longOf(v).get - 1)(math.max(_, longOf(v).get - 1)))
+        accepted += f
+      case f @ LessThan(c, v) if c == key && longOf(v).isDefined =>
+        upperBound = Some(upperBound.fold(longOf(v).get)(math.min(_, longOf(v).get)))
+        accepted += f
+      case f @ LessThanOrEqual(c, v) if c == key && longOf(v).isDefined =>
+        upperBound = Some(upperBound.fold(longOf(v).get + 1)(math.min(_, longOf(v).get + 1)))
+        accepted += f
+      case f @ EqualTo(c, v) if c == key && longOf(v).isDefined =>
+        lowerBound = Some(lowerBound.fold(longOf(v).get - 1)(math.max(_, longOf(v).get - 1)))
+        upperBound = Some(upperBound.fold(longOf(v).get + 1)(math.min(_, longOf(v).get + 1)))
+        accepted += f
+      case _ => ()
+    }
+    pushed = accepted.toArray
+    filters  // all residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** `$limit` analog: admit pages only until the limit is covered. Partial
+    * pushdown (returns false) — Spark applies the exact limit on top.
+    */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    required = requiredSchema
+  }
+
+  override def build(): Scan =
+    new PagedScan(path, manifest, required, lowerBound, upperBound, limit)
+}
+
+class PagedScan(path: String, manifest: PagedManifest, required: StructType,
+                lower: Option[Long], upper: Option[Long], limit: Option[Int])
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val kept = planInputPartitions().length
+    s"graft-paged path=$path pages=${manifest.pages.length} planned=$kept " +
+      s"keyBounds=(${lower.getOrElse("-inf")}, ${upper.getOrElse("+inf")}) " +
+      s"limit=${limit.getOrElse(-1)}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    // page-level pruning on manifest stats (conservative), then the
+    // limit budget in page order — the reference's sequential-page
+    // semantics, minus the pages the predicate rules out.
+    val afterPrune = manifest.pages.filter { p =>
+      lower.forall(p.maxKey > _) && upper.forall(p.minKey < _)
+    }
+    val admitted = limit match {
+      case None => afterPrune
+      case Some(l) =>
+        var budget = l.toLong
+        afterPrune.takeWhile { p =>
+          val take = budget > 0
+          budget -= p.rows
+          take
+        }
+    }
+    admitted.map(p => PagedInputPartition(s"$path/${p.file}", manifest.schema, required)
+      : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new PagedPartitionReader(partition.asInstanceOf[PagedInputPartition])
+    }
+}
+
+case class PagedInputPartition(file: String, fullSchema: StructType,
+                               required: StructType) extends InputPartition
+
+/** Parses one JSONL page with Jackson, emitting only required columns. */
+class PagedPartitionReader(p: PagedInputPartition) extends PartitionReader[InternalRow] {
+  private val mapper = new ObjectMapper()
+  private val reader = new BufferedReader(new FileReader(p.file))
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    val line = reader.readLine()
+    if (line == null) { false }
+    else {
+      val node = mapper.readTree(line)
+      val vals = new Array[Any](p.required.length)
+      var i = 0
+      while (i < p.required.length) {
+        val f = p.required.fields(i)
+        val n = node.get(f.name)
+        vals(i) =
+          if (n == null || n.isNull) null
+          else f.dataType match {
+            case LongType => n.asLong()
+            case IntegerType => n.asInt()
+            case DoubleType => n.asDouble()
+            case StringType => UTF8String.fromString(n.asText())
+            case BooleanType => n.asBoolean()
+            case dt => throw new UnsupportedOperationException(s"type $dt")
+          }
+        i += 1
+      }
+      row = new GenericInternalRow(vals)
+      true
+    }
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = reader.close()
+}
+
+// ------------------------------------------------------------ manifest
+case class PageStat(file: String, rows: Long, minKey: Long, maxKey: Long)
+
+case class PagedManifest(keyCol: String, schema: StructType, pages: Seq[PageStat])
+
+object PagedManifest {
+  def read(path: String): PagedManifest = {
+    val mapper = new ObjectMapper()
+    val root = mapper.readTree(new File(path, "_manifest.json"))
+    val schema = DataType.fromDDL(root.get("schemaDdl").asText()).asInstanceOf[StructType]
+    val pages = ArrayBuffer[PageStat]()
+    val it = root.get("pages").elements()
+    while (it.hasNext) {
+      val p: JsonNode = it.next()
+      pages += PageStat(p.get("file").asText(), p.get("rows").asLong(),
+        p.get("minKey").asLong(), p.get("maxKey").asLong())
+    }
+    PagedManifest(root.get("keyCol").asText(), schema, pages.toSeq)
+  }
+
+  /** Write a DataFrame as a paged-JSONL fixture: rows sorted by `keyCol`
+    * split into `pageSize`-row page files, plus the stats manifest. Driver
+    * streams via `toLocalIterator` — fixture generation only, not an
+    * operator.
+    */
+  def writeFixture(df: DataFrame, dir: String, keyCol: String, pageSize: Int): Unit = {
+    val f = new File(dir)
+    f.mkdirs()
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val mapper = new ObjectMapper()
+    val pages = ArrayBuffer[PageStat]()
+    var pageRows = 0L
+    var minKey = Long.MaxValue
+    var maxKey = Long.MinValue
+    var pageNo = 0
+    var out: PrintWriter = null
+    def openPage(): Unit = {
+      out = new PrintWriter(new File(f, f"page-$pageNo%05d.jsonl"), "UTF-8")
+      pageRows = 0; minKey = Long.MaxValue; maxKey = Long.MinValue
+    }
+    def closePage(): Unit = if (out != null && pageRows > 0) {
+      out.close()
+      pages += PageStat(f"page-$pageNo%05d.jsonl", pageRows, minKey, maxKey)
+      pageNo += 1
+    } else if (out != null) out.close()
+    openPage()
+    val it = df.sort(keyCol).toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      val node = mapper.createObjectNode()
+      schema.fields.zipWithIndex.foreach { case (fd, i) =>
+        if (r.isNullAt(i)) node.putNull(fd.name)
+        else fd.dataType match {
+          case LongType => node.put(fd.name, r.getLong(i))
+          case IntegerType => node.put(fd.name, r.getInt(i))
+          case DoubleType => node.put(fd.name, r.getDouble(i))
+          case StringType => node.put(fd.name, r.getString(i))
+          case BooleanType => node.put(fd.name, r.getBoolean(i))
+          case dt => throw new UnsupportedOperationException(s"type $dt")
+        }
+      }
+      out.println(mapper.writeValueAsString(node))
+      val k = r.getLong(keyIdx)
+      minKey = math.min(minKey, k); maxKey = math.max(maxKey, k)
+      pageRows += 1
+      if (pageRows >= pageSize) { closePage(); openPage() }
+    }
+    closePage()
+    val root = mapper.createObjectNode()
+    root.put("keyCol", keyCol)
+    root.put("schemaDdl", schema.toDDL)
+    val arr = root.putArray("pages")
+    pages.foreach { p =>
+      val n = arr.addObject()
+      n.put("file", p.file); n.put("rows", p.rows)
+      n.put("minKey", p.minKey); n.put("maxKey", p.maxKey)
+    }
+    val mw = new PrintWriter(new File(f, "_manifest.json"), "UTF-8")
+    mw.println(mapper.writerWithDefaultPrettyPrinter().writeValueAsString(root))
+    mw.close()
+  }
+}
