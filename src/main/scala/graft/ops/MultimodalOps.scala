@@ -68,11 +68,16 @@ object MultimodalOps {
     * fixed-size "frames" and keep every `stride`-th — pure expressions, the
     * partitioning/explode pattern a real frame sampler would use.
     */
-  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame =
+  def sampleFrames(df: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    // `/` on Columns is DOUBLE division — floor+cast keeps sequence() in
+    // integral types.
+    val lastFrame = greatest(
+      floor((length(col("content")) - 1) / frameBytes).cast("int"), lit(0))
     df.select(col("*"),
         posexplode(transform(
-          sequence(lit(0), greatest((length(col("content")) - 1) / frameBytes, lit(0))),
+          sequence(lit(0), lastFrame),
           i => col("content").substr((i * frameBytes + 1).cast("int"), lit(frameBytes))))
           .as(Seq("frame_idx", "frame")))
       .filter(col("frame_idx") % stride === 0)
+  }
 }

@@ -112,10 +112,18 @@ object Transforms {
     * All built-ins — the reference's row-wise Python `convert_timestamp`
     * becomes one codegen'd expression.
     */
-  def dateOrEpochMillis(c: Column): Column =
+  def dateOrEpochMillis(c: Column): Column = {
+    // Totality guard: timestamp_millis THROWS on |millis| beyond the
+    // representable timestamp range (long overflow at the µs conversion),
+    // but `errors='coerce'` semantics require null. Clamp to the proleptic
+    // year-0..9999 epoch-millis window; outside → null, like pandas NaT.
+    val millis = c.try_cast("bigint")
+    val inRange = millis.isNotNull &&
+      millis >= lit(-62135596800000L) && millis <= lit(253402300799999L)
     coalesce(
       try_to_date(c),
-      to_date(timestamp_millis(c.try_cast("bigint"))))
+      to_date(timestamp_millis(when(inRange, millis))))
+  }
 
   // ---------------------------------------------------------------- E6
   /** Format a date `YYYY-MM-DD` (transform.py:117). */
