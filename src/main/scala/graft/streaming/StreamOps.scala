@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+
+import graft.ops.Warehouse
 
 /** Structured Streaming operators (SURVEY §2.6): the reference's
   * checkpoint/high-water-mark machinery (scripts/extract.py:74-95) maps to
@@ -41,6 +43,57 @@ object StreamOps {
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"))
+
+  /** Checkpointed incremental ingestion (SURVEY §2.6 I2): a file-source
+    * stream upserted first-writer-wins into a parquet warehouse.
+    *
+    * The reference keeps a `{total_records, offset}` JSON checkpoint and
+    * relies on `ON CONFLICT (arrest_key) DO NOTHING`
+    * (`scripts/extract.py:74-95`, `scripts/load.py:146`); here the source
+    * offsets live in `checkpointLocation` (Spark records which files each
+    * micro-batch consumed) and the sink is the idempotent keyed upsert —
+    * so a replayed micro-batch inserts zero rows and the composition is
+    * effectively exactly-once. Restarting with the same checkpoint resumes
+    * from the recorded offsets, processing only files that arrived since.
+    */
+  def incrementalIngest(spark: SparkSession, srcDir: String, schemaDdl: String,
+                        checkpointDir: String, warehouseDir: String,
+                        keys: Seq[String], tiebreak: Seq[String]): StreamingQuery = {
+    val src = spark.readStream.schema(schemaDdl).parquet(srcDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Warehouse.upsertIntoParquet(batch, warehouseDir, keys, tiebreak.map(col))
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming first-seen dedup via `flatMapGroupsWithState` — the custom
+    * per-key state surface (`KeyValueGroupedDataset`) the built-in
+    * `dropDuplicates` doesn't expose: state is an explicit Boolean
+    * "seen" flag per key, so variants (count-limited keep-N, TTL'd state
+    * via timeouts) are one-line changes. Emits each key's FIRST row only,
+    * across all micro-batches.
+    */
+  def streamingFirstSeen[K: org.apache.spark.sql.Encoder,
+                         V: org.apache.spark.sql.Encoder](
+      ds: Dataset[V], key: V => K)(
+      implicit tup: org.apache.spark.sql.Encoder[(K, V)]): Dataset[V] = {
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, V](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: K, rows: Iterator[V], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+  }
 
   /** Run a streaming transform over a bounded file source to completion
     * (Trigger.AvailableNow + memory sink) and return the result — the

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
 import graft.streaming.StreamOps
 
 /** Batch↔stream equivalence (SURVEY §5.4): the same tumbling/session agg
@@ -37,5 +38,59 @@ class StreamingSpec extends SparkSuite {
       StreamOps.sessionAgg(_, "30 minutes"))
     assert(canon(stream) == canon(batch))
     assert(batch.count() > 0)
+  }
+
+  test("I2: checkpointed ingest resumes from offsets; replay inserts nothing") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("ingest").toString
+    val (srcDir, ckpt, wh) = (s"$base/src", s"$base/ckpt", s"$base/warehouse")
+    val ddl = "k bigint, v string"
+
+    // phase 1: keys 0..99 arrive; stream to termination
+    (0L until 100L).map(k => (k, s"first-$k")).toDF("k", "v")
+      .write.mode("append").parquet(srcDir)
+    StreamOps.incrementalIngest(spark, srcDir, ddl, ckpt, wh, Seq("k"), Seq("v"))
+      .awaitTermination()
+    assert(spark.read.parquet(wh).count() == 100)
+
+    // phase 2: keys 50..149 arrive (half overlap, conflicting payloads);
+    // restart with the SAME checkpoint — only the new file is consumed,
+    // and the keyed upsert keeps the phase-1 rows (first-writer-wins)
+    (50L until 150L).map(k => (k, s"second-$k")).toDF("k", "v")
+      .write.mode("append").parquet(srcDir)
+    StreamOps.incrementalIngest(spark, srcDir, ddl, ckpt, wh, Seq("k"), Seq("v"))
+      .awaitTermination()
+    val after = spark.read.parquet(wh).cache()
+    assert(after.count() == 150)
+    assert(after.groupBy("k").count().filter($"count" > 1).isEmpty, "no duplicate keys")
+    assert(after.filter($"k" === 75L).head().getString(1) == "first-75",
+      "first writer must win on replayed keys")
+
+    // phase 3: restart once more with NO new data — the checkpoint knows
+    // every file is consumed; warehouse unchanged
+    StreamOps.incrementalIngest(spark, srcDir, ddl, ckpt, wh, Seq("k"), Seq("v"))
+      .awaitTermination()
+    assert(spark.read.parquet(wh).count() == 150)
+  }
+
+  test("streaming first-seen dedup emits exactly one row per key across batches") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("fsdedup").toString
+    // two files → (typically) separate micro-batches; key 7 appears in both
+    Seq((7L, "a1"), (8L, "b1"), (7L, "a2")).toDF("k", "v")
+      .repartition(1).write.mode("append").parquet(s"$base/src")
+    Seq((7L, "a3"), (9L, "c1")).toDF("k", "v")
+      .repartition(1).write.mode("append").parquet(s"$base/src")
+    val src = spark.readStream.schema("k bigint, v string").parquet(s"$base/src")
+      .as[(Long, String)]
+    val q = StreamOps.streamingFirstSeen[Long, (Long, String)](src, _._1)
+      .toDF("k", "v")
+      .writeStream.outputMode("append").format("memory").queryName("fs_out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("fs_out").as[(Long, String)].collect()
+    assert(out.map(_._1).sorted.toSeq == Seq(7L, 8L, 9L), s"got ${out.toSeq}")
   }
 }
