@@ -885,6 +885,18 @@ private[graft] object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF top-10 (16 lists, 4 probed, 2 Lloyd's rounds) — the clustered
+    * ANN scale path; exact-equivalence at full probe is spec-verified,
+    * recall at partial probe is the approximation trade. No SQL oracle
+    * (centroid-dependent); rows-only check.
+    */
+  def similarityIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 5), emb, 10,
+      c = 16, nprobe = 4, iters = 2)
+      .orderBy("query_id", "rnk")
+  }
+
   // ================================================================ north-star: text analysis
   /** Token frequencies: tokenize → explode (generator) → hash agg → top-100. */
   def textTokens(s: SparkSession, d: String): DataFrame =
@@ -1046,6 +1058,7 @@ private[graft] object Queries {
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_similarity_topk" -> (similarityTopk _),
     "q_similarity_lsh" -> (similarityLsh _),
+    "q_similarity_ivf" -> (similarityIvf _),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangid _),

@@ -32,6 +32,43 @@ object VecKernels {
     acc
   }
 
+  /** Mixed/double-element variants — same contract as [[dotFF]]. */
+  def dotFD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getFloat(i).toDouble * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def dotDF(a: ArrayData, b: ArrayData): Double = dotFD(b, a)
+
+  def dotDD(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  def normSqD(a: ArrayData): Double = {
+    val n = a.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val v = a.getDouble(i)
+      acc += v * v
+      i += 1
+    }
+    acc
+  }
+
   /** Σ (double)a[i]^2, strict left-to-right. */
   def normSqF(a: ArrayData): Double = {
     val n = a.numElements()

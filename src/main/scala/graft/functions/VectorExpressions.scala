@@ -23,32 +23,56 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorExpressions {
 
-  /** Dot product of two float-array columns in double precision (strict
-    * left-to-right accumulation — oracle-bit-identical).
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Dot product of two float- or double-array columns in double precision
+    * (strict left-to-right accumulation — oracle-bit-identical). The
+    * element-type-specific kernel is chosen once at planning.
     */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "graft_dot"
-    override protected def nullSafeEval(a: Any, b: Any): Any =
-      VecKernels.dotFF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    private lazy val kernel: String = (isFloatArray(left), isFloatArray(right)) match {
+      case (true, true) => "dotFF"
+      case (true, false) => "dotFD"
+      case (false, true) => "dotDF"
+      case (false, false) => "dotDD"
+    }
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val (x, y) = (a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+      kernel match {
+        case "dotFF" => VecKernels.dotFF(x, y)
+        case "dotFD" => VecKernels.dotFD(x, y)
+        case "dotDF" => VecKernels.dotDF(x, y)
+        case _ => VecKernels.dotDD(x, y)
+      }
+    }
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) =>
-        s"${ev.value} = graft.functions.VecKernels.dotFF($a, $b);")
+        s"${ev.value} = graft.functions.VecKernels.$kernel($a, $b);")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
   }
 
-  /** Σ v², double, left-to-right — `sqrt` of this is the L2 norm. */
+  /** Σ v², double, left-to-right — `sqrt` of this is the L2 norm. Accepts
+    * float or double element arrays.
+    */
   case class NormSq(child: Expression) extends UnaryExpression {
     override def dataType: DataType = DoubleType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "graft_normsq"
+    private lazy val kernel: String =
+      if (isFloatArray(child)) "normSqF" else "normSqD"
     override protected def nullSafeEval(a: Any): Any =
-      VecKernels.normSqF(a.asInstanceOf[ArrayData])
+      if (isFloatArray(child)) VecKernels.normSqF(a.asInstanceOf[ArrayData])
+      else VecKernels.normSqD(a.asInstanceOf[ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.normSqF($a)")
+      defineCodeGen(ctx, ev, a => s"graft.functions.VecKernels.$kernel($a)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 

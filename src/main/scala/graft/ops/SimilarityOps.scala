@@ -89,6 +89,80 @@ object SimilarityOps {
       .select("query_id", "vec_id", "score", "rnk")
   }
 
+  // ------------------------------------------------------------- IVF
+  /** Deterministic IVF centroids: seed with the first `c` corpus vectors
+    * (by vec_id order), then refine with `iters` Lloyd's rounds as plain
+    * DataFrame aggregations — assign each vector to its max-cosine
+    * centroid (broadcast), re-average per cluster (one shuffle per round,
+    * keyed on cluster id). Returns (cluster_id, centroid) rows, collected
+    * — the centroid table is C×dim, driver-small by design.
+    */
+  def ivfCentroids(corpus: DataFrame, c: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    var centroids = corpus.orderBy("vec_id").limit(c)
+      .select(monotonically_increasing_id().as("cluster_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assignClusters(corpus, centroids)
+      centroids = assigned
+        .select(col("cluster_id"),
+          posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("cluster_id", "d").agg(avg("v").as("m"))
+        .groupBy("cluster_id")
+        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
+        .select(col("cluster_id"),
+          expr("transform(dm, x -> CAST(x.m AS DOUBLE))").as("centroid"))
+    }
+    centroids
+  }
+
+  /** Assign every corpus vector to its nearest (max-cosine) centroid:
+    * broadcast the centroid table, score each row against all C in one
+    * narrow pass, keep the argmax. No shuffle of the corpus.
+    */
+  def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("__score").desc, col("cluster_id"))
+    corpus.join(broadcast(centroids))
+      .withColumn("__score",
+        dot(col("embedding"), col("centroid")) /
+          (l2norm(col("embedding")) * l2norm(col("centroid"))))
+      .withColumn("__rnk", row_number().over(w))
+      .filter(col("__rnk") === 1)
+      .drop("centroid", "__score", "__rnk")
+  }
+
+  /** IVF top-k: probe the `nprobe` nearest clusters per query, exact-score
+    * only their members. The scale path: the corpus is scanned/shuffled
+    * by cluster_id (a pre-computable partitioning at 100 TB — write the
+    * index bucketed by cluster), and each query touches nprobe/C of it.
+    * With nprobe = C this is EXACTLY brute force (spec-verified).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              c: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, c, iters)
+    val indexed = assignClusters(corpus, centroids)
+      .select(col("vec_id"), col("embedding"), col("cluster_id"),
+        l2norm(col("embedding")).as("c_norm"))
+    // per-query probe list: nprobe max-cosine centroids
+    val probeW = Window.partitionBy("query_id").orderBy(col("__s").desc, col("cluster_id"))
+    val probes = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_norm"))
+      .join(broadcast(centroids))
+      .withColumn("__s",
+        dot(col("q_emb"), col("centroid")) / (col("q_norm") * l2norm(col("centroid"))))
+      .withColumn("__r", row_number().over(probeW))
+      .filter(col("__r") <= nprobe)
+      .select("query_id", "q_emb", "q_norm", "cluster_id")
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
+    indexed.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("query_id", "vec_id", "score", "rnk")
+  }
+
   /** Embedding near-dup pairs above a cosine threshold, blocked by label
     * (or any coarse partition column) to bound the pair space. Norms are
     * computed once per row before the join.

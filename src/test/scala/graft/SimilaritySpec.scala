@@ -26,6 +26,38 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("IVF with full probe (nprobe = C) is EXACTLY brute force") {
+    val brute = SimilarityOps.bruteForceTopK(emb.filter($"vec_id" < 3), emb, 5)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
+    val full = SimilarityOps.ivfTopK(emb.filter($"vec_id" < 3), emb, 5,
+        c = 8, nprobe = 8, iters = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
+    assert(full == brute, "probing every list must degrade to exhaustive search")
+  }
+
+  test("IVF partial probe reaches ≥0.3 recall@10 vs brute force") {
+    val brute = SimilarityOps.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    val ivf = SimilarityOps.ivfTopK(emb.filter($"vec_id" < 5), emb, 10,
+        c = 16, nprobe = 4, iters = 2)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
+    // random vectors are adversarial for clustering; 4/16 lists ≈ 1/4 of
+    // the corpus scanned
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall")
+  }
+
+  test("cluster assignment is total and deterministic") {
+    val cents = SimilarityOps.ivfCentroids(emb, 8, 1).cache()
+    assert(cents.count() == 8)
+    val a1 = SimilarityOps.assignClusters(emb, cents)
+    assert(a1.count() == emb.count(), "every vector lands in exactly one cluster")
+    val counts = a1.groupBy("cluster_id").count()
+    assert(counts.count() <= 8)
+  }
+
   test("multi-table LSH top-k reaches ≥0.3 recall@10 vs brute force") {
     val brute = SimilarityOps.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 10)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
