@@ -89,6 +89,27 @@ object SimilarityOps {
       .select("query_id", "vec_id", "score", "rnk")
   }
 
+  /** [[bruteForceTopK]] with the shuffle-lean aggregation plan: per-query
+    * top-k via the bounded [[graft.functions.TopKAggregator]] instead of a
+    * window — map tasks partial-aggregate to ≤ k pairs each, the shuffle
+    * moves only those buffers (vs. every scored candidate row). Same
+    * result set, spec-verified; preferred at |corpus| ≫ k.
+    */
+  def bruteForceTopKAgg(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_norm")))
+    val scored = corpus
+      .select(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("c_norm"))
+      .join(q, col("query_id") =!= col("vec_id"))
+      .withColumn("score",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAggregator.topK(k)(col("vec_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), col("t._1").as("vec_id"),
+        col("t._2").as("score"), (col("i") + 1).cast("int").as("rnk"))
+  }
+
   // ------------------------------------------------------------- IVF
   /** Deterministic IVF centroids: seed with the first `c` corpus vectors
     * (by vec_id order), then refine with `iters` Lloyd's rounds as plain

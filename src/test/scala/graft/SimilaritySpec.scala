@@ -26,6 +26,20 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("aggregated top-k (bounded UDAF) == window top-k exactly") {
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toSet
+    val win = SimilarityOps.bruteForceTopK(emb.filter($"vec_id" < 4), emb, 7)
+    val agg = SimilarityOps.bruteForceTopKAgg(emb.filter($"vec_id" < 4), emb, 7)
+    assert(canon(agg) == canon(win))
+    // and the aggregation plan has NO window exchange of scored rows
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"agg path must not plan a window:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate") ||
+      p.contains("HashAggregate"), "expected partial aggregation")
+  }
+
   test("IVF with full probe (nprobe = C) is EXACTLY brute force") {
     val brute = SimilarityOps.bruteForceTopK(emb.filter($"vec_id" < 3), emb, 5)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rnk"),
