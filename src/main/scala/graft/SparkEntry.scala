@@ -509,6 +509,35 @@ private[graft] object Queries {
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** As-of join: each event paired with the customer's LATEST order at or
+    * before the event timestamp ([[graft.ops.JoinOps.asofJoin]] — union +
+    * one keyed shuffle + carry-forward window, no pair join). Right side
+    * pre-deduped per (custkey, orderdate) for determinism; inner-ASOF
+    * semantics (events with no prior order drop), matching DuckDB's
+    * native ASOF JOIN in the oracle.
+    */
+  def joinAsof(s: SparkSession, d: String): DataFrame = {
+    val r = ord(s, d).groupBy(col("o_custkey"), col("o_orderdate"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    graft.ops.JoinOps.asofJoin(
+      Tables.events(s, d).select("event_id", "user_id", "ts"), r,
+      "user_id", "o_custkey", "ts", "o_orderdate",
+      Seq("o_orderkey", "o_orderdate"))
+      .filter(col("asof").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("asof.o_orderkey").as("o_orderkey"),
+        col("asof.o_orderdate").as("o_orderdate"))
+      .orderBy("event_id")
+  }
+
+  private val joinAsofSql =
+    """WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      |           FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, r.o_orderkey, r.o_orderdate
+      |FROM events e ASOF JOIN r
+      |  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+      |ORDER BY event_id""".stripMargin
+
   private val joinRangeSql =
     """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
       | strftime(o_orderdate, '%Y-%m-%d') AS order_day
@@ -638,6 +667,70 @@ private[graft] object Queries {
       | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin
+
+  /** Explicit GROUPING SETS (beyond rollup/cube): by-flag, by-status, and
+    * grand total in one pass.
+    */
+  def groupingSetsOp(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupingSets(Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"),
+        col("n"), col("sum_qty"))
+      .orderBy("flag", "status")
+
+  private val groupingSetsSql =
+    """SELECT COALESCE(l_returnflag, '(all)') AS flag, COALESCE(l_linestatus, '(all)') AS status,
+      | COUNT(*) AS n, CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY flag, status""".stripMargin
+
+  /** Exact median (interpolating percentile) per group — Spark `percentile`
+    * == DuckDB `quantile_cont`. l_quantity is whole-valued so the midpoint
+    * interpolation is exact in double.
+    */
+  def percentileOp(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy("l_returnflag")
+      .agg(percentile(col("l_quantity"), lit(0.5)).as("med_qty"),
+        percentile(col("l_quantity"), lit(0.9)).as("p90_qty"))
+      .orderBy("l_returnflag")
+
+  private val percentileSql =
+    """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS med_qty,
+      | quantile_cont(l_quantity, 0.9) AS p90_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Ordered distinct string aggregation (listagg shape): deterministic via
+    * sort-before-join on both engines.
+    */
+  def stringAggOp(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy("l_returnflag")
+      .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+        countDistinct(col("l_linestatus")).as("n_status"))
+      .orderBy("l_returnflag")
+
+  private val stringAggSql =
+    """SELECT l_returnflag,
+      | string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+      | COUNT(DISTINCT l_linestatus) AS n_status
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Conditional aggregation: count_if + filtered decimal-exact revenue. */
+  def condAggOp(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy("l_returnflag")
+      .agg(count_if(col("l_discount") > 0.05).as("n_disc"),
+        asDouble(sum(when(col("l_discount") > 0.05, dec(col("l_extendedprice")))
+          .otherwise(dec(lit(0))))).as("disc_rev"))
+      .orderBy("l_returnflag")
+
+  private val condAggSql =
+    """SELECT l_returnflag,
+      | COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+      | CAST(SUM(CASE WHEN l_discount > 0.05 THEN CAST(l_extendedprice AS DECIMAL(12,2))
+      |               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS disc_rev
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   // ================================================================ distinct / approx distinct
   def distinctOp(s: SparkSession, d: String): DataFrame =
@@ -1034,6 +1127,11 @@ private[graft] object Queries {
     "q_join_outer" -> (joinOuter _),
     "q_join_semi" -> (joinSemi _),
     "q_join_range" -> (joinRange _),
+    "q_join_asof" -> (joinAsof _),
+    "q_grouping_sets" -> (groupingSetsOp _),
+    "q_percentile" -> (percentileOp _),
+    "q_string_agg" -> (stringAggOp _),
+    "q_cond_agg" -> (condAggOp _),
     "q_window_rank" -> (windowRank _),
     "q_window_running" -> (windowRunning _),
     "q_window_lag" -> (windowLag _),
@@ -1100,6 +1198,11 @@ private[graft] object Queries {
     "q_join_outer" -> joinOuterSql,
     "q_join_semi" -> joinSemiSql,
     "q_join_range" -> joinRangeSql,
+    "q_join_asof" -> joinAsofSql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_percentile" -> percentileSql,
+    "q_string_agg" -> stringAggSql,
+    "q_cond_agg" -> condAggSql,
     "q_window_rank" -> windowRankSql,
     "q_window_running" -> windowRunningSql,
     "q_window_lag" -> windowLagSql,

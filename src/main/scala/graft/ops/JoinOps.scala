@@ -1,0 +1,47 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join-shaped operators beyond Spark's built-ins. */
+object JoinOps {
+
+  /** As-of join: for each left row, the payload of the LATEST right row
+    * with `right.tsCol <= left.tsCol` in the same key group (inclusive,
+    * time-series "most recent fact" semantics — DuckDB/kdb ASOF JOIN).
+    *
+    * Spark-first plan (preference (a) of the extension ladder — composed
+    * from built-ins, no custom physical operator): tag both sides, union
+    * them (`unionByName` fills the missing columns with null), ONE shuffle
+    * partitioned by key and sorted by (ts, side) so each right row
+    * precedes left rows of the same timestamp, then a running
+    * `last(payload, ignoreNulls)` carries the newest right payload forward
+    * to every left row. Never materializes a pair join: cost is
+    * O(|L|+|R|) rows through one hash partitioning — survives 100× where
+    * a range-join + per-key window over candidate pairs would not.
+    *
+    * Right rows must be unique per (key, ts) for determinism — pre-dedup
+    * with a tiebreak if needed. Left rows with no prior right row get a
+    * null payload (drop them for inner-ASOF semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String,
+               payloadCols: Seq[String]): DataFrame = {
+    val payloadT = struct(payloadCols.map(col): _*)
+    val r = right.select(col(rightKey).as("__k"), col(rightTs).cast("timestamp").as("__t"),
+      payloadT.as("__asof"), lit(0).as("__side"))
+    val l = left.withColumn("__k", col(leftKey))
+      .withColumn("__t", col(leftTs).cast("timestamp"))
+      .withColumn("__side", lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy("__k").orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("__carried", last(col("__asof"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .drop("__asof", "__k", "__t", "__side")
+      .withColumnRenamed("__carried", "asof")
+  }
+}

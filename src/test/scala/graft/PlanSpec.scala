@@ -73,6 +73,15 @@ class PlanSpec extends SparkSuite {
     assert(scoreLine.contains("*("), s"scoring projection not codegen'd: $scoreLine\n$p")
   }
 
+  test("q_join_asof: no pair join — union + keyed window, bounded shuffles") {
+    val p = plan("q_join_asof")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
+      s"as-of must not plan a join:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 2, // right-side dedup agg + the carry-forward window
+      s"expected <=2 hash shuffles, got $exchanges:\n$p")
+  }
+
   test("q_dedup_pk: single shuffle keyed on the dedup key") {
     val p = plan("q_dedup_pk")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
