@@ -732,6 +732,82 @@ private[graft] object Queries {
       |               ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS disc_rev
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Pivot (long→wide conditional counts): order status columns per
+    * priority. Explicit value list keeps the schema static (no extra
+    * distinct-scan job — the 100 TB form).
+    */
+  def pivotOp(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("f"),
+        coalesce(col("O"), lit(0L)).as("o"),
+        coalesce(col("P"), lit(0L)).as("p"))
+      .orderBy("o_orderpriority")
+
+  private val pivotSql =
+    """SELECT o_orderpriority,
+      | CAST(SUM(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS f,
+      | CAST(SUM(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS o,
+      | CAST(SUM(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Scalar-UDF surface (SURVEY §2.7 last row): a Scala UDF computing
+    * Levenshtein edit distance, differentially checked against DuckDB's
+    * BUILTIN levenshtein — the oracle exercises the UDF round-trip
+    * (serialization, null handling, codegen boundary), exact integers.
+    * Built-ins beat UDFs in the engine itself; this pins the escape hatch.
+    */
+  def udfScalarOp(s: SparkSession, d: String): DataFrame = {
+    val lev = udf { (a: String, b: String) =>
+      if (a == null || b == null) null.asInstanceOf[Integer]
+      else {
+        var prev = Array.tabulate(b.length + 1)(identity)
+        var curr = new Array[Int](b.length + 1)
+        var i = 1
+        while (i <= a.length) {
+          curr(0) = i
+          var j = 1
+          while (j <= b.length) {
+            val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+            curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+            j += 1
+          }
+          val t = prev; prev = curr; curr = t
+          i += 1
+        }
+        Integer.valueOf(prev(b.length))
+      }
+    }
+    cust(s, d).filter(col("c_custkey") < 2000)
+      .select(col("c_custkey"), lev(col("c_name"), col("c_mktsegment")).as("dist"))
+      .orderBy("c_custkey")
+  }
+
+  private val udfScalarSql =
+    """SELECT c_custkey, CAST(levenshtein(c_name, c_mktsegment) AS INT) AS dist
+      |FROM customer WHERE c_custkey < 2000
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Distribution-window completions: ntile / percent_rank / cume_dist. */
+  def windowDistOp(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    ord(s, d).select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).as("nt"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_orderkey")
+  }
+
+  private val windowDistSql =
+    """SELECT o_orderkey, o_orderpriority, CAST(ntile(4) OVER w AS INT) AS nt,
+      | percent_rank() OVER w AS pr, cume_dist() OVER w AS cd
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ================================================================ distinct / approx distinct
   def distinctOp(s: SparkSession, d: String): DataFrame =
     li(s, d).agg(
@@ -1132,6 +1208,9 @@ private[graft] object Queries {
     "q_percentile" -> (percentileOp _),
     "q_string_agg" -> (stringAggOp _),
     "q_cond_agg" -> (condAggOp _),
+    "q_pivot" -> (pivotOp _),
+    "q_udf_scalar" -> (udfScalarOp _),
+    "q_window_dist" -> (windowDistOp _),
     "q_window_rank" -> (windowRank _),
     "q_window_running" -> (windowRunning _),
     "q_window_lag" -> (windowLag _),
@@ -1203,6 +1282,9 @@ private[graft] object Queries {
     "q_percentile" -> percentileSql,
     "q_string_agg" -> stringAggSql,
     "q_cond_agg" -> condAggSql,
+    "q_pivot" -> pivotSql,
+    "q_udf_scalar" -> udfScalarSql,
+    "q_window_dist" -> windowDistSql,
     "q_window_rank" -> windowRankSql,
     "q_window_running" -> windowRunningSql,
     "q_window_lag" -> windowLagSql,

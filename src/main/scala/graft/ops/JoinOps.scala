@@ -7,6 +7,29 @@ import org.apache.spark.sql.functions._
 /** Join-shaped operators beyond Spark's built-ins. */
 object JoinOps {
 
+  /** Salted equi-join — the skew remedy when one join key carries a
+    * disproportionate share of rows and AQE's skew-join split isn't
+    * available (e.g. bucketed-table joins, or a deliberately pinned
+    * partitioning). Each LEFT row gets a deterministic salt in
+    * [0, buckets) derived from `salterCols` (use a high-cardinality
+    * column, e.g. the row's unique id); the RIGHT side is replicated once
+    * per bucket. The shuffle then keys on (key, salt) — a hot key's rows
+    * spread over `buckets` reducers instead of one. Row-identical to the
+    * plain inner equi-join (spec-verified): every left row meets exactly
+    * the one right replica carrying its salt.
+    *
+    * Cost model: right side grows ×buckets — use when |hot key's rows| ≫
+    * |right| · buckets, the usual fact⋈dim skew shape.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 buckets: Int, salterCols: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    require(buckets > 0)
+    val l = left.withColumn("__salt", pmod(hash(salterCols: _*), lit(buckets)))
+    val r = right.withColumn("__salt",
+      explode(array((0 until buckets).map(lit(_)): _*)))
+    l.join(r, keys :+ "__salt").drop("__salt")
+  }
+
   /** As-of join: for each left row, the payload of the LATEST right row
     * with `right.tsCol <= left.tsCol` in the same key group (inclusive,
     * time-series "most recent fact" semantics — DuckDB/kdb ASOF JOIN).
