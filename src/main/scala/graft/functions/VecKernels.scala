@@ -275,6 +275,66 @@ object VecKernels {
     out
   }
 
+  // --------------------------------------------------------- IVF
+  /** Index of the max-cosine centroid for a float vector; ties → lower id.
+    * `centroids` is row-major C×dim with precomputed inverse norms so the
+    * inner loop is dim multiply-adds per centroid.
+    */
+  def nearestCentroid(emb: ArrayData, centroids: Array[Double],
+                      invNorms: Array[Double], dim: Int): Int = {
+    val c = invNorms.length
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var ci = 0
+    while (ci < c) {
+      var acc = 0.0
+      val base = ci * dim
+      val n = math.min(dim, emb.numElements())
+      var d = 0
+      while (d < n) { acc += emb.getFloat(d).toDouble * centroids(base + d); d += 1 }
+      val score = acc * invNorms(ci) // query norm constant across centroids
+      if (score > bestScore) { bestScore = score; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Ids of the `nprobe` max-cosine centroids, best-first (selection pass —
+    * C is small by construction).
+    */
+  def topCentroids(emb: ArrayData, centroids: Array[Double],
+                   invNorms: Array[Double], dim: Int, nprobe: Int): Array[Int] = {
+    val c = invNorms.length
+    val scores = new Array[Double](c)
+    var ci = 0
+    while (ci < c) {
+      var acc = 0.0
+      val base = ci * dim
+      val n = math.min(dim, emb.numElements())
+      var d = 0
+      while (d < n) { acc += emb.getFloat(d).toDouble * centroids(base + d); d += 1 }
+      scores(ci) = acc * invNorms(ci)
+      ci += 1
+    }
+    val k = math.min(nprobe, c)
+    val out = new Array[Int](k)
+    val taken = new Array[Boolean](c)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      ci = 0
+      while (ci < c) {
+        if (!taken(ci) && scores(ci) > bestScore) { bestScore = scores(ci); best = ci }
+        ci += 1
+      }
+      taken(best) = true
+      out(r) = best
+      r += 1
+    }
+    out
+  }
+
   // --------------------------------------------------------- RHP-LSH
   /** Deterministic hyperplane weight, identical to the expression-tree
     * formula it replaces: pmod(xxhash64(t·1000003 + b·7919 + d), 1e5)/1e5

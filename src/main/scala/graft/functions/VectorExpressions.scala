@@ -192,6 +192,66 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Shared shape for centroid-matrix expressions: the (small, collected)
+    * C×dim matrix rides along as a codegen reference object, making
+    * cluster assignment a NARROW per-row op — no join, no shuffle.
+    */
+  sealed trait CentroidBased { self: UnaryExpression =>
+    def centroidMatrix: Array[Array[Double]]
+    @transient protected lazy val dim: Int = centroidMatrix.head.length
+    @transient protected lazy val flat: Array[Double] = {
+      val f = new Array[Double](centroidMatrix.length * dim)
+      var i = 0
+      while (i < centroidMatrix.length) {
+        System.arraycopy(centroidMatrix(i), 0, f, i * dim, dim); i += 1
+      }
+      f
+    }
+    @transient protected lazy val invNorms: Array[Double] =
+      centroidMatrix.map { row =>
+        val n = math.sqrt(row.map(v => v * v).sum)
+        if (n == 0.0) 0.0 else 1.0 / n
+      }
+  }
+
+  /** argmax-cosine centroid id for a float embedding. */
+  case class NearestCentroid(child: Expression, centroidMatrix: Array[Array[Double]])
+      extends UnaryExpression with CentroidBased {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_nearest_centroid"
+    override protected def nullSafeEval(a: Any): Any =
+      VecKernels.nearestCentroid(a.asInstanceOf[ArrayData], flat, invNorms, dim)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
+      val nRef = ctx.addReferenceObj("invNorms", invNorms, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VecKernels.nearestCentroid($a, $fRef, $nRef, $dim);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Best-first ids of the nprobe max-cosine centroids. */
+  case class TopCentroids(child: Expression, centroidMatrix: Array[Array[Double]],
+                          nprobe: Int)
+      extends UnaryExpression with CentroidBased {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_top_centroids"
+    override protected def nullSafeEval(a: Any): Any =
+      new GenericArrayData(
+        VecKernels.topCentroids(a.asInstanceOf[ArrayData], flat, invNorms, dim, nprobe))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val fRef = ctx.addReferenceObj("centroidsFlat", flat, "double[]")
+      val nRef = ctx.addReferenceObj("invNorms", invNorms, "double[]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.VecKernels.topCentroids($a, $fRef, $nRef, $dim, $nprobe));"""
+          .stripMargin)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ----------------------------------------------------------- Column API
   private def e(c: Column): Expression = GraftShim.expression(c)
 
@@ -207,4 +267,8 @@ object VectorExpressions {
   def simhash64(a: Column): Column = GraftShim.column(SimHash64(e(a)))
   def rhpBuckets(a: Column, bits: Int, tables: Int): Column =
     GraftShim.column(RhpBuckets(e(a), bits, tables))
+  def nearestCentroid(a: Column, m: Array[Array[Double]]): Column =
+    GraftShim.column(NearestCentroid(e(a), m))
+  def topCentroids(a: Column, m: Array[Array[Double]], nprobe: Int): Column =
+    GraftShim.column(TopCentroids(e(a), m, nprobe))
 }

@@ -137,20 +137,22 @@ object SimilarityOps {
     centroids
   }
 
-  /** Assign every corpus vector to its nearest (max-cosine) centroid:
-    * broadcast the centroid table, score each row against all C in one
-    * narrow pass, keep the argmax. No shuffle of the corpus.
+  /** Collect the (driver-small by construction) centroid table to a
+    * row-major matrix, cluster_id order.
     */
-  def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("__score").desc, col("cluster_id"))
-    corpus.join(broadcast(centroids))
-      .withColumn("__score",
-        dot(col("embedding"), col("centroid")) /
-          (l2norm(col("embedding")) * l2norm(col("centroid"))))
-      .withColumn("__rnk", row_number().over(w))
-      .filter(col("__rnk") === 1)
-      .drop("centroid", "__score", "__rnk")
-  }
+  def collectCentroids(centroids: DataFrame): Array[Array[Double]] =
+    centroids.orderBy("cluster_id").select("centroid").collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  /** Assign every corpus vector to its nearest (max-cosine) centroid — a
+    * NARROW per-row argmax with the centroid matrix riding along as a
+    * codegen reference object ([[VectorExpressions.NearestCentroid]]).
+    * No join, no window, no shuffle of the corpus.
+    */
+  def assignClusters(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    corpus.withColumn("cluster_id",
+      VectorExpressions.nearestCentroid(col("embedding"),
+        collectCentroids(centroids)).cast("long"))
 
   /** IVF top-k: probe the `nprobe` nearest clusters per query, exact-score
     * only their members. The scale path: the corpus is scanned/shuffled
@@ -160,20 +162,15 @@ object SimilarityOps {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               c: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    val centroids = ivfCentroids(corpus, c, iters)
-    val indexed = assignClusters(corpus, centroids)
-      .select(col("vec_id"), col("embedding"), col("cluster_id"),
-        l2norm(col("embedding")).as("c_norm"))
-    // per-query probe list: nprobe max-cosine centroids
-    val probeW = Window.partitionBy("query_id").orderBy(col("__s").desc, col("cluster_id"))
+    val matrix = collectCentroids(ivfCentroids(corpus, c, iters))
+    val indexed = corpus.select(col("vec_id"), col("embedding"),
+      VectorExpressions.nearestCentroid(col("embedding"), matrix).as("cluster_id"),
+      l2norm(col("embedding")).as("c_norm"))
+    // per-query probe list: nprobe max-cosine centroids, one narrow pass
     val probes = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_norm"))
-      .join(broadcast(centroids))
-      .withColumn("__s",
-        dot(col("q_emb"), col("centroid")) / (col("q_norm") * l2norm(col("centroid"))))
-      .withColumn("__r", row_number().over(probeW))
-      .filter(col("__r") <= nprobe)
-      .select("query_id", "q_emb", "q_norm", "cluster_id")
+        col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_norm"),
+        explode(VectorExpressions.topCentroids(col("embedding"), matrix, nprobe))
+          .as("cluster_id"))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     indexed.join(broadcast(probes), Seq("cluster_id"))
       .filter(col("query_id") =!= col("vec_id"))
