@@ -95,6 +95,18 @@ object StreamOps {
       }
   }
 
+  /** Streaming exact dedup with BOUNDED state: watermark-TTL'd key state
+    * via `dropDuplicatesWithinWatermark` — duplicates arriving within the
+    * watermark delay of each other collapse, state for keys older than
+    * the watermark is evicted. The production form of streaming dedup at
+    * 100 TB: unbounded-state `dropDuplicates` eventually OOMs; first-seen
+    * `flatMapGroupsWithState` keeps explicit but also unbounded state.
+    */
+  def streamingDedupWithinWatermark(df: DataFrame, keys: Seq[String],
+                                    tsCol: String, delay: String): DataFrame =
+    df.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Run a streaming transform over a bounded file source to completion
     * (Trigger.AvailableNow + memory sink) and return the result — the
     * batch↔stream equivalence harness. `schemaDdl` must match the files.

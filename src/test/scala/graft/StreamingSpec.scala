@@ -73,6 +73,26 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(wh).count() == 150)
   }
 
+  test("watermark-TTL'd streaming dedup: unique keys out, bounded state") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("wmdedup").toString
+    Tables.events(spark, sf).select("event_id", "ts", "user_id")
+      .unionAll(Tables.events(spark, sf).select("event_id", "ts", "user_id").limit(500))
+      .write.mode("overwrite").parquet(s"$base/src")
+    val src = spark.readStream
+      .schema("event_id bigint, ts timestamp, user_id bigint").parquet(s"$base/src")
+    val q = StreamOps.streamingDedupWithinWatermark(src, Seq("event_id"), "ts", "1 hour")
+      .writeStream.outputMode("append").format("memory").queryName("wm_out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("wm_out")
+    val distinctIn = Tables.events(spark, sf).select("event_id").distinct().count()
+    assert(out.count() == distinctIn, "each event_id exactly once despite duplicates")
+    assert(out.groupBy("event_id").count().filter($"count" > 1).isEmpty)
+  }
+
   test("streaming first-seen dedup emits exactly one row per key across batches") {
     import spark.implicits._
     val base = Files.createTempDirectory("fsdedup").toString
