@@ -1002,6 +1002,28 @@ private[graft] object Queries {
       n = 3, k = 64, bands = 8, threshold = 0.7)
       .orderBy("id_a", "id_b")
 
+  /** GLOBAL exact Jaccard join via the prefix filter — no blocking column;
+    * candidates from rarest-first prefix tokens, exact verify. Same answer
+    * as the quadratic form (oracle computes all pairs), sub-quadratic plan.
+    */
+  def dedupJaccardGlobal(s: SparkSession, d: String): DataFrame =
+    DedupOps.jaccardPairsGlobal(Tables.documents(s, d), "doc_id", "text",
+      n = 3, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  private val dedupJaccardGlobalSql =
+    """WITH sh AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(range(1, greatest(len(text)-2, 1)+1),
+      |    i -> substring(text, CAST(i AS INT), 3))) AS s
+      | FROM documents)
+      |SELECT id_a, id_b, jac FROM (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |  CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
+      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin
+
   /** SimHash near-dup pairs — hash-dependent, no SQL oracle; unit-tested. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 8)
@@ -1232,6 +1254,7 @@ private[graft] object Queries {
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_jaccard_global" -> (dedupJaccardGlobal _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_similarity_topk" -> (similarityTopk _),
     "q_similarity_lsh" -> (similarityLsh _),
@@ -1303,6 +1326,7 @@ private[graft] object Queries {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_hash" -> dedupHashSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
+    "q_dedup_jaccard_global" -> dedupJaccardGlobalSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_similarity_topk" -> similarityTopkSql,
     "q_text_tokens" -> textTokensSql,

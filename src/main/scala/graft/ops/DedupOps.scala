@@ -102,6 +102,72 @@ object DedupOps {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  // ------------------------------------------------- prefix-filter join
+  /** GLOBAL exact Jaccard similarity join — every pair with J ≥ threshold
+    * across the whole corpus, NO blocking column — via the prefix filter
+    * (AllPairs/PPJoin family, public literature).
+    *
+    * Theorem used: under any canonical total order of the token universe,
+    * two sets with J(A,B) ≥ t share at least one token in their first
+    * |X| − ⌈t·|X|⌉ + 1 tokens, PROVIDED the size filter
+    * t·|A| ≤ |B| ≤ |A|/t holds (pairs outside it cannot reach t). So the
+    * candidate set from the prefix-token equi-join is a superset of the
+    * answer — exact verification keeps precision, the theorem guarantees
+    * recall.
+    *
+    * Plan shape at scale: tokens ordered RAREST-FIRST by global document
+    * frequency (one aggregation; broadcast back), so prefix tokens are the
+    * most selective — the candidate join on a rare token touches few docs.
+    * Shuffles: df-aggregation, per-doc regroup, candidate equi-join on
+    * token, pair distinct, exact verify via the sorted-merge kernel.
+    * Never materializes all pairs.
+    *
+    * Selectivity caveat (measured): pruning power scales with token-universe
+    * diversity. The synthetic bench corpus has only ~377 distinct 3-grams,
+    * so prefixes prune just ~73% of the pair space; real text (50k+ trigram
+    * universe, Zipfian) yields rare prefix tokens that touch a handful of
+    * docs each. The positional filter (PPJoin) recovers part of the gap.
+    */
+  def jaccardPairsGlobal(df: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val docs = df.select(col(idCol).as("id"),
+      sortedShingles(col(textCol), n).as("sh"))
+    val docsSz = docs.withColumn("sz", size(col("sh")))
+    val tokens = docsSz.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
+    // global document frequency (shingles are distinct per doc)
+    val tokDf = tokens.groupBy("tok").agg(count(lit(1)).as("tdf"))
+    // rarest-first canonical order; prefix length = sz - ceil(t*sz) + 1
+    val prefix = tokens.join(broadcast(tokDf), "tok")
+      .groupBy("id", "sz")
+      .agg(array_sort(collect_list(struct(col("tdf"), col("tok")))).as("ordered"))
+      .select(col("id"), col("sz"),
+        posexplode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+          .as(Seq("pos", "p")))
+      .select(col("id"), col("sz"), col("pos"), col("p.tok").as("tok"))
+    // PPJoin positional filter: for a true pair, its FIRST shared token in
+    // canonical order bounds the overlap by the suffix sizes from the match
+    // (0-based pos → suffix incl. match = sz − pos); prune pairs where no
+    // match can reach the required ⌈t/(1+t)·(|A|+|B|)⌉. Still a superset —
+    // verification is exact.
+    val minOverlap = ceil((col("a.sz") + col("b.sz")) * (threshold / (1 + threshold)))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          col("b.sz") >= ceil(col("a.sz") * threshold) &&
+          col("a.sz") >= ceil(col("b.sz") * threshold) &&
+          (least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
+            >= minOverlap))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cands
+      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions
+          .jaccardSortedGE(col("sh_a"), col("sh_b"), threshold).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   // ------------------------------------------------------------- SimHash
   /** 64-bit SimHash over a token array: per-token xxhash64 (seed 42, same
     * as Spark's builtin), per-bit ±1 votes, sign → bit — one native

@@ -39,6 +39,21 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
   }
 
+  test("prefix-filter global Jaccard join == quadratic all-pairs exactly") {
+    val sample = docs.limit(400).cache()
+    val sh = sample.select($"doc_id", DedupOps.sortedShingles($"text", 3).as("sh"))
+    val truth = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        DedupOps.jaccard($"a.sh", $"b.sh").as("jac"))
+      .filter($"jac" >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fast = DedupOps.jaccardPairsGlobal(sample, "doc_id", "text", 3, 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(truth.nonEmpty, "sample should contain near-dups")
+    assert(fast == truth,
+      s"prefix filter must lose nothing: missing=${(truth -- fast).take(3)} extra=${(fast -- truth).take(3)}")
+  }
+
   test("simhash: identical texts at distance 0, different texts far") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
