@@ -159,6 +159,12 @@ object DedupOps {
             >= minOverlap))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+    // Distinct BEFORE verification here — the opposite order from the LSH
+    // paths, measured both ways: prefix candidates repeat per shared
+    // prefix token (~2× here), and a candidate row is only 16 bytes of
+    // ids, so deduplicating first halves the (relatively expensive)
+    // merge-scan verifications for less than the verify-first variant
+    // saves in shuffle.
     cands
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
