@@ -62,6 +62,40 @@ object Warehouse {
     n
   }
 
+  /** Replacing upsert — the last-writer-wins MERGE analog (the reference
+    * only has insert-if-absent, `ON CONFLICT DO NOTHING`; warehouses also
+    * need `WHEN MATCHED THEN UPDATE`). Incoming rows replace same-key
+    * warehouse rows; new keys append. Plain parquet has no transactional
+    * MERGE and a path cannot be overwritten while a lazy plan still reads
+    * it, so the merged result lands in a staging dir that is swapped in
+    * via two renames — the crash window leaves either the old or the new
+    * dir intact (at real scale: Delta/Iceberg MERGE, or partition-level
+    * `replaceWhere` to rewrite only touched partitions).
+    */
+  def mergeReplaceParquet(incoming: DataFrame, warehouseDir: String,
+                          keys: Seq[String], tiebreak: Seq[Column]): Long = {
+    val spark = incoming.sparkSession
+    val deduped = dedupByKey(incoming, keys, tiebreak)
+    val fs = new org.apache.hadoop.fs.Path(warehouseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(warehouseDir)
+    val merged =
+      if (fs.exists(target))
+        spark.read.parquet(warehouseDir).join(deduped.select(keys.map(col): _*),
+          keys, "left_anti").unionByName(deduped)
+      else deduped
+    val staging = new org.apache.hadoop.fs.Path(warehouseDir + ".staging")
+    val retired = new org.apache.hadoop.fs.Path(warehouseDir + ".old")
+    fs.delete(staging, true)
+    merged.write.mode("overwrite").parquet(staging.toString)
+    val n = spark.read.parquet(staging.toString).count()
+    fs.delete(retired, true)
+    if (fs.exists(target)) fs.rename(target, retired)
+    fs.rename(staging, target)
+    fs.delete(retired, true)
+    n
+  }
+
   // ---------------------------------------------------------------- A1
   /** Ungrouped MAX watermark with empty-table default
     * (extract.py:42-54 `SELECT MAX(arrest_date)`, default '1900-01-01').

@@ -107,6 +107,30 @@ object StreamOps {
     df.withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream inner join within a bounded time skew: each left event
+    * pairs with right events for the same key whose timestamp lies in
+    * [left.ts − skew, left.ts]. Both sides carry watermarks so Spark can
+    * evict buffered state once the watermark passes the join window — the
+    * state-bounding discipline mandatory for an unbounded 100 TB stream
+    * (an un-watermarked stream-stream join buffers forever).
+    *
+    * The same function applies to two BATCH frames unchanged — that
+    * equivalence is the test contract.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame,
+                       key: String, skew: String): DataFrame = {
+    val l = left.withWatermark("ts", "1 hour")
+      .select(col(key).as("k"), col("ts").as("l_ts"), col("event_id").as("l_id"))
+    val r = right.withWatermark("ts", "1 hour")
+      .select(col(key).as("r_k"), col("ts").as("r_ts"), col("event_id").as("r_id"))
+    l.join(r,
+      col("k") === col("r_k") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $skew") &&
+        col("r_ts") <= col("l_ts") &&
+        col("l_id") =!= col("r_id"))
+      .select("k", "l_id", "r_id", "l_ts", "r_ts")
+  }
+
   /** Run a streaming transform over a bounded file source to completion
     * (Trigger.AvailableNow + memory sink) and return the result — the
     * batch↔stream equivalence harness. `schemaDdl` must match the files.

@@ -40,6 +40,31 @@ class StreamingSpec extends SparkSuite {
     assert(batch.count() > 0)
   }
 
+  test("stream-stream join (watermarked, bounded skew): stream == batch") {
+    val base = Files.createTempDirectory("ssj").toString
+    // small slice: the join is quadratic within (user, 10-minute skew)
+    Tables.events(spark, sf).filter(col("user_id") < 10)
+      .select("event_id", "ts", "user_id")
+      .write.mode("overwrite").parquet(s"$base/src")
+    val ddl = "event_id bigint, ts timestamp, user_id bigint"
+    val batch = StreamOps.streamStreamJoin(
+      spark.read.parquet(s"$base/src"), spark.read.parquet(s"$base/src"),
+      "user_id", "10 MINUTES")
+    def stream(q: String) = {
+      val src1 = spark.readStream.schema(ddl).parquet(s"$base/src")
+      val src2 = spark.readStream.schema(ddl).parquet(s"$base/src")
+      val qry = StreamOps.streamStreamJoin(src1, src2, "user_id", "10 MINUTES")
+        .writeStream.outputMode("append").format("memory").queryName(q)
+        .option("checkpointLocation", s"$base/ckpt_$q")
+        .trigger(Trigger.AvailableNow()).start()
+      qry.awaitTermination()
+      spark.table(q)
+    }
+    val got = stream("ssj_out")
+    assert(batch.count() > 0, "fixture should produce in-window pairs")
+    assert(canon(got) == canon(batch))
+  }
+
   test("I2: checkpointed ingest resumes from offsets; replay inserts nothing") {
     import spark.implicits._
     val base = Files.createTempDirectory("ingest").toString

@@ -6,6 +6,26 @@ import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.ops.Warehouse
 
 class WarehouseSpec extends SparkSuite {
+
+  test("mergeReplaceParquet: last-writer-wins, new keys append, idempotent") {
+    import spark.implicits._
+    import graft.ops.{Warehouse => W}
+    val dir = java.nio.file.Files.createTempDirectory("merge").toString + "/wh"
+    val v1 = Seq((1L, "a1"), (2L, "b1"), (3L, "c1")).toDF("k", "v")
+    assert(W.mergeReplaceParquet(v1, dir, Seq("k"), Seq($"v")) == 3)
+    // overlap: key 2 replaced, key 4 appended, keys 1/3 untouched
+    val v2 = Seq((2L, "b2"), (4L, "d1")).toDF("k", "v")
+    assert(W.mergeReplaceParquet(v2, dir, Seq("k"), Seq($"v")) == 4)
+    val state = spark.read.parquet(dir).as[(Long, String)].collect().toMap
+    assert(state == Map(1L -> "a1", 2L -> "b2", 3L -> "c1", 4L -> "d1"),
+      s"got $state")
+    // idempotent: re-applying the same batch changes nothing
+    assert(W.mergeReplaceParquet(v2, dir, Seq("k"), Seq($"v")) == 4)
+    assert(spark.read.parquet(dir).as[(Long, String)].collect().toMap == state)
+    // no staging/retired leftovers
+    assert(!new java.io.File(dir + ".staging").exists())
+    assert(!new java.io.File(dir + ".old").exists())
+  }
   import spark.implicits._
 
   test("dedupByKey keeps exactly one row per key, deterministic winner") {
