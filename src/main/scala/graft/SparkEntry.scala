@@ -808,6 +808,30 @@ private[graft] object Queries {
       |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Regex scalar family: extract + global replace (codegen'd built-ins). */
+  def regexOp(s: SparkSession, d: String): DataFrame =
+    cust(s, d).select(col("c_custkey"), col("c_name"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("num"),
+        regexp_replace(col("c_name"), "[0-9]+", "#").as("masked"))
+      .orderBy("c_custkey")
+
+  private val regexSql =
+    """SELECT c_custkey, c_name, regexp_extract(c_name, '([0-9]+)', 1) AS num,
+      | regexp_replace(c_name, '[0-9]+', '#', 'g') AS masked
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Calendar bucketing via date_trunc — the partition-pruning-friendly
+    * form of time grouping.
+    */
+  def dateTruncOp(s: SparkSession, d: String): DataFrame =
+    ord(s, d).groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("month")
+
+  private val dateTruncSql =
+    """SELECT date_trunc('month', o_orderdate) AS month, COUNT(*) AS n
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ================================================================ distinct / approx distinct
   def distinctOp(s: SparkSession, d: String): DataFrame =
     li(s, d).agg(
@@ -1233,6 +1257,8 @@ private[graft] object Queries {
     "q_pivot" -> (pivotOp _),
     "q_udf_scalar" -> (udfScalarOp _),
     "q_window_dist" -> (windowDistOp _),
+    "q_regex" -> (regexOp _),
+    "q_date_trunc" -> (dateTruncOp _),
     "q_window_rank" -> (windowRank _),
     "q_window_running" -> (windowRunning _),
     "q_window_lag" -> (windowLag _),
@@ -1308,6 +1334,8 @@ private[graft] object Queries {
     "q_pivot" -> pivotSql,
     "q_udf_scalar" -> udfScalarSql,
     "q_window_dist" -> windowDistSql,
+    "q_regex" -> regexSql,
+    "q_date_trunc" -> dateTruncSql,
     "q_window_rank" -> windowRankSql,
     "q_window_running" -> windowRunningSql,
     "q_window_lag" -> windowLagSql,

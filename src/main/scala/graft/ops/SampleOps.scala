@@ -1,0 +1,43 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * `df.sample`/`randomSplit` draw from a partition-seeded RNG: the result
+  * changes whenever the partition layout does (repartition, AQE coalesce,
+  * different cluster size) — poison for reproducible train/test splits.
+  * These operators derive membership from a HASH OF THE ROW'S KEY instead:
+  * stable across any physical layout, re-runnable, and joinable (the same
+  * row always lands on the same side).
+  */
+object SampleOps {
+
+  /** Stable bucket in [0, buckets) from the key — xxhash64(seed 42). */
+  def hashBucket(key: Column, buckets: Int = 100): Column =
+    pmod(xxhash64(key), lit(buckets))
+
+  /** Deterministic (train, holdout) split: ~trainPct% of rows by key hash.
+    * Disjoint and complete by construction; a given key is always on the
+    * same side regardless of partitioning, cluster size, or re-runs.
+    */
+  def hashSplit(df: DataFrame, key: Column, trainPct: Int,
+                buckets: Int = 100): (DataFrame, DataFrame) = {
+    val b = hashBucket(key, buckets)
+    (df.filter(b < trainPct), df.filter(b >= trainPct))
+  }
+
+  /** Deterministic stratified sample: per-stratum keep-fraction, applied as
+    * a per-row hash threshold — single narrow pass, no sampling job, exact
+    * reproducibility. Strata absent from `fractions` are dropped.
+    */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       fractions: Map[String, Double],
+                       buckets: Int = 10000): DataFrame = {
+    val thresholds = fractions.foldLeft(lit(-1)) { case (acc, (s, f)) =>
+      when(stratum === s, lit((f * buckets).toInt)).otherwise(acc)
+    }
+    df.filter(hashBucket(key, buckets) < thresholds)
+  }
+}

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.SampleOps
+
+class SampleOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+
+  test("hashSplit: disjoint, complete, ~80/20, stable under repartition") {
+    val (train, test) = SampleOps.hashSplit(docs, $"doc_id", 80)
+    val n = docs.count()
+    assert(train.count() + test.count() == n)
+    assert(train.join(test, "doc_id").isEmpty, "sides must be disjoint")
+    val frac = train.count().toDouble / n
+    assert(frac > 0.7 && frac < 0.9, s"got $frac")
+    // the SAME rows land on the same side after an arbitrary reshuffle
+    val (train2, _) = SampleOps.hashSplit(docs.repartition(13), $"doc_id", 80)
+    assert(train2.select("doc_id").exceptAll(train.select("doc_id")).isEmpty)
+    assert(train.select("doc_id").exceptAll(train2.select("doc_id")).isEmpty)
+  }
+
+  test("stratifiedSample: per-stratum fractions honored, deterministic") {
+    val fr = Map("en" -> 0.5, "es" -> 0.1)
+    val sampled = SampleOps.stratifiedSample(docs, $"doc_id", $"lang", fr).cache()
+    val byLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byLang.keySet.subsetOf(fr.keySet), "unlisted strata must drop")
+    fr.foreach { case (lang, f) =>
+      if (totals.getOrElse(lang, 0L) > 100) {
+        val got = byLang.getOrElse(lang, 0L).toDouble / totals(lang)
+        assert(math.abs(got - f) < 0.15, s"$lang: kept $got, wanted ~$f")
+      }
+    }
+    val again = SampleOps.stratifiedSample(docs, $"doc_id", $"lang", fr)
+    assert(again.exceptAll(sampled).isEmpty && sampled.exceptAll(again).isEmpty)
+  }
+}
