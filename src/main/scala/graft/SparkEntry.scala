@@ -1203,15 +1203,19 @@ private[graft] object Queries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Partition-wise stubbed decode (schema/batch plumbing; deterministic
-    * fake codec) — no SQL oracle, unit-tested.
+    * fake codec) — no SQL oracle, unit-tested. The 8-bin feature vector is
+    * flattened to scalar columns f0..f7 here: the driver's rows-only check
+    * sorts the result with pandas, which cannot sort array cells.
     */
   def multimodalDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val media = MultimodalOps.attachBinary(Tables.documents(s, d), "text", "image/fake")
       .select(col("doc_id"), col("media_type"), col("content"))
       .as[MultimodalOps.MediaRecord]
-    MultimodalOps.decodeFeatures(media).toDF()
-      .select("doc_id", "n_bytes", "width", "height", "features")
+    val decoded = MultimodalOps.decodeFeatures(media).toDF()
+    val featCols = (0 until 8).map(i => col("features").getItem(i).as(s"f$i"))
+    decoded
+      .select(col("doc_id") +: col("n_bytes") +: col("width") +: col("height") +: featCols: _*)
       .orderBy("doc_id")
   }
 

@@ -127,7 +127,12 @@ object VecKernels {
     val nb = b.numElements()
     // J = I/(na+nb-I) ≥ t  ⟺  I·(1+t) ≥ t·(na+nb): one fused bound check
     // per step against the best-case final intersection, no division.
-    val need = thresh * (na + nb)
+    // The 1e-6 slack keeps the exit conservative: t·(na+nb) computed in
+    // doubles can land one ulp above the exact rational (t=0.55, na=60,
+    // nb=33 → 51.150000000000006 > 51.15) and would discard a pair whose
+    // Jaccard equals the threshold exactly. Failing to exit early is
+    // harmless (the final exact check decides); exiting wrongly is not.
+    val need = thresh * (na + nb) - 1e-6
     val onePlusT = 1.0 + thresh
     var i = 0
     var j = 0
@@ -327,6 +332,12 @@ object VecKernels {
       while (ci < c) {
         if (!taken(ci) && scores(ci) > bestScore) { bestScore = scores(ci); best = ci }
         ci += 1
+      }
+      if (best < 0) {
+        // every remaining score is NaN (NaN embedding values): degrade to
+        // index order rather than throwing on taken(-1)
+        ci = 0
+        while (ci < c && best < 0) { if (!taken(ci)) best = ci; ci += 1 }
       }
       taken(best) = true
       out(r) = best

@@ -130,6 +130,15 @@ object DedupOps {
     */
   def jaccardPairsGlobal(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    // Slack-conservative ceiling for candidate bounds: t·sz computed in
+    // doubles can land one ulp ABOVE the exact rational (e.g. 0.55·100 →
+    // 55.000000000000007, ceil → 56), which would over-tighten the filter
+    // and drop true pairs whose Jaccard equals the threshold exactly.
+    // Subtracting 1e-6 (far above accumulated double error for any
+    // realistic set size, far below 1) makes every bound err on the LOOSE
+    // side only — a slightly wider candidate set is always safe because
+    // final verification is exact.
+    def ceilSafe(c: Column): Column = ceil(c - lit(1e-6))
     val docs = df.select(col(idCol).as("id"),
       sortedShingles(col(textCol), n).as("sh"))
     val docsSz = docs.withColumn("sz", size(col("sh")))
@@ -142,7 +151,7 @@ object DedupOps {
       .agg(array_sort(collect_list(struct(col("tdf"), col("tok")))).as("ordered"))
       .select(col("id"), col("sz"),
         posexplode(slice(col("ordered"), lit(1),
-          (col("sz") - ceil(col("sz") * threshold) + 1).cast("int")))
+          (col("sz") - ceilSafe(col("sz") * threshold) + 1).cast("int")))
           .as(Seq("pos", "p")))
       .select(col("id"), col("sz"), col("pos"), col("p.tok").as("tok"))
     // PPJoin positional filter: for a true pair, its FIRST shared token in
@@ -150,11 +159,11 @@ object DedupOps {
     // (0-based pos → suffix incl. match = sz − pos); prune pairs where no
     // match can reach the required ⌈t/(1+t)·(|A|+|B|)⌉. Still a superset —
     // verification is exact.
-    val minOverlap = ceil((col("a.sz") + col("b.sz")) * (threshold / (1 + threshold)))
+    val minOverlap = ceilSafe((col("a.sz") + col("b.sz")) * (threshold / (1 + threshold)))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          col("b.sz") >= ceil(col("a.sz") * threshold) &&
-          col("a.sz") >= ceil(col("b.sz") * threshold) &&
+          col("b.sz") >= ceilSafe(col("a.sz") * threshold) &&
+          col("a.sz") >= ceilSafe(col("b.sz") * threshold) &&
           (least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
             >= minOverlap))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -186,17 +195,32 @@ object DedupOps {
   def hamming64(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: block on 16-bit quadrants (a true near-dup at
-    * distance ≤3 must agree on at least one quadrant — pigeonhole), then
-    * verify exact Hamming distance. Same shuffle discipline as MinHash-LSH.
+  /** SimHash near-dup pairs: block on `maxDistance + 1` contiguous bit
+    * slices of the 64-bit hash — a pair differing in ≤ `maxDistance` bits
+    * can touch at most `maxDistance` slices, so at least one slice matches
+    * exactly (pigeonhole), guaranteeing full recall. Then verify exact
+    * Hamming distance. Same shuffle discipline as MinHash-LSH.
+    *
+    * Scale note: slice width is 64/(d+1) bits, so the blocking key has
+    * ~2^(64/(d+1)) distinct values — for large d on a billion-doc corpus
+    * the buckets grow quadratic-costly, and the Manku-et-al. scheme
+    * (block on (B−d)-subsets of B>d+1 slices) trades explode factor
+    * C(B,d) for narrower buckets. At d ≤ 8 single-slice blocking holds.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDistance: Int = 3): DataFrame = {
+    require(maxDistance >= 0 && maxDistance < 32,
+      s"maxDistance must be in [0, 32), got $maxDistance")
+    val nBlocks = maxDistance + 1
+    // slice widths: 64/nBlocks, the first (64 % nBlocks) slices one wider
+    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
     val withHash = df.select(col(idCol).as("id"),
       simhash(TextOps.tokens(col(textCol))).as("sh"))
     val blocked = withHash.select(col("id"), col("sh"),
-      posexplode(array((0 until 4).map(q =>
-        shiftright(col("sh"), q * 16).bitwiseAND(lit(0xFFFFL))): _*)).as(Seq("q", "block")))
+      posexplode(array((0 until nBlocks).map(q =>
+        shiftrightunsigned(col("sh"), starts(q))
+          .bitwiseAND(lit((1L << widths(q)) - 1))): _*)).as(Seq("q", "block")))
     val a = blocked.alias("a")
     val b = blocked.alias("b")
     // Verify (one XOR+popcount) before dedup — same shuffle discipline as

@@ -53,8 +53,12 @@ object JoinOps {
                leftTs: String, rightTs: String,
                payloadCols: Seq[String]): DataFrame = {
     val payloadT = struct(payloadCols.map(col): _*)
+    // drop right rows whose timestamp casts to null: nulls sort FIRST in
+    // the window, so their payload would otherwise be carried to left rows
+    // until a real right row appears — matching events to a null-time fact
     val r = right.select(col(rightKey).as("__k"), col(rightTs).cast("timestamp").as("__t"),
       payloadT.as("__asof"), lit(0).as("__side"))
+      .filter(col("__t").isNotNull)
     val l = left.withColumn("__k", col(leftKey))
       .withColumn("__t", col(leftTs).cast("timestamp"))
       .withColumn("__side", lit(1))

@@ -35,8 +35,10 @@ object SampleOps {
   def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
                        fractions: Map[String, Double],
                        buckets: Int = 10000): DataFrame = {
+    // round, don't truncate: 0.29 * 10000 is 2899.9999… in doubles, and
+    // toInt would bias the keep-fraction persistently low by one bucket
     val thresholds = fractions.foldLeft(lit(-1)) { case (acc, (s, f)) =>
-      when(stratum === s, lit((f * buckets).toInt)).otherwise(acc)
+      when(stratum === s, lit(math.round(f * buckets).toInt)).otherwise(acc)
     }
     df.filter(hashBucket(key, buckets) < thresholds)
   }

@@ -66,6 +66,41 @@ class DedupSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) > 8)
   }
 
+  test("simhashPairs at maxDistance=8 == brute-force hamming (full recall)") {
+    val sample = docs.limit(400).cache()
+    val hashed = sample.select($"doc_id",
+      DedupOps.simhash(graft.ops.TextOps.tokens($"text")).as("sh"))
+    val truth = hashed.as("a").join(hashed.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        DedupOps.hamming64($"a.sh", $"b.sh").as("hamming"))
+      .filter($"hamming" <= 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fast = DedupOps.simhashPairs(sample, "doc_id", "text", maxDistance = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(truth.nonEmpty, "sample should contain pairs within distance 8")
+    assert(fast == truth,
+      s"pigeonhole blocking must lose nothing: missing=${(truth -- fast).take(3)} extra=${(fast -- truth).take(3)}")
+  }
+
+  test("jaccardPairsGlobal keeps pairs at EXACTLY the threshold (0.55 ceil trap)") {
+    // 0.55*100 → 55.00000000000001 in doubles, so a naive ceil demands 56:
+    // B ⊂ A with |A|=100, |B|=55 has J = 55/100 = 0.55 exactly and would be
+    // dropped by both the size filter and the positional minOverlap bound.
+    // second planted pair on a disjoint alphabet: |A|=60, |B|=33 trips the
+    // verify kernel's early-exit bound (51.15 vs 51.150000000000006)
+    val al1 = (0x30 until 0x30 + 100).map(_.toChar)
+    val al2 = (0x100 until 0x100 + 60).map(_.toChar)
+    val df = Seq(
+      (1L, al1.mkString),
+      (2L, al1.take(55).mkString),
+      (3L, al2.mkString),
+      (4L, al2.take(33).mkString)).toDF("doc_id", "text")
+    val out = DedupOps.jaccardPairsGlobal(df, "doc_id", "text", n = 1, threshold = 0.55)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, 2L, 0.55), (3L, 4L, 0.55)),
+      s"both exact-threshold pairs must survive, got $out")
+  }
+
   test("content-hash dedup equals exact text dedup") {
     val byText = DedupOps.exactDedup(docs, Seq("text"), Seq($"doc_id")).count()
     val byHash = DedupOps.exactDedup(

@@ -37,6 +37,21 @@ class JoinOpsSpec extends SparkSuite {
     assert(out(1).getStruct(out(1).fieldIndex("asof")).getString(0) == "v1")
   }
 
+  test("asofJoin: right rows with a null timestamp never match") {
+    val left = Seq((1L, "2021-01-01 00:00:00"), (1L, "2021-06-01 00:00:00"))
+      .toDF("k", "ts").withColumn("ts", $"ts".cast("timestamp"))
+    // a null timestamp sorts first in the window, so without the filter
+    // its payload would be carried to the first left row
+    val right = Seq((1L, null.asInstanceOf[String], "ghost"),
+        (1L, "2021-03-01 00:00:00", "v1"))
+      .toDF("k", "rts", "payload")
+    val out = JoinOps.asofJoin(left, right, "k", "k", "ts", "rts", Seq("payload"))
+      .orderBy("ts").collect()
+    assert(out(0).isNullAt(out(0).fieldIndex("asof")),
+      "null-ts right row must not be carried to earlier left rows")
+    assert(out(1).getStruct(out(1).fieldIndex("asof")).getString(0) == "v1")
+  }
+
   test("asofJoin: equal timestamps are inclusive (right visible at its own ts)") {
     val left = Seq((1L, "2021-03-01 00:00:00")).toDF("k", "ts")
       .withColumn("ts", $"ts".cast("timestamp"))

@@ -22,6 +22,21 @@ class SampleOpsSpec extends SparkSuite {
     assert(train.select("doc_id").exceptAll(train2.select("doc_id")).isEmpty)
   }
 
+  test("stratifiedSample: keep-fraction threshold rounds, not truncates") {
+    // 0.29*1000 = 289.99999999999997 in doubles: toInt would keep buckets
+    // [0,289) and persistently under-sample; round keeps [0,290).
+    val ids = (0L until 4000L).toDF("id")
+      .withColumn("lang", lit("s"))
+      .withColumn("bucket", pmod(xxhash64($"id"), lit(1000)))
+    val boundary = ids.filter($"bucket" === 289)
+    assert(boundary.count() > 0, "fixture needs ids hashing to bucket 289")
+    val kept = SampleOps.stratifiedSample(ids, $"id", $"lang",
+      Map("s" -> 0.29), buckets = 1000)
+    assert(kept.filter($"bucket" === 289).count() == boundary.count(),
+      "bucket 289 is inside a rounded 0.29 threshold (290)")
+    assert(kept.filter($"bucket" >= 290).count() == 0)
+  }
+
   test("stratifiedSample: per-stratum fractions honored, deterministic") {
     val fr = Map("en" -> 0.5, "es" -> 0.1)
     val sampled = SampleOps.stratifiedSample(docs, $"doc_id", $"lang", fr).cache()

@@ -8,6 +8,15 @@ class SimilaritySpec extends SparkSuite {
 
   private lazy val emb = Tables.embeddings(spark, sf).cache()
 
+  test("topCentroids degrades to index order on all-NaN scores, no throw") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val emb = new GenericArrayData(Array[Any](Float.NaN, Float.NaN))
+    val centroids = Array(1.0, 0.0, 0.0, 1.0) // two unit centroids, dim 2
+    val invNorms = Array(1.0, 1.0)
+    val out = graft.functions.VecKernels.topCentroids(emb, centroids, invNorms, 2, 2)
+    assert(out.toSeq == Seq(0, 1), "NaN scores must fall back to index order")
+  }
+
   test("cosine of a vector with itself is 1.0") {
     val one = emb.limit(1).select(
       SimilarityOps.cosine($"embedding", $"embedding").as("c")).collect().head.getDouble(0)
