@@ -988,22 +988,15 @@ private[graft] object Queries {
   /** Exact 3-gram Jaccard near-dup pairs, blocked by source. The oracle
     * replicates shingling + set ops in DuckDB list functions.
     */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
-    // Shingle arrays are sorted ONCE per row so the per-pair kernel is an
-    // allocation-free merge scan with threshold early-exit (exact result
-    // for every emitted row; pruned pairs are below 0.6 by construction).
-    val docs = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
-        DedupOps.sortedShingles(col("text"), 3).as("sh"))
-    val a = docs.alias("a")
-    val b = docs.alias("b")
-    a.join(b, col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        graft.functions.VectorExpressions
-          .jaccardSortedGE(col("a.sh"), col("b.sh"), 0.6).as("jac"))
-      .filter(col("jac") >= 0.6)
+  def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    // Adaptive exact verification (DedupOps.jaccardPairsBlocked): this
+    // corpus's trigram universe fits a dictionary, so pairs are verified
+    // by bitset popcounts; a diverse corpus would fall back to the sorted
+    // merge-scan kernel. Identical output either way — the oracle is the
+    // quadratic set-Jaccard in DuckDB.
+    DedupOps.jaccardPairsBlocked(Tables.documents(s, d), "doc_id", "text",
+        "source", n = 3, threshold = 0.6)
       .orderBy("id_a", "id_b")
-  }
 
   private val ngramJaccardSql =
     """WITH sh AS (

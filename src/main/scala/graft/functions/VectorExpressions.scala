@@ -112,6 +112,40 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Distinct int ids → packed long bitset of `nWords` words — see
+    * [[VecKernels.idsToBitset]].
+    */
+  case class IdsToBitset(child: Expression, nWords: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_ids_to_bitset"
+    override protected def nullSafeEval(a: Any): Any =
+      new GenericArrayData(VecKernels.idsToBitset(a.asInstanceOf[ArrayData], nWords))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.VecKernels.idsToBitset($a, $nWords));""".stripMargin)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Exact Jaccard of two packed long bitsets (popcounts) — see
+    * [[VecKernels.bitsetJaccard]].
+    */
+  case class BitsetJaccard(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_bitset_jaccard"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.bitsetJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VecKernels.bitsetJaccard($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** k-component MinHash signature of a shingle array, single pass
     * (double-hashing; see [[VecKernels.minhashSig]]).
     */
@@ -271,4 +305,8 @@ object VectorExpressions {
     GraftShim.column(NearestCentroid(e(a), m))
   def topCentroids(a: Column, m: Array[Array[Double]], nprobe: Int): Column =
     GraftShim.column(TopCentroids(e(a), m, nprobe))
+  def idsToBitset(a: Column, nWords: Int): Column =
+    GraftShim.column(IdsToBitset(e(a), nWords))
+  def bitsetJaccard(a: Column, b: Column): Column =
+    GraftShim.column(BitsetJaccard(e(a), e(b)))
 }

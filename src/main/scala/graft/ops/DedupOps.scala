@@ -173,7 +173,11 @@ object DedupOps {
     // prefix token (~2× here), and a candidate row is only 16 bytes of
     // ids, so deduplicating first halves the (relatively expensive)
     // merge-scan verifications for less than the verify-first variant
-    // saves in shuffle.
+    // saves in shuffle. (A bitset-verify variant — dense token ids, pair
+    // bitsets carried through the candidate join — was measured 2-3×
+    // SLOWER here: when prefixes prune weakly the candidate join's row
+    // WIDTH dominates, so skinny 16-byte candidates win; the bitset path
+    // lives in jaccardPairsBlocked where rows pass through one block join.)
     cands
       .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -181,6 +185,60 @@ object DedupOps {
         graft.functions.VectorExpressions
           .jaccardSortedGE(col("sh_a"), col("sh_b"), threshold).as("jac"))
       .filter(col("jac") >= threshold)
+  }
+
+  /** Token-universe cap for the bitset verification path: ⌈U/64⌉ longs per
+    * doc (32768 → 4 KB) — past that, per-doc bitsets cost more to shuffle
+    * than they save in verification, and the diverse universe makes string
+    * prefixes selective anyway.
+    */
+  val MaxBitsetUniverse: Long = 32768L
+
+  /** Exact Jaccard pairs WITHIN a blocking column (all pairs per block,
+    * verified exactly) — the shape for corpora with a natural partition key
+    * (source, shard, near-dup cluster id). Uses the same adaptive
+    * verification as [[jaccardPairsGlobal]]: dense-id bitsets when the
+    * token universe fits a dictionary, sorted merge-scan otherwise.
+    */
+  def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, n: Int = 3,
+                          threshold: Double = 0.6,
+                          maxBitsetUniverse: Long = MaxBitsetUniverse): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      sortedShingles(col(textCol), n).as("sh"))
+    val tokDf = docs.select(explode(col("sh")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tdf")).persist()
+    val universe = tokDf.count()
+    val pairsOf: (DataFrame, Column) => DataFrame = (sides, jac) =>
+      sides.as("a").join(sides.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"), jac.as("jac"))
+        .filter(col("jac") >= threshold)
+    if (universe <= maxBitsetUniverse) {
+      // dictionary collected once (bounded by the cap); block rows carry
+      // ⌈U/64⌉-word bitsets instead of full shingle arrays, and the
+      // per-pair verify is popcounts — see jaccardPairsGlobal
+      val spark = df.sparkSession
+      import spark.implicits._
+      val nWords = ((universe + 63) / 64).toInt
+      val dictLocal = tokDf.orderBy("tok").select("tok").as[String]
+        .collect().zipWithIndex
+      tokDf.unpersist()
+      val dict = spark.createDataFrame(dictLocal.toSeq).toDF("tok", "tid")
+      val withBits = docs.select(col("id"), col("blk"), explode(col("sh")).as("tok"))
+        .join(broadcast(dict), "tok")
+        .groupBy("id", "blk")
+        .agg(collect_list(col("tid")).as("ids"))
+        .select(col("id"), col("blk"),
+          graft.functions.VectorExpressions.idsToBitset(col("ids"), nWords).as("bits"))
+      pairsOf(withBits,
+        graft.functions.VectorExpressions.bitsetJaccard(col("a.bits"), col("b.bits")))
+    } else {
+      tokDf.unpersist()
+      pairsOf(docs,
+        graft.functions.VectorExpressions
+          .jaccardSortedGE(col("a.sh"), col("b.sh"), threshold))
+    }
   }
 
   // ------------------------------------------------------------- SimHash

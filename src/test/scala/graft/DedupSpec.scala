@@ -54,6 +54,22 @@ class DedupSpec extends SparkSuite {
       s"prefix filter must lose nothing: missing=${(truth -- fast).take(3)} extra=${(fast -- truth).take(3)}")
   }
 
+  test("blocked Jaccard pairs == quadratic per-block join, both paths") {
+    val sample = docs.limit(400).cache()
+    val sh = sample.select($"doc_id", $"source", DedupOps.sortedShingles($"text", 3).as("sh"))
+    val truth = sh.as("a").join(sh.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        DedupOps.jaccard($"a.sh", $"b.sh").as("jac"))
+      .filter($"jac" >= 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def run(cap: Long) =
+      DedupOps.jaccardPairsBlocked(sample, "doc_id", "text", "source", 3, 0.6,
+          maxBitsetUniverse = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(truth.nonEmpty && run(Long.MaxValue) == truth && run(0) == truth)
+  }
+
   test("simhash: identical texts at distance 0, different texts far") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
