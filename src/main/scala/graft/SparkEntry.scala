@@ -1212,6 +1212,251 @@ private[graft] object Queries {
       .orderBy("doc_id")
   }
 
+  // ================================================================ round-2: stats from exact moments
+  /** Sample stddev + Pearson correlation derived from EXACT decimal moments
+    * (Σx, Σx², Σy, Σy², Σxy): the only double arithmetic is the final
+    * closed-form formula, evaluated with the identical expression tree in
+    * DuckDB — bit-identical without float-tolerance compares. (A streaming
+    * `stddev_samp`/`corr` would accumulate doubles in engine-specific
+    * order and never hash-match.)
+    */
+  def stddevCorr(s: SparkSession, d: String): DataFrame = {
+    val x = dec(col("l_quantity"))
+    val y = dec(col("l_extendedprice"))
+    li(s, d).groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        asDouble(sum(x)).as("sx"), asDouble(sum(x * x)).as("sxx"),
+        asDouble(sum(y)).as("sy"), asDouble(sum(y * y)).as("syy"),
+        asDouble(sum(x * y)).as("sxy"))
+      .select(col("l_returnflag"),
+        sqrt((col("sxx") * col("n") - col("sx") * col("sx")) /
+          (col("n") * (col("n") - lit(1.0)))).as("stddev_qty"),
+        ((col("sxy") * col("n") - col("sx") * col("sy")) /
+          (sqrt(col("sxx") * col("n") - col("sx") * col("sx")) *
+            sqrt(col("syy") * col("n") - col("sy") * col("sy")))).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val stddevCorrSql =
+    """SELECT l_returnflag,
+      | sqrt((sxx * n - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
+      | ((sxy * n - sx * sy) /
+      |   (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy))) AS corr_qty_price
+      |FROM (
+      | SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
+      | FROM lineitem GROUP BY l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  // ================================================================ round-2: SQL subquery surface
+  private def registerTpch(s: SparkSession, d: String): Unit = {
+    cust(s, d).createOrReplaceTempView("customer")
+    ord(s, d).createOrReplaceTempView("orders")
+    li(s, d).createOrReplaceTempView("lineitem")
+  }
+
+  /** Correlated EXISTS / NOT EXISTS — planned as left-semi + left-anti
+    * joins by Catalyst (no per-row subquery execution).
+    */
+  def subqueryExists(s: SparkSession, d: String): DataFrame = {
+    registerTpch(s, d)
+    s.sql(subqueryExistsSql)
+  }
+
+  private val subqueryExistsSql =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o2
+      |                  WHERE o2.o_custkey = c.c_custkey
+      |                    AND o2.o_orderstatus = 'F' AND o2.o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Uncorrelated scalar subquery → one-row broadcast into the filter. */
+  def subqueryScalar(s: SparkSession, d: String): DataFrame = {
+    registerTpch(s, d)
+    s.sql(subqueryScalarSql)
+  }
+
+  private val subqueryScalarSql =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) / 2
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** CTE feeding a join + reaggregation (WITH surface). */
+  def cteQuery(s: SparkSession, d: String): DataFrame = {
+    registerTpch(s, d)
+    s.sql(cteSql)
+  }
+
+  private val cteSql =
+    """WITH big AS (
+      | SELECT o_custkey, COUNT(*) AS n_big FROM orders
+      | WHERE o_totalprice > 200000 GROUP BY o_custkey)
+      |SELECT c.c_mktsegment, COUNT(*) AS n_cust,
+      | CAST(SUM(b.n_big) AS BIGINT) AS n_orders
+      |FROM big b JOIN customer c ON b.o_custkey = c.c_custkey
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
+  // ================================================================ round-2: unpivot
+  /** Wide→long relational unpivot (`Dataset.unpivot`, the melt shape). */
+  def unpivotOp(s: SparkSession, d: String): DataFrame =
+    li(s, d).filter(col("l_orderkey") < 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  private val unpivotSql =
+    """SELECT * FROM (
+      | SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+      |  FROM lineitem WHERE l_orderkey < 100
+      | UNION ALL
+      | SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      |  FROM lineitem WHERE l_orderkey < 100
+      | UNION ALL
+      | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+      |  FROM lineitem WHERE l_orderkey < 100)
+      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+
+  // ================================================================ round-2: time-series completion
+  /** Dense daily spine + cumulative gap fill (TimeOps): every (customer,
+    * day) row carries spend-to-date; days without orders repeat the last
+    * value. Decimal running sum — engine-deterministic.
+    */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    val daily = ord(s, d).filter(col("o_custkey") < 20)
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(dec(col("o_totalprice"))).as("v"))
+    val spine = graft.ops.TimeOps.dailySpine(
+      daily.select("k").distinct(), "k", "1992-01-01", "1998-12-31")
+    graft.ops.TimeOps.gapFillCumulative(spine, daily, "k", "day", "v")
+      .select(col("k"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        asDouble(col("cum")).as("cum_spend"))
+      .orderBy("k", "day_s")
+  }
+
+  private val gapFillSql =
+    """WITH daily AS (
+      | SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS day,
+      |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+      | FROM orders WHERE o_custkey < 20 GROUP BY 1, 2),
+      |spine AS (
+      | SELECT k, CAST(gs.d AS DATE) AS day
+      | FROM (SELECT DISTINCT k FROM daily),
+      |  generate_series(DATE '1992-01-01', DATE '1998-12-31', INTERVAL 1 DAY) gs(d))
+      |SELECT s.k, strftime(s.day, '%Y-%m-%d') AS day_s,
+      | CAST(SUM(dl.v) OVER (PARTITION BY s.k ORDER BY s.day) AS DOUBLE) AS cum_spend
+      |FROM spine s LEFT JOIN daily dl ON s.k = dl.k AND s.day = dl.day
+      |ORDER BY s.k, day_s""".stripMargin
+
+  /** Trailing 30-day spend per customer day — a RANGE window frame over
+    * day numbers (value-based frame, not ROWS).
+    */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val daily = ord(s, d).filter(col("o_custkey") < 200)
+      .groupBy(col("o_custkey").as("k"), col("o_orderdate").cast("date").as("day"))
+      .agg(sum(dec(col("o_totalprice"))).as("v"))
+    daily.select(col("k"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
+        asDouble(graft.ops.TimeOps.trailingRangeSum(daily, "k", "day", "v", 30))
+          .as("trail30"))
+      .orderBy("k", "day_s")
+  }
+
+  private val windowRangeFrameSql =
+    """WITH daily AS (
+      | SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS day,
+      |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS v
+      | FROM orders WHERE o_custkey < 200 GROUP BY 1, 2)
+      |SELECT k, strftime(day, '%Y-%m-%d') AS day_s,
+      | CAST(SUM(v) OVER (PARTITION BY k
+      |   ORDER BY date_diff('day', DATE '1970-01-01', day)
+      |   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail30
+      |FROM daily ORDER BY k, day_s""".stripMargin
+
+  // ================================================================ round-2: bloom-reduced join
+  /** Bloom-filter semi-join reduction (BloomOps): lineitem is pre-filtered
+    * by a bloom of the selective orders' keys before the join shuffle.
+    * False positives die in the exact join — the oracle is the PLAIN join,
+    * proving result equivalence.
+    */
+  def bloomJoinQ(s: SparkSession, d: String): DataFrame = {
+    val bigOrders = ord(s, d).filter(col("o_totalprice") > 450000)
+      .select(col("o_orderkey").as("bo_orderkey"), col("o_totalprice"))
+    graft.ops.BloomOps
+      .bloomJoin(li(s, d), bigOrders, "l_orderkey", "bo_orderkey",
+        expectedItems = 20000L, fpp = 0.01)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        asDouble(sum(dec(col("l_quantity")))).as("sum_qty"),
+        max(col("o_totalprice")).as("o_totalprice"))
+      .orderBy("l_orderkey")
+  }
+
+  private val bloomJoinSql =
+    """SELECT l_orderkey, COUNT(*) AS n_items,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      | MAX(o_totalprice) AS o_totalprice
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 450000
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  // ================================================================ round-2: scalar function packs
+  /** String-function pack over customer (pad/translate/reverse/repeat/
+    * split/ascii/concat_ws) — one codegen'd projection.
+    */
+  def stringPack(s: SparkSession, d: String): DataFrame =
+    cust(s, d).select(col("c_custkey"),
+      lpad(col("c_name"), 25, "*").as("padded"),
+      translate(col("c_mktsegment"), "AEIOU", "aeiou").as("tr"),
+      reverse(col("c_name")).as("rev"),
+      repeat(substring(col("c_name"), 1, 4), 2).as("rep"),
+      element_at(split(col("c_name"), "#"), 1).as("prefix"),
+      ascii(col("c_name")).as("a1"),
+      concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+      .orderBy("c_custkey")
+
+  private val stringPackSql =
+    """SELECT c_custkey,
+      | lpad(c_name, 25, '*') AS padded,
+      | translate(c_mktsegment, 'AEIOU', 'aeiou') AS tr,
+      | reverse(c_name) AS rev,
+      | repeat(substring(c_name, 1, 4), 2) AS rep,
+      | split_part(c_name, '#', 1) AS prefix,
+      | ascii(c_name) AS a1,
+      | concat_ws('|', c_mktsegment, c_name) AS joined
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Calendar-arithmetic pack over orders (+interval, last_day, datediff,
+    * quarter, ymd extracts).
+    */
+  def dateArith(s: SparkSession, d: String): DataFrame =
+    ord(s, d).select(col("o_orderkey"),
+      date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").as("plus30"),
+      date_format(last_day(col("o_orderdate").cast("date")), "yyyy-MM-dd").as("eom"),
+      datediff(lit("1999-01-01").cast("date"), col("o_orderdate").cast("date")).as("days_to_99"),
+      quarter(col("o_orderdate")).as("qtr"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("dom"))
+      .orderBy("o_orderkey")
+
+  private val dateArithSql =
+    """SELECT o_orderkey,
+      | strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+      | strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS eom,
+      | date_diff('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS days_to_99,
+      | quarter(o_orderdate) AS qtr,
+      | year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dom
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ================================================================ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
@@ -1288,6 +1533,16 @@ private[graft] object Queries {
     "q_text_fingerprint" -> (textFingerprint _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
+    "q_stddev_corr" -> (stddevCorr _),
+    "q_subquery_exists" -> (subqueryExists _),
+    "q_subquery_scalar" -> (subqueryScalar _),
+    "q_cte" -> (cteQuery _),
+    "q_unpivot" -> (unpivotOp _),
+    "q_gap_fill" -> (gapFill _),
+    "q_window_range_frame" -> (windowRangeFrame _),
+    "q_bloom_join" -> (bloomJoinQ _),
+    "q_string_pack" -> (stringPack _),
+    "q_date_arith" -> (dateArith _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1359,5 +1614,15 @@ private[graft] object Queries {
     "q_text_langid" -> textLangidSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_multimodal_meta" -> multimodalMetaSql,
+    "q_stddev_corr" -> stddevCorrSql,
+    "q_subquery_exists" -> subqueryExistsSql,
+    "q_subquery_scalar" -> subqueryScalarSql,
+    "q_cte" -> cteSql,
+    "q_unpivot" -> unpivotSql,
+    "q_gap_fill" -> gapFillSql,
+    "q_window_range_frame" -> windowRangeFrameSql,
+    "q_bloom_join" -> bloomJoinSql,
+    "q_string_pack" -> stringPackSql,
+    "q_date_arith" -> dateArithSql,
   )
 }
