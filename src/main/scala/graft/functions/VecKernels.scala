@@ -109,6 +109,92 @@ object VecKernels {
     inter.toDouble / union.toDouble
   }
 
+  // --------------------------------------------------------- text stats
+  /** Java-regex `\s` class (ASCII-only by default) — the byte-level test is
+    * UTF-8-safe because multibyte sequences never contain bytes < 0x80.
+    */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' '.toByte || b == '\t'.toByte || b == '\n'.toByte ||
+      b == 0x0B.toByte || b == '\f'.toByte || b == '\r'.toByte
+
+  /** [nTokens, nStopwords, nDistinctTokens, sumTokenChars] in ONE pass over
+    * the UTF-8 bytes — semantics identical to the
+    * `filter(split(c, "\\s+"), _ =!= "")` HOF pipeline (tokens are maximal
+    * non-whitespace runs) but without materializing per-char arrays.
+    */
+  def textStats(s: UTF8String, stop: java.util.HashSet[UTF8String]): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    var nTok = 0L
+    var nStop = 0L
+    var sumChars = 0L
+    val seen = new java.util.HashSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        nTok += 1
+        sumChars += tok.numChars()
+        if (stop.contains(tok)) nStop += 1
+        seen.add(tok)
+      }
+    }
+    new GenericArrayData(Array(nTok, nStop, seen.size.toLong, sumChars))
+  }
+
+  /** Stopword-vote language id over the LOWERCASED text: hit count per
+    * language set, winner = first language (array order = priority) with a
+    * positive count equal to the max; "und" when no set hits.
+    */
+  def langId(s: UTF8String, sets: Array[java.util.HashSet[UTF8String]],
+             langs: Array[UTF8String], und: UTF8String): UTF8String = {
+    val bytes = s.toLowerCase.getBytes
+    val n = bytes.length
+    val counts = new Array[Long](sets.length)
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        var l = 0
+        while (l < sets.length) {
+          if (sets(l).contains(tok)) counts(l) += 1
+          l += 1
+        }
+      }
+    }
+    var max = 0L
+    var l = 0
+    while (l < counts.length) { if (counts(l) > max) max = counts(l); l += 1 }
+    if (max == 0L) und
+    else {
+      l = 0
+      while (counts(l) != max) l += 1
+      langs(l)
+    }
+  }
+
+  /** Polynomial rolling hash over CODEPOINTS, mod 1e9+7 — identical fold to
+    * `aggregate(split(c, ""), 0L, (h, ch) => (h*31 + ascii(ch)) % p)` and
+    * to DuckDB's `list_reduce` over `unicode()` per character.
+    */
+  def fingerprint64(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h = (h * 31 + cp) % 1000000007L
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
   /** Pack an array of distinct non-negative int ids into a fixed-width
     * long bitset (`nWords` 64-bit words). Ids ≥ nWords·64 are a caller
     * bug — bounds are enforced by the dictionary build.

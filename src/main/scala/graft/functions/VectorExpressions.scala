@@ -112,6 +112,74 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** One-pass token statistics [nTokens, nStopwords, nDistinct,
+    * sumTokenChars] — see [[VecKernels.textStats]].
+    */
+  case class TextStats(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_text_stats"
+    @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+      val h = new java.util.HashSet[UTF8String]()
+      stopwords.foreach(w => h.add(UTF8String.fromString(w)))
+      h
+    }
+    override protected def nullSafeEval(a: Any): Any =
+      VecKernels.textStats(a.asInstanceOf[UTF8String], stopSet)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VecKernels.textStats($a, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Stopword-vote language id with fixed tie priority — see
+    * [[VecKernels.langId]].
+    */
+  case class LangIdExpr(child: Expression, langs: Seq[(String, Seq[String])])
+      extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_lang_id"
+    @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+      langs.map { case (_, ws) =>
+        val h = new java.util.HashSet[UTF8String]()
+        ws.foreach(w => h.add(UTF8String.fromString(w)))
+        h
+      }.toArray
+    @transient private lazy val names: Array[UTF8String] =
+      langs.map(l => UTF8String.fromString(l._1)).toArray
+    private val und = UTF8String.fromString("und")
+    override protected def nullSafeEval(a: Any): Any =
+      VecKernels.langId(a.asInstanceOf[UTF8String], sets, names, und)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+      val namesRef = ctx.addReferenceObj("langNames", names,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      val undRef = ctx.addReferenceObj("und", und,
+        "org.apache.spark.unsafe.types.UTF8String")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VecKernels.langId($a, $setsRef, $namesRef, $undRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Rolling codepoint hash mod 1e9+7 — see [[VecKernels.fingerprint64]]. */
+  case class Fingerprint64(child: Expression)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_fingerprint"
+    override protected def nullSafeEval(a: Any): Any =
+      VecKernels.fingerprint64(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VecKernels.fingerprint64($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Distinct int ids → packed long bitset of `nWords` words — see
     * [[VecKernels.idsToBitset]].
     */
@@ -309,4 +377,9 @@ object VectorExpressions {
     GraftShim.column(IdsToBitset(e(a), nWords))
   def bitsetJaccard(a: Column, b: Column): Column =
     GraftShim.column(BitsetJaccard(e(a), e(b)))
+  def textStats(a: Column, stopwords: Seq[String]): Column =
+    GraftShim.column(TextStats(e(a), stopwords))
+  def langIdNative(a: Column, langs: Seq[(String, Seq[String])]): Column =
+    GraftShim.column(LangIdExpr(e(a), langs))
+  def fingerprint64(a: Column): Column = GraftShim.column(Fingerprint64(e(a)))
 }

@@ -16,7 +16,16 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= "")
 
-  def tokenCount(c: Column): Column = size(tokens(c))
+  /** One-pass native token statistics over the raw bytes — array<long> of
+    * [nTokens, nStopwords, nDistinctTokens, sumTokenChars], identical
+    * semantics to the HOF pipeline it replaces
+    * ([[graft.functions.VectorExpressions.TextStats]]; within a projection
+    * Spark's subexpression elimination evaluates it once).
+    */
+  def stats(c: Column): Column =
+    graft.functions.VectorExpressions.textStats(c, StopwordsEn)
+
+  def tokenCount(c: Column): Column = stats(c).getItem(0)
 
   /** BPE-ish subword-count proxy: words plus intra-word punctuation/digit
     * boundaries, approximating tokenizer inflation without a vocab file.
@@ -36,16 +45,15 @@ object TextOps {
   def digitCount(c: Column): Column =
     size(filter(split(c, ""), ch => ch.rlike("[0-9]")))
 
-  def stopwordCount(c: Column): Column =
-    size(filter(tokens(c), t => t.isin(StopwordsEn: _*)))
+  def stopwordCount(c: Column): Column = stats(c).getItem(1)
 
   def uniqueTokenRatio(c: Column): Column =
-    size(array_distinct(tokens(c))).cast("double") /
-      greatest(size(tokens(c)), lit(1)).cast("double")
+    stats(c).getItem(2).cast("double") /
+      greatest(stats(c).getItem(0), lit(1)).cast("double")
 
   def meanTokenLength(c: Column): Column =
-    aggregate(tokens(c), lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      greatest(size(tokens(c)), lit(1)).cast("double")
+    stats(c).getItem(3).cast("double") /
+      greatest(stats(c).getItem(0), lit(1)).cast("double")
 
   /** Composite quality score in [0,1]-ish: rewards stopword presence and
     * token diversity, penalizes very short docs — the usual pre-training
@@ -73,21 +81,18 @@ object TextOps {
   def langHits(c: Column, words: Seq[String]): Column =
     size(filter(tokens(lower(c)), t => t.isin(words: _*)))
 
-  def langId(c: Column): Column = {
-    val hits = LangStopwords.map { case (lang, words) => lang -> langHits(c, words) }
-    val maxHit = greatest(hits.map(_._2): _*)
-    hits.foldRight(lit("und")) { case ((lang, h), elseCol) =>
-      when(h > 0 && h === maxHit, lit(lang)).otherwise(elseCol)
-    }
-  }
+  /** Native one-pass vote ([[graft.functions.VectorExpressions.LangIdExpr]]):
+    * tokenize the lowercased text once, count hits against every language's
+    * set, first-in-priority-order winner — same result as the
+    * `when`-chain over per-language [[langHits]] it replaces.
+    */
+  def langId(c: Column): Column =
+    graft.functions.VectorExpressions.langIdNative(c, LangStopwords)
 
   /** Polynomial rolling-hash document fingerprint, mod 1e9+7 (kept small so
     * every intermediate fits a 64-bit multiply — no overflow divergence
     * between engines).
     */
   def fingerprint(c: Column): Column =
-    aggregate(
-      filter(split(c, ""), ch => ch =!= ""),
-      lit(0L),
-      (h, ch) => (h * 31 + ascii(ch)) % 1000000007L)
+    graft.functions.VectorExpressions.fingerprint64(c)
 }

@@ -35,7 +35,7 @@ class TextOpsSpec extends SparkSuite {
       TextOps.tokenCount($"t").as("n"),
       TextOps.stopwordCount($"t").as("sw"),
       TextOps.uniqueTokenRatio($"t").as("uq")).collect().head
-    assert(row.getInt(0) == 3 && row.getInt(1) == 2)
+    assert(row.getLong(0) == 3 && row.getLong(1) == 2)
     assert(math.abs(row.getDouble(2) - 2.0 / 3.0) < 1e-15)
   }
 }
