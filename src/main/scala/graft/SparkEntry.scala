@@ -1457,6 +1457,82 @@ private[graft] object Queries {
       | year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dom
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Sliding event-time windows (6h width, 3h slide — every event lands in
+    * exactly width/slide = 2 windows). Batch form of
+    * `groupBy(window(ts, w, s))`; the oracle expands the two bucket
+    * memberships with UNION ALL.
+    */
+  def streamSliding(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "6 hours", "3 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("value"), 18, 6))).as("sum_value"))
+      .select(date_format(col("window.start"), TsFmt).as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("win_start", "event_type")
+
+  private val streamSlidingSql =
+    s"""WITH w AS (
+       | SELECT time_bucket(INTERVAL '3 hours', ts) AS ws, event_type, value FROM events
+       | UNION ALL
+       | SELECT time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours', event_type, value
+       | FROM events)
+       |SELECT strftime(ws, '$TsFmtSql') AS win_start, event_type, COUNT(*) AS n,
+       | CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+  /** min_by/max_by ("which row held the extreme") with a DETERMINISTIC
+    * packed ordering value — exact cents·10^10 + orderkey, so ties on
+    * price break identically in both engines.
+    */
+  def minmaxBy(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy("o_orderpriority")
+      .agg(expr("max_by(o_orderkey, " +
+          "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey)")
+          .as("top_order"),
+        expr("min_by(o_orderkey, " +
+          "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey)")
+          .as("bottom_order"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  private val minmaxBySql =
+    """SELECT o_orderpriority,
+      | arg_max(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS top_order,
+      | arg_min(o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) * 10000000000 + o_orderkey) AS bottom_order,
+      | COUNT(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Generator/UDTF SQL surface: LATERAL VIEW explode over the tokenizer
+    * (one output row per token).
+    */
+  def lateralTokens(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).createOrReplaceTempView("documents")
+    s.sql(
+      """SELECT doc_id, tok FROM documents
+        |LATERAL VIEW explode(filter(split(text, '\\s+'), x -> x != '')) t AS tok
+        |WHERE doc_id < 50
+        |ORDER BY doc_id, tok""".stripMargin)
+  }
+
+  private val lateralTokensSql =
+    """SELECT doc_id, u.tok FROM documents,
+      | unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS u(tok)
+      |WHERE doc_id < 50
+      |ORDER BY doc_id, tok""".stripMargin
+
+  /** Deterministic hash split (SampleOps): layout-stable train/test tag per
+    * row. xxhash64 has no DuckDB analogue → rows-only driver check; split
+    * invariants (disjoint, complete, repartition-stable) are spec-tested.
+    */
+  def sampleSplit(s: SparkSession, d: String): DataFrame = {
+    val (train, test) = graft.ops.SampleOps.hashSplit(
+      Tables.documents(s, d), col("doc_id"), 80)
+    train.select(col("doc_id"), lit("train").as("side"))
+      .unionByName(test.select(col("doc_id"), lit("test").as("side")))
+      .orderBy("doc_id")
+  }
+
   // ================================================================ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
@@ -1543,6 +1619,10 @@ private[graft] object Queries {
     "q_bloom_join" -> (bloomJoinQ _),
     "q_string_pack" -> (stringPack _),
     "q_date_arith" -> (dateArith _),
+    "q_stream_sliding" -> (streamSliding _),
+    "q_minmax_by" -> (minmaxBy _),
+    "q_lateral" -> (lateralTokens _),
+    "q_sample_split" -> (sampleSplit _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1624,5 +1704,8 @@ private[graft] object Queries {
     "q_bloom_join" -> bloomJoinSql,
     "q_string_pack" -> stringPackSql,
     "q_date_arith" -> dateArithSql,
+    "q_stream_sliding" -> streamSlidingSql,
+    "q_minmax_by" -> minmaxBySql,
+    "q_lateral" -> lateralTokensSql,
   )
 }
