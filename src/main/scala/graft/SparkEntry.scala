@@ -1533,6 +1533,46 @@ private[graft] object Queries {
       .orderBy("doc_id")
   }
 
+  /** Skew-remedy join surfaced as a query: the salted join (deterministic
+    * left salt, replicated right — JoinOps.saltedJoin) must produce the
+    * PLAIN join's rows, which is exactly what the oracle checks.
+    */
+  def joinSalted(s: SparkSession, d: String): DataFrame =
+    graft.ops.JoinOps.saltedJoin(
+        li(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_linenumber")),
+        ord(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
+        Seq("l_orderkey"), 8, Seq(col("l_linenumber")))
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
+      .orderBy("l_orderkey")
+
+  private val joinSaltedSql =
+    """SELECT l_orderkey, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 400000
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** Partitioned parquet sink + partition-pruned readback: write orders
+    * partitioned by priority, read ONE partition back (the scan must list
+    * only that directory — partition pruning by layout).
+    */
+  def writePartitioned(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/root/repo/target/fixtures/part_orders_${new java.io.File(d).getName}"
+    ord(s, d)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  private val writePartitionedSql =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      |WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin
+
   // ================================================================ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
@@ -1623,6 +1663,8 @@ private[graft] object Queries {
     "q_minmax_by" -> (minmaxBy _),
     "q_lateral" -> (lateralTokens _),
     "q_sample_split" -> (sampleSplit _),
+    "q_join_salted" -> (joinSalted _),
+    "q_write_partitioned" -> (writePartitioned _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1707,5 +1749,7 @@ private[graft] object Queries {
     "q_stream_sliding" -> streamSlidingSql,
     "q_minmax_by" -> minmaxBySql,
     "q_lateral" -> lateralTokensSql,
+    "q_join_salted" -> joinSaltedSql,
+    "q_write_partitioned" -> writePartitionedSql,
   )
 }

@@ -128,19 +128,61 @@ object DedupOps {
     * universe, Zipfian) yields rare prefix tokens that touch a handful of
     * docs each. The positional filter (PPJoin) recovers part of the gap.
     */
+  /** Slack-conservative ceiling for candidate bounds: t·sz computed in
+    * doubles can land one ulp ABOVE the exact rational (e.g. 0.55·100 →
+    * 55.000000000000007, ceil → 56), which would over-tighten the filter
+    * and drop true pairs whose Jaccard equals the threshold exactly.
+    * Subtracting 1e-6 (far above accumulated double error for any
+    * realistic set size, far below 1) makes every bound err on the LOOSE
+    * side only — a slightly wider candidate set is always safe because
+    * final verification is exact.
+    */
+  private def ceilSafe(c: Column): Column = ceil(c - lit(1e-6))
+
   def jaccardPairsGlobal(df: DataFrame, idCol: String, textCol: String,
-                         n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    // Slack-conservative ceiling for candidate bounds: t·sz computed in
-    // doubles can land one ulp ABOVE the exact rational (e.g. 0.55·100 →
-    // 55.000000000000007, ceil → 56), which would over-tighten the filter
-    // and drop true pairs whose Jaccard equals the threshold exactly.
-    // Subtracting 1e-6 (far above accumulated double error for any
-    // realistic set size, far below 1) makes every bound err on the LOOSE
-    // side only — a slightly wider candidate set is always safe because
-    // final verification is exact.
-    def ceilSafe(c: Column): Column = ceil(c - lit(1e-6))
+                         n: Int = 3, threshold: Double = 0.6,
+                         bruteMaxDocs: Long = BruteForceMaxDocs,
+                         maxBitsetUniverse: Long = MaxBitsetUniverse): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
       sortedShingles(col(textCol), n).as("sh"))
+    // Cost-based tier choice, same spirit as Spark picking broadcast vs
+    // shuffle joins from size stats: when the corpus is small enough that
+    // N² cheap verifications beat the prefix join's machinery AND the
+    // token universe fits a dictionary, brute-force all pairs with bitset
+    // popcounts (a 48-byte-per-doc broadcast nested loop). Past either
+    // bound, the AllPairs/PPJoin prefix filter is the path that scales.
+    val nDocs = docs.count()
+    if (nDocs <= bruteMaxDocs) {
+      val tokDf = docs.select(explode(col("sh")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tdf")).persist()
+      val universe = tokDf.count()
+      if (universe <= maxBitsetUniverse) {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val nWords = ((universe + 63) / 64).toInt
+        val dictLocal = tokDf.orderBy("tok").select("tok").as[String]
+          .collect().zipWithIndex
+        tokDf.unpersist()
+        val dict = spark.createDataFrame(dictLocal.toSeq).toDF("tok", "tid")
+        val withBits = docs.select(col("id"), explode(col("sh")).as("tok"))
+          .join(broadcast(dict), "tok")
+          .groupBy("id").agg(collect_list(col("tid")).as("ids"))
+          .select(col("id"), size(col("ids")).as("sz"),
+            graft.functions.VectorExpressions.idsToBitset(col("ids"), nWords).as("bits"))
+        // size-band ints reject most pairs before any popcount runs
+        // (And evaluates left to right)
+        return broadcast(withBits.as("a")).join(withBits.as("b"),
+            col("a.id") < col("b.id") &&
+              col("b.sz") >= ceilSafe(col("a.sz") * threshold) &&
+              col("a.sz") >= ceilSafe(col("b.sz") * threshold) &&
+              graft.functions.VectorExpressions
+                .bitsetJaccard(col("a.bits"), col("b.bits")) >= threshold)
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+            graft.functions.VectorExpressions
+              .bitsetJaccard(col("a.bits"), col("b.bits")).as("jac"))
+      }
+      tokDf.unpersist()
+    }
     val docsSz = docs.withColumn("sz", size(col("sh")))
     val tokens = docsSz.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
     // global document frequency (shingles are distinct per doc)
@@ -193,6 +235,14 @@ object DedupOps {
     * prefixes selective anyway.
     */
   val MaxBitsetUniverse: Long = 32768L
+
+  /** Corpus-size cap for the brute-force tier of [[jaccardPairsGlobal]]:
+    * 10k docs → ≤50M size-band checks, mostly rejected before any popcount
+    * — cheaper than the prefix join's explode/shuffle/distinct pipeline.
+    * Past this, quadratic growth loses to the prefix filter no matter how
+    * cheap the per-pair verify is.
+    */
+  val BruteForceMaxDocs: Long = 10000L
 
   /** Exact Jaccard pairs WITHIN a blocking column (all pairs per block,
     * verified exactly) — the shape for corpora with a natural partition key

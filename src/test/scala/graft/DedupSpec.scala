@@ -39,7 +39,7 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
   }
 
-  test("prefix-filter global Jaccard join == quadratic all-pairs exactly") {
+  test("global Jaccard join == quadratic all-pairs exactly, ALL tiers") {
     val sample = docs.limit(400).cache()
     val sh = sample.select($"doc_id", DedupOps.sortedShingles($"text", 3).as("sh"))
     val truth = sh.as("a").join(sh.as("b"), $"a.doc_id" < $"b.doc_id")
@@ -47,11 +47,17 @@ class DedupSpec extends SparkSuite {
         DedupOps.jaccard($"a.sh", $"b.sh").as("jac"))
       .filter($"jac" >= 0.6)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    val fast = DedupOps.jaccardPairsGlobal(sample, "doc_id", "text", 3, 0.6)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(truth.nonEmpty, "sample should contain near-dups")
-    assert(fast == truth,
-      s"prefix filter must lose nothing: missing=${(truth -- fast).take(3)} extra=${(fast -- truth).take(3)}")
+    // (bruteMaxDocs, maxBitsetUniverse): brute-bitset tier, prefix tier
+    // (brute disabled), prefix tier via universe overflow
+    for ((brute, cap) <- Seq((10000L, 32768L), (0L, 32768L), (10000L, 0L))) {
+      val fast = DedupOps.jaccardPairsGlobal(sample, "doc_id", "text", 3, 0.6,
+          bruteMaxDocs = brute, maxBitsetUniverse = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast == truth,
+        s"tier (brute=$brute, cap=$cap) must lose nothing: " +
+          s"missing=${(truth -- fast).take(3)} extra=${(fast -- truth).take(3)}")
+    }
   }
 
   test("blocked Jaccard pairs == quadratic per-block join, both paths") {
@@ -111,10 +117,14 @@ class DedupSpec extends SparkSuite {
       (2L, al1.take(55).mkString),
       (3L, al2.mkString),
       (4L, al2.take(33).mkString)).toDF("doc_id", "text")
-    val out = DedupOps.jaccardPairsGlobal(df, "doc_id", "text", n = 1, threshold = 0.55)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(out == Set((1L, 2L, 0.55), (3L, 4L, 0.55)),
-      s"both exact-threshold pairs must survive, got $out")
+    // exercise the brute-bitset tier AND the prefix tier (brute disabled)
+    for (brute <- Seq(10000L, 0L)) {
+      val out = DedupOps.jaccardPairsGlobal(df, "doc_id", "text", n = 1,
+          threshold = 0.55, bruteMaxDocs = brute)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(out == Set((1L, 2L, 0.55), (3L, 4L, 0.55)),
+        s"both exact-threshold pairs must survive (brute=$brute), got $out")
+    }
   }
 
   test("content-hash dedup equals exact text dedup") {
