@@ -1365,7 +1365,7 @@ private[graft] object Queries {
       .groupBy(col("o_custkey").as("k"), col("o_orderdate").cast("date").as("day"))
       .agg(sum(dec(col("o_totalprice"))).as("v"))
     daily.select(col("k"), date_format(col("day"), "yyyy-MM-dd").as("day_s"),
-        asDouble(graft.ops.TimeOps.trailingRangeSum(daily, "k", "day", "v", 30))
+        asDouble(graft.ops.TimeOps.trailingRangeSum("k", "day", "v", 30))
           .as("trail30"))
       .orderBy("k", "day_s")
   }

@@ -48,7 +48,7 @@ object TimeOps {
     * last `days` days (inclusive). Pre-aggregate facts per (key, day)
     * first for deterministic frames.
     */
-  def trailingRangeSum(facts: DataFrame, keyCol: String, dayCol: String,
+  def trailingRangeSum(keyCol: String, dayCol: String,
                        valueCol: String, days: Int): Column = {
     val w = Window.partitionBy(keyCol)
       .orderBy(datediff(col(dayCol), lit("1970-01-01").cast("date")))

@@ -87,4 +87,28 @@ class PlanSpec extends SparkSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"dedup should shuffle once on the key, got $exchanges:\n$p")
   }
+
+  test("q_bloom_join: bloom filter applied to the fact side BEFORE the join") {
+    val df = SparkEntry.queries("q_bloom_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // the UDF filter must sit under the join, not above it
+    val joinIdx = p.linesIterator.indexWhere(l =>
+      l.contains("HashJoin") || l.contains("SortMergeJoin"))
+    val filterIdx = p.linesIterator.indexWhere(_.contains("UDF(l_orderkey"))
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      s"bloom UDF filter should be below the join in the plan tree:\n$p")
+  }
+
+  test("q_gap_fill: spine is explode(sequence), never a cartesian join") {
+    val p = plan("q_gap_fill")
+    assert(p.contains("Generate explode"), s"expected a Generate node:\n$p")
+    assert(!p.contains("CartesianProduct"), s"spine must not plan a cartesian:\n$p")
+  }
+
+  test("q_write_partitioned: readback scan prunes to the one partition") {
+    val df = SparkEntry.queries("q_write_partitioned")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"partition filter not applied at scan:\n$p")
+  }
 }

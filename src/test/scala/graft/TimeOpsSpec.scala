@@ -39,7 +39,7 @@ class TimeOpsSpec extends SparkSuite {
       (1L, "2020-02-12", 8.0), (2L, "2020-01-01", 16.0)).toDF("k", "day", "v")
       .withColumn("day", $"day".cast("date"))
     val got = facts.select($"k", $"day",
-        TimeOps.trailingRangeSum(facts, "k", "day", "v", 30).as("t30"))
+        TimeOps.trailingRangeSum("k", "day", "v", 30).as("t30"))
       .collect().map(r => (r.getLong(0), r.getDate(1).toString) -> r.getDouble(2)).toMap
     // brute force: sum of v within [day-29, day] per key
     val rows = Seq(
