@@ -1542,7 +1542,9 @@ private[graft] object Queries {
         li(s, d).select(col("l_orderkey"), col("l_quantity"), col("l_linenumber")),
         ord(s, d).filter(col("o_totalprice") > 400000)
           .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice")),
-        Seq("l_orderkey"), 8, Seq(col("l_linenumber")))
+        // salt by the (near-)row id so a hot key's rows really spread over
+        // all 8 buckets — l_linenumber alone has ≤7 distinct values
+        Seq("l_orderkey"), 8, Seq(col("l_orderkey"), col("l_linenumber")))
       .groupBy("l_orderkey")
       .agg(count(lit(1)).as("n"), asDouble(sum(dec(col("l_quantity")))).as("sum_qty"))
       .orderBy("l_orderkey")

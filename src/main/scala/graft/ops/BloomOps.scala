@@ -21,13 +21,29 @@ object BloomOps {
   /** `fact` reduced to rows whose `factKey` might appear in `dim.dimKey`.
     * Exactly the semi-join rows plus ≤ fpp false positives; null keys drop
     * (a null never equi-joins). One action on `dim` to build the sketch.
+    * Probe type follows the fact column's type — integral keys probe as
+    * long, strings as string (matching how `stat.bloomFilter` inserted the
+    * dim side); anything else is rejected loudly rather than silently
+    * filtering everything out with a mistyped probe.
     */
   def bloomReduce(fact: DataFrame, dim: DataFrame,
                   factKey: String, dimKey: String,
                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
-    val might = udf((k: java.lang.Long) => k != null && bf.mightContain(k.longValue()))
-    fact.filter(might(col(factKey)))
+    val might = fact.schema(factKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && bf.mightContain(k.longValue()))
+          .apply(col(factKey).cast("long"))
+      case StringType =>
+        udf((k: String) => k != null && bf.mightContainString(k))
+          .apply(col(factKey))
+      case other =>
+        throw new IllegalArgumentException(
+          s"bloomReduce: unsupported key type $other for '$factKey' " +
+            "(integral and string keys only — matching BloomFilter.put semantics)")
+    }
+    fact.filter(might)
   }
 
   /** Bloom-reduced equi-join: plain inner join result, but the fact side

@@ -103,6 +103,39 @@ object DedupOps {
   }
 
   // ------------------------------------------------- prefix-filter join
+  /** Slack-conservative ceiling for candidate bounds: t·sz computed in
+    * doubles can land one ulp ABOVE the exact rational (e.g. 0.55·100 →
+    * 55.000000000000007, ceil → 56), which would over-tighten the filter
+    * and drop true pairs whose Jaccard equals the threshold exactly.
+    * Subtracting 1e-6 (far above accumulated double error for any
+    * realistic set size, far below 1) makes every bound err on the LOOSE
+    * side only — a slightly wider candidate set is always safe because
+    * final verification is exact.
+    */
+  private def ceilSafe(c: Column): Column = ceil(c - lit(1e-6))
+
+  /** Collect the (cap-bounded) distinct-token dictionary to the driver and
+    * attach per-`keyCols`-group dense-id arrays (`ids`) and packed bitsets
+    * (`bits`). `toks` must be a persisted single-column ("tok") DataFrame
+    * of the distinct tokens; it is unpersisted after the collect.
+    */
+  private def attachBitsets(docs: DataFrame, keyCols: Seq[String],
+                            toks: DataFrame, universe: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nWords = ((universe + 63) / 64).toInt
+    val dictLocal = toks.orderBy("tok").select("tok").as[String]
+      .collect().zipWithIndex
+    toks.unpersist()
+    val dict = spark.createDataFrame(dictLocal.toSeq).toDF("tok", "tid")
+    docs.select(keyCols.map(col) :+ explode(col("sh")).as("tok"): _*)
+      .join(broadcast(dict), "tok")
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col("tid")).as("ids"))
+      .withColumn("bits",
+        graft.functions.VectorExpressions.idsToBitset(col("ids"), nWords))
+  }
+
   /** GLOBAL exact Jaccard similarity join — every pair with J ≥ threshold
     * across the whole corpus, NO blocking column — via the prefix filter
     * (AllPairs/PPJoin family, public literature).
@@ -128,17 +161,6 @@ object DedupOps {
     * universe, Zipfian) yields rare prefix tokens that touch a handful of
     * docs each. The positional filter (PPJoin) recovers part of the gap.
     */
-  /** Slack-conservative ceiling for candidate bounds: t·sz computed in
-    * doubles can land one ulp ABOVE the exact rational (e.g. 0.55·100 →
-    * 55.000000000000007, ceil → 56), which would over-tighten the filter
-    * and drop true pairs whose Jaccard equals the threshold exactly.
-    * Subtracting 1e-6 (far above accumulated double error for any
-    * realistic set size, far below 1) makes every bound err on the LOOSE
-    * side only — a slightly wider candidate set is always safe because
-    * final verification is exact.
-    */
-  private def ceilSafe(c: Column): Column = ceil(c - lit(1e-6))
-
   def jaccardPairsGlobal(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.6,
                          bruteMaxDocs: Long = BruteForceMaxDocs,
@@ -153,22 +175,12 @@ object DedupOps {
     // bound, the AllPairs/PPJoin prefix filter is the path that scales.
     val nDocs = docs.count()
     if (nDocs <= bruteMaxDocs) {
-      val tokDf = docs.select(explode(col("sh")).as("tok"))
-        .groupBy("tok").agg(count(lit(1)).as("tdf")).persist()
-      val universe = tokDf.count()
+      // probe cost is bounded: it only runs on <= bruteMaxDocs corpora
+      val toks = docs.select(explode(col("sh")).as("tok")).distinct().persist()
+      val universe = toks.count()
       if (universe <= maxBitsetUniverse) {
-        val spark = df.sparkSession
-        import spark.implicits._
-        val nWords = ((universe + 63) / 64).toInt
-        val dictLocal = tokDf.orderBy("tok").select("tok").as[String]
-          .collect().zipWithIndex
-        tokDf.unpersist()
-        val dict = spark.createDataFrame(dictLocal.toSeq).toDF("tok", "tid")
-        val withBits = docs.select(col("id"), explode(col("sh")).as("tok"))
-          .join(broadcast(dict), "tok")
-          .groupBy("id").agg(collect_list(col("tid")).as("ids"))
-          .select(col("id"), size(col("ids")).as("sz"),
-            graft.functions.VectorExpressions.idsToBitset(col("ids"), nWords).as("bits"))
+        val withBits = attachBitsets(docs, Seq("id"), toks, universe)
+          .select(col("id"), size(col("ids")).as("sz"), col("bits"))
         // size-band ints reject most pairs before any popcount runs
         // (And evaluates left to right)
         return broadcast(withBits.as("a")).join(withBits.as("b"),
@@ -181,7 +193,7 @@ object DedupOps {
             graft.functions.VectorExpressions
               .bitsetJaccard(col("a.bits"), col("b.bits")).as("jac"))
       }
-      tokDf.unpersist()
+      toks.unpersist()
     }
     val docsSz = docs.withColumn("sz", size(col("sh")))
     val tokens = docsSz.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
@@ -256,39 +268,34 @@ object DedupOps {
                           maxBitsetUniverse: Long = MaxBitsetUniverse): DataFrame = {
     val docs = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       sortedShingles(col(textCol), n).as("sh"))
-    val tokDf = docs.select(explode(col("sh")).as("tok"))
-      .groupBy("tok").agg(count(lit(1)).as("tdf")).persist()
-    val universe = tokDf.count()
     val pairsOf: (DataFrame, Column) => DataFrame = (sides, jac) =>
       sides.as("a").join(sides.as("b"),
           col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"), jac.as("jac"))
         .filter(col("jac") >= threshold)
-    if (universe <= maxBitsetUniverse) {
-      // dictionary collected once (bounded by the cap); block rows carry
-      // ⌈U/64⌉-word bitsets instead of full shingle arrays, and the
-      // per-pair verify is popcounts — see jaccardPairsGlobal
-      val spark = df.sparkSession
-      import spark.implicits._
-      val nWords = ((universe + 63) / 64).toInt
-      val dictLocal = tokDf.orderBy("tok").select("tok").as[String]
-        .collect().zipWithIndex
-      tokDf.unpersist()
-      val dict = spark.createDataFrame(dictLocal.toSeq).toDF("tok", "tid")
-      val withBits = docs.select(col("id"), col("blk"), explode(col("sh")).as("tok"))
-        .join(broadcast(dict), "tok")
-        .groupBy("id", "blk")
-        .agg(collect_list(col("tid")).as("ids"))
-        .select(col("id"), col("blk"),
-          graft.functions.VectorExpressions.idsToBitset(col("ids"), nWords).as("bits"))
-      pairsOf(withBits,
-        graft.functions.VectorExpressions.bitsetJaccard(col("a.bits"), col("b.bits")))
-    } else {
-      tokDf.unpersist()
-      pairsOf(docs,
-        graft.functions.VectorExpressions
-          .jaccardSortedGE(col("a.sh"), col("b.sh"), threshold))
+    // Sampled lower-bound pre-probe: a token universe is never smaller
+    // than a 1000-doc sample's, so when even the sample overflows the cap
+    // the full-corpus distinct aggregation (a whole extra pass at 100 TB)
+    // is skipped and the merge-scan path starts immediately.
+    val sampleUniverse = docs.limit(1000)
+      .select(explode(col("sh")).as("tok")).distinct().count()
+    if (sampleUniverse <= maxBitsetUniverse) {
+      val toks = docs.select(explode(col("sh")).as("tok")).distinct().persist()
+      val universe = toks.count()
+      if (universe <= maxBitsetUniverse) {
+        // dictionary collected once (bounded by the cap); block rows carry
+        // ⌈U/64⌉-word bitsets instead of full shingle arrays, and the
+        // per-pair verify is popcounts — see jaccardPairsGlobal
+        val withBits = attachBitsets(docs, Seq("id", "blk"), toks, universe)
+          .select(col("id"), col("blk"), col("bits"))
+        return pairsOf(withBits,
+          graft.functions.VectorExpressions.bitsetJaccard(col("a.bits"), col("b.bits")))
+      }
+      toks.unpersist()
     }
+    pairsOf(docs,
+      graft.functions.VectorExpressions
+        .jaccardSortedGE(col("a.sh"), col("b.sh"), threshold))
   }
 
   // ------------------------------------------------------------- SimHash
@@ -325,10 +332,13 @@ object DedupOps {
     val starts = widths.scanLeft(0)(_ + _)
     val withHash = df.select(col(idCol).as("id"),
       simhash(TextOps.tokens(col(textCol))).as("sh"))
+    // JVM shifts mask the count mod 64, so a full-width slice (d=0 →
+    // one 64-bit block) needs an explicit all-ones mask: (1L<<64)-1 is 0
+    def sliceMask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
     val blocked = withHash.select(col("id"), col("sh"),
       posexplode(array((0 until nBlocks).map(q =>
         shiftrightunsigned(col("sh"), starts(q))
-          .bitwiseAND(lit((1L << widths(q)) - 1))): _*)).as(Seq("q", "block")))
+          .bitwiseAND(lit(sliceMask(widths(q))))): _*)).as(Seq("q", "block")))
     val a = blocked.alias("a")
     val b = blocked.alias("b")
     // Verify (one XOR+popcount) before dedup — same shuffle discipline as

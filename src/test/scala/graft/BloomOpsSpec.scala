@@ -21,6 +21,18 @@ class BloomOpsSpec extends SparkSuite {
     assert(bloomed.exceptAll(plain).isEmpty && plain.exceptAll(bloomed).isEmpty)
   }
 
+  test("bloomReduce probes string keys as strings (no silent empty result)") {
+    val dim = ord.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderpriority".as("k")).distinct()
+    val reduced = BloomOps.bloomReduce(ord, dim, "o_orderpriority", "k", 10L)
+    val expected = ord.filter($"o_orderpriority" === "1-URGENT").count()
+    assert(expected > 0 && reduced.count() >= expected,
+      "string-keyed bloom must keep every true match")
+    assertThrows[IllegalArgumentException] {
+      BloomOps.bloomReduce(ord, dim, "o_totalprice", "k", 10L) // double key
+    }
+  }
+
   test("bloomReduce: semi-join superset, bounded blowup, real pruning") {
     val dim = ord.filter($"o_totalprice" > 400000)
       .select($"o_orderkey".as("k"))

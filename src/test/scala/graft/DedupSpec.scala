@@ -104,6 +104,16 @@ class DedupSpec extends SparkSuite {
       s"pigeonhole blocking must lose nothing: missing=${(truth -- fast).take(3)} extra=${(fast -- truth).take(3)}")
   }
 
+  test("simhashPairs at maxDistance=0 finds exactly the identical-hash pairs") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "one two three four five six")).toDF("doc_id", "text")
+    val out = DedupOps.simhashPairs(df, "doc_id", "text", maxDistance = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(out == Set((1L, 2L, 0)), s"got $out")
+  }
+
   test("jaccardPairsGlobal keeps pairs at EXACTLY the threshold (0.55 ceil trap)") {
     // 0.55*100 → 55.00000000000001 in doubles, so a naive ceil demands 56:
     // B ⊂ A with |A|=100, |B|=55 has J = 55/100 = 0.55 exactly and would be
