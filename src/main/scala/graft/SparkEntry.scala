@@ -1575,6 +1575,70 @@ private[graft] object Queries {
     """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
       |WHERE o_orderpriority = '1-URGENT' ORDER BY o_orderkey""".stripMargin
 
+  /** Conditional-scalar pack: nullif / coalesce / least / greatest / CASE
+    * in one projection.
+    */
+  def condScalars(s: SparkSession, d: String): DataFrame =
+    ord(s, d).select(col("o_orderkey"),
+      nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+      coalesce(nullif(col("o_orderpriority"), lit("3-MEDIUM")), lit("(default)"))
+        .as("prio_defaulted"),
+      least(col("o_custkey"), col("o_orderkey")).as("lo"),
+      greatest(col("o_custkey"), col("o_orderkey")).as("hi"),
+      when(col("o_totalprice") > 300000, lit("big"))
+        .when(col("o_totalprice") > 100000, lit("mid"))
+        .otherwise(lit("small")).as("bucket"))
+      .orderBy("o_orderkey")
+
+  private val condScalarsSql =
+    """SELECT o_orderkey,
+      | nullif(o_orderstatus, 'O') AS status_or_null,
+      | coalesce(nullif(o_orderpriority, '3-MEDIUM'), '(default)') AS prio_defaulted,
+      | least(o_custkey, o_orderkey) AS lo,
+      | greatest(o_custkey, o_orderkey) AS hi,
+      | CASE WHEN o_totalprice > 300000 THEN 'big'
+      |      WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Bitwise scalar ops (AND/OR/XOR/shift) — exact integer semantics. */
+  def bitwiseOps(s: SparkSession, d: String): DataFrame =
+    li(s, d).filter(col("l_orderkey") < 200)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_linenumber").bitwiseAND(lit(3)).as("b_and"),
+        col("l_linenumber").bitwiseOR(lit(8)).as("b_or"),
+        col("l_linenumber").bitwiseXOR(col("l_orderkey").cast("int")).as("b_xor"),
+        shiftleft(col("l_linenumber"), 2).as("b_shl"))
+      .orderBy("l_orderkey", "l_linenumber", "b_xor")
+
+  private val bitwiseOpsSql =
+    """SELECT l_orderkey, l_linenumber,
+      | l_linenumber & 3 AS b_and,
+      | l_linenumber | 8 AS b_or,
+      | xor(l_linenumber, CAST(l_orderkey AS INT)) AS b_xor,
+      | l_linenumber << 2 AS b_shl
+      |FROM lineitem WHERE l_orderkey < 200
+      |ORDER BY l_orderkey, l_linenumber, b_xor""".stripMargin
+
+  /** Fixed-width histogram via exact integer bucketing (floor division —
+    * no float boundaries to disagree on).
+    */
+  def histogramOp(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      // explicit floor: Spark's decimal→int cast truncates but DuckDB's
+      // rounds, so the bucket boundary must not rely on cast semantics
+      .groupBy(floor(dec(col("o_totalprice")) / 50000).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        asDouble(min(dec(col("o_totalprice")))).as("lo"),
+        asDouble(max(dec(col("o_totalprice")))).as("hi"))
+      .orderBy("bucket")
+
+  private val histogramSql =
+    """SELECT CAST(FLOOR(CAST(o_totalprice AS DECIMAL(12,2)) / 50000) AS INT) AS bucket,
+      | COUNT(*) AS n,
+      | CAST(MIN(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS lo,
+      | CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
+
   // ================================================================ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
@@ -1667,6 +1731,9 @@ private[graft] object Queries {
     "q_sample_split" -> (sampleSplit _),
     "q_join_salted" -> (joinSalted _),
     "q_write_partitioned" -> (writePartitioned _),
+    "q_cond_scalars" -> (condScalars _),
+    "q_bitwise" -> (bitwiseOps _),
+    "q_histogram" -> (histogramOp _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1753,5 +1820,8 @@ private[graft] object Queries {
     "q_lateral" -> lateralTokensSql,
     "q_join_salted" -> joinSaltedSql,
     "q_write_partitioned" -> writePartitionedSql,
+    "q_cond_scalars" -> condScalarsSql,
+    "q_bitwise" -> bitwiseOpsSql,
+    "q_histogram" -> histogramSql,
   )
 }
