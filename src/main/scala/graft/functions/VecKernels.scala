@@ -195,6 +195,27 @@ object VecKernels {
     h
   }
 
+  /** Morton/Z-order interleave: spread the low 32 bits of x into the even
+    * bit positions and of y into the odd ones. Nearby (x, y) points get
+    * nearby z-values, so range-partitioning + sorting by z clusters
+    * multi-dimensional neighborhoods into the same files/row groups.
+    */
+  def interleaveBits(x: Int, y: Int): Long = {
+    var a = x.toLong & 0xFFFFFFFFL
+    var b = y.toLong & 0xFFFFFFFFL
+    a = (a | (a << 16)) & 0x0000FFFF0000FFFFL
+    a = (a | (a << 8)) & 0x00FF00FF00FF00FFL
+    a = (a | (a << 4)) & 0x0F0F0F0F0F0F0F0FL
+    a = (a | (a << 2)) & 0x3333333333333333L
+    a = (a | (a << 1)) & 0x5555555555555555L
+    b = (b | (b << 16)) & 0x0000FFFF0000FFFFL
+    b = (b | (b << 8)) & 0x00FF00FF00FF00FFL
+    b = (b | (b << 4)) & 0x0F0F0F0F0F0F0F0FL
+    b = (b | (b << 2)) & 0x3333333333333333L
+    b = (b | (b << 1)) & 0x5555555555555555L
+    a | (b << 1)
+  }
+
   /** Pack an array of distinct non-negative int ids into a fixed-width
     * long bitset (`nWords` 64-bit words). Ids ≥ nWords·64 are a caller
     * bug — bounds are enforced by the dictionary build.

@@ -166,6 +166,23 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Morton/Z-order bit interleave of two non-negative 32-bit ints — see
+    * [[VecKernels.interleaveBits]].
+    */
+  case class ZValue2(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_zvalue2"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.interleaveBits(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VecKernels.interleaveBits($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Rolling codepoint hash mod 1e9+7 — see [[VecKernels.fingerprint64]]. */
   case class Fingerprint64(child: Expression)
       extends UnaryExpression {
@@ -382,4 +399,5 @@ object VectorExpressions {
   def langIdNative(a: Column, langs: Seq[(String, Seq[String])]): Column =
     GraftShim.column(LangIdExpr(e(a), langs))
   def fingerprint64(a: Column): Column = GraftShim.column(Fingerprint64(e(a)))
+  def zvalue2(a: Column, b: Column): Column = GraftShim.column(ZValue2(e(a), e(b)))
 }
