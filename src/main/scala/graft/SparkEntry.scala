@@ -1639,6 +1639,32 @@ private[graft] object Queries {
       | CAST(MAX(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS hi
       |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** Z-order layout round-trip: rewrite orders clustered by the Morton
+    * z-value of (custkey, totalprice) ranks, then answer a two-column box
+    * predicate from the clustered files. Values must equal the plain
+    * filter (the oracle); the LAYOUT win — tight two-dimensional min/max
+    * per file — is asserted in LayoutOpsSpec.
+    */
+  def zorderScan(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/root/repo/target/fixtures/zorder_orders_${new java.io.File(d).getName}"
+    graft.ops.LayoutOps.zorderWrite(
+      ord(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
+      graft.ops.LayoutOps.rank32(col("o_custkey"), 0, 200000),
+      graft.ops.LayoutOps.rank32(col("o_totalprice"), 0, 600000),
+      16, dir)
+    s.read.parquet(dir)
+      .filter(col("o_custkey").between(100, 500) &&
+        col("o_totalprice").between(50000, 200000))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  private val zorderScanSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_custkey BETWEEN 100 AND 500
+      |  AND o_totalprice BETWEEN 50000 AND 200000
+      |ORDER BY o_orderkey""".stripMargin
+
   // ================================================================ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
@@ -1734,6 +1760,7 @@ private[graft] object Queries {
     "q_cond_scalars" -> (condScalars _),
     "q_bitwise" -> (bitwiseOps _),
     "q_histogram" -> (histogramOp _),
+    "q_zorder_scan" -> (zorderScan _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1823,5 +1850,6 @@ private[graft] object Queries {
     "q_cond_scalars" -> condScalarsSql,
     "q_bitwise" -> bitwiseOpsSql,
     "q_histogram" -> histogramSql,
+    "q_zorder_scan" -> zorderScanSql,
   )
 }
