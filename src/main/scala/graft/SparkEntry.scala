@@ -1665,6 +1665,34 @@ private[graft] object Queries {
       |  AND o_totalprice BETWEEN 50000 AND 200000
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Post-aggregation HAVING filter (groupBy → agg → filter on the
+    * aggregate, planned as Filter above the final HashAggregate).
+    */
+  def havingOp(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+        asDouble(sum(dec(col("o_totalprice")))).as("spend"))
+      .filter(col("n_orders") >= 10)
+      .orderBy("o_custkey")
+
+  private val havingSql =
+    """SELECT o_custkey, COUNT(*) AS n_orders,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS spend
+      |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 10
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Explicit cross join (small dimensional cross product). */
+  def crossJoinOp(s: SparkSession, d: String): DataFrame =
+    Tables(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      .crossJoin(Tables(s, d, "region").select(col("r_regionkey"), col("r_name")))
+      .orderBy("n_nationkey", "r_regionkey")
+
+  private val crossJoinSql =
+    """SELECT n_nationkey, n_name, r_regionkey, r_name
+      |FROM nation CROSS JOIN region
+      |ORDER BY n_nationkey, r_regionkey""".stripMargin
+
   // ================================================================ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
@@ -1761,6 +1789,8 @@ private[graft] object Queries {
     "q_bitwise" -> (bitwiseOps _),
     "q_histogram" -> (histogramOp _),
     "q_zorder_scan" -> (zorderScan _),
+    "q_having" -> (havingOp _),
+    "q_cross_join" -> (crossJoinOp _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1851,5 +1881,7 @@ private[graft] object Queries {
     "q_bitwise" -> bitwiseOpsSql,
     "q_histogram" -> histogramSql,
     "q_zorder_scan" -> zorderScanSql,
+    "q_having" -> havingSql,
+    "q_cross_join" -> crossJoinSql,
   )
 }
