@@ -96,6 +96,37 @@ object Warehouse {
     n
   }
 
+  /** Small-file compaction: rewrite a parquet dir into
+    * ⌈bytes / targetFileBytes⌉ files via the same crash-safe staged swap
+    * as [[mergeReplaceParquet]]. The streaming-ingest pattern (one file
+    * per micro-batch) degrades scans with open/footer overhead at scale;
+    * periodic bin-packing restores large sequential reads. Returns
+    * (filesBefore, filesAfter).
+    */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val dataFiles = fs.listStatus(target)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
+    val staging = new org.apache.hadoop.fs.Path(dir + ".staging")
+    val retired = new org.apache.hadoop.fs.Path(dir + ".old")
+    fs.delete(staging, true)
+    // coalesce, not repartition: bin-packing needs no shuffle
+    spark.read.parquet(dir).coalesce(nOut)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(retired, true)
+    fs.rename(target, retired)
+    fs.rename(staging, target)
+    fs.delete(retired, true)
+    val after = fs.listStatus(target)
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    (dataFiles.length, after)
+  }
+
   // ---------------------------------------------------------------- A1
   /** Ungrouped MAX watermark with empty-table default
     * (extract.py:42-54 `SELECT MAX(arrest_date)`, default '1900-01-01').

@@ -75,4 +75,18 @@ class WarehouseSpec extends SparkSuite {
       .collect().head.getString(0)
     assert(hwm == "1900-01-01")
   }
+
+  test("compactParquet: bin-packs many small files, rows intact, crash-safe swap") {
+    import spark.implicits._
+    import graft.ops.{Warehouse => W}
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = (0L until 5000L).map(i => (i, s"row-$i")).toDF("k", "v")
+    df.repartition(40).write.parquet(dir) // simulated micro-batch litter
+    val (before, after) = W.compactParquet(spark, dir, targetFileBytes = 512L * 1024)
+    assert(before == 40, s"fixture should start with 40 files, had $before")
+    assert(after < before, s"compaction must reduce file count: $before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+  }
 }
