@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
 
 import graft.ops.Warehouse
 
@@ -146,5 +146,42 @@ object StreamOps {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Per-key running (count, sum) via Spark 4's `transformWithState` — the
+    * arbitrary-state successor to `mapGroupsWithState`: named, typed
+    * per-key `ValueState` handles living in the (RocksDB) state store,
+    * with TTL and timer support. Each micro-batch folds its rows into the
+    * persisted totals and emits the updated (key, n, sum) row.
+    *
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`); the default
+    * HDFS-backed provider does not implement the TWS contract.
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var totals: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState("totals",
+        org.apache.spark.sql.Encoders.product[(Long, Double)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+                                 timerValues: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, s) = if (totals.exists()) totals.get() else (0L, 0.0)
+      rows.foreach { r => n += 1; s += r._2 }
+      totals.update((n, s))
+      Iterator.single((key, n, s))
+    }
+  }
+
+  /** (user_id, value) events → per-user running totals, batch- or
+    * stream-side (same plan both ways).
+    */
+  def statefulRunningTotals(events: DataFrame): Dataset[(Long, Long, Double)] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("value").cast("double"))
+      .as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor, TimeMode.None(), OutputMode.Update())
   }
 }

@@ -138,4 +138,37 @@ class StreamingSpec extends SparkSuite {
     val out = spark.table("fs_out").as[(Long, String)].collect()
     assert(out.map(_._1).sorted.toSeq == Seq(7L, 8L, 9L), s"got ${out.toSeq}")
   }
+
+  test("transformWithState running totals: stream(AvailableNow) == batch agg") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = Files.createTempDirectory("tws").toString
+      val src = spark.readStream.schema(schemaDdl).parquet(eventsDir)
+      val q = StreamOps.statefulRunningTotals(src)
+        .writeStream.outputMode("update").format("memory").queryName("tws_out")
+        .option("checkpointLocation", s"$ckpt/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // keep the LAST update per key (multiple micro-batches re-emit keys)
+      val got = spark.table("tws_out").collect()
+        .groupBy(_.getLong(0))
+        .map { case (k, rows) => k -> rows.maxBy(_.getLong(1)) }
+      val expect = spark.read.parquet(eventsDir)
+        .groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("s"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(got.nonEmpty && got.size == expect.size)
+      got.foreach { case (k, row) =>
+        val (en, es) = expect(k)
+        assert(row.getLong(1) == en, s"count mismatch for user $k")
+        assert(math.abs(row.getDouble(2) - es) < 1e-6, s"sum mismatch for user $k")
+      }
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
