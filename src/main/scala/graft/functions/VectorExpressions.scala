@@ -174,6 +174,14 @@ object VectorExpressions {
     override def dataType: DataType = LongType
     override def nullIntolerant: Boolean = true
     override def prettyName: String = "graft_zvalue2"
+    // clean analysis error instead of a runtime codegen/ClassCast failure
+    // when handed raw bigint keys (normalize with LayoutOps.rank32 first)
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (left.dataType == IntegerType && right.dataType == IntegerType)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (INT, INT) rank columns, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
     override protected def nullSafeEval(a: Any, b: Any): Any =
       VecKernels.interleaveBits(a.asInstanceOf[Int], b.asInstanceOf[Int])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -84,16 +84,30 @@ object Warehouse {
         spark.read.parquet(warehouseDir).join(deduped.select(keys.map(col): _*),
           keys, "left_anti").unionByName(deduped)
       else deduped
-    val staging = new org.apache.hadoop.fs.Path(warehouseDir + ".staging")
-    val retired = new org.apache.hadoop.fs.Path(warehouseDir + ".old")
+    val n = stagedSwap(fs, warehouseDir) { stagingPath =>
+      merged.write.mode("overwrite").parquet(stagingPath)
+      spark.read.parquet(stagingPath).count()
+    }
+    n
+  }
+
+  /** Crash-safe replace of `dir`: `write` materializes into a staging dir,
+    * which is swapped in via two renames — any crash window leaves either
+    * the old or the new dir intact. Shared by the MERGE and compaction
+    * paths so the swap protocol cannot drift between them.
+    */
+  private def stagedSwap[T](fs: org.apache.hadoop.fs.FileSystem, dir: String)
+                           (write: String => T): T = {
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val staging = new org.apache.hadoop.fs.Path(dir + ".staging")
+    val retired = new org.apache.hadoop.fs.Path(dir + ".old")
     fs.delete(staging, true)
-    merged.write.mode("overwrite").parquet(staging.toString)
-    val n = spark.read.parquet(staging.toString).count()
+    val out = write(staging.toString)
     fs.delete(retired, true)
     if (fs.exists(target)) fs.rename(target, retired)
     fs.rename(staging, target)
     fs.delete(retired, true)
-    n
+    out
   }
 
   /** Small-file compaction: rewrite a parquet dir into
@@ -108,20 +122,22 @@ object Warehouse {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(dir)
-    val dataFiles = fs.listStatus(target)
+    val entries = fs.listStatus(target)
+    val dataFiles = entries
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    // a Hive-partitioned layout has its files in subdirectories: flattening
+    // it here would destroy the partition columns' pruning — refuse loudly
+    // (compact partitioned tables per-partition instead)
+    require(dataFiles.nonEmpty || !entries.exists(_.isDirectory),
+      s"compactParquet: $dir looks partitioned (subdirectories, no top-level " +
+        "data files) — compact each partition directory individually")
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
-    val staging = new org.apache.hadoop.fs.Path(dir + ".staging")
-    val retired = new org.apache.hadoop.fs.Path(dir + ".old")
-    fs.delete(staging, true)
-    // coalesce, not repartition: bin-packing needs no shuffle
-    spark.read.parquet(dir).coalesce(nOut)
-      .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(retired, true)
-    fs.rename(target, retired)
-    fs.rename(staging, target)
-    fs.delete(retired, true)
+    stagedSwap(fs, dir) { stagingPath =>
+      // coalesce, not repartition: bin-packing needs no shuffle
+      spark.read.parquet(dir).coalesce(nOut)
+        .write.mode("overwrite").parquet(stagingPath)
+    }
     val after = fs.listStatus(target)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
     (dataFiles.length, after)

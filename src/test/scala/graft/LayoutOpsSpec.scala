@@ -59,4 +59,13 @@ class LayoutOpsSpec extends SparkSuite {
     assert(zW * 2 < linW,
       s"z-order must bound both dimensions: z=$zW linear=$linW")
   }
+
+  test("zvalue rejects non-int rank columns at analysis time") {
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(LayoutOps.zvalue($"a", $"b")).collect()
+    }
+    assert(ex.getMessage.contains("graft_zvalue2") ||
+      ex.getMessage.toLowerCase.contains("data type mismatch"), ex.getMessage)
+  }
 }

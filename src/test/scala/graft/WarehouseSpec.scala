@@ -89,4 +89,15 @@ class WarehouseSpec extends SparkSuite {
     assert(back.count() == 5000)
     assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
   }
+
+  test("compactParquet refuses a Hive-partitioned layout instead of flattening it") {
+    import spark.implicits._
+    import graft.ops.{Warehouse => W}
+    val dir = java.nio.file.Files.createTempDirectory("compactpart").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "part")
+      .write.partitionBy("part").parquet(dir)
+    assertThrows[IllegalArgumentException] {
+      W.compactParquet(spark, dir)
+    }
+  }
 }
