@@ -1693,6 +1693,27 @@ private[graft] object Queries {
       |FROM nation CROSS JOIN region
       |ORDER BY n_nationkey, r_regionkey""".stripMargin
 
+  /** Null-preserving generator (`explode_outer`): rows whose array is
+    * empty survive with a NULL element — the LEFT-JOIN-LATERAL shape.
+    */
+  def explodeOuterOp(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        explode_outer(
+          when(col("doc_id") % 5 === 0, array().cast("array<string>"))
+            .otherwise(slice(TextOps.tokens(col("text")), 1, 3))).as("tok"))
+      .orderBy("doc_id", "tok")
+
+  private val explodeOuterSql =
+    """SELECT d.doc_id, u.tok FROM (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id % 5 = 0 THEN CAST([] AS VARCHAR[])
+      |   ELSE list_filter(string_split_regex(text, '\s+'), x -> x <> '')[1:3]
+      |  END AS l
+      | FROM documents WHERE doc_id < 50) d
+      |LEFT JOIN LATERAL unnest(d.l) AS u(tok) ON TRUE
+      |ORDER BY doc_id, tok""".stripMargin
+
   // ================================================================ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
@@ -1791,6 +1812,7 @@ private[graft] object Queries {
     "q_zorder_scan" -> (zorderScan _),
     "q_having" -> (havingOp _),
     "q_cross_join" -> (crossJoinOp _),
+    "q_explode_outer" -> (explodeOuterOp _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1883,5 +1905,6 @@ private[graft] object Queries {
     "q_zorder_scan" -> zorderScanSql,
     "q_having" -> havingSql,
     "q_cross_join" -> crossJoinSql,
+    "q_explode_outer" -> explodeOuterSql,
   )
 }
