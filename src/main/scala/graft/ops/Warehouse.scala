@@ -143,6 +143,29 @@ object Warehouse {
     (dataFiles.length, after)
   }
 
+  /** [[compactParquet]] for a Hive-partitioned table: compact each
+    * `col=value` partition directory independently (partition layout and
+    * pruning stats are preserved; partitions compact in isolation so a
+    * failure affects at most one partition's swap). Returns per-partition
+    * (before, after) file counts keyed by partition dir name.
+    *
+    * Concurrency caveat: while one partition swaps, its transient
+    * `.staging`/`.old` sibling dirs are visible to a whole-table reader
+    * as bogus partition values — at real scale this is what table formats
+    * (Delta/Iceberg) solve with snapshot isolation; here, schedule
+    * compaction when the table is not being read.
+    */
+  def compactPartitioned(spark: SparkSession, dir: String,
+                         targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .map { st =>
+        st.getPath.getName -> compactParquet(spark, st.getPath.toString, targetFileBytes)
+      }.toMap
+  }
+
   // ---------------------------------------------------------------- A1
   /** Ungrouped MAX watermark with empty-table default
     * (extract.py:42-54 `SELECT MAX(arrest_date)`, default '1900-01-01').

@@ -100,4 +100,22 @@ class WarehouseSpec extends SparkSuite {
       W.compactParquet(spark, dir)
     }
   }
+
+  test("compactPartitioned: per-partition bin-packing keeps layout and rows") {
+    import spark.implicits._
+    import graft.ops.{Warehouse => W}
+    val dir = java.nio.file.Files.createTempDirectory("compactp2").toString + "/t"
+    val df = (0L until 3000L).map(i => (i, s"row-$i", s"p${i % 3}")).toDF("k", "v", "part")
+    df.repartition(10).write.partitionBy("part").parquet(dir)
+    val report = W.compactPartitioned(spark, dir, targetFileBytes = 1L << 20)
+    assert(report.keySet == Set("part=p0", "part=p1", "part=p2"))
+    report.foreach { case (p, (before, after)) =>
+      assert(after <= before && after == 1, s"$p: $before -> $after")
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 3000)
+    assert(back.exceptAll(df).isEmpty && df.exceptAll(back).isEmpty)
+    // partition pruning still works on the compacted layout
+    assert(back.filter($"part" === "p1").count() == 1000)
+  }
 }
