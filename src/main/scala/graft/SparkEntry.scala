@@ -1714,6 +1714,21 @@ private[graft] object Queries {
       |LEFT JOIN LATERAL unnest(d.l) AS u(tok) ON TRUE
       |ORDER BY doc_id, tok""".stripMargin
 
+  /** Mergeable quantile sketch (custom bounded Aggregator — shuffle moves
+    * ≤k weighted points per partial, not rows). Approximate by design →
+    * rows-only driver check; rank-error bounds are property-tested in
+    * QuantileSketchSpec, and q_percentile is the exact counterpart.
+    */
+  def quantileSketchQ(s: SparkSession, d: String): DataFrame = {
+    val sk = udaf(new graft.functions.QuantileSketchAgg(256, Seq(0.25, 0.5, 0.75, 0.99)))
+    li(s, d).groupBy("l_returnflag")
+      .agg(sk(col("l_quantity")).as("qs"))
+      .select(col("l_returnflag"),
+        element_at(col("qs"), 1).as("q25"), element_at(col("qs"), 2).as("q50"),
+        element_at(col("qs"), 3).as("q75"), element_at(col("qs"), 4).as("q99"))
+      .orderBy("l_returnflag")
+  }
+
   // ================================================================ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
@@ -1813,6 +1828,7 @@ private[graft] object Queries {
     "q_having" -> (havingOp _),
     "q_cross_join" -> (crossJoinOp _),
     "q_explode_outer" -> (explodeOuterOp _),
+    "q_quantile_sketch" -> (quantileSketchQ _),
   )
 
   val oracles: Map[String, String] = Map(
