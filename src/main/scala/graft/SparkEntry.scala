@@ -1729,6 +1729,45 @@ private[graft] object Queries {
       .orderBy("l_returnflag")
   }
 
+  /** ORC round-trip (columnar alternative to parquet — same declarative
+    * write/scan surface; ORC ships in spark-sql).
+    */
+  def scanOrc(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/root/repo/target/fixtures/orc_roundtrip_${new java.io.File(d).getName}"
+    cust(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").orc(dir)
+    s.read.orc(dir).orderBy("c_custkey")
+  }
+
+  private val scanOrcSql =
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Corrupt-record tolerance (the ETL reality: malformed lines in a feed
+    * must not kill the job): PERMISSIVE JSONL scan routes bad lines to
+    * `_corrupt_record`; good rows survive exactly. The oracle is the
+    * clean source — proving the malformed injections change nothing.
+    */
+  def scanCorrupt(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/root/repo/target/fixtures/corrupt_jsonl_${new java.io.File(d).getName}"
+    cust(s, d).select(col("c_custkey"), col("c_name"))
+      .write.mode("overwrite").json(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/part-corrupt.json"),
+      "{broken json\nnot json at all\n{\"c_custkey\": }\n".getBytes("UTF-8"))
+    s.read
+      .schema("c_custkey bigint, c_name string, _corrupt_record string")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+      .filter(col("_corrupt_record").isNull)
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  private val scanCorruptSql =
+    """SELECT c_custkey, c_name FROM customer ORDER BY c_custkey""".stripMargin
+
   // ================================================================ registry
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_group" -> (aggGroup _),
@@ -1829,6 +1868,8 @@ private[graft] object Queries {
     "q_cross_join" -> (crossJoinOp _),
     "q_explode_outer" -> (explodeOuterOp _),
     "q_quantile_sketch" -> (quantileSketchQ _),
+    "q_scan_orc" -> (scanOrc _),
+    "q_scan_corrupt" -> (scanCorrupt _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1922,5 +1963,7 @@ private[graft] object Queries {
     "q_having" -> havingSql,
     "q_cross_join" -> crossJoinSql,
     "q_explode_outer" -> explodeOuterSql,
+    "q_scan_orc" -> scanOrcSql,
+    "q_scan_corrupt" -> scanCorruptSql,
   )
 }
