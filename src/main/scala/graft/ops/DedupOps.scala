@@ -102,6 +102,43 @@ object DedupOps {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** SimHash near-dup pairs via Manku-et-al. block COMBINATIONS: split the
+    * 64-bit hash into `nBlocks > maxDistance` slices and key on every
+    * (nBlocks − maxDistance)-subset's concatenated values. A pair within
+    * `maxDistance` differing bits touches at most `maxDistance` slices, so
+    * at least one subset matches on BOTH sides in full — recall guaranteed
+    * — while each key carries (nBlocks−d)·(64/nBlocks) bits instead of
+    * the single-slice scheme's 64/(d+1): e.g. d=8, B=11 keys on ~17 bits
+    * vs 7, shrinking bucket collision quadratics by ~2^10 at the price of
+    * a C(B, d) per-row explode. Use [[simhashPairs]] when corpora are
+    * small or d ≤ 3; this variant when buckets, not rows, dominate.
+    */
+  def simhashPairsCombinatorial(df: DataFrame, idCol: String, textCol: String,
+                                maxDistance: Int, nBlocks: Int): DataFrame = {
+    require(maxDistance >= 0 && nBlocks > maxDistance && nBlocks <= 64,
+      s"need maxDistance < nBlocks <= 64, got d=$maxDistance B=$nBlocks")
+    val keep = nBlocks - maxDistance
+    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
+    val starts = widths.scanLeft(0)(_ + _)
+    def sliceMask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
+    def slice(q: Int): Column =
+      shiftrightunsigned(col("sh"), starts(q)).bitwiseAND(lit(sliceMask(widths(q))))
+    val subsets = (0 until nBlocks).combinations(keep).toSeq
+    val withHash = df.select(col(idCol).as("id"),
+      simhash(TextOps.tokens(col(textCol))).as("sh"))
+    val blocked = withHash.select(col("id"), col("sh"),
+      posexplode(array(subsets.map(ss =>
+        hash(ss.map(slice): _*)): _*)).as(Seq("q", "block")))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b", "hamming")
+  }
+
   // ------------------------------------------------- prefix-filter join
   /** Slack-conservative ceiling for candidate bounds: t·sz computed in
     * doubles can land one ulp ABOVE the exact rational (e.g. 0.55·100 →

@@ -104,6 +104,23 @@ class DedupSpec extends SparkSuite {
       s"pigeonhole blocking must lose nothing: missing=${(truth -- fast).take(3)} extra=${(fast -- truth).take(3)}")
   }
 
+  test("combinatorial simhash blocking (Manku) == brute force at d=3, B=6") {
+    val sample = docs.limit(400).cache()
+    val hashed = sample.select($"doc_id",
+      DedupOps.simhash(graft.ops.TextOps.tokens($"text")).as("sh"))
+    val truth = hashed.as("a").join(hashed.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        DedupOps.hamming64($"a.sh", $"b.sh").as("hamming"))
+      .filter($"hamming" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val fast = DedupOps.simhashPairsCombinatorial(sample, "doc_id", "text",
+        maxDistance = 3, nBlocks = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(truth.nonEmpty, "sample should contain pairs within distance 3")
+    assert(fast == truth,
+      s"subset blocking must lose nothing: missing=${(truth -- fast).take(3)} extra=${(fast -- truth).take(3)}")
+  }
+
   test("simhashPairs at maxDistance=0 finds exactly the identical-hash pairs") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
