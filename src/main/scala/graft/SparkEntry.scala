@@ -1760,7 +1760,11 @@ private[graft] object Queries {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(dir)
-      .filter(col("_corrupt_record").isNull)
+      // the extra isNotNull keeps a REAL column in the scan's required
+      // schema even under count() pruning — Spark refuses JSON scans whose
+      // only referenced column is the internal corrupt-record column
+      // (semantics unchanged: the source column is NOT NULL)
+      .filter(col("_corrupt_record").isNull && col("c_custkey").isNotNull)
       .select("c_custkey", "c_name")
       .orderBy("c_custkey")
   }

@@ -89,8 +89,12 @@ class QuantileSketchAgg(k: Int, probs: Seq[Double])
 
   private val batch = math.max(k * 4, 1024)
 
+  // pending starts tiny and doubles up to `batch`: under a high-cardinality
+  // groupBy most groups hold few rows, and a fixed full-size pending array
+  // would cost ~8·batch bytes of heap per live group (and shuffle bytes,
+  // since the Aggregator API offers no pre-serialize flush hook)
   override def zero: QSketchBuf =
-    QSketchBuf(Array.empty, Array.empty, new Array[Double](batch), 0)
+    QSketchBuf(Array.empty, Array.empty, new Array[Double](64), 0)
 
   private def flush(b: QSketchBuf): QSketchBuf = {
     if (b.nPending > 0) {
@@ -103,9 +107,14 @@ class QuantileSketchAgg(k: Int, probs: Seq[Double])
   }
 
   override def reduce(b: QSketchBuf, x: Double): QSketchBuf = {
+    if (b.nPending == b.pending.length) {
+      if (b.pending.length < batch)
+        b.pending = java.util.Arrays.copyOf(b.pending, b.pending.length * 2)
+      else flush(b)
+    }
     b.pending(b.nPending) = x
     b.nPending += 1
-    if (b.nPending == b.pending.length) flush(b) else b
+    b
   }
 
   override def merge(a: QSketchBuf, b: QSketchBuf): QSketchBuf = {

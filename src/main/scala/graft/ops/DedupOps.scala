@@ -117,27 +117,12 @@ object DedupOps {
                                 maxDistance: Int, nBlocks: Int): DataFrame = {
     require(maxDistance >= 0 && nBlocks > maxDistance && nBlocks <= 64,
       s"need maxDistance < nBlocks <= 64, got d=$maxDistance B=$nBlocks")
-    val keep = nBlocks - maxDistance
-    val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
-    val starts = widths.scanLeft(0)(_ + _)
-    def sliceMask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
-    def slice(q: Int): Column =
-      shiftrightunsigned(col("sh"), starts(q)).bitwiseAND(lit(sliceMask(widths(q))))
-    val subsets = (0 until nBlocks).combinations(keep).toSeq
-    val withHash = df.select(col(idCol).as("id"),
-      simhash(TextOps.tokens(col(textCol))).as("sh"))
-    val blocked = withHash.select(col("id"), col("sh"),
-      posexplode(array(subsets.map(ss =>
-        hash(ss.map(slice): _*)): _*)).as(Seq("q", "block")))
-    blocked.as("a").join(blocked.as("b"),
-        col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        hamming64(col("a.sh"), col("b.sh")).as("hamming"))
-      .filter(col("hamming") <= maxDistance)
-      .dropDuplicates("id_a", "id_b")
-      .select("id_a", "id_b", "hamming")
+    val slices = hashSlices(nBlocks)
+    val keys = (0 until nBlocks).combinations(nBlocks - maxDistance)
+      .map(ss => hash(ss.map(slices): _*)).toSeq
+    simhashBlockedPairs(df, idCol, textCol, maxDistance, keys)
   }
+
 
   // ------------------------------------------------- prefix-filter join
   /** Slack-conservative ceiling for candidate bounds: t·sz computed in
@@ -363,29 +348,43 @@ object DedupOps {
                    maxDistance: Int = 3): DataFrame = {
     require(maxDistance >= 0 && maxDistance < 32,
       s"maxDistance must be in [0, 32), got $maxDistance")
-    val nBlocks = maxDistance + 1
-    // slice widths: 64/nBlocks, the first (64 % nBlocks) slices one wider
+    val slices = hashSlices(maxDistance + 1)
+    simhashBlockedPairs(df, idCol, textCol, maxDistance,
+      (0 until maxDistance + 1).map(slices))
+  }
+
+  /** `nBlocks` contiguous bit slices of the `sh` column, widths balanced
+    * (the first 64 % nBlocks slices one bit wider).
+    */
+  private def hashSlices(nBlocks: Int): Int => Column = {
     val widths = Array.tabulate(nBlocks)(i => 64 / nBlocks + (if (i < 64 % nBlocks) 1 else 0))
     val starts = widths.scanLeft(0)(_ + _)
-    val withHash = df.select(col(idCol).as("id"),
-      simhash(TextOps.tokens(col(textCol))).as("sh"))
     // JVM shifts mask the count mod 64, so a full-width slice (d=0 →
     // one 64-bit block) needs an explicit all-ones mask: (1L<<64)-1 is 0
     def sliceMask(w: Int): Long = if (w == 64) -1L else (1L << w) - 1
+    q => shiftrightunsigned(col("sh"), starts(q))
+      .bitwiseAND(lit(sliceMask(widths(q))))
+  }
+
+  /** Shared candidate-generation tail for both simhash blocking schemes:
+    * per-row `keys` explode → self-equi-join on (key index, key value) →
+    * exact hamming verify BEFORE dedup (same shuffle discipline as
+    * minhashLshPairs: only surviving 20-byte rows reach dropDuplicates).
+    */
+  private def simhashBlockedPairs(df: DataFrame, idCol: String, textCol: String,
+                                  maxDistance: Int, keys: Seq[Column]): DataFrame = {
+    val withHash = df.select(col(idCol).as("id"),
+      simhash(TextOps.tokens(col(textCol))).as("sh"))
     val blocked = withHash.select(col("id"), col("sh"),
-      posexplode(array((0 until nBlocks).map(q =>
-        shiftrightunsigned(col("sh"), starts(q))
-          .bitwiseAND(lit(sliceMask(widths(q))))): _*)).as(Seq("q", "block")))
-    val a = blocked.alias("a")
-    val b = blocked.alias("b")
-    // Verify (one XOR+popcount) before dedup — same shuffle discipline as
-    // minhashLshPairs: only surviving 20-byte rows reach dropDuplicates.
-    a.join(b, col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
-        col("a.id") < col("b.id"))
+      posexplode(array(keys: _*)).as(Seq("q", "block")))
+    blocked.as("a").join(blocked.as("b"),
+        col("a.q") === col("b.q") && col("a.block") === col("b.block") &&
+          col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming64(col("a.sh"), col("b.sh")).as("hamming"))
       .filter(col("hamming") <= maxDistance)
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "hamming")
   }
+
 }

@@ -99,8 +99,13 @@ object Warehouse {
   private def stagedSwap[T](fs: org.apache.hadoop.fs.FileSystem, dir: String)
                            (write: String => T): T = {
     val target = new org.apache.hadoop.fs.Path(dir)
-    val staging = new org.apache.hadoop.fs.Path(dir + ".staging")
-    val retired = new org.apache.hadoop.fs.Path(dir + ".old")
+    // underscore prefix: Spark/Hadoop readers treat _-prefixed siblings as
+    // hidden, so a crash mid-swap never surfaces bogus partition values to
+    // a whole-table reader when `dir` is a partition directory
+    val staging = new org.apache.hadoop.fs.Path(target.getParent,
+      "_" + target.getName + ".staging")
+    val retired = new org.apache.hadoop.fs.Path(target.getParent,
+      "_" + target.getName + ".old")
     fs.delete(staging, true)
     val out = write(staging.toString)
     fs.delete(retired, true)
@@ -159,11 +164,24 @@ object Warehouse {
                          targetFileBytes: Long = 128L * 1024 * 1024): Map[String, (Int, Int)] = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-      .map { st =>
-        st.getPath.getName -> compactParquet(spark, st.getPath.toString, targetFileBytes)
-      }.toMap
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+      }
+    // refuse multi-level partitioning UP FRONT so a failure can never
+    // leave the table half-compacted (the documented per-partition
+    // isolation only holds when every listed dir is a leaf partition)
+    parts.foreach { st =>
+      val nested = fs.listStatus(st.getPath)
+        .exists(c => c.isDirectory && c.getPath.getName.contains("="))
+      require(!nested,
+        s"compactPartitioned: ${st.getPath} is multi-level partitioned — " +
+          "recurse to the leaf level explicitly")
+    }
+    parts.map { st =>
+      st.getPath.getName -> compactParquet(spark, st.getPath.toString, targetFileBytes)
+    }.toMap
   }
 
   // ---------------------------------------------------------------- A1
