@@ -137,6 +137,30 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("bitset Jaccard agrees with the set kernel through a dense-id dictionary") {
+    val docs = sample(Gen.alphaNumStr.suchThat(_.nonEmpty), 120)
+    val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
+      .select($"id", DedupOps.shingles($"text", 3).as("sh"))
+    // global dict: distinct shingles → dense ids (any canonical order)
+    val dict = df.select(explode($"sh").as("tok")).distinct()
+      .orderBy("tok").as[String].collect().zipWithIndex.toMap
+    val nWords = (dict.size + 63) / 64
+    val toIds = udf((sh: Seq[String]) => sh.map(dict))
+    val withBits = df.select($"id", $"sh",
+      graft.functions.VectorExpressions
+        .idsToBitset(toIds($"sh"), nWords).as("bits"))
+    val pairs = withBits.as("a").join(withBits.as("b"), $"a.id" < $"b.id")
+      .select(DedupOps.jaccard($"a.sh", $"b.sh").as("set"),
+        graft.functions.VectorExpressions
+          .bitsetJaccard($"a.bits", $"b.bits").as("bits"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (setJ, bitJ) = (r.getDouble(0), r.getDouble(1))
+      assert(setJ == bitJ || (setJ.isNaN && bitJ.isNaN), s"set=$setJ bitset=$bitJ")
+    }
+  }
+
   test("minhash estimator: bounded in [0,1], exactly 1 on identical input") {
     val docs = sample(Gen.alphaNumStr.suchThat(_.length > 3), 60)
     val df = docs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "text")
