@@ -15,6 +15,13 @@ run / fork := true
 // parse machine-readable JSON lines from stdout, and sbt's default logger
 // strategy would prefix every line with "[info] ", breaking json.loads.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// The bench driver keeps only the LAST ~2000 chars of stdout and parses a
+// JSON line out of it. sbt's "[success] Total time: ..." epilogue would be
+// the final line and the long per-query JSON would be head-truncated out of
+// that window — suppress the epilogue so Bench's own compact summary line
+// (printed last) is the tail.
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -26,12 +26,19 @@ object Bench {
       catch { case _: Throwable => failed += name }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def sec(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // a throwing query must be VISIBLE, not a silently-small timing
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // The driver's log-tail window is ~2000 chars; the detailed line above
+    // does not fit. Print a compact summary LAST (slowest queries only) so a
+    // fully-parseable JSON line is always inside the tail window.
+    val slow = results.toSeq.sortBy(-_._2).take(15)
+      .map { case (k, v) => s"\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","n_queries":${results.size},"queries":$slow,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
