@@ -22,6 +22,7 @@ run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // (printed last) is the tail.
 Global / showSuccess := false
 Global / showTiming := false
+Global / excludeLintKeys ++= Set(showSuccess, showTiming)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1223,34 +1223,52 @@ private[graft] object Queries {
   def stddevCorr(s: SparkSession, d: String): DataFrame = {
     val x = dec(col("l_quantity"))
     val y = dec(col("l_extendedprice"))
+    // The discriminants n·Σab − Σa·Σb stay in DECIMAL (exact): leaving them
+    // in doubles exposes the `a*b − c*d` shape, which DuckDB's C++ may
+    // FMA-contract (one rounding instead of two) while the JVM never does —
+    // a data-dependent last-ulp mismatch. Decimal sizes are chosen so every
+    // product/difference fits 38 digits (no Spark precision-loss rounding).
+    val nDec = col("nl").cast("decimal(10,0)")
+    def disc(sab: Column, sa: Column, sb: Column): Column =
+      (sab * nDec - sa * sb).cast("decimal(38,4)")
     li(s, d).groupBy("l_returnflag")
-      .agg(count(lit(1)).cast("double").as("n"),
-        asDouble(sum(x)).as("sx"), asDouble(sum(x * x)).as("sxx"),
-        asDouble(sum(y)).as("sy"), asDouble(sum(y * y)).as("syy"),
-        asDouble(sum(x * y)).as("sxy"))
+      .agg(count(lit(1)).as("nl"),
+        sum(x).cast("decimal(18,2)").as("sx"), sum(x * x).cast("decimal(24,4)").as("sxx"),
+        sum(y).cast("decimal(18,2)").as("sy"), sum(y * y).cast("decimal(24,4)").as("syy"),
+        sum(x * y).cast("decimal(24,4)").as("sxy"))
+      .select(col("l_returnflag"), col("nl"),
+        disc(col("sxx"), col("sx"), col("sx")).as("d1"),
+        disc(col("syy"), col("sy"), col("sy")).as("d2"),
+        disc(col("sxy"), col("sx"), col("sy")).as("dxy"))
+      // double arithmetic only below: cast / divide / sqrt / one multiply —
+      // none of which an FMA contraction can reshape
       .select(col("l_returnflag"),
-        sqrt((col("sxx") * col("n") - col("sx") * col("sx")) /
-          (col("n") * (col("n") - lit(1.0)))).as("stddev_qty"),
-        ((col("sxy") * col("n") - col("sx") * col("sy")) /
-          (sqrt(col("sxx") * col("n") - col("sx") * col("sx")) *
-            sqrt(col("syy") * col("n") - col("sy") * col("sy")))).as("corr_qty_price"))
+        sqrt(asDouble(col("d1")) / asDouble(col("nl") * (col("nl") - lit(1L)))).as("stddev_qty"),
+        (asDouble(col("dxy")) /
+          (sqrt(asDouble(col("d1"))) * sqrt(asDouble(col("d2"))))).as("corr_qty_price"))
       .orderBy("l_returnflag")
   }
 
   private val stddevCorrSql =
-    """SELECT l_returnflag,
-      | sqrt((sxx * n - sx * sx) / (n * (n - 1.0))) AS stddev_qty,
-      | ((sxy * n - sx * sy) /
-      |   (sqrt(sxx * n - sx * sx) * sqrt(syy * n - sy * sy))) AS corr_qty_price
-      |FROM (
-      | SELECT l_returnflag, CAST(COUNT(*) AS DOUBLE) AS n,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy
-      | FROM lineitem GROUP BY l_returnflag)
-      |ORDER BY l_returnflag""".stripMargin
+    """WITH m AS (
+      | SELECT l_returnflag, COUNT(*) AS nl,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS sx,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(24,4)) AS sxx,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS sy,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,4)) AS syy,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(24,4)) AS sxy
+      | FROM lineitem GROUP BY l_returnflag),
+      |d AS (
+      | SELECT l_returnflag, nl,
+      |  CAST(sxx * CAST(nl AS DECIMAL(10,0)) - sx * sx AS DECIMAL(38,4)) AS d1,
+      |  CAST(syy * CAST(nl AS DECIMAL(10,0)) - sy * sy AS DECIMAL(38,4)) AS d2,
+      |  CAST(sxy * CAST(nl AS DECIMAL(10,0)) - sx * sy AS DECIMAL(38,4)) AS dxy
+      | FROM m)
+      |SELECT l_returnflag,
+      | sqrt(CAST(d1 AS DOUBLE) / CAST(nl * (nl - 1) AS DOUBLE)) AS stddev_qty,
+      | (CAST(dxy AS DOUBLE) /
+      |   (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE)))) AS corr_qty_price
+      |FROM d ORDER BY l_returnflag""".stripMargin
 
   // ================================================================ round-2: SQL subquery surface
   private def registerTpch(s: SparkSession, d: String): Unit = {
@@ -1743,6 +1761,44 @@ private[graft] object Queries {
     """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** E6 standalone: date formatting (`dt.strftime('%Y-%m-%d')`,
+    * reference/scripts/transform.py:117) — the load-bearing ISO day plus
+    * coarser calendar buckets, all from one `date_format` scan.
+    */
+  def dateFormat(s: SparkSession, d: String): DataFrame =
+    ord(s, d).select(
+      col("o_orderkey"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("day"),
+      date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+      date_format(col("o_orderdate"), "yyyy").as("year"))
+      .orderBy("o_orderkey")
+
+  private val dateFormatSql =
+    """SELECT o_orderkey,
+      | strftime(o_orderdate, '%Y-%m-%d') AS day,
+      | strftime(o_orderdate, '%Y-%m') AS month,
+      | strftime(o_orderdate, '%Y') AS year
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** S4: JSON Lines sink, append mode (`to_json(orient='records',
+    * lines=True)` appended per batch, reference/scripts/extract.py:124-125).
+    * Two disjoint halves land via overwrite-then-append; the readback must
+    * reassemble the full table exactly — proving append adds files without
+    * clobbering prior batches.
+    */
+  def sinkJsonl(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/root/repo/target/fixtures/sink_jsonl_${new java.io.File(d).getName}"
+    val src = cust(s, d).select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    src.filter(col("c_custkey") % 2 === 0).write.mode("overwrite").json(dir)
+    src.filter(col("c_custkey") % 2 =!= 0).write.mode("append").json(dir)
+    s.read.schema("c_custkey bigint, c_name string, c_mktsegment string")
+      .json(dir).orderBy("c_custkey")
+  }
+
+  private val sinkJsonlSql =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** Corrupt-record tolerance (the ETL reality: malformed lines in a feed
     * must not kill the job): PERMISSIVE JSONL scan routes bad lines to
     * `_corrupt_record`; good rows survive exactly. The oracle is the
@@ -1873,6 +1929,8 @@ private[graft] object Queries {
     "q_explode_outer" -> (explodeOuterOp _),
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_scan_orc" -> (scanOrc _),
+    "q_date_format" -> (dateFormat _),
+    "q_sink_jsonl" -> (sinkJsonl _),
     "q_scan_corrupt" -> (scanCorrupt _),
   )
 
@@ -1968,6 +2026,8 @@ private[graft] object Queries {
     "q_cross_join" -> crossJoinSql,
     "q_explode_outer" -> explodeOuterSql,
     "q_scan_orc" -> scanOrcSql,
+    "q_date_format" -> dateFormatSql,
+    "q_sink_jsonl" -> sinkJsonlSql,
     "q_scan_corrupt" -> scanCorruptSql,
   )
 }
