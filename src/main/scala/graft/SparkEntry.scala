@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps, Transforms => T, Warehouse => W}
+import graft.ops.{DedupOps, GraphOps, MultimodalOps, SimilarityOps, TextOps, Transforms => T, Warehouse => W}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2, each
   * with a DuckDB-equivalent `oracleSql` where ANSI-SQL-expressible.
@@ -1041,6 +1041,70 @@ private[graft] object Queries {
       | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
       |WHERE jac >= 0.8 ORDER BY id_a, id_b""".stripMargin
 
+  /** Connected components over an adversarial max-diameter graph: chain
+    * consecutive doc_ids within each `lang`, so every component is a path
+    * whose diameter is the whole group. Label propagation would need
+    * ~|group| rounds; the large-star/small-star alternation
+    * ([[graft.ops.GraphOps.connectedComponents]]) finishes in O(log²).
+    * Oracle: component min == group min, directly expressible as a window.
+    */
+  def dedupCluster(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+    val edges = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("prev", lag("doc_id", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("prev").as("src"), col("doc_id").as("dst"))
+    GraphOps.dedupClusters(edges, "src", "dst")
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupClusterSql =
+    """SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang) AS cluster_id
+      |FROM documents
+      |QUALIFY COUNT(*) OVER (PARTITION BY lang) > 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** End-to-end near-dup REMOVAL: exact Jaccard pairs (≥0.8 on 3-shingles)
+    * → connected components → keep the smallest doc_id per cluster plus all
+    * untouched docs. The oracle recomputes the same pipeline in DuckDB,
+    * with the transitive closure as a recursive CTE — a full differential
+    * of pair generation AND cluster resolution AND the final anti-join.
+    */
+  def dedupNear(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = DedupOps.jaccardPairsGlobal(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    GraphOps.dropNearDuplicates(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val dedupNearSql =
+    """WITH RECURSIVE sh AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(range(1, greatest(len(text)-2, 1)+1),
+      |    i -> substring(text, CAST(i AS INT), 3))) AS s
+      | FROM documents),
+      |p AS (
+      | SELECT id_a, id_b FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+      |   CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE) AS jac
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      | WHERE jac >= 0.8),
+      |e AS (SELECT id_a AS a, id_b AS b FROM p
+      |      UNION ALL SELECT id_b, id_a FROM p),
+      |reach(node, label) AS (
+      | SELECT a, a FROM e
+      | UNION
+      | SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node),
+      |comp AS (SELECT node, MIN(label) AS c FROM reach GROUP BY node)
+      |SELECT d.doc_id, d.lang, d.n_chars
+      |FROM documents d LEFT JOIN comp ON d.doc_id = comp.node
+      |WHERE comp.node IS NULL OR comp.node = comp.c
+      |ORDER BY d.doc_id""".stripMargin
+
   /** SimHash near-dup pairs — hash-dependent, no SQL oracle; unit-tested. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 8)
@@ -1894,6 +1958,8 @@ private[graft] object Queries {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_jaccard_global" -> (dedupJaccardGlobal _),
+    "q_dedup_cluster" -> (dedupCluster _),
+    "q_dedup_near" -> (dedupNear _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_similarity_topk" -> (similarityTopk _),
     "q_similarity_lsh" -> (similarityLsh _),
@@ -1996,6 +2062,8 @@ private[graft] object Queries {
     "q_dedup_hash" -> dedupHashSql,
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_jaccard_global" -> dedupJaccardGlobalSql,
+    "q_dedup_cluster" -> dedupClusterSql,
+    "q_dedup_near" -> dedupNearSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_similarity_topk" -> similarityTopkSql,
     "q_text_tokens" -> textTokensSql,

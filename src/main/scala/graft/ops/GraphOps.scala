@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components and the dedup-cluster resolution built
+  * on it.
+  *
+  * The near-dup operators ([[DedupOps.minhashLshPairs]],
+  * [[DedupOps.simhashPairs]], [[DedupOps.jaccardPairsGlobal]],
+  * [[SimilarityOps.cosinePairsAbove]]) emit PAIRS; a training-data pipeline
+  * must resolve those pairs into clusters and keep one representative per
+  * cluster ("near-dup removal"). Pair similarity is not transitive, so the
+  * standard resolution is the connected components of the pair graph.
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) expressed as
+  * DataFrame rounds — every round is one groupBy-min plus one join, all
+  * executor-side; the driver only checks a two-long-summary convergence
+  * condition per round. Converges in O(log² n) rounds (2-3 in practice on
+  * dedup graphs, ~10 on a single 5000-node chain), independent of component
+  * DIAMETER — plain label propagation needs diameter rounds, which is what
+  * kills chain-shaped graphs at scale. Each round's edge set is
+  * localCheckpoint'ed so the logical plan stays O(1) deep across
+  * iterations.
+  *
+  * Reference scope: the reference has no graph operator at all (its only
+  * join-shaped op is the `ON CONFLICT DO NOTHING` upsert,
+  * reference/scripts/load.py:114-147); this is north-star surface.
+  */
+object GraphOps {
+
+  /** Connected components of an undirected graph given as an edge list.
+    *
+    * Returns `(node, component)` with one row per DISTINCT node appearing
+    * in `edges` (either endpoint); `component` is the smallest node id in
+    * the node's component. Self-loops and duplicate/reversed edges are
+    * tolerated. Nodes must be non-null and orderable (use a dense long id;
+    * hash ids work too since only min-stability matters).
+    *
+    * @param maxIter safety bound; the loop stops as soon as a round is a
+    *                fixpoint and throws if the bound is hit first (never
+    *                observed under ~30 for any graph that fits a cluster).
+    */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 30): DataFrame = {
+    // canonical working set: larger endpoint first, no self-loops, distinct
+    // localCheckpoint (not persist): each round references the previous
+    // round's plan several times (bidirectional union + two self-joins), so
+    // without lineage TRUNCATION the logical plan grows ~4^rounds and the
+    // analyzer OOMs long before the data does. On a multi-node cluster use
+    // reliable checkpoint() instead to also survive executor loss.
+    var cur = edges
+      .select(greatest(col(srcCol), col(dstCol)).as("u"),
+        least(col(srcCol), col(dstCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // -------- large-star: for every node u, hang all strictly-larger
+      // neighbours off m = min(N(u) ∪ {u})
+      val nbrs = cur.select(col("u"), col("v"))
+        .union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val afterLarge = nbrs.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // -------- small-star: group the (larger → smaller) edges by the
+      // larger endpoint, relink u and its smaller neighbours to the min
+      val smins = afterLarge.groupBy("u").agg(min(col("v")).as("m"))
+      val next = afterLarge.join(smins, "u")
+        .select(explode(array(col("u"), col("v"))).as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // -------- convergence: identical edge multiset ⇔ same count and same
+      // order-independent checksum (one tiny two-column aggregate each)
+      converged = summarize(cur) == summarize(next)
+      cur = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    // fixpoint is a star forest: every edge points node → component min.
+    // Roots, and nodes whose only edges were self-loops, have no outgoing
+    // edge — deriving the node list from the ORIGINAL input and coalescing
+    // to self covers both in one pass.
+    val members = cur.select(col("u").as("node"), col("v").as("component"))
+    val nodes = edges
+      .select(explode(array(col(srcCol), col(dstCol))).as("node"))
+      .filter(col("node").isNotNull)
+      .distinct()
+    nodes.join(members, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node")).as("component"))
+  }
+
+  private def summarize(e: DataFrame): (Long, Long) = {
+    val r = e.select(xxhash64(col("u"), col("v")).as("h"))
+      .agg(count(lit(1)), coalesce(expr("bit_xor(h)"), lit(0L)))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Resolve a near-dup PAIR list into `(id, cluster_id)` — the transitive
+    * closure of the pair relation, cluster id = smallest member. Ids absent
+    * from any pair are their own singleton clusters and are NOT returned
+    * (join the full id list with `coalesce(cluster_id, id)` for that).
+    */
+  def dedupClusters(pairs: DataFrame, idA: String, idB: String): DataFrame =
+    connectedComponents(pairs, idA, idB)
+      .select(col("node").as("id"), col("component").as("cluster_id"))
+
+  /** Near-dup removal: keep exactly one representative row per cluster of
+    * `pairs` (the smallest id — deterministic), plus every row that is in
+    * no pair. One broadcast-able join when the pair graph is sparse (the
+    * usual dedup case: clusters are a small fraction of the corpus).
+    */
+  def dropNearDuplicates(df: DataFrame, idCol: String, pairs: DataFrame,
+                         idA: String, idB: String): DataFrame = {
+    val doomed = dedupClusters(pairs, idA, idB)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(doomed, Seq(idCol), "left_anti")
+  }
+}
