@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, GraphOps, MultimodalOps, SimilarityOps, TextOps, Transforms => T, Warehouse => W}
+import graft.ops.{DedupOps, GraphOps, MultimodalOps, PackOps, ScoreOps, SimilarityOps, TextOps, Transforms => T, Warehouse => W}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2, each
   * with a DuckDB-equivalent `oracleSql` where ANSI-SQL-expressible.
@@ -1247,6 +1247,116 @@ private[graft] object Queries {
       |   (h, c) -> (h * 31 + c) % 1000000007) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Dedup-canonicalizing text scrub (lowercase, digits→0, punctuation→
+    * space, whitespace collapse) plus the content hash of the scrubbed
+    * form — the normalize-then-hash prelude of every exact-dedup pass.
+    */
+  def textScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextOps.scrub(col("text")).as("scrubbed"),
+        DedupOps.contentHash(TextOps.scrub(col("text"))).as("content_sha"))
+      .orderBy("doc_id")
+
+  private val textScrubSql =
+    """SELECT doc_id,
+      | trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |   '[0-9]', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS scrubbed,
+      | sha256(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |   '[0-9]', '0', 'g'), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_sha
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** TF-IDF ([[graft.ops.ScoreOps.tfIdf]]): top-200 highest-scoring
+    * (token, doc) cells. `ln` outputs are quantized to 9 decimals on BOTH
+    * sides: libm implementations legitimately disagree by 1 ulp (Spark's
+    * Catalyst log uses fdlibm-derived StrictMath, DuckDB uses glibc;
+    * measured ~0.03% of arguments differ, clustered near 1.0 — exactly the
+    * idf range), and 9-decimal quantization absorbs that while still
+    * pinning ~15 significant digits of a [0, ~10] score.
+    */
+  def tfidf(s: SparkSession, d: String): DataFrame =
+    ScoreOps.tfIdf(Tables.documents(s, d), "doc_id", "text")
+      .select(col("token"), col("doc_id"), col("tf"), col("df"),
+        round(col("tfidf"), 9).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("token"), col("doc_id"))
+      .limit(200)
+
+  private val tfidfSql =
+    """WITH tok AS (
+      | SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+      |tf AS (
+      | SELECT doc_id, token, COUNT(*) AS tf FROM tok WHERE token <> '' GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT token, doc_id, tf, df,
+      | round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 9) AS tfidf
+      |FROM tf JOIN df USING (token) CROSS JOIN n
+      |ORDER BY tfidf DESC, token, doc_id LIMIT 200""".stripMargin
+
+  /** Okapi BM25 ([[graft.ops.ScoreOps.bm25]]) of every document against a
+    * fixed 3-term query; top-100. The oracle mirrors the exact double op
+    * sequence, down to spelling k1+1 as `(1.2 + 1.0)` so both engines
+    * constant-fold the same addition.
+    */
+  def bm25Query(s: SparkSession, d: String): DataFrame =
+    ScoreOps.bm25(Tables.documents(s, d), "doc_id", "text",
+      Seq("spark", "query", "fast"))
+      .select(col("doc_id"), round(col("score"), 9).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(100)
+
+  private val bm25Sql =
+    """WITH tok AS (
+      | SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS token FROM documents),
+      |toks AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+      |lens AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY 1),
+      |corpus AS (
+      | SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+      |  (SELECT CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) FROM lens) AS avg_len),
+      |tf AS (
+      | SELECT doc_id, token, COUNT(*) AS tf FROM toks
+      | WHERE token IN ('spark', 'query', 'fast') GROUP BY 1, 2),
+      |df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+      |scored AS (
+      | SELECT doc_id, token,
+      |  ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) *
+      |  ((CAST(tf AS DOUBLE) * (1.2 + 1.0)) /
+      |   (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(len AS DOUBLE) / avg_len)))) AS s
+      | FROM tf JOIN df USING (token) JOIN lens USING (doc_id) CROSS JOIN corpus)
+      |SELECT doc_id,
+      | round(COALESCE(MAX(s) FILTER (WHERE token = 'spark'), 0.0) +
+      |       COALESCE(MAX(s) FILTER (WHERE token = 'query'), 0.0) +
+      |       COALESCE(MAX(s) FILTER (WHERE token = 'fast'), 0.0), 9) AS score
+      |FROM scored GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 100""".stripMargin
+
+  /** Concat-and-chunk sequence packing ([[graft.ops.PackOps]]): shard by
+    * `source`, lay docs out by doc_id, cut every 1000 tokens. Pure integer
+    * window math — exact everywhere; parallelism = number of shards.
+    */
+  def packChunks(s: SparkSession, d: String): DataFrame =
+    PackOps.packByTokenBudget(
+      Tables.documents(s, d).select(col("doc_id"), col("source"), col("text")),
+      "source", "doc_id", TextOps.tokenCount(col("text")), 1000L)
+      .select("doc_id", "source", "chunk_id", "chunk_off", "n_chunks")
+      .orderBy("doc_id")
+
+  private val packChunksSql =
+    """WITH t AS (
+      | SELECT doc_id, source,
+      |  len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS tok
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, source, tok,
+      |  CAST(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) - tok AS tok_before
+      | FROM t)
+      |SELECT doc_id, source,
+      | tok_before // 1000 AS chunk_id,
+      | tok_before % 1000 AS chunk_off,
+      | CASE WHEN tok = 0 THEN CAST(1 AS BIGINT)
+      |      ELSE (tok_before % 1000 + tok + 999) // 1000 END AS n_chunks
+      |FROM c ORDER BY doc_id""".stripMargin
+
   // ================================================================ north-star: multimodal
   /** Binary-column metadata path (oracle-able: byte length + sha256). */
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -1968,6 +2078,10 @@ private[graft] object Queries {
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangid _),
     "q_text_fingerprint" -> (textFingerprint _),
+    "q_text_scrub" -> (textScrub _),
+    "q_tfidf" -> (tfidf _),
+    "q_bm25" -> (bm25Query _),
+    "q_pack_chunks" -> (packChunks _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_stddev_corr" -> (stddevCorr _),
@@ -2070,6 +2184,10 @@ private[graft] object Queries {
     "q_text_quality" -> textQualitySql,
     "q_text_langid" -> textLangidSql,
     "q_text_fingerprint" -> textFingerprintSql,
+    "q_text_scrub" -> textScrubSql,
+    "q_tfidf" -> tfidfSql,
+    "q_bm25" -> bm25Sql,
+    "q_pack_chunks" -> packChunksSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stddev_corr" -> stddevCorrSql,
     "q_subquery_exists" -> subqueryExistsSql,

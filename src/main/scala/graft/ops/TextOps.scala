@@ -95,4 +95,17 @@ object TextOps {
     */
   def fingerprint(c: Column): Column =
     graft.functions.VectorExpressions.fingerprint64(c)
+
+  /** Canonicalizing scrub used before exact/near dedup (the CCNet/Dolma
+    * normalization step): lowercase, digits → 0, non-alphanumerics → space,
+    * whitespace collapsed, trimmed. Plain codegen'd regexp_replace chain —
+    * per-row, shuffle-free, and the regexes use only class syntax that
+    * POSIX/RE2/Java all agree on.
+    */
+  def scrub(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(c), "[0-9]", "0"),
+        "[^a-z0-9 ]", " "),
+      " +", " "))
 }
