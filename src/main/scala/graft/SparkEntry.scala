@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, GraphOps, MultimodalOps, PackOps, ScoreOps, SimilarityOps, TextOps, Transforms => T, Warehouse => W}
+import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, PackOps, ScoreOps, SimilarityOps, TextOps, ValidateOps, Transforms => T, Warehouse => W}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2, each
   * with a DuckDB-equivalent `oracleSql` where ANSI-SQL-expressible.
@@ -1357,6 +1357,97 @@ private[graft] object Queries {
       |      ELSE (tok_before % 1000 + tok + 999) // 1000 END AS n_chunks
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** Equi-key-free interval-overlap join ([[graft.ops.JoinOps
+    * .intervalJoin]]): click events vs view events within ±2 minutes,
+    * binned at 5 minutes so it runs as a hash join on bin id instead of
+    * the nested-loop a bare theta predicate would plan. Oracle is the
+    * plain quadratic theta join (DuckDB's IEJoin handles it at sf scale).
+    */
+  def joinInterval(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    def side(tp: String, p: String) = ev.filter(col("event_type") === tp)
+      .select(col("event_id").as(s"${p}_id"),
+        unix_micros(col("ts")).as(s"${p}_start"),
+        (unix_micros(col("ts")) + lit(120000000L)).as(s"${p}_end"))
+    JoinOps.intervalJoin(side("click", "a"), "a_start", "a_end",
+        side("view", "b"), "b_start", "b_end", binWidth = 300000000L)
+      .select("a_id", "b_id")
+      .orderBy("a_id", "b_id")
+  }
+
+  private val joinIntervalSql =
+    """SELECT a.event_id AS a_id, b.event_id AS b_id
+      |FROM events a, events b
+      |WHERE a.event_type = 'click' AND b.event_type = 'view'
+      |  AND epoch_us(a.ts) <= epoch_us(b.ts) + 120000000
+      |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 120000000
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Declarative data-quality gate ([[graft.ops.ValidateOps]]): all four
+    * row predicates evaluate in ONE scan+aggregate pass, plus a keyed
+    * uniqueness check — the reference's scattered required-column guards
+    * (extract.py:118-122, import_csv.py:37-41) as a single report. The
+    * (l_orderkey, l_linenumber) key is genuinely duplicated in the test
+    * data, so the uniqueness row exercises the failing path.
+    */
+  def validate(s: SparkSession, d: String): DataFrame = {
+    val liDf = li(s, d)
+    ValidateOps.checkRows(liDf, Seq(
+        "quantity_positive" -> (col("l_quantity") > 0),
+        "shipdate_not_null" -> col("l_shipdate").isNotNull,
+        "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+        "discount_range" -> (col("l_discount") >= 0 && col("l_discount") <= 1.0)))
+      .unionByName(ValidateOps.checkUnique(liDf,
+        "orderkey_linenumber_unique", Seq("l_orderkey", "l_linenumber")))
+      .orderBy("check")
+  }
+
+  private val validateSql =
+    """WITH checks AS (
+      | SELECT 'quantity_positive' AS chk, COUNT(*) AS total,
+      |  CAST(SUM(CASE WHEN l_quantity > 0 THEN 0 ELSE 1 END) AS BIGINT) AS violations
+      | FROM lineitem
+      | UNION ALL
+      | SELECT 'shipdate_not_null', COUNT(*),
+      |  CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT)
+      | FROM lineitem
+      | UNION ALL
+      | SELECT 'returnflag_domain', COUNT(*),
+      |  CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS BIGINT)
+      | FROM lineitem
+      | UNION ALL
+      | SELECT 'discount_range', COUNT(*),
+      |  CAST(SUM(CASE WHEN l_discount >= 0 AND l_discount <= 1.0 THEN 0 ELSE 1 END) AS BIGINT)
+      | FROM lineitem
+      | UNION ALL
+      | SELECT 'orderkey_linenumber_unique', CAST(SUM(n) AS BIGINT),
+      |  CAST(SUM(n - 1) AS BIGINT)
+      | FROM (SELECT COUNT(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber))
+      |SELECT chk AS "check", total, violations, violations = 0 AS passed
+      |FROM checks ORDER BY "check"""".stripMargin
+
+  /** Word-bigram counts (LM statistics / benchmark-contamination n-grams):
+    * adjacent-token pairs per document, hash-aggregated corpus-wide.
+    */
+  def textBigrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(slice(t, 1, size(t) - 1), (x, i) -> concat(x, ' ', element_at(t, i + 2)))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+
+  private val textBigramsSql =
+    """SELECT bigram, COUNT(*) AS n FROM (
+      | SELECT unnest(list_transform(range(1, len(t)),
+      |   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      | FROM (SELECT list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |       FROM documents))
+      |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin
+
   // ================================================================ north-star: multimodal
   /** Binary-column metadata path (oracle-able: byte length + sha256). */
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -2082,6 +2173,9 @@ private[graft] object Queries {
     "q_tfidf" -> (tfidf _),
     "q_bm25" -> (bm25Query _),
     "q_pack_chunks" -> (packChunks _),
+    "q_join_interval" -> (joinInterval _),
+    "q_validate" -> (validate _),
+    "q_text_bigrams" -> (textBigrams _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_stddev_corr" -> (stddevCorr _),
@@ -2188,6 +2282,9 @@ private[graft] object Queries {
     "q_tfidf" -> tfidfSql,
     "q_bm25" -> bm25Sql,
     "q_pack_chunks" -> packChunksSql,
+    "q_join_interval" -> joinIntervalSql,
+    "q_validate" -> validateSql,
+    "q_text_bigrams" -> textBigramsSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stddev_corr" -> stddevCorrSql,
     "q_subquery_exists" -> subqueryExistsSql,

@@ -71,4 +71,40 @@ object JoinOps {
       .drop("__asof", "__k", "__t", "__side")
       .withColumnRenamed("__carried", "asof")
   }
+
+  /** Interval-overlap join WITHOUT an equi key, made shuffle-joinable by
+    * temporal binning. A bare `aStart <= bEnd AND bStart <= aEnd` predicate
+    * gives Catalyst nothing to hash on, so it plans a broadcast/cartesian
+    * nested-loop — quadratic and undistributable. Instead each interval
+    * explodes over the fixed-width bins it covers, the join runs as a HASH
+    * join on the bin id, and the exact overlap predicate filters residually.
+    * Each overlapping pair is emitted exactly once — only from the FIRST
+    * bin the two intervals share (`bin == max(floor(aStart/w),
+    * floor(bStart/w))`), which both sides are guaranteed to cover — so no
+    * distinct/dedup shuffle is needed.
+    *
+    * Start/end columns must be NON-NEGATIVE integers (e.g. epoch micros) —
+    * `div` truncates toward zero, which only equals the required floor on
+    * non-negatives — closed intervals, `start <= end`. `binWidth` trades fan-out (long intervals
+    * explode over end−start / width bins) against join selectivity (wide
+    * bins put non-overlapping pairs in the same bucket for the residual
+    * filter to kill); set it near the typical interval length. Column names
+    * must be disjoint across the two inputs.
+    */
+  def intervalJoin(left: DataFrame, lStart: String, lEnd: String,
+                   right: DataFrame, rStart: String, rEnd: String,
+                   binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    def binned(df: DataFrame, start: String, end: String) =
+      df.withColumn("__bin",
+        explode(sequence(expr(s"$start div ${binWidth}L"), expr(s"$end div ${binWidth}L"))))
+    val l = binned(left, lStart, lEnd)
+    val r = binned(right, rStart, rEnd)
+    l.join(r,
+        l("__bin") === r("__bin") &&
+          col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+          l("__bin") === greatest(expr(s"$lStart div ${binWidth}L"),
+            expr(s"$rStart div ${binWidth}L")))
+      .drop("__bin")
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{JoinOps, ValidateOps}
+
+class IntervalValidateSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("intervalJoin equals the brute-force theta join on random intervals") {
+    val rnd = new scala.util.Random(11)
+    def mk(pre: String, n: Int) = (0 until n).map { i =>
+      val s = rnd.nextInt(10000).toLong
+      // mix of short, long (spans many 100-wide bins), and zero-length
+      val len = rnd.nextInt(3) match {
+        case 0 => 0L
+        case 1 => rnd.nextInt(50).toLong
+        case _ => rnd.nextInt(900).toLong
+      }
+      (i.toLong, s, s + len)
+    }.toDF(s"${pre}_id", s"${pre}_start", s"${pre}_end")
+    val a = mk("a", 120)
+    val b = mk("b", 150)
+    val binned = JoinOps.intervalJoin(a, "a_start", "a_end", b, "b_start", "b_end", 100L)
+      .select("a_id", "b_id")
+    val brute = a.crossJoin(b)
+      .filter($"a_start" <= $"b_end" && $"b_start" <= $"a_end")
+      .select("a_id", "b_id")
+    assert(binned.count() == brute.count(), "pair count (catches double-emits)")
+    assert(binned.exceptAll(brute).isEmpty && brute.exceptAll(binned).isEmpty)
+  }
+
+  test("intervalJoin: touching endpoints match (closed intervals) across a bin edge") {
+    val a = Seq((1L, 0L, 99L)).toDF("a_id", "a_start", "a_end")
+    val b = Seq((2L, 99L, 210L), (3L, 100L, 110L), (4L, 101L, 101L))
+      .toDF("b_id", "b_start", "b_end")
+    val got = JoinOps.intervalJoin(a, "a_start", "a_end", b, "b_start", "b_end", 100L)
+      .select($"b_id").as[Long].collect().toSet
+    assert(got == Set(2L), "only the interval touching at 99 overlaps")
+  }
+
+  test("checkRows counts FALSE and NULL as violations, one row per check") {
+    val df = Seq[(java.lang.Long, String)](
+      (5L, "A"), (null, "A"), (-1L, "Z"), (3L, null))
+      .toDF("qty", "flag")
+    val out = ValidateOps.checkRows(df, Seq(
+        "qty_pos" -> ($"qty" > 0),
+        "flag_domain" -> $"flag".isin("A", "B")))
+      .collect().map(r => r.getAs[String]("check") ->
+        ((r.getAs[Long]("total"), r.getAs[Long]("violations"), r.getAs[Boolean]("passed")))).toMap
+    assert(out("qty_pos") == ((4L, 2L, false)), "null qty and -1 both violate")
+    assert(out("flag_domain") == ((4L, 2L, false)), "Z and null both violate")
+  }
+
+  test("checkUnique counts rows beyond the first per duplicate key") {
+    val df = Seq((1, "x"), (1, "y"), (1, "z"), (2, "x"), (3, "x"))
+      .toDF("k", "v")
+    val r = ValidateOps.checkUnique(df, "k_unique", Seq("k")).head()
+    assert(r.getAs[Long]("total") == 5L && r.getAs[Long]("violations") == 2L
+      && !r.getAs[Boolean]("passed"))
+    val ok = ValidateOps.checkUnique(df, "kv_unique", Seq("k", "v")).head()
+    assert(ok.getAs[Long]("violations") == 0L && ok.getAs[Boolean]("passed"))
+  }
+}

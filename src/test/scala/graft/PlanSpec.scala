@@ -105,6 +105,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), s"spine must not plan a cartesian:\n$p")
   }
 
+  test("q_join_interval: binning turns the theta join into a hash/merge join") {
+    val p = plan("q_join_interval")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"a bare overlap predicate would nested-loop; binning must prevent that:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("HashJoin"),
+      s"expected an equi join on the bin id:\n$p")
+  }
+
   test("q_write_partitioned: readback scan prunes to the one partition") {
     val df = SparkEntry.queries("q_write_partitioned")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
