@@ -1448,6 +1448,46 @@ private[graft] object Queries {
       |       FROM documents))
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin
 
+  /** SCD-2 dimension maintenance ([[graft.ops.Warehouse.scd2Apply]]):
+    * customer order-priority history, change-compressed with validity
+    * intervals. Updates are applied in TWO batches split at 1996-01-01 and
+    * the oracle is the single-pass compression of the full stream — the
+    * incremental path must equal the batch recompute exactly.
+    */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val upd = W.dedupByKey(
+      ord(s, d).select(col("o_custkey").as("cust"),
+        col("o_orderdate").as("eff"), col("o_orderpriority").as("prio"),
+        col("o_orderkey")),
+      Seq("cust", "eff"), Seq(col("o_orderkey"))).drop("o_orderkey")
+    val early = upd.filter(col("eff") < lit("1996-01-01"))
+    val late = upd.filter(col("eff") >= lit("1996-01-01"))
+    val dim0 = W.scd2Apply(early.limit(0), early, "cust", "eff", Seq("prio"))
+      .drop("valid_to", "is_current")
+    W.scd2Apply(dim0, late, "cust", "eff", Seq("prio"))
+      .select(col("cust"), date_format(col("eff"), "yyyy-MM-dd").as("eff_day"),
+        col("prio"), date_format(col("valid_to"), "yyyy-MM-dd").as("valid_to_day"),
+        col("is_current"))
+      .orderBy("cust", "eff_day")
+  }
+
+  private val scd2Sql =
+    """WITH u AS (
+      | SELECT o_custkey AS cust, o_orderdate AS eff, o_orderpriority AS prio
+      | FROM (SELECT o_custkey, o_orderdate, o_orderpriority,
+      |        row_number() OVER (PARTITION BY o_custkey, o_orderdate
+      |                           ORDER BY o_orderkey) AS rn
+      |       FROM orders) WHERE rn = 1),
+      |c AS (
+      | SELECT cust, eff, prio,
+      |  lag(prio) OVER (PARTITION BY cust ORDER BY eff) AS prev
+      | FROM u),
+      |k AS (SELECT cust, eff, prio FROM c WHERE prev IS NULL OR prev <> prio)
+      |SELECT cust, strftime(eff, '%Y-%m-%d') AS eff_day, prio,
+      | strftime(lead(eff) OVER (PARTITION BY cust ORDER BY eff), '%Y-%m-%d') AS valid_to_day,
+      | lead(eff) OVER (PARTITION BY cust ORDER BY eff) IS NULL AS is_current
+      |FROM k ORDER BY cust, eff_day""".stripMargin
+
   // ================================================================ north-star: multimodal
   /** Binary-column metadata path (oracle-able: byte length + sha256). */
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -2176,6 +2216,7 @@ private[graft] object Queries {
     "q_join_interval" -> (joinInterval _),
     "q_validate" -> (validate _),
     "q_text_bigrams" -> (textBigrams _),
+    "q_scd2" -> (scd2 _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_stddev_corr" -> (stddevCorr _),
@@ -2285,6 +2326,7 @@ private[graft] object Queries {
     "q_join_interval" -> joinIntervalSql,
     "q_validate" -> validateSql,
     "q_text_bigrams" -> textBigramsSql,
+    "q_scd2" -> scd2Sql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stddev_corr" -> stddevCorrSql,
     "q_subquery_exists" -> subqueryExistsSql,

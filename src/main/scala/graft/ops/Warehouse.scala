@@ -205,4 +205,47 @@ object Warehouse {
     val hwm = warehouse.agg(highWaterMark(warehouse, tsCol, default).as("__hwm"))
     source.join(broadcast(hwm), col(tsCol) > col("__hwm")).drop("__hwm")
   }
+
+  // ---------------------------------------------------------------- SCD-2
+  /** Slowly-changing-dimension type 2: apply a batch of updates to a
+    * history-keeping dimension. The reference's warehouse is SCD-0 (`ON
+    * CONFLICT DO NOTHING` — first write wins forever, load.py:146); real
+    * dimension maintenance needs the history-preserving upgrade.
+    *
+    * Rows carry `(attrCols..., effTsCol)` validity metadata implicitly:
+    * a key's history is its rows ordered by `effTsCol`; the CURRENT row is
+    * the latest. Updates whose attributes equal the key's current attributes
+    * are no-ops (no history spam); genuinely-new keys insert. The result is
+    * the union'd history with `valid_to` recomputed (next row's `effTs`,
+    * null = current) — so it can be re-derived at any time from an
+    * append-only log, the cheapest shape at 100 TB: one shuffle keyed on
+    * the dimension key for the change-detection window, one more for the
+    * final `valid_to` window, both on the same key (Catalyst reuses the
+    * partitioning).
+    *
+    * Updates must be pre-deduped to one row per (key, effTs).
+    */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, keyCol: String,
+                effTsCol: String, attrCols: Seq[String]): DataFrame = {
+    val cols = Seq(keyCol, effTsCol) ++ attrCols
+    val hist = dim.select(cols.map(col): _*)
+    // history rows order before a same-instant update, making the update a
+    // detectable (and rejectable) same-timestamp change rather than an
+    // ambiguous sort; updates should use fresh effective timestamps
+    val preByKey = Window.partitionBy(keyCol).orderBy(col(effTsCol), col("__src"))
+    val byKey = Window.partitionBy(keyCol).orderBy(effTsCol)
+    // change detection: an update is real iff its attributes differ from
+    // the chronologically-previous version (including the brand-new case)
+    val attrStruct = struct(attrCols.map(col): _*)
+    val merged = hist.withColumn("__src", lit(0))
+      .unionByName(updates.select(cols.map(col): _*).withColumn("__src", lit(1)))
+      .withColumn("__prev", lag(attrStruct, 1).over(preByKey))
+      .filter(col("__src") === 0 ||
+        col("__prev").isNull || !(col("__prev") <=> attrStruct))
+      .drop("__src", "__prev")
+    // recompute validity: valid_to = next version's effective-from
+    merged
+      .withColumn("valid_to", lead(col(effTsCol), 1).over(byKey))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

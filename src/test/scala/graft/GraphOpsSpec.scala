@@ -19,28 +19,33 @@ class GraphOpsSpec extends SparkSuite {
     (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
-  private def ccMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    GraphOps.connectedComponents(edges.toDF("src", "dst"), "src", "dst")
+  private def ccMap(edges: Seq[(Long, Long)], distributed: Boolean = false): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("src", "dst"), "src", "dst",
+        driverMaxEdges = if (distributed) 0L else 1L << 19)
       .as[(Long, Long)].collect().toMap
 
-  test("random graph matches union-find ground truth") {
-    val rnd = new scala.util.Random(42)
-    val n = 300
-    val edges = Seq.fill(250)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
-    val truth = unionFind(n, edges)
-    val got = ccMap(edges)
-    val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
-    assert(got.keySet == touched, "one row per node appearing in edges")
-    got.foreach { case (node, comp) =>
-      assert(comp == truth(node.toInt), s"node $node: got $comp want ${truth(node.toInt)}")
-    }
-  }
+  for (distributed <- Seq(false, true)) {
+    val tier = if (distributed) "distributed loop" else "driver union-find"
 
-  test("single long chain converges (diameter >> rounds) to min id") {
-    val n = 500L
-    val edges = (0L until n - 1).map(i => (i, i + 1))
-    val got = ccMap(edges)
-    assert(got.size == n && got.values.forall(_ == 0L))
+    test(s"random graph matches union-find ground truth [$tier]") {
+      val rnd = new scala.util.Random(42)
+      val n = 300
+      val edges = Seq.fill(250)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val truth = unionFind(n, edges)
+      val got = ccMap(edges, distributed)
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(got.keySet == touched, "one row per node appearing in edges")
+      got.foreach { case (node, comp) =>
+        assert(comp == truth(node.toInt), s"node $node: got $comp want ${truth(node.toInt)}")
+      }
+    }
+
+    test(s"single long chain converges (diameter >> rounds) to min id [$tier]") {
+      val n = 500L
+      val edges = (0L until n - 1).map(i => (i, i + 1))
+      val got = ccMap(edges, distributed)
+      assert(got.size == n && got.values.forall(_ == 0L))
+    }
   }
 
   test("duplicate, reversed, and self-loop edges are tolerated") {

@@ -118,4 +118,48 @@ class WarehouseSpec extends SparkSuite {
     // partition pruning still works on the compacted layout
     assert(back.filter($"part" === "p1").count() == 1000)
   }
+
+  // ---------------------------------------------------------------- SCD-2
+  private def scdRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "ts", "attr", "valid_to", "is_current")
+      .collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Int]("ts"), r.getAs[String]("attr"),
+        Option(r.getAs[Integer]("valid_to")).map(_.toInt), r.getAs[Boolean]("is_current")))
+      .toSet
+
+  test("scd2Apply: insert, no-op drop, change closes the old row") {
+    val dim = Seq((1, 10, "A"), (2, 10, "X")).toDF("k", "ts", "attr")
+    val upd = Seq(
+      (1, 20, "A"),  // no-op: same attr as current -> dropped
+      (2, 20, "Y"),  // change: closes (2,10,X)
+      (3, 20, "N")   // brand-new key
+    ).toDF("k", "ts", "attr")
+    val out = Warehouse.scd2Apply(dim, upd, "k", "ts", Seq("attr"))
+    assert(scdRows(out) == Set(
+      (1, 10, "A", None, true),
+      (2, 10, "X", Some(20), false),
+      (2, 20, "Y", None, true),
+      (3, 20, "N", None, true)))
+  }
+
+  test("scd2Apply: late-arriving update slots into the middle of history") {
+    val dim = Seq((1, 10, "A"), (1, 30, "C")).toDF("k", "ts", "attr")
+    val upd = Seq((1, 20, "B")).toDF("k", "ts", "attr")
+    val out = Warehouse.scd2Apply(dim, upd, "k", "ts", Seq("attr"))
+    assert(scdRows(out) == Set(
+      (1, 10, "A", Some(20), false),
+      (1, 20, "B", Some(30), false),
+      (1, 30, "C", None, true)))
+  }
+
+  test("scd2Apply: consecutive same-attr updates collapse to the first") {
+    val dim = Seq.empty[(Int, Int, String)].toDF("k", "ts", "attr")
+    val upd = Seq((1, 10, "A"), (1, 20, "A"), (1, 30, "B"), (1, 40, "A"))
+      .toDF("k", "ts", "attr")
+    val out = Warehouse.scd2Apply(dim, upd, "k", "ts", Seq("attr"))
+    assert(scdRows(out) == Set(
+      (1, 10, "A", Some(30), false),
+      (1, 30, "B", Some(40), false),
+      (1, 40, "A", None, true)))
+  }
 }
