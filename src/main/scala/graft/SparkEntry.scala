@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{DedupOps, GraphOps, JoinOps, MultimodalOps, PackOps, ScoreOps, SimilarityOps, TextOps, ValidateOps, Transforms => T, Warehouse => W}
+import graft.ops.{AggOps, DedupOps, GraphOps, JoinOps, MultimodalOps, PackOps, ScoreOps, SimilarityOps, TextOps, ValidateOps, Transforms => T, Warehouse => W}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2, each
   * with a DuckDB-equivalent `oracleSql` where ANSI-SQL-expressible.
@@ -1488,6 +1488,69 @@ private[graft] object Queries {
       | lead(eff) OVER (PARTITION BY cust ORDER BY eff) IS NULL AS is_current
       |FROM k ORDER BY cust, eff_day""".stripMargin
 
+  /** Symmetric int8 embedding quantization ([[graft.ops.SimilarityOps
+    * .quantizeInt8]]) — 4× smaller vector storage. First 8 code values are
+    * flattened to scalar columns (the driver's pandas compare cannot sort
+    * array cells); d0 spot-checks the dequantized reconstruction. All math
+    * is max/div/floor — exact on every engine, no round() halfway hazards.
+    */
+  def embedQuantize(s: SparkSession, d: String): DataFrame = {
+    val q = SimilarityOps.quantizeInt8(Tables.embeddings(s, d), "embedding")
+    val qCols = (0 until 8).map(i => element_at(col("qvec"), i + 1).as(s"q$i"))
+    q.select(col("vec_id") +: col("scale") +: qCols :+
+        (element_at(col("qvec"), 1).cast("double") * col("scale")).as("d0"): _*)
+      .orderBy("vec_id")
+  }
+
+  private val embedQuantizeSql = {
+    val dims = (0 until 8).map { i =>
+      s"""CASE WHEN scale = 0 THEN 0
+         |  ELSE CAST(greatest(-127, least(127,
+         |    floor(CAST(embedding[${i + 1}] AS DOUBLE) / scale + 0.5))) AS BIGINT)
+         |  END AS q$i""".stripMargin
+    }.mkString(",\n ")
+    s"""WITH q AS (
+       | SELECT vec_id, embedding,
+       |  list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) / 127.0 AS scale
+       | FROM embeddings)
+       |SELECT vec_id, scale,
+       | $dims,
+       | CASE WHEN scale = 0 THEN 0.0
+       |  ELSE CAST(CAST(greatest(-127, least(127,
+       |    floor(CAST(embedding[1] AS DOUBLE) / scale + 0.5))) AS BIGINT) AS DOUBLE) * scale
+       |  END AS d0
+       |FROM q ORDER BY vec_id""".stripMargin
+  }
+
+  /** Incremental aggregate maintenance ([[graft.ops.AggOps]]): partial
+    * states from two date-split batches, merged — must hash-match the
+    * from-scratch single-pass aggregate, which is exactly what the oracle
+    * computes.
+    */
+  def incrAgg(s: SparkSession, d: String): DataFrame = {
+    val liDf = li(s, d)
+    val specs = Seq(
+      ("n", "count", lit(1)),
+      ("sum_qty", "sum", dec(col("l_quantity"))),
+      ("min_ship", "min", col("l_shipdate")),
+      ("max_ship", "max", col("l_shipdate")))
+    val early = col("l_shipdate") < lit("1995-01-01")
+    val a = AggOps.partialState(liDf.filter(early), Seq("l_returnflag"), specs)
+    val b = AggOps.partialState(liDf.filter(!early), Seq("l_returnflag"), specs)
+    AggOps.mergeStates(Seq(a, b), Seq("l_returnflag"), specs)
+      .select(col("l_returnflag"), col("n"), asDouble(col("sum_qty")).as("sum_qty"),
+        date_format(col("min_ship"), TsFmt).as("min_ship"),
+        date_format(col("max_ship"), TsFmt).as("max_ship"))
+      .orderBy("l_returnflag")
+  }
+
+  private val incrAggSql =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       | CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       | strftime(MIN(l_shipdate), '$TsFmtSql') AS min_ship,
+       | strftime(MAX(l_shipdate), '$TsFmtSql') AS max_ship
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ================================================================ north-star: multimodal
   /** Binary-column metadata path (oracle-able: byte length + sha256). */
   def multimodalMeta(s: SparkSession, d: String): DataFrame =
@@ -2217,6 +2280,8 @@ private[graft] object Queries {
     "q_validate" -> (validate _),
     "q_text_bigrams" -> (textBigrams _),
     "q_scd2" -> (scd2 _),
+    "q_embed_quantize" -> (embedQuantize _),
+    "q_incr_agg" -> (incrAgg _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_stddev_corr" -> (stddevCorr _),
@@ -2327,6 +2392,8 @@ private[graft] object Queries {
     "q_validate" -> validateSql,
     "q_text_bigrams" -> textBigramsSql,
     "q_scd2" -> scd2Sql,
+    "q_embed_quantize" -> embedQuantizeSql,
+    "q_incr_agg" -> incrAggSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stddev_corr" -> stddevCorrSql,
     "q_subquery_exists" -> subqueryExistsSql,

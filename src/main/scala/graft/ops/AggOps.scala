@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: keep a keyed aggregate table up to
+  * date by merging per-batch partial states instead of re-scanning history
+  * — the only viable shape once history is 100 TB and a batch is a few GB.
+  *
+  * Works for the algebraic aggregates (count/sum/min/max — combine is the
+  * same op over states; avg derives as sum/count at read time). The
+  * reference recomputes nothing (append-only `ON CONFLICT DO NOTHING`),
+  * so this is north-star surface; `q_incr_agg` proves merge-of-partials
+  * equals the from-scratch aggregate hash-exactly.
+  */
+object AggOps {
+
+  /** One batch's partial state: `(keys, one column per spec)`.
+    * Spec = (output column, op ∈ count|sum|min|max, input column).
+    */
+  def partialState(df: DataFrame, keys: Seq[String],
+                   specs: Seq[(String, String, Column)]): DataFrame = {
+    val aggs = specs.map { case (name, op, c) => opFor(op, c).as(name) }
+    df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Merge any number of partial states into one — combine is count→sum,
+    * sum→sum, min→min, max→max; keys absent from a batch simply don't
+    * contribute. Associative and commutative, so states can merge in any
+    * order, pairwise or all at once (here: one union + one keyed agg).
+    */
+  def mergeStates(states: Seq[DataFrame], keys: Seq[String],
+                  specs: Seq[(String, String, Column)]): DataFrame = {
+    require(states.nonEmpty, "nothing to merge")
+    val combined = specs.map { case (name, op, _) =>
+      val combineOp = if (op == "count") "sum" else op
+      opFor(combineOp, col(name)).as(name)
+    }
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*).agg(combined.head, combined.tail: _*)
+  }
+
+  private def opFor(op: String, c: Column): Column = op match {
+    case "count" => count(c)
+    case "sum"   => sum(c)
+    case "min"   => min(c)
+    case "max"   => max(c)
+    case other   => throw new IllegalArgumentException(
+      s"non-algebraic op '$other' — only count/sum/min/max merge by state")
+  }
+}
