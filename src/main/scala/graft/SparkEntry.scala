@@ -1105,6 +1105,22 @@ private[graft] object Queries {
       |WHERE comp.node IS NULL OR comp.node = comp.c
       |ORDER BY d.doc_id""".stripMargin
 
+  /** EXACT Levenshtein-≤1 similarity self-join over customer names via
+    * FastSS deletion-neighborhood blocking ([[graft.ops.DedupOps
+    * .editDistancePairs]]) — the edit-distance member of the dedup family,
+    * oracled against DuckDB's quadratic levenshtein join.
+    */
+  def dedupEditdist(s: SparkSession, d: String): DataFrame =
+    DedupOps.editDistancePairs(cust(s, d), "c_custkey", "c_name")
+      .orderBy("id_a", "id_b")
+
+  private val dedupEditdistSql =
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      | CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** SimHash near-dup pairs — hash-dependent, no SQL oracle; unit-tested. */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 8)
@@ -2264,6 +2280,7 @@ private[graft] object Queries {
     "q_dedup_jaccard_global" -> (dedupJaccardGlobal _),
     "q_dedup_cluster" -> (dedupCluster _),
     "q_dedup_near" -> (dedupNear _),
+    "q_dedup_editdist" -> (dedupEditdist _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_similarity_topk" -> (similarityTopk _),
     "q_similarity_lsh" -> (similarityLsh _),
@@ -2378,6 +2395,7 @@ private[graft] object Queries {
     "q_dedup_jaccard_global" -> dedupJaccardGlobalSql,
     "q_dedup_cluster" -> dedupClusterSql,
     "q_dedup_near" -> dedupNearSql,
+    "q_dedup_editdist" -> dedupEditdistSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_similarity_topk" -> similarityTopkSql,
     "q_text_tokens" -> textTokensSql,

@@ -387,4 +387,37 @@ object DedupOps {
       .select("id_a", "id_b", "hamming")
   }
 
+  // ------------------------------------------------------------- edit distance
+  /** EXACT edit-distance ≤ 1 similarity self-join via FastSS deletion
+    * neighborhoods (Bocek et al., 2007): each string's blocking keys are
+    * itself plus every 1-deletion variant. Any pair within Levenshtein 1
+    * provably shares a key (substitution at i → both i-deletions match;
+    * insertion/deletion → the longer's variant equals the shorter itself;
+    * equality → the identity key), so recall is total and the builtin
+    * `levenshtein` verify only ever REMOVES false candidates.
+    *
+    * Why not PassJoin-style segment blocking: with a shared long prefix
+    * (id-like strings — the common dedup case) the prefix segment puts
+    * EVERY row in one bucket and the join degenerates quadratic. Deletion
+    * variants stay discriminative: a bucket holds only strings one edit
+    * from a specific 17-char core. Explode factor is len+1 keys per row;
+    * join shuffles 16-byte (id, key-hash) pairs.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val s = col(strCol)
+    // i = 0..len: delete char at position i+1; i = len yields the identity
+    val variants = expr(
+      s"transform(sequence(0, length($strCol)), i -> " +
+        s"concat(substring($strCol, 1, i), substring($strCol, i + 2, length($strCol))))")
+    val keyed = df.select(col(idCol).as("id"), s.as("s"),
+      explode(array_distinct(variants)).as("k"))
+    // verify BEFORE dedup (simhashBlockedPairs discipline): only surviving
+    // (id, id, dist) triples reach the dropDuplicates shuffle, not strings
+    keyed.as("a").join(keyed.as("b"),
+        col("a.k") === col("b.k") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        levenshtein(col("a.s"), col("b.s")).as("dist"))
+      .filter(col("dist") <= 1)
+      .dropDuplicates("id_a", "id_b")
+  }
 }

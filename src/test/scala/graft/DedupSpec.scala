@@ -160,4 +160,37 @@ class DedupSpec extends SparkSuite {
       docs.withColumn("h", DedupOps.contentHash($"text")), Seq("h"), Seq($"doc_id")).count()
     assert(byText == byHash)
   }
+
+  test("editDistancePairs: deletion-neighborhood join equals brute force (all edit kinds)") {
+    val strs = Seq(
+      (1L, "spark"), (2L, "spork"),   // substitution
+      (3L, "sparks"),                 // insertion vs 1
+      (4L, "park"),                   // deletion vs 1
+      (5L, "spark"),                  // duplicate of 1 (dist 0)
+      (6L, "prefix#001"), (7L, "prefix#002"), (8L, "prefix#011"), // shared prefix
+      (9L, "totally-different"),
+      (10L, ""), (11L, "a")           // empty/short edge cases
+    ).toDF("id", "s")
+    val got = DedupOps.editDistancePairs(strs, "id", "s")
+      .select("id_a", "id_b", "dist").as[(Long, Long, Int)].collect().toSet
+    val brute = strs.as("x").join(strs.as("y"), $"x.id" < $"y.id")
+      .select($"x.id", $"y.id", levenshtein($"x.s", $"y.s").as("d"))
+      .filter($"d" <= 1).as[(Long, Long, Int)].collect().toSet
+    assert(got == brute, s"got $got\nwant $brute")
+    assert(brute.exists(_._3 == 0) && brute.exists(_._3 == 1), "fixture covers both distances")
+  }
+
+  test("editDistancePairs random strings equal brute force") {
+    val rnd = new scala.util.Random(5)
+    val alphabet = "ab"
+    val strs = (1L to 120L).map(i =>
+      (i, Seq.fill(3 + rnd.nextInt(4))(alphabet(rnd.nextInt(alphabet.length))).mkString))
+      .toDF("id", "s")
+    val got = DedupOps.editDistancePairs(strs, "id", "s")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val brute = strs.as("x").join(strs.as("y"), $"x.id" < $"y.id")
+      .filter(levenshtein($"x.s", $"y.s") <= 1)
+      .select($"x.id", $"y.id").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
 }
