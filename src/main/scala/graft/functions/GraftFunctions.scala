@@ -64,6 +64,11 @@ object GraftFunctions {
   * session build time.
   */
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injected.foreach(ext.injectFunction)
+    // interval-overlap joins become binned hash joins (see
+    // graft.plans.IntervalJoinRewrite) — injected as an optimizer rule so
+    // SQL/DataFrame users get the distributable plan transparently
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+  }
 }
