@@ -1538,6 +1538,27 @@ private[graft] object Queries {
        |FROM q ORDER BY vec_id""".stripMargin
   }
 
+  /** Skew-proof salted aggregation ([[graft.ops.AggOps.saltedAggregate]]):
+    * o_orderpriority has only 5 values — every row funnels to 5 reducers in
+    * a naive plan; salting spreads each hot key over 32 buckets first. The
+    * oracle is the PLAIN group-by: salting must be row-invisible.
+    */
+  def aggSalted(s: SparkSession, d: String): DataFrame =
+    AggOps.saltedAggregate(ord(s, d), Seq("o_orderpriority"), Seq(
+        ("n", "count", lit(1)),
+        ("sum_price", "sum", dec(col("o_totalprice"))),
+        ("max_date", "max", col("o_orderdate"))))
+      .select(col("o_orderpriority"), col("n"),
+        asDouble(col("sum_price")).as("sum_price"),
+        date_format(col("max_date"), "yyyy-MM-dd").as("max_day"))
+      .orderBy("o_orderpriority")
+
+  private val aggSaltedSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      | strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_day
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Incremental aggregate maintenance ([[graft.ops.AggOps]]): partial
     * states from two date-split batches, merged — must hash-match the
     * from-scratch single-pass aggregate, which is exactly what the oracle
@@ -2299,6 +2320,7 @@ private[graft] object Queries {
     "q_scd2" -> (scd2 _),
     "q_embed_quantize" -> (embedQuantize _),
     "q_incr_agg" -> (incrAgg _),
+    "q_agg_salted" -> (aggSalted _),
     "q_multimodal_meta" -> (multimodalMeta _),
     "q_multimodal_decode" -> (multimodalDecode _),
     "q_stddev_corr" -> (stddevCorr _),
@@ -2412,6 +2434,7 @@ private[graft] object Queries {
     "q_scd2" -> scd2Sql,
     "q_embed_quantize" -> embedQuantizeSql,
     "q_incr_agg" -> incrAggSql,
+    "q_agg_salted" -> aggSaltedSql,
     "q_multimodal_meta" -> multimodalMetaSql,
     "q_stddev_corr" -> stddevCorrSql,
     "q_subquery_exists" -> subqueryExistsSql,

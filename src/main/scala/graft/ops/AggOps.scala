@@ -40,6 +40,27 @@ object AggOps {
       .groupBy(keys.map(col): _*).agg(combined.head, combined.tail: _*)
   }
 
+  /** Skew-proof two-phase aggregation: partial-aggregate on
+    * (keys, deterministic salt) so a hot key's rows spread over `buckets`
+    * reducers, then combine the salted partials with the same algebraic
+    * merge as [[mergeStates]]. Row-identical to the plain aggregate (specs
+    * + oracle); the win is that no single reducer ever sees a whole hot
+    * key. Spark's partial/final HashAggregate already handles MODERATE
+    * skew (map-side combine); this is the remedy when one key's
+    * post-combine partials still swamp a reducer.
+    */
+  def saltedAggregate(df: DataFrame, keys: Seq[String],
+                      specs: Seq[(String, String, Column)],
+                      buckets: Int = 32): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    // deterministic salt (hash of all columns' bytes via xxhash64 of the
+    // row struct) — stable across retries, no Random in a task
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col): _*)), lit(buckets)))
+    val partial = partialState(salted, keys :+ "__salt", specs)
+    mergeStates(Seq(partial), keys, specs)
+  }
+
   private def opFor(op: String, c: Column): Column = op match {
     case "count" => count(c)
     case "sum"   => sum(c)

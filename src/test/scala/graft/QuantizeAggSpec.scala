@@ -64,6 +64,22 @@ class QuantizeAggSpec extends SparkSuite {
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
 
+  test("saltedAggregate is row-identical to the plain aggregate on a hot key") {
+    // single-value key: the degenerate worst case a naive plan funnels to one reducer
+    val df = (1 to 5000).map(i => ("hot", i.toLong)).toDF("k", "v")
+      .union(Seq(("cold", 1L)).toDF("k", "v"))
+    val specs = Seq(
+      ("n", "count", lit(1)),
+      ("sum_v", "sum", col("v")),
+      ("min_v", "min", col("v")),
+      ("max_v", "max", col("v")))
+    val salted = AggOps.saltedAggregate(df, Seq("k"), specs, buckets = 8)
+    val out = salted.collect().map(r => r.getAs[String]("k") ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("sum_v"), r.getAs[Long]("min_v"), r.getAs[Long]("max_v")))).toMap
+    assert(out("hot") == ((5000L, 5000L * 5001L / 2, 1L, 5000L)))
+    assert(out("cold") == ((1L, 1L, 1L, 1L)))
+  }
+
   test("mergeStates rejects non-algebraic ops") {
     assertThrows[IllegalArgumentException] {
       AggOps.partialState(Tables.lineitem(spark, sf), Seq("l_returnflag"),
