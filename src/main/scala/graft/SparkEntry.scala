@@ -1464,6 +1464,113 @@ private[graft] object Queries {
       |       FROM documents))
       |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 100""".stripMargin
 
+  /** Gopher-rule repetition signals ([[graft.ops.TextOps.repetitionStats]]):
+    * per-doc duplicated-bigram mass from ONE codegen'd pass over the text —
+    * no explode, no shuffle, scan-speed at any corpus size. The oracle
+    * recomputes the same four counters the expensive way (unnest → per-doc
+    * bigram group-by) in DuckDB.
+    */
+  def repSignals(s: SparkSession, d: String): DataFrame = {
+    val st = TextOps.repetitionStats(col("text"))
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      st.getItem(0).as("n_bigrams"),
+      st.getItem(1).as("distinct_bigrams"),
+      st.getItem(2).as("top_bigram_n"),
+      st.getItem(3).as("dup_bigram_n"),
+      (st.getItem(3).cast("double") /
+        greatest(st.getItem(0), lit(1L)).cast("double")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  private val repSignalsSql =
+    """WITH t AS (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM t),
+      |c AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, COUNT(*) AS distinct_bigrams,
+      |        MAX(n) AS top_bigram_n,
+      |        CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS dup_bigram_n
+      |      FROM c GROUP BY 1)
+      |SELECT t.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+      |  COALESCE(distinct_bigrams, 0) AS distinct_bigrams,
+      |  COALESCE(top_bigram_n, 0) AS top_bigram_n,
+      |  COALESCE(dup_bigram_n, 0) AS dup_bigram_n,
+      |  CAST(COALESCE(dup_bigram_n, 0) AS DOUBLE) /
+      |    CAST(GREATEST(COALESCE(n_bigrams, 0), 1) AS DOUBLE) AS dup_frac
+      |FROM t LEFT JOIN a USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination ([[graft.ops.TextOps.decontaminate]]): drop
+    * every training doc sharing ANY word 4-gram with the eval slice
+    * (source = src0). Eval n-grams are broadcast, so the train side stays
+    * map-only — the operative property at 100 TB. n = 4 splits this corpus
+    * non-trivially (49 of 475 docs contaminated at sf0.01).
+    */
+  def decontaminateQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextOps.decontaminate(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"),
+      "text", "doc_id", n = 4)
+      .select("doc_id", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  private val decontaminateSql =
+    """WITH t AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
+      |g AS (SELECT doc_id, source, unnest(list_transform(range(1, len(ts) - 2), i -> array_to_string(ts[i:i+3], ' '))) AS ng FROM t),
+      |bad AS (SELECT DISTINCT doc_id FROM g WHERE source <> 'src0'
+      |        AND ng IN (SELECT ng FROM g WHERE source = 'src0'))
+      |SELECT doc_id, source, n_chars FROM documents
+      |WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic training-order shuffle
+    * ([[graft.ops.SampleOps.deterministicShuffle]]): Lehmer-hash sort key →
+    * shard + in-shard position, all-integer and layout-independent — what
+    * `orderBy(rand())` cannot give you (partition-seeded, unreproducible).
+    */
+  def shuffleShard(s: SparkSession, d: String): DataFrame =
+    SampleOps.deterministicShuffle(
+      Tables.documents(s, d).select("doc_id", "source"),
+      "doc_id", seed = 7L, shards = 8)
+      .orderBy("shard", "pos")
+
+  private val shuffleShardSql =
+    """WITH k AS (SELECT doc_id, source,
+      |        ((doc_id % 2147483647) * 48271 + 7) % 2147483647 AS key FROM documents)
+      |SELECT doc_id, source, CAST(key % 8 AS INTEGER) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS INTEGER) AS pos
+      |FROM k ORDER BY shard, pos""".stripMargin
+
+  /** PII redaction ([[graft.ops.TextOps.redactEmails]] /
+    * [[TextOps.redactPhonePrefix]]): phone-shaped and email-in-context
+    * strings are synthesized deterministically from key/name (the table has
+    * no real PII), then masked. Patterns are the RE2∩Java regex subset, so
+    * the oracle runs the identical expressions.
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val p = lpad(col("c_custkey").cast("string"), 12, "0")
+    val phone = concat_ws("-", substring(p, 1, 2), substring(p, 3, 3),
+      substring(p, 6, 3), substring(p, 9, 4))
+    val note = concat(lit("contact "), lower(col("c_name")),
+      lit("@example.com for segment "), col("c_mktsegment"))
+    cust(s, d).select(
+      col("c_custkey"),
+      TextOps.redactPhonePrefix(phone).as("phone_masked"),
+      TextOps.redactEmails(note).as("note_masked"))
+      .orderBy("c_custkey")
+  }
+
+  private val piiScrubSql =
+    """WITH p AS (SELECT c_custkey, c_name, c_mktsegment,
+      |        lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS d FROM customer)
+      |SELECT c_custkey,
+      |  regexp_replace(substr(d, 1, 2) || '-' || substr(d, 3, 3) || '-' || substr(d, 6, 3) || '-' || substr(d, 9, 4),
+      |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-', 'XX-XXX-XXX-', 'g') AS phone_masked,
+      |  regexp_replace('contact ' || lower(c_name) || '@example.com for segment ' || c_mktsegment,
+      |    '[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g') AS note_masked
+      |FROM p ORDER BY c_custkey""".stripMargin
+
   /** SCD-2 dimension maintenance ([[graft.ops.Warehouse.scd2Apply]]):
     * customer order-priority history, change-compressed with validity
     * intervals. Updates are applied in TWO batches split at 1996-01-01 and

@@ -145,6 +145,45 @@ object VecKernels {
     new GenericArrayData(Array(nTok, nStop, seen.size.toLong, sumChars))
   }
 
+  /** [nBigrams, nDistinctBigrams, topBigramCount, dupBigramOccurrences] in
+    * ONE pass — the Gopher/C4-style within-document repetition signals.
+    * Bigram identity is the space-joined pair string, exactly what the SQL
+    * oracle builds with `ts[i] || ' ' || ts[i+1]` (tokens never contain
+    * whitespace, so the concat is bijective with the pair). All-zero array
+    * for docs with fewer than two tokens.
+    */
+  def repetitionStats(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    val counts = new java.util.HashMap[UTF8String, Long]()
+    val space = UTF8String.fromString(" ")
+    var prev: UTF8String = null
+    var total = 0L
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(bytes(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(bytes(i))) i += 1
+        val tok = UTF8String.fromBytes(bytes, start, i - start)
+        if (prev != null) {
+          counts.merge(UTF8String.concat(prev, space, tok), 1L, (a, b) => a + b)
+          total += 1
+        }
+        prev = tok
+      }
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > top) top = c
+      if (c > 1L) dup += c
+    }
+    new GenericArrayData(Array(total, counts.size.toLong, top, dup))
+  }
+
   /** Stopword-vote language id over the LOWERCASED text: hit count per
     * language set, winner = first language (array order = priority) with a
     * positive count equal to the max; "und" when no set hits.

@@ -135,6 +135,21 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Within-document bigram repetition signals — see
+    * [[VecKernels.repetitionStats]].
+    */
+  case class RepetitionStats(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_repetition_stats"
+    override protected def nullSafeEval(a: Any): Any =
+      VecKernels.repetitionStats(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VecKernels.repetitionStats($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Stopword-vote language id with fixed tie priority — see
     * [[VecKernels.langId]].
     */
@@ -404,6 +419,8 @@ object VectorExpressions {
     GraftShim.column(BitsetJaccard(e(a), e(b)))
   def textStats(a: Column, stopwords: Seq[String]): Column =
     GraftShim.column(TextStats(e(a), stopwords))
+  def repetitionStats(a: Column): Column =
+    GraftShim.column(RepetitionStats(e(a)))
   def langIdNative(a: Column, langs: Seq[(String, Seq[String])]): Column =
     GraftShim.column(LangIdExpr(e(a), langs))
   def fingerprint64(a: Column): Column = GraftShim.column(Fingerprint64(e(a)))

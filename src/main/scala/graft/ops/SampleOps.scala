@@ -28,6 +28,33 @@ object SampleOps {
     (df.filter(b < trainPct), df.filter(b >= trainPct))
   }
 
+  /** Deterministic global shuffle for training-order randomization: every
+    * row gets a pseudorandom sort key from a Lehmer/MINSTD step over its
+    * integral id — `(id mod M) * 48271 mod M`, M = 2³¹−1 — then a shard and
+    * a within-shard position. All-integer (exact in any engine; the
+    * multiply peaks at 2.1e9·48271 ≈ 1e14, far inside int64), seedable,
+    * and independent of physical layout — unlike `orderBy(rand())`, which
+    * is partition-seeded and non-reproducible.
+    *
+    * Scale shape: writing shards is `repartition(shards, col("shard"))` +
+    * `sortWithinPartitions(key)` — one shuffle, no global sort. The
+    * row_number window here additionally exposes the exact in-shard
+    * position for the oracle; it partitions BY SHARD, so no single reducer
+    * ever orders more than 1/shards of the data.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long,
+                           shards: Int): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val M = 2147483647L
+    val key = pmod(pmod(col(idCol), lit(M)) * lit(48271L) + lit(seed % M), lit(M))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard", pmod(col("__key"), lit(shards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__key")
+  }
+
   /** Deterministic stratified sample: per-stratum keep-fraction, applied as
     * a per-row hash threshold — single narrow pass, no sampling job, exact
     * reproducibility. Strata absent from `fractions` are dropped.

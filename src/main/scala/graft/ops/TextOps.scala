@@ -96,6 +96,60 @@ object TextOps {
   def fingerprint(c: Column): Column =
     graft.functions.VectorExpressions.fingerprint64(c)
 
+  /** Within-document bigram repetition signals
+    * ([[graft.functions.VectorExpressions.RepetitionStats]]): array<long> of
+    * [nBigrams, nDistinctBigrams, topBigramCount, dupBigramOccurrences].
+    * The Gopher-rule repetition filters (drop docs whose top 2-gram or
+    * duplicated-n-gram mass exceeds a threshold) read directly off this —
+    * one codegen'd pass per row, no explode/shuffle, so it runs at scan
+    * speed over an arbitrarily large corpus.
+    */
+  def repetitionStats(c: Column): Column =
+    graft.functions.VectorExpressions.repetitionStats(c)
+
+  /** Space-joined n-grams of the whitespace tokens (empty array when the
+    * doc has fewer than n tokens — NOT Spark's `sequence(1, size-n+1)`,
+    * which would count DOWN and fabricate grams for short docs).
+    */
+  def ngrams(c: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val t = tokens(c)
+    when(size(t) >= n,
+      transform(sequence(lit(1), size(t) - lit(n - 1)),
+        i => array_join(slice(t, i, n), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Benchmark decontamination (the PaLM/GPT-3 appendix procedure): drop
+    * every `train` row sharing ANY word n-gram with the (small) eval set.
+    *
+    * Scale shape: the eval n-gram dictionary is distinct'd and BROADCAST,
+    * so the train side is map-only — explode n-grams, hash-probe the
+    * broadcast set, collect the (tiny) contaminated-id list, anti-join it
+    * back. No shuffle ever touches the 100 TB side.
+    */
+  def decontaminate(train: org.apache.spark.sql.DataFrame,
+                    eval: org.apache.spark.sql.DataFrame,
+                    textCol: String, idCol: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val evalNg = eval.select(explode(ngrams(col(textCol), n)).as("__ng")).distinct()
+    val contaminated = train
+      .select(col(idCol), explode(ngrams(col(textCol), n)).as("__ng"))
+      .join(broadcast(evalNg), Seq("__ng"), "left_semi")
+      .select(idCol).distinct()
+    train.join(broadcast(contaminated), Seq(idCol), "left_anti")
+  }
+
+  /** PII redaction pass: structural phone-prefix masking (keep last group
+    * for joinability) plus email redaction. Patterns use only character
+    * classes + bounded quantifiers — the subset Java regex and RE2/POSIX
+    * (the oracle engine) agree on; no lookaround (RE2 has none).
+    */
+  def redactPhonePrefix(c: Column): Column =
+    regexp_replace(c, "[0-9]{2}-[0-9]{3}-[0-9]{3}-", "XX-XXX-XXX-")
+
+  def redactEmails(c: Column): Column =
+    regexp_replace(c, "[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+", "[EMAIL]")
+
   /** Canonicalizing scrub used before exact/near dedup (the CCNet/Dolma
     * normalization step): lowercase, digits → 0, non-alphanumerics → space,
     * whitespace collapsed, trimmed. Plain codegen'd regexp_replace chain —
