@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AggOps, DedupOps, GraphOps, JoinOps, MultimodalOps, PackOps, ScoreOps, SimilarityOps, TextOps, ValidateOps, Transforms => T, Warehouse => W}
+import graft.ops.{AggOps, DedupOps, GraphOps, JoinOps, MultimodalOps, PackOps, SampleOps, ScoreOps, SimilarityOps, TextOps, ValidateOps, Transforms => T, Warehouse => W}
 
 /** Driver contract — one `queries` entry per operator in SURVEY.md §2, each
   * with a DuckDB-equivalent `oracleSql` where ANSI-SQL-expressible.

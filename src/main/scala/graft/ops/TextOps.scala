@@ -116,7 +116,7 @@ object TextOps {
     val t = tokens(c)
     when(size(t) >= n,
       transform(sequence(lit(1), size(t) - lit(n - 1)),
-        i => array_join(slice(t, i, n), " ")))
+        i => array_join(slice(t, i, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
   }
 
