@@ -2458,6 +2458,10 @@ private[graft] object Queries {
     "q_date_format" -> (dateFormat _),
     "q_sink_jsonl" -> (sinkJsonl _),
     "q_scan_corrupt" -> (scanCorrupt _),
+    "q_text_repetition" -> (repSignals _),
+    "q_decontaminate" -> (decontaminateQ _),
+    "q_shuffle_shard" -> (shuffleShard _),
+    "q_text_pii" -> (piiScrub _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2569,5 +2573,9 @@ private[graft] object Queries {
     "q_date_format" -> dateFormatSql,
     "q_sink_jsonl" -> sinkJsonlSql,
     "q_scan_corrupt" -> scanCorruptSql,
+    "q_text_repetition" -> repSignalsSql,
+    "q_decontaminate" -> decontaminateSql,
+    "q_shuffle_shard" -> shuffleShardSql,
+    "q_text_pii" -> piiScrubSql,
   )
 }

@@ -405,19 +405,29 @@ object DedupOps {
     */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String): DataFrame = {
     val s = col(strCol)
+    // Key on each deletion variant's 64-bit hash, not the variant string:
+    // the explode+join then moves fixed 8-byte keys instead of len-char
+    // strings (which for long inputs would re-materialize ~len²/2 bytes
+    // per row). A hash collision only ADDS a false candidate, and the
+    // exact levenshtein verify removes it — recall is untouched. The seed
+    // is constant so a length-L string's i-th variant and a length-(L−1)
+    // string's identity variant still collide when equal.
     // i = 0..len: delete char at position i+1; i = len yields the identity
-    val variants = expr(
-      s"transform(sequence(0, length($strCol)), i -> " +
-        s"concat(substring($strCol, 1, i), substring($strCol, i + 2, length($strCol))))")
     val keyed = df.select(col(idCol).as("id"), s.as("s"),
-      explode(array_distinct(variants)).as("k"))
+      explode(array_distinct(expr(
+        s"transform(sequence(0, length($strCol)), i -> " +
+          s"xxhash64(concat(substring($strCol, 1, i), substring($strCol, i + 2, length($strCol)))))")))
+        .as("k"))
     // verify BEFORE dedup (simhashBlockedPairs discipline): only surviving
-    // (id, id, dist) triples reach the dropDuplicates shuffle, not strings
+    // (id, id, dist) triples reach the dropDuplicates shuffle, not strings.
+    // The THRESHOLDED levenshtein computes a banded O(len·k) DP (returns −1
+    // past the bound) instead of the full O(len²) matrix — the verify runs
+    // once per candidate, so the band is the dominant per-pair cost.
     keyed.as("a").join(keyed.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        levenshtein(col("a.s"), col("b.s")).as("dist"))
-      .filter(col("dist") <= 1)
+        levenshtein(col("a.s"), col("b.s"), 1).as("dist"))
+      .filter(col("dist") >= 0)
       .dropDuplicates("id_a", "id_b")
   }
 }

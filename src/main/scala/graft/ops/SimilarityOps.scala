@@ -76,13 +76,18 @@ object SimilarityOps {
       col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_norm"),
       posexplode(VectorExpressions.rhpBuckets(col("embedding"), bits, tables))
         .as(Seq("q_t", "q_bkt"))))
-    val candidates = cb.join(qb,
+    // Score BEFORE deduplicating (minhashLshPairs discipline): the dot
+    // product is a cheap native kernel evaluated once per agreeing table,
+    // so re-scoring a duplicate candidate costs less than pushing both
+    // embedding arrays (2·dim floats + norms per row) through the
+    // dropDuplicates shuffle — surviving rows are (long, long, double).
+    val scored = cb.join(qb,
         col("t") === col("q_t") && col("bkt") === col("q_bkt") &&
           col("query_id") =!= col("vec_id"))
-      .select("query_id", "q_emb", "q_norm", "vec_id", "embedding", "c_norm")
+      .select(col("query_id"), col("vec_id"),
+        (dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
+          .as("score"))
       .dropDuplicates("query_id", "vec_id")
-    val scored = candidates.withColumn("score",
-      dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
