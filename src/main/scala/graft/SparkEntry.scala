@@ -1571,6 +1571,144 @@ private[graft] object Queries {
       |    '[A-Za-z0-9#._%+-]+@[A-Za-z0-9.-]+', '[EMAIL]', 'g') AS note_masked
       |FROM p ORDER BY c_custkey""".stripMargin
 
+  /** Curriculum-mixture sampling ([[graft.ops.SampleOps.weightedSample]]):
+    * per-source keep-weights (src1 50%, src2 25%, src3 10%, others dropped)
+    * as exact integer Lehmer thresholds — the oracle applies the identical
+    * integer arithmetic, so membership matches bit-for-bit.
+    */
+  def sampleWeighted(s: SparkSession, d: String): DataFrame =
+    SampleOps.weightedSample(
+      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+      "doc_id", col("source"),
+      Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1), seed = 11L)
+      .orderBy("doc_id")
+
+  private val sampleWeightedSql =
+    """WITH k AS (SELECT doc_id, source, n_chars,
+      |        ((doc_id % 2147483647) * 48271 + 11) % 2147483647 AS key FROM documents)
+      |SELECT doc_id, source, n_chars FROM k
+      |WHERE key < CASE source WHEN 'src1' THEN 1073741823
+      |                        WHEN 'src2' THEN 536870911
+      |                        WHEN 'src3' THEN 214748364 ELSE -1 END
+      |ORDER BY doc_id""".stripMargin
+
+  /** Winsorized robust aggregate: clip `l_quantity` to its global exact
+    * [p05, p95] before averaging — the outlier-robust mean every feature
+    * pipeline wants. Quantiles are computed ONCE (two-row aggregate,
+    * broadcast back as a scalar subquery), so the pass over the fact table
+    * stays narrow; quantity values are integral doubles, making the
+    * interpolated percentile exact in IEEE arithmetic on both engines.
+    */
+  def winsorize(s: SparkSession, d: String): DataFrame = {
+    val q = li(s, d).agg(
+      percentile(col("l_quantity"), lit(0.05)).as("lo"),
+      percentile(col("l_quantity"), lit(0.95)).as("hi"))
+    li(s, d).crossJoin(broadcast(q))
+      .select(col("l_returnflag"),
+        greatest(least(col("l_quantity"), col("hi")), col("lo")).as("wq"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(col("wq")).as("sum_wq"))
+      .withColumn("mean_wq", col("sum_wq") / col("n"))
+      .orderBy("l_returnflag")
+
+  }
+
+  private val winsorizeSql =
+    """WITH q AS (SELECT quantile_cont(l_quantity, 0.05) AS lo,
+      |                  quantile_cont(l_quantity, 0.95) AS hi FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  SUM(GREATEST(LEAST(l_quantity, hi), lo)) AS sum_wq,
+      |  SUM(GREATEST(LEAST(l_quantity, hi), lo)) / COUNT(*) AS mean_wq
+      |FROM lineitem, q GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** C4/Gopher-style composite quality gate: ONE codegen'd projection
+    * computes token stats AND bigram-repetition stats per document (two
+    * native kernels, no explode/shuffle), then a row filter keeps docs with
+    * enough tokens, enough lexical diversity, and low duplicated-bigram
+    * mass. The whole gate runs at scan speed — the property that matters
+    * when filtering a 100 TB crawl.
+    */
+  def qualityFilter(s: SparkSession, d: String): DataFrame = {
+    val st = TextOps.stats(col("text"))
+    val rp = TextOps.repetitionStats(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        st.getItem(0).as("n_tokens"),
+        (st.getItem(2).cast("double") /
+          greatest(st.getItem(0), lit(1L)).cast("double")).as("uniq_ratio"),
+        (rp.getItem(3).cast("double") /
+          greatest(rp.getItem(0), lit(1L)).cast("double")).as("dup_frac"))
+      .filter(col("n_tokens") >= 30 && col("uniq_ratio") >= 0.35 &&
+        col("dup_frac") <= 0.15)
+      .orderBy("doc_id")
+  }
+
+  private val qualityFilterSql =
+    """WITH t AS (SELECT doc_id, source, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ts FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram FROM t),
+      |c AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      |r AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |        CAST(COALESCE(SUM(CASE WHEN n > 1 THEN n END), 0) AS BIGINT) AS dup_n
+      |      FROM c GROUP BY 1),
+      |s AS (SELECT t.doc_id, t.source, CAST(len(ts) AS BIGINT) AS n_tokens,
+      |        CAST(len(list_distinct(ts)) AS DOUBLE) / GREATEST(len(ts), 1) AS uniq_ratio,
+      |        CAST(COALESCE(dup_n, 0) AS DOUBLE) / GREATEST(COALESCE(n_bigrams, 0), 1) AS dup_frac
+      |      FROM t LEFT JOIN r USING (doc_id))
+      |SELECT doc_id, source, n_tokens, uniq_ratio, dup_frac FROM s
+      |WHERE n_tokens >= 30 AND uniq_ratio >= 0.35 AND dup_frac <= 0.15
+      |ORDER BY doc_id""".stripMargin
+
+  /** Spark 4 VARIANT path: build a nested JSON document per event, parse it
+    * into the binary VARIANT type, and extract typed paths with
+    * `variant_get` — the open-schema column Spark 4 ships for
+    * semi-structured data (shredded storage, path pushdown). Values
+    * round-trip exactly: numeric JSON text parses to int64/decimal/double
+    * per the Variant spec, and doubles printed shortest-round-trip parse
+    * back to the identical bits.
+    */
+  def variantOp(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      parse_json(concat(
+        lit("""{"u":"""), col("user_id"),
+        lit(""","t":""""), col("event_type"),
+        lit("""","m":{"v":"""), col("value").cast("string"),
+        lit(""","k":"""), get_json_object(col("props"), "$.k"),
+        lit("}}"))).as("v"))
+      .select(col("event_id"),
+        variant_get(col("v"), "$.u", "bigint").as("u"),
+        variant_get(col("v"), "$.t", "string").as("t"),
+        variant_get(col("v"), "$.m.v", "double").as("mv"),
+        variant_get(col("v"), "$.m.k", "int").as("mk"))
+      .orderBy("event_id")
+
+  private val variantOpSql =
+    """SELECT event_id, user_id AS u, event_type AS t, "value" AS mv,
+      | CAST(json_extract_string(props, '$.k') AS INT) AS mk
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Per-group top-k through the CUSTOM PHYSICAL OPERATOR
+    * ([[graft.plans.TopKPerGroup]] → [[graft.plans.TopKStrategy]] →
+    * [[graft.plans.TopKPerGroupExec]], installed via `extraStrategies`):
+    * bounded k-row heaps on both sides of one hash exchange — the shuffle
+    * moves ≤ k rows per (group, partition) instead of the whole table, and
+    * nothing is ever fully sorted. Oracle = the window row_number form.
+    */
+  def topkGroup(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPlans.topKPerGroup(
+      ord(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice"),
+      Seq("o_orderpriority"),
+      Seq("o_totalprice" -> false, "o_orderkey" -> true), k = 5)
+      .orderBy("o_orderpriority", "rnk")
+
+  private val topkGroupSql =
+    """SELECT o_orderkey, o_orderpriority, o_totalprice, rnk FROM (
+      | SELECT o_orderkey, o_orderpriority, o_totalprice,
+      |  CAST(row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+      | FROM orders) WHERE rnk <= 5
+      |ORDER BY o_orderpriority, rnk""".stripMargin
+
   /** SCD-2 dimension maintenance ([[graft.ops.Warehouse.scd2Apply]]):
     * customer order-priority history, change-compressed with validity
     * intervals. Updates are applied in TWO batches split at 1996-01-01 and
@@ -2462,6 +2600,11 @@ private[graft] object Queries {
     "q_decontaminate" -> (decontaminateQ _),
     "q_shuffle_shard" -> (shuffleShard _),
     "q_text_pii" -> (piiScrub _),
+    "q_sample_weighted" -> (sampleWeighted _),
+    "q_winsorize" -> (winsorize _),
+    "q_quality_filter" -> (qualityFilter _),
+    "q_variant" -> (variantOp _),
+    "q_topk_group" -> (topkGroup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2577,5 +2720,10 @@ private[graft] object Queries {
     "q_decontaminate" -> decontaminateSql,
     "q_shuffle_shard" -> shuffleShardSql,
     "q_text_pii" -> piiScrubSql,
+    "q_sample_weighted" -> sampleWeightedSql,
+    "q_winsorize" -> winsorizeSql,
+    "q_quality_filter" -> qualityFilterSql,
+    "q_variant" -> variantOpSql,
+    "q_topk_group" -> topkGroupSql,
   )
 }

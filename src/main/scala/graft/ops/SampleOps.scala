@@ -55,6 +55,26 @@ object SampleOps {
       .drop("__key")
   }
 
+  /** Curriculum-mixture sampling: per-stratum deterministic Bernoulli keep
+    * with EXACT integer thresholds — row kept iff its Lehmer key
+    * `((id mod M)·48271 + seed) mod M` (M = 2³¹−1) falls below
+    * `floor(w·M)` for its stratum's weight `w`. All-integer comparison →
+    * reproducible bit-for-bit in ANY engine (the thresholds are compile-time
+    * longs), layout-independent, and a single narrow filter pass — the form
+    * that upsamples/downsamples 100 TB corpora by source without a shuffle.
+    * Strata absent from `weights` are dropped.
+    */
+  def weightedSample(df: DataFrame, idCol: String, stratum: Column,
+                     weights: Map[String, Double], seed: Long = 0L): DataFrame = {
+    val M = 2147483647L
+    val key = pmod(pmod(col(idCol), lit(M)) * lit(48271L) + lit(seed % M), lit(M))
+    val thr = weights.foldLeft(lit(-1L)) { case (acc, (s0, w)) =>
+      require(w >= 0.0 && w <= 1.0, s"weight for $s0 out of [0,1]: $w")
+      when(stratum === s0, lit(math.floor(w * M).toLong)).otherwise(acc)
+    }
+    df.filter(key < thr)
+  }
+
   /** Deterministic stratified sample: per-stratum keep-fraction, applied as
     * a per-row hash threshold — single narrow pass, no sampling job, exact
     * reproducibility. Strata absent from `fractions` are dropped.

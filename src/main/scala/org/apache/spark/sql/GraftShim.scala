@@ -12,4 +12,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a Catalyst [[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]]
+    * as a DataFrame (`Dataset.ofRows` is `private[sql]` in Spark 4) — the
+    * entry point for custom logical operators planned by injected
+    * strategies.
+    */
+  def dataFrame(spark: SparkSession,
+                plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

@@ -10,10 +10,10 @@ object V4 {
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.01"
     val out = "target/verify_new"
-    val names = Seq("q_text_repetition", "q_decontaminate", "q_shuffle_shard", "q_text_pii")
+    val names = args.toSeq
     for (n <- names) {
       try graft.SparkEntry.queries(n)(spark, d).write.mode("overwrite").parquet(s"$out/$n")
-      catch { case e: Throwable => println(s"[verify] $n failed: ${e.getMessage.take(200)}") }
+      catch { case e: Throwable => println(s"[verify] $n failed: ${e.getMessage.take(300)}") }
     }
     val sqls = graft.SparkEntry.oracleSql.filter(kv => names.contains(kv._1))
     val json = sqls.map { case (k, v) =>
