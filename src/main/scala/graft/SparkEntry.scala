@@ -1537,7 +1537,8 @@ private[graft] object Queries {
 
   private val shuffleShardSql =
     """WITH k AS (SELECT doc_id, source,
-      |        ((doc_id % 2147483647) * 48271 + 7) % 2147483647 AS key FROM documents)
+      |        ((((doc_id % 2147483647) * 48271 + 7) % 2147483647) * 48271)
+      |          % 2147483647 AS key FROM documents)
       |SELECT doc_id, source, CAST(key % 8 AS INTEGER) AS shard,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS INTEGER) AS pos
       |FROM k ORDER BY shard, pos""".stripMargin
@@ -1585,7 +1586,8 @@ private[graft] object Queries {
 
   private val sampleWeightedSql =
     """WITH k AS (SELECT doc_id, source, n_chars,
-      |        ((doc_id % 2147483647) * 48271 + 11) % 2147483647 AS key FROM documents)
+      |        ((((doc_id % 2147483647) * 48271 + 11) % 2147483647) * 48271)
+      |          % 2147483647 AS key FROM documents)
       |SELECT doc_id, source, n_chars FROM k
       |WHERE key < CASE source WHEN 'src1' THEN 1073741823
       |                        WHEN 'src2' THEN 536870911

@@ -26,6 +26,8 @@ object GraftFunctions {
       foldToInt(es(1)), sorted = false)),
     "graft_shingles_sorted" -> (es => VectorExpressions.CharShingles(es(0),
       foldToInt(es(1)), sorted = true)),
+    "graft_word_ngrams" -> (es => VectorExpressions.WordNgrams(es(0),
+      foldToInt(es(1)))),
     "graft_minhash" -> (es => VectorExpressions.MinHashSig(es(0), foldToInt(es(1)))),
     "graft_sig_eq_frac" -> (es => VectorExpressions.SigEqFrac(es(0), es(1))),
     "graft_simhash" -> (es => VectorExpressions.SimHash64(es(0))),

@@ -145,6 +145,54 @@ object VecKernels {
     new GenericArrayData(Array(nTok, nStop, seen.size.toLong, sumChars))
   }
 
+  /** Space-joined word n-grams in document order, duplicates kept — the
+    * byte-scan equivalent of
+    * `transform(sequence(1, T−n+1), i -> array_join(slice(tokens, i, n), ' '))`
+    * (whose higher-order functions are CodegenFallback — one boxed lambda
+    * call per element). Tokens are maximal non-whitespace runs; separators
+    * collapse to ONE space in the output (array_join semantics). Empty
+    * array when the doc has fewer than n tokens.
+    */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val bytes = s.getBytes
+    val len = bytes.length
+    // token [start, end) byte offsets
+    var count = 0
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(bytes(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(bytes(i))) i += 1
+        ends.add(i)
+        count += 1
+      }
+    }
+    if (count < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](count - n + 1)
+    var g = 0
+    while (g < count - n + 1) {
+      var sz = n - 1 // single-space separators
+      var t = g
+      while (t < g + n) { sz += ends.get(t) - starts.get(t); t += 1 }
+      val buf = new Array[Byte](sz)
+      var pos = 0
+      t = g
+      while (t < g + n) {
+        if (t > g) { buf(pos) = ' '.toByte; pos += 1 }
+        val l = ends.get(t) - starts.get(t)
+        System.arraycopy(bytes, starts.get(t), buf, pos, l)
+        pos += l
+        t += 1
+      }
+      out(g) = UTF8String.fromBytes(buf)
+      g += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** [nBigrams, nDistinctBigrams, topBigramCount, dupBigramOccurrences] in
     * ONE pass — the Gopher/C4-style within-document repetition signals.
     * Bigram identity is the space-joined pair string, exactly what the SQL

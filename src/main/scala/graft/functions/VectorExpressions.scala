@@ -274,6 +274,22 @@ object VectorExpressions {
   /** Distinct character n-gram shingles (optionally binary-sorted) — see
     * [[VecKernels.charShingles]].
     */
+  /** Space-joined word n-grams, document order, duplicates kept — see
+    * [[VecKernels.wordNgrams]].
+    */
+  case class WordNgrams(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_word_ngrams"
+    override protected def nullSafeEval(a: Any): Any =
+      VecKernels.wordNgrams(a.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.VecKernels.wordNgrams($a, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   case class CharShingles(child: Expression, n: Int, sorted: Boolean)
       extends UnaryExpression {
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
@@ -404,6 +420,7 @@ object VectorExpressions {
     GraftShim.column(JaccardSortedGE(e(a), e(b), thresh))
   def charShingles(a: Column, n: Int, sorted: Boolean = false): Column =
     GraftShim.column(CharShingles(e(a), n, sorted))
+  def wordNgrams(a: Column, n: Int): Column = GraftShim.column(WordNgrams(e(a), n))
   def minhashSig(a: Column, k: Int): Column = GraftShim.column(MinHashSig(e(a), k))
   def sigEqFrac(a: Column, b: Column): Column = GraftShim.column(SigEqFrac(e(a), e(b)))
   def simhash64(a: Column): Column = GraftShim.column(SimHash64(e(a)))

@@ -201,19 +201,27 @@ object DedupOps {
       val toks = docs.select(explode(col("sh")).as("tok")).distinct().persist()
       val universe = toks.count()
       if (universe <= maxBitsetUniverse) {
+        // localCheckpoint: a self-join re-executes its subtree per side, so
+        // without materialization the explode→dict-join→groupBy pipeline
+        // would run twice. The checkpointed relation is 48 B/doc (id, sz,
+        // ⌈U/64⌉-word bitset) — bounded by bruteMaxDocs, trivially resident.
         val withBits = attachBitsets(docs, Seq("id"), toks, universe)
           .select(col("id"), size(col("ids")).as("sz"), col("bits"))
+          .localCheckpoint()
         // size-band ints reject most pairs before any popcount runs
-        // (And evaluates left to right)
+        // (And evaluates left to right). The popcount verify runs in a
+        // PROJECTION after the join, not in the join condition: condition
+        // and projection don't share subexpressions, so an in-condition
+        // bitsetJaccard would be recomputed for every surviving pair —
+        // this shape popcounts each band-passing pair exactly once.
         return broadcast(withBits.as("a")).join(withBits.as("b"),
             col("a.id") < col("b.id") &&
               col("b.sz") >= ceilSafe(col("a.sz") * threshold) &&
-              col("a.sz") >= ceilSafe(col("b.sz") * threshold) &&
-              graft.functions.VectorExpressions
-                .bitsetJaccard(col("a.bits"), col("b.bits")) >= threshold)
+              col("a.sz") >= ceilSafe(col("b.sz") * threshold))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
             graft.functions.VectorExpressions
               .bitsetJaccard(col("a.bits"), col("b.bits")).as("jac"))
+          .filter(col("jac") >= threshold)
       }
       toks.unpersist()
     }

@@ -30,7 +30,9 @@ object SampleOps {
 
   /** Deterministic global shuffle for training-order randomization: every
     * row gets a pseudorandom sort key from a Lehmer/MINSTD step over its
-    * integral id — `(id mod M) * 48271 mod M`, M = 2³¹−1 — then a shard and
+    * integral id — two MINSTD steps `((id mod M)·48271 + seed)·48271
+    * mod M`, M = 2³¹−1; one step stays below M for id < 44489 and would
+    * leave small sequential ids in INPUT order — then a shard and
     * a within-shard position. All-integer (exact in any engine; the
     * multiply peaks at 2.1e9·48271 ≈ 1e14, far inside int64), seedable,
     * and independent of physical layout — unlike `orderBy(rand())`, which
@@ -46,7 +48,9 @@ object SampleOps {
                            shards: Int): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
     val M = 2147483647L
-    val key = pmod(pmod(col(idCol), lit(M)) * lit(48271L) + lit(seed % M), lit(M))
+    val key = pmod(
+      pmod(pmod(col(idCol), lit(M)) * lit(48271L) + lit(seed % M), lit(M)) * lit(48271L),
+      lit(M))
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy(col("__key"), col(idCol))
     df.withColumn("__key", key)
@@ -57,7 +61,7 @@ object SampleOps {
 
   /** Curriculum-mixture sampling: per-stratum deterministic Bernoulli keep
     * with EXACT integer thresholds — row kept iff its Lehmer key
-    * `((id mod M)·48271 + seed) mod M` (M = 2³¹−1) falls below
+    * `((id mod M)·48271 + seed)·48271 mod M` (M = 2³¹−1) falls below
     * `floor(w·M)` for its stratum's weight `w`. All-integer comparison →
     * reproducible bit-for-bit in ANY engine (the thresholds are compile-time
     * longs), layout-independent, and a single narrow filter pass — the form
@@ -67,7 +71,13 @@ object SampleOps {
   def weightedSample(df: DataFrame, idCol: String, stratum: Column,
                      weights: Map[String, Double], seed: Long = 0L): DataFrame = {
     val M = 2147483647L
-    val key = pmod(pmod(col(idCol), lit(M)) * lit(48271L) + lit(seed % M), lit(M))
+    // TWO multiplicative steps: a single `id·48271 mod M` never exceeds M
+    // for id < 44489, so sequential ids would map to a monotone ramp and a
+    // threshold test would keep a PREFIX, not a sample. After the second
+    // step the effective stride is 48271² mod M ≈ 1.8e8 — every increment
+    // wraps the modulus and sequential ids equidistribute (Weyl).
+    val k1 = pmod(pmod(col(idCol), lit(M)) * lit(48271L) + lit(seed % M), lit(M))
+    val key = pmod(k1 * lit(48271L), lit(M))
     val thr = weights.foldLeft(lit(-1L)) { case (acc, (s0, w)) =>
       require(w >= 0.0 && w <= 1.0, s"weight for $s0 out of [0,1]: $w")
       when(stratum === s0, lit(math.floor(w * M).toLong)).otherwise(acc)

@@ -108,16 +108,17 @@ object TextOps {
     graft.functions.VectorExpressions.repetitionStats(c)
 
   /** Space-joined n-grams of the whitespace tokens (empty array when the
-    * doc has fewer than n tokens — NOT Spark's `sequence(1, size-n+1)`,
-    * which would count DOWN and fabricate grams for short docs).
+    * doc has fewer than n tokens). Native one-pass byte-scan kernel
+    * ([[graft.functions.VectorExpressions.WordNgrams]]) — the equivalent
+    * `transform(sequence(...), i -> array_join(slice(tokens, i, n), " "))`
+    * plan is CodegenFallback per element and measured ~4× slower corpus-wide.
+    * `coalesce` preserves the old `when`-form's empty-array-on-NULL-text
+    * behavior.
     */
   def ngrams(c: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val t = tokens(c)
-    when(size(t) >= n,
-      transform(sequence(lit(1), size(t) - lit(n - 1)),
-        i => array_join(slice(t, i, lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+    coalesce(graft.functions.VectorExpressions.wordNgrams(c, n),
+      array().cast("array<string>"))
   }
 
   /** Benchmark decontamination (the PaLM/GPT-3 appendix procedure): drop

@@ -52,4 +52,27 @@ class SampleOpsSpec extends SparkSuite {
     val again = SampleOps.stratifiedSample(docs, $"doc_id", $"lang", fr)
     assert(again.exceptAll(sampled).isEmpty && sampled.exceptAll(again).isEmpty)
   }
+
+  test("weightedSample: membership is layout-stable and proportions track weights") {
+    val rows = (0L until 8000L).toDF("id")
+      .withColumn("src", concat(lit("s"), pmod($"id", lit(4))))
+    val w = Map("s0" -> 0.5, "s1" -> 0.25, "s2" -> 0.05) // s3 dropped
+    val kept = SampleOps.weightedSample(rows, "id", $"src", w, seed = 3L)
+    val byStratum = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!byStratum.contains("s3"), "unlisted stratum must be dropped")
+    for ((s0, wt) <- w) {
+      val frac = byStratum.getOrElse(s0, 0L).toDouble / 2000.0
+      assert(math.abs(frac - wt) < 0.05, s"$s0: got $frac want ~$wt")
+    }
+    // identical membership after an arbitrary reshuffle — the property
+    // partition-seeded sample()/randomSplit() cannot give
+    val again = SampleOps.weightedSample(rows.repartition(17), "id", $"src", w, seed = 3L)
+    assert(again.exceptAll(kept).isEmpty && kept.exceptAll(again).isEmpty)
+    // weight 0 keeps nothing; weight 1 keeps everything in the stratum
+    val all = SampleOps.weightedSample(rows, "id", $"src", Map("s0" -> 1.0), seed = 3L)
+    assert(all.count() == 2000L)
+    val none = SampleOps.weightedSample(rows, "id", $"src", Map("s0" -> 0.0), seed = 3L)
+    assert(none.count() == 0L)
+  }
 }

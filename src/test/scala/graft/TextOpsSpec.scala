@@ -38,4 +38,32 @@ class TextOpsSpec extends SparkSuite {
     assert(row.getLong(0) == 3 && row.getLong(1) == 2)
     assert(math.abs(row.getDouble(2) - 2.0 / 3.0) < 1e-15)
   }
+
+  test("native wordNgrams equals the HOF transform/slice/array_join plan") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      "a b c d e", "one", "", "  leading and   multiple\tspaces \n newline",
+      "dup dup dup dup", "exactly three toks", "unicode héllo wörld ünits x"
+    ).toDF("t")
+    for (n <- Seq(1, 2, 3, 4)) {
+      val tok = TextOps.tokens($"t")
+      val hof = when(size(tok) >= n,
+        transform(sequence(lit(1), size(tok) - lit(n - 1)),
+          i => array_join(slice(tok, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val rows = docs.select(TextOps.ngrams($"t", n).as("fast"), hof.as("slow"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n: ${r.getSeq[String](0)} != ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
+  test("wordNgrams on null text yields an empty array (legacy when-form behavior)") {
+    import org.apache.spark.sql.functions._
+    val r = Seq((1, null: String)).toDF("i", "t")
+      .select(TextOps.ngrams($"t", 2).as("g")).collect().head
+    assert(r.getSeq[String](0) == Seq.empty[String])
+  }
 }
