@@ -315,9 +315,12 @@ object DedupOps {
       if (universe <= maxBitsetUniverse) {
         // dictionary collected once (bounded by the cap); block rows carry
         // ⌈U/64⌉-word bitsets instead of full shingle arrays, and the
-        // per-pair verify is popcounts — see jaccardPairsGlobal
+        // per-pair verify is popcounts — see jaccardPairsGlobal.
+        // localCheckpoint: the block self-join would otherwise execute the
+        // explode→dict-join→groupBy pipeline once per side.
         val withBits = attachBitsets(docs, Seq("id", "blk"), toks, universe)
           .select(col("id"), col("blk"), col("bits"))
+          .localCheckpoint()
         return pairsOf(withBits,
           graft.functions.VectorExpressions.bitsetJaccard(col("a.bits"), col("b.bits")))
       }

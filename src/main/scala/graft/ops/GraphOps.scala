@@ -50,15 +50,21 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 30,
                           driverMaxEdges: Long = 1L << 19): DataFrame = {
+    // Materialize the raw edge projection ONCE: both the canonical working
+    // set AND the final node enumeration (which must include nodes whose
+    // only edges are self-loops) read it — without this the caller's edge
+    // pipeline (e.g. a full similarity join) would execute twice.
+    val base = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
+      .localCheckpoint(true)
     // canonical working set: larger endpoint first, no self-loops, distinct
     // localCheckpoint (not persist): each round references the previous
     // round's plan several times (bidirectional union + two self-joins), so
     // without lineage TRUNCATION the logical plan grows ~4^rounds and the
     // analyzer OOMs long before the data does. On a multi-node cluster use
     // reliable checkpoint() instead to also survive executor loss.
-    var cur = edges
-      .select(greatest(col(srcCol), col(dstCol)).as("u"),
-        least(col(srcCol), col(dstCol)).as("v"))
+    var cur = base
+      .select(greatest(col("s"), col("d")).as("u"),
+        least(col("s"), col("d")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
@@ -77,7 +83,7 @@ object GraphOps {
       }
     }
     if (integralIds && curSummary._1 <= driverMaxEdges)
-      return driverComponents(edges, srcCol, dstCol, cur)
+      return driverComponents(base, "s", "d", cur)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -115,8 +121,8 @@ object GraphOps {
     // edge — deriving the node list from the ORIGINAL input and coalescing
     // to self covers both in one pass.
     val members = cur.select(col("u").as("node"), col("v").as("component"))
-    val nodes = edges
-      .select(explode(array(col(srcCol), col(dstCol))).as("node"))
+    val nodes = base
+      .select(explode(array(col("s"), col("d"))).as("node"))
       .filter(col("node").isNotNull)
       .distinct()
     nodes.join(members, Seq("node"), "left")

@@ -113,6 +113,30 @@ class PlanSpec extends SparkSuite {
       s"expected an equi join on the bin id:\n$p")
   }
 
+  test("q_quality_filter: shuffle-free scan-speed gate (filter, no Exchange)") {
+    // count() form so the presentation orderBy (legitimately a range
+    // exchange) is optimized away, leaving the gate itself
+    val p = SparkEntry.queries("q_quality_filter")(spark, sf)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the quality gate itself must not shuffle:\n$p")
+  }
+
+  test("q_sample_weighted: pure narrow filter, no shuffle, no sampling job") {
+    val p = SparkEntry.queries("q_sample_weighted")(spark, sf)
+      .groupBy().count().queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning") && !p.contains("Sample"),
+      s"weighted sampling must be a narrow filter pass:\n$p")
+  }
+
+  test("q_decontaminate: eval n-grams broadcast; train side never shuffles full rows") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"eval-side dictionary must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"decontamination must not sort-merge the train side:\n$p")
+  }
+
   test("q_write_partitioned: readback scan prunes to the one partition") {
     val df = SparkEntry.queries("q_write_partitioned")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

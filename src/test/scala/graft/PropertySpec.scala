@@ -171,4 +171,26 @@ class PropertySpec extends SparkSuite {
       .select(DedupOps.minhashEstimate($"a.sig", $"b.sig", 64)).as[Double].collect()
     assert(cross.forall(e => e >= 0.0 && e <= 1.0))
   }
+
+  test("native wordNgrams equals the HOF plan on adversarial strings") {
+    // mixed whitespace runs, unicode, empties — one Spark job per n
+    val wsHeavy: Gen[String] = for {
+      toks <- Gen.listOf(Gen.oneOf(Gen.alphaNumStr, Gen.asciiPrintableStr,
+        Gen.const("héllo"), Gen.const("宇宙"), Gen.const("a")))
+      seps <- Gen.listOfN(toks.length + 1,
+        Gen.oneOf(" ", "  ", "\t", "\n", " \t ", ""))
+    } yield seps.zipAll(toks, "", "").map { case (s, t) => s + t }.mkString
+    val docs = sample(wsHeavy, 120).zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "t")
+    for (n <- Seq(1, 2, 3)) {
+      val tok = graft.ops.TextOps.tokens($"t")
+      val hof = when(size(tok) >= n,
+        transform(sequence(lit(1), size(tok) - lit(n - 1)),
+          i => array_join(slice(tok, i, lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val bad = docs.select($"id", graft.ops.TextOps.ngrams($"t", n).as("fast"),
+        hof.as("slow")).filter(not($"fast" <=> $"slow")).count()
+      assert(bad == 0L, s"n=$n: $bad rows disagree with the HOF plan")
+    }
+  }
 }
