@@ -1671,12 +1671,15 @@ private[graft] object Queries {
   def variantOp(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d).select(
       col("event_id"),
-      parse_json(concat(
-        lit("""{"u":"""), col("user_id"),
-        lit(""","t":""""), col("event_type"),
-        lit("""","m":{"v":"""), col("value").cast("string"),
-        lit(""","k":"""), get_json_object(col("props"), "$.k"),
-        lit("}}"))).as("v"))
+      // to_json(struct(...)) rather than string concat: strings are
+      // JSON-escaped and null fields are OMITTED (ignoreNullFields), so a
+      // null column yields variant_get = NULL — matching the oracle's
+      // per-column nulls — instead of nulling the whole document
+      parse_json(to_json(struct(
+        col("user_id").as("u"),
+        col("event_type").as("t"),
+        struct(col("value").as("v"),
+          get_json_object(col("props"), "$.k").cast("int").as("k")).as("m")))).as("v"))
       .select(col("event_id"),
         variant_get(col("v"), "$.u", "bigint").as("u"),
         variant_get(col("v"), "$.t", "string").as("t"),
@@ -1710,6 +1713,30 @@ private[graft] object Queries {
       |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
       | FROM orders) WHERE rnk <= 5
       |ORDER BY o_orderpriority, rnk""".stripMargin
+
+  /** EXACT corpus heavy hitters via the two-pass Misra–Gries pipeline
+    * ([[graft.functions.MisraGries.exactHeavyHitters]]): pass 1 is a
+    * bounded-state MG summary (≤ 8192 counters per task, mergeable in any
+    * tree shape) whose tracked keys provably superset every token with
+    * count above the error bound; pass 2 exact-counts only those
+    * candidates. Exact and layout-independent, so the plain
+    * GROUP BY/HAVING oracle matches — while at 100 TB the shuffle carries
+    * constant-size summaries instead of every distinct token.
+    */
+  def heavyHitters(s: SparkSession, d: String): DataFrame =
+    graft.functions.MisraGries.exactHeavyHitters(
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), "\\s+")).as("token"))
+        .filter(col("token") =!= ""),
+      col("token"), minFreq = 50L, capacity = 8192)
+      .withColumnRenamed("key", "token")
+      .orderBy(col("n").desc, col("token"))
+
+  private val heavyHittersSql =
+    """SELECT token, COUNT(*) AS n FROM (
+      | SELECT unnest(string_split_regex(text, '\s+')) AS token FROM documents)
+      |WHERE token <> '' GROUP BY token HAVING COUNT(*) >= 50
+      |ORDER BY n DESC, token""".stripMargin
 
   /** SCD-2 dimension maintenance ([[graft.ops.Warehouse.scd2Apply]]):
     * customer order-priority history, change-compressed with validity
@@ -2607,6 +2634,7 @@ private[graft] object Queries {
     "q_quality_filter" -> (qualityFilter _),
     "q_variant" -> (variantOp _),
     "q_topk_group" -> (topkGroup _),
+    "q_heavy_hitters" -> (heavyHitters _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2727,5 +2755,6 @@ private[graft] object Queries {
     "q_quality_filter" -> qualityFilterSql,
     "q_variant" -> variantOpSql,
     "q_topk_group" -> topkGroupSql,
+    "q_heavy_hitters" -> heavyHittersSql,
   )
 }

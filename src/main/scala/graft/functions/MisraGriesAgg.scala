@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries heavy-hitters summary (public streaming-algorithms
+  * literature: Misra & Gries 1982; mergeability per Agarwal et al.,
+  * PODS'12): at most `capacity` counters, each increment either bumps a
+  * tracked key, claims a free slot, or decrements EVERY counter (paying
+  * one unit of every tracked key's estimate).
+  *
+  * Guarantee: for a stream of n items, any key with true count
+  * > n / (capacity + 1) is STILL TRACKED at the end, with
+  * estimate ∈ [true − n/(capacity+1), true]. Merging two summaries (sum
+  * counts, then subtract the (capacity+1)-th largest value and drop ≤ 0)
+  * preserves the bound over the combined stream — so partial aggregation
+  * is safe in any tree shape, which is exactly what Spark's
+  * partial/final UDAF plan does.
+  *
+  * Scale rationale: exact `groupBy(token).count()` over 100 TB shuffles
+  * every distinct token. The MG pass shuffles ≤ `capacity` counters per
+  * map task — constant state — and [[MisraGries.exactHeavyHitters]]
+  * turns the candidate superset into an EXACT answer with one more
+  * narrow pass (semi-join on the broadcast candidate set + count of
+  * only those keys).
+  */
+class MisraGriesAgg(capacity: Int)
+    extends Aggregator[String, Map[String, Long], Map[String, Long]] {
+  require(capacity > 0, s"capacity must be positive, got $capacity")
+
+  override def zero: Map[String, Long] = Map.empty
+
+  override def reduce(b: Map[String, Long], key: String): Map[String, Long] =
+    b.get(key) match {
+      case Some(c) => b.updated(key, c + 1)
+      case None if b.size < capacity => b.updated(key, 1L)
+      case None =>
+        // decrement-all, drop zeros (amortized: each decrement pays for
+        // capacity prior increments)
+        b.flatMap { case (k, c) => if (c > 1) Some(k -> (c - 1)) else None }
+    }
+
+  override def merge(x: Map[String, Long], y: Map[String, Long]): Map[String, Long] = {
+    val sum = y.foldLeft(x) { case (acc, (k, c)) =>
+      acc.updated(k, acc.getOrElse(k, 0L) + c)
+    }
+    if (sum.size <= capacity) sum
+    else {
+      // subtract the (capacity+1)-th largest count from everything
+      val vals = sum.values.toArray
+      java.util.Arrays.sort(vals)
+      val cut = vals(vals.length - capacity - 1)
+      sum.flatMap { case (k, c) => if (c > cut) Some(k -> (c - cut)) else None }
+    }
+  }
+
+  override def finish(b: Map[String, Long]): Map[String, Long] = b
+
+  override def bufferEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+  override def outputEncoder: Encoder[Map[String, Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+}
+
+object MisraGries {
+
+  /** `mg(capacity)(col)` → map<string,long> of tracked keys per group. */
+  def mg(capacity: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udaf(new MisraGriesAgg(capacity), Encoders.STRING)
+
+  /** EXACT heavy hitters (every key with count ≥ `minFreq`, with exact
+    * counts) in two bounded passes:
+    *
+    *  1. MG summary with `capacity` counters — bounded state per task,
+    *     shuffle moves ≤ capacity entries per partition. The tracked keys
+    *     are a SUPERSET of every key with count > n/(capacity+1).
+    *  2. Exact count of ONLY the candidate keys (broadcast semi filter →
+    *     hash agg over a vocabulary of ≤ capacity) and a `>= minFreq`
+    *     filter, discarding MG's estimate error entirely.
+    *
+    * The result is therefore exact and deterministic — independent of row
+    * order, partitioning, and merge shape — PROVIDED the superset
+    * guarantee covers the threshold; `require(n/(capacity+1) < minFreq)`
+    * fails loudly when it wouldn't (choose a larger capacity), rather
+    * than silently under-reporting.
+    */
+  def exactHeavyHitters(df: DataFrame, keyCol: Column, minFreq: Long,
+                        capacity: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(keyCol.cast("string").as("key")).filter($"key".isNotNull)
+    // ONE pass computes the summary and n together; the collect is a single
+    // row holding ≤ capacity entries by construction
+    val row = keyed
+      .agg(mg(capacity)($"key").as("summary"), count(lit(1)).as("n"))
+      .head()
+    val n = row.getLong(1)
+    require(n / (capacity + 1L) < minFreq,
+      s"capacity $capacity cannot guarantee recall at minFreq=$minFreq for n=$n " +
+        s"(error bound ${n / (capacity + 1L)}); increase capacity")
+    val candidates = row.getMap[String, Long](0).keys.toSeq
+    keyed.filter($"key".isin(candidates: _*))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .filter($"n" >= minFreq)
+  }
+}
