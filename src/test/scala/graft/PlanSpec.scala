@@ -137,6 +137,15 @@ class PlanSpec extends SparkSuite {
       s"decontamination must not sort-merge the train side:\n$p")
   }
 
+  test("q_heavy_hitters: candidate INSET filter sits on the scan, before the agg") {
+    val p = plan("q_heavy_hitters")
+    val aggIdx = p.linesIterator.indexWhere(_.contains("HashAggregate"))
+    val insetIdx = p.linesIterator.indexWhere(l =>
+      l.contains("INSET") || l.contains(" IN ("))
+    assert(aggIdx >= 0 && insetIdx > aggIdx,
+      s"exact pass must filter to candidates BELOW the aggregate (map-only):\n$p")
+  }
+
   test("q_write_partitioned: readback scan prunes to the one partition") {
     val df = SparkEntry.queries("q_write_partitioned")(spark, sf)
     val p = df.queryExecution.executedPlan.toString

@@ -40,6 +40,20 @@ class TopKPlanSpec extends SparkSuite {
     }
   }
 
+  test("topKPerGroup groups null keys together, like window partitionBy") {
+    val df = Seq(
+      (Some("a"), 1), (None, 5), (Some("a"), 3), (None, 2), (None, 9)
+    ).toDF("g", "v")
+    val got = TopKPlans.topKPerGroup(df, Seq("g"), Seq("v" -> true), 2)
+      .orderBy(col("g").asc_nulls_first, col("rnk"))
+      .collect().map(r => (r.get(0), r.getInt(1), r.getInt(2))).toSeq
+    val w = Window.partitionBy("g").orderBy(col("v").asc)
+    val want = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 2)
+      .orderBy(col("g").asc_nulls_first, col("rnk"))
+      .collect().map(r => (r.get(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == want)
+  }
+
   test("topKPerGroup handles groups smaller than k and null order values") {
     val df = Seq(
       ("a", Some(3)), ("a", None), ("b", Some(1)),
