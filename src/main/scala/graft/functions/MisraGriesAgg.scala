@@ -100,6 +100,8 @@ object MisraGries {
       s"capacity $capacity cannot guarantee recall at minFreq=$minFreq for n=$n " +
         s"(error bound ${n / (capacity + 1L)}); increase capacity")
     val candidates = row.getMap[String, Long](0).keys.toSeq
+    if (candidates.isEmpty) // empty input: isin() takes no zero-arg form
+      return keyed.groupBy("key").agg(count(lit(1)).as("n")).filter(lit(false))
     keyed.filter($"key".isin(candidates: _*))
       .groupBy("key").agg(count(lit(1)).as("n"))
       .filter($"n" >= minFreq)

@@ -159,10 +159,13 @@ object TopKPlans {
     val spark = df.sparkSession
     ensureInstalled(spark)
     val analyzed = df.queryExecution.analyzed
-    def attrOf(name: String): Attribute =
-      analyzed.output.find(_.name == name).getOrElse(
-        throw new IllegalArgumentException(
-          s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}"))
+    def attrOf(name: String): Attribute = analyzed.output.filter(_.name == name) match {
+      case Seq(a) => a
+      case Seq() => throw new IllegalArgumentException(
+        s"column $name not in ${analyzed.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        s"column $name is ambiguous (${many.size} matches) — alias before topKPerGroup")
+    }
     val g = groupCols.map(attrOf)
     val so = orderCols.map { case (c, asc) =>
       SortOrder(attrOf(c), if (asc) Ascending else Descending)

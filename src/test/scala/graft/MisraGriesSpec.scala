@@ -52,6 +52,11 @@ class MisraGriesSpec extends SparkSuite {
     }
   }
 
+  test("exactHeavyHitters on an empty input returns an empty result") {
+    val df = Seq.empty[String].toDF("k")
+    assert(MisraGries.exactHeavyHitters(df, $"k", minFreq = 1L, capacity = 8).count() == 0L)
+  }
+
   test("exactHeavyHitters refuses a capacity that cannot guarantee recall") {
     val df = (1 to 1000).map(i => s"k${i % 10}").toDF("k")
     intercept[IllegalArgumentException] {
