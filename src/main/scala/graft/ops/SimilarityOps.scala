@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExpressions
@@ -30,13 +29,27 @@ object SimilarityOps {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Per-query top-k ranking over a scored (query_id, vec_id, score)
+    * relation via the bounded [[graft.plans.TopKPerGroupExec]] custom
+    * operator: map tasks keep a k-element heap per query and emit ≤ k rows
+    * per (partition, query); the one hash exchange moves only those — vs.
+    * the window plan, which shuffles EVERY scored candidate row to
+    * |queries| reducer partitions and sorts them. At 100 TB the window
+    * shape is a handful of reducers sorting the whole scored relation;
+    * this shape is a constant per-task state and a k·partitions-row
+    * shuffle. Plan pinned (no WindowExec/SortExec) in `PlanSpec`.
+    */
+  private def rankPerQuery(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.TopKPlans.topKPerGroup(
+      scored.select("query_id", "vec_id", "score"),
+      Seq("query_id"), Seq("score" -> false, "vec_id" -> true), k)
+
   /** Exact brute-force top-k cosine neighbours for each query vector.
     *
     * Plan: broadcast the (small) query set, score corpus×queries in one
-    * narrow pass, then per-query top-k via window. At cluster scale the
-    * window shuffle keys on query_id — uniform by construction. For very
-    * large k·|queries|, swap the window for per-partition heaps; at our
-    * sizes the window plan is already minimal (one broadcast, one shuffle).
+    * narrow pass, then per-query top-k via [[rankPerQuery]]'s bounded-heap
+    * custom operator — the scored relation never gets window-shuffled or
+    * sorted wholesale.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"),
@@ -46,10 +59,7 @@ object SimilarityOps {
       .join(q, col("query_id") =!= col("vec_id"))
       .withColumn("score",
         dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "vec_id", "score", "rnk")
+    rankPerQuery(scored, k)
   }
 
   /** Approximate top-k via multi-table RHP-LSH: a corpus vector is a
@@ -88,10 +98,7 @@ object SimilarityOps {
         (dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
           .as("score"))
       .dropDuplicates("query_id", "vec_id")
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "vec_id", "score", "rnk")
+    rankPerQuery(scored, k)
   }
 
   /** [[bruteForceTopK]] with the shuffle-lean aggregation plan: per-query
@@ -176,14 +183,11 @@ object SimilarityOps {
         col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_norm"),
         explode(VectorExpressions.topCentroids(col("embedding"), matrix, nprobe))
           .as("cluster_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("vec_id"))
-    indexed.join(broadcast(probes), Seq("cluster_id"))
+    val scored = indexed.join(broadcast(probes), Seq("cluster_id"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("score",
         dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select("query_id", "vec_id", "score", "rnk")
+    rankPerQuery(scored, k)
   }
 
   /** Embedding near-dup pairs above a cosine threshold, blocked by label

@@ -62,6 +62,23 @@ class PlanSpec extends SparkSuite {
       s"query set should broadcast:\n$p")
   }
 
+  test("q_similarity_topk: ranked by the bounded custom operator, not a window sort") {
+    // The registered query ends in a presentation orderBy (legitimately a
+    // range exchange + sort), so the no-SortExec half is asserted on the
+    // ranking relation itself.
+    val p = plan("q_similarity_topk")
+    assert(p.contains("TopKPerGroup"),
+      s"similarity ranking must go through TopKPerGroupExec:\n$p")
+    assert(!p.contains("Window"),
+      s"scored relation must not shuffle through a window rank:\n$p")
+    val ranked = graft.ops.SimilarityOps.bruteForceTopK(
+      Tables.embeddings(spark, sf).filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      Tables.embeddings(spark, sf), 10)
+    val rp = ranked.queryExecution.executedPlan
+    assert(rp.collect { case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty,
+      s"bounded heaps must not plan a SortExec:\n$rp")
+  }
+
   test("native kernels stay inside codegen (no CodegenFallback in hot ops)") {
     // The scoring projection (graft_dot / norm product) must carry the
     // `*(n)` whole-stage-codegen marker — a CodegenFallback expression
