@@ -1716,19 +1716,21 @@ private[graft] object Queries {
 
   /** EXACT corpus heavy hitters via the two-pass Misra–Gries pipeline
     * ([[graft.functions.MisraGries.exactHeavyHitters]]): pass 1 is a
-    * bounded-state MG summary (≤ 8192 counters per task, mergeable in any
-    * tree shape) whose tracked keys provably superset every token with
-    * count above the error bound; pass 2 exact-counts only those
-    * candidates. Exact and layout-independent, so the plain
-    * GROUP BY/HAVING oracle matches — while at 100 TB the shuffle carries
-    * constant-size summaries instead of every distinct token.
+    * bounded-state MG summary (mergeable in any tree shape) whose tracked
+    * keys provably superset every token with count above the error bound;
+    * pass 2 exact-counts only those candidates. Exact and
+    * layout-independent, so the plain GROUP BY/HAVING oracle matches —
+    * while at 100 TB the shuffle carries constant-size summaries instead
+    * of every distinct token. Capacity is DERIVED from the observed n
+    * (escalating past the 8192 default once n/(cap+1) reaches minFreq),
+    * so this same entry runs unchanged at any scale factor.
     */
   def heavyHitters(s: SparkSession, d: String): DataFrame =
     graft.functions.MisraGries.exactHeavyHitters(
       Tables.documents(s, d)
         .select(explode(split(col("text"), "\\s+")).as("token"))
         .filter(col("token") =!= ""),
-      col("token"), minFreq = 50L, capacity = 8192)
+      col("token"), minFreq = 50L)
       .withColumnRenamed("key", "token")
       .orderBy(col("n").desc, col("token"))
 

@@ -69,6 +69,20 @@ object MisraGries {
   def mg(capacity: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udaf(new MisraGriesAgg(capacity), Encoders.STRING)
 
+  /** One MG-summary pass: tracked-key map (≤ capacity entries) plus the
+    * total item count n, computed together so n costs no extra scan.
+    * NOTE this runs a Spark ACTION — callers of [[exactHeavyHitters]]
+    * execute jobs at DataFrame-CONSTRUCTION time (the candidate set must
+    * exist before the second pass can be planned).
+    */
+  private def summaryPass(keyed: DataFrame, capacity: Int): (Map[String, Long], Long) = {
+    import keyed.sparkSession.implicits._
+    val row = keyed
+      .agg(mg(capacity)($"key").as("summary"), count(lit(1)).as("n"))
+      .head()
+    (row.getMap[String, Long](0).toMap, row.getLong(1))
+  }
+
   /** EXACT heavy hitters (every key with count ≥ `minFreq`, with exact
     * counts) in two bounded passes:
     *
@@ -82,24 +96,72 @@ object MisraGries {
     * The result is therefore exact and deterministic — independent of row
     * order, partitioning, and merge shape — PROVIDED the superset
     * guarantee covers the threshold; `require(n/(capacity+1) < minFreq)`
-    * fails loudly when it wouldn't (choose a larger capacity), rather
-    * than silently under-reporting.
+    * fails loudly when it wouldn't (choose a larger capacity, or use the
+    * capacity-free overload which derives one), rather than silently
+    * under-reporting.
+    *
+    * Pass 1 runs EAGERLY (construction-time Spark job); the returned
+    * DataFrame re-evaluates the upstream pipeline once more when pass 2
+    * executes. That recompute is deliberate at scale: the second pass is
+    * a map-only INSET filter + hash agg over a ≤ capacity vocabulary
+    * (plan-pinned in PlanSpec), which re-scans cheaper than caching a
+    * 100 TB token stream to disk would cost. Callers with an expensive
+    * derived input at SMALL scale can persist it before calling.
     */
   def exactHeavyHitters(df: DataFrame, keyCol: Column, minFreq: Long,
                         capacity: Int): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val keyed = df.select(keyCol.cast("string").as("key")).filter($"key".isNotNull)
-    // ONE pass computes the summary and n together; the collect is a single
-    // row holding ≤ capacity entries by construction
-    val row = keyed
-      .agg(mg(capacity)($"key").as("summary"), count(lit(1)).as("n"))
-      .head()
-    val n = row.getLong(1)
+    val keyed = keyedOf(df, keyCol)
+    val (summary, n) = summaryPass(keyed, capacity)
     require(n / (capacity + 1L) < minFreq,
       s"capacity $capacity cannot guarantee recall at minFreq=$minFreq for n=$n " +
         s"(error bound ${n / (capacity + 1L)}); increase capacity")
-    val candidates = row.getMap[String, Long](0).keys.toSeq
+    exactCountCandidates(keyed, summary.keys.toSeq, minFreq)
+  }
+
+  /** Scale-adaptive [[exactHeavyHitters]]: derives a capacity that
+    * satisfies the recall guarantee from the observed n instead of taking
+    * a fixed one, so the same call works at any scale factor.
+    *
+    * Pass 1 runs with `initialCapacity`; if the observed n makes that
+    * capacity's error bound reach `minFreq` (i.e. recall is no longer
+    * guaranteed), the summary is recomputed once with
+    * `capacity = n/minFreq + 1` — the smallest bound that restores the
+    * guarantee. The input is persisted across that escalation window only
+    * (both summary passes are construction-time actions) and unpersisted
+    * before returning; the exact second pass recomputes lineage as
+    * documented on the fixed-capacity overload.
+    */
+  def exactHeavyHitters(df: DataFrame, keyCol: Column, minFreq: Long): DataFrame = {
+    require(minFreq > 0, s"minFreq must be positive, got $minFreq")
+    val initialCapacity = 8192
+    val keyed = keyedOf(df, keyCol)
+    keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (summary, n) = summaryPass(keyed, initialCapacity)
+      val candidates =
+        if (n / (initialCapacity + 1L) < minFreq) summary.keys.toSeq
+        else {
+          val derived = n / minFreq + 1L
+          // 2^26 maps ≈ a GiB of counter state per task — past that the
+          // premise "heavy hitters are few" no longer holds and an exact
+          // groupBy is the honest plan; refuse loudly instead.
+          require(derived <= (1L << 26),
+            s"derived capacity $derived (n=$n, minFreq=$minFreq) exceeds bounded-state " +
+              "budget; minFreq is too small a fraction of n for a summary-based plan")
+          summaryPass(keyed, derived.toInt)._1.keys.toSeq
+        }
+      exactCountCandidates(keyed, candidates, minFreq)
+    } finally keyed.unpersist()
+  }
+
+  private def keyedOf(df: DataFrame, keyCol: Column): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(keyCol.cast("string").as("key")).filter($"key".isNotNull)
+  }
+
+  private def exactCountCandidates(keyed: DataFrame, candidates: Seq[String],
+                                   minFreq: Long): DataFrame = {
+    import keyed.sparkSession.implicits._
     if (candidates.isEmpty) // empty input: isin() takes no zero-arg form
       return keyed.groupBy("key").agg(count(lit(1)).as("n")).filter(lit(false))
     keyed.filter($"key".isin(candidates: _*))

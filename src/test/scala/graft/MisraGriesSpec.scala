@@ -63,4 +63,34 @@ class MisraGriesSpec extends SparkSuite {
       MisraGries.exactHeavyHitters(df, $"k", minFreq = 5L, capacity = 8)
     }
   }
+
+  test("capacity-free overload escalates past the default and stays exact at 10x volume") {
+    // n = 100k with minFreq=10: the 8192-counter default's error bound
+    // (100k/8193 ≈ 12) exceeds minFreq, so the fixed-capacity call refuses —
+    // the adaptive overload must escalate to n/minFreq+1 = 10001 counters
+    // and still return the exact group-by answer.
+    val n = 100000
+    val df = spark.range(n.toLong)
+      .select(concat(lit("k"), (col("id") % 3000).cast("string")).as("k"))
+    intercept[IllegalArgumentException] {
+      MisraGries.exactHeavyHitters(df, $"k", minFreq = 10L, capacity = 8192)
+    }
+    val want = df.groupBy("k").agg(count(lit(1)).as("n"))
+      .filter($"n" >= 10).orderBy($"k").collect().toSeq
+    val got = MisraGries.exactHeavyHitters(df.repartition(8), $"k", minFreq = 10L)
+      .withColumnRenamed("key", "k").orderBy($"k").collect().toSeq
+    assert(got.map(_.toSeq) == want.map(_.toSeq))
+    // derived capacity n/minFreq+1 satisfies the recall require by
+    // construction: error bound n/(cap+1) < minFreq
+    assert(n / (n / 10 + 1 + 1) < 10)
+  }
+
+  test("capacity-free overload stays exact when every key is a heavy hitter") {
+    // minFreq=1 derives capacity n+1 — every distinct key tracked, result
+    // must be the full exact group-by even though the default capacity's
+    // bound (20000/8193 = 2 >= 1) forces the escalation path.
+    val df = spark.range(20000L).select(col("id").cast("string").as("k"))
+    val got = MisraGries.exactHeavyHitters(df, $"k", minFreq = 1L)
+    assert(got.count() == 20000L)
+  }
 }
