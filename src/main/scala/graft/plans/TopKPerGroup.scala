@@ -57,6 +57,23 @@ object TopKStrategy extends SparkStrategy {
   * group per partition, no rank). `partial = false` declares
   * `ClusteredDistribution(groupCols)` — EnsureRequirements inserts the one
   * hash exchange — and emits each group's final top k with `rank` 1..k.
+  *
+  * Memory safety at high group cardinality (the hash-map state is
+  * groups-per-partition × k rows, unbounded by default — same hazard as
+  * Spark's ObjectHashAggregate, same cure): past
+  * `spark.graft.topk.maxGroupsInMemory` in-flight groups,
+  *  - the PARTIAL node FLUSHES its whole heap map downstream and starts
+  *    fresh. A group may then emit ≤ k rows per flush instead of ≤ k per
+  *    partition — more shuffle bytes, identical answer, since the final
+  *    node re-aggregates whatever reaches it;
+  *  - the FINAL node (which cannot flush — ranks must see the whole
+  *    group) hands everything to a spillable external sort
+  *    ([[org.apache.spark.sql.execution.UnsafeExternalRowSorter]], the
+  *    machinery under SortExec) keyed (group, order) and streams ranked
+  *    rows off the sorted run, exactly the sort-based fallback
+  *    ObjectHashAggregate uses. Rows its heaps already discarded stay
+  *    discarded — they ranked below k within a group this partition owns
+  *    entirely, so they can never reach the top k.
   */
 case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
                             k: Int, rankAttr: Attribute, partial: Boolean,
@@ -86,6 +103,9 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
     val limit = k
     val childOutput = child.output
     val isPartial = partial
+    val maxGroups = conf.getConfString(
+      "spark.graft.topk.maxGroupsInMemory", (1 << 21).toString).toInt
+    require(maxGroups > 0, s"maxGroupsInMemory must be positive, got $maxGroups")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(groupExprs, childOutput)
       // generated comparator over the child row — evaluates the SortOrder
@@ -96,9 +116,10 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
         override def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(b, a)
       }
       val groups = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = keyProj(row)
+
+      // offer a row to its group's heap, creating the heap if absent;
+      // caller guarantees map-size headroom for the create
+      def offer(row: InternalRow, key: UnsafeRow): Unit = {
         var heap = groups.get(key)
         if (heap == null) {
           heap = new java.util.PriorityQueue[InternalRow](limit, heapCmp)
@@ -109,10 +130,35 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
           heap.poll(); heap.add(row.copy())
         }
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+
       if (isPartial) {
-        groups.forEach((_, heap) => { heap.forEach(r => out += r) })
-        out.iterator
+        // Streaming flush: drain the whole map downstream whenever a new
+        // group would push it past maxGroups, so per-task state is capped
+        // at maxGroups × k rows no matter the partition's cardinality.
+        new Iterator[InternalRow] {
+          private var flushed: Iterator[InternalRow] = Iterator.empty
+          private var inputDone = false
+          private def drain(): Iterator[InternalRow] = {
+            val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+            groups.forEach((_, heap) => heap.forEach(r => buf += r))
+            groups.clear()
+            buf.iterator
+          }
+          private def pump(): Unit = {
+            while (!flushed.hasNext && !inputDone) {
+              if (!iter.hasNext) { inputDone = true; flushed = drain() }
+              else {
+                val row = iter.next()
+                val key = keyProj(row)
+                if (!groups.containsKey(key) && groups.size >= maxGroups)
+                  flushed = drain() // emit, then keep processing this row fresh
+                offer(row, key)
+              }
+            }
+          }
+          override def hasNext: Boolean = { pump(); flushed.hasNext }
+          override def next(): InternalRow = { pump(); flushed.next() }
+        }
       } else {
         val withRank = UnsafeProjection.create(
           childOutput.zipWithIndex.map { case (a, i) =>
@@ -121,24 +167,91 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
           childOutput :+ rankAttr)
         val rankRow = new GenericInternalRow(1)
         val joined = new JoinedRow
-        groups.forEach { (_, heap) =>
-          val rows = new Array[InternalRow](heap.size)
-          var i = rows.length - 1
-          while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // poll worst-first
-          var r = 0
-          while (r < rows.length) {
-            rankRow.update(0, r + 1)
-            out += withRank(joined(rows(r), rankRow)).copy()
-            r += 1
-          }
+        var sorter: org.apache.spark.sql.execution.UnsafeExternalRowSorter = null
+        val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
+        def asUnsafe(r: InternalRow): UnsafeRow = r match {
+          case u: UnsafeRow => u
+          case other => toUnsafe(other)
         }
-        out.iterator
+        while (iter.hasNext && sorter == null) {
+          val row = iter.next()
+          val key = keyProj(row)
+          if (!groups.containsKey(key) && groups.size >= maxGroups) {
+            // Sort-based fallback: everything retained so far plus the rest
+            // of the input goes through a spillable external sort keyed
+            // (group, order); rows the heaps already evicted ranked below k
+            // in a fully-local group and are correctly gone.
+            sorter = TopKPerGroupExec.makeSorter(childOutput, groupExprs, sortOrder)
+            groups.forEach((_, heap) => heap.forEach(r => sorter.insertRow(asUnsafe(r))))
+            groups.clear()
+            sorter.insertRow(asUnsafe(row))
+          } else offer(row, key)
+        }
+        if (sorter != null) {
+          while (iter.hasNext) sorter.insertRow(asUnsafe(iter.next()))
+          val tc = org.apache.spark.TaskContext.get()
+          if (tc != null) tc.addTaskCompletionListener[Unit](_ => sorter.cleanupResources())
+          var prevKey: UnsafeRow = null
+          var emitted = 0
+          sorter.sort().flatMap { row =>
+            val key = keyProj(row)
+            if (prevKey == null || key != prevKey) { prevKey = key.copy(); emitted = 0 }
+            if (emitted < limit) {
+              emitted += 1
+              rankRow.update(0, emitted)
+              Some(withRank(joined(row, rankRow)): InternalRow)
+            } else None
+          }
+        } else {
+          val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+          groups.forEach { (_, heap) =>
+            val rows = new Array[InternalRow](heap.size)
+            var i = rows.length - 1
+            while (i >= 0) { rows(i) = heap.poll(); i -= 1 } // poll worst-first
+            var r = 0
+            while (r < rows.length) {
+              rankRow.update(0, r + 1)
+              out += withRank(joined(rows(r), rankRow)).copy()
+              r += 1
+            }
+          }
+          out.iterator
+        }
       }
     }, preservesPartitioning = true)
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
     copy(child = newChild)
+}
+
+object TopKPerGroupExec {
+  /** Spillable external sorter over (group keys asc, then the top-k order) —
+    * the same machinery SortExec runs on. Constant zero prefix + no radix:
+    * every comparison goes through the generated full-row ordering, which
+    * keeps this a cold-fallback-only code path with no prefix-encoding
+    * subtleties.
+    */
+  private[plans] def makeSorter(
+      childOutput: Seq[Attribute], groupExprs: Seq[Expression],
+      order: Seq[SortOrder]): org.apache.spark.sql.execution.UnsafeExternalRowSorter = {
+    import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+    val fullOrder = groupExprs.map(e => SortOrder(e, Ascending)) ++ order
+    val ordering = GenerateOrdering.generate(fullOrder, childOutput)
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val p = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow): UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        p.value = 0L; p.isNull = false; p
+      }
+    }
+    UnsafeExternalRowSorter.create(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.fromAttributes(childOutput),
+      ordering,
+      org.apache.spark.util.collection.unsafe.sort.PrefixComparators.LONG,
+      prefixComputer,
+      org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes,
+      false)
+  }
 }
 
 /** DataFrame-level entry: installs [[TopKStrategy]] into the session (an
@@ -156,6 +269,9 @@ object TopKPlans {
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
                    orderCols: Seq[(String, Boolean)], k: Int,
                    rankName: String = "rnk"): DataFrame = {
+    require(groupCols.nonEmpty,
+      "topKPerGroup needs at least one group column (ClusteredDistribution(Nil) " +
+        "is unplannable); for a global top-k use orderBy(...).limit(k)")
     val spark = df.sparkSession
     ensureInstalled(spark)
     val analyzed = df.queryExecution.analyzed

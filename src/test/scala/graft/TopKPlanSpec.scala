@@ -84,6 +84,45 @@ class TopKPlanSpec extends SparkSuite {
     assert(sorts.isEmpty, s"bounded heaps must not plan a SortExec:\n$plan")
   } }
 
+  test("topKPerGroup rejects an empty group-column list") {
+    intercept[IllegalArgumentException] {
+      TopKPlans.topKPerGroup(ord, Seq.empty, Seq("o_totalprice" -> false), 3)
+    }
+  }
+
+  private def withMaxGroups[T](n: Int)(f: => T): T = {
+    spark.conf.set("spark.graft.topk.maxGroupsInMemory", n.toString)
+    try f finally spark.conf.unset("spark.graft.topk.maxGroupsInMemory")
+  }
+
+  test("high-cardinality groups: partial flush + final sort fallback stay exact") {
+    // 500k distinct groups, 2 rows each, with the in-memory cap forced down
+    // to 512 groups — both the partial flush path and the final node's
+    // spillable-sort fallback are exercised (each task sees far more groups
+    // than the cap) and must still produce the exact window answer.
+    withMaxGroups(512) {
+      val df = spark.range(1000000L)
+        .select((col("id") % 500000L).as("g"), col("id").as("v"))
+        .repartition(4)
+      val got = TopKPlans.topKPerGroup(df, Seq("g"), Seq("v" -> false), 1)
+      assert(got.count() == 500000L)
+      // spot-check values without materializing 500k rows for compare
+      val sample = got.filter(col("g") < 100).orderBy("g")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      val want = (0L until 100L).map(g => (g, g + 500000L, 1)).toArray
+      assert(sample.sameElements(want))
+    }
+  }
+
+  test("capped run equals uncapped run on the orders workload (k > 1, ties of size < k)") {
+    val uncapped = viaCustom(3).orderBy("o_orderpriority", "rnk")
+      .collect().map(_.toSeq).toSeq
+    val capped = withMaxGroups(1) {
+      viaCustom(3).orderBy("o_orderpriority", "rnk").collect().map(_.toSeq).toSeq
+    }
+    assert(capped == uncapped)
+  }
+
   test("partial side bounds rows crossing the shuffle to k per group per partition") { withoutAqe {
     val df = ord.select("o_orderkey", "o_orderpriority", "o_totalprice")
       .repartition(4)
