@@ -193,4 +193,27 @@ class PropertySpec extends SparkSuite {
       assert(bad == 0L, s"n=$n: $bad rows disagree with the HOF plan")
     }
   }
+
+  test("q_approx_distinct: HLL++ estimates land within 3·rsd of exact counts") {
+    // The one registered no-oracle aggregate (approx != approx across
+    // engines) gets its error bound pinned here instead: at rsd=0.01 the
+    // estimate must sit within 3 standard errors of countDistinct — the
+    // same columns and rsd the registered query uses.
+    val li = Tables(spark, sf, "lineitem")
+    val row = li.agg(
+      countDistinct($"l_partkey").as("exact_parts"),
+      approx_count_distinct($"l_partkey", 0.01).as("approx_parts"),
+      countDistinct($"l_orderkey").as("exact_orders"),
+      approx_count_distinct($"l_orderkey", 0.01).as("approx_orders")).head()
+    for ((exact, approx, nm) <- Seq(
+        (row.getLong(0), row.getLong(1), "l_partkey"),
+        (row.getLong(2), row.getLong(3), "l_orderkey"))) {
+      val relErr = math.abs(approx - exact).toDouble / exact
+      assert(relErr <= 3 * 0.01,
+        s"$nm: approx $approx vs exact $exact — rel err $relErr exceeds 3*rsd")
+    }
+    // and the registered query itself returns the same estimates
+    val q = SparkEntry.queries("q_approx_distinct")(spark, sf).head()
+    assert(q.getLong(0) == row.getLong(1) && q.getLong(1) == row.getLong(3))
+  }
 }
