@@ -21,23 +21,26 @@ object BloomOps {
   /** `fact` reduced to rows whose `factKey` might appear in `dim.dimKey`.
     * Exactly the semi-join rows plus ≤ fpp false positives; null keys drop
     * (a null never equi-joins). One action on `dim` to build the sketch.
+    * The probe is a codegen'd native expression
+    * ([[graft.functions.SketchExpressions.BloomMightContain]]) carrying the
+    * sketch as a plan reference object — the fact-side scan stays inside
+    * whole-stage codegen with no per-row boxing (plan-pinned: no ScalaUDF).
     * Probe type follows the fact column's type — integral keys probe as
-    * long, strings as string (matching how `stat.bloomFilter` inserted the
-    * dim side); anything else is rejected loudly rather than silently
+    * long, strings as UTF-8 bytes (matching how `stat.bloomFilter` inserted
+    * the dim side); anything else is rejected loudly rather than silently
     * filtering everything out with a mistyped probe.
     */
   def bloomReduce(fact: DataFrame, dim: DataFrame,
                   factKey: String, dimKey: String,
                   expectedItems: Long, fpp: Double = 0.01): DataFrame = {
     import org.apache.spark.sql.types._
+    import graft.functions.SketchExpressions
     val bf = dim.stat.bloomFilter(dimKey, expectedItems, fpp)
     val might = fact.schema(factKey).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        udf((k: java.lang.Long) => k != null && bf.mightContain(k.longValue()))
-          .apply(col(factKey).cast("long"))
+        SketchExpressions.bloomMightContain(col(factKey).cast("long"), bf)
       case StringType =>
-        udf((k: String) => k != null && bf.mightContainString(k))
-          .apply(col(factKey))
+        SketchExpressions.bloomMightContain(col(factKey), bf)
       case other =>
         throw new IllegalArgumentException(
           s"bloomReduce: unsupported key type $other for '$factKey' " +

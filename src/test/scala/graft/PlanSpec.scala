@@ -105,15 +105,17 @@ class PlanSpec extends SparkSuite {
     assert(exchanges <= 1, s"dedup should shuffle once on the key, got $exchanges:\n$p")
   }
 
-  test("q_bloom_join: bloom filter applied to the fact side BEFORE the join") {
+  test("q_bloom_join: native bloom probe on the fact side BEFORE the join, no ScalaUDF") {
     val df = SparkEntry.queries("q_bloom_join")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
-    // the UDF filter must sit under the join, not above it
+    // the probe filter must sit under the join, not above it
     val joinIdx = p.linesIterator.indexWhere(l =>
       l.contains("HashJoin") || l.contains("SortMergeJoin"))
-    val filterIdx = p.linesIterator.indexWhere(_.contains("UDF(l_orderkey"))
+    val filterIdx = p.linesIterator.indexWhere(_.contains("graft_bloom_might_contain"))
     assert(joinIdx >= 0 && filterIdx > joinIdx,
-      s"bloom UDF filter should be below the join in the plan tree:\n$p")
+      s"bloom probe filter should be below the join in the plan tree:\n$p")
+    assert(!p.contains("UDF"),
+      s"bloom probe must be the codegen'd native expression, not a ScalaUDF:\n$p")
   }
 
   test("q_gap_fill: spine is explode(sequence), never a cartesian join") {
