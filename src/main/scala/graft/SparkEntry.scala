@@ -1876,16 +1876,18 @@ private[graft] object Queries {
       | sha256(text) AS content_sha
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Partition-wise stubbed decode (schema/batch plumbing; deterministic
-    * fake codec) — no SQL oracle, unit-tested. The 8-bin feature vector is
-    * flattened to scalar columns f0..f7 here: the driver's rows-only check
-    * sorts the result with pandas, which cannot sort array cells.
+  /** Partition-wise REAL image decode: deterministic PNGs synthesized from
+    * doc ids ([[MultimodalOps.pngFor]]) flow through `javax.imageio` and
+    * come back with true pixel dimensions plus a luminance-histogram
+    * feature vector. No SQL oracle (DuckDB has no image codec); the
+    * dimension contract (decoded == synthesized) is spec-verified in
+    * `MultimodalSpec`, the driver records a rows-only check. The 8-bin
+    * feature vector is flattened to scalar columns f0..f7 here: the
+    * driver's rows-only check sorts with pandas, which cannot sort array
+    * cells.
     */
   def multimodalDecode(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = MultimodalOps.attachBinary(Tables.documents(s, d), "text", "image/fake")
-      .select(col("doc_id"), col("media_type"), col("content"))
-      .as[MultimodalOps.MediaRecord]
+    val media = MultimodalOps.synthesizeImages(Tables.documents(s, d), "doc_id")
     val decoded = MultimodalOps.decodeFeatures(media).toDF()
     val featCols = (0 until 8).map(i => col("features").getItem(i).as(s"f$i"))
     decoded

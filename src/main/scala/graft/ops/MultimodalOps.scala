@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, decode/feature-extract as
   * partition-wise batch functions.
   *
-  * The Spark-side contract (schema, partitioning, batch shape) is real and
-  * tested; the actual codec call is STUBBED with a deterministic fake
-  * because no image/audio libraries ship in this container — swap
-  * [[StubCodec.decode]] for a real decoder (e.g. javax.imageio / ffmpeg via
-  * mapPartitions, or a Pandas UDF under PySpark) in production.
+  * Image payloads decode FOR REAL through `javax.imageio` (ships in the
+  * JDK): true width/height plus a luminance-histogram feature vector, with
+  * corrupt bytes degrading gracefully to sentinel dimensions. Non-image
+  * media (no audio/video codec ships in this container) still goes through
+  * the deterministic [[StubCodec]] — swap it for ffmpeg-style decoders in
+  * production; the Spark-side contract (schema, partitioning, batch shape)
+  * is identical either way.
   */
 object MultimodalOps {
 
@@ -33,8 +35,85 @@ object MultimodalOps {
       .withColumn("n_bytes", length(col("content")))
       .withColumn("content_sha", sha2(col(textCol), 256))
 
-  /** STUB: deterministic fake decoder. A real implementation would hand the
-    * byte buffer to a codec; this derives stable pseudo-dimensions and a
+  /** Real image decoder over the JDK's `javax.imageio` — no external
+    * libraries. Returns TRUE pixel dimensions and an 8-bin luminance
+    * histogram (L1-normalized) as the feature vector. Bytes that fail to
+    * decode (truncated file, wrong magic, not an image at all) degrade
+    * gracefully to `width = height = -1` with the byte-histogram features
+    * of [[StubCodec]] — the row survives, flagged, instead of failing the
+    * task; a downstream `width > 0` filter is the quality gate.
+    */
+  object ImageCodec {
+    // decode from memory, not via ImageIO's default temp-file cache — the
+    // payload is already an in-heap byte array
+    javax.imageio.ImageIO.setUseCache(false)
+
+    def decode(r: MediaRecord): DecodedMedia = {
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.content))
+        catch { case _: Exception => null }
+      if (img == null || img.getWidth <= 0 || img.getHeight <= 0) {
+        val stub = StubCodec.decode(r)
+        stub.copy(width = -1, height = -1)
+      } else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val hist = new Array[Float](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+              (rgb & 0xFF) * 114) / 1000
+            hist(luma >> 5) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        DecodedMedia(r.doc_id, r.media_type, r.content.length, w, h, hist.map(_ / n))
+      }
+    }
+  }
+
+  /** Deterministic PNG synthesis — the test/bench image corpus. Dimensions
+    * derive from the id (`8 + id % 16` × `8 + (id/16) % 16`), pixels from a
+    * 64-bit mix of (id, x, y), so a decoder's output is predictable without
+    * shipping binary fixtures. The JDK PNG writer is deterministic for a
+    * given raster.
+    */
+  def pngFor(id: Long): Array[Byte] = {
+    val w = 8 + (id % 16).toInt
+    val h = 8 + ((id / 16) % 16).toInt
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var z = id * 0x9E3779B97F4A7C15L + x * 0xC2B2AE3D27D4EB4FL + y * 0x165667B19E3779F9L
+        z ^= z >>> 29; z *= 0xBF58476D1CE4E5B9L; z ^= z >>> 32
+        img.setRGB(x, y, (z & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** id column → deterministic PNG media rows (the image-corpus builder
+    * used by the decode query and specs). Partition-wise, no shuffle.
+    */
+  def synthesizeImages(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => MediaRecord(id, "image/png", pngFor(id)))
+  }
+
+  /** STUB: deterministic fake decoder for media types with no in-container
+    * codec (audio/video). Derives stable pseudo-dimensions and a
     * byte-statistics feature vector so the distributed plumbing (schema,
     * batching, partition boundaries) is fully exercised and testable.
     */
@@ -58,10 +137,15 @@ object MultimodalOps {
   /** Partition-wise decode: the Scala analogue of `mapInPandas` — each task
     * streams its partition through the codec without collecting to the
     * driver. Narrow op: no shuffle, parallelism = input partitions.
+    * Dispatches on media_type: images through the real [[ImageCodec]],
+    * everything else through [[StubCodec]].
     */
   def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
-    ds.mapPartitions(_.map(StubCodec.decode))
+    ds.mapPartitions(_.map { r =>
+      if (r.media_type != null && r.media_type.startsWith("image/")) ImageCodec.decode(r)
+      else StubCodec.decode(r)
+    })
   }
 
   /** Frame-sampling shape for video-like payloads: split the payload into

@@ -51,6 +51,45 @@ class MultimodalSpec extends SparkSuite {
     d1.foreach(r => assert(r.n_bytes == nb(r.doc_id)))
   }
 
+  test("ImageCodec: decoded dimensions equal the synthesized PNG's true dimensions") {
+    val media = MultimodalOps.synthesizeImages(docs, "doc_id").repartition(5)
+    val decoded = MultimodalOps.decodeFeatures(media).collect()
+    assert(decoded.length == 200)
+    decoded.foreach { r =>
+      val (w, h) = (8 + (r.doc_id % 16).toInt, 8 + ((r.doc_id / 16) % 16).toInt)
+      assert(r.width == w && r.height == h,
+        s"doc ${r.doc_id}: decoded ${r.width}x${r.height}, synthesized ${w}x$h")
+      assert(math.abs(r.features.sum - 1.0f) < 1e-3,
+        "luminance histogram must be L1-normalized")
+      assert(r.n_bytes > 0)
+    }
+  }
+
+  test("ImageCodec: corrupt and truncated image bytes degrade gracefully") {
+    import spark.implicits._
+    val goodPng = MultimodalOps.pngFor(7L)
+    val rows = Seq(
+      MediaRecord(1L, "image/png", goodPng),
+      MediaRecord(2L, "image/png", Array[Byte](1, 2, 3, 4)), // wrong magic
+      MediaRecord(3L, "image/png", goodPng.take(20)), // truncated header
+      MediaRecord(4L, "image/png", Array.empty[Byte]),
+      MediaRecord(5L, "audio/wav", Array[Byte](82, 73, 70, 70)) // stub path
+    ).toDS()
+    val out = MultimodalOps.decodeFeatures(rows).collect().sortBy(_.doc_id)
+    assert(out.length == 5, "corrupt rows must survive, not kill the task")
+    assert(out(0).width == 15 && out(0).height == 8) // 8 + 7%16, 8 + 0
+    for (r <- out.slice(1, 4))
+      assert(r.width == -1 && r.height == -1, s"doc ${r.doc_id} should flag undecodable")
+    assert(out(4).width >= 64, "non-image media keeps the stub codec contract")
+  }
+
+  test("q_multimodal_decode: registered query returns real dims for every doc") {
+    val q = SparkEntry.queries("q_multimodal_decode")(spark, sf)
+    val bad = q.filter(col("width") < 8 || col("height") < 8 ||
+      col("width") =!= (lit(8) + col("doc_id") % 16)).count()
+    assert(bad == 0L, "every synthesized PNG must decode to its true dimensions")
+  }
+
   test("sampleFrames: full cover at stride 1, every stride-th frame kept") {
     val m = MultimodalOps.attachBinary(docs.limit(20), "text", "text/plain")
     val all = MultimodalOps.sampleFrames(m, frameBytes = 16, stride = 1)
