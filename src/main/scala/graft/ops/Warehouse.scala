@@ -115,6 +115,36 @@ object Warehouse {
     out
   }
 
+  // ---------------------------------------------------------------- S6 (JDBC)
+  /** Warehouse load over JDBC — the reference's actual sink
+    * (load.py:29-32 psycopg2 connection, load.py:96 `COPY ... NULL ''`):
+    * empty strings become SQL NULL on the way in, matching the COPY
+    * convention where a zero-length TSV field denotes NULL. Each executor
+    * task opens its own connection and batch-inserts its partition, so
+    * load parallelism = DataFrame partitioning (cap with
+    * `df.coalesce(n)` to respect the database's connection budget — at
+    * warehouse scale the DB, not Spark, is the bottleneck).
+    */
+  def loadJdbc(df: DataFrame, url: String, table: String,
+               props: java.util.Properties, mode: String = "overwrite"): Unit = {
+    val blanked = df.schema.fields
+      .filter(_.dataType == org.apache.spark.sql.types.StringType)
+      .foldLeft(df) { (d, f) =>
+        d.withColumn(f.name,
+          when(col(f.name) === "", lit(null)).otherwise(col(f.name)))
+      }
+    blanked.write.mode(mode).jdbc(url, table, props)
+  }
+
+  /** Read a warehouse table back over JDBC. For large tables pass
+    * partitioning options (partitionColumn/lowerBound/upperBound/
+    * numPartitions) via `props` so the scan parallelizes; unpartitioned
+    * JDBC reads are single-task.
+    */
+  def readJdbc(spark: SparkSession, url: String, table: String,
+               props: java.util.Properties): DataFrame =
+    spark.read.jdbc(url, table, props)
+
   /** Small-file compaction: rewrite a parquet dir into
     * ⌈bytes / targetFileBytes⌉ files via the same crash-safe staged swap
     * as [[mergeReplaceParquet]]. The streaming-ingest pattern (one file

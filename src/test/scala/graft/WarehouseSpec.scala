@@ -142,6 +142,36 @@ class WarehouseSpec extends SparkSuite {
       (3, 20, "N", None, true)))
   }
 
+  test("S6: JDBC load round-trips through embedded Derby with the NULL-'' convention") {
+    // The reference's warehouse sink is a real database (load.py:29-32);
+    // exercise the df.write.format("jdbc") path against the in-process
+    // Derby that ships with Spark — no network DB needed. Blank strings
+    // must land as SQL NULL (COPY ... NULL '' semantics, load.py:96).
+    import spark.implicits._
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftwh;create=true"
+    val df = Seq(
+      (1L, "BROOKLYN", "F"),
+      (2L, "", "M"), // blank borough -> NULL in the warehouse
+      (3L, "QUEENS", "")
+    ).toDF("arrest_key", "boro", "law_cat")
+    graft.ops.Warehouse.loadJdbc(df, url, "arrests", props)
+    val back = graft.ops.Warehouse.readJdbc(spark, url, "arrests", props)
+    assert(back.count() == 3)
+    val byKey = back.collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    assert(byKey(1L) == ("BROOKLYN", "F"))
+    assert(byKey(2L) == (null, "M"), "blank string must round-trip as SQL NULL")
+    assert(byKey(3L) == ("QUEENS", null))
+    // overwrite mode is idempotent: reloading replaces, not duplicates
+    graft.ops.Warehouse.loadJdbc(df, url, "arrests", props)
+    assert(graft.ops.Warehouse.readJdbc(spark, url, "arrests", props).count() == 3)
+    // append mode adds
+    graft.ops.Warehouse.loadJdbc(df.filter($"arrest_key" === 1L), url, "arrests",
+      props, mode = "append")
+    assert(graft.ops.Warehouse.readJdbc(spark, url, "arrests", props).count() == 4)
+  }
+
   test("scd2Apply: late-arriving update slots into the middle of history") {
     val dim = Seq((1, 10, "A"), (1, 30, "C")).toDF("k", "ts", "attr")
     val upd = Seq((1, 20, "B")).toDF("k", "ts", "attr")
