@@ -41,6 +41,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    fields (column pruning into the "wire format").
   *  - One `InputPartition` per page → pages fetch/parse in parallel across
   *    executors, unlike the reference's serial page loop.
+  *  - Bounded per-page retry with exponential backoff (`fetchRetries` /
+  *    `fetchBackoffMs` reader options) — the reference's tenacity policy
+  *    (`scripts/extract.py:56` `@retry`, SURVEY I4) applied at the unit
+  *    that actually fails, the page fetch. A transient fault costs one
+  *    page re-read, not the Spark task (and certainly not the stage); a
+  *    fault that outlives the budget rethrows and surfaces through
+  *    Spark's own task-retry ladder.
   */
 class PagedJsonTableProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
@@ -62,10 +69,13 @@ class PagedTable(path: String, schema: StructType) extends Table with SupportsRe
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(path, schema)
+    new PagedScanBuilder(path, schema,
+      RetryPolicy(options.getInt("fetchRetries", 3),
+        options.getLong("fetchBackoffMs", 50L)))
 }
 
-class PagedScanBuilder(path: String, fullSchema: StructType)
+class PagedScanBuilder(path: String, fullSchema: StructType,
+                       retry: RetryPolicy = RetryPolicy(3, 50L))
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
 
@@ -122,11 +132,12 @@ class PagedScanBuilder(path: String, fullSchema: StructType)
   }
 
   override def build(): Scan =
-    new PagedScan(path, manifest, required, lowerBound, upperBound, limit)
+    new PagedScan(path, manifest, required, lowerBound, upperBound, limit, retry)
 }
 
 class PagedScan(path: String, manifest: PagedManifest, required: StructType,
-                lower: Option[Long], upper: Option[Long], limit: Option[Int])
+                lower: Option[Long], upper: Option[Long], limit: Option[Int],
+                retry: RetryPolicy = RetryPolicy(3, 50L))
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -155,8 +166,9 @@ class PagedScan(path: String, manifest: PagedManifest, required: StructType,
           take
         }
     }
-    admitted.map(p => PagedInputPartition(s"$path/${p.file}", manifest.schema, required)
-      : InputPartition).toArray
+    admitted.map(p =>
+      PagedInputPartition(s"$path/${p.file}", manifest.schema, required, retry)
+        : InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -166,19 +178,61 @@ class PagedScan(path: String, manifest: PagedManifest, required: StructType,
     }
 }
 
+/** Per-page retry budget: up to `maxAttempts` fetches, exponential backoff
+  * starting at `backoffMs` (50 → 100 → 200…, the extract.py tenacity shape).
+  */
+case class RetryPolicy(maxAttempts: Int, backoffMs: Long) {
+  require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
+}
+
+/** The page-fetch boundary, retryable as a unit. `faultInjector` lets specs
+  * inject transient/permanent fetch failures exactly where a flaky HTTP GET
+  * would fail — a no-op in production.
+  */
+object PagedFetch {
+  @volatile var faultInjector: String => Unit = _ => ()
+
+  /** Fetch a whole page (the retry unit — a partially-read page is never
+    * exposed), retrying per `policy`; rethrows the last failure once the
+    * budget is spent so Spark's task-level ladder takes over.
+    */
+  def fetchLines(file: String, policy: RetryPolicy): Iterator[String] = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      try {
+        faultInjector(file)
+        val reader = new BufferedReader(new FileReader(file))
+        try {
+          val buf = ArrayBuffer[String]()
+          var line = reader.readLine()
+          while (line != null) { buf += line; line = reader.readLine() }
+          return buf.iterator
+        } finally reader.close()
+      } catch {
+        case e: Exception if attempt < policy.maxAttempts =>
+          Thread.sleep(policy.backoffMs << (attempt - 1))
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
 case class PagedInputPartition(file: String, fullSchema: StructType,
-                               required: StructType) extends InputPartition
+                               required: StructType,
+                               retry: RetryPolicy = RetryPolicy(3, 50L))
+    extends InputPartition
 
 /** Parses one JSONL page with Jackson, emitting only required columns. */
 class PagedPartitionReader(p: PagedInputPartition) extends PartitionReader[InternalRow] {
   private val mapper = new ObjectMapper()
-  private val reader = new BufferedReader(new FileReader(p.file))
+  private val lines = PagedFetch.fetchLines(p.file, p.retry)
   private var row: InternalRow = _
 
   override def next(): Boolean = {
-    val line = reader.readLine()
-    if (line == null) { false }
+    if (!lines.hasNext) { false }
     else {
+      val line = lines.next()
       val node = mapper.readTree(line)
       val vals = new Array[Any](p.required.length)
       var i = 0
@@ -202,7 +256,7 @@ class PagedPartitionReader(p: PagedInputPartition) extends PartitionReader[Inter
     }
   }
   override def get(): InternalRow = row
-  override def close(): Unit = reader.close()
+  override def close(): Unit = ()
 }
 
 // ------------------------------------------------------------ manifest

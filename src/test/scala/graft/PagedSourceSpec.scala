@@ -72,4 +72,42 @@ class PagedSourceSpec extends SparkSuite {
     assert(df.agg(sum("o_orderkey")).head().getLong(0) ==
       Tables.orders(spark, sf).agg(sum("o_orderkey")).head().getLong(0))
   }
+
+  test("transient page-fetch failures succeed on retry (reference I4)") {
+    // every page fails twice before serving — within the 3-attempt budget,
+    // so the scan must return the complete, exact result
+    val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    graft.sources.PagedFetch.faultInjector = { file =>
+      val n = attempts.merge(file, 1, (a, b) => a + b)
+      if (n <= 2) throw new java.io.IOException(s"injected transient fault #$n on $file")
+    }
+    try {
+      val got = spark.read.format("graft-paged")
+        .option("fetchBackoffMs", "1").load(dir).count()
+      assert(got == Tables.orders(spark, sf).count())
+      assert(attempts.values().stream().allMatch(_ >= 3),
+        "every page should have needed its two retries")
+    } finally graft.sources.PagedFetch.faultInjector = _ => ()
+  }
+
+  test("permanent page-fetch failure surfaces after the retry budget") {
+    val attempts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    graft.sources.PagedFetch.faultInjector = { file =>
+      attempts.merge(file, 1, (a, b) => a + b)
+      throw new java.io.IOException(s"injected permanent fault on $file")
+    }
+    try {
+      val e = intercept[Exception] {
+        spark.read.format("graft-paged")
+          .option("fetchRetries", "2").option("fetchBackoffMs", "1")
+          .load(dir).count()
+      }
+      def rootCauses(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.getMessage +: rootCauses(t.getCause)
+      assert(rootCauses(e).exists(m => m != null && m.contains("injected permanent fault")),
+        s"the injected fault must surface as the failure cause, got: $e")
+      assert(attempts.values().stream().anyMatch(_ >= 2),
+        "the 2-attempt budget should have been spent before failing")
+    } finally graft.sources.PagedFetch.faultInjector = _ => ()
+  }
 }
