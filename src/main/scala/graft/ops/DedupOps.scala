@@ -209,11 +209,13 @@ object DedupOps {
           .select(col("id"), size(col("ids")).as("sz"), col("bits"))
           .localCheckpoint()
         // size-band ints reject most pairs before any popcount runs
-        // (And evaluates left to right). The popcount verify runs in a
-        // PROJECTION after the join, not in the join condition: condition
-        // and projection don't share subexpressions, so an in-condition
-        // bitsetJaccard would be recomputed for every surviving pair —
-        // this shape popcounts each band-passing pair exactly once.
+        // (And evaluates left to right). The jac projection + filter below
+        // gets optimizer-pushed INTO the join condition
+        // (PushPredicateThroughJoin) — the shape we want: a failing pair
+        // dies during condition eval, before a join output row ever
+        // materializes; only surviving pairs pay a second popcount in the
+        // projection. Pinned in DedupSpec so a planner change can't
+        // silently regress to materialize-all-pairs-then-filter.
         return broadcast(withBits.as("a")).join(withBits.as("b"),
             col("a.id") < col("b.id") &&
               col("b.sz") >= ceilSafe(col("a.sz") * threshold) &&

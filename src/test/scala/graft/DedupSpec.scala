@@ -8,6 +8,62 @@ class DedupSpec extends SparkSuite {
 
   private lazy val docs = Tables.documents(spark, sf).cache()
 
+  private def withConfs[T](kv: (String, String)*)(f: => T): T = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  test("AQE splits the hot LSH band bucket: per-task input bounded under adversarial skew") {
+    // One text repeated 400x sends every copy to a single (band, hash)
+    // bucket — the candidate self-join's worst case. With skew-join
+    // thresholds scaled to test data (the 100 TB defaults, 256 MB/medians,
+    // scaled down ~1000x), AQE must split that reducer instead of running
+    // one giant task — this pins the runtime half of the dedup family's
+    // skew posture; the algorithmic half (banding bounds bucket size in
+    // expectation) is argued at DedupOps.minhashLshPairs.
+    // NOTE the thresholds compare COMPRESSED map-output bytes, and 800
+    // identical signatures lz4 down to a few KB — the cold side must stay
+    // tiny and thresholds low for the skew to be visible at test scale.
+    val hot = (0L until 800L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog again and again"))
+    val cold = (800L until 808L).map(i =>
+      (i, s"unique filler document number $i carrying words ${i * 7} and ${i * 13}"))
+    val df = (hot ++ cold).toDF("doc_id", "text").repartition(4)
+    withConfs(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2k",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1k",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1") {
+      val pairs = DedupOps.minhashLshPairs(df, "doc_id", "text",
+        n = 3, k = 64, bands = 1, threshold = 0.9)
+      val qe = pairs.queryExecution
+      // execute THIS plan (a fresh count() would build a different one)
+      val n = qe.executedPlan.execute().count()
+      assert(n >= 800L * 799 / 2, s"all hot pairs must survive the split, got $n")
+      val plan = qe.executedPlan.toString
+      assert(plan.contains("skewed"),
+        s"AQE skew handling must engage on the hot band bucket:\n$plan")
+    }
+  }
+
+  test("bitset-tier Jaccard join: threshold check runs inside the join condition") {
+    // the jac >= t filter must push into the broadcast join's condition so
+    // failing pairs die before a pair row materializes
+    val df = docs.limit(50).select(col("doc_id"), col("text"))
+    val pairs = DedupOps.jaccardPairsGlobal(df, "doc_id", "text", 3, 0.5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    val joinLine = plan.linesIterator.find(_.contains("BroadcastNestedLoopJoin")).getOrElse("")
+    assert(joinLine.contains("graft_bitset_jaccard"),
+      s"bitset verify must sit in the join condition, not a post-join filter:\n$plan")
+  }
+
   test("minhash estimate tracks exact jaccard (±0.2) on identical/disjoint") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
