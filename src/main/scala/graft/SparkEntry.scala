@@ -2482,6 +2482,30 @@ private[graft] object Queries {
     """SELECT c_custkey, c_name, c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** S6: warehouse load through a real database — the reference's actual
+    * sink (scripts/load.py:29-32 psycopg2; :96 `COPY ... NULL ''`).
+    * Supplier rows overwrite-load into in-process Derby via
+    * [[graft.ops.Warehouse.loadJdbc]] (blank strings → SQL NULL per the
+    * COPY convention) and read back through the JDBC scan; the oracle is
+    * the parquet source, proving the database round-trip is lossless.
+    * s_acctbal goes through an explicit DOUBLE so the JDBC type mapping
+    * can't drift the schema.
+    */
+  def sinkJdbc(s: SparkSession, d: String): DataFrame = {
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftq;create=true"
+    val src = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"),
+      col("s_nationkey"), col("s_acctbal").cast("double").as("s_acctbal"))
+    graft.ops.Warehouse.loadJdbc(src, url, "supplier_stage", props)
+    graft.ops.Warehouse.readJdbc(s, url, "supplier_stage", props)
+      .orderBy("s_suppkey")
+  }
+
+  private val sinkJdbcSql =
+    """SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** Corrupt-record tolerance (the ETL reality: malformed lines in a feed
     * must not kill the job): PERMISSIVE JSONL scan routes bad lines to
     * `_corrupt_record`; good rows survive exactly. The oracle is the
@@ -2628,6 +2652,7 @@ private[graft] object Queries {
     "q_scan_orc" -> (scanOrc _),
     "q_date_format" -> (dateFormat _),
     "q_sink_jsonl" -> (sinkJsonl _),
+    "q_sink_jdbc" -> (sinkJdbc _),
     "q_scan_corrupt" -> (scanCorrupt _),
     "q_text_repetition" -> (repSignals _),
     "q_decontaminate" -> (decontaminateQ _),
@@ -2749,6 +2774,7 @@ private[graft] object Queries {
     "q_scan_orc" -> scanOrcSql,
     "q_date_format" -> dateFormatSql,
     "q_sink_jsonl" -> sinkJsonlSql,
+    "q_sink_jdbc" -> sinkJdbcSql,
     "q_scan_corrupt" -> scanCorruptSql,
     "q_text_repetition" -> repSignalsSql,
     "q_decontaminate" -> decontaminateSql,
