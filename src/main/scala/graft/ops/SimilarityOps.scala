@@ -126,25 +126,23 @@ object SimilarityOps {
   /** Deterministic IVF centroids: seed with the first `c` corpus vectors
     * (by vec_id order), then refine with `iters` Lloyd's rounds as plain
     * DataFrame aggregations — assign each vector to its max-cosine
-    * centroid (broadcast), re-average per cluster (one shuffle per round,
-    * keyed on cluster id). Returns (cluster_id, centroid) rows, collected
-    * — the centroid table is C×dim, driver-small by design.
+    * centroid (a narrow native argmax) and re-average per cluster with
+    * the mergeable [[graft.functions.VecAggs.vecMean]] aggregator: ONE
+    * hash shuffle per round moving ≤ c × partitions (sum-vector, count)
+    * buffers. (The posexplode/avg alternative shuffles every
+    * (row, dimension) element — a dim× blowup of the corpus per round.)
+    * Returns (cluster_id, centroid) rows, collected — the centroid table
+    * is C×dim, driver-small by design.
     */
   def ivfCentroids(corpus: DataFrame, c: Int, iters: Int): DataFrame = {
-    val spark = corpus.sparkSession
     var centroids = corpus.orderBy("vec_id").limit(c)
       .select(monotonically_increasing_id().as("cluster_id"),
         col("embedding").cast("array<double>").as("centroid"))
     for (_ <- 0 until iters) {
       val assigned = assignClusters(corpus, centroids)
-      centroids = assigned
-        .select(col("cluster_id"),
-          posexplode(col("embedding")).as(Seq("d", "v")))
-        .groupBy("cluster_id", "d").agg(avg("v").as("m"))
-        .groupBy("cluster_id")
-        .agg(array_sort(collect_list(struct(col("d"), col("m")))).as("dm"))
-        .select(col("cluster_id"),
-          expr("transform(dm, x -> CAST(x.m AS DOUBLE))").as("centroid"))
+      centroids = assigned.groupBy("cluster_id")
+        .agg(graft.functions.VecAggs.vecMean(
+          col("embedding").cast("array<double>")).as("centroid"))
     }
     centroids
   }

@@ -81,6 +81,23 @@ class SimilaritySpec extends SparkSuite {
     assert(counts.count() <= 8)
   }
 
+  test("vecMean aggregator == per-dimension explode/avg under any partitioning") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sf)
+      .select((col("vec_id") % 7).as("g"), col("embedding").cast("array<double>").as("v"))
+    for (parts <- Seq(1, 5)) {
+      val df = emb.repartition(parts)
+      val fast = df.groupBy("g")
+        .agg(graft.functions.VecAggs.vecMean(col("v")).as("m"))
+        .select(col("g"), posexplode(col("m")).as(Seq("d", "mv")))
+      val slow = df.select(col("g"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("g", "d").agg(avg("x").as("mv"))
+      val bad = fast.as("a").join(slow.as("b"), Seq("g", "d"))
+        .filter(abs(col("a.mv") - col("b.mv")) > 1e-9).count()
+      assert(bad == 0L, s"parts=$parts: $bad (group, dim) means disagree")
+    }
+  }
+
   test("multi-table LSH top-k reaches ≥0.3 recall@10 vs brute force") {
     val brute = SimilarityOps.bruteForceTopK(emb.filter($"vec_id" < 5), emb, 10)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSet
