@@ -15,16 +15,19 @@ object Warehouse {
     * (load.py:146 `ON CONFLICT DO NOTHING` within a chunk = first row per
     * key wins; we order explicitly so the winner is stable across runs).
     *
-    * Single shuffle on the key columns; the window + filter compiles to one
-    * sort within each hash partition. At 100 TB the key hash-partitions
-    * evenly as long as keys are high-cardinality (PKs are).
+    * Planned through the bounded [[graft.plans.TopKPerGroupExec]] custom
+    * operator at k = 1: each task keeps ONE candidate row per key (an O(n)
+    * scan, no sort), the single hash exchange moves ≤ 1 row per
+    * (key, map partition), and the final node picks each key's winner —
+    * vs. the window row_number plan, which shuffles every duplicate and
+    * sorts each partition's full contents just to discard all but one row
+    * per key. The tiebreak must totally order rows within a key (same
+    * contract as before) for a stable winner. Same single-exchange shape,
+    * `q_dedup_pk` plan-pinned.
     */
-  def dedupByKey(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(tiebreak: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
+  def dedupByKey(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame =
+    graft.plans.TopKPlans.topKPerGroupSort(df, keys, tiebreak, 1, "__rn")
       .drop("__rn")
-  }
 
   // ---------------------------------------------------------------- D1
   /** Insert-if-absent upsert, first-writer-wins (load.py:107-159

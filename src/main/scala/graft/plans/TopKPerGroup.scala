@@ -268,7 +268,38 @@ object TopKPlans {
 
   def topKPerGroup(df: DataFrame, groupCols: Seq[String],
                    orderCols: Seq[(String, Boolean)], k: Int,
-                   rankName: String = "rnk"): DataFrame = {
+                   rankName: String = "rnk"): DataFrame =
+    planNode(df, groupCols, k, rankName) { attrOf =>
+      orderCols.map { case (c, asc) =>
+        SortOrder(attrOf(c), if (asc) Ascending else Descending)
+      }
+    }
+
+  /** [[topKPerGroup]] taking arbitrary sort COLUMNS (any deterministic
+    * expression over the input, ordered ASCENDING — for descending keys
+    * use the named-column overload). Columns resolve through a throwaway
+    * projection against the input's analyzed plan, because a Spark 4
+    * `Column` is a backend-agnostic node that only becomes a Catalyst
+    * expression under real analysis.
+    */
+  def topKPerGroupSort(df: DataFrame, groupCols: Seq[String],
+                       sortCols: Seq[org.apache.spark.sql.Column], k: Int,
+                       rankName: String = "rnk"): DataFrame =
+    planNode(df, groupCols, k, rankName) { _ =>
+      df.select(sortCols: _*).queryExecution.analyzed match {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.map {
+            case a: Alias => SortOrder(a.child, Ascending)
+            case e => SortOrder(e, Ascending)
+          }
+        case other => throw new IllegalStateException(
+          s"sort-column resolution expected a Project, got ${other.nodeName}")
+      }
+    }
+
+  private def planNode(df: DataFrame, groupCols: Seq[String], k: Int,
+                       rankName: String)
+                      (mkOrder: (String => Attribute) => Seq[SortOrder]): DataFrame = {
     require(groupCols.nonEmpty,
       "topKPerGroup needs at least one group column (ClusteredDistribution(Nil) " +
         "is unplannable); for a global top-k use orderBy(...).limit(k)")
@@ -283,9 +314,7 @@ object TopKPlans {
         s"column $name is ambiguous (${many.size} matches) — alias before topKPerGroup")
     }
     val g = groupCols.map(attrOf)
-    val so = orderCols.map { case (c, asc) =>
-      SortOrder(attrOf(c), if (asc) Ascending else Descending)
-    }
+    val so = mkOrder(attrOf)
     val rank = AttributeReference(rankName, IntegerType, nullable = false)()
     org.apache.spark.sql.GraftShim.dataFrame(spark,
       TopKPerGroup(g, so, k, rank, analyzed))
