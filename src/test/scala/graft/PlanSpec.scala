@@ -99,10 +99,14 @@ class PlanSpec extends SparkSuite {
       s"expected <=2 hash shuffles, got $exchanges:\n$p")
   }
 
-  test("q_dedup_pk: single shuffle keyed on the dedup key") {
+  test("q_dedup_pk: single shuffle keyed on the dedup key, ranked by bounded heaps") {
     val p = plan("q_dedup_pk")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"dedup should shuffle once on the key, got $exchanges:\n$p")
+    assert(p.contains("TopKPerGroup"),
+      s"dedupByKey must rank through the bounded custom operator:\n$p")
+    assert(!p.contains("Window"),
+      s"dedupByKey must not plan a window sort:\n$p")
   }
 
   test("q_bloom_join: native bloom probe on the fact side BEFORE the join, no ScalaUDF") {
