@@ -1714,6 +1714,26 @@ private[graft] object Queries {
       | FROM orders) WHERE rnk <= 5
       |ORDER BY o_orderpriority, rnk""".stripMargin
 
+  /** Per-source document cap — the pretraining mixture-control op ("at
+    * most N docs per source, best first"): top-30 per source by length
+    * with an id tiebreak, through the bounded custom operator — at corpus
+    * scale the shuffle moves ≤ 30 rows per (source, map partition), never
+    * the corpus. Oracle = the window row_number form.
+    */
+  def capPerSource(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopKPlans.topKPerGroup(
+      Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+      Seq("source"), Seq("n_chars" -> false, "doc_id" -> true), k = 30)
+      .orderBy("source", "rnk")
+
+  private val capPerSourceSql =
+    """SELECT doc_id, source, n_chars, rnk FROM (
+      | SELECT doc_id, source, n_chars,
+      |  CAST(row_number() OVER (PARTITION BY source
+      |    ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+      | FROM documents) WHERE rnk <= 30
+      |ORDER BY source, rnk""".stripMargin
+
   /** EXACT corpus heavy hitters via the two-pass Misra–Gries pipeline
     * ([[graft.functions.MisraGries.exactHeavyHitters]]): pass 1 is a
     * bounded-state MG summary (mergeable in any tree shape) whose tracked
@@ -2664,6 +2684,7 @@ private[graft] object Queries {
     "q_variant" -> (variantOp _),
     "q_topk_group" -> (topkGroup _),
     "q_heavy_hitters" -> (heavyHitters _),
+    "q_cap_per_source" -> (capPerSource _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2786,5 +2807,6 @@ private[graft] object Queries {
     "q_variant" -> variantOpSql,
     "q_topk_group" -> topkGroupSql,
     "q_heavy_hitters" -> heavyHittersSql,
+    "q_cap_per_source" -> capPerSourceSql,
   )
 }
