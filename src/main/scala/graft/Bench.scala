@@ -9,7 +9,7 @@ object Bench {
     // at sf0.1). Reported as "over_budget" in the JSON line + a loud
     // stderr banner rather than a nonzero exit — the driver reads rc!=0 as
     // "bench broken", which would bury the signal instead of surfacing it.
-    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "30").toDouble
+    val budgetSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_SEC", "20").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,18 +48,33 @@ object Bench {
     if (overBudget.nonEmpty)
       System.err.println(s"BENCH BUDGET EXCEEDED (> $budgetSec s/query): " +
         overBudget.map(q => s"$q=${sec(steady(q))}s").mkString(", "))
-    val qs = cold.map { case (k, v) => s"\"" + k + "\":" + sec(v) }
-      .mkString("{", ",", "}")
+    def qmap(m: Map[String, Double]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + sec(v) }
+        .mkString("{", ",", "}")
     // a throwing query must be VISIBLE, not a silently-small timing
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val overJson = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${sec(coldTotal)},"unit":"sec","steady_sec":${sec(steadyTotal)},"queries":$qs,"failed":$failedJson,"over_budget":$overJson,"sf":"$sfDir"}""")
-    // The driver's log-tail window is ~2000 chars; the detailed line above
-    // does not fit. Print a compact summary LAST (slowest queries only) so a
+    // "headline":"cold" marks the metric semantics of `value` (the cold
+    // first pass, including codegen/JIT) so round-over-round trend tooling
+    // can tell a metric-definition flip from a real regression.
+    val common = s""""unit":"sec","headline":"cold","steady_sec":${sec(steadyTotal)},"n_queries":${cold.size},"failed":$failedJson,"over_budget":$overJson,"sf":"$sfDir""""
+    // Full two-pass per-query detail goes to a FILE: the driver's log tail
+    // truncates at ~2000 chars, which in r6 cut the per-query map to ~75 of
+    // 128 entries and left steady drift unattributable from the artifact.
+    val detail =
+      s"""{"metric":"total","value":${sec(coldTotal)},$common,"queries_cold":${qmap(cold)},"queries_steady":${qmap(steady)}}"""
+    val detailPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "target/bench_detail.json"))
+    if (detailPath.getParent != null) java.nio.file.Files.createDirectories(detailPath.getParent)
+    java.nio.file.Files.write(detailPath, detail.getBytes("UTF-8"))
+    println(detail)
+    // Compact summary LAST (slowest queries only, both passes) so a
     // fully-parseable JSON line is always inside the tail window.
-    val slow = cold.toSeq.sortBy(-_._2).take(15)
+    val slowKeys = cold.toSeq.sortBy(-_._2).take(8).map(_._1)
+    val slow = slowKeys.map(k => s"\"" + k + "\":" + sec(cold(k))).mkString("{", ",", "}")
+    val slowSteady = steady.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => s"\"" + k + "\":" + sec(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${sec(coldTotal)},"unit":"sec","steady_sec":${sec(steadyTotal)},"n_queries":${cold.size},"queries":$slow,"failed":$failedJson,"over_budget":$overJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${sec(coldTotal)},$common,"queries":$slow,"steady_slowest":$slowSteady,"detail":"${detailPath.toString}"}""")
     spark.stop()
   }
 }
