@@ -122,36 +122,40 @@ object MisraGries {
     * satisfies the recall guarantee from the observed n instead of taking
     * a fixed one, so the same call works at any scale factor.
     *
-    * Pass 1 runs with `initialCapacity`; if the observed n makes that
+    * Pass 1 runs with `initialCapacity`, UNPERSISTED — n is only known
+    * after pass 1, so caching never helps it, and at the 100 TB design
+    * point materializing the tokenized corpus is exactly the cost the
+    * two-pass design exists to avoid. Only if the observed n makes that
     * capacity's error bound reach `minFreq` (i.e. recall is no longer
-    * guaranteed), the summary is recomputed once with
+    * guaranteed) is the summary recomputed once with
     * `capacity = n/minFreq + 1` — the smallest bound that restores the
-    * guarantee. The input is persisted across that escalation window only
-    * (both summary passes are construction-time actions) and unpersisted
-    * before returning; the exact second pass recomputes lineage as
-    * documented on the fixed-capacity overload.
+    * guarantee — and the input persisted across that escalation window
+    * only (the rare path pays a recompute-or-cache; the common path pays
+    * nothing). The exact second pass recomputes lineage as documented on
+    * the fixed-capacity overload.
     */
   def exactHeavyHitters(df: DataFrame, keyCol: Column, minFreq: Long): DataFrame = {
     require(minFreq > 0, s"minFreq must be positive, got $minFreq")
     val initialCapacity = 8192
     val keyed = keyedOf(df, keyCol)
-    keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val (summary, n) = summaryPass(keyed, initialCapacity)
-      val candidates =
-        if (n / (initialCapacity + 1L) < minFreq) summary.keys.toSeq
-        else {
-          val derived = n / minFreq + 1L
-          // 2^26 maps ≈ a GiB of counter state per task — past that the
-          // premise "heavy hitters are few" no longer holds and an exact
-          // groupBy is the honest plan; refuse loudly instead.
-          require(derived <= (1L << 26),
-            s"derived capacity $derived (n=$n, minFreq=$minFreq) exceeds bounded-state " +
-              "budget; minFreq is too small a fraction of n for a summary-based plan")
-          summaryPass(keyed, derived.toInt)._1.keys.toSeq
-        }
-      exactCountCandidates(keyed, candidates, minFreq)
-    } finally keyed.unpersist()
+    val (summary, n) = summaryPass(keyed, initialCapacity)
+    val candidates =
+      if (n / (initialCapacity + 1L) < minFreq) summary.keys.toSeq
+      else {
+        val derived = n / minFreq + 1L
+        // 2^26 maps ≈ a GiB of counter state per task — past that the
+        // premise "heavy hitters are few" no longer holds and an exact
+        // groupBy is the honest plan; refuse loudly instead.
+        require(derived <= (1L << 26),
+          s"derived capacity $derived (n=$n, minFreq=$minFreq) exceeds bounded-state " +
+            "budget; minFreq is too small a fraction of n for a summary-based plan")
+        // Escalation path only: the re-summarized pass re-reads the input,
+        // so persisting across this window saves one full upstream recompute.
+        keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try summaryPass(keyed, derived.toInt)._1.keys.toSeq
+        finally keyed.unpersist()
+      }
+    exactCountCandidates(keyed, candidates, minFreq)
   }
 
   private def keyedOf(df: DataFrame, keyCol: Column): DataFrame = {

@@ -85,6 +85,21 @@ class MisraGriesSpec extends SparkSuite {
     assert(n / (n / 10 + 1 + 1) < 10)
   }
 
+  test("capacity-free overload does not persist on the no-escalation path") {
+    // n = 3770 with minFreq=100: the 8192-counter default's bound is 0, so
+    // no escalation — the token stream must NOT be materialized (that cache
+    // is the 100 TB anti-pattern the two-pass design avoids), and the
+    // returned plan must rescan lineage, not an InMemoryTableScan.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val df = skewed.toDF("k")
+    val got = MisraGries.exactHeavyHitters(df, $"k", minFreq = 100L)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "no-escalation path left a persisted RDD behind")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("InMemoryTableScan"), s"cached scan in plan:\n$plan")
+    assert(got.count() == 3L)
+  }
+
   test("capacity-free overload stays exact when every key is a heavy hitter") {
     // minFreq=1 derives capacity n+1 — every distinct key tracked, result
     // must be the full exact group-by even though the default capacity's
