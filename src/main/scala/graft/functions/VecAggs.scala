@@ -23,6 +23,11 @@ class VecMeanAgg extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Doub
 
   override def reduce(b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
     if (v == null) return b
+    // An empty sum array is the "uninitialized" sentinel; a zero-length
+    // INPUT vector would alias it (incrementing n while a later non-empty
+    // vector silently re-seeds sum → mean divided by an inflated count).
+    // Ragged inputs fail loudly below, so zero-length must too.
+    require(v.nonEmpty, "zero-length vector in vec_mean")
     val (sum, n) = b
     if (sum.isEmpty) (v.toArray, n + 1)
     else {
