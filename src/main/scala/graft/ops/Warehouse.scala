@@ -22,8 +22,9 @@ object Warehouse {
     * vs. the window row_number plan, which shuffles every duplicate and
     * sorts each partition's full contents just to discard all but one row
     * per key. The tiebreak must totally order rows within a key (same
-    * contract as before) for a stable winner. Same single-exchange shape,
-    * `q_dedup_pk` plan-pinned.
+    * contract as before) for a stable winner; directional columns
+    * (e.g. `$"ts".desc` for latest-wins) are honored. Same
+    * single-exchange shape, `q_dedup_pk` plan-pinned.
     */
   def dedupByKey(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame =
     graft.plans.TopKPlans.topKPerGroupSort(df, keys, tiebreak, 1, "__rn")

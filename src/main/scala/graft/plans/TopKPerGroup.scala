@@ -62,10 +62,14 @@ object TopKStrategy extends SparkStrategy {
   * groups-per-partition × k rows, unbounded by default — same hazard as
   * Spark's ObjectHashAggregate, same cure): past
   * `spark.graft.topk.maxGroupsInMemory` in-flight groups,
-  *  - the PARTIAL node FLUSHES its whole heap map downstream and starts
-  *    fresh. A group may then emit ≤ k rows per flush instead of ≤ k per
-  *    partition — more shuffle bytes, identical answer, since the final
-  *    node re-aggregates whatever reaches it;
+  *  - the PARTIAL node EVICTS the coldest half of its heap map (LRU
+  *    order) downstream and keeps going. Hot groups stay resident and
+  *    keep combining; a drain-everything flush would instead re-emit
+  *    every hot group's ≤ k rows on each overflow, an unbounded shuffle
+  *    amplification when cardinality sits just above the cap. Evicted
+  *    groups emit ≤ k rows per residency — more shuffle bytes than the
+  *    uncapped case, identical answer, since the final node
+  *    re-aggregates whatever reaches it;
   *  - the FINAL node (which cannot flush — ranks must see the whole
   *    group) hands everything to a spillable external sort
   *    ([[org.apache.spark.sql.execution.UnsafeExternalRowSorter]], the
@@ -115,7 +119,10 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
       val heapCmp = new java.util.Comparator[InternalRow] {
         override def compare(a: InternalRow, b: InternalRow): Int = cmp.compare(b, a)
       }
-      val groups = new java.util.HashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      // access-order LinkedHashMap: iteration visits least-recently-offered
+      // groups first, which is the partial node's eviction order
+      val groups = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]](
+        16, 0.75f, true)
 
       // offer a row to its group's heap, creating the heap if absent;
       // caller guarantees map-size headroom for the create
@@ -132,26 +139,42 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
       }
 
       if (isPartial) {
-        // Streaming flush: drain the whole map downstream whenever a new
-        // group would push it past maxGroups, so per-task state is capped
-        // at maxGroups × k rows no matter the partition's cardinality.
+        // Streaming eviction: whenever a NEW group would push the map past
+        // maxGroups, emit the coldest HALF (LRU iteration order) downstream
+        // and keep going — per-task state stays capped at maxGroups × k rows
+        // no matter the partition's cardinality, while hot groups remain
+        // resident and keep combining instead of re-emitting every overflow.
         new Iterator[InternalRow] {
           private var flushed: Iterator[InternalRow] = Iterator.empty
           private var inputDone = false
-          private def drain(): Iterator[InternalRow] = {
+          private def drainAll(): Iterator[InternalRow] = {
             val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]()
             groups.forEach((_, heap) => heap.forEach(r => buf += r))
             groups.clear()
             buf.iterator
           }
+          private def evictColdestHalf(): Iterator[InternalRow] = {
+            val evict = math.max(1, groups.size / 2)
+            val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+            val it = groups.entrySet().iterator()
+            var i = 0
+            while (i < evict && it.hasNext) {
+              it.next().getValue.forEach(r => buf += r)
+              it.remove()
+              i += 1
+            }
+            buf.iterator
+          }
           private def pump(): Unit = {
             while (!flushed.hasNext && !inputDone) {
-              if (!iter.hasNext) { inputDone = true; flushed = drain() }
+              if (!iter.hasNext) { inputDone = true; flushed = drainAll() }
               else {
                 val row = iter.next()
                 val key = keyProj(row)
+                // containsKey does not touch LRU order; offer's get() below
+                // bumps the group's recency
                 if (!groups.containsKey(key) && groups.size >= maxGroups)
-                  flushed = drain() // emit, then keep processing this row fresh
+                  flushed = evictColdestHalf() // emit, then offer this row fresh
                 offer(row, key)
               }
             }
@@ -276,24 +299,28 @@ object TopKPlans {
     }
 
   /** [[topKPerGroup]] taking arbitrary sort COLUMNS (any deterministic
-    * expression over the input, ordered ASCENDING — for descending keys
-    * use the named-column overload). Columns resolve through a throwaway
-    * projection against the input's analyzed plan, because a Spark 4
+    * expression over the input; directional columns like `$"ts".desc`
+    * keep their direction and null ordering). Columns resolve through a
+    * throwaway `sort` against the input's analyzed plan — a Spark 4
     * `Column` is a backend-agnostic node that only becomes a Catalyst
-    * expression under real analysis.
+    * expression under real analysis, and only a Sort node accepts
+    * SortOrder-wrapped columns (a Project would fail analysis on them,
+    * which is how directional tiebreaks used to break here).
     */
   def topKPerGroupSort(df: DataFrame, groupCols: Seq[String],
                        sortCols: Seq[org.apache.spark.sql.Column], k: Int,
                        rankName: String = "rnk"): DataFrame =
     planNode(df, groupCols, k, rankName) { _ =>
-      df.select(sortCols: _*).queryExecution.analyzed match {
-        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
-          p.projectList.map {
-            case a: Alias => SortOrder(a.child, Ascending)
-            case e => SortOrder(e, Ascending)
-          }
-        case other => throw new IllegalStateException(
-          s"sort-column resolution expected a Project, got ${other.nodeName}")
+      val analyzed = df.sort(sortCols: _*).queryExecution.analyzed
+      val order = analyzed.collectFirst {
+        case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.order
+      }.getOrElse(throw new IllegalStateException(
+        s"sort-column resolution expected a Sort node in:\n$analyzed"))
+      order.map { so =>
+        so.child match {
+          case a: Alias => so.copy(child = a.child)
+          case _ => so
+        }
       }
     }
 

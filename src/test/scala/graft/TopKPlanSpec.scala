@@ -123,6 +123,57 @@ class TopKPlanSpec extends SparkSuite {
     assert(capped == uncapped)
   }
 
+  test("directional sort columns keep their direction (desc = latest-wins)") {
+    val df = Seq(
+      ("k1", 1, "old"), ("k1", 9, "new"), ("k1", 5, "mid"),
+      ("k2", 3, "only"), ("k3", 2, "a"), ("k3", 7, "b")
+    ).toDF("k", "ts", "payload")
+    val got = TopKPlans.topKPerGroupSort(df, Seq("k"),
+        Seq(col("ts").desc, col("payload")), 1)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getInt(1), r.getString(2)))
+    assert(got.toSeq == Seq(("k1", 9, "new"), ("k2", 3, "only"), ("k3", 7, "b")))
+  }
+
+  test("partial eviction keeps hot groups resident: emitted rows stay near groups*k") { withoutAqe {
+    // Adversarial shape from the r6 verdict: cardinality just above the cap,
+    // cold singleton groups interleaved with hot groups. A drain-everything
+    // flush re-emits every HOT group's rows on each overflow (emitted ~
+    // #overflows × #hot); LRU half-eviction keeps hot groups resident, so
+    // each cold singleton crosses once and hot groups emit only at the
+    // final end-of-input drain.
+    withMaxGroups(8) {
+      val nHot = 4
+      val nCold = 2000
+      val k = 3
+      // single partition, deterministic interleave: hot groups touched
+      // between every cold singleton so LRU keeps them at the warm end
+      val df = spark.range(nCold.toLong)
+        .select(col("id"), explode(array(
+          (lit("cold") :: col("id").cast("string") :: Nil).reduce(concat(_, _)) +:
+            (0 until nHot).map(h => lit(s"hot$h")): _*)).as("g"))
+        .select(col("g"), col("id").as("v"))
+        .repartition(1)
+      val out = TopKPlans.topKPerGroup(df, Seq("g"), Seq("v" -> false), k)
+      val partialExec = out.queryExecution.executedPlan.collectFirst {
+        case t: TopKPerGroupExec if t.partial => t
+      }.get
+      val partialRows = partialExec.execute().count()
+      // cold singletons cross once each; hot groups contribute ≤ k per
+      // eviction-or-final-drain. Allow 2× slack over the ideal
+      // nCold + nHot×k — the old full-drain behavior emitted every hot
+      // group's heap on each of the ~nCold/(cap/2) overflows (~4× ideal
+      // at these sizes), which this bound rejects.
+      val ideal = nCold + nHot * k
+      assert(partialRows <= 2L * ideal,
+        s"partial emitted $partialRows rows (ideal ~$ideal) — flush amplification unbounded")
+      // and the answer itself is exact
+      val w = Window.partitionBy("g").orderBy(col("v").desc)
+      val want = df.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+        .orderBy("g", "rnk").collect().map(_.toSeq).toSeq
+      assert(out.orderBy("g", "rnk").collect().map(_.toSeq).toSeq == want)
+    }
+  } }
+
   test("partial side bounds rows crossing the shuffle to k per group per partition") { withoutAqe {
     val df = ord.select("o_orderkey", "o_orderpriority", "o_totalprice")
       .repartition(4)
