@@ -23,11 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * pages and a `$where=arrest_date > '<hwm>'` watermark predicate pushed to
   * the server — SURVEY §2.1 S1).
   *
-  * The "API" here is a local directory of JSONL page files plus a
-  * `_manifest.json` carrying the schema and per-page (rows, minKey, maxKey)
-  * stats over a designated watermark key column — standing in for the
-  * server's ability to answer a filtered, paged query. The connector is the
-  * part that must be Spark-correct at 100 TB:
+  * The "API" here is a base location — a local directory OR an
+  * `http(s)://` base URL (fetched with the in-JDK `HttpURLConnection`, no
+  * new dependencies) — of JSONL page files plus a `_manifest.json`
+  * carrying the schema and per-page (rows, minKey, maxKey) stats over a
+  * designated watermark key column — standing in for the server's ability
+  * to answer a filtered, paged query. The connector is the part that must
+  * be Spark-correct at 100 TB:
   *
   *  - `SupportsPushDownFilters`: comparison predicates on the key column
   *    prune whole pages at PLANNING time via manifest stats (the moral
@@ -186,36 +188,112 @@ case class RetryPolicy(maxAttempts: Int, backoffMs: Long) {
 }
 
 /** The page-fetch boundary, retryable as a unit. `faultInjector` lets specs
-  * inject transient/permanent fetch failures exactly where a flaky HTTP GET
+  * inject transient/permanent fetch failures exactly where a flaky GET
   * would fail — a no-op in production.
+  *
+  * A page resource is either a local file path or an `http(s)://` URL
+  * (fetched with the in-JDK `HttpURLConnection` — the live analog of
+  * `scripts/extract.py:56-72`'s `requests.get` page loop).
   */
 object PagedFetch {
   @volatile var faultInjector: String => Unit = _ => ()
 
-  /** Fetch a whole page (the retry unit — a partially-read page is never
-    * exposed), retrying per `policy`; rethrows the last failure once the
-    * budget is spent so Spark's task-level ladder takes over.
+  def isUrl(resource: String): Boolean =
+    resource.startsWith("http://") || resource.startsWith("https://")
+
+  /** Stream a page's lines, retrying per `policy`. Lines are NOT buffered
+    * (constant per-task memory regardless of page size); on a transient
+    * failure the page is re-opened and already-DELIVERED lines skipped, so
+    * the rows Spark has consumed are never replayed and the page remains
+    * the retry unit. Task cancellation (`InterruptedIOException` /
+    * `InterruptedException`, which `NonFatal` treats as fatal) is never
+    * retried — it propagates immediately rather than burning the backoff
+    * budget. Once the budget is spent the failure rethrows and surfaces
+    * through Spark's own task-retry ladder.
     */
-  def fetchLines(file: String, policy: RetryPolicy): Iterator[String] = {
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      try {
-        faultInjector(file)
-        val reader = new BufferedReader(new FileReader(file))
-        try {
-          val buf = ArrayBuffer[String]()
-          var line = reader.readLine()
-          while (line != null) { buf += line; line = reader.readLine() }
-          return buf.iterator
-        } finally reader.close()
-      } catch {
-        case e: Exception if attempt < policy.maxAttempts =>
-          Thread.sleep(policy.backoffMs << (attempt - 1))
+  def fetchLines(resource: String, policy: RetryPolicy): Iterator[String] =
+    new Iterator[String] {
+      private var attempt = 1
+      private var delivered = 0L
+      private var reader: BufferedReader = _
+      private var pending: String = _
+      private var done = false
+
+      private def openReader(): BufferedReader = {
+        faultInjector(resource)
+        val r =
+          if (isUrl(resource)) {
+            val conn = new java.net.URL(resource).openConnection()
+              .asInstanceOf[java.net.HttpURLConnection]
+            conn.setConnectTimeout(10000)
+            conn.setReadTimeout(60000)
+            // 4xx/5xx surface as IOException from getInputStream → retried
+            val raw = conn.getInputStream
+            val expected = conn.getContentLengthLong
+            // The JDK client can surface a prematurely-closed connection as a
+            // silent short read — a truncated final line would then parse as
+            // data. Enforce Content-Length ourselves: EOF before `expected`
+            // bytes throws (→ retried) BEFORE any partial line is delivered.
+            val checked =
+              if (expected < 0) raw
+              else new java.io.FilterInputStream(raw) {
+                private var seen = 0L
+                private def check(): Unit =
+                  if (seen < expected) throw new java.io.IOException(
+                    s"truncated response: $seen of $expected bytes from $resource")
+                override def read(): Int = {
+                  val b = super.read()
+                  if (b >= 0) seen += 1 else check()
+                  b
+                }
+                override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+                  val n = in.read(buf, off, len)
+                  if (n > 0) seen += n else if (n < 0) check()
+                  n
+                }
+              }
+            new BufferedReader(new java.io.InputStreamReader(checked, "UTF-8"))
+          } else new BufferedReader(new FileReader(resource))
+        var skip = delivered
+        while (skip > 0) {
+          if (r.readLine() == null) skip = 0 else skip -= 1
+        }
+        r
+      }
+
+      private def closeQuietly(): Unit = {
+        if (reader != null) {
+          try reader.close() catch { case _: java.io.IOException => () }
+          reader = null
+        }
+      }
+
+      private def advance(): Unit =
+        while (!done && pending == null) {
+          try {
+            if (reader == null) reader = openReader()
+            val line = reader.readLine()
+            if (line == null) { done = true; closeQuietly() }
+            else pending = line
+          } catch {
+            case e: java.io.InterruptedIOException => closeQuietly(); throw e
+            case scala.util.control.NonFatal(_) if attempt < policy.maxAttempts =>
+              closeQuietly()
+              Thread.sleep(policy.backoffMs << (attempt - 1))
+              attempt += 1
+          }
+        }
+
+      override def hasNext: Boolean = { advance(); pending != null }
+      override def next(): String = {
+        advance()
+        if (pending == null) throw new NoSuchElementException(resource)
+        val line = pending
+        pending = null
+        delivered += 1
+        line
       }
     }
-    throw new IllegalStateException("unreachable")
-  }
 }
 
 case class PagedInputPartition(file: String, fullSchema: StructType,
@@ -267,7 +345,9 @@ case class PagedManifest(keyCol: String, schema: StructType, pages: Seq[PageStat
 object PagedManifest {
   def read(path: String): PagedManifest = {
     val mapper = new ObjectMapper()
-    val root = mapper.readTree(new File(path, "_manifest.json"))
+    val root =
+      if (PagedFetch.isUrl(path)) mapper.readTree(new java.net.URL(s"$path/_manifest.json"))
+      else mapper.readTree(new File(path, "_manifest.json"))
     val schema = DataType.fromDDL(root.get("schemaDdl").asText()).asInstanceOf[StructType]
     val pages = ArrayBuffer[PageStat]()
     val it = root.get("pages").elements()

@@ -73,6 +73,84 @@ class PagedSourceSpec extends SparkSuite {
       Tables.orders(spark, sf).agg(sum("o_orderkey")).head().getLong(0))
   }
 
+  /** Loopback HTTP server over the fixture dir — the live analog of the
+    * reference's Socrata endpoint (`scripts/extract.py:56-72`), in-JDK
+    * `com.sun.net.httpserver`, no external network. `failFirst` 503s the
+    * first N GETs per page; `truncateFirst` sends the full Content-Length
+    * but half the bytes (premature EOF mid-stream) for the first N GETs.
+    */
+  private def withHttpServer[T](failFirst: Int = 0, truncateFirst: Int = 0)(f: String => T): T = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    server.createContext("/", { exchange: com.sun.net.httpserver.HttpExchange =>
+      val name = exchange.getRequestURI.getPath.stripPrefix("/")
+      val n = hits.merge(name, 1, (a, b) => a + b)
+      val file = new java.io.File(dir, name)
+      val isPage = name != "_manifest.json"
+      if (!file.exists()) {
+        exchange.sendResponseHeaders(404, -1); exchange.close()
+      } else if (failFirst > 0 && n <= failFirst && isPage) {
+        exchange.sendResponseHeaders(503, -1); exchange.close()
+      } else {
+        val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+        exchange.sendResponseHeaders(200, bytes.length)
+        if (truncateFirst > 0 && n <= truncateFirst && isPage)
+          exchange.getResponseBody.write(bytes, 0, bytes.length / 2)
+        else exchange.getResponseBody.write(bytes)
+        exchange.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}")
+    finally server.stop(0)
+  }
+
+  test("pages fetch over loopback HTTP with planning-time pruning and exact results") {
+    withHttpServer() { base =>
+      val manifest = PagedManifest.read(base)
+      assert(manifest.pages.nonEmpty)
+      val hwm = manifest.pages.map(_.maxKey).max / 2
+      val builder = new PagedScanBuilder(base, manifest.schema)
+      builder.pushFilters(Array(GreaterThan("o_orderkey", hwm)))
+      assert(builder.build().toBatch.planInputPartitions().length < manifest.pages.length,
+        "manifest-stats pruning must work identically over HTTP")
+      val got = spark.read.format("graft-paged").load(base)
+        .filter(col("o_orderkey") > hwm)
+      val want = Tables.orders(spark, sf).filter(col("o_orderkey") > hwm)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+
+  test("transient HTTP 503s are retried per page over the wire") {
+    withHttpServer(failFirst = 2) { base =>
+      val got = spark.read.format("graft-paged")
+        .option("fetchBackoffMs", "1").load(base)
+      val want = Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).isEmpty)
+    }
+  }
+
+  test("mid-stream truncation resumes the page without replaying delivered rows") {
+    // the server advertises the full Content-Length but sends half the
+    // bytes: the client hits a premature EOF part-way through the page,
+    // re-opens it, and must skip exactly the lines already delivered —
+    // no missing rows, no duplicates
+    withHttpServer(truncateFirst = 1) { base =>
+      val got = spark.read.format("graft-paged")
+        .option("fetchBackoffMs", "1").load(base)
+      val want = Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+
   test("transient page-fetch failures succeed on retry (reference I4)") {
     // every page fails twice before serving — within the 3-attempt budget,
     // so the scan must return the complete, exact result
