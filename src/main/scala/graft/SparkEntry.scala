@@ -1897,21 +1897,29 @@ private[graft] object Queries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Partition-wise REAL image decode: deterministic PNGs synthesized from
-    * doc ids ([[MultimodalOps.pngFor]]) flow through `javax.imageio` and
-    * come back with true pixel dimensions plus a luminance-histogram
-    * feature vector. No SQL oracle (DuckDB has no image codec); the
-    * dimension contract (decoded == synthesized) is spec-verified in
-    * `MultimodalSpec`, the driver records a rows-only check. The 8-bin
-    * feature vector is flattened to scalar columns f0..f7 here: the
-    * driver's rows-only check sorts with pandas, which cannot sort array
-    * cells.
+    * doc ids ([[MultimodalOps.pngFor]] / [[MultimodalOps.wavFor]]) flow
+    * through the real in-JDK codecs — `javax.imageio` for PNG rows (true
+    * pixel dimensions + luminance histogram) and `javax.sound.sampled`
+    * for WAV rows (sample rate + frame count + 8-segment RMS profile).
+    * No SQL oracle (DuckDB has no media codecs); the decode contracts
+    * (decoded == synthesized) are spec-verified in `MultimodalSpec`, the
+    * driver records a rows-only check. The 8-bin feature vector is
+    * flattened to scalar columns f0..f7 here: the driver's rows-only
+    * check sorts with pandas, which cannot sort array cells.
     */
   def multimodalDecode(s: SparkSession, d: String): DataFrame = {
-    val media = MultimodalOps.synthesizeImages(Tables.documents(s, d), "doc_id")
+    val docs = Tables.documents(s, d)
+    // even ids decode as PNG through javax.imageio, odd ids as WAV through
+    // javax.sound.sampled — both REAL in-JDK codecs; one row per doc
+    val media = MultimodalOps.synthesizeImages(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id")
+      .union(MultimodalOps.synthesizeAudio(
+        docs.filter(col("doc_id") % 2 =!= 0), "doc_id"))
     val decoded = MultimodalOps.decodeFeatures(media).toDF()
     val featCols = (0 until 8).map(i => col("features").getItem(i).as(s"f$i"))
     decoded
-      .select(col("doc_id") +: col("n_bytes") +: col("width") +: col("height") +: featCols: _*)
+      .select(col("doc_id") +: col("media_type") +: col("n_bytes") +:
+        col("width") +: col("height") +: featCols: _*)
       .orderBy("doc_id")
   }
 
@@ -2509,7 +2517,10 @@ private[graft] object Queries {
     * COPY convention) and read back through the JDBC scan; the oracle is
     * the parquet source, proving the database round-trip is lossless.
     * s_acctbal goes through an explicit DOUBLE so the JDBC type mapping
-    * can't drift the schema.
+    * can't drift the schema. The readback is the PARTITIONED scan
+    * (min/max-bounded stride on s_suppkey, 4 parallel range queries) —
+    * the exemplar must be the shape that survives a large table, not the
+    * single-task read.
     */
   def sinkJdbc(s: SparkSession, d: String): DataFrame = {
     val props = new java.util.Properties()
@@ -2518,7 +2529,8 @@ private[graft] object Queries {
     val src = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"),
       col("s_nationkey"), col("s_acctbal").cast("double").as("s_acctbal"))
     graft.ops.Warehouse.loadJdbc(src, url, "supplier_stage", props)
-    graft.ops.Warehouse.readJdbc(s, url, "supplier_stage", props)
+    graft.ops.Warehouse.readJdbcPartitioned(s, url, "supplier_stage", props,
+        "s_suppkey", numPartitions = 4)
       .orderBy("s_suppkey")
   }
 

@@ -140,14 +140,47 @@ object Warehouse {
     blanked.write.mode(mode).jdbc(url, table, props)
   }
 
-  /** Read a warehouse table back over JDBC. For large tables pass
-    * partitioning options (partitionColumn/lowerBound/upperBound/
-    * numPartitions) via `props` so the scan parallelizes; unpartitioned
-    * JDBC reads are single-task.
+  /** Read a warehouse table back over JDBC. For large tables use
+    * [[readJdbcPartitioned]] — unpartitioned JDBC reads are single-task.
     */
   def readJdbc(spark: SparkSession, url: String, table: String,
                props: java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
+
+  /** Parallel JDBC readback — the scale-safe shape. Bounds for the stride
+    * come from one `SELECT MIN, MAX` pushed to the database (a scalar
+    * driver-side query, the standard pattern); Spark then issues
+    * `numPartitions` range-predicated scans in parallel. Falls back to the
+    * single-task read when the table is empty or has one distinct
+    * partition-column value (Spark requires lowerBound < upperBound).
+    */
+  def readJdbcPartitioned(spark: SparkSession, url: String, table: String,
+                          props: java.util.Properties, partitionCol: String,
+                          numPartitions: Int): DataFrame = {
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    // Spark's JDBC writer quotes column identifiers at CREATE time, so a
+    // case-folding database (Derby, Postgres) stores them case-exact —
+    // quote through the url's dialect or MIN(k) would bind to K
+    val quotedCol = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier(partitionCol)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    val (lo, hi) = try {
+      val rs = conn.createStatement().executeQuery(
+        s"SELECT MIN($quotedCol), MAX($quotedCol) FROM $table")
+      rs.next()
+      (rs.getLong(1), rs.getLong(2))
+    } finally conn.close()
+    if (hi <= lo) readJdbc(spark, url, table, props)
+    else {
+      val p = new java.util.Properties()
+      p.putAll(props)
+      p.setProperty("partitionColumn", quotedCol)
+      p.setProperty("lowerBound", lo.toString)
+      p.setProperty("upperBound", hi.toString)
+      p.setProperty("numPartitions", numPartitions.toString)
+      spark.read.jdbc(url, table, p)
+    }
+  }
 
   /** Small-file compaction: rewrite a parquet dir into
     * ⌈bytes / targetFileBytes⌉ files via the same crash-safe staged swap

@@ -172,6 +172,26 @@ class WarehouseSpec extends SparkSuite {
     assert(graft.ops.Warehouse.readJdbc(spark, url, "arrests", props).count() == 4)
   }
 
+  test("readJdbcPartitioned issues a parallel range scan, same rows") {
+    import spark.implicits._
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftwhpart;create=true"
+    val df = (1L to 100L).map(k => (k, s"name$k")).toDF("k", "name")
+    graft.ops.Warehouse.loadJdbc(df, url, "t", props)
+    val back = graft.ops.Warehouse.readJdbcPartitioned(spark, url, "t", props,
+      "k", numPartitions = 4)
+    assert(back.rdd.getNumPartitions == 4,
+      s"expected 4 JDBC partitions, got ${back.rdd.getNumPartitions}")
+    assert(back.count() == 100L)
+    assert(back.agg(org.apache.spark.sql.functions.sum("k")).head().getLong(0) == 5050L)
+    // degenerate single-value table falls back to the single-task read
+    graft.ops.Warehouse.loadJdbc(df.filter($"k" === 7L), url, "t1", props)
+    val one = graft.ops.Warehouse.readJdbcPartitioned(spark, url, "t1", props,
+      "k", numPartitions = 4)
+    assert(one.count() == 1L)
+  }
+
   test("scd2Apply: late-arriving update slots into the middle of history") {
     val dim = Seq((1, 10, "A"), (1, 30, "C")).toDF("k", "ts", "attr")
     val upd = Seq((1, 20, "B")).toDF("k", "ts", "attr")
