@@ -112,10 +112,92 @@ object MultimodalOps {
       .map(id => MediaRecord(id, "image/png", pngFor(id)))
   }
 
+  /** Real audio decoder over the JDK's `javax.sound.sampled` — no external
+    * libraries, same move as [[ImageCodec]]. Decodes WAV (PCM) payloads:
+    * `width` carries the sample rate in Hz, `height` the frame count (the
+    * generic dims slots, documented mapping), and the feature vector is an
+    * 8-segment RMS amplitude profile in [0, 1] — the audio analog of the
+    * image luminance histogram. Non-PCM encodings and bytes that fail to
+    * parse degrade to `width = height = -1` with [[StubCodec]] features,
+    * same contract as corrupt images.
+    */
+  object AudioCodec {
+    def decode(r: MediaRecord): DecodedMedia = {
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.content))
+        val fmt = ais.getFormat
+        val ok = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
+        if (!ok) throw new javax.sound.sampled.UnsupportedAudioFileException(
+          s"unsupported encoding ${fmt.getEncoding}")
+        val data = ais.readAllBytes()
+        val nSamples = data.length / 2
+        if (nSamples <= 0) throw new javax.sound.sampled.UnsupportedAudioFileException("empty")
+        // 8-segment RMS profile over the 16-bit little-endian samples
+        val sumSq = new Array[Double](8)
+        val cnt = new Array[Long](8)
+        var i = 0
+        while (i < nSamples) {
+          val s = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort
+          val seg = math.min(7, i * 8 / nSamples)
+          sumSq(seg) += s.toDouble * s; cnt(seg) += 1
+          i += 1
+        }
+        val rms = Array.tabulate(8)(seg =>
+          if (cnt(seg) == 0) 0f
+          else (math.sqrt(sumSq(seg) / cnt(seg)) / 32768.0).toFloat)
+        val frames = (nSamples / fmt.getChannels).toInt
+        DecodedMedia(r.doc_id, r.media_type, r.content.length,
+          fmt.getSampleRate.toInt, frames, rms)
+      } catch {
+        case _: Exception =>
+          StubCodec.decode(r).copy(width = -1, height = -1)
+      }
+    }
+  }
+
+  /** Deterministic WAV synthesis — the test/bench audio corpus, the audio
+    * analog of [[pngFor]]: 16-bit PCM mono at 8 kHz, a sine whose length,
+    * frequency, and amplitude derive from the id, so a decoder's output is
+    * predictable without shipping binary fixtures.
+    */
+  def wavFor(id: Long): Array[Byte] = {
+    val rate = 8000f
+    val n = 512 + (id % 512).toInt
+    val freq = 100.0 + (id % 40) * 25.0
+    val amp = 0.2 + (id % 7) * 0.1
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = (math.sin(2 * math.Pi * freq * i / rate) * amp * 32767).toInt.toShort
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  /** id column → deterministic WAV media rows (audio-corpus builder).
+    * Partition-wise, no shuffle — same shape as [[synthesizeImages]].
+    */
+  def synthesizeAudio(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => MediaRecord(id, "audio/wav", wavFor(id)))
+  }
+
   /** STUB: deterministic fake decoder for media types with no in-container
-    * codec (audio/video). Derives stable pseudo-dimensions and a
-    * byte-statistics feature vector so the distributed plumbing (schema,
-    * batching, partition boundaries) is fully exercised and testable.
+    * codec (now only video — images and audio decode for real). Derives
+    * stable pseudo-dimensions and a byte-statistics feature vector so the
+    * distributed plumbing (schema, batching, partition boundaries) is fully
+    * exercised and testable.
     */
   object StubCodec {
     def decode(r: MediaRecord): DecodedMedia = {
@@ -138,12 +220,14 @@ object MultimodalOps {
     * streams its partition through the codec without collecting to the
     * driver. Narrow op: no shuffle, parallelism = input partitions.
     * Dispatches on media_type: images through the real [[ImageCodec]],
-    * everything else through [[StubCodec]].
+    * audio through the real [[AudioCodec]], everything else (video)
+    * through [[StubCodec]].
     */
   def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
       if (r.media_type != null && r.media_type.startsWith("image/")) ImageCodec.decode(r)
+      else if (r.media_type != null && r.media_type.startsWith("audio/")) AudioCodec.decode(r)
       else StubCodec.decode(r)
     })
   }

@@ -73,21 +73,62 @@ class MultimodalSpec extends SparkSuite {
       MediaRecord(2L, "image/png", Array[Byte](1, 2, 3, 4)), // wrong magic
       MediaRecord(3L, "image/png", goodPng.take(20)), // truncated header
       MediaRecord(4L, "image/png", Array.empty[Byte]),
-      MediaRecord(5L, "audio/wav", Array[Byte](82, 73, 70, 70)) // stub path
+      MediaRecord(5L, "video/mp4", Array[Byte](82, 73, 70, 70)) // stub path
     ).toDS()
     val out = MultimodalOps.decodeFeatures(rows).collect().sortBy(_.doc_id)
     assert(out.length == 5, "corrupt rows must survive, not kill the task")
     assert(out(0).width == 15 && out(0).height == 8) // 8 + 7%16, 8 + 0
     for (r <- out.slice(1, 4))
       assert(r.width == -1 && r.height == -1, s"doc ${r.doc_id} should flag undecodable")
-    assert(out(4).width >= 64, "non-image media keeps the stub codec contract")
+    assert(out(4).width >= 64, "video media keeps the stub codec contract")
+  }
+
+  test("AudioCodec: decoded rate/frames/RMS match the synthesized WAV") {
+    val media = MultimodalOps.synthesizeAudio(docs, "doc_id").repartition(5)
+    val decoded = MultimodalOps.decodeFeatures(media).collect()
+    assert(decoded.length == 200)
+    decoded.foreach { r =>
+      assert(r.width == 8000, s"doc ${r.doc_id}: sample rate ${r.width} != 8000")
+      val frames = 512 + (r.doc_id % 512).toInt
+      assert(r.height == frames,
+        s"doc ${r.doc_id}: decoded ${r.height} frames, synthesized $frames")
+      // a constant-amplitude sine's RMS is amp/sqrt(2); each of the 8
+      // segments spans many cycles, so every segment should sit near it
+      val amp = 0.2 + (r.doc_id % 7) * 0.1
+      val want = (amp / math.sqrt(2)).toFloat
+      r.features.foreach { seg =>
+        assert(math.abs(seg - want) < 0.06f,
+          s"doc ${r.doc_id}: segment RMS $seg far from sine RMS $want")
+      }
+    }
+  }
+
+  test("AudioCodec: corrupt and truncated audio bytes degrade gracefully") {
+    val goodWav = MultimodalOps.wavFor(11L)
+    val rows = Seq(
+      MediaRecord(1L, "audio/wav", goodWav),
+      MediaRecord(2L, "audio/wav", Array[Byte](82, 73, 70, 70)), // bare RIFF magic
+      MediaRecord(3L, "audio/wav", goodWav.take(30)), // truncated header
+      MediaRecord(4L, "audio/wav", Array.empty[Byte])
+    ).toDS()
+    val out = MultimodalOps.decodeFeatures(rows).collect().sortBy(_.doc_id)
+    assert(out.length == 4, "corrupt rows must survive, not kill the task")
+    assert(out(0).width == 8000 && out(0).height == 512 + 11)
+    for (r <- out.drop(1))
+      assert(r.width == -1 && r.height == -1, s"doc ${r.doc_id} should flag undecodable")
   }
 
   test("q_multimodal_decode: registered query returns real dims for every doc") {
     val q = SparkEntry.queries("q_multimodal_decode")(spark, sf)
-    val bad = q.filter(col("width") < 8 || col("height") < 8 ||
-      col("width") =!= (lit(8) + col("doc_id") % 16)).count()
-    assert(bad == 0L, "every synthesized PNG must decode to its true dimensions")
+    // even ids are PNGs (true pixel dims), odd ids are WAVs (rate/frames)
+    val badImg = q.filter(col("doc_id") % 2 === 0)
+      .filter(col("width") < 8 || col("height") < 8 ||
+        col("width") =!= (lit(8) + col("doc_id") % 16)).count()
+    assert(badImg == 0L, "every synthesized PNG must decode to its true dimensions")
+    val badAud = q.filter(col("doc_id") % 2 =!= 0)
+      .filter(col("width") =!= 8000 ||
+        col("height") =!= (lit(512) + col("doc_id") % 512)).count()
+    assert(badAud == 0L, "every synthesized WAV must decode to its true rate/frames")
   }
 
   test("sampleFrames: full cover at stride 1, every stride-th frame kept") {
