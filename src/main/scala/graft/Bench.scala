@@ -39,6 +39,13 @@ object Bench {
     // what a long-lived cluster session runs after warmup. Keeping the
     // headline cold preserves metric semantics across rounds.
     val cold = runAll()
+    // Inter-pass hygiene: drop cached relations accumulated by the cold
+    // sweep and let the JVM compact before timing steady-state — otherwise
+    // GC debt from 128 cold queries lands as multi-second outliers on
+    // arbitrary steady queries (observed: a 0.7 s join timed at 7 s).
+    // Codegen/JIT caches survive, which is what "steady" means.
+    spark.catalog.clearCache()
+    System.gc()
     val steady = runAll()
     val coldTotal = cold.values.sum
     val steadyTotal = steady.values.sum
