@@ -1897,10 +1897,12 @@ private[graft] object Queries {
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Partition-wise REAL image decode: deterministic PNGs synthesized from
-    * doc ids ([[MultimodalOps.pngFor]] / [[MultimodalOps.wavFor]]) flow
-    * through the real in-JDK codecs — `javax.imageio` for PNG rows (true
-    * pixel dimensions + luminance histogram) and `javax.sound.sampled`
-    * for WAV rows (sample rate + frame count + 8-segment RMS profile).
+    * doc ids ([[MultimodalOps.pngFor]] / [[MultimodalOps.wavFor]] /
+    * [[MultimodalOps.mjpegFor]]) flow through the real in-JDK codecs —
+    * `javax.imageio` for PNG rows (true pixel dimensions + luminance
+    * histogram), `javax.sound.sampled` for WAV rows (sample rate + frame
+    * count + 8-segment RMS profile), and JPEG frame-splitting for MJPEG
+    * video rows (frame dims + per-frame luminance profile).
     * No SQL oracle (DuckDB has no media codecs); the decode contracts
     * (decoded == synthesized) are spec-verified in `MultimodalSpec`, the
     * driver records a rows-only check. The 8-bin feature vector is
@@ -1909,12 +1911,15 @@ private[graft] object Queries {
     */
   def multimodalDecode(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    // even ids decode as PNG through javax.imageio, odd ids as WAV through
-    // javax.sound.sampled — both REAL in-JDK codecs; one row per doc
+    // ids ≡0 (mod 3) decode as PNG through javax.imageio, ≡1 as WAV
+    // through javax.sound.sampled, ≡2 as MJPEG video frame-split through
+    // the JDK JPEG codec — all REAL in-JDK codecs; one row per doc
     val media = MultimodalOps.synthesizeImages(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id")
+        docs.filter(col("doc_id") % 3 === 0), "doc_id")
       .union(MultimodalOps.synthesizeAudio(
-        docs.filter(col("doc_id") % 2 =!= 0), "doc_id"))
+        docs.filter(col("doc_id") % 3 === 1), "doc_id"))
+      .union(MultimodalOps.synthesizeVideo(
+        docs.filter(col("doc_id") % 3 === 2), "doc_id"))
     val decoded = MultimodalOps.decodeFeatures(media).toDF()
     val featCols = (0 until 8).map(i => col("features").getItem(i).as(s"f$i"))
     decoded

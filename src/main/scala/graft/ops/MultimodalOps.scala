@@ -193,11 +193,105 @@ object MultimodalOps {
       .map(id => MediaRecord(id, "audio/wav", wavFor(id)))
   }
 
-  /** STUB: deterministic fake decoder for media types with no in-container
-    * codec (now only video — images and audio decode for real). Derives
-    * stable pseudo-dimensions and a byte-statistics feature vector so the
-    * distributed plumbing (schema, batching, partition boundaries) is fully
-    * exercised and testable.
+  /** Real video decoder for Motion-JPEG — the one video format the JDK can
+    * decode (an MJPEG stream is concatenated baseline JPEG frames; webcams
+    * and AVI/MJPEG use it). Frames split on the JPEG SOI/EOI markers
+    * (`FFD8`…`FFD9` — safe here because baseline JPEG escapes `FF` inside
+    * entropy-coded data and our frames embed no thumbnails) and decode
+    * individually through `javax.imageio`. `width`/`height` are the first
+    * frame's true dimensions; feature slot `i` is frame `i`'s mean
+    * luminance in [0, 1] for the first 8 frames, `-1` padding past the
+    * last frame — so the frame count is `features.count(_ >= 0)`.
+    * Undecodable bytes degrade to the −1×−1 sentinel like the other
+    * codecs. Inter-frame codecs (H.264 etc.) have no in-JDK decoder and
+    * stay behind [[StubCodec]].
+    */
+  object VideoCodec {
+    def decode(r: MediaRecord): DecodedMedia = {
+      try {
+        val bytes = r.content
+        val feats = Array.fill(8)(-1f)
+        var w = -1
+        var h = -1
+        var frame = 0
+        var i = 0
+        while (i + 1 < bytes.length && frame < 8) {
+          if (bytes(i) == 0xFF.toByte && bytes(i + 1) == 0xD8.toByte) {
+            var j = i + 2
+            while (j + 1 < bytes.length &&
+              !(bytes(j) == 0xFF.toByte && bytes(j + 1) == 0xD9.toByte)) j += 1
+            if (j + 1 >= bytes.length)
+              throw new java.io.IOException("unterminated MJPEG frame")
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes, i, j + 2 - i))
+            if (img == null) throw new java.io.IOException("undecodable frame")
+            if (frame == 0) { w = img.getWidth; h = img.getHeight }
+            var lum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                lum += (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+                  (rgb & 0xFF) * 114) / 1000
+                x += 1
+              }
+              y += 1
+            }
+            feats(frame) = (lum.toDouble / (img.getWidth.toLong * img.getHeight) / 255.0).toFloat
+            frame += 1
+            i = j + 2
+          } else i += 1
+        }
+        if (frame == 0) throw new java.io.IOException("no JPEG frames")
+        DecodedMedia(r.doc_id, r.media_type, bytes.length, w, h, feats)
+      } catch {
+        case _: Exception =>
+          StubCodec.decode(r).copy(width = -1, height = -1)
+      }
+    }
+  }
+
+  /** Deterministic MJPEG synthesis — the video-corpus builder: `3 + id%4`
+    * constant-gray JPEG frames (constant rasters survive JPEG's lossy
+    * round-trip within ~1 gray level, keeping decode assertions tight),
+    * dimensions and per-frame gray level derived from the id.
+    */
+  def mjpegFor(id: Long): Array[Byte] = {
+    val w = 16 + (id % 8).toInt
+    val h = 16 + ((id / 8) % 8).toInt
+    val frames = 3 + (id % 4).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    var f = 0
+    while (f < frames) {
+      val g = ((id * 31 + f * 97) % 256).toInt
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+        y += 1
+      }
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      f += 1
+    }
+    out.toByteArray
+  }
+
+  /** id column → deterministic MJPEG media rows (video-corpus builder). */
+  def synthesizeVideo(df: DataFrame, idCol: String): Dataset[MediaRecord] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long]
+      .map(id => MediaRecord(id, "video/x-motion-jpeg", mjpegFor(id)))
+  }
+
+  /** STUB: deterministic fake decoder for media types with no in-JDK codec
+    * (inter-frame video — H.264/VP9/AV1; images, audio, and MJPEG decode
+    * for real). Derives stable pseudo-dimensions and a byte-statistics
+    * feature vector so the distributed plumbing (schema, batching,
+    * partition boundaries) is fully exercised and testable.
     */
   object StubCodec {
     def decode(r: MediaRecord): DecodedMedia = {
@@ -220,14 +314,16 @@ object MultimodalOps {
     * streams its partition through the codec without collecting to the
     * driver. Narrow op: no shuffle, parallelism = input partitions.
     * Dispatches on media_type: images through the real [[ImageCodec]],
-    * audio through the real [[AudioCodec]], everything else (video)
-    * through [[StubCodec]].
+    * audio through the real [[AudioCodec]], MJPEG video through the real
+    * [[VideoCodec]]; only inter-frame video codecs fall back to
+    * [[StubCodec]].
     */
   def decodeFeatures(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions(_.map { r =>
       if (r.media_type != null && r.media_type.startsWith("image/")) ImageCodec.decode(r)
       else if (r.media_type != null && r.media_type.startsWith("audio/")) AudioCodec.decode(r)
+      else if (r.media_type == "video/x-motion-jpeg") VideoCodec.decode(r)
       else StubCodec.decode(r)
     })
   }

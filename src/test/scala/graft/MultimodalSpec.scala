@@ -118,17 +118,57 @@ class MultimodalSpec extends SparkSuite {
       assert(r.width == -1 && r.height == -1, s"doc ${r.doc_id} should flag undecodable")
   }
 
+  test("VideoCodec: frame count, dims, and per-frame luminance match the synthesized MJPEG") {
+    val media = MultimodalOps.synthesizeVideo(docs, "doc_id").repartition(5)
+    val decoded = MultimodalOps.decodeFeatures(media).collect()
+    assert(decoded.length == 200)
+    decoded.foreach { r =>
+      val (w, h) = (16 + (r.doc_id % 8).toInt, 16 + ((r.doc_id / 8) % 8).toInt)
+      assert(r.width == w && r.height == h,
+        s"doc ${r.doc_id}: decoded ${r.width}x${r.height}, synthesized ${w}x$h")
+      val frames = 3 + (r.doc_id % 4).toInt
+      assert(r.features.count(_ >= 0f) == frames,
+        s"doc ${r.doc_id}: expected $frames decoded frames")
+      // constant-gray frames survive JPEG within ~1 gray level
+      for (f <- 0 until frames) {
+        val want = ((r.doc_id * 31 + f * 97) % 256) / 255.0f
+        assert(math.abs(r.features(f) - want) < 0.02f,
+          s"doc ${r.doc_id} frame $f: luminance ${r.features(f)} far from $want")
+      }
+    }
+  }
+
+  test("VideoCodec: corrupt and truncated MJPEG bytes degrade gracefully") {
+    val good = MultimodalOps.mjpegFor(5L)
+    val rows = Seq(
+      MediaRecord(1L, "video/x-motion-jpeg", good),
+      MediaRecord(2L, "video/x-motion-jpeg", Array[Byte](0, 1, 2, 3)), // no SOI
+      MediaRecord(3L, "video/x-motion-jpeg", good.dropRight(4)), // truncated last frame
+      MediaRecord(4L, "video/x-motion-jpeg", Array.empty[Byte])
+    ).toDS()
+    val out = MultimodalOps.decodeFeatures(rows).collect().sortBy(_.doc_id)
+    assert(out.length == 4)
+    assert(out(0).width == 21 && out(0).height == 16) // 16 + 5%8, 16 + 0
+    for (r <- out.drop(1))
+      assert(r.width == -1 && r.height == -1, s"doc ${r.doc_id} should flag undecodable")
+  }
+
   test("q_multimodal_decode: registered query returns real dims for every doc") {
     val q = SparkEntry.queries("q_multimodal_decode")(spark, sf)
-    // even ids are PNGs (true pixel dims), odd ids are WAVs (rate/frames)
-    val badImg = q.filter(col("doc_id") % 2 === 0)
+    // ids ≡0 mod 3 are PNGs, ≡1 WAVs, ≡2 MJPEG videos
+    val badImg = q.filter(col("doc_id") % 3 === 0)
       .filter(col("width") < 8 || col("height") < 8 ||
         col("width") =!= (lit(8) + col("doc_id") % 16)).count()
     assert(badImg == 0L, "every synthesized PNG must decode to its true dimensions")
-    val badAud = q.filter(col("doc_id") % 2 =!= 0)
+    val badAud = q.filter(col("doc_id") % 3 === 1)
       .filter(col("width") =!= 8000 ||
         col("height") =!= (lit(512) + col("doc_id") % 512)).count()
     assert(badAud == 0L, "every synthesized WAV must decode to its true rate/frames")
+    // `/` on Columns is double division — floor-div for the height derivation
+    val badVid = q.filter(col("doc_id") % 3 === 2)
+      .filter(col("width") =!= (lit(16) + col("doc_id") % 8) ||
+        col("height") =!= (lit(16) + floor(col("doc_id") / 8).cast("long") % 8)).count()
+    assert(badVid == 0L, "every synthesized MJPEG must decode to its true frame dims")
   }
 
   test("sampleFrames: full cover at stride 1, every stride-th frame kept") {
