@@ -148,6 +148,34 @@ private[graft] object Queries {
       |WHERE o_orderkey > (SELECT (max(o_orderkey)*3)//5 FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** S1 LIVE: the same `graft-paged` connector fetching its manifest and
+    * pages over real loopback HTTP (`scripts/extract.py:56-72`'s
+    * `requests.get` page loop, served by an in-JDK
+    * `com.sun.net.httpserver` tied to the session lifetime) — the wire
+    * path, page streaming, and retry machinery all sit under this oracled
+    * query. The upper-bound predicate prunes trailing pages at planning
+    * time, the complement of `q_scan_paged`'s lower-bound watermark.
+    */
+  def scanHttp(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/root/repo/target/fixtures/paged_${new java.io.File(d).getName}"
+    if (!new java.io.File(dir, "_manifest.json").exists()) {
+      graft.sources.PagedManifest.writeFixture(
+        ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+        dir, "o_orderkey", pageSize = 2000)
+    }
+    val base = graft.sources.LoopbackPages.serve(s, dir)
+    val cutoff = ord(s, d).agg(max("o_orderkey")).head().getLong(0) / 4
+    s.read.format("graft-paged").load(base)
+      .filter(col("o_orderkey") <= lit(cutoff))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  private val scanHttpSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+      |WHERE o_orderkey <= (SELECT max(o_orderkey)//4 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ================================================================ P1: rename
   def rename(s: SparkSession, d: String): DataFrame = {
     val upperCased = ord(s, d).toDF(ord(s, d).columns.map(_.toUpperCase).toIndexedSeq: _*)
@@ -2687,6 +2715,7 @@ private[graft] object Queries {
     "q_explode_outer" -> (explodeOuterOp _),
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_scan_orc" -> (scanOrc _),
+    "q_scan_http" -> (scanHttp _),
     "q_date_format" -> (dateFormat _),
     "q_sink_jsonl" -> (sinkJsonl _),
     "q_sink_jdbc" -> (sinkJdbc _),
@@ -2810,6 +2839,7 @@ private[graft] object Queries {
     "q_cross_join" -> crossJoinSql,
     "q_explode_outer" -> explodeOuterSql,
     "q_scan_orc" -> scanOrcSql,
+    "q_scan_http" -> scanHttpSql,
     "q_date_format" -> dateFormatSql,
     "q_sink_jsonl" -> sinkJsonlSql,
     "q_sink_jdbc" -> sinkJdbcSql,

@@ -296,6 +296,56 @@ object PagedFetch {
     }
 }
 
+/** Session-lifetime loopback HTTP servers over paged fixture dirs — lets a
+  * registered query exercise the REAL wire path (DSv2 scan → HTTP GET →
+  * page parse) end-to-end, oracled like any other query. One server per
+  * dir, lazily started on an ephemeral port; all servers stop when the
+  * SparkSession's application ends (the `HTTP-Dispatcher` thread is
+  * non-daemon, so leaving one running would block JVM exit in a
+  * `runMain`-style driver).
+  */
+object LoopbackPages {
+  private val servers =
+    new java.util.concurrent.ConcurrentHashMap[String, (com.sun.net.httpserver.HttpServer, String)]()
+  @volatile private var hooked = false
+
+  /** Serve `dir` over loopback HTTP; returns the base URL. */
+  def serve(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    if (!hooked) synchronized {
+      if (!hooked) {
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = stopAll()
+        })
+        hooked = true
+      }
+    }
+    servers.computeIfAbsent(dir, { d =>
+      val server = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      server.createContext("/", { exchange: com.sun.net.httpserver.HttpExchange =>
+        val f = new File(d, exchange.getRequestURI.getPath.stripPrefix("/"))
+        if (!f.isFile) { exchange.sendResponseHeaders(404, -1); exchange.close() }
+        else {
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          exchange.sendResponseHeaders(200, bytes.length)
+          exchange.getResponseBody.write(bytes)
+          exchange.close()
+        }
+      })
+      server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
+        r => { val t = new Thread(r, "graft-loopback-pages"); t.setDaemon(true); t }))
+      server.start()
+      (server, s"http://127.0.0.1:${server.getAddress.getPort}")
+    })._2
+  }
+
+  def stopAll(): Unit = {
+    servers.values.forEach { case (server, _) => server.stop(0) }
+    servers.clear()
+  }
+}
+
 case class PagedInputPartition(file: String, fullSchema: StructType,
                                required: StructType,
                                retry: RetryPolicy = RetryPolicy(3, 50L))

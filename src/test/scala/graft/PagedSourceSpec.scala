@@ -151,6 +151,16 @@ class PagedSourceSpec extends SparkSuite {
     }
   }
 
+  test("q_scan_http: the registered query fetches over live loopback HTTP, exact rows") {
+    val got = SparkEntry.queries("q_scan_http")(spark, sf)
+    val cutoff = Tables.orders(spark, sf)
+      .agg(max(col("o_orderkey"))).head().getLong(0) / 4
+    val want = Tables.orders(spark, sf).filter(col("o_orderkey") <= cutoff)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("transient page-fetch failures succeed on retry (reference I4)") {
     // every page fails twice before serving — within the 3-attempt budget,
     // so the scan must return the complete, exact result
