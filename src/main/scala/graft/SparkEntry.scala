@@ -1274,6 +1274,20 @@ private[graft] object Queries {
        |FROM h ORDER BY doc_id""".stripMargin
   }
 
+  /** Content-defined chunking (Gear CDC, [[graft.ops.TextOps.cdcChunks]]):
+    * dedup-stable chunk rows over the documents table — min 64 / avg ≈128 /
+    * max 512 codepoints. No SQL oracle (a stateful rolling-hash scan with
+    * conditional resets is not expressible in DuckDB SQL); the driver
+    * records a rows-only check and `CdcChunkSpec` property-tests the
+    * contract: exact reassembly, length bounds, determinism, and the
+    * boundary re-alignment that makes CDC worth its name.
+    */
+  def chunkCdc(s: SparkSession, d: String): DataFrame =
+    TextOps.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+        minSize = 64, maskBits = 6, maxSize = 512)
+      .select("doc_id", "chunk_idx", "chunk_len", "chunk_fp")
+      .orderBy("doc_id", "chunk_idx")
+
   /** Polynomial rolling-hash fingerprint (mod 1e9+7), identical fold in
     * both engines.
     */
@@ -2716,6 +2730,7 @@ private[graft] object Queries {
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_scan_orc" -> (scanOrc _),
     "q_scan_http" -> (scanHttp _),
+    "q_chunk_cdc" -> (chunkCdc _),
     "q_date_format" -> (dateFormat _),
     "q_sink_jsonl" -> (sinkJsonl _),
     "q_sink_jdbc" -> (sinkJdbc _),

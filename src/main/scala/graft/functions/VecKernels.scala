@@ -611,6 +611,59 @@ object VecKernels {
       w
     })
 
+  /** Gear table for content-defined chunking: 256 pseudo-random longs,
+    * derived deterministically (splitmix64 of the byte value) so chunk
+    * boundaries are stable across engines, sessions, and partitionings.
+    */
+  private val gearTable: Array[Long] = Array.tabulate(256) { b =>
+    var z = b.toLong * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL
+    z ^= z >>> 30; z *= 0xBF58476D1CE4E5B9L
+    z ^= z >>> 27; z *= 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Content-defined chunk boundaries (Gear hash CDC — the FastCDC/ddelta
+    * family, public literature: Xia et al., USENIX ATC'16): walk the
+    * codepoints keeping a shifting Gear hash; a boundary lands where the
+    * top `maskBits` bits of the hash are zero (expected chunk length ≈
+    * minSize + 2^maskBits), subject to [minSize, maxSize] bounds. Returns
+    * the chunk END offsets in codepoints, last == length.
+    *
+    * Why CDC instead of fixed-size chunking for a training corpus:
+    * boundaries depend only on a sliding content window (the Gear hash's
+    * `<< 1` ages a codepoint out of the top bits after ~64 steps), so an
+    * insertion near the start of a re-crawled document shifts ONE chunk's
+    * boundary and every later chunk re-aligns — its fingerprint dedups
+    * against the previous crawl. Fixed-size chunks all shift and nothing
+    * dedups. Single pass, O(1) state, codegen-friendly — scan-speed at
+    * 100 TB.
+    */
+  def cdcChunkBounds(s: UTF8String, minSize: Int, maskBits: Int,
+                     maxSize: Int): Array[Int] = {
+    val str = s.toString
+    val n = str.length
+    val mask = ((1L << maskBits) - 1) << (64 - maskBits)
+    val ends = new scala.collection.mutable.ArrayBuffer[Int](8)
+    var h = 0L
+    var chunkLen = 0
+    var i = 0   // UTF-16 index into str
+    var pos = 0 // codepoint offset — matches Spark substring() semantics
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      pos += 1
+      h = (h << 1) + gearTable(cp & 0xFF) + (cp >>> 8)
+      chunkLen += 1
+      if ((chunkLen >= minSize && (h & mask) == 0L) || chunkLen >= maxSize) {
+        ends += pos
+        h = 0L
+        chunkLen = 0
+      }
+    }
+    if (chunkLen > 0 || ends.isEmpty) ends += pos
+    ends.toArray
+  }
+
   /** One random-hyperplane sign-LSH bucket id per hash table: bit b of
     * table t is sign(Σ_d emb[d]·w[t,b,d]). Single pass per (t,b).
     */

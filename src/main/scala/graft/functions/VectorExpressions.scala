@@ -206,6 +206,26 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Content-defined (Gear CDC) chunk end-offsets in codepoints — see
+    * [[VecKernels.cdcChunkBounds]].
+    */
+  case class CdcChunkBounds(child: Expression, minSize: Int, maskBits: Int,
+                            maxSize: Int) extends UnaryExpression {
+    require(minSize > 0 && maxSize >= minSize && maskBits >= 1 && maskBits <= 32,
+      s"bad CDC parameters: min=$minSize mask=$maskBits max=$maxSize")
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_cdc_chunk_bounds"
+    override protected def nullSafeEval(a: Any): Any =
+      new GenericArrayData(VecKernels.cdcChunkBounds(
+        a.asInstanceOf[UTF8String], minSize, maskBits, maxSize))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  graft.functions.VecKernels.cdcChunkBounds($a, $minSize, $maskBits, $maxSize));""".stripMargin)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Rolling codepoint hash mod 1e9+7 — see [[VecKernels.fingerprint64]]. */
   case class Fingerprint64(child: Expression)
       extends UnaryExpression {
@@ -442,4 +462,6 @@ object VectorExpressions {
     GraftShim.column(LangIdExpr(e(a), langs))
   def fingerprint64(a: Column): Column = GraftShim.column(Fingerprint64(e(a)))
   def zvalue2(a: Column, b: Column): Column = GraftShim.column(ZValue2(e(a), e(b)))
+  def cdcChunkBounds(a: Column, minSize: Int, maskBits: Int, maxSize: Int): Column =
+    GraftShim.column(CdcChunkBounds(e(a), minSize, maskBits, maxSize))
 }

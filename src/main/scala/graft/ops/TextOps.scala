@@ -96,6 +96,31 @@ object TextOps {
   def fingerprint(c: Column): Column =
     graft.functions.VectorExpressions.fingerprint64(c)
 
+  /** Content-defined chunking ([[graft.functions.VecKernels.cdcChunkBounds]]
+    * — Gear CDC): one row per chunk with its index, codepoint length, and
+    * rolling-hash fingerprint, the dedup-ready shape. Boundaries depend
+    * only on local content, so re-crawled documents with early insertions
+    * re-align after one chunk and their unchanged chunks fingerprint-dedup
+    * against the previous crawl — fixed-size chunking would shift every
+    * boundary and dedup nothing. The boundary scan is a codegen'd
+    * single-pass expression and the explode is narrow: no shuffle, scan
+    * speed at corpus scale.
+    */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                minSize: Int, maskBits: Int, maxSize: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), col(textCol).as("__t"),
+        graft.functions.VectorExpressions
+          .cdcChunkBounds(col(textCol), minSize, maskBits, maxSize).as("__ends"))
+      .select(col(idCol), col("__t"), col("__ends"),
+        posexplode(col("__ends")).as(Seq("chunk_idx", "__e")))
+      // element_at is 1-based: index chunk_idx IS the previous end offset
+      .withColumn("__s", when(col("chunk_idx") === 0, lit(0))
+        .otherwise(element_at(col("__ends"), col("chunk_idx"))))
+      .select(col(idCol), col("chunk_idx"),
+        expr("substring(__t, __s + 1, __e - __s)").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")))
+      .withColumn("chunk_fp", fingerprint(col("chunk")))
+
   /** Within-document bigram repetition signals
     * ([[graft.functions.VectorExpressions.RepetitionStats]]): array<long> of
     * [nBigrams, nDistinctBigrams, topBigramCount, dupBigramOccurrences].

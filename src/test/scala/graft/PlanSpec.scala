@@ -90,6 +90,19 @@ class PlanSpec extends SparkSuite {
     assert(scoreLine.contains("*("), s"scoring projection not codegen'd: $scoreLine\n$p")
   }
 
+  test("q_chunk_cdc: narrow codegen'd scan — boundary expression in codegen, no Exchange before the chunks") {
+    val df = SparkEntry.queries("q_chunk_cdc")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val boundsLine = p.linesIterator
+      .find(_.contains("graft_cdc_chunk_bounds")).getOrElse("")
+    assert(boundsLine.contains("*("), s"CDC boundary scan not codegen'd: $boundsLine\n$p")
+    // the only exchange allowed is the final presentation orderBy's range
+    // partitioning — chunking itself must be shuffle-free
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"CDC chunking must not hash-shuffle:\n$p")
+  }
+
   test("q_join_asof: no pair join — union + keyed window, bounded shuffles") {
     val p = plan("q_join_asof")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoop"),
