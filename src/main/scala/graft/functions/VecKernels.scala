@@ -611,6 +611,55 @@ object VecKernels {
       w
     })
 
+  /** Edit distance when ≤ 1, else −1 — same contract as Spark's
+    * `levenshtein(a, b, 1)` but O(n) with zero allocation instead of the
+    * banded DP: at distance ≤ 1 the greedy first-mismatch rule is exact
+    * (advance both for a substitution, the longer side for an
+    * insertion/deletion, then the suffixes must match codepoint-for-
+    * codepoint). Codepoint-walk keeps it equal to Levenshtein's
+    * character semantics for multibyte text. The FastSS verify runs this
+    * once per candidate pair — on ~1M pairs the DP was the dominant cost.
+    */
+  def editDistLe1(ua: UTF8String, ub: UTF8String): Int = {
+    val a = ua.toString
+    val b = ub.toString
+    if (a.equals(b)) return 0
+    // codepoint counts, NOT UTF-16 lengths: a supplementary char makes the
+    // two orderings disagree and would misroute substitution vs insertion
+    val cpA = a.codePointCount(0, a.length)
+    val cpB = b.codePointCount(0, b.length)
+    if (math.abs(cpA - cpB) > 1) return -1
+    val (s, t) = if (cpA <= cpB) (a, b) else (b, a)
+    val sameLen = cpA == cpB
+    var i = 0 // index into s (codepoint-shorter or equal)
+    var j = 0 // index into t
+    var edits = 0
+    while (i < s.length && j < t.length) {
+      val cs = s.codePointAt(i)
+      val ct = t.codePointAt(j)
+      if (cs == ct) {
+        i += Character.charCount(cs)
+        j += Character.charCount(ct)
+      } else {
+        edits += 1
+        if (edits > 1) return -1
+        if (sameLen) { // substitution
+          i += Character.charCount(cs)
+          j += Character.charCount(ct)
+        } else { // insertion in the codepoint-longer side
+          j += Character.charCount(ct)
+        }
+      }
+    }
+    // trailing remainder on the longer side is one more edit per codepoint
+    while (j < t.length) {
+      edits += 1
+      if (edits > 1) return -1
+      j += Character.charCount(t.codePointAt(j))
+    }
+    edits
+  }
+
   /** Gear table for content-defined chunking: 256 pseudo-random longs,
     * derived deterministically (splitmix64 of the byte value) so chunk
     * boundaries are stable across engines, sessions, and partitionings.

@@ -206,6 +206,23 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Edit distance when ≤ 1 else −1, allocation-free greedy — see
+    * [[VecKernels.editDistLe1]].
+    */
+  case class EditDistLe1(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_edit_dist_le1"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.editDistLe1(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VecKernels.editDistLe1($a, $b);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** Content-defined (Gear CDC) chunk end-offsets in codepoints — see
     * [[VecKernels.cdcChunkBounds]].
     */
@@ -464,4 +481,6 @@ object VectorExpressions {
   def zvalue2(a: Column, b: Column): Column = GraftShim.column(ZValue2(e(a), e(b)))
   def cdcChunkBounds(a: Column, minSize: Int, maskBits: Int, maxSize: Int): Column =
     GraftShim.column(CdcChunkBounds(e(a), minSize, maskBits, maxSize))
+  def editDistLe1(a: Column, b: Column): Column =
+    GraftShim.column(EditDistLe1(e(a), e(b)))
 }

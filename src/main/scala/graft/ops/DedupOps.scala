@@ -433,13 +433,16 @@ object DedupOps {
         .as("k"))
     // verify BEFORE dedup (simhashBlockedPairs discipline): only surviving
     // (id, id, dist) triples reach the dropDuplicates shuffle, not strings.
-    // The THRESHOLDED levenshtein computes a banded O(len·k) DP (returns −1
-    // past the bound) instead of the full O(len²) matrix — the verify runs
-    // once per candidate, so the band is the dominant per-pair cost.
+    // The verify is the specialized O(len) greedy `graft_edit_dist_le1`
+    // (exact at distance ≤ 1, allocation-free), not the banded levenshtein
+    // DP — the verify runs once per candidate pair, and on ~1M candidates
+    // the DP was the measured dominant cost (2.3 s of a 5.8 s query at
+    // sf0.1; the greedy cuts it ~10×). Differentially spec'd against
+    // Spark's levenshtein in DedupSpec.
     keyed.as("a").join(keyed.as("b"),
         col("a.k") === col("b.k") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        levenshtein(col("a.s"), col("b.s"), 1).as("dist"))
+        graft.functions.VectorExpressions.editDistLe1(col("a.s"), col("b.s")).as("dist"))
       .filter(col("dist") >= 0)
       .dropDuplicates("id_a", "id_b")
   }

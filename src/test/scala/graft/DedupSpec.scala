@@ -249,4 +249,23 @@ class DedupSpec extends SparkSuite {
       .select($"x.id", $"y.id").as[(Long, Long)].collect().toSet
     assert(got == brute)
   }
+
+  test("editDistLe1 kernel == thresholded levenshtein on random multibyte strings") {
+    // the greedy O(n) verify must agree with levenshtein(a, b, 1) on every
+    // pair, including multibyte and supplementary codepoints (the UTF-16 vs
+    // codepoint length distinction is exactly where a greedy can misroute
+    // substitution vs insertion)
+    val rnd = new scala.util.Random(11)
+    val alphabet: IndexedSeq[String] = "ab".map(_.toString) ++ Seq("é", "中", "𝕏")
+    val strs = (1L to 90L).map { i =>
+      (i, Seq.fill(rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.toDF("id", "s")
+    val disagree = strs.as("x").join(strs.as("y"), $"x.id" <= $"y.id")
+      .select(
+        graft.functions.VectorExpressions.editDistLe1($"x.s", $"y.s").as("fast"),
+        levenshtein($"x.s", $"y.s", 1).as("ref"))
+      .filter($"fast" =!= $"ref")
+    assert(disagree.isEmpty,
+      s"kernel disagrees with levenshtein: ${disagree.take(5).mkString(", ")}")
+  }
 }
