@@ -90,6 +90,15 @@ class PlanSpec extends SparkSuite {
     assert(scoreLine.contains("*("), s"scoring projection not codegen'd: $scoreLine\n$p")
   }
 
+  test("q_dedup_editdist: greedy verify expression stays inside codegen") {
+    val df = SparkEntry.queries("q_dedup_editdist")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val line = p.linesIterator.find(_.contains("graft_edit_dist_le1")).getOrElse("")
+    assert(line.nonEmpty, s"verify must use the greedy kernel:\n$p")
+    assert(line.contains("*("), s"edit-distance verify not codegen'd: $line")
+  }
+
   test("q_chunk_cdc: narrow codegen'd scan — boundary expression in codegen, no Exchange before the chunks") {
     val df = SparkEntry.queries("q_chunk_cdc")(spark, sf)
     df.collect()
