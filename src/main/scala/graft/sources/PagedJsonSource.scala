@@ -208,11 +208,18 @@ object PagedFetch {
     * the retry unit. Task cancellation (`InterruptedIOException` /
     * `InterruptedException`, which `NonFatal` treats as fatal) is never
     * retried — it propagates immediately rather than burning the backoff
-    * budget. Once the budget is spent the failure rethrows and surfaces
-    * through Spark's own task-retry ladder.
+    * budget — EXCEPT `SocketTimeoutException`, which subclasses
+    * `InterruptedIOException` but is the most common transient HTTP fault
+    * and so stays retryable. Once the budget is spent the failure rethrows
+    * and surfaces through Spark's own task-retry ladder. Callers that may
+    * abandon the page mid-stream (limit pushdown, task kill) must call
+    * [[PagedLineIterator.close]] to release the file handle / connection.
     */
-  def fetchLines(resource: String, policy: RetryPolicy): Iterator[String] =
-    new Iterator[String] {
+  def fetchLines(resource: String, policy: RetryPolicy): PagedLineIterator =
+    new PagedLineIterator(resource, policy)
+
+  final class PagedLineIterator(resource: String, policy: RetryPolicy)
+      extends Iterator[String] with AutoCloseable {
       private var attempt = 1
       private var delivered = 0L
       private var reader: BufferedReader = _
@@ -276,6 +283,12 @@ object PagedFetch {
             if (line == null) { done = true; closeQuietly() }
             else pending = line
           } catch {
+            // read timeout is transient, NOT cancellation, despite being an
+            // InterruptedIOException subclass — it must consume retry budget
+            case _: java.net.SocketTimeoutException if attempt < policy.maxAttempts =>
+              closeQuietly()
+              Thread.sleep(policy.backoffMs << (attempt - 1))
+              attempt += 1
             case e: java.io.InterruptedIOException => closeQuietly(); throw e
             case scala.util.control.NonFatal(_) if attempt < policy.maxAttempts =>
               closeQuietly()
@@ -293,7 +306,11 @@ object PagedFetch {
         delivered += 1
         line
       }
-    }
+      /** Release the underlying handle when the page is abandoned before
+        * EOF (limit pushdown, task kill) — EOF and errors close eagerly.
+        */
+      override def close(): Unit = { done = true; closeQuietly() }
+  }
 }
 
 /** Session-lifetime loopback HTTP servers over paged fixture dirs — lets a
@@ -307,18 +324,18 @@ object PagedFetch {
 object LoopbackPages {
   private val servers =
     new java.util.concurrent.ConcurrentHashMap[String, (com.sun.net.httpserver.HttpServer, String)]()
-  @volatile private var hooked = false
+  // keyed by applicationId, NOT a boolean: a later SparkSession in the same
+  // JVM (test harnesses restart sessions) needs its OWN listener or its
+  // servers would outlive it and their non-daemon threads block JVM exit
+  private val hookedApps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Serve `dir` over loopback HTTP; returns the base URL. */
   def serve(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
-    if (!hooked) synchronized {
-      if (!hooked) {
-        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = stopAll()
-        })
-        hooked = true
-      }
+    if (hookedApps.add(spark.sparkContext.applicationId)) {
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = stopAll()
+      })
     }
     servers.computeIfAbsent(dir, { d =>
       val server = com.sun.net.httpserver.HttpServer.create(
@@ -384,7 +401,7 @@ class PagedPartitionReader(p: PagedInputPartition) extends PartitionReader[Inter
     }
   }
   override def get(): InternalRow = row
-  override def close(): Unit = ()
+  override def close(): Unit = lines.close()
 }
 
 // ------------------------------------------------------------ manifest
