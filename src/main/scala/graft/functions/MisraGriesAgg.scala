@@ -129,10 +129,11 @@ object MisraGries {
     * capacity's error bound reach `minFreq` (i.e. recall is no longer
     * guaranteed) is the summary recomputed once with
     * `capacity = n/minFreq + 1` — the smallest bound that restores the
-    * guarantee — and the input persisted across that escalation window
-    * only (the rare path pays a recompute-or-cache; the common path pays
-    * nothing). The exact second pass recomputes lineage as documented on
-    * the fixed-capacity overload.
+    * guarantee. The escalated pass recomputes lineage rather than caching:
+    * a persist placed here would be populated by the very action it is
+    * meant to serve and read by nothing after it, pure overhead — and the
+    * class-level stance is recompute-over-cache anyway. The exact second
+    * pass also recomputes, as documented on the fixed-capacity overload.
     */
   def exactHeavyHitters(df: DataFrame, keyCol: Column, minFreq: Long): DataFrame = {
     require(minFreq > 0, s"minFreq must be positive, got $minFreq")
@@ -149,11 +150,7 @@ object MisraGries {
         require(derived <= (1L << 26),
           s"derived capacity $derived (n=$n, minFreq=$minFreq) exceeds bounded-state " +
             "budget; minFreq is too small a fraction of n for a summary-based plan")
-        // Escalation path only: the re-summarized pass re-reads the input,
-        // so persisting across this window saves one full upstream recompute.
-        keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try summaryPass(keyed, derived.toInt)._1.keys.toSeq
-        finally keyed.unpersist()
+        summaryPass(keyed, derived.toInt)._1.keys.toSeq
       }
     exactCountCandidates(keyed, candidates, minFreq)
   }
