@@ -140,7 +140,9 @@ object MultimodalOps {
         var i = 0
         while (i < nSamples) {
           val s = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort
-          val seg = math.min(7, i * 8 / nSamples)
+          // i.toLong: `i * 8` wraps Int past ~268M samples (~537 MB PCM),
+          // which would index negative and flag a valid WAV as corrupt
+          val seg = math.min(7, (i.toLong * 8 / nSamples).toInt)
           sumSq(seg) += s.toDouble * s; cnt(seg) += 1
           i += 1
         }
