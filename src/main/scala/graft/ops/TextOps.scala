@@ -104,13 +104,17 @@ object TextOps {
     * against the previous crawl — fixed-size chunking would shift every
     * boundary and dedup nothing. The boundary scan is a codegen'd
     * single-pass expression and the explode is narrow: no shuffle, scan
-    * speed at corpus scale.
+    * speed at corpus scale. A NULL text coalesces to '' so the document
+    * survives as one explicit empty-chunk row — the nullIntolerant bounds
+    * expression would otherwise null out and posexplode would silently
+    * drop the doc_id from the output.
     */
   def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
                 minSize: Int, maskBits: Int, maxSize: Int): org.apache.spark.sql.DataFrame =
-    df.select(col(idCol), col(textCol).as("__t"),
+    df.select(col(idCol), coalesce(col(textCol), lit("")).as("__t"))
+      .select(col(idCol), col("__t"),
         graft.functions.VectorExpressions
-          .cdcChunkBounds(col(textCol), minSize, maskBits, maxSize).as("__ends"))
+          .cdcChunkBounds(col("__t"), minSize, maskBits, maxSize).as("__ends"))
       .select(col(idCol), col("__t"), col("__ends"),
         posexplode(col("__ends")).as(Seq("chunk_idx", "__e")))
       // element_at is 1-based: index chunk_idx IS the previous end offset

@@ -71,6 +71,16 @@ class CdcChunkSpec extends SparkSuite {
       s"precondition: fixed-size chunking should NOT survive the edit, got $fixedCommon")
   }
 
+  test("a NULL-text document survives as one explicit empty-chunk row") {
+    val df = Seq((1L, Some("some normal document text here")), (2L, None))
+      .toDF("doc_id", "text")
+    val chunks = TextOps.cdcChunks(df, "doc_id", "text", MIN, MASK, MAX)
+    assert(chunks.select("doc_id").distinct().count() == 2,
+      "null text must not silently drop the document")
+    val nullRow = chunks.filter(col("doc_id") === 2L).collect()
+    assert(nullRow.length == 1 && nullRow(0).getAs[Int]("chunk_len") == 0)
+  }
+
   test("q_chunk_cdc: registered query is deterministic with dedup-ready shape") {
     val q = SparkEntry.queries("q_chunk_cdc")(spark, sf)
     assert(q.columns.toSeq == Seq("doc_id", "chunk_idx", "chunk_len", "chunk_fp"))
