@@ -129,13 +129,22 @@ private[graft] object Queries {
     * `scripts/extract.py:63`) and pages fetched in parallel. The watermark
     * is `max(key)·3/5`, computed identically by the DuckDB oracle.
     */
-  def scanPaged(s: SparkSession, d: String): DataFrame = {
+  /** Shared fixture bootstrap for the paged-source queries: one on-disk
+    * page dir per scale factor, written once (whichever query runs first),
+    * identical shape for the file-path and HTTP-path scans.
+    */
+  private def pagedFixtureDir(s: SparkSession, d: String): String = {
     val dir = s"/root/repo/target/fixtures/paged_${new java.io.File(d).getName}"
     if (!new java.io.File(dir, "_manifest.json").exists()) {
       graft.sources.PagedManifest.writeFixture(
         ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
         dir, "o_orderkey", pageSize = 2000)
     }
+    dir
+  }
+
+  def scanPaged(s: SparkSession, d: String): DataFrame = {
+    val dir = pagedFixtureDir(s, d)
     val hwm = ord(s, d).agg(max("o_orderkey")).head().getLong(0) * 3 / 5
     s.read.format("graft-paged").load(dir)
       .filter(col("o_orderkey") > lit(hwm))
@@ -157,13 +166,7 @@ private[graft] object Queries {
     * time, the complement of `q_scan_paged`'s lower-bound watermark.
     */
   def scanHttp(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/root/repo/target/fixtures/paged_${new java.io.File(d).getName}"
-    if (!new java.io.File(dir, "_manifest.json").exists()) {
-      graft.sources.PagedManifest.writeFixture(
-        ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
-        dir, "o_orderkey", pageSize = 2000)
-    }
-    val base = graft.sources.LoopbackPages.serve(s, dir)
+    val base = graft.sources.LoopbackPages.serve(s, pagedFixtureDir(s, d))
     val cutoff = ord(s, d).agg(max("o_orderkey")).head().getLong(0) / 4
     s.read.format("graft-paged").load(base)
       .filter(col("o_orderkey") <= lit(cutoff))
