@@ -73,7 +73,9 @@ class PagedTable(path: String, schema: StructType) extends Table with SupportsRe
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PagedScanBuilder(path, schema,
       RetryPolicy(options.getInt("fetchRetries", 3),
-        options.getLong("fetchBackoffMs", 50L)))
+        options.getLong("fetchBackoffMs", 50L),
+        options.getInt("fetchConnectTimeoutMs", 10000),
+        options.getInt("fetchReadTimeoutMs", 60000)))
 }
 
 class PagedScanBuilder(path: String, fullSchema: StructType,
@@ -182,8 +184,11 @@ class PagedScan(path: String, manifest: PagedManifest, required: StructType,
 
 /** Per-page retry budget: up to `maxAttempts` fetches, exponential backoff
   * starting at `backoffMs` (50 → 100 → 200…, the extract.py tenacity shape).
+  * HTTP connect/read timeouts ride along so a stalled server surfaces as a
+  * retryable `SocketTimeoutException` on a caller-controlled clock.
   */
-case class RetryPolicy(maxAttempts: Int, backoffMs: Long) {
+case class RetryPolicy(maxAttempts: Int, backoffMs: Long,
+                       connectTimeoutMs: Int = 10000, readTimeoutMs: Int = 60000) {
   require(maxAttempts >= 1, s"maxAttempts must be >= 1, got $maxAttempts")
 }
 
@@ -232,8 +237,8 @@ object PagedFetch {
           if (isUrl(resource)) {
             val conn = new java.net.URL(resource).openConnection()
               .asInstanceOf[java.net.HttpURLConnection]
-            conn.setConnectTimeout(10000)
-            conn.setReadTimeout(60000)
+            conn.setConnectTimeout(policy.connectTimeoutMs)
+            conn.setReadTimeout(policy.readTimeoutMs)
             // 4xx/5xx surface as IOException from getInputStream → retried
             val raw = conn.getInputStream
             val expected = conn.getContentLengthLong

@@ -151,6 +151,38 @@ class PagedSourceSpec extends SparkSuite {
     }
   }
 
+  test("a read timeout is retried, not treated as task cancellation") {
+    // SocketTimeoutException subclasses InterruptedIOException; the retry
+    // catch must still consume budget for it. The server stalls past the
+    // client's 150 ms read timeout on each page's FIRST request only.
+    val stalled = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange: com.sun.net.httpserver.HttpExchange =>
+      val name = exchange.getRequestURI.getPath.stripPrefix("/")
+      val file = new java.io.File(dir, name)
+      if (!file.isFile) { exchange.sendResponseHeaders(404, -1); exchange.close() }
+      else {
+        if (name != "_manifest.json" && stalled.add(name)) Thread.sleep(600)
+        val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+        exchange.sendResponseHeaders(200, bytes.length)
+        exchange.getResponseBody.write(bytes)
+        exchange.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val got = spark.read.format("graft-paged")
+        .option("fetchReadTimeoutMs", "150").option("fetchBackoffMs", "1")
+        .load(base)
+      assert(got.count() == Tables.orders(spark, sf).count(),
+        "every page must recover from its stalled first fetch via retry")
+      assert(stalled.size > 0, "precondition: the stall handler must have fired")
+    } finally server.stop(0)
+  }
+
   test("q_scan_http: the registered query fetches over live loopback HTTP, exact rows") {
     val got = SparkEntry.queries("q_scan_http")(spark, sf)
     val cutoff = Tables.orders(spark, sf)
