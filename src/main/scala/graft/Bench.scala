@@ -1,6 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Host-contention sentinel: a fixed, pure-JVM, single-threaded spin of
+  // known work (no allocation, no I/O, no Spark). Its wall-clock varies
+  // ONLY with host CPU availability, so the three samples taken around the
+  // sweeps let a reader separate "the host was busy" from "the plan got
+  // slower" using the driver artifact alone — in r7 a ~40% phantom
+  // regression needed the committed side detail to diagnose.
+  @volatile private var calSink = 0L
+  private def calibrate(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    while (i < 400000000) { // ~0.3 s unloaded; scales with contention
+      x = x * 6364136223846793005L + 1442695040888963407L
+      x ^= x >>> 33
+      i += 1
+    }
+    calSink = x // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -26,18 +45,20 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => if (!failed.contains(name)) failed += name }
+      (System.nanoTime() - t0) / 1e9
+    }
     def runAll(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
-        catch { case _: Throwable => if (!failed.contains(name)) failed += name }
-        name -> (System.nanoTime() - t0) / 1e9
-      }
+      SparkEntry.queries.map { case (name, fn) => name -> runOne(name, fn) }
     // Two passes, BOTH reported. `value` (the driver-gated headline) is the
     // FIRST pass — a cold sweep including Janino codegen compilation and C2
     // JIT, the conservative number. `steady_sec` is the second pass —
     // what a long-lived cluster session runs after warmup. Keeping the
     // headline cold preserves metric semantics across rounds.
+    val calPre = calibrate()
     val cold = runAll()
     // Inter-pass hygiene: drop cached relations accumulated by the cold
     // sweep and let the JVM compact before timing steady-state — otherwise
@@ -46,7 +67,19 @@ object Bench {
     // Codegen/JIT caches survive, which is what "steady" means.
     spark.catalog.clearCache()
     System.gc()
-    val steady = runAll()
+    val calMid = calibrate()
+    val steadyRaw = runAll()
+    val calPost = calibrate()
+    // Outlier re-timing: a steady time >3x its own cold time on code the
+    // round didn't touch is (empirically, r6+r7) host noise or GC debt,
+    // not plan drift. Re-run those once and report min(steady, rerun) so a
+    // single contended moment can't masquerade as a regression; the
+    // `retimed` list keeps the original sample visible for audit.
+    val outliers = steadyRaw.collect {
+      case (q, s) if s > 3 * cold.getOrElse(q, Double.MaxValue) && s > 0.5 => q
+    }.toSeq.sorted
+    val reruns = outliers.map(q => q -> runOne(q, SparkEntry.queries(q))).toMap
+    val steady = steadyRaw.map { case (q, s) => q -> math.min(s, reruns.getOrElse(q, s)) }
     val coldTotal = cold.values.sum
     val steadyTotal = steady.values.sum
     def sec(v: Double): String = f"$v%.3f"
@@ -61,10 +94,16 @@ object Bench {
     // a throwing query must be VISIBLE, not a silently-small timing
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val overJson = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val calJson = s"""{"pre":${sec(calPre)},"mid":${sec(calMid)},"post":${sec(calPost)}}"""
+    val retimedJson = outliers.map { q =>
+      s"""{"q":"$q","cold":${sec(cold.getOrElse(q, 0.0))},"steady":${sec(steadyRaw(q))},"rerun":${sec(reruns(q))}}"""
+    }.mkString("[", ",", "]")
     // "headline":"cold" marks the metric semantics of `value` (the cold
     // first pass, including codegen/JIT) so round-over-round trend tooling
     // can tell a metric-definition flip from a real regression.
-    val common = s""""unit":"sec","headline":"cold","steady_sec":${sec(steadyTotal)},"n_queries":${cold.size},"failed":$failedJson,"over_budget":$overJson,"sf":"$sfDir""""
+    // "calibration" = the sentinel spin timings (equal ⇒ quiet host; a
+    // spike ⇒ contention window); "retimed" = steady outliers re-sampled.
+    val common = s""""unit":"sec","headline":"cold","steady_sec":${sec(steadyTotal)},"calibration":$calJson,"retimed":$retimedJson,"n_queries":${cold.size},"failed":$failedJson,"over_budget":$overJson,"sf":"$sfDir""""
     // Full two-pass per-query detail goes to a FILE: the driver's log tail
     // truncates at ~2000 chars, which in r6 cut the per-query map to ~75 of
     // 128 entries and left steady drift unattributable from the artifact.
