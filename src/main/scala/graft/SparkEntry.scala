@@ -179,6 +179,34 @@ private[graft] object Queries {
       |WHERE o_orderkey <= (SELECT max(o_orderkey)//4 FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** S1 FAITHFUL WIRE CONTRACT: the SoQL offset protocol the reference
+    * actually speaks (`scripts/extract.py:56-72`) — manifest-less
+    * `$limit`/`$offset` GETs against a rows endpoint, with the watermark
+    * predicate serialized into `$where` (`scripts/extract.py:61-63`) and
+    * the column list into `$select`, both interpreted SERVER-side by the
+    * loopback fixture. Planning count-probes (`$select=count(1)`, itself
+    * SoQL) so offset pages fetch in parallel across executors instead of
+    * the reference's serial loop; a short page still terminates exactly.
+    * Schema is explicit, as the reference hard-codes its column list
+    * (`scripts/extract.py:33-41`).
+    */
+  def scanHttpOffset(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.LoopbackPages.serve(s, pagedFixtureDir(s, d))
+    val hwm = ord(s, d).agg(max("o_orderkey")).head().getLong(0) * 2 / 3
+    s.read.format("graft-paged")
+      .option("mode", "offset").option("pageSize", "2000")
+      .schema("o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderpriority string")
+      .load(s"$base/${graft.sources.LoopbackPages.SoqlPath}")
+      .filter(col("o_orderkey") > lit(hwm))
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  private val scanHttpOffsetSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority FROM orders
+      |WHERE o_orderkey > (SELECT (max(o_orderkey)*2)//3 FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+
   // ================================================================ P1: rename
   def rename(s: SparkSession, d: String): DataFrame = {
     val upperCased = ord(s, d).toDF(ord(s, d).columns.map(_.toUpperCase).toIndexedSeq: _*)
@@ -2733,6 +2761,7 @@ private[graft] object Queries {
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_scan_orc" -> (scanOrc _),
     "q_scan_http" -> (scanHttp _),
+    "q_scan_http_offset" -> (scanHttpOffset _),
     "q_chunk_cdc" -> (chunkCdc _),
     "q_date_format" -> (dateFormat _),
     "q_sink_jsonl" -> (sinkJsonl _),
@@ -2858,6 +2887,7 @@ private[graft] object Queries {
     "q_explode_outer" -> explodeOuterSql,
     "q_scan_orc" -> scanOrcSql,
     "q_scan_http" -> scanHttpSql,
+    "q_scan_http_offset" -> scanHttpOffsetSql,
     "q_date_format" -> dateFormatSql,
     "q_sink_jsonl" -> sinkJsonlSql,
     "q_sink_jdbc" -> sinkJdbcSql,

@@ -55,35 +55,53 @@ class PagedJsonTableProvider extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
   override def shortName(): String = "graft-paged"
 
+  private def isOffsetMode(mode: String): Boolean = "offset".equalsIgnoreCase(mode)
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PagedManifest.read(options.get("path")).schema
+    if (isOffsetMode(options.getOrDefault("mode", "manifest")))
+      // manifest-less by definition — the reference hard-codes its column
+      // list (scripts/extract.py:33-41); the user supplies .schema(...)
+      throw new IllegalArgumentException(
+        "graft-paged mode=offset has no manifest to infer from; supply .schema(...) explicitly")
+    else PagedManifest.read(options.get("path"), PagedTable.retryOf(options)).schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new PagedTable(properties.get("path"), schema)
+    if (isOffsetMode(properties.getOrDefault("mode", "manifest")))
+      new SoqlTable(properties.get("path"), schema)
+    else new PagedTable(properties.get("path"), schema)
 
   override def supportsExternalMetadata(): Boolean = true
+}
+
+object PagedTable {
+  /** One parse of the fetch-policy reader options, shared by schema
+    * inference (manifest GET) and the scan builder (page GETs).
+    */
+  def retryOf(options: CaseInsensitiveStringMap): RetryPolicy =
+    RetryPolicy(options.getInt("fetchRetries", 3),
+      options.getLong("fetchBackoffMs", 50L),
+      options.getInt("fetchConnectTimeoutMs", 10000),
+      options.getInt("fetchReadTimeoutMs", 60000))
 }
 
 class PagedTable(path: String, schema: StructType) extends Table with SupportsRead {
   override def name(): String = s"graft-paged:$path"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PagedScanBuilder(path, schema,
-      RetryPolicy(options.getInt("fetchRetries", 3),
-        options.getLong("fetchBackoffMs", 50L),
-        options.getInt("fetchConnectTimeoutMs", 10000),
-        options.getInt("fetchReadTimeoutMs", 60000)))
+    new PagedScanBuilder(path, schema, PagedTable.retryOf(options),
+      options.getInt("maxPagesPerTrigger", 0))
 }
 
 class PagedScanBuilder(path: String, fullSchema: StructType,
-                       retry: RetryPolicy = RetryPolicy(3, 50L))
+                       retry: RetryPolicy = RetryPolicy(3, 50L),
+                       maxPagesPerTrigger: Int = 0)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
 
-  private val manifest = PagedManifest.read(path)
+  private val manifest = PagedManifest.read(path, retry)
   private var lowerBound: Option[Long] = None  // key > / >= bound
   private var upperBound: Option[Long] = None  // key < / <= bound
   private var pushed: Array[Filter] = Array.empty
@@ -136,12 +154,14 @@ class PagedScanBuilder(path: String, fullSchema: StructType,
   }
 
   override def build(): Scan =
-    new PagedScan(path, manifest, required, lowerBound, upperBound, limit, retry)
+    new PagedScan(path, manifest, required, lowerBound, upperBound, limit, retry,
+      maxPagesPerTrigger)
 }
 
 class PagedScan(path: String, manifest: PagedManifest, required: StructType,
                 lower: Option[Long], upper: Option[Long], limit: Option[Int],
-                retry: RetryPolicy = RetryPolicy(3, 50L))
+                retry: RetryPolicy = RetryPolicy(3, 50L),
+                maxPagesPerTrigger: Int = 0)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -153,14 +173,15 @@ class PagedScan(path: String, manifest: PagedManifest, required: StructType,
       s"limit=${limit.getOrElse(-1)}"
   }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    // page-level pruning on manifest stats (conservative), then the
-    // limit budget in page order — the reference's sequential-page
-    // semantics, minus the pages the predicate rules out.
+  /** Page-level pruning on manifest stats (conservative), then the limit
+    * budget in page order — the reference's sequential-page semantics,
+    * minus the pages the predicate rules out.
+    */
+  private[sources] def admittedPages: Seq[PageStat] = {
     val afterPrune = manifest.pages.filter { p =>
       lower.forall(p.maxKey > _) && upper.forall(p.minKey < _)
     }
-    val admitted = limit match {
+    limit match {
       case None => afterPrune
       case Some(l) =>
         var budget = l.toLong
@@ -170,16 +191,120 @@ class PagedScan(path: String, manifest: PagedManifest, required: StructType,
           take
         }
     }
-    admitted.map(p =>
-      PagedInputPartition(s"$path/${p.file}", manifest.schema, required, retry)
-        : InputPartition).toArray
   }
 
+  override def planInputPartitions(): Array[InputPartition] =
+    admittedPages.map(p =>
+      PagedInputPartition(s"$path/${p.file}", manifest.schema, required, retry)
+        : InputPartition).toArray
+
   override def createReaderFactory(): PartitionReaderFactory =
+    PagedScan.readerFactory
+
+  /** S1 × I2 as idiomatic Structured Streaming: `readStream` on the paged
+    * source with the page INDEX as the streaming offset, so the engine's
+    * checkpoint owns exactly the "pages done" cursor the reference's
+    * resumable loop tracks by hand (`scripts/extract.py:56-72` +
+    * watermark file). `maxPagesPerTrigger` bounds each micro-batch;
+    * `Trigger.AvailableNow` drains the current page list then stops.
+    */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new PagedMicroBatchStream(path, admittedPages, manifest.schema, required,
+      retry, maxPagesPerTrigger)
+}
+
+object PagedScan {
+  private[sources] val readerFactory: PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
         new PagedPartitionReader(partition.asInstanceOf[PagedInputPartition])
     }
+}
+
+/** Streaming offset = (count of pages consumed, digest of exactly those
+  * pages' manifest stats). The digest pins WHICH pages the index counts:
+  * appending new pages to the manifest keeps every old prefix valid
+  * (normal incremental ingest), but a manifest that renumbered, removed,
+  * or resized already-consumed pages fails the resume LOUDLY instead of
+  * silently skipping data — the positional-index hazard a bare integer
+  * offset would have.
+  */
+case class PagedStreamOffset(consumed: Int, prefixSig: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"consumed":$consumed,"prefixSig":"$prefixSig"}"""
+}
+
+object PagedStreamOffset {
+  def sigOf(pages: Seq[PageStat]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    pages.foreach(p => md.update(
+      s"${p.file}|${p.rows}|${p.minKey}|${p.maxKey}\n".getBytes("UTF-8")))
+    md.digest().take(12).map(b => f"$b%02x").mkString
+  }
+  def at(pages: Seq[PageStat], consumed: Int): PagedStreamOffset =
+    PagedStreamOffset(consumed, sigOf(pages.take(consumed)))
+  def parse(json: String): PagedStreamOffset = {
+    val node = new ObjectMapper().readTree(json)
+    PagedStreamOffset(node.get("consumed").asInt(), node.get("prefixSig").asText())
+  }
+}
+
+class PagedMicroBatchStream(path: String, pages: Seq[PageStat],
+                            fullSchema: StructType, required: StructType,
+                            retry: RetryPolicy, maxPagesPerTrigger: Int)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit}
+
+  // AvailableNow: pin the drain target at query start; pages is already
+  // fixed per stream start (manifest re-read when the query [re]starts)
+  @volatile private var availableNowCap: Int = pages.length
+
+  private def checkPrefix(o: PagedStreamOffset): Int = {
+    require(o.consumed <= pages.length &&
+      PagedStreamOffset.sigOf(pages.take(o.consumed)) == o.prefixSig,
+      s"paged-stream checkpoint does not match the manifest: offset counts " +
+        s"${o.consumed} consumed pages but the manifest's first ${o.consumed} " +
+        s"pages differ (renumbered/removed/resized while the query was down). " +
+        s"Appending pages is safe; rewriting history requires a fresh checkpoint.")
+    o.consumed
+  }
+
+  override def initialOffset(): StreamOffset = PagedStreamOffset.at(pages, 0)
+  override def deserializeOffset(json: String): StreamOffset = PagedStreamOffset.parse(json)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def prepareForTriggerAvailableNow(): Unit = availableNowCap = pages.length
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPagesPerTrigger > 0) ReadLimit.maxRows(maxPagesPerTrigger.toLong)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with admission control")
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val from = checkPrefix(start.asInstanceOf[PagedStreamOffset])
+    val cap = math.min(pages.length, availableNowCap)
+    val to =
+      if (maxPagesPerTrigger > 0) math.min(cap, from + maxPagesPerTrigger) else cap
+    PagedStreamOffset.at(pages, to)
+  }
+
+  override def reportLatestOffset(): StreamOffset = PagedStreamOffset.at(pages, pages.length)
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val from = checkPrefix(start.asInstanceOf[PagedStreamOffset])
+    val to = checkPrefix(end.asInstanceOf[PagedStreamOffset])
+    pages.slice(from, to).map(p =>
+      PagedInputPartition(s"$path/${p.file}", fullSchema, required, retry)
+        : InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = PagedScan.readerFactory
 }
 
 /** Per-page retry budget: up to `maxAttempts` fetches, exponential backoff
@@ -223,6 +348,47 @@ object PagedFetch {
   def fetchLines(resource: String, policy: RetryPolicy): PagedLineIterator =
     new PagedLineIterator(resource, policy)
 
+  /** Fetch a whole small resource (the manifest) with the SAME timeout /
+    * retry / truncation-guard / gzip discipline as page fetches — a stalled
+    * manifest GET must not hang planning indefinitely, and a transient 503
+    * must not fail the scan outright (it used to: the manifest went through
+    * a bare `URL.openStream` with no timeout and no retry).
+    */
+  def fetchBytes(resource: String, policy: RetryPolicy): Array[Byte] = {
+    var attempt = 1
+    while (true) {
+      try {
+        faultInjector(resource)
+        if (isUrl(resource)) {
+          val conn = new java.net.URL(resource).openConnection()
+            .asInstanceOf[java.net.HttpURLConnection]
+          conn.setConnectTimeout(policy.connectTimeoutMs)
+          conn.setReadTimeout(policy.readTimeoutMs)
+          conn.setRequestProperty("Accept-Encoding", "gzip")
+          val raw = conn.getInputStream
+          try {
+            val bytes = raw.readAllBytes()
+            val expected = conn.getContentLengthLong
+            if (expected >= 0 && bytes.length < expected)
+              throw new java.io.IOException(
+                s"truncated response: ${bytes.length} of $expected bytes from $resource")
+            return if ("gzip".equalsIgnoreCase(conn.getContentEncoding))
+              new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(bytes)).readAllBytes()
+            else bytes
+          } finally raw.close()
+        } else return java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(resource))
+      } catch {
+        case _: java.net.SocketTimeoutException if attempt < policy.maxAttempts =>
+          Thread.sleep(policy.backoffMs << (attempt - 1)); attempt += 1
+        case e: java.io.InterruptedIOException => throw e
+        case scala.util.control.NonFatal(_) if attempt < policy.maxAttempts =>
+          Thread.sleep(policy.backoffMs << (attempt - 1)); attempt += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   final class PagedLineIterator(resource: String, policy: RetryPolicy)
       extends Iterator[String] with AutoCloseable {
       private var attempt = 1
@@ -239,6 +405,9 @@ object PagedFetch {
               .asInstanceOf[java.net.HttpURLConnection]
             conn.setConnectTimeout(policy.connectTimeoutMs)
             conn.setReadTimeout(policy.readTimeoutMs)
+            // Compressed transfer: page payloads are the dominant wire cost
+            // at scale and every real public API (incl. Socrata) gzips.
+            conn.setRequestProperty("Accept-Encoding", "gzip")
             // 4xx/5xx surface as IOException from getInputStream → retried
             val raw = conn.getInputStream
             val expected = conn.getContentLengthLong
@@ -246,6 +415,11 @@ object PagedFetch {
             // silent short read — a truncated final line would then parse as
             // data. Enforce Content-Length ourselves: EOF before `expected`
             // bytes throws (→ retried) BEFORE any partial line is delivered.
+            // Content-Length counts WIRE bytes (compressed when the server
+            // gzips), so the guard wraps the RAW stream, below any
+            // decompression; the DECODED bytes are separately guarded by
+            // gzip's own trailer integrity (CRC-32 + ISIZE), which
+            // GZIPInputStream verifies at end-of-stream.
             val checked =
               if (expected < 0) raw
               else new java.io.FilterInputStream(raw) {
@@ -264,11 +438,34 @@ object PagedFetch {
                   n
                 }
               }
-            new BufferedReader(new java.io.InputStreamReader(checked, "UTF-8"))
+            val decoded =
+              if ("gzip".equalsIgnoreCase(conn.getContentEncoding))
+                new java.util.zip.GZIPInputStream(checked)
+              else checked
+            new BufferedReader(new java.io.InputStreamReader(decoded, "UTF-8"))
           } else new BufferedReader(new FileReader(resource))
-        var skip = delivered
-        while (skip > 0) {
-          if (r.readLine() == null) skip = 0 else skip -= 1
+        // Re-skip lines already handed to Spark. Two hazards live here:
+        // (1) if the skip itself fails (second truncation / timeout), `r`
+        //     was never assigned to `reader`, so the retry path's
+        //     closeQuietly() wouldn't release it — close it HERE before
+        //     rethrowing into the retry ladder;
+        // (2) a clean EOF before all delivered lines are re-skipped means
+        //     the resource SHRANK between attempts (consistent
+        //     Content-Length, different content) — silently accepting it
+        //     would truncate the page, so it throws and consumes retry
+        //     budget like any other fetch fault.
+        try {
+          var skip = delivered
+          while (skip > 0) {
+            if (r.readLine() == null) throw new java.io.IOException(
+              s"resource shrank across retries: EOF after ${delivered - skip} " +
+                s"of $delivered already-delivered lines in $resource")
+            skip -= 1
+          }
+        } catch {
+          case t: Throwable =>
+            try r.close() catch { case _: java.io.IOException => () }
+            throw t
         }
         r
       }
@@ -327,14 +524,125 @@ object PagedFetch {
   * `runMain`-style driver).
   */
 object LoopbackPages {
+  /** Path of the SoQL rows endpoint each served dir exposes (offset mode). */
+  val SoqlPath = "__soql"
+
   private val servers =
     new java.util.concurrent.ConcurrentHashMap[String, (com.sun.net.httpserver.HttpServer, String)]()
   // keyed by applicationId, NOT a boolean: a later SparkSession in the same
   // JVM (test harnesses restart sessions) needs its OWN listener or its
   // servers would outlive it and their non-daemon threads block JVM exit
   private val hookedApps = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  // fixture-server state: materialized rows for the SoQL endpoint and a
+  // bounded request log so specs can prove what crossed the wire
+  private val soqlCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Vector[JsonNode]]()
+  private val requestLogs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]]()
 
-  /** Serve `dir` over loopback HTTP; returns the base URL. */
+  /** Requests served for `dir` as (decoded `path?query`, rows served; -1
+    * for static file GETs) — evidence for "the server saw the predicate".
+    */
+  def requestLog(dir: String): Seq[(String, Long)] = {
+    val q = requestLogs.get(dir)
+    if (q == null) Nil
+    else { val b = Vector.newBuilder[(String, Long)]; q.forEach(b += _); b.result() }
+  }
+  def clearRequestLog(dir: String): Unit = {
+    val q = requestLogs.get(dir)
+    if (q != null) q.clear()
+  }
+
+  private def logRequest(dir: String, entry: String, rows: Long): Unit = {
+    val q = requestLogs.computeIfAbsent(dir,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]())
+    q.add(entry -> rows)
+    while (q.size > 10000) q.poll() // bounded: session-lifetime server
+  }
+
+  /** All rows of the paged fixture in page order — the fixture server's
+    * "database" behind the SoQL endpoint (server-side implementation
+    * detail, same role as Socrata's backing store).
+    */
+  private def soqlRows(dir: String): Vector[JsonNode] =
+    soqlCache.computeIfAbsent(dir, { d =>
+      val mapper = new ObjectMapper()
+      PagedManifest.read(d).pages.iterator.flatMap { p =>
+        val it = java.nio.file.Files.readAllLines(
+          new File(d, p.file).toPath, java.nio.charset.StandardCharsets.UTF_8).iterator()
+        new Iterator[JsonNode] {
+          def hasNext = it.hasNext
+          def next() = mapper.readTree(it.next())
+        }
+      }.toVector
+    })
+
+  private def respond(exchange: com.sun.net.httpserver.HttpExchange,
+                      plain: Array[Byte]): Unit = {
+    // Honor Accept-Encoding: gzip — the connector always asks for it, so
+    // the registered q_scan_http* queries exercise compressed transfer
+    // (Content-Length = wire bytes, the client's truncation guard counts
+    // exactly these).
+    val accept = Option(exchange.getRequestHeaders.getFirst("Accept-Encoding"))
+      .getOrElse("")
+    val bytes =
+      if (accept.toLowerCase.contains("gzip")) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(plain); gz.close()
+        exchange.getResponseHeaders.set("Content-Encoding", "gzip")
+        bos.toByteArray
+      } else plain
+    exchange.sendResponseHeaders(200, bytes.length)
+    exchange.getResponseBody.write(bytes)
+    exchange.close()
+  }
+
+  /** Evaluate one SoQL GET (`$select`/`$where`/`$limit`/`$offset`) against
+    * the fixture rows — the loopback stand-in for the reference's server
+    * (`scripts/extract.py:56-72` talks to exactly this contract). Returns
+    * (JSONL body, rows served).
+    */
+  private def soqlAnswer(dir: String, rawQuery: String): (String, Long) = {
+    val mapper = new ObjectMapper()
+    val params: Map[String, String] = rawQuery.split("&").toIndexedSeq
+      .filter(_.contains("=")).map { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
+      }.toMap
+    val all = soqlRows(dir)
+    val filtered = params.get("$where").fold(all)(w => all.filter(SoqlWire.eval(w, _)))
+    params.get("$select") match {
+      case Some(s) if s.trim.toLowerCase.startsWith("count(") =>
+        val i = s.toLowerCase.lastIndexOf(" as ")
+        val alias = if (i >= 0) s.substring(i + 4).trim else "count"
+        (s"""{"$alias":${filtered.size}}""" + "\n", 1L)
+      case sel =>
+        val off = math.max(0L, params.get("$offset").map(_.toLong).getOrElse(0L))
+        val lim = math.min(params.get("$limit").map(_.toLong).getOrElse(Long.MaxValue),
+          filtered.size.toLong)
+        val slice =
+          if (off >= filtered.size) Vector.empty
+          else filtered.slice(off.toInt, math.min(filtered.size.toLong, off + lim).toInt)
+        val cols = sel.map(_.split(",").map(_.trim).filter(_.nonEmpty))
+        val sb = new StringBuilder
+        slice.foreach { row =>
+          val out = cols.fold(row) { cs =>
+            val o = mapper.createObjectNode()
+            // explicit type arg: ObjectNode.set's generic return infers
+            // Nothing in Scala and checkcast-crashes at runtime
+            cs.foreach(c => o.set[JsonNode](c, row.get(c)))
+            o: JsonNode
+          }
+          sb.append(mapper.writeValueAsString(out)).append('\n')
+        }
+        (sb.toString, slice.size.toLong)
+    }
+  }
+
+  /** Serve `dir` over loopback HTTP; returns the base URL. Static page /
+    * manifest files at `/<name>`, the SoQL rows endpoint at `/__soql`.
+    */
   def serve(spark: org.apache.spark.sql.SparkSession, dir: String): String = {
     if (hookedApps.add(spark.sparkContext.applicationId)) {
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -345,14 +653,37 @@ object LoopbackPages {
     servers.computeIfAbsent(dir, { d =>
       val server = com.sun.net.httpserver.HttpServer.create(
         new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      val root = new File(d).getCanonicalFile
       server.createContext("/", { exchange: com.sun.net.httpserver.HttpExchange =>
-        val f = new File(d, exchange.getRequestURI.getPath.stripPrefix("/"))
-        if (!f.isFile) { exchange.sendResponseHeaders(404, -1); exchange.close() }
-        else {
-          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-          exchange.sendResponseHeaders(200, bytes.length)
-          exchange.getResponseBody.write(bytes)
-          exchange.close()
+        val reqPath = exchange.getRequestURI.getPath.stripPrefix("/")
+        if (reqPath == SoqlPath) {
+          // a handler exception must surface as a 500, not a silently
+          // dropped connection (which the client would misread as a
+          // transient fault and burn its whole retry budget on)
+          try {
+            val rawQuery = Option(exchange.getRequestURI.getRawQuery).getOrElse("")
+            val (body, rows) = soqlAnswer(d, rawQuery)
+            logRequest(d, s"$SoqlPath?${java.net.URLDecoder.decode(rawQuery, "UTF-8")}", rows)
+            respond(exchange, body.getBytes("UTF-8"))
+          } catch {
+            case scala.util.control.NonFatal(t) =>
+              System.err.println(s"LoopbackPages soql handler error: $t")
+              t.printStackTrace()
+              exchange.sendResponseHeaders(500, -1); exchange.close()
+          }
+        } else {
+          // Canonicalize and confine to the served dir: the server is
+          // loopback-only but session-lifetime, and a raw `new File(d, path)`
+          // would follow `../` segments out of the fixture dir and serve any
+          // JVM-readable file.
+          val f = new File(root, reqPath).getCanonicalFile
+          val confined = f.getPath == root.getPath ||
+            f.getPath.startsWith(root.getPath + File.separator)
+          if (!confined || !f.isFile) { exchange.sendResponseHeaders(404, -1); exchange.close() }
+          else {
+            logRequest(d, reqPath, -1L)
+            respond(exchange, java.nio.file.Files.readAllBytes(f.toPath))
+          }
         }
       })
       server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4,
@@ -365,6 +696,8 @@ object LoopbackPages {
   def stopAll(): Unit = {
     servers.values.forEach { case (server, _) => server.stop(0) }
     servers.clear()
+    soqlCache.clear()
+    requestLogs.clear()
   }
 }
 
@@ -381,29 +714,7 @@ class PagedPartitionReader(p: PagedInputPartition) extends PartitionReader[Inter
 
   override def next(): Boolean = {
     if (!lines.hasNext) { false }
-    else {
-      val line = lines.next()
-      val node = mapper.readTree(line)
-      val vals = new Array[Any](p.required.length)
-      var i = 0
-      while (i < p.required.length) {
-        val f = p.required.fields(i)
-        val n = node.get(f.name)
-        vals(i) =
-          if (n == null || n.isNull) null
-          else f.dataType match {
-            case LongType => n.asLong()
-            case IntegerType => n.asInt()
-            case DoubleType => n.asDouble()
-            case StringType => UTF8String.fromString(n.asText())
-            case BooleanType => n.asBoolean()
-            case dt => throw new UnsupportedOperationException(s"type $dt")
-          }
-        i += 1
-      }
-      row = new GenericInternalRow(vals)
-      true
-    }
+    else { row = JsonLineRows.parse(mapper, lines.next(), p.required); true }
   }
   override def get(): InternalRow = row
   override def close(): Unit = lines.close()
@@ -415,11 +726,14 @@ case class PageStat(file: String, rows: Long, minKey: Long, maxKey: Long)
 case class PagedManifest(keyCol: String, schema: StructType, pages: Seq[PageStat])
 
 object PagedManifest {
-  def read(path: String): PagedManifest = {
+  def read(path: String, retry: RetryPolicy = RetryPolicy(3, 50L)): PagedManifest = {
     val mapper = new ObjectMapper()
-    val root =
-      if (PagedFetch.isUrl(path)) mapper.readTree(new java.net.URL(s"$path/_manifest.json"))
-      else mapper.readTree(new File(path, "_manifest.json"))
+    // Through the same timeout/retry/gzip fetch path as pages — a bare
+    // `readTree(URL)` has no timeouts, so a stalled manifest GET would hang
+    // PLANNING (not even a task Spark could retry) indefinitely.
+    val root = mapper.readTree(PagedFetch.fetchBytes(
+      if (PagedFetch.isUrl(path)) s"$path/_manifest.json"
+      else new File(path, "_manifest.json").getPath, retry))
     val schema = DataType.fromDDL(root.get("schemaDdl").asText()).asInstanceOf[StructType]
     val pages = ArrayBuffer[PageStat]()
     val it = root.get("pages").elements()

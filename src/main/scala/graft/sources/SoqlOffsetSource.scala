@@ -1,0 +1,316 @@
+package graft.sources
+
+import java.util
+
+import com.fasterxml.jackson.databind.JsonNode
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SoQL-faithful OFFSET pagination for the `graft-paged` provider
+  * (`mode=offset`) — the wire contract the reference actually speaks
+  * (`scripts/extract.py:56-72`): manifest-less `$limit`/`$offset` GETs
+  * against a rows endpoint, pushed filters serialized into `$where`
+  * (`scripts/extract.py:61-63`), required columns into `$select`, looping
+  * until a short page. The server — Socrata in the reference, the loopback
+  * fixture here — interprets the query string; the client never sees rows
+  * the predicate excluded.
+  *
+  * Two planning shapes:
+  *  - `probeCount=true` (default): one planning-time `$select=count(1)`
+  *    probe with the same `$where` sizes the result, then ONE
+  *    InputPartition PER OFFSET PAGE → pages fetch in parallel across
+  *    executors (the count query is itself SoQL — Socrata answers it).
+  *    Each page still stops early if the server returns fewer rows than
+  *    `$limit` (data shrank between probe and fetch — offset paging is not
+  *    snapshot-consistent, exactly as against the real API).
+  *  - `probeCount=false`: a single partition walking
+  *    `$offset += $limit` until a short page — the reference's serial loop,
+  *    byte-for-byte the same GET sequence, for servers without count().
+  *
+  * Schema is EXPLICIT (`.schema(...)`): there is no manifest to infer from,
+  * matching the reference where the column list is hard-coded
+  * (`scripts/extract.py:33-41`).
+  *
+  * Filters accepted into `$where` are ALSO kept residual — Spark re-checks
+  * every row, so a server that mis-evaluates the predicate degrades
+  * transfer volume, never correctness.
+  */
+object SoqlWire {
+  /** SoQL literal rendering; None = not expressible, filter stays
+    * client-side only.
+    */
+  private def lit(v: Any): Option[String] = v match {
+    case l: Long    => Some(l.toString)
+    case i: Int     => Some(i.toString)
+    case s: Short   => Some(s.toString)
+    case b: Byte    => Some(b.toString)
+    case d: Double  => Some(d.toString)
+    case f: Float   => Some(f.toString)
+    case s: String  => Some("'" + s.replace("'", "''") + "'")
+    case b: Boolean => Some(b.toString)
+    case _          => None
+  }
+
+  /** One comparison filter → SoQL clause, if expressible. */
+  def render(f: Filter): Option[String] = f match {
+    case EqualTo(c, v)            => lit(v).map(l => s"$c = $l")
+    case GreaterThan(c, v)        => lit(v).map(l => s"$c > $l")
+    case GreaterThanOrEqual(c, v) => lit(v).map(l => s"$c >= $l")
+    case LessThan(c, v)           => lit(v).map(l => s"$c < $l")
+    case LessThanOrEqual(c, v)    => lit(v).map(l => s"$c <= $l")
+    case _                        => None
+  }
+
+  def renderAll(filters: Seq[Filter]): Option[String] = {
+    val clauses = filters.flatMap(render)
+    if (clauses.isEmpty) None else Some(clauses.mkString(" AND "))
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** Build a rows-endpoint URL with the SoQL query parameters. */
+  def pageUrl(endpoint: String, select: Option[String], where: Option[String],
+              limit: Option[Long], offset: Option[Long]): String = {
+    val params =
+      select.map(s => "$select" -> s).toSeq ++
+        where.map(w => "$where" -> w) ++
+        limit.map(l => "$limit" -> l.toString) ++
+        offset.map(o => "$offset" -> o.toString)
+    if (params.isEmpty) endpoint
+    else endpoint + "?" + params.map { case (k, v) => enc(k) + "=" + enc(v) }.mkString("&")
+  }
+
+  // ---------------- fixture-server-side evaluation (LoopbackPages) ------
+  // The loopback stand-in for Socrata's query engine: parses the clause
+  // grammar `render` emits (`col op literal [AND ...]`) and evaluates it
+  // against a JSON row. Fixture infrastructure, not the engine's read path
+  // — the CLIENT never evaluates $where.
+
+  private val Clause = """\s*(\w+)\s*(<=|>=|=|<|>)\s*(.+?)\s*""".r
+
+  /** Evaluate a rendered `$where` against one JSON row. Unknown columns /
+    * malformed clauses throw — a fixture server that silently matched
+    * everything would hide a broken pushdown.
+    */
+  def eval(where: String, row: JsonNode): Boolean =
+    where.split(" AND ").forall {
+      case Clause(col, op, rawLit) =>
+        val node = row.get(col)
+        if (node == null || node.isNull) false
+        else if (rawLit.startsWith("'")) {
+          val v = rawLit.stripPrefix("'").stripSuffix("'").replace("''", "'")
+          val x = node.asText()
+          op match {
+            case "="  => x == v
+            case ">"  => x > v
+            case ">=" => x >= v
+            case "<"  => x < v
+            case "<=" => x <= v
+          }
+        } else if (rawLit == "true" || rawLit == "false") {
+          op == "=" && node.asBoolean() == (rawLit == "true")
+        } else {
+          val v = rawLit.toDouble
+          val x = node.asDouble()
+          op match {
+            case "="  => x == v
+            case ">"  => x > v
+            case ">=" => x >= v
+            case "<"  => x < v
+            case "<=" => x <= v
+          }
+        }
+      case other => throw new IllegalArgumentException(s"unparseable clause: $other")
+    }
+}
+
+class SoqlTable(endpoint: String, schema: StructType) extends Table with SupportsRead {
+  override def name(): String = s"graft-soql:$endpoint"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SoqlScanBuilder(endpoint, schema, PagedTable.retryOf(options),
+      options.getLong("pageSize", 1000L),
+      options.getBoolean("probeCount", true))
+}
+
+class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPolicy,
+                      pageSize: Long, probeCount: Boolean)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+  require(pageSize >= 1, s"pageSize must be >= 1, got $pageSize")
+
+  private var where: Option[String] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+  private var required: StructType = fullSchema
+
+  /** `$where` serialization (`scripts/extract.py:61-63`): every expressible
+    * comparison goes to the server; EVERYTHING stays residual so server
+    * evaluation is never load-bearing for correctness.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f => SoqlWire.render(f).isDefined)
+    where = SoqlWire.renderAll(pushed.toSeq)
+    filters // all residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** `$limit` cap on the page budget; partial pushdown, Spark re-applies. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
+
+  override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
+
+  override def build(): Scan =
+    new SoqlScan(endpoint, fullSchema, required, where, limit, pageSize, probeCount, retry)
+}
+
+/** One InputPartition per `$offset` page (count-probed), or a single
+  * serial-loop partition (`probeCount=false`).
+  */
+case class SoqlPagePartition(url: String, required: StructType, retry: RetryPolicy,
+                             expectRows: Long) extends InputPartition
+case class SoqlSerialPartition(endpoint: String, select: Option[String],
+                               where: Option[String], pageSize: Long,
+                               maxRows: Long, required: StructType,
+                               retry: RetryPolicy) extends InputPartition
+
+class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
+               where: Option[String], limit: Option[Int], pageSize: Long,
+               probeCount: Boolean, retry: RetryPolicy)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  // `$select` mirrors column pruning into the wire format — but never an
+  // empty projection (a bare count() pushes zero columns; ask for the
+  // first schema column so rows still frame correctly).
+  private def select: Option[String] = {
+    val cols = if (required.isEmpty) fullSchema.fieldNames.take(1) else required.fieldNames
+    Some(cols.mkString(","))
+  }
+
+  override def description(): String =
+    s"graft-soql endpoint=$endpoint where=${where.getOrElse("-")} " +
+      s"limit=${limit.getOrElse(-1)} pageSize=$pageSize probeCount=$probeCount"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val cap = limit.map(_.toLong).getOrElse(Long.MaxValue)
+    if (!probeCount) {
+      Array(SoqlSerialPartition(endpoint, select, where, pageSize, cap, required, retry))
+    } else {
+      // Planning-time count probe — itself a SoQL query with the SAME
+      // $where, so the server sizes exactly what the scan will read.
+      val probe = SoqlWire.pageUrl(endpoint, Some("count(1) as cnt"), where, None, None)
+      val body = new String(PagedFetch.fetchBytes(probe, retry), "UTF-8")
+      val total = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(body.linesIterator.find(_.nonEmpty).getOrElse("{}"))
+        .path("cnt").asLong(0L)
+      val n = math.min(total, cap)
+      val pages = ((n + pageSize - 1) / pageSize).toInt
+      (0 until pages).map { i =>
+        val off = i.toLong * pageSize
+        val rows = math.min(pageSize, n - off)
+        SoqlPagePartition(
+          SoqlWire.pageUrl(endpoint, select, where, Some(pageSize), Some(off)),
+          required, retry, rows): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        partition match {
+          case p: SoqlPagePartition   => new SoqlPageReader(p)
+          case p: SoqlSerialPartition => new SoqlSerialReader(p)
+        }
+    }
+}
+
+/** Reads one offset page. A short page (server shrank since the probe) just
+  * ends early — Spark's residual filter/limit keep the result exact.
+  */
+class SoqlPageReader(p: SoqlPagePartition) extends PartitionReader[InternalRow] {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val lines = PagedFetch.fetchLines(p.url, p.retry)
+  private var row: InternalRow = _
+  override def next(): Boolean =
+    if (!lines.hasNext) false
+    else { row = JsonLineRows.parse(mapper, lines.next(), p.required); true }
+  override def get(): InternalRow = row
+  override def close(): Unit = lines.close()
+}
+
+/** The reference's serial page loop (`scripts/extract.py:56-72`): GET with
+  * `$offset`, stop when a page returns fewer than `$limit` rows.
+  */
+class SoqlSerialReader(p: SoqlSerialPartition) extends PartitionReader[InternalRow] {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private var offset = 0L
+  private var emitted = 0L
+  private var pageRows = 0L   // rows seen in the current page
+  private var reqLim = 0L     // the $limit the current page was asked for
+  private var lines: PagedFetch.PagedLineIterator = _
+  private var row: InternalRow = _
+
+  private def openPage(): Unit = {
+    reqLim = math.min(p.pageSize, p.maxRows - emitted)
+    lines = PagedFetch.fetchLines(
+      SoqlWire.pageUrl(p.endpoint, p.select, p.where, Some(reqLim), Some(offset)), p.retry)
+    pageRows = 0
+  }
+
+  override def next(): Boolean = {
+    if (emitted >= p.maxRows) return false
+    if (lines == null) openPage()
+    while (!lines.hasNext) {
+      val short = pageRows < reqLim // fewer rows than asked ⇒ server is out
+      lines.close()
+      offset += pageRows
+      if (short || emitted >= p.maxRows) return false
+      openPage()
+    }
+    row = JsonLineRows.parse(mapper, lines.next(), p.required)
+    pageRows += 1
+    emitted += 1
+    true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = if (lines != null) lines.close()
+}
+
+/** Shared JSONL-row → InternalRow conversion (manifest and offset modes
+  * parse identical wire rows).
+  */
+object JsonLineRows {
+  def parse(mapper: com.fasterxml.jackson.databind.ObjectMapper, line: String,
+            required: StructType): InternalRow = {
+    val node = mapper.readTree(line)
+    val vals = new Array[Any](required.length)
+    var i = 0
+    while (i < required.length) {
+      val f = required.fields(i)
+      val n = node.get(f.name)
+      vals(i) =
+        if (n == null || n.isNull) null
+        else f.dataType match {
+          case LongType    => n.asLong()
+          case IntegerType => n.asInt()
+          case DoubleType  => n.asDouble()
+          case StringType  => org.apache.spark.unsafe.types.UTF8String.fromString(n.asText())
+          case BooleanType => n.asBoolean()
+          case dt => throw new UnsupportedOperationException(s"type $dt")
+        }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+  }
+}

@@ -79,7 +79,10 @@ class PagedSourceSpec extends SparkSuite {
     * first N GETs per page; `truncateFirst` sends the full Content-Length
     * but half the bytes (premature EOF mid-stream) for the first N GETs.
     */
-  private def withHttpServer[T](failFirst: Int = 0, truncateFirst: Int = 0)(f: String => T): T = {
+  private def withHttpServer[T](failFirst: Int = 0, truncateFirst: Int = 0,
+                                failManifestFirst: Int = 0, gzip: Boolean = false,
+                                gzipServed: java.util.concurrent.atomic.AtomicInteger =
+                                  new java.util.concurrent.atomic.AtomicInteger)(f: String => T): T = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
     val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
@@ -92,8 +95,22 @@ class PagedSourceSpec extends SparkSuite {
         exchange.sendResponseHeaders(404, -1); exchange.close()
       } else if (failFirst > 0 && n <= failFirst && isPage) {
         exchange.sendResponseHeaders(503, -1); exchange.close()
+      } else if (failManifestFirst > 0 && n <= failManifestFirst && !isPage) {
+        exchange.sendResponseHeaders(503, -1); exchange.close()
       } else {
-        val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+        val plain = java.nio.file.Files.readAllBytes(file.toPath)
+        val wantsGzip = gzip && Option(
+          exchange.getRequestHeaders.getFirst("Accept-Encoding"))
+          .exists(_.toLowerCase.contains("gzip"))
+        val bytes =
+          if (wantsGzip) {
+            gzipServed.incrementAndGet()
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(plain); gz.close()
+            exchange.getResponseHeaders.set("Content-Encoding", "gzip")
+            bos.toByteArray
+          } else plain
         exchange.sendResponseHeaders(200, bytes.length)
         if (truncateFirst > 0 && n <= truncateFirst && isPage)
           exchange.getResponseBody.write(bytes, 0, bytes.length / 2)
@@ -181,6 +198,113 @@ class PagedSourceSpec extends SparkSuite {
         "every page must recover from its stalled first fetch via retry")
       assert(stalled.size > 0, "precondition: the stall handler must have fired")
     } finally server.stop(0)
+  }
+
+  test("gzip transfer: pages and manifest decode transparently, exact rows") {
+    val served = new java.util.concurrent.atomic.AtomicInteger
+    withHttpServer(gzip = true, gzipServed = served) { base =>
+      val got = spark.read.format("graft-paged").load(base)
+      val want = Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+      assert(served.get() > 0, "precondition: the server must actually have gzipped")
+    }
+  }
+
+  test("gzip + mid-stream truncation still retries without replay (wire-byte guard)") {
+    // Content-Length counts COMPRESSED bytes; the truncation guard sits
+    // below the gunzip, so a half-sent gzip stream must surface as a
+    // retryable fault (either the byte-count check or the gzip trailer
+    // integrity fires), never as silently-short data.
+    withHttpServer(truncateFirst = 1, gzip = true) { base =>
+      val got = spark.read.format("graft-paged")
+        .option("fetchBackoffMs", "1").load(base)
+      val want = Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      assert(got.count() == want.count())
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    }
+  }
+
+  test("a page that SHRINKS between retry attempts errors rather than truncating") {
+    // attempt 1: full Content-Length, half the bytes → truncation fault
+    // after some lines were delivered; attempt 2+: a consistent but
+    // 1-line body. Re-skipping the delivered lines hits EOF — accepting
+    // that would silently drop the rest of the page, so it must fail.
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    val hits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    server.createContext("/", { exchange: com.sun.net.httpserver.HttpExchange =>
+      val name = exchange.getRequestURI.getPath.stripPrefix("/")
+      val n = hits.merge(name, 1, (a, b) => a + b)
+      val file = new java.io.File(dir, name)
+      if (!file.isFile) { exchange.sendResponseHeaders(404, -1); exchange.close() }
+      else {
+        val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+        val isPage = name != "_manifest.json"
+        if (!isPage || n > 2) {
+          exchange.sendResponseHeaders(200, bytes.length)
+          exchange.getResponseBody.write(bytes)
+        } else if (n == 1) { // advertised full, sent half
+          exchange.sendResponseHeaders(200, bytes.length)
+          exchange.getResponseBody.write(bytes, 0, bytes.length / 2)
+        } else { // n == 2: consistent, but shrunk to one line
+          val one = new String(bytes, "UTF-8").linesIterator.next() + "\n"
+          val oneBytes = one.getBytes("UTF-8")
+          exchange.sendResponseHeaders(200, oneBytes.length)
+          exchange.getResponseBody.write(oneBytes)
+        }
+        exchange.close()
+      }
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val e = intercept[Exception] {
+        spark.read.format("graft-paged")
+          .option("fetchRetries", "2").option("fetchBackoffMs", "1")
+          .load(base).count()
+      }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: causes(t.getCause)
+      assert(causes(e).exists(_.contains("resource shrank across retries")),
+        s"shrunk page must surface as an explicit error, got: $e")
+    } finally server.stop(0)
+  }
+
+  test("LoopbackPages rejects path traversal outside the served dir") {
+    val secret = new java.io.File(dir).getParentFile
+    val sentinel = new java.io.File(secret, "paged_traversal_sentinel.txt")
+    java.nio.file.Files.write(sentinel.toPath, "top-secret".getBytes("UTF-8"))
+    try {
+      val base = graft.sources.LoopbackPages.serve(spark, dir)
+      val port = new java.net.URL(base).getPort
+      // raw socket: HttpURLConnection would normalize ../ client-side
+      def rawGet(path: String): String = {
+        val sock = new java.net.Socket("127.0.0.1", port)
+        try {
+          val out = new java.io.PrintWriter(sock.getOutputStream)
+          out.print(s"GET $path HTTP/1.1\r\nHost: 127.0.0.1\r\nConnection: close\r\n\r\n")
+          out.flush()
+          new String(sock.getInputStream.readAllBytes(), "UTF-8")
+        } finally sock.close()
+      }
+      val resp = rawGet("/../paged_traversal_sentinel.txt")
+      assert(!resp.contains("top-secret"), "traversal must not leak file contents")
+      assert(resp.startsWith("HTTP/1.1 404"), s"expected 404, got: ${resp.take(40)}")
+      // control: a legitimate fixture file still serves
+      assert(rawGet("/_manifest.json").startsWith("HTTP/1.1 200"))
+    } finally sentinel.delete()
+  }
+
+  test("a transient 503 on the MANIFEST fetch is retried, not fatal to planning") {
+    withHttpServer(failManifestFirst = 1) { base =>
+      val got = spark.read.format("graft-paged")
+        .option("fetchBackoffMs", "1").load(base)
+      assert(got.count() == Tables.orders(spark, sf).count())
+    }
   }
 
   test("q_scan_http: the registered query fetches over live loopback HTTP, exact rows") {

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{LoopbackPages, PagedManifest, RetryPolicy, SoqlScanBuilder}
+
+/** `graft-paged` mode=offset — the SoQL `$limit`/`$offset` wire contract
+  * of the reference's extract loop (`scripts/extract.py:56-72`), with the
+  * pushed predicate serialized into `$where` and interpreted SERVER-side.
+  * The LoopbackPages request log is the wire-tap: it records every decoded
+  * `path?query` plus the number of rows the server shipped, so these specs
+  * prove the predicate crossed the wire rather than the client
+  * post-filtering full pages.
+  */
+class SoqlSourceSpec extends SparkSuite {
+
+  private val schemaDdl =
+    "o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderpriority string"
+
+  private lazy val dir = {
+    val d = s"/root/repo/target/fixtures/paged_spec_${new java.io.File(sf).getName}"
+    if (!new java.io.File(d, "_manifest.json").exists()) {
+      PagedManifest.writeFixture(
+        Tables.orders(spark, sf)
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+        d, "o_orderkey", pageSize = 200)
+    }
+    d
+  }
+  private def endpoint: String =
+    s"${LoopbackPages.serve(spark, dir)}/${LoopbackPages.SoqlPath}"
+
+  private def offsetRead(pageSize: Int, probeCount: Boolean = true) =
+    spark.read.format("graft-paged")
+      .option("mode", "offset")
+      .option("pageSize", pageSize.toString)
+      .option("probeCount", probeCount.toString)
+      .option("fetchBackoffMs", "1")
+      .schema(schemaDdl)
+      .load(endpoint)
+
+  private def soqlRequests: Seq[(String, Long)] =
+    LoopbackPages.requestLog(dir).filter(_._1.startsWith(LoopbackPages.SoqlPath))
+
+  test("offset protocol round-trips every row exactly (count-probed, parallel pages)") {
+    val got = offsetRead(pageSize = 300)
+    val want = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("pushed filter crosses the wire: server evaluates $where, ships only matching rows") {
+    val hwm = Tables.orders(spark, sf).agg(max("o_orderkey")).head().getLong(0) / 2
+    val wantCount = Tables.orders(spark, sf).filter(col("o_orderkey") > hwm).count()
+    val total = Tables.orders(spark, sf).count()
+    assert(wantCount < total, "precondition: the predicate must be selective")
+
+    LoopbackPages.clearRequestLog(dir)
+    val got = offsetRead(pageSize = 300).filter(col("o_orderkey") > hwm)
+    assert(got.count() == wantCount)
+
+    val reqs = soqlRequests
+    assert(reqs.nonEmpty, "the scan must have hit the SoQL endpoint")
+    // 1. the predicate itself appears in the query string the server saw
+    assert(reqs.forall(_._1.contains(s"o_orderkey > $hwm")),
+      s"every GET must carry the where predicate; saw: ${reqs.map(_._1)}")
+    // 2. the server shipped exactly the filtered row count — the client did
+    //    NOT pull full pages and post-filter
+    val shipped = reqs.filterNot(_._1.contains("count(1)")).map(_._2).sum
+    assert(shipped == wantCount,
+      s"server should ship $wantCount filtered rows, shipped $shipped")
+    // 3. the count probe ran with the same $where
+    assert(reqs.exists(r => r._1.contains("count(1)") && r._1.contains(s"o_orderkey > $hwm")),
+      "the planning count probe must carry the same predicate")
+  }
+
+  test("count probe sizes the parallel plan: one partition per offset page") {
+    val df = offsetRead(pageSize = 250)
+    val total = Tables.orders(spark, sf).count()
+    val expectPages = ((total + 249) / 250).toInt
+    assert(df.rdd.getNumPartitions == expectPages,
+      s"expected $expectPages offset-page partitions for $total rows")
+  }
+
+  test("serial mode (probeCount=false) loops until a short page, exact rows") {
+    val got = offsetRead(pageSize = 400, probeCount = false)
+    val want = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    assert(got.rdd.getNumPartitions == 1, "serial mode is a single partition")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val n = want.count()
+    // GET count for ONE scan: full pages + the short terminator (which is
+    // the last data page when n%400 != 0, or an empty probe page when the
+    // row count divides evenly)
+    LoopbackPages.clearRequestLog(dir)
+    assert(offsetRead(pageSize = 400, probeCount = false).count() == n)
+    val reqs = soqlRequests
+    val expectGets = n / 400 + 1
+    assert(reqs.size == expectGets,
+      s"serial loop should stop on the first short page: $n rows / 400 per page " +
+        s"=> $expectGets GETs, saw ${reqs.size}: ${reqs.map(_._1)}")
+    assert(reqs.forall(r => !r._1.contains("count(1)")), "serial mode never count-probes")
+  }
+
+  test("limit pushdown caps the pages planned ($limit analog)") {
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    val builder = new SoqlScanBuilder(endpoint, schema, RetryPolicy(3, 1),
+      pageSize = 100, probeCount = true)
+    builder.pushLimit(150)
+    val planned = builder.build().toBatch.planInputPartitions()
+    assert(planned.length == 2,
+      s"150-row limit at 100 rows/page must plan exactly 2 offset pages, got ${planned.length}")
+    // e2e: exact limit still applied by Spark on top (partial pushdown)
+    assert(offsetRead(pageSize = 100).limit(150).count() == 150)
+  }
+
+  test("column pruning reaches the wire as $select") {
+    LoopbackPages.clearRequestLog(dir)
+    val sumKeys = offsetRead(pageSize = 500).select("o_orderkey")
+      .agg(sum("o_orderkey")).head().getLong(0)
+    assert(sumKeys == Tables.orders(spark, sf).agg(sum("o_orderkey")).head().getLong(0))
+    val dataGets = soqlRequests.filterNot(_._1.contains("count(1)"))
+    assert(dataGets.nonEmpty &&
+      dataGets.forall(_._1.contains("$select=o_orderkey&")),
+      s"data GETs must project server-side; saw: ${dataGets.map(_._1)}")
+  }
+
+  test("schema is mandatory in offset mode (manifest-less)") {
+    val e = intercept[Exception] {
+      spark.read.format("graft-paged").option("mode", "offset").load(endpoint).count()
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: causes(t.getCause)
+    assert(causes(e).exists(_.contains("supply .schema")), s"got: $e")
+  }
+
+  test("q_scan_http_offset: registered query matches the direct computation") {
+    val got = SparkEntry.queries("q_scan_http_offset")(spark, sf)
+    val hwm = Tables.orders(spark, sf).agg(max("o_orderkey")).head().getLong(0) * 2 / 3
+    val want = Tables.orders(spark, sf).filter(col("o_orderkey") > hwm)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}

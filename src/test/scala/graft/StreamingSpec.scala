@@ -98,6 +98,92 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(wh).count() == 150)
   }
 
+  test("S1 x I2: readStream over the paged source — kill mid-run, resume equals batch") {
+    // MICRO_BATCH_READ on graft-paged: the page index is the streaming
+    // offset, so checkpointLocation owns the "pages done" cursor the
+    // reference's resumable loop tracks by hand. Kill the query between
+    // micro-batches, restart on the same checkpoint, and the union of
+    // delivered batches must equal the batch read exactly — no page
+    // replayed, none skipped.
+    val base = Files.createTempDirectory("pagedstream").toString
+    val src = s"$base/pages"
+    graft.sources.PagedManifest.writeFixture(
+      Tables.orders(spark, sf)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
+      src, "o_orderkey", pageSize = 200)
+    val out = s"$base/out"
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+
+    def run(killAtBatch: Int): Unit = {
+      val q = spark.readStream.format("graft-paged")
+        .option("maxPagesPerTrigger", "2")
+        .load(src)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (id == killAtBatch) throw new RuntimeException(s"injected kill at batch $id")
+          df.write.mode("append").parquet(out)
+          batches.incrementAndGet(): Unit
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination()
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+        assert(e.getMessage.contains("injected kill") ||
+          String.valueOf(e.getCause).contains("injected kill"))
+      }
+    }
+
+    run(killAtBatch = 2)   // batches 0,1 commit; batch 2 dies before writing
+    assert(batches.get() == 2, s"exactly 2 batches should commit, got ${batches.get()}")
+    run(killAtBatch = -1)  // resume on the same checkpoint, drain the rest
+
+    val got = spark.read.parquet(out)
+    val want = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    assert(batches.get() > 3, "the fixture must span several micro-batches")
+    assert(got.count() == want.count(), "no page skipped, none replayed")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // the batch path is untouched by streaming support
+    assert(spark.read.format("graft-paged").load(src).count() == want.count())
+  }
+
+  test("paged-stream checkpoint fails LOUDLY if consumed pages were rewritten") {
+    // appending pages is a safe resume; renumbering/resizing already-
+    // consumed pages must not silently skip data (the positional-index
+    // hazard of a bare integer offset)
+    val base = Files.createTempDirectory("pagedrewrite").toString
+    val src = s"$base/pages"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    graft.sources.PagedManifest.writeFixture(orders, src, "o_orderkey", pageSize = 200)
+
+    def run(killAtBatch: Int): Option[Throwable] = {
+      val q = spark.readStream.format("graft-paged")
+        .option("maxPagesPerTrigger", "2")
+        .load(src)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (id == killAtBatch) throw new RuntimeException("injected kill")
+          df.count(): Unit
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      try { q.awaitTermination(); None }
+      catch { case e: org.apache.spark.sql.streaming.StreamingQueryException => Some(e) }
+    }
+
+    assert(run(killAtBatch = 1).isDefined, "first run must die mid-stream")
+    // rewrite the fixture with a different page size: same rows, but the
+    // consumed prefix no longer describes the same pages
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    graft.sources.PagedManifest.writeFixture(orders, src, "o_orderkey", pageSize = 170)
+    val err = run(killAtBatch = -1)
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: causes(t.getCause)
+    assert(err.isDefined && causes(err.get).exists(_.contains("does not match the manifest")),
+      s"resume over a rewritten manifest must fail explicitly, got: $err")
+  }
+
   test("watermark-TTL'd streaming dedup: unique keys out, bounded state") {
     import spark.implicits._
     val base = Files.createTempDirectory("wmdedup").toString
