@@ -6,7 +6,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.sources.PagedManifest
+import graft.sources.{PagedManifest, PagedStreamOffset, PageStat}
 
 /** Resumable BATCH paged ingest with a checkpoint KEYED BY WATERMARK —
   * the fix for SURVEY §1.5 quirk 4: the reference keeps a
@@ -20,28 +20,54 @@ import graft.sources.PagedManifest
   * resume reuses that watermark (the page list and filter are a pure
   * function of it, so the saved page index points into the same result
   * set), and only a COMPLETED run clears the checkpoint so the next run
-  * cuts a fresh watermark. Combined with the idempotent first-writer-wins
-  * upsert (D1), every page is applied exactly once in effect — a crash
-  * between a page's upsert and its checkpoint write re-runs that one
-  * page, whose rows the anti-join then drops.
+  * cuts a fresh watermark. The checkpoint ALSO records a digest of the
+  * manifest stats of exactly the pages already done — the positional
+  * index alone would still mis-point if the SOURCE renumbered, removed,
+  * or resized pages while the job was down (the same hazard class, moved
+  * from the watermark to the manifest). Appending new pages keeps every
+  * old prefix valid; any rewrite of consumed history fails the digest and
+  * falls back to a fresh run, which the idempotent upsert makes safe.
   *
-  * The streaming path (I2, [[graft.streaming.StreamOps]]) gets the same
-  * property from Structured Streaming's offset log; this is the batch
-  * analog for schedulers that re-invoke a plain job.
+  * Warehouse access is O(1) PER RUN, not O(pages): pages stage into a
+  * parquet spool next to the checkpoint (page-granular, checkpointed,
+  * crash-idempotent via per-page overwrite — no warehouse reads at all),
+  * and one final first-writer-wins upsert (D1) applies the whole spool
+  * against the warehouse in a single anti-join — the Spark analog of the
+  * reference's per-chunk merge against an INDEXED primary key
+  * (`scripts/load.py:189-219`): Postgres probes an index per chunk; plain
+  * parquet has no index, so the per-page anti-join it replaces was a full
+  * warehouse scan per page. A crash between the final upsert and the
+  * checkpoint delete re-runs the upsert, whose replayed rows the
+  * anti-join drops.
+  *
+  * The streaming path (I2, [[graft.streaming.StreamOps]], and the paged
+  * source's own MICRO_BATCH_READ) gets the same properties from
+  * Structured Streaming's offset log; this is the batch analog for
+  * schedulers that re-invoke a plain job.
   */
 object BatchIngest {
 
-  /** `(watermark, pagesDone)` — `pagesDone` counts pages of THIS
-    * watermark's filtered page list already upserted.
+  /** Spool column carrying the page index, so the commit-time dedup keeps
+    * the FIRST page's row on cross-page key conflicts — the order the old
+    * page-by-page upsert applied implicitly.
     */
-  case class Checkpoint(watermark: Long, pagesDone: Int)
+  private val PageCol = "_ingest_page"
+
+  /** `(watermark, pagesDone, pagesSig)` — `pagesDone` counts pages of THIS
+    * watermark's filtered page list already staged; `pagesSig` digests the
+    * manifest stats of exactly those pages.
+    */
+  case class Checkpoint(watermark: Long, pagesDone: Int, pagesSig: String)
+
+  def pagesSig(pages: Seq[PageStat]): String = PagedStreamOffset.sigOf(pages)
 
   def readCheckpoint(path: String): Option[Checkpoint] = {
     val p = Paths.get(path)
     if (!Files.exists(p)) None
     else {
       val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(p.toFile)
-      Some(Checkpoint(node.get("watermark").asLong(), node.get("pagesDone").asInt()))
+      Some(Checkpoint(node.get("watermark").asLong(), node.get("pagesDone").asInt(),
+        node.path("pagesSig").asText("")))
     }
   }
 
@@ -51,7 +77,7 @@ object BatchIngest {
     // write-then-rename so a crash mid-write never leaves a torn checkpoint
     val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
     Files.write(tmp,
-      s"""{"watermark":${c.watermark},"pagesDone":${c.pagesDone}}"""
+      s"""{"watermark":${c.watermark},"pagesDone":${c.pagesDone},"pagesSig":"${c.pagesSig}"}"""
         .getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, p, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -67,11 +93,17 @@ object BatchIngest {
       .agg(coalesce(max(col(keyCol)), lit(-1L))).head().getLong(0)
   }
 
+  /** What one invocation did: rows inserted, how many times the warehouse
+    * was READ (bounded per run by construction — the spec pins it), and
+    * whether a checkpoint failed its manifest digest and restarted fresh.
+    */
+  case class IngestStats(inserted: Long, warehouseReads: Int, restartedFresh: Boolean)
+
   /** Ingest every page with `maxKey > watermark` from a paged fixture dir
-    * into a parquet warehouse, upserting page by page and checkpointing
-    * after each. Returns rows inserted this invocation. `onPageCommitted`
-    * fires after each page's checkpoint lands (progress reporting; specs
-    * throw from it to simulate a crash).
+    * into a parquet warehouse: stage page by page (checkpointing after
+    * each), then apply ONE upsert for the whole run. Returns rows inserted
+    * this invocation. `onPageCommitted` fires after each page's checkpoint
+    * lands (progress reporting; specs throw from it to simulate a crash).
     *
     * Page files prune via manifest stats exactly like the DSv2 source;
     * the row-level `keyCol > watermark` filter is re-applied because
@@ -79,28 +111,80 @@ object BatchIngest {
     */
   def ingest(spark: SparkSession, pagesDir: String, warehouseDir: String,
              checkpointPath: String, keyCol: String, tiebreak: Seq[Column],
-             onPageCommitted: Int => Unit = _ => ()): Long = {
+             onPageCommitted: Int => Unit = _ => ()): Long =
+    ingestWithStats(spark, pagesDir, warehouseDir, checkpointPath, keyCol,
+      tiebreak, onPageCommitted).inserted
+
+  def ingestWithStats(spark: SparkSession, pagesDir: String, warehouseDir: String,
+                      checkpointPath: String, keyCol: String, tiebreak: Seq[Column],
+                      onPageCommitted: Int => Unit = _ => ()): IngestStats = {
     val manifest = PagedManifest.read(pagesDir)
-    val resumed = readCheckpoint(checkpointPath)
+    val spoolDir = checkpointPath + ".spool"
+    val hadoopFs = new org.apache.hadoop.fs.Path(spoolDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var warehouseReads = 0
+    var restartedFresh = false
+
+    // Resume only if the manifest still describes the staged prefix: the
+    // saved index counts pages of the SAVED watermark's filtered list, and
+    // the digest proves those pages are byte-for-byte the ones we staged.
+    // A source that appended pages passes (old prefix unchanged); one that
+    // rewrote consumed history restarts fresh — re-reads are safe (the
+    // upsert drops them), skips would be data loss.
+    val resumed = readCheckpoint(checkpointPath).filter { c =>
+      val cPages = manifest.pages.filter(_.maxKey > c.watermark)
+      val ok = c.pagesDone == 0 ||
+        (c.pagesDone <= cPages.length && pagesSig(cPages.take(c.pagesDone)) == c.pagesSig)
+      if (!ok) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"BatchIngest checkpoint $checkpointPath no longer matches the manifest " +
+            s"(pages renumbered/removed/resized while down) — restarting fresh")
+        restartedFresh = true
+        Files.deleteIfExists(Paths.get(checkpointPath))
+        hadoopFs.delete(new org.apache.hadoop.fs.Path(spoolDir), true)
+      }
+      ok
+    }
+
     // THE quirk-4 fix: a resumed run reuses the watermark it started with;
     // only a fresh run (no checkpoint) reads the warehouse's current HWM
-    val wm = resumed.map(_.watermark)
-      .getOrElse(currentHwm(spark, warehouseDir, keyCol))
+    val wm = resumed.map(_.watermark).getOrElse {
+      warehouseReads += 1
+      currentHwm(spark, warehouseDir, keyCol)
+    }
     val startPage = resumed.map(_.pagesDone).getOrElse(0)
     val pages = manifest.pages.filter(_.maxKey > wm)
-    var inserted = 0L
+
+    // PHASE 1 — stage (no warehouse access): one spool subdir per page,
+    // overwrite mode so a replayed page is idempotent.
     var i = startPage
     while (i < pages.length) {
-      val page = spark.read.schema(manifest.schema)
+      spark.read.schema(manifest.schema)
         .json(s"$pagesDir/${pages(i).file}")
         .filter(col(keyCol) > wm)
-      inserted += Warehouse.upsertIntoParquet(page, warehouseDir,
-        Seq(keyCol), tiebreak)
-      writeCheckpoint(checkpointPath, Checkpoint(wm, i + 1))
+        .withColumn(PageCol, lit(i))
+        .write.mode("overwrite").parquet(s"$spoolDir/p$i")
+      writeCheckpoint(checkpointPath, Checkpoint(wm, i + 1, pagesSig(pages.take(i + 1))))
       onPageCommitted(i)
       i += 1
     }
+
+    // PHASE 2 — commit: the whole spool in ONE first-writer-wins upsert.
+    // Cross-page key conflicts resolve to the LOWEST page index (the order
+    // the old per-page loop applied), then the caller's tiebreak.
+    val inserted =
+      if (pages.isEmpty) 0L
+      else {
+        val spool = spark.read.parquet((0 until pages.length).map(j => s"$spoolDir/p$j"): _*)
+        val firstWriter = Warehouse
+          .dedupByKey(spool, Seq(keyCol), col(PageCol).asc +: tiebreak)
+          .drop(PageCol)
+        warehouseReads += 1
+        Warehouse.upsertIntoParquet(firstWriter, warehouseDir, Seq(keyCol), tiebreak)
+      }
+
     Files.deleteIfExists(Paths.get(checkpointPath))
-    inserted
+    hadoopFs.delete(new org.apache.hadoop.fs.Path(spoolDir), true)
+    IngestStats(inserted, warehouseReads, restartedFresh)
   }
 }

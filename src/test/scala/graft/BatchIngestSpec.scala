@@ -90,6 +90,75 @@ class BatchIngestSpec extends SparkSuite {
       "replayed page must upsert to zero net new rows")
   }
 
+  test("warehouse is read O(1) times per ingest, not once per page") {
+    // 10 pages; the old shape anti-joined the (growing) warehouse once per
+    // page. The staging spool bounds warehouse READS at 2 per run: one HWM
+    // cut (fresh runs only) + one commit upsert for the whole spool.
+    val (pagesDir, whDir, ckpt) = freshDirs("bounded")
+    mkPages(pagesDir)
+    val staged = new java.util.concurrent.atomic.AtomicInteger
+    val stats = BatchIngest.ingestWithStats(spark, pagesDir, whDir, ckpt, "k",
+      Seq(col("payload")), onPageCommitted = _ => { staged.incrementAndGet(): Unit })
+    assert(staged.get() == 10, "precondition: the run must span many pages")
+    assert(stats.inserted == 100L)
+    assert(stats.warehouseReads <= 2,
+      s"warehouse reads must not scale with pages: ${stats.warehouseReads} for 10 pages")
+    // resumed runs skip even the HWM read (watermark comes from the checkpoint)
+    val again = BatchIngest.ingestWithStats(spark, pagesDir, whDir, ckpt, "k", Seq(col("payload")))
+    assert(again.inserted == 0L && again.warehouseReads <= 2)
+  }
+
+  test("first writer wins across pages within one commit (old per-page order kept)") {
+    // key 3 appears on page 0 AND page 1 with different payloads, chosen so
+    // the caller's tiebreak ALONE (payload asc) would pick the page-1 row:
+    // the single-commit upsert must still keep page 0's row, exactly like
+    // the old sequential per-page loop did
+    val (pagesDir, whDir, ckpt) = freshDirs("order")
+    new java.io.File(pagesDir).mkdirs()
+    def writeFile(name: String, text: String): Unit =
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$pagesDir/$name"), text.getBytes("UTF-8"))
+    writeFile("page-00000.jsonl",
+      """{"k":1,"payload":"a1"}""" + "\n" + """{"k":3,"payload":"zz-first-page"}""" + "\n")
+    writeFile("page-00001.jsonl",
+      """{"k":3,"payload":"aa-second-page"}""" + "\n" + """{"k":4,"payload":"b4"}""" + "\n")
+    writeFile("_manifest.json",
+      """{"keyCol":"k","schemaDdl":"k BIGINT, payload STRING","pages":[
+        |{"file":"page-00000.jsonl","rows":2,"minKey":1,"maxKey":3},
+        |{"file":"page-00001.jsonl","rows":2,"minKey":3,"maxKey":4}]}""".stripMargin)
+    BatchIngest.ingest(spark, pagesDir, whDir, ckpt, "k", Seq(col("payload")))
+    val won = spark.read.parquet(whDir).filter($"k" === 3L)
+      .select("payload").as[String].collect().toSeq
+    assert(won == Seq("zz-first-page"),
+      s"page order must dominate the caller tiebreak on cross-page conflicts, got $won")
+    assert(spark.read.parquet(whDir).count() == 3)
+  }
+
+  test("a manifest rewritten under a checkpoint restarts fresh instead of skipping pages") {
+    val (pagesDir, whDir, ckpt) = freshDirs("rewrite")
+    mkPages(pagesDir)
+    // run 1 crashes after staging 3 pages
+    intercept[RuntimeException] {
+      BatchIngest.ingest(spark, pagesDir, whDir, ckpt, "k", Seq(col("payload")),
+        onPageCommitted = i => if (i >= 2) throw new RuntimeException("injected crash"))
+    }
+    assert(BatchIngest.readCheckpoint(ckpt).get.pagesDone == 3)
+    // the source re-paginates while we are down: same 100 rows, page size 7
+    // — the saved index 3 now points into a DIFFERENT page list, so a
+    // positional resume would skip rows 22..30 (old pages 0-2 covered 1..30,
+    // new pages 0-2 cover only 1..21)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(pagesDir))
+    PagedManifest.writeFixture(
+      (1L to 100L).map(k => (k, s"payload$k")).toDF("k", "payload"),
+      pagesDir, "k", pageSize = 7)
+    val stats = BatchIngest.ingestWithStats(spark, pagesDir, whDir, ckpt, "k", Seq(col("payload")))
+    assert(stats.restartedFresh, "the digest mismatch must be detected")
+    val after = spark.read.parquet(whDir)
+    assert(after.count() == 100L, "no rows skipped despite the re-pagination")
+    assert(after.select("k").as[Long].collect().toSet == (1L to 100L).toSet)
+    assert(BatchIngest.readCheckpoint(ckpt).isEmpty)
+  }
+
   test("fresh run with no checkpoint ingests everything above the warehouse HWM") {
     val (pagesDir, whDir, ckpt) = freshDirs("fresh")
     mkPages(pagesDir)
