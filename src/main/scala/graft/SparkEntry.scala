@@ -2616,6 +2616,41 @@ private[graft] object Queries {
     """SELECT s_suppkey, s_name, s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** S6/D1 IN-DATABASE: the true `ON CONFLICT DO NOTHING` analog
+    * (scripts/load.py:114-147) — batch 1 loads the low half of supplier,
+    * batch 2 merges ALL suppliers with conflicting payloads (`XX-`-prefixed
+    * names). The `MERGE ... WHEN NOT MATCHED THEN INSERT` runs server-side
+    * in Derby, so the conflict rows are skipped by the DATABASE: the final
+    * table keeps original names for the low half (batch-2's rewrites never
+    * landed) and `XX-` names for the high half — exactly what the oracle's
+    * CASE expression predicts. Tables rebuild from scratch each invocation
+    * (deterministic under Bench's two passes).
+    */
+  def mergeJdbc(s: SparkSession, d: String): DataFrame = {
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftq;create=true"
+    val W = graft.ops.Warehouse
+    W.dropJdbcTable(url, "supplier_tgt", props)
+    val src = Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"),
+      col("s_nationkey"), col("s_acctbal").cast("double").as("s_acctbal"))
+    val half = Tables.supplier(s, d).agg(max("s_suppkey")).head().getLong(0) / 2
+    W.mergeIntoJdbc(src.filter(col("s_suppkey") <= half), url,
+      "supplier_tgt", "supplier_mstage", Seq("s_suppkey"), Seq(col("s_name")), props)
+    val conflicting = src.withColumn("s_name", concat(lit("XX-"), col("s_name")))
+    W.mergeIntoJdbc(conflicting, url,
+      "supplier_tgt", "supplier_mstage", Seq("s_suppkey"), Seq(col("s_name")), props)
+    W.readJdbcPartitioned(s, url, "supplier_tgt", props, "s_suppkey", numPartitions = 4)
+      .orderBy("s_suppkey")
+  }
+
+  private val mergeJdbcSql =
+    """SELECT s_suppkey,
+      |  CASE WHEN s_suppkey <= (SELECT max(s_suppkey)//2 FROM supplier)
+      |       THEN s_name ELSE 'XX-' || s_name END AS s_name,
+      |  s_nationkey, CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** Corrupt-record tolerance (the ETL reality: malformed lines in a feed
     * must not kill the job): PERMISSIVE JSONL scan routes bad lines to
     * `_corrupt_record`; good rows survive exactly. The oracle is the
@@ -2766,6 +2801,7 @@ private[graft] object Queries {
     "q_date_format" -> (dateFormat _),
     "q_sink_jsonl" -> (sinkJsonl _),
     "q_sink_jdbc" -> (sinkJdbc _),
+    "q_merge_jdbc" -> (mergeJdbc _),
     "q_scan_corrupt" -> (scanCorrupt _),
     "q_text_repetition" -> (repSignals _),
     "q_decontaminate" -> (decontaminateQ _),
@@ -2891,6 +2927,7 @@ private[graft] object Queries {
     "q_date_format" -> dateFormatSql,
     "q_sink_jsonl" -> sinkJsonlSql,
     "q_sink_jdbc" -> sinkJdbcSql,
+    "q_merge_jdbc" -> mergeJdbcSql,
     "q_scan_corrupt" -> scanCorruptSql,
     "q_text_repetition" -> repSignalsSql,
     "q_decontaminate" -> decontaminateSql,

@@ -147,6 +147,55 @@ object Warehouse {
                props: java.util.Properties): DataFrame =
     spark.read.jdbc(url, table, props)
 
+  /** IN-DATABASE insert-if-absent — the true `ON CONFLICT DO NOTHING`
+    * analog (load.py:114-147 stages a chunk then merges against the
+    * indexed PK server-side). The batch stages via [[loadJdbc]], then ONE
+    * `MERGE INTO target USING staging ON (<keys>) WHEN NOT MATCHED THEN
+    * INSERT` runs where the data lives: conflict detection probes the
+    * database's own structures and no warehouse row ever travels back to
+    * Spark — unlike [[upsertIntoParquet]]'s anti-join, which must read
+    * target keys into the cluster. Returns rows inserted, as counted BY
+    * the database (the MERGE's update count — the skipped-conflicts
+    * evidence). Creates the target from the staging schema when absent.
+    *
+    * Intra-batch duplicate keys dedup in Spark first ([[dedupByKey]],
+    * the caller's tiebreak): SQL MERGE evaluates NOT MATCHED against the
+    * target snapshot, so two staged rows with one new key would BOTH
+    * insert (Postgres' `ON CONFLICT` sees in-statement inserts; MERGE
+    * does not).
+    */
+  def mergeIntoJdbc(df: DataFrame, url: String, table: String,
+                    stagingTable: String, keys: Seq[String], tiebreak: Seq[Column],
+                    props: java.util.Properties): Long = {
+    loadJdbc(dedupByKey(df, keys, tiebreak), url, stagingTable, props)
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    val q = (c: String) => org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(c)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      val exists =
+        try { st.executeQuery(s"SELECT 1 FROM $table FETCH FIRST 1 ROWS ONLY").close(); true }
+        catch { case _: java.sql.SQLException => false }
+      if (!exists)
+        st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stagingTable WITH NO DATA")
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val cols = df.columns.map(q)
+      st.executeUpdate(
+        s"""MERGE INTO $table t USING $stagingTable s ON $on
+           |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+           |VALUES (${cols.map(c => s"s.$c").mkString(", ")})""".stripMargin).toLong
+    } finally conn.close()
+  }
+
+  /** Drop a JDBC table if present (Derby has no `DROP TABLE IF EXISTS`). */
+  def dropJdbcTable(url: String, table: String, props: java.util.Properties): Unit = {
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try conn.createStatement().executeUpdate(s"DROP TABLE $table")
+    catch { case _: java.sql.SQLException => () }
+    finally conn.close()
+  }
+
   /** Parallel JDBC readback — the scale-safe shape. Bounds for the stride
     * come from one `SELECT MIN, MAX` pushed to the database (a scalar
     * driver-side query, the standard pattern); Spark then issues

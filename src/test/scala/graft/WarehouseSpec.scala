@@ -192,6 +192,47 @@ class WarehouseSpec extends SparkSuite {
     assert(one.count() == 1L)
   }
 
+  test("mergeIntoJdbc: conflicts are skipped BY THE DATABASE, insert count from MERGE") {
+    import spark.implicits._
+    val W = graft.ops.Warehouse
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftmerge;create=true"
+    val tiebreak = Seq(org.apache.spark.sql.functions.col("v"))
+
+    // batch 1: keys 1..50 — creates the target, all insert
+    val n1 = W.mergeIntoJdbc((1L to 50L).map(k => (k, s"first-$k")).toDF("k", "v"),
+      url, "tgt", "stage", Seq("k"), tiebreak, props)
+    assert(n1 == 50L, s"fresh merge must insert everything, got $n1")
+
+    // batch 2: keys 26..75 with CONFLICTING payloads — the database's own
+    // MERGE count says 25 inserted (50..75 minus the 26..50 conflicts)
+    val n2 = W.mergeIntoJdbc((26L to 75L).map(k => (k, s"second-$k")).toDF("k", "v"),
+      url, "tgt", "stage", Seq("k"), tiebreak, props)
+    assert(n2 == 25L, s"the database must skip the 25 conflicting keys, got $n2")
+
+    val back = W.readJdbc(spark, url, "tgt", props).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back.size == 75)
+    assert(back(30L) == "first-30", "a conflicting key keeps the incumbent row")
+    assert(back(60L) == "second-60", "a new key inserts batch 2's row")
+
+    // replay of batch 2 is a no-op — the idempotence the reference's
+    // ON CONFLICT DO NOTHING chunk loop relies on (load.py:114-147)
+    val n3 = W.mergeIntoJdbc((26L to 75L).map(k => (k, s"second-$k")).toDF("k", "v"),
+      url, "tgt", "stage", Seq("k"), tiebreak, props)
+    assert(n3 == 0L)
+    assert(W.readJdbc(spark, url, "tgt", props).count() == 75)
+
+    // intra-batch duplicate keys dedup before staging: one row lands, and
+    // the tiebreak picks the deterministic winner
+    val n4 = W.mergeIntoJdbc(Seq((100L, "bb"), (100L, "aa")).toDF("k", "v"),
+      url, "tgt", "stage", Seq("k"), tiebreak, props)
+    assert(n4 == 1L)
+    assert(W.readJdbc(spark, url, "tgt", props).filter($"k" === 100L)
+      .head().getString(1) == "aa")
+  }
+
   test("scd2Apply: late-arriving update slots into the middle of history") {
     val dim = Seq((1, 10, "A"), (1, 30, "C")).toDF("k", "ts", "attr")
     val upd = Seq((1, 20, "B")).toDF("k", "ts", "attr")
