@@ -4,8 +4,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md). */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  // Schema-inference cache: a bare `spark.read.parquet(path)` runs a small
+  // footer-reading Spark job EVERY call to infer the schema. The driver
+  // tables are immutable fixtures, so infer once per path and construct
+  // every later scan with the cached schema — query construction becomes
+  // genuinely job-free (ContractSpec pins this), and at warehouse scale a
+  // footer/listing job per plan construction is real driver latency.
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
