@@ -33,4 +33,78 @@ class ContractSpec extends SparkSuite {
   test("flagship entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("construction-time Spark actions stay within the documented allowlist") {
+    // SURVEY §2.8 documents the small set of queries whose DataFrame
+    // CONSTRUCTION runs Spark jobs (fixture writes, adaptive tier probes,
+    // iterative localCheckpoints, driver-small collects). This pins it:
+    // every query's constructor runs under its own job group, a
+    // job-counting listener attributes jobs to groups, and any query
+    // OUTSIDE the allowlist that runs even one job fails here. (Subset
+    // check, not equality: fixture-writing constructors are legitimately
+    // job-free when the on-disk fixture already exists.)
+    val allowed = Set(
+      // documented adaptive probes / iterative plans (SURVEY §2.8 table)
+      "q_heavy_hitters",        // MG candidate pass before pass 2 plans
+      "q_ngram_jaccard",        // sampled tier probe + localCheckpoint
+      "q_dedup_jaccard_global", // corpus/universe counts for tier choice
+      "q_dedup_near",           // localCheckpoint per CC round
+      "q_dedup_cluster",        // localCheckpoint per CC round
+      "q_similarity_ivf",       // k×dim centroid collect per Lloyd round
+      "q_similarity_lsh",       // k×dim projection collect
+      "q_bloom_join",           // stat.bloomFilter: one agg pass builds the
+                                // driver-small sketch that then broadcasts
+      // sink queries ARE the write path
+      "q_sink_jsonl", "q_sink_jdbc", "q_merge_jdbc", "q_write_partitioned",
+      // scan queries write their fixture on first use + scalar watermark cuts
+      "q_scan_csv", "q_scan_jsonl", "q_scan_corrupt", "q_scan_orc",
+      "q_scan_paged", "q_scan_http", "q_scan_http_offset", "q_scan_pushdown",
+      "q_zorder_scan")
+
+    // pre-warm the Tables schema cache: the one-off footer-inference job
+    // belongs to the fixture, not to whichever query touches it first
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings").foreach(t => Tables(spark, sf, t))
+    Tables.events(spark, sf)
+
+    val sc = spark.sparkContext
+    val groupJobs = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val g = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.jobGroup.id"))).getOrElse("")
+        groupJobs.merge(g, 1, (a, b) => a + b)
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      def markerCount: Int = groupJobs.getOrDefault("ctor-probe-marker", 0)
+      // The listener bus is FIFO: once the marker job (started AFTER the
+      // constructor returned) is visible, every job the constructor
+      // started is attributed.
+      def flush(): Unit = {
+        val before = markerCount
+        sc.setJobGroup("ctor-probe-marker", "listener flush", false)
+        spark.range(1).count()
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (markerCount <= before && System.nanoTime() < deadline) Thread.sleep(10)
+        assert(markerCount > before, "listener flush timed out")
+      }
+      val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+        sc.setJobGroup(s"ctor-$name", s"constructing $name", false)
+        try fn(spark, sf)
+        finally sc.clearJobGroup()
+        flush()
+        val jobs = groupJobs.getOrDefault(s"ctor-$name", 0).intValue()
+        if (jobs > 0 && !allowed.contains(name)) Some(name -> jobs) else None
+      }
+      assert(offenders.isEmpty,
+        s"construction-pure queries ran Spark jobs while being BUILT (eager " +
+          s"action added?): $offenders — either make construction lazy or " +
+          "document the design choice in SURVEY §2.8 and this allowlist.")
+      // and the allowlist itself must not rot: every allowed name is real
+      assert((allowed -- SparkEntry.queries.keySet).isEmpty,
+        s"stale allowlist entries: ${allowed -- SparkEntry.queries.keySet}")
+    } finally sc.removeSparkListener(listener)
+  }
 }
