@@ -537,6 +537,13 @@ object LoopbackPages {
   // bounded request log so specs can prove what crossed the wire
   private val soqlCache =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[JsonNode]]()
+  // filtered-result cache: an offset-paged scan issues one GET per page
+  // with the SAME $where (count probe + N pages), and re-evaluating the
+  // predicate over the whole corpus per request made the fixture server,
+  // not the connector, the benchmark bottleneck. Fixture dirs are
+  // immutable for the session (same contract as soqlCache).
+  private val soqlWhereCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[JsonNode]]()
   private val requestLogs =
     new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]]()
 
@@ -611,7 +618,8 @@ object LoopbackPages {
         java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
     val all = soqlRows(dir)
-    val filtered = params.get("$where").fold(all)(w => all.filter(SoqlWire.eval(w, _)))
+    val filtered = params.get("$where").fold(all)(w =>
+      soqlWhereCache.computeIfAbsent((dir, w), _ => all.filter(SoqlWire.eval(w, _))))
     params.get("$select") match {
       case Some(s) if s.trim.toLowerCase.startsWith("count(") =>
         val i = s.toLowerCase.lastIndexOf(" as ")
@@ -697,6 +705,7 @@ object LoopbackPages {
     servers.values.forEach { case (server, _) => server.stop(0) }
     servers.clear()
     soqlCache.clear()
+    soqlWhereCache.clear()
     requestLogs.clear()
   }
 }
