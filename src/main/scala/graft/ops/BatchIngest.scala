@@ -119,6 +119,9 @@ object BatchIngest {
                       checkpointPath: String, keyCol: String, tiebreak: Seq[Column],
                       onPageCommitted: Int => Unit = _ => ()): IngestStats = {
     val manifest = PagedManifest.read(pagesDir)
+    require(!manifest.schema.fieldNames.contains(PageCol),
+      s"source schema already has a column named $PageCol — the spool's " +
+        "bookkeeping column would silently overwrite it")
     val spoolDir = checkpointPath + ".spool"
     val hadoopFs = new org.apache.hadoop.fs.Path(spoolDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -173,11 +173,25 @@ object Warehouse {
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val st = conn.createStatement()
-      val exists =
-        try { st.executeQuery(s"SELECT 1 FROM $table FETCH FIRST 1 ROWS ONLY").close(); true }
-        catch { case _: java.sql.SQLException => false }
-      if (!exists)
+      // existence via catalog metadata, NOT a probing SELECT whose failure
+      // would misread a dropped connection / lock timeout as "table absent"
+      val exists = {
+        val md = conn.getMetaData
+        def has(n: String): Boolean = {
+          val rs = md.getTables(null, null, n, null)
+          try rs.next() finally rs.close()
+        }
+        has(table) || has(table.toUpperCase(java.util.Locale.ROOT))
+      }
+      if (!exists) {
         st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stagingTable WITH NO DATA")
+        // PRIMARY KEY so the MERGE's NOT MATCHED probe is an index lookup,
+        // not a full target scan per staged row (the reference merges
+        // against an INDEXED PK, load.py:114-147), and so key uniqueness
+        // is ENFORCED by the database rather than assumed
+        keys.foreach(k => st.executeUpdate(s"ALTER TABLE $table ALTER COLUMN ${q(k)} NOT NULL"))
+        st.executeUpdate(s"ALTER TABLE $table ADD PRIMARY KEY (${keys.map(q).mkString(", ")})")
+      }
       val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
       val cols = df.columns.map(q)
       st.executeUpdate(

@@ -544,27 +544,32 @@ object LoopbackPages {
   // immutable for the session (same contract as soqlCache).
   private val soqlWhereCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[JsonNode]]()
-  private val requestLogs =
-    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]]()
+  private val requestLogs = new java.util.concurrent.ConcurrentHashMap[String,
+    (java.util.concurrent.ConcurrentLinkedQueue[(String, Long)],
+      java.util.concurrent.atomic.AtomicInteger)]()
 
   /** Requests served for `dir` as (decoded `path?query`, rows served; -1
     * for static file GETs) — evidence for "the server saw the predicate".
     */
   def requestLog(dir: String): Seq[(String, Long)] = {
-    val q = requestLogs.get(dir)
-    if (q == null) Nil
-    else { val b = Vector.newBuilder[(String, Long)]; q.forEach(b += _); b.result() }
+    val entry = requestLogs.get(dir)
+    if (entry == null) Nil
+    else { val b = Vector.newBuilder[(String, Long)]; entry._1.forEach(b += _); b.result() }
   }
   def clearRequestLog(dir: String): Unit = {
-    val q = requestLogs.get(dir)
-    if (q != null) q.clear()
+    val entry = requestLogs.get(dir)
+    if (entry != null) { entry._1.clear(); entry._2.set(0) }
   }
 
   private def logRequest(dir: String, entry: String, rows: Long): Unit = {
-    val q = requestLogs.computeIfAbsent(dir,
-      _ => new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]())
+    val (q, n) = requestLogs.computeIfAbsent(dir,
+      _ => (new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)](),
+        new java.util.concurrent.atomic.AtomicInteger()))
     q.add(entry -> rows)
-    while (q.size > 10000) q.poll() // bounded: session-lifetime server
+    // bounded via the side counter: ConcurrentLinkedQueue.size() is O(n),
+    // which would put a full-queue walk inside every request once the cap
+    // is reached (the counter drifts a little under races; the bound holds)
+    if (n.incrementAndGet() > 10000 && q.poll() != null) n.decrementAndGet()
   }
 
   /** All rows of the paged fixture in page order — the fixture server's

@@ -94,37 +94,68 @@ object SoqlWire {
 
   private val Clause = """\s*(\w+)\s*(<=|>=|=|<|>)\s*(.+?)\s*""".r
 
+  /** Split a rendered `$where` into clauses on " AND " OUTSIDE quoted
+    * string literals — a pushed value like `'1-URGENT AND 2-HIGH'` is one
+    * literal, not a conjunction. (The `''` escape toggles the quote state
+    * twice, which is self-consistent.)
+    */
+  private def splitClauses(where: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < where.length) {
+      val c = where.charAt(i)
+      if (c == '\'') { inQuote = !inQuote; sb.append(c); i += 1 }
+      else if (!inQuote && where.startsWith(" AND ", i)) {
+        out += sb.toString; sb.clear(); i += 5
+      } else { sb.append(c); i += 1 }
+    }
+    out += sb.toString
+    out.result()
+  }
+
+  /** Unsigned UTF-8 byte order — Spark compares strings as `UTF8String`
+    * bytes, and Java's UTF-16 `compareTo` DISAGREES for supplementary
+    * characters (surrogates sort below U+E000..U+FFFF; their UTF-8
+    * encodings sort above). The paging offsets index the server-filtered
+    * set, so the server must reproduce Spark's ordering exactly —
+    * under-inclusion loses rows the residual filter can never restore.
+    */
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def cmpToBool(op: String, cmp: Int): Boolean = op match {
+    case "="  => cmp == 0
+    case ">"  => cmp > 0
+    case ">=" => cmp >= 0
+    case "<"  => cmp < 0
+    case "<=" => cmp <= 0
+  }
+
   /** Evaluate a rendered `$where` against one JSON row. Unknown columns /
     * malformed clauses throw — a fixture server that silently matched
-    * everything would hide a broken pushdown.
+    * everything would hide a broken pushdown. Numeric comparison is EXACT
+    * (BigDecimal, never a double round-trip: a bigint above 2^53 must not
+    * round onto its neighbor); string comparison is UTF-8 byte order to
+    * match Spark.
     */
   def eval(where: String, row: JsonNode): Boolean =
-    where.split(" AND ").forall {
+    splitClauses(where).forall {
       case Clause(col, op, rawLit) =>
         val node = row.get(col)
         if (node == null || node.isNull) false
         else if (rawLit.startsWith("'")) {
           val v = rawLit.stripPrefix("'").stripSuffix("'").replace("''", "'")
-          val x = node.asText()
-          op match {
-            case "="  => x == v
-            case ">"  => x > v
-            case ">=" => x >= v
-            case "<"  => x < v
-            case "<=" => x <= v
-          }
+          cmpToBool(op, utf8Cmp(node.asText(), v))
         } else if (rawLit == "true" || rawLit == "false") {
           op == "=" && node.asBoolean() == (rawLit == "true")
+        } else if (!node.isNumber) {
+          false // type-mismatched clause matches nothing
         } else {
-          val v = rawLit.toDouble
-          val x = node.asDouble()
-          op match {
-            case "="  => x == v
-            case ">"  => x > v
-            case ">=" => x >= v
-            case "<"  => x < v
-            case "<=" => x <= v
-          }
+          cmpToBool(op, node.decimalValue().compareTo(new java.math.BigDecimal(rawLit)))
         }
       case other => throw new IllegalArgumentException(s"unparseable clause: $other")
     }
@@ -175,8 +206,8 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
 /** One InputPartition per `$offset` page (count-probed), or a single
   * serial-loop partition (`probeCount=false`).
   */
-case class SoqlPagePartition(url: String, required: StructType, retry: RetryPolicy,
-                             expectRows: Long) extends InputPartition
+case class SoqlPagePartition(url: String, required: StructType, retry: RetryPolicy)
+    extends InputPartition
 case class SoqlSerialPartition(endpoint: String, select: Option[String],
                                where: Option[String], pageSize: Long,
                                maxRows: Long, required: StructType,
@@ -207,20 +238,29 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
       Array(SoqlSerialPartition(endpoint, select, where, pageSize, cap, required, retry))
     } else {
       // Planning-time count probe — itself a SoQL query with the SAME
-      // $where, so the server sizes exactly what the scan will read.
+      // $where, so the server sizes exactly what the scan will read. A
+      // response that doesn't carry the count FAILS LOUDLY: defaulting to
+      // zero would plan an empty scan and masquerade as "no data".
       val probe = SoqlWire.pageUrl(endpoint, Some("count(1) as cnt"), where, None, None)
       val body = new String(PagedFetch.fetchBytes(probe, retry), "UTF-8")
-      val total = new com.fasterxml.jackson.databind.ObjectMapper()
-        .readTree(body.linesIterator.find(_.nonEmpty).getOrElse("{}"))
-        .path("cnt").asLong(0L)
+      val line = body.linesIterator.find(_.nonEmpty).getOrElse(
+        throw new java.io.IOException(s"empty count-probe response from $probe"))
+      val cnt = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line).get("cnt")
+      if (cnt == null || (!cnt.isNumber && !cnt.isTextual))
+        throw new java.io.IOException(
+          s"count probe returned no usable 'cnt' field from $probe: $line")
+      // Socrata returns counts as strings; accept both shapes
+      val total = if (cnt.isNumber) cnt.asLong() else cnt.asText().toLong
       val n = math.min(total, cap)
       val pages = ((n + pageSize - 1) / pageSize).toInt
       (0 until pages).map { i =>
         val off = i.toLong * pageSize
         val rows = math.min(pageSize, n - off)
+        // the LAST page asks for exactly its remainder, not a full
+        // pageSize — over-asking ships rows the pushed limit would drop
         SoqlPagePartition(
-          SoqlWire.pageUrl(endpoint, select, where, Some(pageSize), Some(off)),
-          required, retry, rows): InputPartition
+          SoqlWire.pageUrl(endpoint, select, where, Some(rows), Some(off)),
+          required, retry): InputPartition
       }.toArray
     }
   }

@@ -135,6 +135,63 @@ class SoqlSourceSpec extends SparkSuite {
     assert(causes(e).exists(_.contains("supply .schema")), s"got: $e")
   }
 
+  test("server-side eval is exact: 2^53 longs, UTF-8 string order, AND inside literals") {
+    import graft.sources.SoqlWire
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    // a bigint above 2^53: double arithmetic would round 9007199254740993
+    // onto ...992 and drop/admit the wrong row
+    val big = mapper.readTree("""{"k":9007199254740993}""")
+    assert(SoqlWire.eval("k = 9007199254740993", big))
+    assert(!SoqlWire.eval("k = 9007199254740992", big))
+    assert(SoqlWire.eval("k > 9007199254740992", big))
+    // Spark compares UTF8String bytes: U+1F600 (surrogates in UTF-16) must
+    // sort ABOVE U+FFFD like its UTF-8 encoding does, not below
+    val grin = new String(Character.toChars(0x1F600))
+    val emoji = mapper.readTree(s"""{"s":"$grin"}""")
+    assert(SoqlWire.eval("s > '�'", emoji),
+      "UTF-8 byte order must be used, not Java's UTF-16 compareTo")
+    // " AND " inside a quoted literal is one literal, not a conjunction
+    val val1 = mapper.readTree("""{"p":"1-URGENT AND 2-HIGH"}""")
+    assert(SoqlWire.eval("p = '1-URGENT AND 2-HIGH'", val1))
+    assert(!SoqlWire.eval("p = '1-URGENT AND 2-HIGH' AND p = 'other'", val1))
+    // escaped quotes round-trip
+    val val2 = mapper.readTree("""{"p":"it's AND it's"}""")
+    assert(SoqlWire.eval("p = 'it''s AND it''s'", val2))
+  }
+
+  test("a pushed string filter containing ' AND ' survives the wire (no 500s)") {
+    val got = offsetRead(pageSize = 500)
+      .filter(col("o_orderpriority") === "1-URGENT AND 2-HIGH")
+    assert(got.count() == 0, "no such priority exists — but the scan must not fail")
+    val real = offsetRead(pageSize = 500)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val want = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(real.count() == want && want > 0)
+  }
+
+  test("a count probe without a usable cnt field fails loudly, not as an empty scan") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange: com.sun.net.httpserver.HttpExchange =>
+      val body = """{"unexpected":"shape"}""".getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, body.length)
+      exchange.getResponseBody.write(body)
+      exchange.close()
+    })
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    server.start()
+    try {
+      val builder = new SoqlScanBuilder(
+        s"http://127.0.0.1:${server.getAddress.getPort}/rows",
+        org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
+        RetryPolicy(2, 1), pageSize = 100, probeCount = true)
+      val e = intercept[Exception] { builder.build().toBatch.planInputPartitions() }
+      def causes(t: Throwable): Seq[String] =
+        if (t == null) Nil else String.valueOf(t.getMessage) +: causes(t.getCause)
+      assert(causes(e).exists(_.contains("count probe")), s"got: $e")
+    } finally server.stop(0)
+  }
+
   test("q_scan_http_offset: registered query matches the direct computation") {
     val got = SparkEntry.queries("q_scan_http_offset")(spark, sf)
     val hwm = Tables.orders(spark, sf).agg(max("o_orderkey")).head().getLong(0) * 2 / 3

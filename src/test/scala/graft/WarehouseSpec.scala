@@ -231,6 +231,19 @@ class WarehouseSpec extends SparkSuite {
     assert(n4 == 1L)
     assert(W.readJdbc(spark, url, "tgt", props).filter($"k" === 100L)
       .head().getString(1) == "aa")
+
+    // the auto-created target carries a real PRIMARY KEY: the MERGE's
+    // NOT MATCHED probe is an index lookup, and uniqueness is enforced by
+    // the database, not assumed — a raw duplicate insert must violate it
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val dup = intercept[java.sql.SQLException] {
+        conn.createStatement().executeUpdate(
+          """INSERT INTO tgt ("k", "v") VALUES (100, 'smuggled')""")
+      }
+      assert(dup.getSQLState.startsWith("23"), // integrity constraint violation
+        s"expected a PK violation, got ${dup.getSQLState}: ${dup.getMessage}")
+    } finally conn.close()
   }
 
   test("scd2Apply: late-arriving update slots into the middle of history") {
