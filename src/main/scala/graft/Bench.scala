@@ -1,24 +1,38 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
-  // Host-contention sentinel: a fixed, pure-JVM, single-threaded spin of
-  // known work (no allocation, no I/O, no Spark). Its wall-clock varies
-  // ONLY with host CPU availability, so the three samples taken around the
-  // sweeps let a reader separate "the host was busy" from "the plan got
-  // slower" using the driver artifact alone — in r7 a ~40% phantom
-  // regression needed the committed side detail to diagnose.
+  // Host-contention sentinel: a fixed, pure-JVM spin of known work (no
+  // allocation, no I/O, no Spark). Its wall-clock varies ONLY with host
+  // CPU availability, so the three samples taken around the sweeps let a
+  // reader separate "the host was busy" from "the plan got slower" using
+  // the driver artifact alone — in r7 a ~40% phantom regression needed
+  // the committed side detail to diagnose. Each sample is (single-thread,
+  // all-threads) seconds: a co-tenant pinning SOME cores leaves the
+  // 1-thread spin untouched but stretches the parallel one — exactly the
+  // contention shape that hits a multi-threaded Spark sweep.
   @volatile private var calSink = 0L
-  private def calibrate(): Double = {
-    val t0 = System.nanoTime()
+  private def spin(iters: Int): Long = {
     var x = 0x9E3779B97F4A7C15L
     var i = 0
-    while (i < 400000000) { // ~0.3 s unloaded; scales with contention
+    while (i < iters) {
       x = x * 6364136223846793005L + 1442695040888963407L
       x ^= x >>> 33
       i += 1
     }
-    calSink = x // defeat dead-code elimination
-    (System.nanoTime() - t0) / 1e9
+    x
+  }
+  private def calibrate(threads: Int): (Double, Double) = {
+    val t0 = System.nanoTime()
+    calSink = spin(400000000) // ~0.3 s unloaded; scales with contention
+    val single = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val pool = (0 until threads).map { _ =>
+      val t = new Thread(() => { calSink = spin(400000000) })
+      t.start(); t
+    }
+    pool.foreach(_.join())
+    val multi = (System.nanoTime() - t1) / 1e9
+    (single, multi)
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,7 +72,7 @@ object Bench {
     // JIT, the conservative number. `steady_sec` is the second pass —
     // what a long-lived cluster session runs after warmup. Keeping the
     // headline cold preserves metric semantics across rounds.
-    val calPre = calibrate()
+    val calPre = calibrate(cpus.toInt)
     val cold = runAll()
     // Inter-pass hygiene: drop cached relations accumulated by the cold
     // sweep and let the JVM compact before timing steady-state — otherwise
@@ -67,9 +81,9 @@ object Bench {
     // Codegen/JIT caches survive, which is what "steady" means.
     spark.catalog.clearCache()
     System.gc()
-    val calMid = calibrate()
+    val calMid = calibrate(cpus.toInt)
     val steadyRaw = runAll()
-    val calPost = calibrate()
+    val calPost = calibrate(cpus.toInt)
     // Outlier re-timing: a steady time >3x its own cold time on code the
     // round didn't touch is (empirically, r6+r7) host noise or GC debt,
     // not plan drift. Re-run those once and report min(steady, rerun) so a
@@ -94,7 +108,11 @@ object Bench {
     // a throwing query must be VISIBLE, not a silently-small timing
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val overJson = overBudget.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val calJson = s"""{"pre":${sec(calPre)},"mid":${sec(calMid)},"post":${sec(calPost)}}"""
+    // st = 1-thread spin, mt = all-cores spin of the same per-thread work:
+    // mt >> st on any sample ⇒ partial-host contention during that window
+    val calJson =
+      s"""{"pre":${sec(calPre._1)},"mid":${sec(calMid._1)},"post":${sec(calPost._1)},""" +
+        s""""pre_mt":${sec(calPre._2)},"mid_mt":${sec(calMid._2)},"post_mt":${sec(calPost._2)}}"""
     val retimedJson = outliers.map { q =>
       s"""{"q":"$q","cold":${sec(cold.getOrElse(q, 0.0))},"steady":${sec(steadyRaw(q))},"rerun":${sec(reruns(q))}}"""
     }.mkString("[", ",", "]")
