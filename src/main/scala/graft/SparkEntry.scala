@@ -195,6 +195,7 @@ private[graft] object Queries {
     val hwm = ord(s, d).agg(max("o_orderkey")).head().getLong(0) * 2 / 3
     s.read.format("graft-paged")
       .option("mode", "offset").option("pageSize", "10000")
+      .option("pageOrder", "o_orderkey") // $order: stable offset paging
       .schema("o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderpriority string")
       .load(s"$base/${graft.sources.LoopbackPages.SoqlPath}")
       .filter(col("o_orderkey") > lit(hwm))

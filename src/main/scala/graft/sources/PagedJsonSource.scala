@@ -537,13 +537,14 @@ object LoopbackPages {
   // bounded request log so specs can prove what crossed the wire
   private val soqlCache =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[JsonNode]]()
-  // filtered-result cache: an offset-paged scan issues one GET per page
-  // with the SAME $where (count probe + N pages), and re-evaluating the
-  // predicate over the whole corpus per request made the fixture server,
-  // not the connector, the benchmark bottleneck. Fixture dirs are
-  // immutable for the session (same contract as soqlCache).
+  // filtered/sorted-result cache: an offset-paged scan issues one GET per
+  // page with the SAME $where/$order (count probe + N pages), and
+  // re-evaluating the predicate (or re-sorting) over the whole corpus per
+  // request made the fixture server, not the connector, the benchmark
+  // bottleneck. Fixture dirs are immutable for the session (same contract
+  // as soqlCache). Key: (dir, $where, $order).
   private val soqlWhereCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[JsonNode]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Vector[JsonNode]]()
   private val requestLogs = new java.util.concurrent.ConcurrentHashMap[String,
     (java.util.concurrent.ConcurrentLinkedQueue[(String, Long)],
       java.util.concurrent.atomic.AtomicInteger)]()
@@ -623,8 +624,15 @@ object LoopbackPages {
         java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
     val all = soqlRows(dir)
-    val filtered = params.get("$where").fold(all)(w =>
-      soqlWhereCache.computeIfAbsent((dir, w), _ => all.filter(SoqlWire.eval(w, _))))
+    val whereOpt = params.get("$where")
+    val orderOpt = params.get("$order")
+    val filtered =
+      if (whereOpt.isEmpty && orderOpt.isEmpty) all
+      else soqlWhereCache.computeIfAbsent((dir, whereOpt.getOrElse(""), orderOpt.getOrElse("")), _ => {
+        val f = whereOpt.fold(all)(w => all.filter(SoqlWire.eval(w, _)))
+        orderOpt.fold(f)(o =>
+          f.sorted(scala.math.Ordering.comparatorToOrdering(SoqlWire.orderComparator(o))))
+      })
     params.get("$select") match {
       case Some(s) if s.trim.toLowerCase.startsWith("count(") =>
         val i = s.toLowerCase.lastIndexOf(" as ")

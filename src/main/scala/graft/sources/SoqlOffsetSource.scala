@@ -6,6 +6,7 @@ import com.fasterxml.jackson.databind.JsonNode
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -74,12 +75,17 @@ object SoqlWire {
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
 
+  /** Render a pushed sort as the SoQL `$order` value: `col ASC,col2 DESC`. */
+  def renderOrder(cols: Seq[(String, Boolean)]): String =
+    cols.map { case (c, asc) => s"$c ${if (asc) "ASC" else "DESC"}" }.mkString(",")
+
   /** Build a rows-endpoint URL with the SoQL query parameters. */
   def pageUrl(endpoint: String, select: Option[String], where: Option[String],
-              limit: Option[Long], offset: Option[Long]): String = {
+              order: Option[String], limit: Option[Long], offset: Option[Long]): String = {
     val params =
       select.map(s => "$select" -> s).toSeq ++
         where.map(w => "$where" -> w) ++
+        order.map(o => "$order" -> o) ++
         limit.map(l => "$limit" -> l.toString) ++
         offset.map(o => "$offset" -> o.toString)
     if (params.isEmpty) endpoint
@@ -159,6 +165,35 @@ object SoqlWire {
         }
       case other => throw new IllegalArgumentException(s"unparseable clause: $other")
     }
+
+  /** Comparator over JSON rows for a rendered `$order` spec, reproducing
+    * Spark's default sort semantics exactly: nulls first ascending / last
+    * descending, numbers by exact decimal value, strings by unsigned
+    * UTF-8 bytes. (Fixture-server-side, like [[eval]].)
+    */
+  def orderComparator(spec: String): java.util.Comparator[JsonNode] = {
+    val keys = spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      val bits = part.split("\\s+")
+      require(bits.length <= 2, s"unparseable \\$$order part: $part")
+      (bits(0), bits.length < 2 || bits(1).equalsIgnoreCase("ASC"))
+    }
+    (a: JsonNode, b: JsonNode) =>
+      keys.iterator.map { case (c, asc) =>
+        val (x, y) = (a.get(c), b.get(c))
+        val xn = x == null || x.isNull
+        val yn = y == null || y.isNull
+        if (xn && yn) 0
+        else if (xn) { if (asc) -1 else 1 } // nulls first asc / last desc
+        else if (yn) { if (asc) 1 else -1 }
+        else {
+          val base =
+            if (x.isNumber && y.isNumber) x.decimalValue().compareTo(y.decimalValue())
+            else if (x.isBoolean && y.isBoolean) java.lang.Boolean.compare(x.asBoolean(), y.asBoolean())
+            else utf8Cmp(x.asText(), y.asText())
+          if (asc) base else -base
+        }
+      }.find(_ != 0).getOrElse(0)
+  }
 }
 
 class SoqlTable(endpoint: String, schema: StructType) extends Table with SupportsRead {
@@ -169,18 +204,27 @@ class SoqlTable(endpoint: String, schema: StructType) extends Table with Support
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SoqlScanBuilder(endpoint, schema, PagedTable.retryOf(options),
       options.getLong("pageSize", 1000L),
-      options.getBoolean("probeCount", true))
+      options.getBoolean("probeCount", true),
+      // `$order` on every data GET — Socrata's own recommendation for
+      // offset paging: without it, page N's contents may shift between
+      // requests ("col" or "col DESC,col2"; not needed by the loopback
+      // fixture, whose natural order is stable, but the faithful client
+      // shape against a real API)
+      Option(options.get("pageOrder")))
 }
 
 class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPolicy,
-                      pageSize: Long, probeCount: Boolean)
+                      pageSize: Long, probeCount: Boolean,
+                      pageOrder: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownLimit with SupportsPushDownRequiredColumns {
+    with SupportsPushDownLimit with SupportsPushDownRequiredColumns
+    with SupportsPushDownTopN {
   require(pageSize >= 1, s"pageSize must be >= 1, got $pageSize")
 
   private var where: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
+  private var topN: Option[(Seq[(String, Boolean)], Int)] = None
   private var required: StructType = fullSchema
 
   /** `$where` serialization (`scripts/extract.py:61-63`): every expressible
@@ -197,10 +241,36 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
   /** `$limit` cap on the page budget; partial pushdown, Spark re-applies. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
+  /** `ORDER BY ... LIMIT k` → ONE GET with `$order=...&$limit=k`: the
+    * whole TopN runs server-side (SoQL's native idiom — Socrata docs
+    * recommend `$order` for every paged read). FULLY pushed, so Spark
+    * drops its Sort and Limit — sound because the plan collapses to a
+    * single partition and the fixture server reproduces Spark's exact
+    * ordering (unsigned UTF-8 bytes for strings, exact decimal compare,
+    * default null placement). Only simple column references with default
+    * null ordering are accepted; anything else stays in Spark.
+    */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    val cols = orders.toSeq.map { so =>
+      so.expression() match {
+        case nr: NamedReference if nr.fieldNames().length == 1 =>
+          val asc = so.direction() == SortDirection.ASCENDING
+          val defaultNulls = so.nullOrdering() ==
+            (if (asc) NullOrdering.NULLS_FIRST else NullOrdering.NULLS_LAST)
+          if (defaultNulls) Some(nr.fieldNames()(0) -> asc) else None
+        case _ => None
+      }
+    }
+    if (cols.isEmpty || cols.exists(_.isEmpty)) false
+    else { topN = Some((cols.flatten, l)); true }
+  }
+  override def isPartiallyPushed(): Boolean = false
+
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan =
-    new SoqlScan(endpoint, fullSchema, required, where, limit, pageSize, probeCount, retry)
+    new SoqlScan(endpoint, fullSchema, required, where, limit, topN, pageOrder,
+      pageSize, probeCount, retry)
 }
 
 /** One InputPartition per `$offset` page (count-probed), or a single
@@ -209,12 +279,15 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
 case class SoqlPagePartition(url: String, required: StructType, retry: RetryPolicy)
     extends InputPartition
 case class SoqlSerialPartition(endpoint: String, select: Option[String],
-                               where: Option[String], pageSize: Long,
+                               where: Option[String], order: Option[String],
+                               pageSize: Long,
                                maxRows: Long, required: StructType,
                                retry: RetryPolicy) extends InputPartition
 
 class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
-               where: Option[String], limit: Option[Int], pageSize: Long,
+               where: Option[String], limit: Option[Int],
+               topN: Option[(Seq[(String, Boolean)], Int)],
+               pageOrder: Option[String], pageSize: Long,
                probeCount: Boolean, retry: RetryPolicy)
     extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -230,18 +303,27 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
 
   override def description(): String =
     s"graft-soql endpoint=$endpoint where=${where.getOrElse("-")} " +
-      s"limit=${limit.getOrElse(-1)} pageSize=$pageSize probeCount=$probeCount"
+      s"limit=${limit.getOrElse(-1)} topN=${topN.map(t => SoqlWire.renderOrder(t._1) + " LIMIT " + t._2).getOrElse("-")} " +
+      s"pageSize=$pageSize probeCount=$probeCount"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val cap = limit.map(_.toLong).getOrElse(Long.MaxValue)
-    if (!probeCount) {
-      Array(SoqlSerialPartition(endpoint, select, where, pageSize, cap, required, retry))
+    if (topN.isDefined) {
+      // fully-pushed ORDER BY + LIMIT: one GET, the server sorts and caps
+      val (cols, k) = topN.get
+      Array(SoqlPagePartition(
+        SoqlWire.pageUrl(endpoint, select, where, Some(SoqlWire.renderOrder(cols)),
+          Some(math.min(k.toLong, cap)), Some(0L)),
+        required, retry))
+    } else if (!probeCount) {
+      Array(SoqlSerialPartition(endpoint, select, where, pageOrder, pageSize,
+        cap, required, retry))
     } else {
       // Planning-time count probe — itself a SoQL query with the SAME
       // $where, so the server sizes exactly what the scan will read. A
       // response that doesn't carry the count FAILS LOUDLY: defaulting to
       // zero would plan an empty scan and masquerade as "no data".
-      val probe = SoqlWire.pageUrl(endpoint, Some("count(1) as cnt"), where, None, None)
+      val probe = SoqlWire.pageUrl(endpoint, Some("count(1) as cnt"), where, None, None, None)
       val body = new String(PagedFetch.fetchBytes(probe, retry), "UTF-8")
       val line = body.linesIterator.find(_.nonEmpty).getOrElse(
         throw new java.io.IOException(s"empty count-probe response from $probe"))
@@ -259,7 +341,7 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
         // the LAST page asks for exactly its remainder, not a full
         // pageSize — over-asking ships rows the pushed limit would drop
         SoqlPagePartition(
-          SoqlWire.pageUrl(endpoint, select, where, Some(rows), Some(off)),
+          SoqlWire.pageUrl(endpoint, select, where, pageOrder, Some(rows), Some(off)),
           required, retry): InputPartition
       }.toArray
     }
@@ -304,7 +386,8 @@ class SoqlSerialReader(p: SoqlSerialPartition) extends PartitionReader[InternalR
   private def openPage(): Unit = {
     reqLim = math.min(p.pageSize, p.maxRows - emitted)
     lines = PagedFetch.fetchLines(
-      SoqlWire.pageUrl(p.endpoint, p.select, p.where, Some(reqLim), Some(offset)), p.retry)
+      SoqlWire.pageUrl(p.endpoint, p.select, p.where, p.order, Some(reqLim), Some(offset)),
+      p.retry)
     pageRows = 0
   }
 

@@ -135,6 +135,40 @@ class SoqlSourceSpec extends SparkSuite {
     assert(causes(e).exists(_.contains("supply .schema")), s"got: $e")
   }
 
+  test("ORDER BY + LIMIT pushes as $order/$limit: one GET, no Spark sort") {
+    LoopbackPages.clearRequestLog(dir)
+    val df = offsetRead(pageSize = 300)
+      .orderBy(col("o_orderkey").desc).limit(5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("TakeOrderedAndProject") && !plan.contains("Sort "),
+      s"a fully-pushed TopN must leave no Spark sort in the plan:\n$plan")
+    assert(df.rdd.getNumPartitions == 1, "pushed TopN collapses to one partition")
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val want = Tables.orders(spark, sf).orderBy(col("o_orderkey").desc).limit(5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == want, s"got $got want $want")
+    val dataGets = soqlRequests.filterNot(_._1.contains("count(1)"))
+    assert(dataGets.nonEmpty && dataGets.forall(r =>
+      r._1.contains("$order=o_orderkey DESC") && r._1.contains("$limit=5")),
+      s"the TopN must cross the wire: ${dataGets.map(_._1)}")
+  }
+
+  test("pageOrder adds $order to every data GET (stable offset paging)") {
+    LoopbackPages.clearRequestLog(dir)
+    val got = spark.read.format("graft-paged")
+      .option("mode", "offset").option("pageSize", "400")
+      .option("pageOrder", "o_orderkey")
+      .option("fetchBackoffMs", "1")
+      .schema(schemaDdl).load(endpoint)
+    val want = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    assert(got.count() == want.count())
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    val dataGets = soqlRequests.filterNot(_._1.contains("count(1)"))
+    assert(dataGets.nonEmpty && dataGets.forall(_._1.contains("$order=o_orderkey")),
+      s"every data GET must carry \\$$order: ${dataGets.map(_._1)}")
+  }
+
   test("server-side eval is exact: 2^53 longs, UTF-8 string order, AND inside literals") {
     import graft.sources.SoqlWire
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
