@@ -164,39 +164,76 @@ object Warehouse {
     * insert (Postgres' `ON CONFLICT` sees in-statement inserts; MERGE
     * does not).
     */
+  private def jdbcQuoter(url: String): String => String =
+    c => org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(c)
+
+  /** Create `table` as an empty PK-indexed clone of `stagingTable` when
+    * absent. Existence goes through catalog metadata, NOT a probing SELECT
+    * whose failure would misread a dropped connection / lock timeout as
+    * "table absent". The PRIMARY KEY makes the MERGE probe an index
+    * lookup, not a full target scan per staged row (the reference merges
+    * against an INDEXED PK, load.py:114-147), and makes key uniqueness
+    * ENFORCED by the database rather than assumed.
+    */
+  private def ensureJdbcTarget(conn: java.sql.Connection, table: String,
+                               stagingTable: String, keys: Seq[String],
+                               q: String => String): Unit = {
+    val md = conn.getMetaData
+    def has(n: String): Boolean = {
+      val rs = md.getTables(null, null, n, null)
+      try rs.next() finally rs.close()
+    }
+    if (!has(table) && !has(table.toUpperCase(java.util.Locale.ROOT))) {
+      val st = conn.createStatement()
+      st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stagingTable WITH NO DATA")
+      keys.foreach(k => st.executeUpdate(s"ALTER TABLE $table ALTER COLUMN ${q(k)} NOT NULL"))
+      st.executeUpdate(s"ALTER TABLE $table ADD PRIMARY KEY (${keys.map(q).mkString(", ")})")
+    }
+  }
+
   def mergeIntoJdbc(df: DataFrame, url: String, table: String,
                     stagingTable: String, keys: Seq[String], tiebreak: Seq[Column],
                     props: java.util.Properties): Long = {
     loadJdbc(dedupByKey(df, keys, tiebreak), url, stagingTable, props)
     Option(props.getProperty("driver")).foreach(Class.forName)
-    val q = (c: String) => org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(c)
+    val q = jdbcQuoter(url)
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
-      val st = conn.createStatement()
-      // existence via catalog metadata, NOT a probing SELECT whose failure
-      // would misread a dropped connection / lock timeout as "table absent"
-      val exists = {
-        val md = conn.getMetaData
-        def has(n: String): Boolean = {
-          val rs = md.getTables(null, null, n, null)
-          try rs.next() finally rs.close()
-        }
-        has(table) || has(table.toUpperCase(java.util.Locale.ROOT))
-      }
-      if (!exists) {
-        st.executeUpdate(s"CREATE TABLE $table AS SELECT * FROM $stagingTable WITH NO DATA")
-        // PRIMARY KEY so the MERGE's NOT MATCHED probe is an index lookup,
-        // not a full target scan per staged row (the reference merges
-        // against an INDEXED PK, load.py:114-147), and so key uniqueness
-        // is ENFORCED by the database rather than assumed
-        keys.foreach(k => st.executeUpdate(s"ALTER TABLE $table ALTER COLUMN ${q(k)} NOT NULL"))
-        st.executeUpdate(s"ALTER TABLE $table ADD PRIMARY KEY (${keys.map(q).mkString(", ")})")
-      }
+      ensureJdbcTarget(conn, table, stagingTable, keys, q)
       val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
       val cols = df.columns.map(q)
-      st.executeUpdate(
+      conn.createStatement().executeUpdate(
         s"""MERGE INTO $table t USING $stagingTable s ON $on
            |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
+           |VALUES (${cols.map(c => s"s.$c").mkString(", ")})""".stripMargin).toLong
+    } finally conn.close()
+  }
+
+  /** IN-DATABASE last-writer-wins merge — [[mergeIntoJdbc]]'s
+    * UPDATE-on-match counterpart and [[mergeReplaceParquet]]'s server-side
+    * analog (`WHEN MATCHED THEN UPDATE`, the warehouse MERGE idiom the
+    * reference lacks): matched keys take the staged row's non-key columns,
+    * new keys insert, all inside one database MERGE against the indexed
+    * PK. Returns rows affected as counted by the database.
+    */
+  def mergeReplaceJdbc(df: DataFrame, url: String, table: String,
+                       stagingTable: String, keys: Seq[String], tiebreak: Seq[Column],
+                       props: java.util.Properties): Long = {
+    loadJdbc(dedupByKey(df, keys, tiebreak), url, stagingTable, props)
+    Option(props.getProperty("driver")).foreach(Class.forName)
+    val q = jdbcQuoter(url)
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      ensureJdbcTarget(conn, table, stagingTable, keys, q)
+      val on = keys.map(k => s"t.${q(k)} = s.${q(k)}").mkString(" AND ")
+      val cols = df.columns.map(q)
+      val nonKeys = df.columns.filterNot(keys.contains).map(q)
+      val matched =
+        if (nonKeys.isEmpty) "" // all-key schema: nothing to update on match
+        else s"WHEN MATCHED THEN UPDATE SET ${nonKeys.map(c => s"$c = s.$c").mkString(", ")}\n"
+      conn.createStatement().executeUpdate(
+        s"""MERGE INTO $table t USING $stagingTable s ON $on
+           |${matched}WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
            |VALUES (${cols.map(c => s"s.$c").mkString(", ")})""".stripMargin).toLong
     } finally conn.close()
   }

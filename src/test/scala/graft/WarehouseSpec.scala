@@ -246,6 +246,33 @@ class WarehouseSpec extends SparkSuite {
     } finally conn.close()
   }
 
+  test("mergeReplaceJdbc: matched keys update in-place, new keys insert, all in-DB") {
+    import spark.implicits._
+    val W = graft.ops.Warehouse
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val url = "jdbc:derby:memory:graftmergeupd;create=true"
+    val tiebreak = Seq(org.apache.spark.sql.functions.col("v"))
+
+    val n1 = W.mergeReplaceJdbc((1L to 40L).map(k => (k, s"first-$k")).toDF("k", "v"),
+      url, "tgt", "stage", Seq("k"), tiebreak, props)
+    assert(n1 == 40L)
+    // keys 21..60: 20 updates + 20 inserts, one MERGE, counted by the DB
+    val n2 = W.mergeReplaceJdbc((21L to 60L).map(k => (k, s"second-$k")).toDF("k", "v"),
+      url, "tgt", "stage", Seq("k"), tiebreak, props)
+    assert(n2 == 40L, s"all 40 staged rows take effect (20 UPDATE + 20 INSERT), got $n2")
+    val back = W.readJdbc(spark, url, "tgt", props).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back.size == 60)
+    assert(back(10L) == "first-10", "untouched keys keep their row")
+    assert(back(30L) == "second-30", "matched keys take the staged row (last writer wins)")
+    assert(back(50L) == "second-50")
+    // idempotent replay: same rows affected, same content
+    val n3 = W.mergeReplaceJdbc((21L to 60L).map(k => (k, s"second-$k")).toDF("k", "v"),
+      url, "tgt", "stage", Seq("k"), tiebreak, props)
+    assert(n3 == 40L && W.readJdbc(spark, url, "tgt", props).count() == 60)
+  }
+
   test("scd2Apply: late-arriving update slots into the middle of history") {
     val dim = Seq((1, 10, "A"), (1, 30, "C")).toDF("k", "ts", "attr")
     val upd = Seq((1, 20, "B")).toDF("k", "ts", "attr")
