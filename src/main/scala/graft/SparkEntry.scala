@@ -208,6 +208,30 @@ private[graft] object Queries {
       |WHERE o_orderkey > (SELECT (max(o_orderkey)*2)//3 FROM orders)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** S1 aggregate pushdown: `GROUP BY` + count/sum/max travel as
+    * `$select=<aggs>&$group=...` (SoQL's native aggregation idiom) and the
+    * ENTIRE aggregate runs server-side — one row per group crosses the
+    * wire and Spark's own Aggregate node disappears from the plan
+    * (complete pushdown, spec-pinned in SoqlSourceSpec). The summed
+    * column is integral so the oracle compares exactly.
+    */
+  def scanHttpAgg(s: SparkSession, d: String): DataFrame = {
+    val base = graft.sources.LoopbackPages.serve(s, pagedFixtureDir(s, d))
+    s.read.format("graft-paged")
+      .option("mode", "offset").option("pageSize", "10000")
+      .schema("o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderpriority string")
+      .load(s"$base/${graft.sources.LoopbackPages.SoqlPath}")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val scanHttpAggSql =
+    """SELECT o_orderpriority, count(1) AS n,
+      |  CAST(sum(o_custkey) AS BIGINT) AS sum_cust, max(o_totalprice) AS max_price
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ================================================================ P1: rename
   def rename(s: SparkSession, d: String): DataFrame = {
     val upperCased = ord(s, d).toDF(ord(s, d).columns.map(_.toUpperCase).toIndexedSeq: _*)
@@ -2798,6 +2822,7 @@ private[graft] object Queries {
     "q_scan_orc" -> (scanOrc _),
     "q_scan_http" -> (scanHttp _),
     "q_scan_http_offset" -> (scanHttpOffset _),
+    "q_scan_http_agg" -> (scanHttpAgg _),
     "q_chunk_cdc" -> (chunkCdc _),
     "q_date_format" -> (dateFormat _),
     "q_sink_jsonl" -> (sinkJsonl _),
@@ -2925,6 +2950,7 @@ private[graft] object Queries {
     "q_scan_orc" -> scanOrcSql,
     "q_scan_http" -> scanHttpSql,
     "q_scan_http_offset" -> scanHttpOffsetSql,
+    "q_scan_http_agg" -> scanHttpAggSql,
     "q_date_format" -> dateFormatSql,
     "q_sink_jsonl" -> sinkJsonlSql,
     "q_sink_jdbc" -> sinkJdbcSql,

@@ -537,14 +537,14 @@ object LoopbackPages {
   // bounded request log so specs can prove what crossed the wire
   private val soqlCache =
     new java.util.concurrent.ConcurrentHashMap[String, Vector[JsonNode]]()
-  // filtered/sorted-result cache: an offset-paged scan issues one GET per
-  // page with the SAME $where/$order (count probe + N pages), and
-  // re-evaluating the predicate (or re-sorting) over the whole corpus per
+  // shaped-result cache (filter + aggregate + sort, everything except the
+  // slice): an offset-paged scan issues one GET per page with the SAME
+  // $where/$group/$order, and re-evaluating over the whole corpus per
   // request made the fixture server, not the connector, the benchmark
   // bottleneck. Fixture dirs are immutable for the session (same contract
-  // as soqlCache). Key: (dir, $where, $order).
-  private val soqlWhereCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String, String), Vector[JsonNode]]()
+  // as soqlCache). Key: (dir, canonical shape of the query params).
+  private val soqlShapeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Vector[JsonNode]]()
   private val requestLogs = new java.util.concurrent.ConcurrentHashMap[String,
     (java.util.concurrent.ConcurrentLinkedQueue[(String, Long)],
       java.util.concurrent.atomic.AtomicInteger)]()
@@ -611,10 +611,13 @@ object LoopbackPages {
     exchange.close()
   }
 
-  /** Evaluate one SoQL GET (`$select`/`$where`/`$limit`/`$offset`) against
-    * the fixture rows — the loopback stand-in for the reference's server
-    * (`scripts/extract.py:56-72` talks to exactly this contract). Returns
-    * (JSONL body, rows served).
+  /** Evaluate one SoQL GET (`$select`/`$where`/`$group`/`$order`/`$limit`/
+    * `$offset`) against the fixture rows — the loopback stand-in for the
+    * reference's server (`scripts/extract.py:56-72` talks to exactly this
+    * contract). Pipeline: filter → aggregate (when `$select` carries
+    * aggregate functions; the planning count probe is the degenerate
+    * global-group case) → sort → slice → project. Returns (JSONL body,
+    * rows served).
     */
   private def soqlAnswer(dir: String, rawQuery: String): (String, Long) = {
     val mapper = new ObjectMapper()
@@ -623,42 +626,50 @@ object LoopbackPages {
         val Array(k, v) = kv.split("=", 2)
         java.net.URLDecoder.decode(k, "UTF-8") -> java.net.URLDecoder.decode(v, "UTF-8")
       }.toMap
-    val all = soqlRows(dir)
     val whereOpt = params.get("$where")
     val orderOpt = params.get("$order")
-    val filtered =
-      if (whereOpt.isEmpty && orderOpt.isEmpty) all
-      else soqlWhereCache.computeIfAbsent((dir, whereOpt.getOrElse(""), orderOpt.getOrElse("")), _ => {
-        val f = whereOpt.fold(all)(w => all.filter(SoqlWire.eval(w, _)))
-        orderOpt.fold(f)(o =>
-          f.sorted(scala.math.Ordering.comparatorToOrdering(SoqlWire.orderComparator(o))))
-      })
-    params.get("$select") match {
-      case Some(s) if s.trim.toLowerCase.startsWith("count(") =>
-        val i = s.toLowerCase.lastIndexOf(" as ")
-        val alias = if (i >= 0) s.substring(i + 4).trim else "count"
-        (s"""{"$alias":${filtered.size}}""" + "\n", 1L)
-      case sel =>
-        val off = math.max(0L, params.get("$offset").map(_.toLong).getOrElse(0L))
-        val lim = math.min(params.get("$limit").map(_.toLong).getOrElse(Long.MaxValue),
-          filtered.size.toLong)
-        val slice =
-          if (off >= filtered.size) Vector.empty
-          else filtered.slice(off.toInt, math.min(filtered.size.toLong, off + lim).toInt)
-        val cols = sel.map(_.split(",").map(_.trim).filter(_.nonEmpty))
-        val sb = new StringBuilder
-        slice.foreach { row =>
-          val out = cols.fold(row) { cs =>
-            val o = mapper.createObjectNode()
-            // explicit type arg: ObjectNode.set's generic return infers
-            // Nothing in Scala and checkcast-crashes at runtime
-            cs.foreach(c => o.set[JsonNode](c, row.get(c)))
-            o: JsonNode
-          }
-          sb.append(mapper.writeValueAsString(out)).append('\n')
-        }
-        (sb.toString, slice.size.toLong)
+    val groupOpt = params.get("$group")
+    val selOpt = params.get("$select")
+    val items = selOpt.map(SoqlWire.parseSelect)
+    val isAgg = items.exists(_.exists(_.isInstanceOf[SoqlWire.AggItem]))
+    val shaped =
+      if (whereOpt.isEmpty && orderOpt.isEmpty && !isAgg) soqlRows(dir)
+      else {
+        val shapeKey = Seq(whereOpt, groupOpt, orderOpt, if (isAgg) selOpt else None)
+          .map(_.getOrElse("")).mkString("")
+        soqlShapeCache.computeIfAbsent((dir, shapeKey), _ => {
+          val filtered = whereOpt.fold(soqlRows(dir))(w => soqlRows(dir).filter(SoqlWire.eval(w, _)))
+          val agged =
+            if (!isAgg) filtered
+            else SoqlWire.evalAggregate(filtered,
+              groupOpt.toSeq.flatMap(_.split(",").map(_.trim).filter(_.nonEmpty)),
+              items.get, mapper)
+          orderOpt.fold(agged)(o =>
+            agged.sorted(scala.math.Ordering.comparatorToOrdering(SoqlWire.orderComparator(o))))
+        })
+      }
+    val off = math.max(0L, params.get("$offset").map(_.toLong).getOrElse(0L))
+    val lim = math.min(params.get("$limit").map(_.toLong).getOrElse(Long.MaxValue),
+      shaped.size.toLong)
+    val slice =
+      if (off >= shaped.size) Vector.empty
+      else shaped.slice(off.toInt, math.min(shaped.size.toLong, off + lim).toInt)
+    // bare-column projection (aggregate rows are already shaped by $select)
+    val bareCols =
+      if (isAgg) None
+      else items.map(_.collect { case SoqlWire.BareCol(c) => c })
+    val sb = new StringBuilder
+    slice.foreach { row =>
+      val out = bareCols.fold(row) { cs =>
+        val o = mapper.createObjectNode()
+        // explicit type arg: ObjectNode.set's generic return infers
+        // Nothing in Scala and checkcast-crashes at runtime
+        cs.foreach(c => o.set[JsonNode](c, row.get(c)))
+        o: JsonNode
+      }
+      sb.append(mapper.writeValueAsString(out)).append('\n')
     }
+    (sb.toString, slice.size.toLong)
   }
 
   /** Serve `dir` over loopback HTTP; returns the base URL. Static page /
@@ -718,7 +729,7 @@ object LoopbackPages {
     servers.values.forEach { case (server, _) => server.stop(0) }
     servers.clear()
     soqlCache.clear()
-    soqlWhereCache.clear()
+    soqlShapeCache.clear()
     requestLogs.clear()
   }
 }

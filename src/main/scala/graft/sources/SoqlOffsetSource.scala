@@ -6,9 +6,10 @@ import com.fasterxml.jackson.databind.JsonNode
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.{Expression => V2Expression, NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -37,9 +38,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * matching the reference where the column list is hard-coded
   * (`scripts/extract.py:33-41`).
   *
-  * Filters accepted into `$where` are ALSO kept residual — Spark re-checks
-  * every row, so a server that mis-evaluates the predicate degrades
-  * transfer volume, never correctness.
+  * Filters serialized into `$where` are TRUSTED to the server — the same
+  * trust the reference's protocol places in Socrata (page counts and
+  * offsets all index the server-filtered set, so a mis-evaluating server
+  * corrupts paging regardless of any client re-check), and what allows
+  * aggregates to push below the filter. The fixture server's evaluation
+  * is therefore spec-pinned to Spark's exact comparison semantics;
+  * predicates the wire grammar can't express stay residual in Spark.
   */
 object SoqlWire {
   /** SoQL literal rendering; None = not expressible, filter stays
@@ -64,6 +69,7 @@ object SoqlWire {
     case GreaterThanOrEqual(c, v) => lit(v).map(l => s"$c >= $l")
     case LessThan(c, v)           => lit(v).map(l => s"$c < $l")
     case LessThanOrEqual(c, v)    => lit(v).map(l => s"$c <= $l")
+    case IsNotNull(c)             => Some(s"$c IS NOT NULL")
     case _                        => None
   }
 
@@ -81,10 +87,12 @@ object SoqlWire {
 
   /** Build a rows-endpoint URL with the SoQL query parameters. */
   def pageUrl(endpoint: String, select: Option[String], where: Option[String],
-              order: Option[String], limit: Option[Long], offset: Option[Long]): String = {
+              order: Option[String], limit: Option[Long], offset: Option[Long],
+              group: Option[String] = None): String = {
     val params =
       select.map(s => "$select" -> s).toSeq ++
         where.map(w => "$where" -> w) ++
+        group.map(g => "$group" -> g) ++
         order.map(o => "$order" -> o) ++
         limit.map(l => "$limit" -> l.toString) ++
         offset.map(o => "$offset" -> o.toString)
@@ -148,8 +156,13 @@ object SoqlWire {
     * round onto its neighbor); string comparison is UTF-8 byte order to
     * match Spark.
     */
+  private val NotNullClause = """\s*(\w+)\s+IS\s+NOT\s+NULL\s*""".r
+
   def eval(where: String, row: JsonNode): Boolean =
     splitClauses(where).forall {
+      case NotNullClause(col) =>
+        val node = row.get(col)
+        node != null && !node.isNull
       case Clause(col, op, rawLit) =>
         val node = row.get(col)
         if (node == null || node.isNull) false
@@ -186,13 +199,85 @@ object SoqlWire {
         else if (xn) { if (asc) -1 else 1 } // nulls first asc / last desc
         else if (yn) { if (asc) 1 else -1 }
         else {
-          val base =
-            if (x.isNumber && y.isNumber) x.decimalValue().compareTo(y.decimalValue())
-            else if (x.isBoolean && y.isBoolean) java.lang.Boolean.compare(x.asBoolean(), y.asBoolean())
-            else utf8Cmp(x.asText(), y.asText())
+          val base = nodeCompare(x, y)
           if (asc) base else -base
         }
       }.find(_ != 0).getOrElse(0)
+  }
+
+  /** Non-null JSON value compare matching Spark: exact decimal for
+    * numbers, unsigned UTF-8 bytes for strings.
+    */
+  def nodeCompare(x: JsonNode, y: JsonNode): Int =
+    if (x.isNumber && y.isNumber) x.decimalValue().compareTo(y.decimalValue())
+    else if (x.isBoolean && y.isBoolean) java.lang.Boolean.compare(x.asBoolean(), y.asBoolean())
+    else utf8Cmp(x.asText(), y.asText())
+
+  // ---------------- fixture-server-side $select / $group evaluation ----
+
+  sealed trait SelItem
+  case class BareCol(name: String) extends SelItem
+  case class AggItem(fn: String, arg: String, alias: String) extends SelItem
+
+  private val AggRe = """(?i)(count|sum|min|max)\((\w+|1)\)(?:\s+as\s+(\w+))?""".r
+
+  def parseSelect(sel: String): Seq[SelItem] =
+    sel.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
+      case AggRe(fn, arg, alias) =>
+        AggItem(fn.toLowerCase, arg,
+          Option(alias).getOrElse(s"${fn.toLowerCase}($arg)"))
+      case c if c.matches("""\w+""") => BareCol(c)
+      case other => throw new IllegalArgumentException(s"unparseable $$select item: $other")
+    }
+
+  /** Evaluate `$select` aggregates over `$group` groups — the server side
+    * of complete aggregate pushdown (and of the planning count probe,
+    * which is the degenerate global-group case). Exact arithmetic:
+    * counts/integral sums in integers, double sums in BigDecimal, min/max
+    * by [[nodeCompare]]; SQL semantics: aggregates skip nulls, empty
+    * input yields one row for a global aggregate and zero rows grouped.
+    */
+  def evalAggregate(rows: Vector[JsonNode], groupCols: Seq[String],
+                    items: Seq[SelItem],
+                    mapper: com.fasterxml.jackson.databind.ObjectMapper): Vector[JsonNode] = {
+    val groups = scala.collection.mutable.LinkedHashMap[String,
+      scala.collection.mutable.ArrayBuffer[JsonNode]]()
+    if (groupCols.isEmpty) {
+      val b = groups.getOrElseUpdate("", scala.collection.mutable.ArrayBuffer())
+      b ++= rows
+    } else rows.foreach { r =>
+      val k = groupCols.map(c => String.valueOf(r.get(c))).mkString("\u0000")
+      groups.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer()) += r
+    }
+    val ord = scala.math.Ordering.comparatorToOrdering(
+      new java.util.Comparator[JsonNode] {
+        def compare(a: JsonNode, b: JsonNode): Int = nodeCompare(a, b)
+      })
+    groups.values.iterator.map { grp =>
+      val o = mapper.createObjectNode()
+      items.foreach {
+        case BareCol(c) =>
+          o.set[JsonNode](c, if (grp.nonEmpty) grp.head.get(c) else null)
+        case AggItem("count", "1", alias) => o.put(alias, grp.size.toLong)
+        case AggItem("count", c, alias) =>
+          o.put(alias, grp.count(r => { val n = r.get(c); n != null && !n.isNull }).toLong)
+        case AggItem(fn @ ("min" | "max"), c, alias) =>
+          val vals = grp.iterator.map(_.get(c)).filter(n => n != null && !n.isNull).toSeq
+          if (vals.isEmpty) o.putNull(alias)
+          else o.set[JsonNode](alias, if (fn == "min") vals.min(ord) else vals.max(ord))
+        case AggItem("sum", c, alias) =>
+          val vals = grp.iterator.map(_.get(c)).filter(n => n != null && !n.isNull).toVector
+          if (vals.isEmpty) o.putNull(alias)
+          else {
+            val s = vals.foldLeft(java.math.BigDecimal.ZERO)((acc, n) => acc.add(n.decimalValue()))
+            if (vals.forall(_.isIntegralNumber)) o.put(alias, s.longValueExact())
+            else o.put(alias, s.doubleValue())
+          }
+        case AggItem(fn, _, _) =>
+          throw new IllegalArgumentException(s"unsupported aggregate: $fn")
+      }
+      o: JsonNode
+    }.toVector
   }
 }
 
@@ -218,23 +303,92 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
                       pageOrder: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns
-    with SupportsPushDownTopN {
+    with SupportsPushDownTopN with SupportsPushDownAggregates {
   require(pageSize >= 1, s"pageSize must be >= 1, got $pageSize")
 
   private var where: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var limit: Option[Int] = None
   private var topN: Option[(Seq[(String, Boolean)], Int)] = None
+  private var agg: Option[SoqlAgg] = None
   private var required: StructType = fullSchema
 
+  private def colOf(e: V2Expression): Option[String] = e match {
+    case nr: NamedReference if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  /** GROUP BY + count/sum/min/max → `$select=<aggs>&$group=<cols>`, SoQL's
+    * native aggregation idiom — the whole aggregate runs server-side and
+    * one row per group crosses the wire. COMPLETE pushdown (Spark's own
+    * Aggregate node disappears): sound because the plan is a single
+    * partition and the server computes exact results (counts/long-sums in
+    * integer arithmetic, min/max by the same comparator Spark would use;
+    * double sums accumulate in BigDecimal, if anything tighter than
+    * IEEE-order summation). Distinct aggregates and non-column arguments
+    * are rejected and stay in Spark.
+    */
+  private def translateAgg(a: Aggregation): Option[SoqlAgg] = {
+    val groups = a.groupByExpressions().toSeq.map(colOf)
+    if (groups.exists(_.isEmpty)) return None
+    val groupCols = groups.flatten
+    val items = a.aggregateExpressions().toSeq.zipWithIndex.map {
+      case (_: CountStar, i) => Some((s"count(1) as agg$i", s"agg$i", LongType))
+      case (c: Count, i) if !c.isDistinct =>
+        colOf(c.column).map(n => (s"count($n) as agg$i", s"agg$i", LongType))
+      case (m: Min, i) =>
+        colOf(m.column).map(n => (s"min($n) as agg$i", s"agg$i",
+          fullSchema(fullSchema.fieldIndex(n)).dataType))
+      case (m: Max, i) =>
+        colOf(m.column).map(n => (s"max($n) as agg$i", s"agg$i",
+          fullSchema(fullSchema.fieldIndex(n)).dataType))
+      case (s: Sum, i) if !s.isDistinct =>
+        colOf(s.column).flatMap { n =>
+          fullSchema(fullSchema.fieldIndex(n)).dataType match {
+            case LongType | IntegerType => Some((s"sum($n) as agg$i", s"agg$i", LongType))
+            case DoubleType | FloatType => Some((s"sum($n) as agg$i", s"agg$i", DoubleType))
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+    if (items.exists(_.isEmpty)) return None
+    val flat = items.flatten
+    val schema = StructType(
+      groupCols.map(c => fullSchema(fullSchema.fieldIndex(c))) ++
+        flat.map { case (_, name, dt) => StructField(name, dt) })
+    Some(SoqlAgg(
+      select = (groupCols ++ flat.map(_._1)).mkString(","),
+      group = groupCols.mkString(","),
+      schema = schema))
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean = translateAgg(a).isDefined
+
+  override def pushAggregation(a: Aggregation): Boolean = {
+    translateAgg(a) match {
+      case some @ Some(sa) =>
+        agg = some
+        // the scan now outputs agg results; Spark may still prune further
+        required = sa.schema
+        true
+      case None => false
+    }
+  }
+
   /** `$where` serialization (`scripts/extract.py:61-63`): every expressible
-    * comparison goes to the server; EVERYTHING stays residual so server
-    * evaluation is never load-bearing for correctness.
+    * comparison goes to the server and is TRUSTED (not kept residual) —
+    * the same trust the reference's whole protocol places in Socrata's
+    * `$where` (its page counts and offsets all assume server filtering),
+    * and the prerequisite for pushing aggregates below the filter. The
+    * fixture server's evaluation is spec-pinned to Spark's exact
+    * semantics (BigDecimal numerics, UTF-8 string order); untranslatable
+    * predicates stay residual in Spark.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(f => SoqlWire.render(f).isDefined)
     where = SoqlWire.renderAll(pushed.toSeq)
-    filters // all residual
+    filters.filterNot(f => SoqlWire.render(f).isDefined) // residual = untranslated
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -269,9 +423,14 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
 
   override def build(): Scan =
-    new SoqlScan(endpoint, fullSchema, required, where, limit, topN, pageOrder,
+    new SoqlScan(endpoint, fullSchema, required, where, limit, topN, agg, pageOrder,
       pageSize, probeCount, retry)
 }
+
+/** A complete-pushdown aggregation: the `$select` aggregate list, the
+  * `$group` columns, and the scan output schema (group cols + agg values).
+  */
+case class SoqlAgg(select: String, group: String, schema: StructType)
 
 /** One InputPartition per `$offset` page (count-probed), or a single
   * serial-loop partition (`probeCount=false`).
@@ -287,6 +446,7 @@ case class SoqlSerialPartition(endpoint: String, select: Option[String],
 class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
                where: Option[String], limit: Option[Int],
                topN: Option[(Seq[(String, Boolean)], Int)],
+               agg: Option[SoqlAgg],
                pageOrder: Option[String], pageSize: Long,
                probeCount: Boolean, retry: RetryPolicy)
     extends Scan with Batch {
@@ -308,7 +468,18 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val cap = limit.map(_.toLong).getOrElse(Long.MaxValue)
-    if (topN.isDefined) {
+    if (agg.isDefined) {
+      // complete aggregate pushdown: one GET carries $select (aggregates)
+      // + $group (+ a TopN's $order/$limit when Spark pushed one on the
+      // aggregated relation); one row per group comes back
+      val a = agg.get
+      Array(SoqlPagePartition(
+        SoqlWire.pageUrl(endpoint, Some(a.select), where,
+          topN.map(t => SoqlWire.renderOrder(t._1)),
+          topN.map(_._2.toLong).orElse(limit.map(_.toLong)), None,
+          group = Some(a.group).filter(_.nonEmpty)),
+        required, retry))
+    } else if (topN.isDefined) {
       // fully-pushed ORDER BY + LIMIT: one GET, the server sorts and caps
       val (cols, k) = topN.get
       Array(SoqlPagePartition(

@@ -58,8 +58,8 @@ class ContractSpec extends SparkSuite {
       "q_sink_jsonl", "q_sink_jdbc", "q_merge_jdbc", "q_write_partitioned",
       // scan queries write their fixture on first use + scalar watermark cuts
       "q_scan_csv", "q_scan_jsonl", "q_scan_corrupt", "q_scan_orc",
-      "q_scan_paged", "q_scan_http", "q_scan_http_offset", "q_scan_pushdown",
-      "q_zorder_scan")
+      "q_scan_paged", "q_scan_http", "q_scan_http_offset", "q_scan_http_agg",
+      "q_scan_pushdown", "q_zorder_scan")
 
     // pre-warm the Tables schema cache: the one-off footer-inference job
     // belongs to the fixture, not to whichever query touches it first

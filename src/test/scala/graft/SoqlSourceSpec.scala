@@ -57,8 +57,10 @@ class SoqlSourceSpec extends SparkSuite {
     assert(wantCount < total, "precondition: the predicate must be selective")
 
     LoopbackPages.clearRequestLog(dir)
+    // materialize ROWS (a bare count() would itself push as an aggregate
+    // and ship one row) — the point here is row-transfer volume
     val got = offsetRead(pageSize = 300).filter(col("o_orderkey") > hwm)
-    assert(got.count() == wantCount)
+    assert(got.collect().length.toLong == wantCount)
 
     val reqs = soqlRequests
     assert(reqs.nonEmpty, "the scan must have hit the SoQL endpoint")
@@ -92,9 +94,10 @@ class SoqlSourceSpec extends SparkSuite {
     val n = want.count()
     // GET count for ONE scan: full pages + the short terminator (which is
     // the last data page when n%400 != 0, or an empty probe page when the
-    // row count divides evenly)
+    // row count divides evenly). collect(), since count() would push as an
+    // aggregate and answer in one GET without paging.
     LoopbackPages.clearRequestLog(dir)
-    assert(offsetRead(pageSize = 400, probeCount = false).count() == n)
+    assert(offsetRead(pageSize = 400, probeCount = false).collect().length.toLong == n)
     val reqs = soqlRequests
     val expectGets = n / 400 + 1
     assert(reqs.size == expectGets,
@@ -117,9 +120,9 @@ class SoqlSourceSpec extends SparkSuite {
 
   test("column pruning reaches the wire as $select") {
     LoopbackPages.clearRequestLog(dir)
-    val sumKeys = offsetRead(pageSize = 500).select("o_orderkey")
-      .agg(sum("o_orderkey")).head().getLong(0)
-    assert(sumKeys == Tables.orders(spark, sf).agg(sum("o_orderkey")).head().getLong(0))
+    // collect() rows (an agg would push whole and never ship columns)
+    val keys = offsetRead(pageSize = 500).select("o_orderkey").collect().map(_.getLong(0))
+    assert(keys.sum == Tables.orders(spark, sf).agg(sum("o_orderkey")).head().getLong(0))
     val dataGets = soqlRequests.filterNot(_._1.contains("count(1)"))
     assert(dataGets.nonEmpty &&
       dataGets.forall(_._1.contains("$select=o_orderkey&")),
@@ -167,6 +170,65 @@ class SoqlSourceSpec extends SparkSuite {
     val dataGets = soqlRequests.filterNot(_._1.contains("count(1)"))
     assert(dataGets.nonEmpty && dataGets.forall(_._1.contains("$order=o_orderkey")),
       s"every data GET must carry \\$$order: ${dataGets.map(_._1)}")
+  }
+
+  test("GROUP BY + aggregates push completely: $group on the wire, no Spark Aggregate") {
+    LoopbackPages.clearRequestLog(dir)
+    val df = offsetRead(pageSize = 300)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"),
+        min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+      s"complete aggregate pushdown must leave no Spark aggregate:\n$plan")
+    val got = df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    val want = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"),
+        min("o_totalprice").as("mn"), max("o_totalprice").as("mx"))
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+    val reqs = soqlRequests
+    assert(reqs.nonEmpty && reqs.forall(r =>
+      r._1.contains("$group=o_orderpriority") && r._1.contains("sum(o_custkey)")),
+      s"the aggregate must cross the wire: ${reqs.map(_._1)}")
+    // one row per group came back, not one per order
+    assert(reqs.map(_._2).sum == want.length)
+  }
+
+  test("global aggregate (no GROUP BY) pushes as a one-row response") {
+    val hwm = Tables.orders(spark, sf).agg(max("o_orderkey")).head().getLong(0) / 2
+    val df = offsetRead(pageSize = 300)
+      .filter(col("o_orderkey") > hwm)
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
+    val row = df.head()
+    val wantN = Tables.orders(spark, sf).filter(col("o_orderkey") > hwm).count()
+    assert(row.getLong(0) == wantN && row.getLong(1) == hwm + 1)
+  }
+
+  test("distinct aggregates do NOT push and still compute correctly in Spark") {
+    val df = offsetRead(pageSize = 500)
+      .groupBy("o_orderpriority").agg(countDistinct("o_custkey").as("dc"))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val want = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority").agg(countDistinct("o_custkey").as("dc"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq == want.toSeq)
+  }
+
+  test("q_scan_http_agg: registered pushed-aggregate query matches batch") {
+    val got = SparkEntry.queries("q_scan_http_agg")(spark, sf).collect()
+    val want = Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("sum_cust"),
+        max("o_totalprice").as("max_price"))
+      .orderBy("o_orderpriority").collect()
+    assert(got.length == want.length && got.length > 0)
+    assert(got.toSeq == want.toSeq)
   }
 
   test("server-side eval is exact: 2^53 longs, UTF-8 string order, AND inside literals") {
