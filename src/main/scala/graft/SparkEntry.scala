@@ -199,6 +199,14 @@ private[graft] object Queries {
       .schema("o_orderkey bigint, o_custkey bigint, o_totalprice double, o_orderpriority string")
       .load(s"$base/${graft.sources.LoopbackPages.SoqlPath}")
       .filter(col("o_orderkey") > lit(hwm))
+      // the realistic MIXED-predicate shape: the key comparison crosses the
+      // wire as $where, while this expression predicate is not
+      // wire-expressible and stays residual in Spark (always true —
+      // o_orderpriority is non-null — so the oracle is unchanged). The
+      // residual also keeps the benchmark's count() action measuring paged
+      // ROW transfer: a fully-pushable plan would collapse count() into
+      // one $select=count(1) GET (which q_scan_http_agg measures).
+      .filter(length(col("o_orderpriority")) >= 0)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
       .orderBy("o_orderkey")
   }

@@ -636,7 +636,7 @@ object LoopbackPages {
       if (whereOpt.isEmpty && orderOpt.isEmpty && !isAgg) soqlRows(dir)
       else {
         val shapeKey = Seq(whereOpt, groupOpt, orderOpt, if (isAgg) selOpt else None)
-          .map(_.getOrElse("")).mkString("")
+          .map(_.getOrElse("")).mkString("\u0001") // unambiguous separator: distinct shapes must not collide
         soqlShapeCache.computeIfAbsent((dir, shapeKey), _ => {
           val filtered = whereOpt.fold(soqlRows(dir))(w => soqlRows(dir).filter(SoqlWire.eval(w, _)))
           val agged =

@@ -187,7 +187,10 @@ object SoqlWire {
   def orderComparator(spec: String): java.util.Comparator[JsonNode] = {
     val keys = spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
       val bits = part.split("\\s+")
-      require(bits.length <= 2, s"unparseable \\$$order part: $part")
+      // reject unknown direction tokens instead of silently sorting DESC
+      require(bits.length <= 2 &&
+        (bits.length < 2 || bits(1).equalsIgnoreCase("ASC") || bits(1).equalsIgnoreCase("DESC")),
+        s"unparseable $$order part: $part")
       (bits(0), bits.length < 2 || bits(1).equalsIgnoreCase("ASC"))
     }
     (a: JsonNode, b: JsonNode) =>
@@ -270,7 +273,9 @@ object SoqlWire {
           if (vals.isEmpty) o.putNull(alias)
           else {
             val s = vals.foldLeft(java.math.BigDecimal.ZERO)((acc, n) => acc.add(n.decimalValue()))
-            if (vals.forall(_.isIntegralNumber)) o.put(alias, s.longValueExact())
+            // longValue() wraps on overflow — Spark's non-ANSI long sum
+            // semantics, which complete pushdown must reproduce
+            if (vals.forall(_.isIntegralNumber)) o.put(alias, s.longValue())
             else o.put(alias, s.doubleValue())
           }
         case AggItem(fn, _, _) =>
@@ -290,6 +295,7 @@ class SoqlTable(endpoint: String, schema: StructType) extends Table with Support
     new SoqlScanBuilder(endpoint, schema, PagedTable.retryOf(options),
       options.getLong("pageSize", 1000L),
       options.getBoolean("probeCount", true),
+      options.getLong("aggLimit", 1000000L),
       // `$order` on every data GET — Socrata's own recommendation for
       // offset paging: without it, page N's contents may shift between
       // requests ("col" or "col DESC,col2"; not needed by the loopback
@@ -300,6 +306,7 @@ class SoqlTable(endpoint: String, schema: StructType) extends Table with Support
 
 class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPolicy,
                       pageSize: Long, probeCount: Boolean,
+                      aggLimit: Long = 1000000L,
                       pageOrder: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns
@@ -346,7 +353,10 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
         colOf(s.column).flatMap { n =>
           fullSchema(fullSchema.fieldIndex(n)).dataType match {
             case LongType | IntegerType => Some((s"sum($n) as agg$i", s"agg$i", LongType))
-            case DoubleType | FloatType => Some((s"sum($n) as agg$i", s"agg$i", DoubleType))
+            // Double sums do NOT push: the server would accumulate in
+            // BigDecimal while Spark sums in IEEE arrival order, so the
+            // same query could change answer when pushdown fires
+            // (e.g. [1e17, 1, -1e17] sums to 0.0 in double, 1.0 exactly)
             case _ => None
           }
         }
@@ -363,10 +373,18 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
       schema = schema))
   }
 
-  override def supportCompletePushDown(a: Aggregation): Boolean = translateAgg(a).isDefined
+  // Spark calls supportCompletePushDown then pushAggregation with the same
+  // Aggregation; translate once
+  private var lastTranslated: Option[(Aggregation, Option[SoqlAgg])] = None
+  private def translated(a: Aggregation): Option[SoqlAgg] = {
+    if (!lastTranslated.exists(_._1 eq a)) lastTranslated = Some((a, translateAgg(a)))
+    lastTranslated.get._2
+  }
+
+  override def supportCompletePushDown(a: Aggregation): Boolean = translated(a).isDefined
 
   override def pushAggregation(a: Aggregation): Boolean = {
-    translateAgg(a) match {
+    translated(a) match {
       case some @ Some(sa) =>
         agg = some
         // the scan now outputs agg results; Spark may still prune further
@@ -386,9 +404,10 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
     * predicates stay residual in Spark.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    pushed = filters.filter(f => SoqlWire.render(f).isDefined)
+    val (translated, residual) = filters.partition(f => SoqlWire.render(f).isDefined)
+    pushed = translated
     where = SoqlWire.renderAll(pushed.toSeq)
-    filters.filterNot(f => SoqlWire.render(f).isDefined) // residual = untranslated
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -424,7 +443,7 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
 
   override def build(): Scan =
     new SoqlScan(endpoint, fullSchema, required, where, limit, topN, agg, pageOrder,
-      pageSize, probeCount, retry)
+      pageSize, probeCount, aggLimit, retry)
 }
 
 /** A complete-pushdown aggregation: the `$select` aggregate list, the
@@ -435,8 +454,8 @@ case class SoqlAgg(select: String, group: String, schema: StructType)
 /** One InputPartition per `$offset` page (count-probed), or a single
   * serial-loop partition (`probeCount=false`).
   */
-case class SoqlPagePartition(url: String, required: StructType, retry: RetryPolicy)
-    extends InputPartition
+case class SoqlPagePartition(url: String, required: StructType, retry: RetryPolicy,
+                             failAtRows: Long = -1L) extends InputPartition
 case class SoqlSerialPartition(endpoint: String, select: Option[String],
                                where: Option[String], order: Option[String],
                                pageSize: Long,
@@ -448,7 +467,7 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
                topN: Option[(Seq[(String, Boolean)], Int)],
                agg: Option[SoqlAgg],
                pageOrder: Option[String], pageSize: Long,
-               probeCount: Boolean, retry: RetryPolicy)
+               probeCount: Boolean, aggLimit: Long, retry: RetryPolicy)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -471,14 +490,20 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
     if (agg.isDefined) {
       // complete aggregate pushdown: one GET carries $select (aggregates)
       // + $group (+ a TopN's $order/$limit when Spark pushed one on the
-      // aggregated relation); one row per group comes back
+      // aggregated relation); one row per group comes back. When no user
+      // limit was pushed, an explicit safety $limit still goes on the
+      // wire: real SODA endpoints apply a DEFAULT row cap (1000) that
+      // would silently truncate the group list — the reader treats a
+      // response that fills the safety cap as an error, not a result.
       val a = agg.get
+      val userLimit = topN.map(_._2.toLong).orElse(limit.map(_.toLong))
       Array(SoqlPagePartition(
         SoqlWire.pageUrl(endpoint, Some(a.select), where,
           topN.map(t => SoqlWire.renderOrder(t._1)),
-          topN.map(_._2.toLong).orElse(limit.map(_.toLong)), None,
+          userLimit.orElse(Some(aggLimit)), None,
           group = Some(a.group).filter(_.nonEmpty)),
-        required, retry))
+        required, retry,
+        failAtRows = if (userLimit.isEmpty) aggLimit else -1L))
     } else if (topN.isDefined) {
       // fully-pushed ORDER BY + LIMIT: one GET, the server sorts and caps
       val (cols, k) = topN.get
@@ -534,10 +559,23 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
 class SoqlPageReader(p: SoqlPagePartition) extends PartitionReader[InternalRow] {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
   private val lines = PagedFetch.fetchLines(p.url, p.retry)
+  private var seen = 0L
   private var row: InternalRow = _
   override def next(): Boolean =
     if (!lines.hasNext) false
-    else { row = JsonLineRows.parse(mapper, lines.next(), p.required); true }
+    else {
+      seen += 1
+      // tripwire for silent server-side truncation: a response that fills
+      // its entire safety $limit (set only when no user limit was pushed)
+      // is indistinguishable from a capped one — fail instead of
+      // returning a quietly incomplete result
+      if (p.failAtRows > 0 && seen >= p.failAtRows)
+        throw new java.io.IOException(
+          s"response filled its entire $$limit=${p.failAtRows} safety cap — " +
+            s"likely server-side truncation (raise the aggLimit reader option): ${p.url}")
+      row = JsonLineRows.parse(mapper, lines.next(), p.required)
+      true
+    }
   override def get(): InternalRow = row
   override def close(): Unit = lines.close()
 }

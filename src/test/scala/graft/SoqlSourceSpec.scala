@@ -206,8 +206,9 @@ class SoqlSourceSpec extends SparkSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"), plan)
     val row = df.head()
-    val wantN = Tables.orders(spark, sf).filter(col("o_orderkey") > hwm).count()
-    assert(row.getLong(0) == wantN && row.getLong(1) == hwm + 1)
+    val wantRow = Tables.orders(spark, sf).filter(col("o_orderkey") > hwm)
+      .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("mn")).head()
+    assert(row.getLong(0) == wantRow.getLong(0) && row.getLong(1) == wantRow.getLong(1))
   }
 
   test("distinct aggregates do NOT push and still compute correctly in Spark") {
