@@ -211,6 +211,30 @@ class SoqlSourceSpec extends SparkSuite {
     assert(row.getLong(0) == wantRow.getLong(0) && row.getLong(1) == wantRow.getLong(1))
   }
 
+  test("an aggregate response that fills its safety $limit fails, not silently truncates") {
+    // real SODA endpoints cap un-limited responses at 1000 rows by
+    // default; a group list that exactly fills the cap is
+    // indistinguishable from a truncated one, so the reader errors.
+    // orders has 5 distinct priorities: aggLimit=5 fills the cap.
+    val df = spark.read.format("graft-paged")
+      .option("mode", "offset").option("pageSize", "500")
+      .option("aggLimit", "5").option("fetchBackoffMs", "1")
+      .option("fetchRetries", "1")
+      .schema(schemaDdl).load(endpoint)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    val e = intercept[Exception] { df.collect() }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: causes(t.getCause)
+    assert(causes(e).exists(_.contains("safety cap")), s"got: $e")
+    // a roomier cap succeeds with the same query
+    val ok = spark.read.format("graft-paged")
+      .option("mode", "offset").option("pageSize", "500")
+      .option("aggLimit", "6").option("fetchBackoffMs", "1")
+      .schema(schemaDdl).load(endpoint)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(ok.collect().length == 5)
+  }
+
   test("distinct aggregates do NOT push and still compute correctly in Spark") {
     val df = offsetRead(pageSize = 500)
       .groupBy("o_orderpriority").agg(countDistinct("o_custkey").as("dc"))
