@@ -310,7 +310,8 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
                       pageOrder: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns
-    with SupportsPushDownTopN with SupportsPushDownAggregates {
+    with SupportsPushDownTopN with SupportsPushDownAggregates
+    with SupportsPushDownOffset {
   require(pageSize >= 1, s"pageSize must be >= 1, got $pageSize")
 
   private var where: Option[String] = None
@@ -414,6 +415,17 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
   /** `$limit` cap on the page budget; partial pushdown, Spark re-applies. */
   override def pushLimit(l: Int): Boolean = { limit = Some(l); false }
 
+  /** `OFFSET n` IS the protocol: shift the whole paged read by `n`
+    * server-side (fully pushed — the server's row order is stable, which
+    * is all Spark's offset-on-unordered-relation semantics require).
+    * Declined after a TopN pushed: the sort/skip composition order would
+    * then be Spark's to enforce.
+    */
+  private var baseOffset: Int = 0
+  override def pushOffset(o: Int): Boolean =
+    if (topN.isDefined) false
+    else { baseOffset = o; true }
+
   /** `ORDER BY ... LIMIT k` → ONE GET with `$order=...&$limit=k`: the
     * whole TopN runs server-side (SoQL's native idiom — Socrata docs
     * recommend `$order` for every paged read). FULLY pushed, so Spark
@@ -443,7 +455,7 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
 
   override def build(): Scan =
     new SoqlScan(endpoint, fullSchema, required, where, limit, topN, agg, pageOrder,
-      pageSize, probeCount, aggLimit, retry)
+      pageSize, probeCount, aggLimit, retry, baseOffset)
 }
 
 /** A complete-pushdown aggregation: the `$select` aggregate list, the
@@ -460,14 +472,16 @@ case class SoqlSerialPartition(endpoint: String, select: Option[String],
                                where: Option[String], order: Option[String],
                                pageSize: Long,
                                maxRows: Long, required: StructType,
-                               retry: RetryPolicy) extends InputPartition
+                               retry: RetryPolicy,
+                               startOffset: Long = 0L) extends InputPartition
 
 class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
                where: Option[String], limit: Option[Int],
                topN: Option[(Seq[(String, Boolean)], Int)],
                agg: Option[SoqlAgg],
                pageOrder: Option[String], pageSize: Long,
-               probeCount: Boolean, aggLimit: Long, retry: RetryPolicy)
+               probeCount: Boolean, aggLimit: Long, retry: RetryPolicy,
+               baseOffset: Int = 0)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -500,7 +514,8 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
       Array(SoqlPagePartition(
         SoqlWire.pageUrl(endpoint, Some(a.select), where,
           topN.map(t => SoqlWire.renderOrder(t._1)),
-          userLimit.orElse(Some(aggLimit)), None,
+          userLimit.orElse(Some(aggLimit)),
+          if (baseOffset > 0) Some(baseOffset.toLong) else None,
           group = Some(a.group).filter(_.nonEmpty)),
         required, retry,
         failAtRows = if (userLimit.isEmpty) aggLimit else -1L))
@@ -513,7 +528,7 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
         required, retry))
     } else if (!probeCount) {
       Array(SoqlSerialPartition(endpoint, select, where, pageOrder, pageSize,
-        cap, required, retry))
+        cap, required, retry, baseOffset.toLong))
     } else {
       // Planning-time count probe — itself a SoQL query with the SAME
       // $where, so the server sizes exactly what the scan will read. A
@@ -529,11 +544,12 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
           s"count probe returned no usable 'cnt' field from $probe: $line")
       // Socrata returns counts as strings; accept both shapes
       val total = if (cnt.isNumber) cnt.asLong() else cnt.asText().toLong
-      val n = math.min(total, cap)
+      // a pushed OFFSET shifts the whole read window server-side
+      val n = math.min(math.max(0L, total - baseOffset), cap)
       val pages = ((n + pageSize - 1) / pageSize).toInt
       (0 until pages).map { i =>
-        val off = i.toLong * pageSize
-        val rows = math.min(pageSize, n - off)
+        val off = baseOffset + i.toLong * pageSize
+        val rows = math.min(pageSize, n - i.toLong * pageSize)
         // the LAST page asks for exactly its remainder, not a full
         // pageSize — over-asking ships rows the pushed limit would drop
         SoqlPagePartition(
@@ -585,7 +601,7 @@ class SoqlPageReader(p: SoqlPagePartition) extends PartitionReader[InternalRow] 
   */
 class SoqlSerialReader(p: SoqlSerialPartition) extends PartitionReader[InternalRow] {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-  private var offset = 0L
+  private var offset = p.startOffset
   private var emitted = 0L
   private var pageRows = 0L   // rows seen in the current page
   private var reqLim = 0L     // the $limit the current page was asked for

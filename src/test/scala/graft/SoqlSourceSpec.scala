@@ -118,6 +118,27 @@ class SoqlSourceSpec extends SparkSuite {
     assert(offsetRead(pageSize = 100).limit(150).count() == 150)
   }
 
+  test("OFFSET pushes as $offset: the skip happens server-side") {
+    LoopbackPages.clearRequestLog(dir)
+    val got = offsetRead(pageSize = 200).offset(300).limit(100)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // server natural order is the fixture's o_orderkey order, so rows
+    // 300..399 of that order are the expected window
+    val want = Tables.orders(spark, sf)
+      .orderBy("o_orderkey").collect().map(_.getLong(0)).slice(300, 400).sorted.toSeq
+    assert(got == want)
+    val dataGets = soqlRequests.filterNot(_._1.contains("count(1)"))
+    assert(dataGets.nonEmpty, "rows must have come from the SoQL endpoint")
+    assert(dataGets.forall(_._1.contains("$offset=")) &&
+      dataGets.exists(_._1.contains("$offset=300")),
+      s"the pushed OFFSET must shift the wire reads: ${dataGets.map(_._1)}")
+    // the skip itself never crossed the wire: well under the 1200 rows
+    // that follow the offset (Spark applies the limit via incremental
+    // CollectLimit, so at most a page or two ships)
+    val shipped = dataGets.map(_._2).sum
+    assert(shipped >= 100 && shipped <= 400, s"shipped $shipped rows")
+  }
+
   test("column pruning reaches the wire as $select") {
     LoopbackPages.clearRequestLog(dir)
     // collect() rows (an agg would push whole and never ship columns)
