@@ -162,9 +162,32 @@ class PagedScan(path: String, manifest: PagedManifest, required: StructType,
                 lower: Option[Long], upper: Option[Long], limit: Option[Int],
                 retry: RetryPolicy = RetryPolicy(3, 50L),
                 maxPagesPerTrigger: Int = 0)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  // ---- runtime page pruning (the DPP analog for a paged source) -------
+  // At execution time Spark can hand this scan the build side of a join
+  // as In/EqualTo filters on the key column; pages whose [minKey, maxKey]
+  // stats cover none of the probed values drop BEFORE any fetch. Stats
+  // pruning stays conservative/non-load-bearing exactly like the
+  // planning-time bounds: Spark still evaluates the join itself.
+  @volatile private var runtimeKeys: Option[Set[Long]] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(manifest.keyCol))
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val keys = filters.collect {
+      case org.apache.spark.sql.sources.In(c, vs) if c == manifest.keyCol =>
+        vs.toSeq.collect { case l: Long => l; case i: Int => i.toLong }.toSet
+      case EqualTo(c, v: Long) if c == manifest.keyCol => Set(v)
+      case EqualTo(c, v: Int) if c == manifest.keyCol => Set(v.toLong)
+    }
+    if (keys.nonEmpty)
+      runtimeKeys = Some(keys.reduce(_ intersect _))
+  }
 
   override def description(): String = {
     val kept = planInputPartitions().length
@@ -179,7 +202,8 @@ class PagedScan(path: String, manifest: PagedManifest, required: StructType,
     */
   private[sources] def admittedPages: Seq[PageStat] = {
     val afterPrune = manifest.pages.filter { p =>
-      lower.forall(p.maxKey > _) && upper.forall(p.minKey < _)
+      lower.forall(p.maxKey > _) && upper.forall(p.minKey < _) &&
+        runtimeKeys.forall(_.exists(k => k >= p.minKey && k <= p.maxKey))
     }
     limit match {
       case None => afterPrune

@@ -73,6 +73,40 @@ class PagedSourceSpec extends SparkSuite {
       Tables.orders(spark, sf).agg(sum("o_orderkey")).head().getLong(0))
   }
 
+  test("runtime In-filter prunes pages before any fetch (DPP analog)") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    val manifest = PagedManifest.read(dir)
+    val scan = new PagedScanBuilder(dir, manifest.schema).build()
+    val all = scan.toBatch.planInputPartitions().length
+    assert(all == manifest.pages.length && all > 2)
+    // probe two keys that both live in the FIRST page
+    scan.asInstanceOf[SupportsRuntimeFiltering].filter(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("o_orderkey",
+          Array[Any](manifest.pages.head.minKey, manifest.pages.head.maxKey))))
+    assert(scan.toBatch.planInputPartitions().length == 1,
+      "pages whose [minKey,maxKey] cover no probed key must drop at runtime")
+    // a runtime filter on a non-key column must be ignored, not prune
+    val scan2 = new PagedScanBuilder(dir, manifest.schema).build()
+    scan2.asInstanceOf[SupportsRuntimeFiltering].filter(
+      Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("o_custkey", Array[Any](1L))))
+    assert(scan2.toBatch.planInputPartitions().length == all)
+  }
+
+  test("broadcast join over the paged source is exact (runtime filtering on)") {
+    import spark.implicits._
+    val keys = Tables.orders(spark, sf).select("o_orderkey")
+      .orderBy("o_orderkey").limit(3).collect().map(_.getLong(0))
+    val dim = keys.toSeq.toDF("k")
+    val fact = spark.read.format("graft-paged").load(dir)
+    val joined = fact.join(org.apache.spark.sql.functions.broadcast(dim),
+      fact("o_orderkey") === dim("k"))
+    val want = Tables.orders(spark, sf)
+      .filter(col("o_orderkey").isin(keys.toIndexedSeq: _*)).count()
+    assert(joined.count() == want && want > 0)
+  }
+
   /** Loopback HTTP server over the fixture dir — the live analog of the
     * reference's Socrata endpoint (`scripts/extract.py:56-72`), in-JDK
     * `com.sun.net.httpserver`, no external network. `failFirst` 503s the
