@@ -245,11 +245,19 @@ object SoqlWire {
                     mapper: com.fasterxml.jackson.databind.ObjectMapper): Vector[JsonNode] = {
     val groups = scala.collection.mutable.LinkedHashMap[String,
       scala.collection.mutable.ArrayBuffer[JsonNode]]()
+    // canonical group key: numerically equal values must land in ONE group
+    // even when pages render them differently ({"x":5} vs {"x":5.0}) —
+    // there is no Spark Aggregate left above a COMPLETE pushdown to merge
+    // split groups
+    def canon(n: JsonNode): String =
+      if (n == null || n.isNull) "\u0000null"
+      else if (n.isNumber) n.decimalValue().stripTrailingZeros().toPlainString
+      else n.asText()
     if (groupCols.isEmpty) {
       val b = groups.getOrElseUpdate("", scala.collection.mutable.ArrayBuffer())
       b ++= rows
     } else rows.foreach { r =>
-      val k = groupCols.map(c => String.valueOf(r.get(c))).mkString("\u0000")
+      val k = groupCols.map(c => canon(r.get(c))).mkString("\u0000")
       groups.getOrElseUpdate(k, scala.collection.mutable.ArrayBuffer()) += r
     }
     val ord = scala.math.Ordering.comparatorToOrdering(
@@ -273,9 +281,12 @@ object SoqlWire {
           if (vals.isEmpty) o.putNull(alias)
           else {
             val s = vals.foldLeft(java.math.BigDecimal.ZERO)((acc, n) => acc.add(n.decimalValue()))
-            // longValue() wraps on overflow — Spark's non-ANSI long sum
-            // semantics, which complete pushdown must reproduce
-            if (vals.forall(_.isIntegralNumber)) o.put(alias, s.longValue())
+            // longValueExact THROWS on overflow (→ a failed request → the
+            // scan errors): Spark 4 defaults to ANSI mode, where the
+            // un-pushed sum raises ARITHMETIC_OVERFLOW — erroring matches
+            // it; silently wrapping would hand back a wrong number with
+            // no Aggregate left in Spark to notice
+            if (vals.forall(_.isIntegralNumber)) o.put(alias, s.longValueExact())
             else o.put(alias, s.doubleValue())
           }
         case AggItem(fn, _, _) =>
@@ -313,6 +324,9 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
     with SupportsPushDownTopN with SupportsPushDownAggregates
     with SupportsPushDownOffset {
   require(pageSize >= 1, s"pageSize must be >= 1, got $pageSize")
+  // aggLimit <= 0 would send $limit=0 AND disarm the truncation tripwire:
+  // an empty aggregate would return as a "successful" result
+  require(aggLimit >= 1, s"aggLimit must be >= 1, got $aggLimit")
 
   private var where: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
@@ -437,13 +451,11 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
     */
   override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
     val cols = orders.toSeq.map { so =>
-      so.expression() match {
-        case nr: NamedReference if nr.fieldNames().length == 1 =>
-          val asc = so.direction() == SortDirection.ASCENDING
-          val defaultNulls = so.nullOrdering() ==
-            (if (asc) NullOrdering.NULLS_FIRST else NullOrdering.NULLS_LAST)
-          if (defaultNulls) Some(nr.fieldNames()(0) -> asc) else None
-        case _ => None
+      colOf(so.expression()).flatMap { name =>
+        val asc = so.direction() == SortDirection.ASCENDING
+        val defaultNulls = so.nullOrdering() ==
+          (if (asc) NullOrdering.NULLS_FIRST else NullOrdering.NULLS_LAST)
+        if (defaultNulls) Some(name -> asc) else None
       }
     }
     if (cols.isEmpty || cols.exists(_.isEmpty)) false
@@ -496,7 +508,9 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
 
   override def description(): String =
     s"graft-soql endpoint=$endpoint where=${where.getOrElse("-")} " +
-      s"limit=${limit.getOrElse(-1)} topN=${topN.map(t => SoqlWire.renderOrder(t._1) + " LIMIT " + t._2).getOrElse("-")} " +
+      s"limit=${limit.getOrElse(-1)} offset=$baseOffset " +
+      s"topN=${topN.map(t => SoqlWire.renderOrder(t._1) + " LIMIT " + t._2).getOrElse("-")} " +
+      s"agg=${agg.map(a => a.select + (if (a.group.nonEmpty) " GROUP BY " + a.group else "")).getOrElse("-")} " +
       s"pageSize=$pageSize probeCount=$probeCount"
 
   override def planInputPartitions(): Array[InputPartition] = {
