@@ -173,7 +173,10 @@ class PagedScan(path: String, manifest: PagedManifest, required: StructType,
   // stats cover none of the probed values drop BEFORE any fetch. Stats
   // pruning stays conservative/non-load-bearing exactly like the
   // planning-time bounds: Spark still evaluates the join itself.
-  @volatile private var runtimeKeys: Option[Set[Long]] = None
+  // sorted for O(log keys) per-page overlap checks: runtime In-lists can
+  // carry very large build sides, and admittedPages re-evaluates on every
+  // planInputPartitions/description call
+  @volatile private var runtimeKeys: Option[Array[Long]] = None
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column(manifest.keyCol))
@@ -186,7 +189,19 @@ class PagedScan(path: String, manifest: PagedManifest, required: StructType,
       case EqualTo(c, v: Int) if c == manifest.keyCol => Set(v.toLong)
     }
     if (keys.nonEmpty)
-      runtimeKeys = Some(keys.reduce(_ intersect _))
+      runtimeKeys = Some(keys.reduce(_ intersect _).toArray.sorted)
+  }
+
+  /** Does any probed key fall inside [lo, hi]? Binary search for the
+    * smallest key >= lo, then one bound check.
+    */
+  private def anyKeyInRange(sorted: Array[Long], lo: Long, hi: Long): Boolean = {
+    val i = java.util.Arrays.binarySearch(sorted, lo)
+    if (i >= 0) true
+    else {
+      val ins = -i - 1
+      ins < sorted.length && sorted(ins) <= hi
+    }
   }
 
   override def description(): String = {
@@ -203,7 +218,7 @@ class PagedScan(path: String, manifest: PagedManifest, required: StructType,
   private[sources] def admittedPages: Seq[PageStat] = {
     val afterPrune = manifest.pages.filter { p =>
       lower.forall(p.maxKey > _) && upper.forall(p.minKey < _) &&
-        runtimeKeys.forall(_.exists(k => k >= p.minKey && k <= p.maxKey))
+        runtimeKeys.forall(anyKeyInRange(_, p.minKey, p.maxKey))
     }
     limit match {
       case None => afterPrune
