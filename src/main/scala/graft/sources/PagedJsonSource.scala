@@ -601,6 +601,17 @@ object LoopbackPages {
     if (entry != null) { entry._1.clear(); entry._2.set(0) }
   }
 
+  /** Test hook: drop cached fixture state for `dir` so a spec can model a
+    * LIVE source — rows appended (or removed) between streaming runs. The
+    * immutable-dir caching contract holds for every production bench/query
+    * fixture; only specs that rewrite a dir on disk call this.
+    */
+  def invalidate(dir: String): Unit = {
+    soqlCache.remove(dir)
+    val it = soqlShapeCache.keySet().iterator()
+    while (it.hasNext) if (it.next()._1 == dir) it.remove()
+  }
+
   private def logRequest(dir: String, entry: String, rows: Long): Unit = {
     val (q, n) = requestLogs.computeIfAbsent(dir,
       _ => (new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)](),

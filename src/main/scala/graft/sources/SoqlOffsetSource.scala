@@ -301,7 +301,7 @@ class SoqlTable(endpoint: String, schema: StructType) extends Table with Support
   override def name(): String = s"graft-soql:$endpoint"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SoqlScanBuilder(endpoint, schema, PagedTable.retryOf(options),
       options.getLong("pageSize", 1000L),
@@ -312,13 +312,15 @@ class SoqlTable(endpoint: String, schema: StructType) extends Table with Support
       // requests ("col" or "col DESC,col2"; not needed by the loopback
       // fixture, whose natural order is stable, but the faithful client
       // shape against a real API)
-      Option(options.get("pageOrder")))
+      Option(options.get("pageOrder")),
+      options.getLong("maxRowsPerTrigger", 0L))
 }
 
 class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPolicy,
                       pageSize: Long, probeCount: Boolean,
                       aggLimit: Long = 1000000L,
-                      pageOrder: Option[String] = None)
+                      pageOrder: Option[String] = None,
+                      maxRowsPerTrigger: Long = 0L)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownLimit with SupportsPushDownRequiredColumns
     with SupportsPushDownTopN with SupportsPushDownAggregates
@@ -467,7 +469,7 @@ class SoqlScanBuilder(endpoint: String, fullSchema: StructType, retry: RetryPoli
 
   override def build(): Scan =
     new SoqlScan(endpoint, fullSchema, required, where, limit, topN, agg, pageOrder,
-      pageSize, probeCount, aggLimit, retry, baseOffset)
+      pageSize, probeCount, aggLimit, retry, baseOffset, maxRowsPerTrigger)
 }
 
 /** A complete-pushdown aggregation: the `$select` aggregate list, the
@@ -479,7 +481,8 @@ case class SoqlAgg(select: String, group: String, schema: StructType)
   * serial-loop partition (`probeCount=false`).
   */
 case class SoqlPagePartition(url: String, required: StructType, retry: RetryPolicy,
-                             failAtRows: Long = -1L) extends InputPartition
+                             failAtRows: Long = -1L,
+                             exactRows: Long = -1L) extends InputPartition
 case class SoqlSerialPartition(endpoint: String, select: Option[String],
                                where: Option[String], order: Option[String],
                                pageSize: Long,
@@ -493,7 +496,8 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
                agg: Option[SoqlAgg],
                pageOrder: Option[String], pageSize: Long,
                probeCount: Boolean, aggLimit: Long, retry: RetryPolicy,
-               baseOffset: Int = 0)
+               baseOffset: Int = 0,
+               maxRowsPerTrigger: Long = 0L)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -545,19 +549,8 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
         cap, required, retry, baseOffset.toLong))
     } else {
       // Planning-time count probe — itself a SoQL query with the SAME
-      // $where, so the server sizes exactly what the scan will read. A
-      // response that doesn't carry the count FAILS LOUDLY: defaulting to
-      // zero would plan an empty scan and masquerade as "no data".
-      val probe = SoqlWire.pageUrl(endpoint, Some("count(1) as cnt"), where, None, None, None)
-      val body = new String(PagedFetch.fetchBytes(probe, retry), "UTF-8")
-      val line = body.linesIterator.find(_.nonEmpty).getOrElse(
-        throw new java.io.IOException(s"empty count-probe response from $probe"))
-      val cnt = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line).get("cnt")
-      if (cnt == null || (!cnt.isNumber && !cnt.isTextual))
-        throw new java.io.IOException(
-          s"count probe returned no usable 'cnt' field from $probe: $line")
-      // Socrata returns counts as strings; accept both shapes
-      val total = if (cnt.isNumber) cnt.asLong() else cnt.asText().toLong
+      // $where, so the server sizes exactly what the scan will read.
+      val total = SoqlCount.probe(endpoint, where, retry)
       // a pushed OFFSET shifts the whole read window server-side
       val n = math.min(math.max(0L, total - baseOffset), cap)
       val pages = ((n + pageSize - 1) / pageSize).toInt
@@ -573,7 +566,35 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = SoqlScan.readerFactory
+
+  /** S1 × I2 over the OFFSET protocol as idiomatic Structured Streaming:
+    * the streaming offset is the count of rows of the server-filtered,
+    * stably-ordered result set consumed so far, so checkpointLocation owns
+    * exactly the cursor the reference's resumable `$offset` loop tracks by
+    * hand (`scripts/extract.py:56-72` + watermark file). Each trigger
+    * re-probes `count(1)` with the same `$where` — the incremental poll —
+    * and reads only the appended tail. Requires the source to be
+    * append-only under a stable order (the reference's own watermark
+    * assumption); a shrunken result set fails the resume LOUDLY.
+    */
+  override def toMicroBatchStream(checkpointLocation: String):
+      org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    // Filters/columns compose with streaming (they fix the set the offset
+    // indexes for the query's lifetime); a pushed TopN / aggregate /
+    // OFFSET reshapes the wire protocol with no incremental meaning.
+    // Spark never pushes those below a streaming relation today — fail
+    // loudly if that ever changes rather than mis-stream.
+    require(agg.isEmpty && topN.isEmpty && baseOffset == 0,
+      s"graft-soql streaming supports filter/column pushdown only " +
+        s"(got agg=$agg topN=$topN offset=$baseOffset)")
+    new SoqlMicroBatchStream(endpoint, select, where, pageOrder, pageSize,
+      required, retry, maxRowsPerTrigger)
+  }
+}
+
+object SoqlScan {
+  private[sources] val readerFactory: PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
         partition match {
@@ -581,6 +602,109 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
           case p: SoqlSerialPartition => new SoqlSerialReader(p)
         }
     }
+}
+
+/** The `$select=count(1)` probe shared by batch planning and the streaming
+  * poll. A response that doesn't carry the count FAILS LOUDLY: defaulting
+  * to zero would plan an empty scan and masquerade as "no data".
+  */
+object SoqlCount {
+  def probe(endpoint: String, where: Option[String], retry: RetryPolicy): Long = {
+    val url = SoqlWire.pageUrl(endpoint, Some("count(1) as cnt"), where, None, None, None)
+    val body = new String(PagedFetch.fetchBytes(url, retry), "UTF-8")
+    val line = body.linesIterator.find(_.nonEmpty).getOrElse(
+      throw new java.io.IOException(s"empty count-probe response from $url"))
+    val cnt = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line).get("cnt")
+    if (cnt == null || (!cnt.isNumber && !cnt.isTextual))
+      throw new java.io.IOException(
+        s"count probe returned no usable 'cnt' field from $url: $line")
+    // Socrata returns counts as strings; accept both shapes
+    if (cnt.isNumber) cnt.asLong() else cnt.asText().toLong
+  }
+}
+
+/** Streaming offset = rows consumed of the server-filtered ordered set. */
+case class SoqlStreamOffset(rows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"rows":$rows}"""
+}
+
+object SoqlStreamOffset {
+  def parse(json: String): SoqlStreamOffset =
+    SoqlStreamOffset(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(json).get("rows").asLong())
+}
+
+class SoqlMicroBatchStream(endpoint: String, select: Option[String],
+                           where: Option[String], order: Option[String],
+                           pageSize: Long, required: StructType,
+                           retry: RetryPolicy, maxRowsPerTrigger: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => StreamOffset, ReadLimit}
+
+  // AvailableNow pins the drain target at query start: ONE probe, then the
+  // run consumes exactly [start, target) even while the server keeps
+  // growing. Long.MaxValue = not an AvailableNow run → probe per trigger.
+  @volatile private var availableNowCap: Long = Long.MaxValue
+  @volatile private var lastTotal: Long = 0L
+
+  private def probeTotal(): Long = {
+    val t = SoqlCount.probe(endpoint, where, retry)
+    lastTotal = t
+    t
+  }
+
+  override def initialOffset(): StreamOffset = SoqlStreamOffset(0L)
+  override def deserializeOffset(json: String): StreamOffset = SoqlStreamOffset.parse(json)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def prepareForTriggerAvailableNow(): Unit = availableNowCap = probeTotal()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxRowsPerTrigger > 0) ReadLimit.maxRows(maxRowsPerTrigger)
+    else ReadLimit.allAvailable()
+
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with admission control")
+
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    val from = start.asInstanceOf[SoqlStreamOffset].rows
+    val total = if (availableNowCap != Long.MaxValue) availableNowCap else probeTotal()
+    // Rows [0, from) were consumed under the append-only contract; a
+    // count below the cursor means history was rewritten — silently
+    // re-aligning would skip or replay data.
+    require(total >= from,
+      s"soql-stream checkpoint has consumed $from rows but the server now " +
+        s"reports $total matching $$where=${where.getOrElse("-")} — the " +
+        s"result set shrank while the query was down (the offset protocol " +
+        s"is append-only). Deletions/rewrites require a fresh checkpoint.")
+    SoqlStreamOffset(
+      if (maxRowsPerTrigger > 0) math.min(total, from + maxRowsPerTrigger) else total)
+  }
+
+  override def reportLatestOffset(): StreamOffset = SoqlStreamOffset(lastTotal)
+
+  override def planInputPartitions(start: StreamOffset, end: StreamOffset): Array[InputPartition] = {
+    val from = start.asInstanceOf[SoqlStreamOffset].rows
+    val to = end.asInstanceOf[SoqlStreamOffset].rows
+    val pages = ((to - from) + pageSize - 1) / pageSize
+    (0L until pages).map { i =>
+      val off = from + i * pageSize
+      val rows = math.min(pageSize, to - off)
+      // exactRows: in batch a short page just ends early (the result is
+      // whatever the server holds NOW); in streaming the offsets are
+      // already committed, so a short page means rows this batch owns
+      // vanished mid-flight — fail the batch, don't silently drop them.
+      SoqlPagePartition(
+        SoqlWire.pageUrl(endpoint, select, where, order, Some(rows), Some(off)),
+        required, retry, exactRows = rows): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = SoqlScan.readerFactory
 }
 
 /** Reads one offset page. A short page (server shrank since the probe) just
@@ -592,8 +716,16 @@ class SoqlPageReader(p: SoqlPagePartition) extends PartitionReader[InternalRow] 
   private var seen = 0L
   private var row: InternalRow = _
   override def next(): Boolean =
-    if (!lines.hasNext) false
-    else {
+    if (!lines.hasNext) {
+      // streaming partitions pin their row count: the offsets are already
+      // committed, so a short page = owned rows vanished mid-batch
+      if (p.exactRows >= 0 && seen < p.exactRows)
+        throw new java.io.IOException(
+          s"page returned $seen of ${p.exactRows} expected rows — the " +
+            s"server-side result set shrank mid-batch (the streaming offset " +
+            s"protocol is append-only): ${p.url}")
+      false
+    } else {
       seen += 1
       // tripwire for silent server-side truncation: a response that fills
       // its entire safety $limit (set only when no user limit was pushed)

@@ -342,4 +342,94 @@ class SoqlSourceSpec extends SparkSuite {
     assert(got.count() == want.count() && got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
+
+  // ------------------- S1 × I2 over the offset protocol -----------------
+
+  private def streamDrain(ep: String, base: String, out: String): Unit = {
+    val q = spark.readStream.format("graft-paged")
+      .option("mode", "offset")
+      .option("pageSize", "300")
+      .option("maxRowsPerTrigger", "400")
+      .option("fetchBackoffMs", "1")
+      .schema(schemaDdl)
+      .load(ep)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.write.mode("append").parquet(out): Unit
+      }
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  test("soql streaming: AvailableNow drains; resume after server-side append reads ONLY the tail") {
+    // The reference's checkpointed `$offset` loop + watermark file
+    // (scripts/extract.py:56-72), as engine-owned Structured Streaming:
+    // the checkpoint holds the rows-consumed cursor, each run re-probes
+    // count(1) and reads the appended suffix.
+    val base = java.nio.file.Files.createTempDirectory("soqlstream").toString
+    val src = s"$base/pages"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val mid = Tables.orders(spark, sf).agg(max("o_orderkey")).head().getLong(0) / 2
+    val firstHalf = orders.filter(col("o_orderkey") <= mid)
+    PagedManifest.writeFixture(firstHalf, src, "o_orderkey", pageSize = 200)
+    val ep = s"${LoopbackPages.serve(spark, src)}/${LoopbackPages.SoqlPath}"
+    val out = s"$base/out"
+
+    streamDrain(ep, base, out)
+    val got1 = spark.read.parquet(out)
+    assert(got1.count() == firstHalf.count() && got1.count() > 0)
+    assert(got1.exceptAll(firstHalf).isEmpty && firstHalf.exceptAll(got1).isEmpty)
+
+    // the source GROWS while the query is down: rewrite the fixture with
+    // the full set — appended keys sort after every already-served row, so
+    // the served prefix is byte-identical (the append-only contract)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    PagedManifest.writeFixture(orders, src, "o_orderkey", pageSize = 200)
+    LoopbackPages.invalidate(src)
+    LoopbackPages.clearRequestLog(src)
+
+    streamDrain(ep, base, out)
+    val got2 = spark.read.parquet(out)
+    assert(got2.count() == orders.count(), "union of both runs = the full set")
+    assert(got2.exceptAll(orders).isEmpty && orders.exceptAll(got2).isEmpty)
+    // wire-tap: the resumed run shipped exactly the appended tail, never
+    // re-fetching rows the checkpoint already owns
+    val shipped = LoopbackPages.requestLog(src)
+      .filter(_._1.startsWith(LoopbackPages.SoqlPath))
+      .filterNot(_._1.contains("count(1)")).map(_._2).sum
+    assert(shipped == orders.count() - firstHalf.count(),
+      s"resume should ship only the ${orders.count() - firstHalf.count()}-row tail, shipped $shipped")
+  }
+
+  test("soql streaming: resume fails LOUDLY when the server-side result set shrank") {
+    val base = java.nio.file.Files.createTempDirectory("soqlshrink").toString
+    val src = s"$base/pages"
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    PagedManifest.writeFixture(orders, src, "o_orderkey", pageSize = 200)
+    val ep = s"${LoopbackPages.serve(spark, src)}/${LoopbackPages.SoqlPath}"
+    val out = s"$base/out"
+
+    streamDrain(ep, base, out)
+    assert(spark.read.parquet(out).count() == orders.count())
+
+    // history rewritten: the server now holds FEWER rows than the
+    // checkpoint's consumed cursor — silent re-alignment would skip or
+    // replay data, so the resume must error
+    val mid = Tables.orders(spark, sf).agg(max("o_orderkey")).head().getLong(0) / 2
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    PagedManifest.writeFixture(
+      orders.filter(col("o_orderkey") <= mid), src, "o_orderkey", pageSize = 200)
+    LoopbackPages.invalidate(src)
+
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      streamDrain(ep, base, out)
+    }
+    def causes(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: causes(t.getCause)
+    assert(causes(e).exists(_.contains("shrank")),
+      s"resume over a shrunken result set must fail explicitly, got: $e")
+  }
 }
