@@ -328,9 +328,15 @@ class PagedMicroBatchStream(path: String, pages: Seq[PageStat],
   override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
     val from = checkPrefix(start.asInstanceOf[PagedStreamOffset])
     val cap = math.min(pages.length, availableNowCap)
-    val to =
-      if (maxPagesPerTrigger > 0) math.min(cap, from + maxPagesPerTrigger) else cap
-    PagedStreamOffset.at(pages, to)
+    // Honor the limit the ENGINE passes (Trigger.Once sends allAvailable()
+    // to override the source default — process-everything contract), and
+    // min against the remainder so from+maxRows can't overflow.
+    val step = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(r.maxRows(), (cap - from).toLong).toInt
+      case _ => cap - from
+    }
+    PagedStreamOffset.at(pages, from + step)
   }
 
   override def reportLatestOffset(): StreamOffset = PagedStreamOffset.at(pages, pages.length)

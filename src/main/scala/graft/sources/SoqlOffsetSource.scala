@@ -588,6 +588,13 @@ class SoqlScan(endpoint: String, fullSchema: StructType, required: StructType,
     require(agg.isEmpty && topN.isEmpty && baseOffset == 0,
       s"graft-soql streaming supports filter/column pushdown only " +
         s"(got agg=$agg topN=$topN offset=$baseOffset)")
+    // The streaming cursor IS the count(1) of the filtered set — a server
+    // that can't count (probeCount=false, the serial loop-until-short-page
+    // protocol) has no offset to checkpoint. Reject up front rather than
+    // letting every trigger die in the probe with an opaque IOException.
+    require(probeCount,
+      "graft-soql streaming requires count-probe support (probeCount=true): " +
+        "the streaming offset is the server-side count(1) of the filtered set")
     new SoqlMicroBatchStream(endpoint, select, where, pageOrder, pageSize,
       required, retry, maxRowsPerTrigger)
   }
@@ -672,7 +679,14 @@ class SoqlMicroBatchStream(endpoint: String, select: Option[String],
 
   override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
     val from = start.asInstanceOf[SoqlStreamOffset].rows
-    val total = if (availableNowCap != Long.MaxValue) availableNowCap else probeTotal()
+    val total =
+      if (availableNowCap != Long.MaxValue) availableNowCap
+      // append-only ⇒ total is monotone: a previous probe that already
+      // proved a backlog (from < lastTotal) makes this trigger's count(1)
+      // round trip redundant — drain the known backlog first, re-probe
+      // only once the cursor catches up.
+      else if (from < lastTotal) lastTotal
+      else probeTotal()
     // Rows [0, from) were consumed under the append-only contract; a
     // count below the cursor means history was rewritten — silently
     // re-aligning would skip or replay data.
@@ -681,8 +695,16 @@ class SoqlMicroBatchStream(endpoint: String, select: Option[String],
         s"reports $total matching $$where=${where.getOrElse("-")} — the " +
         s"result set shrank while the query was down (the offset protocol " +
         s"is append-only). Deletions/rewrites require a fresh checkpoint.")
-    SoqlStreamOffset(
-      if (maxRowsPerTrigger > 0) math.min(total, from + maxRowsPerTrigger) else total)
+    // Honor the limit the ENGINE passes, not the constructor option:
+    // Trigger.Once explicitly sends allAvailable() to override the
+    // source's default (process-everything contract). min against the
+    // remainder also keeps from+maxRows overflow-safe at Long.MaxValue.
+    val step = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(r.maxRows(), total - from)
+      case _ => total - from
+    }
+    SoqlStreamOffset(from + step)
   }
 
   override def reportLatestOffset(): StreamOffset = SoqlStreamOffset(lastTotal)

@@ -388,4 +388,25 @@ class PagedSourceSpec extends SparkSuite {
         "the 2-attempt budget should have been spent before failing")
     } finally graft.sources.PagedFetch.faultInjector = _ => ()
   }
+
+  test("manifest-mode streaming: the ENGINE's ReadLimit wins over the source default") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{PagedMicroBatchStream, PagedStreamOffset, RetryPolicy}
+    val manifest = PagedManifest.read(dir)
+    val n = manifest.pages.length
+    assert(n >= 3, s"fixture should have several pages, got $n")
+    val stream = new PagedMicroBatchStream(dir, manifest.pages, manifest.schema,
+      manifest.schema, RetryPolicy(2, 1), maxPagesPerTrigger = 1)
+    def consumed(o: org.apache.spark.sql.connector.read.streaming.Offset): Int =
+      o.asInstanceOf[PagedStreamOffset].consumed
+    def at(i: Int) = PagedStreamOffset.at(manifest.pages, i)
+    // Trigger.Once sends allAvailable() to override the source's
+    // per-trigger default — the 1-page option must NOT cap the batch
+    assert(consumed(stream.latestOffset(at(0), ReadLimit.allAvailable())) == n)
+    // an explicit engine maxRows (pages, for this source) is honored exactly
+    assert(consumed(stream.latestOffset(at(0), ReadLimit.maxRows(2L))) == 2)
+    // cursor>0 + maxRows(Long.MaxValue) saturates at the remainder instead
+    // of wrapping negative through the Int conversion
+    assert(consumed(stream.latestOffset(at(1), ReadLimit.maxRows(Long.MaxValue))) == n)
+  }
 }

@@ -432,4 +432,62 @@ class SoqlSourceSpec extends SparkSuite {
     assert(causes(e).exists(_.contains("shrank")),
       s"resume over a shrunken result set must fail explicitly, got: $e")
   }
+
+  test("soql streaming: the ENGINE's ReadLimit wins over the source default") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{SoqlMicroBatchStream, SoqlStreamOffset}
+    val total = Tables.orders(spark, sf).count()
+    val stream = new SoqlMicroBatchStream(endpoint, None, None, None, 200L,
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
+      RetryPolicy(2, 1), maxRowsPerTrigger = 10L)
+    def rows(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+      o.asInstanceOf[SoqlStreamOffset].rows
+    // Trigger.Once sends allAvailable() precisely to override the source's
+    // per-trigger default — the 10-row option must NOT cap the batch
+    assert(rows(stream.latestOffset(SoqlStreamOffset(0L), ReadLimit.allAvailable())) == total)
+    // an explicit engine maxRows is honored exactly
+    assert(rows(stream.latestOffset(SoqlStreamOffset(0L), ReadLimit.maxRows(7L))) == 7L)
+    // cursor>0 + maxRows(Long.MaxValue) must saturate at the remainder,
+    // not wrap negative via from+maxRows overflow
+    assert(rows(stream.latestOffset(SoqlStreamOffset(3L), ReadLimit.maxRows(Long.MaxValue))) == total)
+  }
+
+  test("soql streaming: draining a proven backlog re-probes count(1) only after catch-up") {
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    import graft.sources.{SoqlMicroBatchStream, SoqlStreamOffset}
+    val total = Tables.orders(spark, sf).count()
+    val stream = new SoqlMicroBatchStream(endpoint, None, None, None, 200L,
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
+      RetryPolicy(2, 1), maxRowsPerTrigger = 0L)
+    LoopbackPages.clearRequestLog(dir)
+    def probes: Int = soqlRequests.count(_._1.contains("count(1)"))
+    // first trigger probes once and proves a backlog; every later trigger
+    // below the proven total drains WITHOUT a count(1) round trip
+    var cursor = 0L
+    var triggers = 0
+    while (cursor < total) {
+      cursor = stream.latestOffset(SoqlStreamOffset(cursor), ReadLimit.maxRows(total / 4 + 1))
+        .asInstanceOf[SoqlStreamOffset].rows
+      triggers += 1
+    }
+    assert(triggers > 1, "precondition: the drain must span several triggers")
+    assert(probes == 1, s"a fixed backlog should cost ONE probe, cost $probes")
+    // once the cursor catches up, the next trigger is a genuine poll for
+    // new data and must re-probe
+    stream.latestOffset(SoqlStreamOffset(cursor), ReadLimit.maxRows(100L)): Unit
+    assert(probes == 2, s"a caught-up trigger must re-probe, saw $probes")
+  }
+
+  test("soql streaming with probeCount=false is rejected at plan time, loudly") {
+    // the streaming offset IS the server-side count(1); a server that
+    // can't count has no cursor to checkpoint — fail at planning, not
+    // with an opaque per-trigger IOException
+    val builder = new SoqlScanBuilder(endpoint,
+      org.apache.spark.sql.types.StructType.fromDDL(schemaDdl),
+      RetryPolicy(2, 1), pageSize = 100, probeCount = false)
+    val e = intercept[IllegalArgumentException] {
+      builder.build().toMicroBatchStream("/tmp/unused-ckpt")
+    }
+    assert(e.getMessage.contains("count-probe"), s"got: ${e.getMessage}")
+  }
 }
