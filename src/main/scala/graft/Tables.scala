@@ -27,15 +27,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects. Read it as raw nanos (legacy conf) and truncate to
-    * microseconds — the same ns→us truncation DuckDB applies.
+  /** `events.ts` has shipped in three parquet vintages: TIMESTAMP(NANOS)
+    * (which Spark's vectorized reader rejects — read as raw nanos via the
+    * legacy conf and truncate to microseconds, the same ns→us truncation
+    * DuckDB applies), TIMESTAMP(MICROS) adjusted-to-UTC (reads natively
+    * as TimestampType), and TIMESTAMP(MICROS) with isAdjustedToUTC=false
+    * (reads as TimestampNTZType). Dispatch on the type the footer
+    * actually declares and normalize everything to TimestampType — every
+    * downstream query was written against it, and under the UTC session
+    * timezone the NTZ→TZ cast preserves the wall-clock exactly as
+    * DuckDB's naive-timestamp oracle does.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    val raw = apply(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", raw.col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Fixture-vintage guard for [[Tables.events]]: the driver has shipped
+  * `events.ts` as parquet TIMESTAMP(NANOS) (which Spark reads as a raw
+  * long under `nanosAsLong`) and as TIMESTAMP(MICROS) (reads natively as
+  * a timestamp). Round 8's driver run lost all nine events-backed queries
+  * because the loader assumed the nanos vintage unconditionally; this
+  * spec pins the type-dispatch so neither vintage can regress again.
+  */
+class TablesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("tables-spec").toString
+
+  test("events loader passes a native TIMESTAMP ts column through") {
+    val dir = tmp()
+    Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"), 7L, "click", 1.5, """{"k":3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(got.select(date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSS")).as[String].head()
+      == "2024-03-01 12:34:56.789")
+  }
+
+  test("events loader converts a raw-nanos long ts column to timestamp") {
+    val dir = tmp()
+    // 2024-03-01T12:34:56.789Z in nanoseconds since the epoch — the shape
+    // `nanosAsLong` produces for a TIMESTAMP(NANOS) fixture.
+    val nanos = 1709296496789000000L
+    Seq((1L, nanos, 7L, "click", 1.5, """{"k":3}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = Tables.events(spark, dir)
+    assert(got.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(got.select(date_format($"ts", "yyyy-MM-dd HH:mm:ss.SSS")).as[String].head()
+      == "2024-03-01 12:34:56.789")
+  }
+
+  test("the shipped events fixture loads with a usable timestamp column") {
+    val got = Tables.events(spark, sf)
+    assert(got.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+    assert(got.filter($"ts".isNotNull).limit(1).count() == 1L)
+  }
+}
