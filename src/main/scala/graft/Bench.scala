@@ -89,13 +89,31 @@ object Bench {
     // not plan drift. Re-run those once and report min(steady, rerun) so a
     // single contended moment can't masquerade as a regression; the
     // `retimed` list keeps the original sample visible for audit.
+    // The 3x-cold trigger alone is not enough: in the r8 driver run both
+    // passes of `q_dedup_jaccard_global` were contended (cold 9.6 s,
+    // steady 15.8 s vs 3.2 s quiet), so the ratio never fired and 36 s of
+    // noise landed in steady_sec. Therefore ALSO re-time every steady
+    // sample above an absolute floor — re-running the handful of
+    // legitimately-slow queries costs a few seconds and bounds how much
+    // contention any single window can inject into the steady total.
+    val retimeFloor = sys.env.getOrElse("SPARK_GRAFT_RETIME_FLOOR_SEC", "2.0").toDouble
     val outliers = steadyRaw.collect {
-      case (q, s) if s > 3 * cold.getOrElse(q, Double.MaxValue) && s > 0.5 => q
+      case (q, s) if (s > 3 * cold.getOrElse(q, Double.MaxValue) && s > 0.5) || s > retimeFloor => q
     }.toSeq.sorted
     val reruns = outliers.map(q => q -> runOne(q, SparkEntry.queries(q))).toMap
     val steady = steadyRaw.map { case (q, s) => q -> math.min(s, reruns.getOrElse(q, s)) }
     val coldTotal = cold.values.sum
     val steadyTotal = steady.values.sum
+    // Cold samples cannot be re-measured (the JIT is warm by the time an
+    // outlier is known), so flag them instead: a cold time >3x the final
+    // steady time is almost certainly a contention spike, not codegen cost
+    // — first-run Janino/C2 overhead measures ~1.3-2x steady on a quiet
+    // host. robust_total = sum of per-query min(cold, steady): the
+    // contention-resistant whole-suite number to trend round-over-round.
+    val coldSuspect = cold.collect {
+      case (q, c) if c > 3 * steady.getOrElse(q, Double.MaxValue) && c > 0.5 => q
+    }.toSeq.sorted
+    val robustTotal = cold.map { case (q, c) => math.min(c, steady.getOrElse(q, c)) }.sum
     def sec(v: Double): String = f"$v%.3f"
     val overBudget = (cold.keySet ++ steady.keySet).toSeq.sorted
       .filter(q => math.min(cold.getOrElse(q, 0.0), steady.getOrElse(q, 0.0)) > budgetSec)
@@ -121,7 +139,8 @@ object Bench {
     // can tell a metric-definition flip from a real regression.
     // "calibration" = the sentinel spin timings (equal ⇒ quiet host; a
     // spike ⇒ contention window); "retimed" = steady outliers re-sampled.
-    val common = s""""unit":"sec","headline":"cold","steady_sec":${sec(steadyTotal)},"calibration":$calJson,"retimed":$retimedJson,"n_queries":${cold.size},"failed":$failedJson,"over_budget":$overJson,"sf":"$sfDir""""
+    val coldSuspectJson = coldSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val common = s""""unit":"sec","headline":"cold","steady_sec":${sec(steadyTotal)},"robust_sec":${sec(robustTotal)},"cold_suspect":$coldSuspectJson,"calibration":$calJson,"retimed":$retimedJson,"n_queries":${cold.size},"failed":$failedJson,"over_budget":$overJson,"sf":"$sfDir""""
     // Full two-pass per-query detail goes to a FILE: the driver's log tail
     // truncates at ~2000 chars, which in r6 cut the per-query map to ~75 of
     // 128 entries and left steady drift unattributable from the artifact.

@@ -1548,6 +1548,25 @@ private[graft] object Queries {
       |SELECT chk AS "check", total, violations, violations = 0 AS passed
       |FROM checks ORDER BY "check"""".stripMargin
 
+  /** One-pass per-column profile ([[graft.ops.ValidateOps.profileStats]]):
+    * null + exact-distinct counts for eight lineitem columns in a single
+    * scan/aggregate (Spark's multi-distinct Expand), where the DuckDB
+    * oracle spells the same result as eight UNION ALL re-scans. The
+    * `approx = true` HLL path is spec-checked against this exact result
+    * (±3σ) rather than oracled.
+    */
+  private val profileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate")
+
+  def profile(s: SparkSession, d: String): DataFrame =
+    ValidateOps.profileStats(li(s, d), profileCols).orderBy("col_name")
+
+  private val profileSql = profileCols.map { c =>
+    s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+       | CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+       | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   /** Word-bigram counts (LM statistics / benchmark-contamination n-grams):
     * adjacent-token pairs per document, hash-aggregated corpus-wide.
     */
@@ -1905,6 +1924,39 @@ private[graft] object Queries {
       | strftime(lead(eff) OVER (PARTITION BY cust ORDER BY eff), '%Y-%m-%d') AS valid_to_day,
       | lead(eff) OVER (PARTITION BY cust ORDER BY eff) IS NULL AS is_current
       |FROM k ORDER BY cust, eff_day""".stripMargin
+
+  /** Full CRUD merge ([[graft.ops.Warehouse.applyChanges]]): apply a CDC
+    * changelog to an orders snapshot — tombstones (status 'F') delete,
+    * matched keys take the changed price, new keys insert, untouched rows
+    * pass through. One full-outer hash join moving (key + one packed
+    * struct); the oracle is the equivalent FULL JOIN + CASE. The price
+    * bump multiplies by an exact double literal so both engines compute
+    * the identical IEEE product.
+    */
+  def mergeCdc(s: SparkSession, d: String): DataFrame = {
+    val snap = ord(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    val changes = ord(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"))
+    W.applyChanges(snap, changes, Seq("o_orderkey"),
+        deleteCond = col("o_orderstatus") === "F")
+      .orderBy("o_orderkey")
+  }
+
+  private val mergeCdcSql =
+    """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+      |           FROM orders WHERE o_orderkey % 3 <> 0),
+      |s AS (SELECT o_orderkey, o_orderstatus,
+      |             o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+      |             o_orderstatus = 'F' AS del
+      |      FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT o_orderkey,
+      | CASE WHEN s.del IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      | CASE WHEN s.del IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+      |FROM t FULL JOIN s USING (o_orderkey)
+      |WHERE s.del IS NULL OR NOT s.del
+      |ORDER BY o_orderkey""".stripMargin
 
   /** Symmetric int8 embedding quantization ([[graft.ops.SimilarityOps
     * .quantizeInt8]]) — 4× smaller vector storage. First 8 code values are
@@ -2796,6 +2848,8 @@ private[graft] object Queries {
     "q_pack_chunks" -> (packChunks _),
     "q_join_interval" -> (joinInterval _),
     "q_validate" -> (validate _),
+    "q_profile" -> (profile _),
+    "q_merge_cdc" -> (mergeCdc _),
     "q_text_bigrams" -> (textBigrams _),
     "q_scd2" -> (scd2 _),
     "q_embed_quantize" -> (embedQuantize _),
@@ -2927,6 +2981,8 @@ private[graft] object Queries {
     "q_pack_chunks" -> packChunksSql,
     "q_join_interval" -> joinIntervalSql,
     "q_validate" -> validateSql,
+    "q_profile" -> profileSql,
+    "q_merge_cdc" -> mergeCdcSql,
     "q_text_bigrams" -> textBigramsSql,
     "q_scd2" -> scd2Sql,
     "q_embed_quantize" -> embedQuantizeSql,

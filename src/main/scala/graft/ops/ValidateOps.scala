@@ -37,6 +37,33 @@ object ValidateOps {
         (col("c.violations") === 0L).as("passed"))
   }
 
+  /** One-pass per-column table profile — (column, n_rows, n_nulls,
+    * n_distinct) for each requested column, the summary a pipeline
+    * operator consults before choosing a join strategy (is this key
+    * broadcast-small? near-unique? null-riddled?). One scan, one
+    * aggregate: null counts are plain sums; the distinct counts ride
+    * Spark's multi-distinct Expand rewrite, so the scan is read once and
+    * a single shuffle carries (n_cols + 1) tagged replicas of the
+    * grouping null-keys. `approx = true` swaps exact distinct for the
+    * HLL++ sketch (`approx_count_distinct`) — the same single pass with
+    * NO Expand replication, the right trade at warehouse scale where a
+    * ±2 % cardinality estimate steers the same decisions.
+    */
+  def profileStats(df: DataFrame, cols: Seq[String], approx: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "no columns to profile")
+    val nd: String => Column =
+      if (approx) c => approx_count_distinct(col(c)) else c => count_distinct(col(c))
+    val aggs = cols.flatMap { c =>
+      Seq(sum(col(c).isNull.cast("long")).as(s"__n_$c"), nd(c).as(s"__d_$c"))
+    }
+    val row = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val perCol = cols.map { c =>
+      struct(lit(c).as("col_name"), col("__rows").as("n_rows"),
+        col(s"__n_$c").as("n_nulls"), col(s"__d_$c").as("n_distinct"))
+    }
+    row.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
+
   /** Uniqueness constraint over a key: violations = rows beyond the first
     * per duplicated key (so `violations` is "how many rows you'd drop to
     * make the key unique").

@@ -373,6 +373,48 @@ object Warehouse {
     source.join(broadcast(hwm), col(tsCol) > col("__hwm")).drop("__hwm")
   }
 
+  // ---------------------------------------------------------------- CDC apply
+  /** Full CRUD merge — apply a CDC changelog to a snapshot, the
+    * `WHEN MATCHED [AND cond] THEN UPDATE / DELETE, WHEN NOT MATCHED THEN
+    * INSERT` shape (SQL:2003 MERGE; Delta/Iceberg `MERGE INTO`; a
+    * Debezium-style sink). Completes the merge family: [[upsertNewRows]]
+    * is insert-if-absent, [[mergeReplaceParquet]]/[[mergeReplaceJdbc]]
+    * are last-writer-wins, [[scd2Apply]] keeps history — this one honors
+    * tombstones.
+    *
+    * Per change row: `deleteCond` true → tombstone (drops the key if
+    * present, no-op if absent — it never inserts); otherwise upsert
+    * (matched keys take the change row's non-key columns, new keys
+    * insert). Target rows with no change pass through. `changes` must be
+    * pre-deduped to one row per key ([[dedupByKey]]).
+    *
+    * Spark-first shape: both sides pack their non-key columns into ONE
+    * struct and full-outer-join on the key — a single pair of hash
+    * exchanges moving exactly one column beyond the keys, with matched /
+    * insert / delete resolved by null-struct tests in a codegen'd
+    * projection (no second pass, no union of three filtered branches —
+    * which would scan the join output three times). When the changelog is
+    * small relative to the snapshot (the steady-state CDC case), AQE
+    * plans the changes side as a broadcast and the snapshot never
+    * shuffles at all.
+    */
+  def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
+                   deleteCond: Column): DataFrame = {
+    val payload = target.columns.filterNot(keys.contains).toSeq
+    require(payload.nonEmpty, "applyChanges: target has no non-key columns")
+    val t = target.select(keys.map(col) :+ struct(payload.map(col): _*).as("__t"): _*)
+    val s = changes
+      .withColumn("__del", deleteCond)
+      .select(keys.map(col) :+ struct((payload.map(col) :+ col("__del")): _*).as("__s"): _*)
+    t.join(s, keys, "full_outer")
+      // tombstones drop matched keys and never insert; a null __s.__del
+      // (NULL-valued delete predicate) is not a delete, per SQL CASE
+      .filter(col("__s").isNull || !coalesce(col("__s.__del"), lit(false)))
+      .select(keys.map(col) ++ payload.map { c =>
+        when(col("__s").isNotNull, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
+      }: _*)
+  }
+
   // ---------------------------------------------------------------- SCD-2
   /** Slowly-changing-dimension type 2: apply a batch of updates to a
     * history-keeping dimension. The reference's warehouse is SCD-0 (`ON

@@ -61,4 +61,32 @@ class IntervalValidateSpec extends SparkSuite {
     val ok = ValidateOps.checkUnique(df, "kv_unique", Seq("k", "v")).head()
     assert(ok.getAs[Long]("violations") == 0L && ok.getAs[Boolean]("passed"))
   }
+
+  test("profileStats: per-column nulls and exact distincts in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (1, Option("a"), Option(1.0)), (2, Option("a"), None),
+      (3, None, Option(2.0)), (4, Option("b"), Option(1.0)))
+      .toDF("k", "s", "v")
+    val out = ValidateOps.profileStats(df, Seq("k", "s", "v"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(out == Map(
+      "k" -> ((4L, 0L, 4L)),
+      "s" -> ((4L, 1L, 2L)),
+      "v" -> ((4L, 1L, 2L))), s"got $out")
+  }
+
+  test("profileStats approx path tracks exact cardinalities within HLL error") {
+    import spark.implicits._
+    val df = (1 to 5000).map(i => (i.toLong, (i % 997).toString)).toDF("k", "s")
+    val exact = ValidateOps.profileStats(df, Seq("k", "s"))
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    val approx = ValidateOps.profileStats(df, Seq("k", "s"), approx = true)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r._4).toMap
+    exact.foreach { case (c, n) =>
+      val a = approx(c).toDouble
+      assert(math.abs(a - n) / n < 0.1, s"$c: approx $a vs exact $n")
+    }
+  }
 }

@@ -293,4 +293,40 @@ class WarehouseSpec extends SparkSuite {
       (1, 30, "B", Some(40), false),
       (1, 40, "A", None, true)))
   }
+
+  test("applyChanges: delete / update / insert / pass-through in one merge") {
+    val snap = Seq((1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0))
+      .toDF("k", "s", "v")
+    // key 1: tombstone; key 2: update; key 4: insert; key 5: tombstone for
+    // an absent key (must NOT insert); key 3: untouched pass-through
+    val changes = Seq(
+      (1, "a", 0.0, true), (2, "B", 22.0, false),
+      (4, "d", 40.0, false), (5, "e", 50.0, true))
+      .toDF("k", "s", "v", "del")
+    val out = Warehouse.applyChanges(snap, changes, Seq("k"), deleteCond = $"del")
+      .as[(Int, String, Double)].collect().toSet
+    assert(out == Set((2, "B", 22.0), (3, "c", 30.0), (4, "d", 40.0)), s"got $out")
+  }
+
+  test("applyChanges: NULL delete predicate is not a delete (SQL CASE semantics)") {
+    val snap = Seq((1, "a")).toDF("k", "s")
+    val changes = Seq((1, Option.empty[String])).toDF("k", "s")
+    // deleteCond `s = 'x'` is NULL for a null s — row must update, not drop
+    val out = Warehouse.applyChanges(snap, changes, Seq("k"),
+        deleteCond = $"s" === "x")
+      .as[(Int, Option[String])].collect().toSet
+    assert(out == Set((1, None)), s"got $out")
+  }
+
+  test("applyChanges is idempotent for upsert-only changelogs") {
+    val snap = Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("k", "s", "v")
+    val changes = Seq((2, "B", 2.5, false), (3, "c", 3.0, false))
+      .toDF("k", "s", "v", "del")
+    def once(t: org.apache.spark.sql.DataFrame) =
+      Warehouse.applyChanges(t, changes, Seq("k"), deleteCond = $"del")
+    val one = once(snap)
+    val twice = once(one)
+    assert(one.as[(Int, String, Double)].collect().toSet
+      == twice.as[(Int, String, Double)].collect().toSet)
+  }
 }
