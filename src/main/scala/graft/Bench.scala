@@ -106,10 +106,14 @@ object Bench {
     val steadyTotal = steady.values.sum
     // Cold samples cannot be re-measured (the JIT is warm by the time an
     // outlier is known), so flag them instead: a cold time >3x the final
-    // steady time is almost certainly a contention spike, not codegen cost
-    // — first-run Janino/C2 overhead measures ~1.3-2x steady on a quiet
-    // host. robust_total = sum of per-query min(cold, steady): the
-    // contention-resistant whole-suite number to trend round-over-round.
+    // steady time is either a contention spike (first-run Janino/C2
+    // overhead measures ~1.3-2x steady on a quiet host) or genuine
+    // one-time setup — q_merge_jdbc boots Derby on its cold pass, and the
+    // first query to fault in a subsystem pays its init. Cross-check
+    // against the calibration samples: flat sentinels + a flagged query
+    // = setup cost; stretched sentinels = contention. robust_total = sum
+    // of per-query min(cold, steady): the contention-resistant
+    // whole-suite number to trend round-over-round.
     val coldSuspect = cold.collect {
       case (q, c) if c > 3 * steady.getOrElse(q, Double.MaxValue) && c > 0.5 => q
     }.toSeq.sorted

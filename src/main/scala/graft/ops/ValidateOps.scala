@@ -53,8 +53,11 @@ object ValidateOps {
     require(cols.nonEmpty, "no columns to profile")
     val nd: String => Column =
       if (approx) c => approx_count_distinct(col(c)) else c => count_distinct(col(c))
+    // coalesce: SUM over zero rows is NULL — an empty table must profile
+    // as zeros, not nulls (count_distinct already returns 0 there)
     val aggs = cols.flatMap { c =>
-      Seq(sum(col(c).isNull.cast("long")).as(s"__n_$c"), nd(c).as(s"__d_$c"))
+      Seq(coalesce(sum(col(c).isNull.cast("long")), lit(0L)).as(s"__n_$c"),
+        nd(c).as(s"__d_$c"))
     }
     val row = df.agg(count(lit(1)).as("__rows"), aggs: _*)
     val perCol = cols.map { c =>

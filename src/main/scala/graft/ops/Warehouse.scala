@@ -402,6 +402,13 @@ object Warehouse {
                    deleteCond: Column): DataFrame = {
     val payload = target.columns.filterNot(keys.contains).toSeq
     require(payload.nonEmpty, "applyChanges: target has no non-key columns")
+    // the packed-struct encoding reserves these names; a colliding payload
+    // column would silently shadow the tombstone flag inside the struct
+    require(!payload.contains("__del") && !target.columns.exists(Set("__t", "__s")),
+      "applyChanges: column names __del/__t/__s are reserved by the merge encoding")
+    require(keys.forall(changes.columns.contains) && payload.forall(changes.columns.contains),
+      s"applyChanges: changes must carry the target's key and payload columns " +
+        s"(missing: ${(keys ++ payload).filterNot(changes.columns.contains).mkString(", ")})")
     val t = target.select(keys.map(col) :+ struct(payload.map(col): _*).as("__t"): _*)
     val s = changes
       .withColumn("__del", deleteCond)

@@ -197,4 +197,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"),
       s"partition filter not applied at scan:\n$p")
   }
+
+  test("q_merge_cdc: ONE join, no three-branch union re-scanning the merge") {
+    val p = plan("q_merge_cdc")
+    assert(p.contains("FullOuter"), s"merge must be a single full-outer join:\n$p")
+    assert(!p.contains("Union"),
+      s"merge cases must resolve in the join projection, not a union of branches:\n$p")
+  }
+
+  test("q_profile: one scan feeds the multi-distinct Expand (no per-column re-scan)") {
+    val p = plan("q_profile")
+    val scans = "FileScan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"profiler must read the table once, saw $scans scans:\n$p")
+    assert(p.contains("Expand"),
+      s"expected the multi-distinct Expand rewrite:\n$p")
+  }
 }
