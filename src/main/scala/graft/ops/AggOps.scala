@@ -61,6 +61,33 @@ object AggOps {
     mergeStates(Seq(partial), keys, specs)
   }
 
+  /** Incremental DISTINCT counting — the aggregate [[partialState]] can't
+    * cover (count-distinct is not algebraic: two batches' distinct counts
+    * don't add). Per-batch state is a keyed HLL++ sketch (Spark's
+    * datasketches `hll_sketch_agg`, a few KB per key); states merge by
+    * register-max (`hll_union_agg`), which is EXACT over the sketch
+    * lattice — merge-of-batch-sketches is bit-identical to the
+    * from-scratch sketch of the union, any grouping, any order (spec-
+    * pinned), so the estimate never drifts as batches accumulate. The
+    * estimate itself carries standard HLL error (~2 % at default lgK);
+    * that is the 100 TB trade: a 100-batch history re-scan becomes a
+    * few-KB-per-key sketch merge.
+    */
+  def distinctState(df: DataFrame, keys: Seq[String], name: String,
+                    input: Column): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(hll_sketch_agg(input).as(name))
+
+  /** Merge any number of [[distinctState]] outputs (same keys/name). */
+  def mergeDistinctStates(states: Seq[DataFrame], keys: Seq[String],
+                          name: String): DataFrame = {
+    require(states.nonEmpty, "nothing to merge")
+    states.reduce(_.unionByName(_))
+      .groupBy(keys.map(col): _*).agg(hll_union_agg(col(name)).as(name))
+  }
+
+  /** Read a sketch state as an approximate distinct count. */
+  def distinctEstimate(state: Column): Column = hll_sketch_estimate(state)
+
   private def opFor(op: String, c: Column): Column = op match {
     case "count" => count(c)
     case "sum"   => sum(c)

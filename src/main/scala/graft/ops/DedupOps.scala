@@ -69,6 +69,18 @@ object DedupOps {
     array((0 until bands).map(b =>
       hash(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
 
+  /** Per-row (id, sig, band, bhash) banding used by both LSH joins —
+    * signature + band hashes are narrow per-row expressions; the explode
+    * produces the (band, hash) equi-join key.
+    */
+  private def lshBanded(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int): DataFrame =
+    df.select(
+        col(idCol).as("id"),
+        minhashSignature(shingles(col(textCol), n), k).as("sig"))
+      .select(col("id"), col("sig"),
+        posexplode(lshBandHashes(col("sig"), bands, k / bands)).as(Seq("band", "bhash")))
+
   /** MinHash-LSH candidate pairs above an estimated-Jaccard threshold.
     *
     * Plan shape (the part that must survive 100×): per-row signature +
@@ -80,12 +92,7 @@ object DedupOps {
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 64, bands: Int = 16,
                       threshold: Double = 0.5): DataFrame = {
-    val withSig = df.select(
-      col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), n), k).as("sig"))
-    val withBands = withSig.select(
-      col("id"), col("sig"),
-      posexplode(lshBandHashes(col("sig"), bands, k / bands)).as(Seq("band", "bhash")))
+    val withBands = lshBanded(df, idCol, textCol, n, k, bands)
     val a = withBands.alias("a")
     val b = withBands.alias("b")
     // Verify BEFORE deduplicating: the estimator is a cheap native kernel,
@@ -95,6 +102,40 @@ object DedupOps {
     a.join(b,
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        minhashEstimate(col("a.sig"), col("b.sig"), k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** INCREMENTAL MinHash-LSH: near-dup pairs BETWEEN an existing corpus
+    * and a new batch — the daily-crawl shape. Re-running
+    * [[minhashLshPairs]] over corpus ∪ batch re-compares corpus × corpus
+    * every day, O(C²) work for pairs already known; this emits only the
+    * (corpus, batch) cross pairs, so a full ingest round is
+    * `minhashLshPairsAgainst(corpus, batch)` + `minhashLshPairs(batch)`
+    * — O(C·B + B²) candidate work, and the corpus side never self-joins.
+    * The union equivalence (old ∪ cross ∪ batch-internal = pairs of the
+    * union, for disjoint id spaces) is spec-proved.
+    *
+    * Same discipline as the self-join: band equi-join (corpus bands build
+    * one side, batch bands probe), verify the signature estimate BEFORE
+    * the distinct so only 24-byte survivors shuffle. At steady state the
+    * batch side is small — AQE broadcasts it and the corpus's banded rows
+    * never move. Corpus signatures/bands are recomputed here from text;
+    * a production loop would persist `(id, sig)` once at ingest and feed
+    * the projection in directly — the operator only needs the columns,
+    * not their provenance. Ids must be disjoint across the two inputs.
+    */
+  def minhashLshPairsAgainst(corpus: DataFrame, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             n: Int = 3, k: Int = 64, bands: Int = 16,
+                             threshold: Double = 0.5): DataFrame = {
+    val a = lshBanded(corpus, idCol, textCol, n, k, bands).alias("a")
+    val b = lshBanded(batch, idCol, textCol, n, k, bands).alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         minhashEstimate(col("a.sig"), col("b.sig"), k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)

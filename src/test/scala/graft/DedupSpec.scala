@@ -95,6 +95,28 @@ class DedupSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall over ${truth.size} true pairs")
   }
 
+  test("incremental LSH: corpus-vs-batch cross pairs + batch-internal = pairs of the union") {
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    def norm(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    val full = norm(DedupOps.minhashLshPairs(docs, "doc_id", "text",
+      n = 3, k = 64, bands = 8, threshold = 0.5))
+    val old = norm(DedupOps.minhashLshPairs(corpus, "doc_id", "text",
+      n = 3, k = 64, bands = 8, threshold = 0.5))
+    val cross = norm(DedupOps.minhashLshPairsAgainst(corpus, batch, "doc_id", "text",
+      n = 3, k = 64, bands = 8, threshold = 0.5))
+    val fresh = norm(DedupOps.minhashLshPairs(batch, "doc_id", "text",
+      n = 3, k = 64, bands = 8, threshold = 0.5))
+    assert(cross.nonEmpty, "fixture should contain cross-side near-dups")
+    assert((old ++ cross ++ fresh) == full,
+      s"incremental decomposition must equal the from-scratch union " +
+        s"(missing: ${full -- (old ++ cross ++ fresh)}, extra: ${(old ++ cross ++ fresh) -- full})")
+  }
+
   test("global Jaccard join == quadratic all-pairs exactly, ALL tiers") {
     val sample = docs.limit(400).cache()
     val sh = sample.select($"doc_id", DedupOps.sortedShingles($"text", 3).as("sh"))

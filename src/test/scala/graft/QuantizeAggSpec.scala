@@ -64,6 +64,35 @@ class QuantizeAggSpec extends SparkSuite {
     assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
   }
 
+  test("HLL distinct states: merge-of-batches == from-scratch sketch, estimate near exact") {
+    val liDf = Tables.lineitem(spark, sf)
+    val keys = Seq("l_returnflag")
+    // three arbitrary batches (uneven split, one empty) — the incremental path
+    val parts = Seq(
+      liDf.filter(col("l_orderkey") % 4 === 0),
+      liDf.filter(col("l_orderkey") % 4 =!= 0),
+      liDf.limit(0))
+      .map(b => AggOps.distinctState(b, keys, "sk", col("l_partkey")))
+    val merged = AggOps.mergeDistinctStates(parts, keys, "sk")
+      .select(col("l_returnflag"),
+        AggOps.distinctEstimate(col("sk")).as("est"))
+    val scratch = AggOps.distinctState(liDf, keys, "sk", col("l_partkey"))
+      .select(col("l_returnflag"),
+        AggOps.distinctEstimate(col("sk")).as("est"))
+    // lattice exactness: merged sketches estimate IDENTICALLY to from-scratch
+    assert(merged.exceptAll(scratch).isEmpty && scratch.exceptAll(merged).isEmpty,
+      "merged sketch estimates must equal the from-scratch sketch exactly")
+    // and the estimate tracks the exact distinct within HLL error
+    val exact = liDf.groupBy(keys.map(col): _*)
+      .agg(countDistinct(col("l_partkey")).cast("double").as("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    merged.collect().foreach { r =>
+      val (k, est) = (r.getString(0), r.getLong(1).toDouble)
+      assert(math.abs(est - exact(k)) / exact(k) < 0.05,
+        s"$k: estimate $est vs exact ${exact(k)}")
+    }
+  }
+
   test("saltedAggregate is row-identical to the plain aggregate on a hot key") {
     // single-value key: the degenerate worst case a naive plan funnels to one reducer
     val df = (1 to 5000).map(i => ("hot", i.toLong)).toDF("k", "v")
