@@ -46,4 +46,35 @@ class TablesSpec extends SparkSuite {
     assert(got.schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
     assert(got.filter($"ts".isNotNull).limit(1).count() == 1L)
   }
+
+  /** Early-warning contract on the driver-regenerated fixtures: when a
+    * future regeneration renames or drops a column, this fails with the
+    * table and column named — instead of the round losing every query
+    * that touches it (round 8 lost nine to a silent `events.ts` retype).
+    */
+  test("every shipped fixture table carries the columns the queries read") {
+    val expected = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    val problems = expected.toSeq.sortBy(_._1).flatMap { case (t, cols) =>
+      val have = Tables(spark, sf, t).columns.toSet
+      cols.filterNot(have).map(c => s"$t.$c (table has: ${have.toSeq.sorted.mkString(", ")})")
+    } ++ {
+      val ev = Tables.events(spark, sf).columns.toSet
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+        .filterNot(ev).map(c => s"events.$c")
+    }
+    assert(problems.isEmpty,
+      s"fixture schema drift — missing columns:\n  ${problems.mkString("\n  ")}")
+  }
 }
