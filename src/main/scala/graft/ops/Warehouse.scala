@@ -377,10 +377,12 @@ object Warehouse {
   /** Full CRUD merge — apply a CDC changelog to a snapshot, the
     * `WHEN MATCHED [AND cond] THEN UPDATE / DELETE, WHEN NOT MATCHED THEN
     * INSERT` shape (SQL:2003 MERGE; Delta/Iceberg `MERGE INTO`; a
-    * Debezium-style sink). Completes the merge family: [[upsertNewRows]]
-    * is insert-if-absent, [[mergeReplaceParquet]]/[[mergeReplaceJdbc]]
-    * are last-writer-wins, [[scd2Apply]] keeps history — this one honors
-    * tombstones.
+    * Debezium-style sink). The reference's only merge is insert-if-absent
+    * (`ON CONFLICT DO NOTHING`, reference/scripts/load.py:114-147) — it
+    * can never correct or retract a row; this completes the family:
+    * [[upsertNewRows]] is insert-if-absent, [[mergeReplaceParquet]]/
+    * [[mergeReplaceJdbc]] are last-writer-wins, [[scd2Apply]] keeps
+    * history — this one honors tombstones.
     *
     * Per change row: `deleteCond` true → tombstone (drops the key if
     * present, no-op if absent — it never inserts); otherwise upsert
