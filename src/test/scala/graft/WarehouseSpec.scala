@@ -318,6 +318,31 @@ class WarehouseSpec extends SparkSuite {
     assert(out == Set((1, None)), s"got $out")
   }
 
+  test("applyChanges equals a sequential per-row model on random changelogs") {
+    // model: apply the changelog to a Map one row at a time — tombstone
+    // removes, else put; compare against the one-join distributed result
+    val genSnap = Gen.mapOf(Gen.zip(Gen.choose(0, 30), Gen.alphaStr.map(_.take(4))))
+    val genChanges = Gen.listOf(Gen.zip(
+      Gen.choose(0, 30), Gen.alphaStr.map(_.take(4)), Gen.oneOf(true, false)))
+      // one change row per key (the documented pre-dedup contract)
+      .map(_.groupBy(_._1).map(_._2.head).toList)
+    val prop = Prop.forAll(genSnap, genChanges) { (snap, changes) =>
+      val model = changes.foldLeft(snap) { case (m, (k, v, del)) =>
+        if (del) m - k else m.updated(k, v)
+      }
+      // the sentinel row keeps toDF inferable on empty inputs; filtered out
+      val snapDf = (snap.toSeq :+ ((-999, "x")))
+        .toDF("k", "s").filter($"k" =!= -999)
+      val chDf = (changes :+ ((-999, "x", false)))
+        .toDF("k", "s", "del").filter($"k" =!= -999)
+      val got = Warehouse.applyChanges(snapDf, chDf, Seq("k"), deleteCond = $"del")
+        .as[(Int, String)].collect().toMap
+      got == model
+    }
+    val result = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("applyChanges is idempotent for upsert-only changelogs") {
     val snap = Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("k", "s", "v")
     val changes = Seq((2, "B", 2.5, false), (3, "c", 3.0, false))
