@@ -257,10 +257,20 @@ object DedupOps {
         // materializes; only surviving pairs pay a second popcount in the
         // projection. Pinned in DedupSpec so a planner change can't
         // silently regress to materialize-all-pairs-then-filter.
-        return broadcast(withBits.as("a")).join(withBits.as("b"),
+        // The size bound `ceil(sz·t)` is precomputed PER ROW (`lo`): the
+        // nested loop evaluates its condition O(n²) times, and
+        // `b.sz >= a.lo && a.sz >= b.lo` is two long compares per pair vs
+        // two double multiplies + two ceils — same predicate exactly
+        // (a.sz >= ceil(b.sz·t) ⇔ a.sz >= b.lo by definition of lo).
+        // Measured neutral at sf0.1 (BNLJ row iteration + popcounts
+        // dominate there); kept because the arithmetic saved scales with
+        // the evaluated-pair count, which grows quadratically.
+        val banded = withBits.withColumn("lo",
+          ceilSafe(col("sz") * threshold).cast("long"))
+        return broadcast(banded.as("a")).join(banded.as("b"),
             col("a.id") < col("b.id") &&
-              col("b.sz") >= ceilSafe(col("a.sz") * threshold) &&
-              col("a.sz") >= ceilSafe(col("b.sz") * threshold))
+              col("b.sz") >= col("a.lo") &&
+              col("a.sz") >= col("b.lo"))
           .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
             graft.functions.VectorExpressions
               .bitsetJaccard(col("a.bits"), col("b.bits")).as("jac"))
@@ -280,7 +290,11 @@ object DedupOps {
         posexplode(slice(col("ordered"), lit(1),
           (col("sz") - ceilSafe(col("sz") * threshold) + 1).cast("int")))
           .as(Seq("pos", "p")))
-      .select(col("id"), col("sz"), col("pos"), col("p.tok").as("tok"))
+      // per-row size bound (see the brute tier): the candidate join re-
+      // evaluates its condition once per equi-matching row pair, so the
+      // ceil(sz·t) arithmetic moves out of the join into this projection
+      .select(col("id"), col("sz"), col("pos"), col("p.tok").as("tok"),
+        ceilSafe(col("sz") * threshold).cast("long").as("lo"))
     // PPJoin positional filter: for a true pair, its FIRST shared token in
     // canonical order bounds the overlap by the suffix sizes from the match
     // (0-based pos → suffix incl. match = sz − pos); prune pairs where no
@@ -289,8 +303,8 @@ object DedupOps {
     val minOverlap = ceilSafe((col("a.sz") + col("b.sz")) * (threshold / (1 + threshold)))
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          col("b.sz") >= ceilSafe(col("a.sz") * threshold) &&
-          col("a.sz") >= ceilSafe(col("b.sz") * threshold) &&
+          col("b.sz") >= col("a.lo") &&
+          col("a.sz") >= col("b.lo") &&
           (least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
             >= minOverlap))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))

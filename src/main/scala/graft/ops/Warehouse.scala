@@ -424,6 +424,38 @@ object Warehouse {
       }: _*)
   }
 
+  /** [[applyChanges]] against a parquet warehouse directory, with the same
+    * crash-safe staged swap as [[mergeReplaceParquet]] (plain parquet
+    * cannot be overwritten while a lazy plan reads it; a crash window
+    * leaves the old or the new dir intact, never a torn mix). `changes`
+    * is deduped to one row per key first (tombstones win ties only via
+    * the caller's tiebreak ordering). No-op (returns current count)
+    * when the changelog is empty; creates the warehouse from insert-only
+    * changes when absent. Returns the post-merge row count.
+    */
+  def applyChangesParquet(changes: DataFrame, warehouseDir: String,
+                          keys: Seq[String], tiebreak: Seq[Column],
+                          deleteCond: Column): Long = {
+    val spark = changes.sparkSession
+    val fs = new org.apache.hadoop.fs.Path(warehouseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(warehouseDir)
+    val deduped = dedupByKey(changes, keys, tiebreak)
+    val merged =
+      if (fs.exists(target))
+        applyChanges(spark.read.parquet(warehouseDir), deduped, keys, deleteCond)
+      else {
+        // no snapshot: inserts materialize, tombstones are no-ops
+        val payload = deduped.columns.filterNot(keys.contains).toSeq
+        deduped.filter(!coalesce(deleteCond, lit(false)))
+          .select((keys ++ payload).map(col): _*)
+      }
+    stagedSwap(fs, warehouseDir) { stagingPath =>
+      merged.write.mode("overwrite").parquet(stagingPath)
+      spark.read.parquet(stagingPath).count()
+    }
+  }
+
   // ---------------------------------------------------------------- SCD-2
   /** Slowly-changing-dimension type 2: apply a batch of updates to a
     * history-keeping dimension. The reference's warehouse is SCD-0 (`ON

@@ -22,9 +22,10 @@ class WarehouseSpec extends SparkSuite {
     // idempotent: re-applying the same batch changes nothing
     assert(W.mergeReplaceParquet(v2, dir, Seq("k"), Seq($"v")) == 4)
     assert(spark.read.parquet(dir).as[(Long, String)].collect().toMap == state)
-    // no staging/retired leftovers
-    assert(!new java.io.File(dir + ".staging").exists())
-    assert(!new java.io.File(dir + ".old").exists())
+    // no staging/retired leftovers (underscore-prefixed siblings — the
+    // un-prefixed names the old assertion checked never exist at all)
+    assert(!new java.io.File(new java.io.File(dir).getParentFile, "_wh.staging").exists())
+    assert(!new java.io.File(new java.io.File(dir).getParentFile, "_wh.old").exists())
   }
   import spark.implicits._
 
@@ -316,6 +317,26 @@ class WarehouseSpec extends SparkSuite {
         deleteCond = $"s" === "x")
       .as[(Int, Option[String])].collect().toSet
     assert(out == Set((1, None)), s"got $out")
+  }
+
+  test("applyChangesParquet: create, merge rounds, crash-safe swap leftovers absent") {
+    val dir = Files.createTempDirectory("cdc").toString + "/wh"
+    // round 1 — no warehouse yet: inserts land, the tombstone is a no-op
+    val r1 = Seq((1, "a", false), (2, "b", false), (9, "x", true))
+      .toDF("k", "s", "del")
+    assert(Warehouse.applyChangesParquet(r1, dir, Seq("k"), Seq($"s"), $"del") == 2)
+    // round 2 — update 1, delete 2, insert 3
+    val r2 = Seq((1, "A", false), (2, "b", true), (3, "c", false))
+      .toDF("k", "s", "del")
+    assert(Warehouse.applyChangesParquet(r2, dir, Seq("k"), Seq($"s"), $"del") == 2)
+    val state = spark.read.parquet(dir).select("k", "s")
+      .as[(Int, String)].collect().toMap
+    assert(state == Map(1 -> "A", 3 -> "c"), s"got $state")
+    // replaying round 2 converges to the same state (upsert/delete idempotent)
+    assert(Warehouse.applyChangesParquet(r2, dir, Seq("k"), Seq($"s"), $"del") == 2)
+    val parent = new java.io.File(dir).getParentFile
+    assert(!new java.io.File(parent, "_wh.staging").exists())
+    assert(!new java.io.File(parent, "_wh.old").exists())
   }
 
   test("applyChanges equals a sequential per-row model on random changelogs") {
