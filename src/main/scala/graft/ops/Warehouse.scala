@@ -431,11 +431,16 @@ object Warehouse {
     * is deduped to one row per key first (tombstones win ties only via
     * the caller's tiebreak ordering). No-op (returns current count)
     * when the changelog is empty; creates the warehouse from insert-only
-    * changes when absent. Returns the post-merge row count.
+    * changes when absent — `payloadCols`, when non-empty, names the
+    * columns the CREATED warehouse stores (so a CDC flag column the
+    * `deleteCond` reads does not leak into the table schema; once the
+    * warehouse exists its own schema defines the payload and the
+    * parameter is ignored). Returns the post-merge row count.
     */
   def applyChangesParquet(changes: DataFrame, warehouseDir: String,
                           keys: Seq[String], tiebreak: Seq[Column],
-                          deleteCond: Column): Long = {
+                          deleteCond: Column,
+                          payloadCols: Seq[String] = Seq.empty): Long = {
     val spark = changes.sparkSession
     val fs = new org.apache.hadoop.fs.Path(warehouseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -446,7 +451,9 @@ object Warehouse {
         applyChanges(spark.read.parquet(warehouseDir), deduped, keys, deleteCond)
       else {
         // no snapshot: inserts materialize, tombstones are no-ops
-        val payload = deduped.columns.filterNot(keys.contains).toSeq
+        val payload =
+          if (payloadCols.nonEmpty) payloadCols
+          else deduped.columns.filterNot(keys.contains).toSeq
         deduped.filter(!coalesce(deleteCond, lit(false)))
           .select((keys ++ payload).map(col): _*)
       }
@@ -454,6 +461,49 @@ object Warehouse {
       merged.write.mode("overwrite").parquet(stagingPath)
       spark.read.parquet(stagingPath).count()
     }
+  }
+
+  /** [[applyChangesParquet]] for a Hive-partitioned warehouse, rewriting
+    * ONLY the partitions the changelog touches — the flat wrapper rewrites
+    * the whole table per batch, which at 100 TB is a full-table write for
+    * a few-GB changelog. Here the changelog's distinct partition values
+    * (bounded: one scalar collect of the batch's partitions, `require`d
+    * under `maxTouchedPartitions`) select the `partCol=value` dirs to
+    * merge; each merges and swaps independently with the per-partition
+    * isolation (and reader caveat) of [[compactPartitioned]]. Untouched
+    * partitions are never read, never written. `partCol` must be part of
+    * every change row (a tombstone must name its partition — the same
+    * contract that lets the table format analogs, Delta/Iceberg MERGE
+    * with partition predicates, prune). Returns touched-partition name →
+    * post-merge row count.
+    */
+  def applyChangesPartitioned(changes: DataFrame, warehouseDir: String,
+                              partCol: String, keys: Seq[String], tiebreak: Seq[Column],
+                              deleteCond: Column,
+                              payloadCols: Seq[String] = Seq.empty,
+                              maxTouchedPartitions: Int = 10000): Map[String, Long] = {
+    require(changes.columns.contains(partCol),
+      s"applyChangesPartitioned: changelog must carry the partition column $partCol")
+    val touched = changes.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0))
+    require(touched.forall(_ != null),
+      s"applyChangesPartitioned: null $partCol in changelog — null partitions " +
+        "cannot address a partition directory")
+    require(touched.length <= maxTouchedPartitions,
+      s"applyChangesPartitioned: changelog touches ${touched.length} partitions " +
+        s"(> $maxTouchedPartitions) — a batch touching most of the table should " +
+        "use applyChangesParquet's single rewrite instead")
+    // Hive layouts escape special characters in partition VALUES; rather
+    // than reimplement that escaping here, refuse values that would name
+    // a different directory than Spark's writer used
+    touched.foreach(p => require(!p.exists("/=%\\".contains(_)),
+      s"applyChangesPartitioned: partition value '$p' needs Hive escaping — " +
+        "unsupported by the raw-dir addressing here"))
+    touched.sorted.map { p =>
+      val pDir = s"$warehouseDir/$partCol=$p"
+      val pChanges = changes.filter(col(partCol).cast("string") === p).drop(partCol)
+      p -> applyChangesParquet(pChanges, pDir, keys, tiebreak, deleteCond, payloadCols)
+    }.toMap
   }
 
   // ---------------------------------------------------------------- SCD-2

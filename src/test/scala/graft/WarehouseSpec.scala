@@ -321,10 +321,14 @@ class WarehouseSpec extends SparkSuite {
 
   test("applyChangesParquet: create, merge rounds, crash-safe swap leftovers absent") {
     val dir = Files.createTempDirectory("cdc").toString + "/wh"
-    // round 1 — no warehouse yet: inserts land, the tombstone is a no-op
+    // round 1 — no warehouse yet: inserts land, the tombstone is a no-op;
+    // payloadCols keeps the CDC flag column out of the created schema
     val r1 = Seq((1, "a", false), (2, "b", false), (9, "x", true))
       .toDF("k", "s", "del")
-    assert(Warehouse.applyChangesParquet(r1, dir, Seq("k"), Seq($"s"), $"del") == 2)
+    assert(Warehouse.applyChangesParquet(r1, dir, Seq("k"), Seq($"s"), $"del",
+      payloadCols = Seq("s")) == 2)
+    assert(spark.read.parquet(dir).columns.toSet == Set("k", "s"),
+      "the del flag must not leak into the created warehouse schema")
     // round 2 — update 1, delete 2, insert 3
     val r2 = Seq((1, "A", false), (2, "b", true), (3, "c", false))
       .toDF("k", "s", "del")
@@ -337,6 +341,35 @@ class WarehouseSpec extends SparkSuite {
     val parent = new java.io.File(dir).getParentFile
     assert(!new java.io.File(parent, "_wh.staging").exists())
     assert(!new java.io.File(parent, "_wh.old").exists())
+  }
+
+  test("applyChangesPartitioned: only touched partitions merge; others' files untouched") {
+    val dir = Files.createTempDirectory("cdcp").toString + "/wh"
+    Seq((1, "p1", "a"), (2, "p1", "b"), (3, "p2", "c"), (4, "p3", "d"))
+      .toDF("k", "p", "s")
+      .write.partitionBy("p").parquet(dir)
+    def filesOf(p: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/p=$p")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val p3Before = filesOf("p3")
+    // touch p1 (update 1, delete 2) and p2 (insert 5); p3 untouched
+    val changes = Seq((1, "p1", "A", false), (2, "p1", "b", true), (5, "p2", "e", false))
+      .toDF("k", "p", "s", "del")
+    val counts = Warehouse.applyChangesPartitioned(changes, dir, "p",
+      Seq("k"), Seq($"s"), $"del")
+    assert(counts == Map("p1" -> 1L, "p2" -> 2L), s"got $counts")
+    val state = spark.read.parquet(dir).select("k", "p", "s")
+      .as[(Int, String, String)].collect().toSet
+    assert(state == Set((1, "p1", "A"), (3, "p2", "c"), (5, "p2", "e"), (4, "p3", "d")),
+      s"got $state")
+    assert(filesOf("p3") == p3Before, "untouched partition was rewritten")
+    // a value needing Hive escaping is refused loudly
+    val bad = Seq((9, "x=y", "z", false)).toDF("k", "p", "s", "del")
+    intercept[IllegalArgumentException] {
+      Warehouse.applyChangesPartitioned(bad, dir, "p", Seq("k"), Seq($"s"), $"del")
+    }
   }
 
   test("applyChanges equals a sequential per-row model on random changelogs") {
