@@ -1552,8 +1552,8 @@ private[graft] object Queries {
     * null + exact-distinct counts for eight lineitem columns in a single
     * scan/aggregate (Spark's multi-distinct Expand), where the DuckDB
     * oracle spells the same result as eight UNION ALL re-scans. The
-    * `approx = true` HLL path is spec-checked against this exact result
-    * (±3σ) rather than oracled.
+    * `approx = true` HLL path is spec-checked against exact cardinalities
+    * (within 10 %) rather than oracled.
     */
   private val profileCols = Seq("l_orderkey", "l_partkey", "l_suppkey",
     "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus", "l_shipdate")
