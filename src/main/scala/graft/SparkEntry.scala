@@ -1944,6 +1944,9 @@ private[graft] object Queries {
       .orderBy("o_orderkey")
   }
 
+  // matched-marker is the JOIN KEY (never null on the s side by
+  // construction), not the del flag — a future fixture with NULL statuses
+  // would null the flag on matched rows and silently flip the CASE
   private val mergeCdcSql =
     """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice
       |           FROM orders WHERE o_orderkey % 3 <> 0),
@@ -1951,11 +1954,11 @@ private[graft] object Queries {
       |             o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
       |             o_orderstatus = 'F' AS del
       |      FROM orders WHERE o_orderkey % 2 = 0)
-      |SELECT o_orderkey,
-      | CASE WHEN s.del IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
-      | CASE WHEN s.del IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
-      |FROM t FULL JOIN s USING (o_orderkey)
-      |WHERE s.del IS NULL OR NOT s.del
+      |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice
+      |FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+      |WHERE s.o_orderkey IS NULL OR NOT coalesce(s.del, FALSE)
       |ORDER BY o_orderkey""".stripMargin
 
   /** Symmetric int8 embedding quantization ([[graft.ops.SimilarityOps
