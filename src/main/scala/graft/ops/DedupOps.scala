@@ -69,17 +69,31 @@ object DedupOps {
     array((0 until bands).map(b =>
       hash(slice(sig, b * rowsPerBand + 1, rowsPerBand), lit(b))): _*)
 
+  /** Per-document MinHash signatures as a persistable (id, sig) relation —
+    * compute ONCE at ingest, store next to the corpus, and feed
+    * [[minhashLshPairsAgainstSignatures]] on every later batch instead of
+    * re-shingling the full corpus text per ingest round. A narrow per-row
+    * projection; `n`/`k` must match across every relation later joined.
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, k: Int = 64): DataFrame =
+    df.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+
+  /** (id, sig) → (id, sig, band, bhash) band explode — the (band, hash)
+    * equi-join key both LSH joins shuffle on.
+    */
+  private def bandExplode(sigs: DataFrame, k: Int, bands: Int): DataFrame =
+    sigs.select(col("id"), col("sig"),
+      posexplode(lshBandHashes(col("sig"), bands, k / bands)).as(Seq("band", "bhash")))
+
   /** Per-row (id, sig, band, bhash) banding used by both LSH joins —
     * signature + band hashes are narrow per-row expressions; the explode
     * produces the (band, hash) equi-join key.
     */
   private def lshBanded(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int, bands: Int): DataFrame =
-    df.select(
-        col(idCol).as("id"),
-        minhashSignature(shingles(col(textCol), n), k).as("sig"))
-      .select(col("id"), col("sig"),
-        posexplode(lshBandHashes(col("sig"), bands, k / bands)).as(Seq("band", "bhash")))
+    bandExplode(minhashSignatures(df, idCol, textCol, n, k), k, bands)
 
   /** MinHash-LSH candidate pairs above an estimated-Jaccard threshold.
     *
@@ -123,17 +137,32 @@ object DedupOps {
     * one side, batch bands probe), verify the signature estimate BEFORE
     * the distinct so only 24-byte survivors shuffle. At steady state the
     * batch side is small — AQE broadcasts it and the corpus's banded rows
-    * never move. Corpus signatures/bands are recomputed here from text;
-    * a production loop would persist `(id, sig)` once at ingest and feed
-    * the projection in directly — the operator only needs the columns,
-    * not their provenance. Ids must be disjoint across the two inputs.
+    * never move. This overload recomputes signatures from text on both
+    * sides; the production loop persists [[minhashSignatures]] once at
+    * ingest and calls [[minhashLshPairsAgainstSignatures]], so the corpus
+    * text is never re-shingled. Ids must be disjoint across the inputs.
     */
   def minhashLshPairsAgainst(corpus: DataFrame, batch: DataFrame,
                              idCol: String, textCol: String,
                              n: Int = 3, k: Int = 64, bands: Int = 16,
-                             threshold: Double = 0.5): DataFrame = {
-    val a = lshBanded(corpus, idCol, textCol, n, k, bands).alias("a")
-    val b = lshBanded(batch, idCol, textCol, n, k, bands).alias("b")
+                             threshold: Double = 0.5): DataFrame =
+    minhashLshPairsAgainstSignatures(
+      minhashSignatures(corpus, idCol, textCol, n, k),
+      minhashSignatures(batch, idCol, textCol, n, k),
+      k, bands, threshold)
+
+  /** [[minhashLshPairsAgainst]] over PRECOMPUTED (id, sig) relations
+    * ([[minhashSignatures]]) — the steady-state ingest shape: the corpus
+    * side reads its persisted signature table (a few hundred bytes per
+    * document, no text column ever scanned) and only the new batch pays
+    * the shingling pass. Both relations must share the signature
+    * parameters (`k`, and the shingle `n` at signature time).
+    */
+  def minhashLshPairsAgainstSignatures(corpusSigs: DataFrame, batchSigs: DataFrame,
+                                       k: Int = 64, bands: Int = 16,
+                                       threshold: Double = 0.5): DataFrame = {
+    val a = bandExplode(corpusSigs, k, bands).alias("a")
+    val b = bandExplode(batchSigs, k, bands).alias("b")
     a.join(b,
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -115,6 +115,12 @@ class DedupSpec extends SparkSuite {
     assert((old ++ cross ++ fresh) == full,
       s"incremental decomposition must equal the from-scratch union " +
         s"(missing: ${full -- (old ++ cross ++ fresh)}, extra: ${(old ++ cross ++ fresh) -- full})")
+    // persisted-signature path (corpus text never re-shingled) is identical
+    val viaSigs = norm(DedupOps.minhashLshPairsAgainstSignatures(
+      DedupOps.minhashSignatures(corpus, "doc_id", "text", n = 3, k = 64),
+      DedupOps.minhashSignatures(batch, "doc_id", "text", n = 3, k = 64),
+      k = 64, bands = 8, threshold = 0.5))
+    assert(viaSigs == cross, "precomputed signatures must reproduce the text path")
   }
 
   test("global Jaccard join == quadratic all-pairs exactly, ALL tiers") {
