@@ -445,9 +445,15 @@ object Warehouse {
     val fs = new org.apache.hadoop.fs.Path(warehouseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(warehouseDir)
+    val exists = fs.exists(target)
     val deduped = dedupByKey(changes, keys, tiebreak)
+    // empty changelog against an existing warehouse: honor the documented
+    // no-op — without this check the full-outer join passes every row
+    // through and the swap rewrites the whole table for zero changes
+    if (exists && deduped.isEmpty)
+      return spark.read.parquet(warehouseDir).count()
     val merged =
-      if (fs.exists(target))
+      if (exists)
         applyChanges(spark.read.parquet(warehouseDir), deduped, keys, deleteCond)
       else {
         // no snapshot: inserts materialize, tombstones are no-ops
@@ -474,7 +480,12 @@ object Warehouse {
     * partitions are never read, never written. `partCol` must be part of
     * every change row (a tombstone must name its partition — the same
     * contract that lets the table format analogs, Delta/Iceberg MERGE
-    * with partition predicates, prune). Returns touched-partition name →
+    * with partition predicates, prune); `deleteCond` may reference it
+    * (the flag is evaluated before the column is stripped for the
+    * per-partition merge). When a changelog CREATES a partition and
+    * `payloadCols` is not given, the payload is taken from an existing
+    * partition's schema so a CDC flag column cannot fork that partition's
+    * schema from the rest of the table. Returns touched-partition name →
     * post-merge row count.
     */
   def applyChangesPartitioned(changes: DataFrame, warehouseDir: String,
@@ -484,26 +495,54 @@ object Warehouse {
                               maxTouchedPartitions: Int = 10000): Map[String, Long] = {
     require(changes.columns.contains(partCol),
       s"applyChangesPartitioned: changelog must carry the partition column $partCol")
-    val touched = changes.select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0))
-    require(touched.forall(_ != null),
-      s"applyChangesPartitioned: null $partCol in changelog — null partitions " +
-        "cannot address a partition directory")
-    require(touched.length <= maxTouchedPartitions,
-      s"applyChangesPartitioned: changelog touches ${touched.length} partitions " +
-        s"(> $maxTouchedPartitions) — a batch touching most of the table should " +
-        "use applyChangesParquet's single rewrite instead")
-    // Hive layouts escape special characters in partition VALUES; rather
-    // than reimplement that escaping here, refuse values that would name
-    // a different directory than Spark's writer used
-    touched.foreach(p => require(!p.exists("/=%\\".contains(_)),
-      s"applyChangesPartitioned: partition value '$p' needs Hive escaping — " +
-        "unsupported by the raw-dir addressing here"))
-    touched.sorted.map { p =>
-      val pDir = s"$warehouseDir/$partCol=$p"
-      val pChanges = changes.filter(col(partCol).cast("string") === p).drop(partCol)
-      p -> applyChangesParquet(pChanges, pDir, keys, tiebreak, deleteCond, payloadCols)
-    }.toMap
+    // Evaluate the tombstone flag while partCol is still bound (a delete
+    // predicate over the partition column is legitimate — "partition
+    // retired"), and persist: every per-partition merge below re-reads
+    // this relation, and without the persist each one would re-execute
+    // the caller's full upstream lineage.
+    val flagged = changes.withColumn("__pdel", coalesce(deleteCond, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val touched = flagged.select(col(partCol).cast("string")).distinct()
+        .collect().map(_.getString(0))
+      require(touched.forall(p => p != null && p.nonEmpty),
+        s"applyChangesPartitioned: null/empty $partCol in changelog — Spark " +
+          "stores both under __HIVE_DEFAULT_PARTITION__, which raw-dir " +
+          "addressing here does not speak")
+      require(touched.length <= maxTouchedPartitions,
+        s"applyChangesPartitioned: changelog touches ${touched.length} partitions " +
+          s"(> $maxTouchedPartitions) — a batch touching most of the table should " +
+          "use applyChangesParquet's single rewrite instead")
+      // Hive layouts escape special characters in partition VALUES; rather
+      // than reimplement that escaping here, refuse values that would name
+      // a different directory than Spark's writer used
+      touched.foreach(p => require(!p.exists("/=%\\".contains(_)),
+        s"applyChangesPartitioned: partition value '$p' needs Hive escaping — " +
+          "unsupported by the raw-dir addressing here"))
+      // Creation payload for brand-new partitions: an existing partition's
+      // schema keeps the table uniform (minus keys and the flag); only a
+      // table with no partitions at all falls back to the changelog shape.
+      val fs = new org.apache.hadoop.fs.Path(warehouseDir)
+        .getFileSystem(changes.sparkSession.sparkContext.hadoopConfiguration)
+      val createPayload =
+        if (payloadCols.nonEmpty) payloadCols
+        else {
+          val existing = if (!fs.exists(new org.apache.hadoop.fs.Path(warehouseDir))) Array.empty[String]
+            else fs.listStatus(new org.apache.hadoop.fs.Path(warehouseDir))
+              .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
+              .map(_.getPath.toString)
+          existing.headOption
+            .map(dir => changes.sparkSession.read.parquet(dir)
+              .columns.filterNot(keys.contains).toSeq)
+            .getOrElse(changes.columns.filterNot((keys :+ partCol :+ "__pdel").contains).toSeq)
+        }
+      touched.sorted.map { p =>
+        val pDir = s"$warehouseDir/$partCol=$p"
+        val pChanges = flagged.filter(col(partCol).cast("string") === p).drop(partCol)
+        p -> applyChangesParquet(pChanges, pDir, keys, tiebreak,
+          deleteCond = col("__pdel"), payloadCols = createPayload)
+      }.toMap
+    } finally flagged.unpersist()
   }
 
   // ---------------------------------------------------------------- SCD-2

@@ -18,7 +18,11 @@ class TablesSpec extends SparkSuite {
 
   test("events loader passes a native TIMESTAMP ts column through") {
     val dir = tmp()
-    Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"), 7L, "click", 1.5, """{"k":3}"""))
+    // instant-based construction: Timestamp.valueOf would parse in the
+    // HOST's default timezone while the assertion renders under the UTC
+    // session zone — this test must pass on any host TZ
+    val ts = java.sql.Timestamp.from(java.time.Instant.parse("2024-03-01T12:34:56.789Z"))
+    Seq((1L, ts, 7L, "click", 1.5, """{"k":3}"""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val got = Tables.events(spark, dir)

@@ -341,6 +341,13 @@ class WarehouseSpec extends SparkSuite {
     val parent = new java.io.File(dir).getParentFile
     assert(!new java.io.File(parent, "_wh.staging").exists())
     assert(!new java.io.File(parent, "_wh.old").exists())
+    // an empty changelog is a true no-op: count returned, table not rewritten
+    def dataFiles() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified()).toMap
+    val before = dataFiles()
+    val emptyC = Seq.empty[(Int, String, Boolean)].toDF("k", "s", "del")
+    assert(Warehouse.applyChangesParquet(emptyC, dir, Seq("k"), Seq($"s"), $"del") == 2)
+    assert(dataFiles() == before, "empty changelog must not rewrite the warehouse")
   }
 
   test("applyChangesPartitioned: only touched partitions merge; others' files untouched") {
@@ -354,17 +361,29 @@ class WarehouseSpec extends SparkSuite {
         .map(f => f.getName -> f.lastModified()).toMap
     }
     val p3Before = filesOf("p3")
-    // touch p1 (update 1, delete 2) and p2 (insert 5); p3 untouched
-    val changes = Seq((1, "p1", "A", false), (2, "p1", "b", true), (5, "p2", "e", false))
+    // touch p1 (update 1, delete 2), p2 (insert 5), and CREATE p4 (insert 6,
+    // plus a tombstone for an absent key that must neither insert nor leak
+    // the flag column into the new partition's schema); p3 untouched
+    val changes = Seq((1, "p1", "A", false), (2, "p1", "b", true), (5, "p2", "e", false),
+      (6, "p4", "f", false), (7, "p4", "g", true))
       .toDF("k", "p", "s", "del")
     val counts = Warehouse.applyChangesPartitioned(changes, dir, "p",
       Seq("k"), Seq($"s"), $"del")
-    assert(counts == Map("p1" -> 1L, "p2" -> 2L), s"got $counts")
+    assert(counts == Map("p1" -> 1L, "p2" -> 2L, "p4" -> 1L), s"got $counts")
     val state = spark.read.parquet(dir).select("k", "p", "s")
       .as[(Int, String, String)].collect().toSet
-    assert(state == Set((1, "p1", "A"), (3, "p2", "c"), (5, "p2", "e"), (4, "p3", "d")),
-      s"got $state")
+    assert(state == Set((1, "p1", "A"), (3, "p2", "c"), (5, "p2", "e"),
+      (4, "p3", "d"), (6, "p4", "f")), s"got $state")
     assert(filesOf("p3") == p3Before, "untouched partition was rewritten")
+    // the created partition's schema matches the table (no flag columns)
+    assert(spark.read.parquet(s"$dir/p=p4").columns.toSet == Set("k", "s"),
+      "new partition schema must match existing partitions")
+    // empty-string partition values address __HIVE_DEFAULT_PARTITION__,
+    // which raw-dir addressing refuses
+    val empty = Seq((9, "", "z", false)).toDF("k", "p", "s", "del")
+    intercept[IllegalArgumentException] {
+      Warehouse.applyChangesPartitioned(empty, dir, "p", Seq("k"), Seq($"s"), $"del")
+    }
     // a value needing Hive escaping is refused loudly
     val bad = Seq((9, "x=y", "z", false)).toDF("k", "p", "s", "del")
     intercept[IllegalArgumentException] {
