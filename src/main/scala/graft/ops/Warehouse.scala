@@ -440,18 +440,30 @@ object Warehouse {
   def applyChangesParquet(changes: DataFrame, warehouseDir: String,
                           keys: Seq[String], tiebreak: Seq[Column],
                           deleteCond: Column,
-                          payloadCols: Seq[String] = Seq.empty): Long = {
+                          payloadCols: Seq[String] = Seq.empty): Long =
+    applyChangesParquetInternal(changes, warehouseDir, keys, tiebreak,
+      deleteCond, payloadCols, skipEmptyProbe = false)
+
+  private def applyChangesParquetInternal(changes: DataFrame, warehouseDir: String,
+                                          keys: Seq[String], tiebreak: Seq[Column],
+                                          deleteCond: Column, payloadCols: Seq[String],
+                                          skipEmptyProbe: Boolean): Long = {
     val spark = changes.sparkSession
     val fs = new org.apache.hadoop.fs.Path(warehouseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(warehouseDir)
     val exists = fs.exists(target)
-    val deduped = dedupByKey(changes, keys, tiebreak)
     // empty changelog against an existing warehouse: honor the documented
     // no-op — without this check the full-outer join passes every row
-    // through and the swap rewrites the whole table for zero changes
-    if (exists && deduped.isEmpty)
+    // through and the swap rewrites the whole table for zero changes.
+    // Probe the PRE-dedup relation (dedup preserves emptiness): isEmpty on
+    // the deduped plan would execute the TopK exchange once for the probe
+    // and again for the merge write. The partitioned wrapper skips the
+    // probe entirely — its per-partition slices are non-empty by
+    // construction (the touched list came from the same rows).
+    if (exists && !skipEmptyProbe && changes.isEmpty)
       return spark.read.parquet(warehouseDir).count()
+    val deduped = dedupByKey(changes, keys, tiebreak)
     val merged =
       if (exists)
         applyChanges(spark.read.parquet(warehouseDir), deduped, keys, deleteCond)
@@ -463,6 +475,9 @@ object Warehouse {
         deduped.filter(!coalesce(deleteCond, lit(false)))
           .select((keys ++ payload).map(col): _*)
       }
+    // an all-tombstone changelog for an ABSENT warehouse must not create
+    // an empty table dir ("no-op if absent — it never inserts")
+    if (!exists && merged.isEmpty) return 0L
     stagedSwap(fs, warehouseDir) { stagingPath =>
       merged.write.mode("overwrite").parquet(stagingPath)
       spark.read.parquet(stagingPath).count()
@@ -485,8 +500,11 @@ object Warehouse {
     * per-partition merge). When a changelog CREATES a partition and
     * `payloadCols` is not given, the payload is taken from an existing
     * partition's schema so a CDC flag column cannot fork that partition's
-    * schema from the rest of the table. Returns touched-partition name →
-    * post-merge row count.
+    * schema from the rest of the table. Partition values address their
+    * directories through Spark's own path escaping, so any value the
+    * writer could store is merged correctly (null/empty excepted — those
+    * live in `__HIVE_DEFAULT_PARTITION__` and are refused loudly).
+    * Returns touched-partition name → post-merge row count.
     */
   def applyChangesPartitioned(changes: DataFrame, warehouseDir: String,
                               partCol: String, keys: Seq[String], tiebreak: Seq[Column],
@@ -495,6 +513,8 @@ object Warehouse {
                               maxTouchedPartitions: Int = 10000): Map[String, Long] = {
     require(changes.columns.contains(partCol),
       s"applyChangesPartitioned: changelog must carry the partition column $partCol")
+    require(!changes.columns.contains("__pdel"),
+      "applyChangesPartitioned: column name __pdel is reserved by the merge encoding")
     // Evaluate the tombstone flag while partCol is still bound (a delete
     // predicate over the partition column is legitimate — "partition
     // retired"), and persist: every per-partition merge below re-reads
@@ -507,24 +527,26 @@ object Warehouse {
         .collect().map(_.getString(0))
       require(touched.forall(p => p != null && p.nonEmpty),
         s"applyChangesPartitioned: null/empty $partCol in changelog — Spark " +
-          "stores both under __HIVE_DEFAULT_PARTITION__, which raw-dir " +
-          "addressing here does not speak")
+          "stores both under __HIVE_DEFAULT_PARTITION__; route such rows " +
+          "through a dedicated default-partition pass instead")
       require(touched.length <= maxTouchedPartitions,
         s"applyChangesPartitioned: changelog touches ${touched.length} partitions " +
           s"(> $maxTouchedPartitions) — a batch touching most of the table should " +
           "use applyChangesParquet's single rewrite instead")
-      // Hive layouts escape special characters in partition VALUES; rather
-      // than reimplement that escaping here, refuse values that would name
-      // a different directory than Spark's writer used
-      touched.foreach(p => require(!p.exists("/=%\\".contains(_)),
-        s"applyChangesPartitioned: partition value '$p' needs Hive escaping — " +
-          "unsupported by the raw-dir addressing here"))
+      // Directory names use Spark's OWN partition-value escaping (':' →
+      // %3A etc.), so every value addresses exactly the dir
+      // `df.write.partitionBy` produced — a hand-rolled charset guard
+      // missed most of the writer's escape set and could fork a partition
+      val esc: String => String =
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+      val fs = new org.apache.hadoop.fs.Path(warehouseDir)
+        .getFileSystem(changes.sparkSession.sparkContext.hadoopConfiguration)
       // Creation payload for brand-new partitions: an existing partition's
       // schema keeps the table uniform (minus keys and the flag); only a
       // table with no partitions at all falls back to the changelog shape.
-      val fs = new org.apache.hadoop.fs.Path(warehouseDir)
-        .getFileSystem(changes.sparkSession.sparkContext.hadoopConfiguration)
-      val createPayload =
+      // lazy: the steady-state batch touches only existing partitions and
+      // must not pay the listing + footer read for a schema it never uses.
+      lazy val createPayload =
         if (payloadCols.nonEmpty) payloadCols
         else {
           val existing = if (!fs.exists(new org.apache.hadoop.fs.Path(warehouseDir))) Array.empty[String]
@@ -537,10 +559,12 @@ object Warehouse {
             .getOrElse(changes.columns.filterNot((keys :+ partCol :+ "__pdel").contains).toSeq)
         }
       touched.sorted.map { p =>
-        val pDir = s"$warehouseDir/$partCol=$p"
+        val pDir = s"$warehouseDir/$partCol=${esc(p)}"
+        val pc = if (fs.exists(new org.apache.hadoop.fs.Path(pDir))) payloadCols
+          else createPayload
         val pChanges = flagged.filter(col(partCol).cast("string") === p).drop(partCol)
-        p -> applyChangesParquet(pChanges, pDir, keys, tiebreak,
-          deleteCond = col("__pdel"), payloadCols = createPayload)
+        p -> applyChangesParquetInternal(pChanges, pDir, keys, tiebreak,
+          deleteCond = col("__pdel"), payloadCols = pc, skipEmptyProbe = true)
       }.toMap
     } finally flagged.unpersist()
   }

@@ -384,11 +384,31 @@ class WarehouseSpec extends SparkSuite {
     intercept[IllegalArgumentException] {
       Warehouse.applyChangesPartitioned(empty, dir, "p", Seq("k"), Seq($"s"), $"del")
     }
-    // a value needing Hive escaping is refused loudly
-    val bad = Seq((9, "x=y", "z", false)).toDF("k", "p", "s", "del")
-    intercept[IllegalArgumentException] {
-      Warehouse.applyChangesPartitioned(bad, dir, "p", Seq("k"), Seq($"s"), $"del")
-    }
+    // an all-tombstone changelog for an ABSENT partition must not create a
+    // phantom partition dir
+    val ghost = Seq((8, "p9", "h", true)).toDF("k", "p", "s", "del")
+    assert(Warehouse.applyChangesPartitioned(ghost, dir, "p",
+      Seq("k"), Seq($"s"), $"del") == Map("p9" -> 0L))
+    assert(!new java.io.File(s"$dir/p=p9").exists(), "phantom partition created")
+  }
+
+  test("applyChangesPartitioned: values needing Hive escaping address the writer's dir") {
+    val dir = Files.createTempDirectory("cdce").toString + "/wh"
+    // ':' is in Spark's escape set — the writer stores p=2024%3Aq1
+    Seq((1, "2024:q1", "a"), (2, "plain", "b")).toDF("k", "p", "s")
+      .write.partitionBy("p").parquet(dir)
+    assert(new java.io.File(s"$dir/p=2024%3Aq1").exists(), "writer layout assumption")
+    val changes = Seq((1, "2024:q1", "A", false), (3, "2024:q1", "c", false))
+      .toDF("k", "p", "s", "del")
+    val counts = Warehouse.applyChangesPartitioned(changes, dir, "p",
+      Seq("k"), Seq($"s"), $"del")
+    assert(counts == Map("2024:q1" -> 2L), s"got $counts")
+    val state = spark.read.parquet(dir).select("k", "p", "s")
+      .as[(Int, String, String)].collect().toSet
+    assert(state == Set((1, "2024:q1", "A"), (3, "2024:q1", "c"), (2, "plain", "b")),
+      s"escaped partition forked: $state")
+    assert(!new java.io.File(s"$dir/p=2024:q1").exists(),
+      "a raw (unescaped) sibling dir was created — partition forked")
   }
 
   test("applyChanges equals a sequential per-row model on random changelogs") {
