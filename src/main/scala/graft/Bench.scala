@@ -100,7 +100,14 @@ object Bench {
     val outliers = steadyRaw.collect {
       case (q, s) if (s > 3 * cold.getOrElse(q, Double.MaxValue) && s > 0.5) || s > retimeFloor => q
     }.toSeq.sorted
-    val reruns = outliers.map(q => q -> runOne(q, SparkEntry.queries(q))).toMap
+    // a rerun that THROWS records its time-to-throw, which must never
+    // replace a valid steady sample via min() — a 0.2 s fast-fail would
+    // report a phantom speedup; the throw still lands in `failed`
+    val reruns = outliers.flatMap { q =>
+      val nFailedBefore = failed.size
+      val t = runOne(q, SparkEntry.queries(q))
+      if (failed.size > nFailedBefore) None else Some(q -> t)
+    }.toMap
     val steady = steadyRaw.map { case (q, s) => q -> math.min(s, reruns.getOrElse(q, s)) }
     val coldTotal = cold.values.sum
     val steadyTotal = steady.values.sum
@@ -135,8 +142,9 @@ object Bench {
     val calJson =
       s"""{"pre":${sec(calPre._1)},"mid":${sec(calMid._1)},"post":${sec(calPost._1)},""" +
         s""""pre_mt":${sec(calPre._2)},"mid_mt":${sec(calMid._2)},"post_mt":${sec(calPost._2)}}"""
+    // rerun -1.0 = the re-timing attempt itself threw (query also in `failed`)
     val retimedJson = outliers.map { q =>
-      s"""{"q":"$q","cold":${sec(cold.getOrElse(q, 0.0))},"steady":${sec(steadyRaw(q))},"rerun":${sec(reruns(q))}}"""
+      s"""{"q":"$q","cold":${sec(cold.getOrElse(q, 0.0))},"steady":${sec(steadyRaw(q))},"rerun":${sec(reruns.getOrElse(q, -1.0))}}"""
     }.mkString("[", ",", "]")
     // "headline":"cold" marks the metric semantics of `value` (the cold
     // first pass, including codegen/JIT) so round-over-round trend tooling

@@ -48,7 +48,13 @@ object Tables {
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case TimestampNTZType =>
         raw.withColumn("ts", raw.col("ts").cast(TimestampType))
-      case _ => raw
+      case TimestampType => raw
+      // fail at LOAD time with the vintage named — a wildcard pass-through
+      // would re-create round 8's failure mode, where an unannounced
+      // fixture retype surfaced only as nine queries dying one by one
+      case other => throw new IllegalStateException(
+        s"events.ts fixture vintage $other is not handled — extend Tables.events " +
+          "with the new type's normalization to TimestampType")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
