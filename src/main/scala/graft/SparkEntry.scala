@@ -1111,6 +1111,26 @@ private[graft] object Queries {
       n = 3, k = 64, bands = 8, threshold = 0.7)
       .orderBy("id_a", "id_b")
 
+  /** Incremental corpus-vs-batch near-dup pairs through the PERSISTED
+    * signature path ([[graft.ops.DedupOps.minhashLshPairsAgainstSignatures]])
+    * — the daily-crawl ingest shape: even doc_ids play the standing corpus
+    * (its text never re-shingled at steady state), odd doc_ids the new
+    * batch; only cross pairs emit. Hash-seeded like `q_dedup_minhash`, so
+    * no SQL oracle — the decomposition equivalence (old ∪ cross ∪
+    * batch-internal = pairs of the union) and signature-path identity are
+    * spec-proved in `DedupSpec`.
+    */
+  def dedupIncr(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    DedupOps.minhashLshPairsAgainstSignatures(
+        DedupOps.minhashSignatures(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          n = 3, k = 64),
+        DedupOps.minhashSignatures(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text",
+          n = 3, k = 64),
+        k = 64, bands = 8, threshold = 0.7)
+      .orderBy("id_a", "id_b")
+  }
+
   /** GLOBAL exact Jaccard join via the prefix filter — no blocking column;
     * candidates from rarest-first prefix tokens, exact verify. Same answer
     * as the quadratic form (oracle computes all pairs), sub-quadratic plan.
@@ -2832,6 +2852,7 @@ private[graft] object Queries {
     "q_dedup_hash" -> (dedupHash _),
     "q_ngram_jaccard" -> (ngramJaccard _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_incr" -> (dedupIncr _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_jaccard_global" -> (dedupJaccardGlobal _),
     "q_dedup_cluster" -> (dedupCluster _),

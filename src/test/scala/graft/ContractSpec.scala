@@ -17,6 +17,8 @@ class ContractSpec extends SparkSuite {
     val allowed = Set(
       "q_approx_distinct",    // HLL 3-sigma bound: PropertySpec
       "q_dedup_minhash",      // hash-seeded estimate: DedupSpec
+      "q_dedup_incr",         // hash-seeded incremental LSH: DedupSpec
+                              // (decomposition + signature-path identity)
       "q_dedup_simhash",      // hash-seeded blocking: DedupSpec
       "q_similarity_lsh",     // seeded projections: SimilaritySpec recall
       "q_similarity_ivf",     // centroid-seeded: SimilaritySpec full-probe == brute
