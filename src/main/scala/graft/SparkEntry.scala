@@ -1981,6 +1981,48 @@ private[graft] object Queries {
       |WHERE s.o_orderkey IS NULL OR NOT coalesce(s.del, FALSE)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Partition-pruned CDC apply ([[graft.ops.Warehouse
+    * .applyChangesPartitioned]]) as a driver-verified ROUND-TRIP: write an
+    * orders snapshot Hive-partitioned by priority, apply the same
+    * changelog as `q_merge_cdc` (tombstones delete, matched keys take the
+    * bumped price, new keys insert), read the table back. Each touched
+    * `o_orderpriority=value` dir merges and swaps independently — the
+    * 100 TB shape where a batch rewrites only the partitions it names —
+    * and the oracle computes the expected END STATE with the same
+    * FULL JOIN + CASE as `q_merge_cdc`, priority carried through.
+    */
+  def mergeCdcPart(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/root/repo/target/fixtures/cdc_part_${new java.io.File(d).getName}"
+    ord(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
+    val changes = ord(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"), col("o_orderpriority"))
+    W.applyChangesPartitioned(changes, dir, "o_orderpriority",
+      Seq("o_orderkey"), Seq(col("o_orderstatus")),
+      deleteCond = col("o_orderstatus") === "F")
+    s.read.parquet(dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  private val mergeCdcPartSql =
+    """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      |           FROM orders WHERE o_orderkey % 3 <> 0),
+      |s AS (SELECT o_orderkey, o_orderstatus,
+      |             o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+      |             o_orderpriority, o_orderstatus = 'F' AS del
+      |      FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+      | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderpriority ELSE t.o_orderpriority END AS o_orderpriority
+      |FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+      |WHERE s.o_orderkey IS NULL OR NOT coalesce(s.del, FALSE)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Symmetric int8 embedding quantization ([[graft.ops.SimilarityOps
     * .quantizeInt8]]) — 4× smaller vector storage. First 8 code values are
     * flattened to scalar columns (the driver's pandas compare cannot sort
@@ -2874,6 +2916,7 @@ private[graft] object Queries {
     "q_validate" -> (validate _),
     "q_profile" -> (profile _),
     "q_merge_cdc" -> (mergeCdc _),
+    "q_merge_cdc_part" -> (mergeCdcPart _),
     "q_text_bigrams" -> (textBigrams _),
     "q_scd2" -> (scd2 _),
     "q_embed_quantize" -> (embedQuantize _),
@@ -3007,6 +3050,7 @@ private[graft] object Queries {
     "q_validate" -> validateSql,
     "q_profile" -> profileSql,
     "q_merge_cdc" -> mergeCdcSql,
+    "q_merge_cdc_part" -> mergeCdcPartSql,
     "q_text_bigrams" -> textBigramsSql,
     "q_scd2" -> scd2Sql,
     "q_embed_quantize" -> embedQuantizeSql,
