@@ -41,6 +41,12 @@ private[graft] object Queries {
   private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
   private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
 
+  /** Per-sf fixture directory for queries that write their own input or
+    * sink at construction time — one place to relocate the fixture root.
+    */
+  private def fixtureDir(d: String, prefix: String): String =
+    s"/root/repo/target/fixtures/${prefix}_${new java.io.File(d).getName}"
+
   // ================================================================ flagship
   /** TPC-H Q1: scan → pushed filter → hash agg (partial+final, single
     * shuffle on 6 grouping values) → sort. SURVEY §2.7 q_agg_group.
@@ -88,7 +94,7 @@ private[graft] object Queries {
 
   // ================================================================ S2+S5: CSV round-trip (write TSV with NULL '', read back)
   def scanCsv(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/root/repo/target/fixtures/csv_roundtrip_${new java.io.File(d).getName}"
+    val dir = fixtureDir(d, "csv_roundtrip")
     ord(s, d)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
         col("o_totalprice"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_day"))
@@ -109,7 +115,7 @@ private[graft] object Queries {
 
   // ================================================================ S3+S4: JSONL round-trip (append-shaped sink, schema'd scan)
   def scanJsonl(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/root/repo/target/fixtures/jsonl_roundtrip_${new java.io.File(d).getName}"
+    val dir = fixtureDir(d, "jsonl_roundtrip")
     cust(s, d).select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
       .write.mode("overwrite").json(dir)
     s.read
@@ -134,7 +140,7 @@ private[graft] object Queries {
     * identical shape for the file-path and HTTP-path scans.
     */
   private def pagedFixtureDir(s: SparkSession, d: String): String = {
-    val dir = s"/root/repo/target/fixtures/paged_${new java.io.File(d).getName}"
+    val dir = fixtureDir(d, "paged")
     if (!new java.io.File(dir, "_manifest.json").exists()) {
       graft.sources.PagedManifest.writeFixture(
         ord(s, d).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"),
@@ -1995,9 +2001,14 @@ private[graft] object Queries {
     * rows reach the oracled result only via the unread original files.
     */
   def mergeCdcPart(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/root/repo/target/fixtures/cdc_part_${new java.io.File(d).getName}"
+    val dir = fixtureDir(d, "cdc_part")
+    // cast pins the stored type: if a fixture vintage ever ships
+    // o_totalprice as DECIMAL, merged partitions would otherwise rewrite
+    // as DOUBLE (the * 1.1 changes side) while untouched partitions kept
+    // DECIMAL files — a readback-breaking per-partition type fork
     ord(s, d).filter(col("o_orderkey") % 3 =!= 0)
-      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
         col("o_orderpriority"))
       .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
     val changes = ord(s, d).filter(col("o_orderkey") % 2 === 0 &&
@@ -2523,7 +2534,7 @@ private[graft] object Queries {
     * only that directory — partition pruning by layout).
     */
   def writePartitioned(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/root/repo/target/fixtures/part_orders_${new java.io.File(d).getName}"
+    val dir = fixtureDir(d, "part_orders")
     ord(s, d)
       .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
       .write.mode("overwrite").partitionBy("o_orderpriority").parquet(dir)
@@ -2608,7 +2619,7 @@ private[graft] object Queries {
     * per file — is asserted in LayoutOpsSpec.
     */
   def zorderScan(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/root/repo/target/fixtures/zorder_orders_${new java.io.File(d).getName}"
+    val dir = fixtureDir(d, "zorder_orders")
     graft.ops.LayoutOps.zorderWrite(
       ord(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_totalprice")),
       graft.ops.LayoutOps.rank32(col("o_custkey"), 0, 200000),
@@ -2695,7 +2706,7 @@ private[graft] object Queries {
     * write/scan surface; ORC ships in spark-sql).
     */
   def scanOrc(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/root/repo/target/fixtures/orc_roundtrip_${new java.io.File(d).getName}"
+    val dir = fixtureDir(d, "orc_roundtrip")
     cust(s, d).select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
       .write.mode("overwrite").orc(dir)
     s.read.orc(dir).orderBy("c_custkey")
@@ -2731,7 +2742,7 @@ private[graft] object Queries {
     * clobbering prior batches.
     */
   def sinkJsonl(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/root/repo/target/fixtures/sink_jsonl_${new java.io.File(d).getName}"
+    val dir = fixtureDir(d, "sink_jsonl")
     val src = cust(s, d).select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
     src.filter(col("c_custkey") % 2 === 0).write.mode("overwrite").json(dir)
     src.filter(col("c_custkey") % 2 =!= 0).write.mode("append").json(dir)
@@ -2812,7 +2823,7 @@ private[graft] object Queries {
     * clean source — proving the malformed injections change nothing.
     */
   def scanCorrupt(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/root/repo/target/fixtures/corrupt_jsonl_${new java.io.File(d).getName}"
+    val dir = fixtureDir(d, "corrupt_jsonl")
     cust(s, d).select(col("c_custkey"), col("c_name"))
       .write.mode("overwrite").json(dir)
     java.nio.file.Files.write(
