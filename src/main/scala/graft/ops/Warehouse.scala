@@ -487,86 +487,217 @@ object Warehouse {
   /** [[applyChangesParquet]] for a Hive-partitioned warehouse, rewriting
     * ONLY the partitions the changelog touches — the flat wrapper rewrites
     * the whole table per batch, which at 100 TB is a full-table write for
-    * a few-GB changelog. Here the changelog's distinct partition values
-    * (bounded: one scalar collect of the batch's partitions, `require`d
-    * under `maxTouchedPartitions`) select the `partCol=value` dirs to
-    * merge; each merges and swaps independently with the per-partition
-    * isolation (and reader caveat) of [[compactPartitioned]]. Untouched
-    * partitions are never read, never written. `partCol` must be part of
-    * every change row (a tombstone must name its partition — the same
-    * contract that lets the table format analogs, Delta/Iceberg MERGE
-    * with partition predicates, prune); `deleteCond` may reference it
-    * (the flag is evaluated before the column is stripped for the
-    * per-partition merge). When a changelog CREATES a partition and
-    * `payloadCols` is not given, the payload is taken from an existing
-    * partition's schema so a CDC flag column cannot fork that partition's
-    * schema from the rest of the table. Partition values address their
-    * directories through Spark's own path escaping, so any value the
-    * writer could store is merged correctly (null/empty excepted — those
-    * live in `__HIVE_DEFAULT_PARTITION__` and are refused loudly).
-    * Returns touched-partition name → post-merge row count.
+    * a few-GB changelog. Single-column convenience over
+    * [[applyChangesPartitionedBy]]; returns touched-partition value →
+    * post-merge row count.
     */
   def applyChangesPartitioned(changes: DataFrame, warehouseDir: String,
                               partCol: String, keys: Seq[String], tiebreak: Seq[Column],
                               deleteCond: Column,
                               payloadCols: Seq[String] = Seq.empty,
-                              maxTouchedPartitions: Int = 10000): Map[String, Long] = {
-    require(changes.columns.contains(partCol),
-      s"applyChangesPartitioned: changelog must carry the partition column $partCol")
+                              maxTouchedPartitions: Int = 10000): Map[String, Long] =
+    applyChangesPartitionedBy(changes, warehouseDir, Seq(partCol), keys, tiebreak,
+      deleteCond, payloadCols, maxTouchedPartitions)
+      .map { case (vals, n) => vals.head -> n }
+
+  /** Partition-pruned CDC apply as ONE Spark job wave, for a warehouse
+    * Hive-partitioned by `partCols` (multi-level: `date=…/source=…`).
+    *
+    * The changelog's distinct partition tuples (one bounded collect,
+    * `require`d under `maxTouchedPartitions`) select the leaf dirs to
+    * merge. All existing touched leaves are scanned as ONE multi-path
+    * relation, full-outer-joined ONCE against the changelog on
+    * `(partCols ++ keys)`, and the merged result is written in ONE
+    * dynamic-partition job into a hidden staging root — then each touched
+    * leaf swaps in via metadata-only renames. Job count is O(1) in the
+    * number of touched partitions (collect + merge-write + count), vs the
+    * previous serial per-partition loop that scheduled a full merge job
+    * per touched dir — the difference between 3 jobs and 10 000 at a
+    * wide changelog. Crash posture is STRICTLY better than the serial
+    * loop: any failure before the swap loop leaves the table fully
+    * untouched (staging is `_`-hidden); a crash inside the rename loop
+    * (milliseconds per dir) leaves each leaf individually old-or-new,
+    * never torn.
+    *
+    * Contracts (all inherited from the serial version, now stated):
+    * - `partCols` must be part of every change row — a tombstone must
+    *   name its partition, the same contract that lets Delta/Iceberg
+    *   MERGE with partition predicates prune.
+    * - **Keys must be partition-stable.** Each partition merges
+    *   independently on `(partCols ++ keys)`: a change row whose key
+    *   currently lives in a DIFFERENT partition upserts into the named
+    *   partition while the old row survives — a table-wide duplicate. A
+    *   key move must ship as an explicit tombstone in the old partition
+    *   plus an insert in the new one.
+    * - Touched partitions must share one schema (the single-relation scan
+    *   reads them under the first touched leaf's footer schema); the
+    *   create path below is designed so the table never forks.
+    * - `deleteCond` may reference `partCols` ("partition retired") — the
+    *   flag is evaluated before the merge encoding takes over.
+    *
+    * When a changelog CREATES a partition and `payloadCols` is not given,
+    * the payload is taken from an existing partition's schema so a CDC
+    * flag column cannot fork that partition's schema from the rest of the
+    * table. Partition values address their directories through Spark's
+    * own path escaping (both on the read side and in the staging
+    * `partitionBy` write, which uses the same `escapePathName`), so any
+    * value the writer could store is merged correctly (null/empty
+    * excepted — those live in `__HIVE_DEFAULT_PARTITION__` and are
+    * refused loudly). Partition columns are handled as STRINGS
+    * throughout (the dir-name representation, injected via a
+    * user-specified read schema so no partition-type inference can fork
+    * a `p=1.50` dir into `p=1.5`). Returns touched partition-value tuple
+    * (in `partCols` order) → post-merge row count.
+    */
+  def applyChangesPartitionedBy(changes: DataFrame, warehouseDir: String,
+                                partCols: Seq[String], keys: Seq[String],
+                                tiebreak: Seq[Column], deleteCond: Column,
+                                payloadCols: Seq[String] = Seq.empty,
+                                maxTouchedPartitions: Int = 10000): Map[Seq[String], Long] = {
+    val spark = changes.sparkSession
+    require(partCols.nonEmpty, "applyChangesPartitionedBy: partCols is empty")
+    partCols.foreach(pc => require(changes.columns.contains(pc),
+      s"applyChangesPartitionedBy: changelog must carry the partition column $pc"))
     require(!changes.columns.contains("__pdel"),
-      "applyChangesPartitioned: column name __pdel is reserved by the merge encoding")
-    // Evaluate the tombstone flag while partCol is still bound (a delete
-    // predicate over the partition column is legitimate — "partition
-    // retired"), and persist: every per-partition merge below re-reads
-    // this relation, and without the persist each one would re-execute
-    // the caller's full upstream lineage.
-    val flagged = changes.withColumn("__pdel", coalesce(deleteCond, lit(false)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val touched = flagged.select(col(partCol).cast("string")).distinct()
-        .collect().map(_.getString(0))
-      require(touched.forall(p => p != null && p.nonEmpty),
-        s"applyChangesPartitioned: null/empty $partCol in changelog — Spark " +
-          "stores both under __HIVE_DEFAULT_PARTITION__; route such rows " +
-          "through a dedicated default-partition pass instead")
-      require(touched.length <= maxTouchedPartitions,
-        s"applyChangesPartitioned: changelog touches ${touched.length} partitions " +
-          s"(> $maxTouchedPartitions) — a batch touching most of the table should " +
-          "use applyChangesParquet's single rewrite instead")
-      // Directory names use Spark's OWN partition-value escaping (':' →
-      // %3A etc.), so every value addresses exactly the dir
-      // `df.write.partitionBy` produced — a hand-rolled charset guard
-      // missed most of the writer's escape set and could fork a partition
-      val esc: String => String =
-        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
-      val fs = new org.apache.hadoop.fs.Path(warehouseDir)
-        .getFileSystem(changes.sparkSession.sparkContext.hadoopConfiguration)
-      // Creation payload for brand-new partitions: an existing partition's
-      // schema keeps the table uniform (minus keys and the flag); only a
-      // table with no partitions at all falls back to the changelog shape.
-      // lazy: the steady-state batch touches only existing partitions and
-      // must not pay the listing + footer read for a schema it never uses.
-      lazy val createPayload =
-        if (payloadCols.nonEmpty) payloadCols
-        else {
-          val existing = if (!fs.exists(new org.apache.hadoop.fs.Path(warehouseDir))) Array.empty[String]
-            else fs.listStatus(new org.apache.hadoop.fs.Path(warehouseDir))
-              .filter(st => st.isDirectory && st.getPath.getName.startsWith(s"$partCol="))
-              .map(_.getPath.toString)
-          existing.headOption
-            .map(dir => changes.sparkSession.read.parquet(dir)
-              .columns.filterNot(keys.contains).toSeq)
-            .getOrElse(changes.columns.filterNot((keys :+ partCol :+ "__pdel").contains).toSeq)
+      "applyChangesPartitionedBy: column name __pdel is reserved by the merge encoding")
+    // Evaluate the tombstone flag while partCols are still the caller's
+    // types, then pin every partition column to its dir-name string form —
+    // the single representation the join keys, the staging partitionBy,
+    // and the swap-path addressing all share.
+    val flagged0 = changes.withColumn("__pdel", coalesce(deleteCond, lit(false)))
+    val flagged = partCols.foldLeft(flagged0)((d, pc) => d.withColumn(pc, col(pc).cast("string")))
+    val touched: Seq[Seq[String]] = flagged
+      .select(partCols.map(col): _*).distinct()
+      .collect().map(r => partCols.indices.map(r.getString)).toSeq
+    touched.flatten.foreach(v => require(v != null && v.nonEmpty,
+      s"applyChangesPartitionedBy: null/empty partition value in changelog — " +
+        "Spark stores both under __HIVE_DEFAULT_PARTITION__; route such rows " +
+        "through a dedicated default-partition pass instead"))
+    require(touched.length <= maxTouchedPartitions,
+      s"applyChangesPartitionedBy: changelog touches ${touched.length} partitions " +
+        s"(> $maxTouchedPartitions) — a batch touching most of the table should " +
+        "use applyChangesParquet's single rewrite instead")
+    if (touched.isEmpty) return Map.empty
+    // Directory names use Spark's OWN partition-value escaping (':' →
+    // %3A etc.), so every value addresses exactly the dir
+    // `df.write.partitionBy` produced — a hand-rolled charset guard
+    // missed most of the writer's escape set and could fork a partition
+    val esc: String => String =
+      org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    def relPath(vals: Seq[String]): String =
+      partCols.zip(vals).map { case (c, v) => s"$c=${esc(v)}" }.mkString("/")
+    val fs = new org.apache.hadoop.fs.Path(warehouseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (existingT, createdT) = touched.partition(vals =>
+      fs.exists(new org.apache.hadoop.fs.Path(s"$warehouseDir/${relPath(vals)}")))
+
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val partFields = partCols.map(StructField(_, StringType, nullable = true))
+    // Payload for partitions the changelog CREATES: an existing partition's
+    // schema keeps the table uniform; only a table with no partitions at
+    // all falls back to the changelog shape. lazy — the steady-state batch
+    // touches only existing partitions and must not pay the leaf walk.
+    lazy val createPayload: Seq[String] =
+      if (payloadCols.nonEmpty) payloadCols
+      else {
+        // walk one partCols-deep chain of `c=…` dirs to a leaf's footer
+        def leafOf(dir: org.apache.hadoop.fs.Path, level: Int): Option[org.apache.hadoop.fs.Path] =
+          if (level == partCols.length) Some(dir)
+          else if (!fs.exists(dir)) None
+          else fs.listStatus(dir)
+            .filter(st => st.isDirectory &&
+              st.getPath.getName.startsWith(s"${partCols(level)}="))
+            .flatMap(st => leafOf(st.getPath, level + 1)).headOption
+        leafOf(new org.apache.hadoop.fs.Path(warehouseDir), 0)
+          .map(leaf => spark.read.parquet(leaf.toString)
+            .columns.filterNot(keys.contains).toSeq)
+          .getOrElse(changes.columns
+            .filterNot((keys ++ partCols :+ "__pdel").contains).toSeq)
+      }
+
+    // one row per (partition, key): same result as the old per-partition
+    // dedup, in one exchange
+    val deduped = dedupByKey(flagged, partCols ++ keys, tiebreak)
+    // membership per TUPLE, not per column: with (a=1,b=2) created and
+    // (a=1,b=9) existing, an (a=1,b=9) change row must not switch branch
+    val tupleCol = struct(partCols.map(col): _*)
+    def inTuples(ts: Seq[Seq[String]]): Column =
+      tupleCol.isin(ts.map(vals => struct(vals.map(lit): _*)): _*)
+    val mergedExisting: Option[DataFrame] = existingT.headOption.map { first =>
+      // footer schema of one touched leaf + partCols as STRING — the
+      // user-specified schema keeps partition values verbatim (no type
+      // inference) and skips per-dir footer jobs for the other leaves
+      val dataSchema = spark.read
+        .parquet(s"$warehouseDir/${relPath(first)}").schema
+      val base = spark.read
+        .schema(StructType(dataSchema.fields.toSeq ++ partFields))
+        .option("basePath", warehouseDir)
+        .parquet(existingT.map(vals => s"$warehouseDir/${relPath(vals)}"): _*)
+      // only the existing-partition slice of the changelog — created-
+      // partition rows would otherwise insert HERE (as unmatched join
+      // rows) and again in the create branch
+      applyChanges(base, deduped.filter(inTuples(existingT)),
+        partCols ++ keys, col("__pdel"))
+    }
+    val insertsCreated: Option[DataFrame] = if (createdT.isEmpty) None else {
+      val inCreated = deduped.filter(!col("__pdel")).filter(inTuples(createdT))
+      Some(inCreated.select((partCols ++ keys ++ createPayload).map(col): _*))
+    }
+    // distinct payloads would make this union fail LOUDLY — a created
+    // partition may never fork the table schema
+    val merged = (mergedExisting, insertsCreated) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => return touched.map(_ -> 0L).toMap
+    }
+
+    val stagingRoot = new org.apache.hadoop.fs.Path(warehouseDir + ".cdcstage")
+    val hidden = new org.apache.hadoop.fs.Path(stagingRoot.getParent,
+      "_" + stagingRoot.getName)
+    fs.delete(hidden, true)
+    // ONE dynamic-partition job materializes every touched leaf's new
+    // contents; nothing in the live table has moved yet
+    merged.write.mode("overwrite").partitionBy(partCols: _*).parquet(hidden.toString)
+    // post-merge counts: one aggregate over the (small) staged output
+    val stagedCounts: Map[Seq[String], Long] =
+      spark.read
+        .schema(StructType(merged.drop(partCols: _*).schema.fields.toSeq ++ partFields))
+        .parquet(hidden.toString)
+        .groupBy(partCols.map(col): _*).count()
+        .collect().map(r => partCols.indices.map(r.getString) -> r.getLong(partCols.length))
+        .toMap
+    // swap loop: metadata-only renames per touched leaf (old-or-new per
+    // leaf, never torn); a leaf absent from staging is either fully
+    // deleted (existing → becomes an empty-but-readable dir) or a ghost
+    // (created by tombstones only → never materializes)
+    val emptyLeafDf = {
+      lazy val df = spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        merged.drop(partCols: _*).schema).repartition(1)
+      () => df
+    }
+    touched.foreach { vals =>
+      val target = new org.apache.hadoop.fs.Path(s"$warehouseDir/${relPath(vals)}")
+      val staged = new org.apache.hadoop.fs.Path(s"$hidden/${relPath(vals)}")
+      if (fs.exists(staged)) {
+        val retired = new org.apache.hadoop.fs.Path(target.getParent,
+          "_" + target.getName + ".old")
+        fs.delete(retired, true)
+        fs.mkdirs(target.getParent)
+        if (fs.exists(target)) fs.rename(target, retired)
+        fs.rename(staged, target)
+        fs.delete(retired, true)
+      } else if (fs.exists(target)) {
+        // every row of an existing leaf deleted: swap in an empty dir with
+        // a real footer so whole-table reads keep working
+        stagedSwap(fs, target.toString) { stagingPath =>
+          emptyLeafDf().write.mode("overwrite").parquet(stagingPath)
         }
-      touched.sorted.map { p =>
-        val pDir = s"$warehouseDir/$partCol=${esc(p)}"
-        val pc = if (fs.exists(new org.apache.hadoop.fs.Path(pDir))) payloadCols
-          else createPayload
-        val pChanges = flagged.filter(col(partCol).cast("string") === p).drop(partCol)
-        p -> applyChangesParquetInternal(pChanges, pDir, keys, tiebreak,
-          deleteCond = col("__pdel"), payloadCols = pc, skipEmptyProbe = true)
-      }.toMap
-    } finally flagged.unpersist()
+      } // ghost: tombstones for an absent partition never create the dir
+    }
+    fs.delete(hidden, true)
+    touched.map(vals => vals -> stagedCounts.getOrElse(vals, 0L)).toMap
   }
 
   // ---------------------------------------------------------------- SCD-2

@@ -436,6 +436,91 @@ class WarehouseSpec extends SparkSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("applyChangesPartitioned: job count is O(1) in touched partitions") {
+    // the r9 serial loop scheduled a full merge job PER touched dir; the
+    // single-job merge must run the same number of Spark jobs whether the
+    // changelog touches 2 partitions or 8
+    def jobsFor(nParts: Int): Int = {
+      val dir = Files.createTempDirectory("cdcj").toString + "/wh"
+      (0 until nParts).flatMap(p => Seq((p * 10, s"p$p", "a"), (p * 10 + 1, s"p$p", "b")))
+        .toDF("k", "p", "s").write.partitionBy("p").parquet(dir)
+      val changes = (0 until nParts).flatMap(p =>
+          Seq((p * 10, s"p$p", "A", false), (p * 10 + 2, s"p$p", "c", false)))
+        .toDF("k", "p", "s", "del")
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val counts = Warehouse.applyChangesPartitioned(changes, dir, "p",
+          Seq("k"), Seq($"s"), $"del")
+        assert(counts.size == nParts && counts.values.forall(_ == 3L), s"got $counts")
+        org.apache.spark.TestListenerShim.waitForListeners(spark.sparkContext)
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (j2, j8) = (jobsFor(2), jobsFor(8))
+    assert(j8 == j2, s"job count grew with touched partitions: 2→$j2 jobs, 8→$j8 jobs")
+  }
+
+  test("applyChangesPartitionedBy: multi-column layout, untouched leaves byte-stable") {
+    val dir = Files.createTempDirectory("cdcm").toString + "/wh"
+    Seq((1, "2024-01-01", "web", "a"), (2, "2024-01-01", "app", "b"),
+        (3, "2024-01-02", "web", "c"), (4, "2024-01-02", "app", "d"))
+      .toDF("k", "dt", "src", "s")
+      .write.partitionBy("dt", "src").parquet(dir)
+    def filesOf(rel: String): Map[String, Long] = {
+      val d = new java.io.File(s"$dir/$rel")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouched = Seq("dt=2024-01-01/src=app", "dt=2024-01-02/src=web",
+      "dt=2024-01-02/src=app").map(r => r -> filesOf(r)).toMap
+    // touch only (2024-01-01, web): update 1, insert 5; CREATE (2024-01-03, web)
+    val changes = Seq(
+      (1, "2024-01-01", "web", "A", false), (5, "2024-01-01", "web", "e", false),
+      (6, "2024-01-03", "web", "f", false), (7, "2024-01-03", "web", "g", true))
+      .toDF("k", "dt", "src", "s", "del")
+    val counts = Warehouse.applyChangesPartitionedBy(changes, dir, Seq("dt", "src"),
+      Seq("k"), Seq($"s"), $"del")
+    assert(counts == Map(Seq("2024-01-01", "web") -> 2L, Seq("2024-01-03", "web") -> 1L),
+      s"got $counts")
+    val state = spark.read.parquet(dir).select("k", "dt", "src", "s")
+      .as[(Int, String, String, String)].collect().toSet
+    assert(state == Set(
+      (1, "2024-01-01", "web", "A"), (5, "2024-01-01", "web", "e"),
+      (2, "2024-01-01", "app", "b"), (3, "2024-01-02", "web", "c"),
+      (4, "2024-01-02", "app", "d"), (6, "2024-01-03", "web", "f")), s"got $state")
+    untouched.foreach { case (rel, before) =>
+      assert(filesOf(rel) == before, s"untouched leaf $rel was rewritten")
+    }
+    // created leaf carries the table payload schema, not the CDC flag
+    assert(spark.read.parquet(s"$dir/dt=2024-01-03/src=web").columns.toSet == Set("k", "s"))
+    // a change row naming only a PREFIX of the partition columns is refused
+    val partial = Seq((8, "2024-01-01", "x", false)).toDF("k", "dt", "s", "del")
+    intercept[IllegalArgumentException] {
+      Warehouse.applyChangesPartitionedBy(partial, dir, Seq("dt", "src"),
+        Seq("k"), Seq($"s"), $"del")
+    }
+  }
+
+  test("applyChangesPartitioned: fully-deleted partition becomes empty but readable") {
+    val dir = Files.createTempDirectory("cdcd").toString + "/wh"
+    Seq((1, "p1", "a"), (2, "p1", "b"), (3, "p2", "c"))
+      .toDF("k", "p", "s").write.partitionBy("p").parquet(dir)
+    val changes = Seq((1, "p1", "a", true), (2, "p1", "b", true))
+      .toDF("k", "p", "s", "del")
+    val counts = Warehouse.applyChangesPartitioned(changes, dir, "p",
+      Seq("k"), Seq($"s"), $"del")
+    assert(counts == Map("p1" -> 0L), s"got $counts")
+    // whole-table read still works and sees only p2's row
+    val state = spark.read.parquet(dir).select("k", "p", "s")
+      .as[(Int, String, String)].collect().toSet
+    assert(state == Set((3, "p2", "c")), s"got $state")
+  }
+
   test("applyChanges is idempotent for upsert-only changelogs") {
     val snap = Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("k", "s", "v")
     val changes = Seq((2, "B", 2.5, false), (3, "c", 3.0, false))
