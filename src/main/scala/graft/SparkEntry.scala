@@ -2023,6 +2023,40 @@ private[graft] object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** Schema-evolving CDC merge ([[graft.ops.Warehouse.applyChangesEvolve]],
+    * the Delta `mergeSchema` analog): the snapshot has only
+    * (o_orderkey, o_orderstatus); the changelog arrives with a NEW
+    * o_totalprice column. Evolution appends it to the output schema —
+    * matched/inserted rows take the changelog value, pass-through rows
+    * carry NULL — while tombstones and the matched/insert resolution
+    * behave exactly as `q_merge_cdc`. The oracle computes the same
+    * widened FULL JOIN end state.
+    */
+  def mergeCdcEvolve(s: SparkSession, d: String): DataFrame = {
+    val snap = ord(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select("o_orderkey", "o_orderstatus")
+    val changes = ord(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    W.applyChangesEvolve(snap, changes, Seq("o_orderkey"),
+        deleteCond = col("o_orderstatus") === "F")
+      .orderBy("o_orderkey")
+  }
+
+  private val mergeCdcEvolveSql =
+    """WITH t AS (SELECT o_orderkey, o_orderstatus
+      |           FROM orders WHERE o_orderkey % 3 <> 0),
+      |s AS (SELECT o_orderkey, o_orderstatus,
+      |             CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      |             o_orderstatus = 'F' AS del
+      |      FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE NULL END AS o_totalprice
+      |FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+      |WHERE s.o_orderkey IS NULL OR NOT coalesce(s.del, FALSE)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val mergeCdcPartSql =
     """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
       |           FROM orders WHERE o_orderkey % 3 <> 0),
@@ -2933,6 +2967,7 @@ private[graft] object Queries {
     "q_profile" -> (profile _),
     "q_merge_cdc" -> (mergeCdc _),
     "q_merge_cdc_part" -> (mergeCdcPart _),
+    "q_merge_cdc_evolve" -> (mergeCdcEvolve _),
     "q_text_bigrams" -> (textBigrams _),
     "q_scd2" -> (scd2 _),
     "q_embed_quantize" -> (embedQuantize _),
@@ -3067,6 +3102,7 @@ private[graft] object Queries {
     "q_profile" -> profileSql,
     "q_merge_cdc" -> mergeCdcSql,
     "q_merge_cdc_part" -> mergeCdcPartSql,
+    "q_merge_cdc_evolve" -> mergeCdcEvolveSql,
     "q_text_bigrams" -> textBigramsSql,
     "q_scd2" -> scd2Sql,
     "q_embed_quantize" -> embedQuantizeSql,

@@ -401,25 +401,58 @@ object Warehouse {
     * shuffles at all.
     */
   def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
-                   deleteCond: Column): DataFrame = {
+                   deleteCond: Column): DataFrame =
+    applyChangesImpl(target, changes, keys, deleteCond, extraPayload = Seq.empty)
+
+  /** [[applyChanges]] with SCHEMA EVOLUTION — the Delta `mergeSchema`
+    * analog the plain merge deliberately refuses (`require`: changes must
+    * carry exactly the target's payload). The most common CDC event after
+    * row churn is a NEW COLUMN in the change feed; here any changelog
+    * column that is not a key, not an existing payload column, and not
+    * named in `metaCols` is APPENDED to the output schema — pre-existing
+    * target rows carry NULL for it, updated/inserted rows take the
+    * changelog value. `metaCols` names the changelog's transport-metadata
+    * columns (the delete flag, op codes, change timestamps) so they are
+    * never absorbed as table payload; columns the target has but the
+    * changelog lacks still `require`-fail (a DROPPED column is a schema
+    * migration, not a merge).
+    */
+  def applyChangesEvolve(target: DataFrame, changes: DataFrame, keys: Seq[String],
+                         deleteCond: Column,
+                         metaCols: Seq[String] = Seq.empty): DataFrame = {
+    val payload = target.columns.filterNot(keys.contains).toSeq
+    val extra = changes.columns
+      .filterNot(c => keys.contains(c) || payload.contains(c) || metaCols.contains(c))
+      .toSeq
+    applyChangesImpl(target, changes, keys, deleteCond, extra)
+  }
+
+  private def applyChangesImpl(target: DataFrame, changes: DataFrame, keys: Seq[String],
+                               deleteCond: Column, extraPayload: Seq[String]): DataFrame = {
     val payload = target.columns.filterNot(keys.contains).toSeq
     require(payload.nonEmpty, "applyChanges: target has no non-key columns")
     // the packed-struct encoding reserves these names; a colliding payload
     // column would silently shadow the tombstone flag inside the struct
-    require(!payload.contains("__del") && !target.columns.exists(Set("__t", "__s")),
+    require(!(payload ++ extraPayload).contains("__del") &&
+        !target.columns.exists(Set("__t", "__s")),
       "applyChanges: column names __del/__t/__s are reserved by the merge encoding")
     require(keys.forall(changes.columns.contains) && payload.forall(changes.columns.contains),
       s"applyChanges: changes must carry the target's key and payload columns " +
         s"(missing: ${(keys ++ payload).filterNot(changes.columns.contains).mkString(", ")})")
-    val t = target.select(keys.map(col) :+ struct(payload.map(col): _*).as("__t"): _*)
+    // evolved columns: the target side never had them — null of the
+    // changelog's declared type keeps both struct shapes identical
+    val tPayload = payload.map(col) ++ extraPayload.map(c =>
+      lit(null).cast(changes.schema(c).dataType).as(c))
+    val allPayload = payload ++ extraPayload
+    val t = target.select(keys.map(col) :+ struct(tPayload: _*).as("__t"): _*)
     val s = changes
       .withColumn("__del", deleteCond)
-      .select(keys.map(col) :+ struct((payload.map(col) :+ col("__del")): _*).as("__s"): _*)
+      .select(keys.map(col) :+ struct((allPayload.map(col) :+ col("__del")): _*).as("__s"): _*)
     t.join(s, keys, "full_outer")
       // tombstones drop matched keys and never insert; a null __s.__del
       // (NULL-valued delete predicate) is not a delete, per SQL CASE
       .filter(col("__s").isNull || !coalesce(col("__s.__del"), lit(false)))
-      .select(keys.map(col) ++ payload.map { c =>
+      .select(keys.map(col) ++ allPayload.map { c =>
         when(col("__s").isNotNull, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
       }: _*)
   }
@@ -440,14 +473,18 @@ object Warehouse {
   def applyChangesParquet(changes: DataFrame, warehouseDir: String,
                           keys: Seq[String], tiebreak: Seq[Column],
                           deleteCond: Column,
-                          payloadCols: Seq[String] = Seq.empty): Long =
+                          payloadCols: Seq[String] = Seq.empty,
+                          evolveSchema: Boolean = false,
+                          metaCols: Seq[String] = Seq.empty): Long =
     applyChangesParquetInternal(changes, warehouseDir, keys, tiebreak,
-      deleteCond, payloadCols, skipEmptyProbe = false)
+      deleteCond, payloadCols, skipEmptyProbe = false, evolveSchema, metaCols)
 
   private def applyChangesParquetInternal(changes: DataFrame, warehouseDir: String,
                                           keys: Seq[String], tiebreak: Seq[Column],
                                           deleteCond: Column, payloadCols: Seq[String],
-                                          skipEmptyProbe: Boolean): Long = {
+                                          skipEmptyProbe: Boolean,
+                                          evolveSchema: Boolean = false,
+                                          metaCols: Seq[String] = Seq.empty): Long = {
     val spark = changes.sparkSession
     val fs = new org.apache.hadoop.fs.Path(warehouseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -465,13 +502,16 @@ object Warehouse {
       return spark.read.parquet(warehouseDir).count()
     val deduped = dedupByKey(changes, keys, tiebreak)
     val merged =
-      if (exists)
+      if (exists && evolveSchema)
+        applyChangesEvolve(spark.read.parquet(warehouseDir), deduped, keys,
+          deleteCond, metaCols)
+      else if (exists)
         applyChanges(spark.read.parquet(warehouseDir), deduped, keys, deleteCond)
       else {
         // no snapshot: inserts materialize, tombstones are no-ops
         val payload =
           if (payloadCols.nonEmpty) payloadCols
-          else deduped.columns.filterNot(keys.contains).toSeq
+          else deduped.columns.filterNot(c => keys.contains(c) || metaCols.contains(c)).toSeq
         deduped.filter(!coalesce(deleteCond, lit(false)))
           .select((keys ++ payload).map(col): _*)
       }
@@ -495,9 +535,11 @@ object Warehouse {
                               partCol: String, keys: Seq[String], tiebreak: Seq[Column],
                               deleteCond: Column,
                               payloadCols: Seq[String] = Seq.empty,
-                              maxTouchedPartitions: Int = 10000): Map[String, Long] =
+                              maxTouchedPartitions: Int = 10000,
+                              evolveSchema: Boolean = false,
+                              metaCols: Seq[String] = Seq.empty): Map[String, Long] =
     applyChangesPartitionedBy(changes, warehouseDir, Seq(partCol), keys, tiebreak,
-      deleteCond, payloadCols, maxTouchedPartitions)
+      deleteCond, payloadCols, maxTouchedPartitions, evolveSchema, metaCols)
       .map { case (vals, n) => vals.head -> n }
 
   /** Partition-pruned CDC apply as ONE Spark job wave, for a warehouse
@@ -553,7 +595,9 @@ object Warehouse {
                                 partCols: Seq[String], keys: Seq[String],
                                 tiebreak: Seq[Column], deleteCond: Column,
                                 payloadCols: Seq[String] = Seq.empty,
-                                maxTouchedPartitions: Int = 10000): Map[Seq[String], Long] = {
+                                maxTouchedPartitions: Int = 10000,
+                                evolveSchema: Boolean = false,
+                                metaCols: Seq[String] = Seq.empty): Map[Seq[String], Long] = {
     val spark = changes.sparkSession
     require(partCols.nonEmpty, "applyChangesPartitionedBy: partCols is empty")
     partCols.foreach(pc => require(changes.columns.contains(pc),
@@ -636,12 +680,25 @@ object Warehouse {
       // only the existing-partition slice of the changelog — created-
       // partition rows would otherwise insert HERE (as unmatched join
       // rows) and again in the create branch
-      applyChanges(base, deduped.filter(inTuples(existingT)),
-        partCols ++ keys, col("__pdel"))
+      val slice = deduped.filter(inTuples(existingT))
+      // with evolution, TOUCHED leaves rewrite under the widened schema
+      // while untouched leaves keep their old footers — whole-table
+      // readers must fold the two with `mergeSchema` (or the table's
+      // declared schema); the evolved column reads as NULL there, the
+      // same contract the flat path gives pre-existing rows
+      if (evolveSchema)
+        applyChangesEvolve(base, slice, partCols ++ keys, col("__pdel"),
+          metaCols :+ "__pdel")
+      else applyChanges(base, slice, partCols ++ keys, col("__pdel"))
     }
     val insertsCreated: Option[DataFrame] = if (createdT.isEmpty) None else {
       val inCreated = deduped.filter(!col("__pdel")).filter(inTuples(createdT))
-      Some(inCreated.select((partCols ++ keys ++ createPayload).map(col): _*))
+      val createCols =
+        if (!evolveSchema) createPayload
+        else createPayload ++ flagged.columns.filterNot(c =>
+          keys.contains(c) || partCols.contains(c) || metaCols.contains(c) ||
+            c == "__pdel" || createPayload.contains(c))
+      Some(inCreated.select((partCols ++ keys ++ createCols).map(col): _*))
     }
     // distinct payloads would make this union fail LOUDLY — a created
     // partition may never fork the table schema

@@ -521,6 +521,48 @@ class WarehouseSpec extends SparkSuite {
     assert(state == Set((3, "p2", "c")), s"got $state")
   }
 
+  test("applyChangesEvolve: new changelog column appends with NULLs; meta stays out") {
+    val snap = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "s")
+    // changelog grew a `score` column the table lacks; `op` is transport
+    // metadata that must never become payload
+    val changes = Seq((2, "B", 2.5, "u"), (4, "d", 4.0, "i"), (3, "c", 0.0, "d"))
+      .toDF("k", "s", "score", "op")
+    val out = Warehouse.applyChangesEvolve(snap, changes, Seq("k"),
+      deleteCond = $"op" === "d", metaCols = Seq("op"))
+    assert(out.columns.toSeq == Seq("k", "s", "score"))
+    val state = out.as[(Int, String, Option[Double])].collect().toSet
+    // 1: pre-existing, NULL score; 2: updated with score; 3: deleted; 4: inserted
+    assert(state == Set((1, "a", None), (2, "B", Some(2.5)), (4, "d", Some(4.0))),
+      s"got $state")
+    // the plain merge DROPS the unknown column (target schema is law);
+    // evolve is the only path that widens
+    val plain = Warehouse.applyChanges(snap, changes, Seq("k"), $"op" === "d")
+    assert(plain.columns.toSeq == Seq("k", "s"))
+  }
+
+  test("applyChangesPartitioned: evolveSchema widens touched leaves, mergeSchema folds") {
+    val dir = Files.createTempDirectory("cdcev").toString + "/wh"
+    Seq((1, "p1", "a"), (2, "p2", "b")).toDF("k", "p", "s")
+      .write.partitionBy("p").parquet(dir)
+    // changelog adds `score`; touches only p1 (update) and creates p3
+    val changes = Seq((1, "p1", "A", 1.5, false), (3, "p3", "c", 3.5, false))
+      .toDF("k", "p", "s", "score", "del")
+    // the flag column must be NAMED as metadata — evolution would
+    // otherwise absorb it into the table schema
+    val counts = Warehouse.applyChangesPartitioned(changes, dir, "p",
+      Seq("k"), Seq($"s"), $"del", evolveSchema = true, metaCols = Seq("del"))
+    assert(counts == Map("p1" -> 1L, "p3" -> 1L), s"got $counts")
+    // touched + created leaves carry the evolved schema; untouched p2 keeps
+    // its old footer — whole-table readers fold the fork with mergeSchema
+    assert(spark.read.parquet(s"$dir/p=p1").columns.toSet == Set("k", "s", "score"))
+    assert(spark.read.parquet(s"$dir/p=p2").columns.toSet == Set("k", "s"))
+    val state = spark.read.option("mergeSchema", "true").parquet(dir)
+      .select("k", "p", "s", "score")
+      .as[(Int, String, String, Option[Double])].collect().toSet
+    assert(state == Set((1, "p1", "A", Some(1.5)), (2, "p2", "b", None),
+      (3, "p3", "c", Some(3.5))), s"got $state")
+  }
+
   test("applyChanges is idempotent for upsert-only changelogs") {
     val snap = Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("k", "s", "v")
     val changes = Seq((2, "B", 2.5, false), (3, "c", 3.0, false))
