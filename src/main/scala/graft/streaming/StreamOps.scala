@@ -70,6 +70,87 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming CDC apply — the changelog as the canonical STREAMING input
+    * (the Debezium-topic shape): a file-source stream of change rows is
+    * applied to a parquet warehouse by [[graft.ops.Warehouse
+    * .applyChangesParquet]] per micro-batch (tombstones delete, matched
+    * keys update, new keys insert), completing the S1×I2×CDC composition
+    * the reference's checkpoint+merge loop gestures at
+    * (scripts/extract.py:74-95 + scripts/load.py:107-159) — there the
+    * merge can only ever insert; here a replayed retraction is honored.
+    *
+    * Exactly-once posture, layered like [[incrementalIngest]] plus a
+    * batch-id marker (the discipline [[graft.ops.BatchIngest]] uses for
+    * its page checkpoint): Structured Streaming's offset log already
+    * guarantees a batch replays only after a crash BETWEEN sink
+    * completion and commit; the marker narrows even that window —
+    * - merge done, marker unwritten → replay re-merges; per-batch apply
+    *   is convergent (same changelog twice = same table), so the end
+    *   state is identical;
+    * - marker written, offsets uncommitted → replay is SKIPPED by the
+    *   marker.
+    * The marker lives beside the warehouse (`_<dir>.lastbatch`) and is
+    * keyed by the checkpoint's monotonically-increasing batchId — reset
+    * `checkpointDir` and the marker together or a fresh stream's batch 0
+    * would be mistaken for already-applied history.
+    */
+  def streamingCdcApply(spark: SparkSession, srcDir: String, schemaDdl: String,
+                        checkpointDir: String, warehouseDir: String,
+                        keys: Seq[String], tiebreak: Seq[org.apache.spark.sql.Column],
+                        deleteCond: org.apache.spark.sql.Column,
+                        payloadCols: Seq[String] = Seq.empty): StreamingQuery = {
+    val src = spark.readStream.schema(schemaDdl).parquet(srcDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatch(batch, batchId, warehouseDir, keys, tiebreak, deleteCond,
+          payloadCols)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[streamingCdcApply]]: merge unless the marker
+    * proves this batchId already applied. Package-visible so the replay
+    * spec can re-issue a batchId explicitly. Returns true when the merge
+    * ran, false when skipped as already applied.
+    */
+  private[graft] def applyCdcBatch(batch: DataFrame, batchId: Long,
+                                   warehouseDir: String, keys: Seq[String],
+                                   tiebreak: Seq[org.apache.spark.sql.Column],
+                                   deleteCond: org.apache.spark.sql.Column,
+                                   payloadCols: Seq[String]): Boolean = {
+    val spark = batch.sparkSession
+    val whPath = new org.apache.hadoop.fs.Path(warehouseDir)
+    val fs = whPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(whPath.getParent,
+      "_" + whPath.getName + ".lastbatch")
+    val last =
+      if (!fs.exists(marker)) -1L
+      else {
+        val in = fs.open(marker)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    if (batchId <= last) false
+    else {
+      Warehouse.applyChangesParquet(batch, warehouseDir, keys, tiebreak,
+        deleteCond, payloadCols)
+      // write-then-rename: a torn marker would wedge every later batch
+      val tmp = new org.apache.hadoop.fs.Path(marker.getParent,
+        marker.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(batchId.toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      fs.delete(marker, false)
+      fs.rename(tmp, marker)
+      true
+    }
+  }
+
   /** Streaming first-seen dedup via `flatMapGroupsWithState` — the custom
     * per-key state surface (`KeyValueGroupedDataset`) the built-in
     * `dropDuplicates` doesn't expose: state is an explicit Boolean

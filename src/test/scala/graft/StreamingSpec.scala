@@ -98,6 +98,72 @@ class StreamingSpec extends SparkSuite {
     assert(spark.read.parquet(wh).count() == 150)
   }
 
+  test("streaming CDC apply: kill/resume equals one batch merge, tombstones included") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("cdcstream").toString
+    val (srcDir, ckpt, wh) = (s"$base/src", s"$base/ckpt", s"$base/warehouse")
+    val ddl = "k bigint, s string, seq bigint, del boolean"
+    val tiebreak = Seq(col("seq").desc)
+    val payload = Seq("s", "seq")
+
+    // phase 1: inserts for keys 0..49
+    val b1 = (0L until 50L).map(k => (k, s"v1-$k", 1L, false))
+    b1.toDF("k", "s", "seq", "del").write.mode("append").parquet(srcDir)
+    StreamOps.streamingCdcApply(spark, srcDir, ddl, ckpt, wh,
+      Seq("k"), tiebreak, deleteCond = $"del", payloadCols = payload)
+      .awaitTermination()
+    assert(spark.read.parquet(wh).count() == 50)
+
+    // phase 2 (the "resume" after a stop): updates 0..9, tombstones 10..19,
+    // inserts 50..59 arrive; restart on the SAME checkpoint consumes only
+    // the new file
+    val b2 = (0L until 10L).map(k => (k, s"v2-$k", 2L, false)) ++
+      (10L until 20L).map(k => (k, s"v1-$k", 2L, true)) ++
+      (50L until 60L).map(k => (k, s"v2-$k", 2L, false))
+    b2.toDF("k", "s", "seq", "del").write.mode("append").parquet(srcDir)
+    StreamOps.streamingCdcApply(spark, srcDir, ddl, ckpt, wh,
+      Seq("k"), tiebreak, deleteCond = $"del", payloadCols = payload)
+      .awaitTermination()
+
+    // the streamed end state must equal ONE batch merge of the full
+    // changelog (latest-wins tiebreak makes sequential == single apply)
+    val whBatch = s"$base/warehouse_batch"
+    graft.ops.Warehouse.applyChangesParquet((b1 ++ b2).toDF("k", "s", "seq", "del"),
+      whBatch, Seq("k"), tiebreak, deleteCond = $"del", payloadCols = payload)
+    val canonWh = spark.read.parquet(wh).select("k", "s", "seq")
+      .as[(Long, String, Long)].collect().toSet
+    val canonBatch = spark.read.parquet(whBatch).select("k", "s", "seq")
+      .as[(Long, String, Long)].collect().toSet
+    assert(canonWh == canonBatch, "stream ≠ batch end state")
+    assert(canonWh.size == 50 && !canonWh.exists { case (k, _, _) => 10 <= k && k < 20 },
+      "tombstoned keys must be gone")
+    assert(canonWh.count { case (_, s, _) => s.startsWith("v2-") } == 20)
+
+    // replay safety, both crash windows:
+    // (a) marker written, offsets uncommitted → SAME batchId is skipped
+    val replay = (0L until 10L).map(k => (k, s"GHOST-$k", 3L, false))
+      .toDF("k", "s", "seq", "del")
+    val whP = new org.apache.hadoop.fs.Path(wh)
+    val fs = whP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(whP.getParent, "_" + whP.getName + ".lastbatch")
+    val lastId = {
+      val in = fs.open(marker)
+      try new String(in.readAllBytes()).trim.toLong finally in.close()
+    }
+    assert(!StreamOps.applyCdcBatch(replay, lastId, wh, Seq("k"), tiebreak,
+      $"del", payload), "an already-applied batchId must be skipped")
+    assert(spark.read.parquet(wh).select("k", "s", "seq")
+      .as[(Long, String, Long)].collect().toSet == canonWh)
+    // (b) merge done, marker unwritten → re-merge of the same changelog
+    // converges to the same table
+    val sameAgain = b2.toDF("k", "s", "seq", "del")
+    assert(StreamOps.applyCdcBatch(sameAgain, lastId + 1, wh, Seq("k"), tiebreak,
+      $"del", payload))
+    assert(spark.read.parquet(wh).select("k", "s", "seq")
+      .as[(Long, String, Long)].collect().toSet == canonWh,
+      "replayed merge must converge")
+  }
+
   test("S1 x I2: readStream over the paged source — kill mid-run, resume equals batch") {
     // MICRO_BATCH_READ on graft-paged: the page index is the streaming
     // offset, so checkpointLocation owns the "pages done" cursor the
