@@ -2057,6 +2057,66 @@ private[graft] object Queries {
       |WHERE s.o_orderkey IS NULL OR NOT coalesce(s.del, FALSE)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Merge-on-read CDC ([[graft.ops.Warehouse.appendPatch]] /
+    * [[graft.ops.Warehouse.readMergeOnRead]]): two patch batches land as
+    * O(batch) sidecar writes — the base parquet is never rewritten (spec
+    * asserts byte-stability) — and the scan-time fold shadows per key by
+    * batch order, honoring tombstones. The oracle computes the same
+    * sequential two-patch end state with cascaded FULL JOIN + CASE,
+    * later patch first.
+    */
+  def mergeMor(s: SparkSession, d: String): DataFrame = {
+    val dir = fixtureDir(d, "mor")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // reset base AND chain — the query must be a pure function of the
+    // fixture tables, not of how many times it has run
+    val whP = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(new org.apache.hadoop.fs.Path(whP.getParent, "_" + whP.getName + ".patches"), true)
+    ord(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .write.mode("overwrite").parquet(dir)
+    val p1 = ord(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"),
+        (col("o_orderstatus") === "F").as("del"))
+    val p2 = ord(s, d).filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * lit(1.2)).as("o_totalprice"),
+        (col("o_orderstatus") === "O").as("del"))
+    val W2 = graft.ops.Warehouse
+    W2.appendPatch(p1, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+    W2.appendPatch(p2, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+    W2.readMergeOnRead(s, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")))
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val mergeMorSql =
+    """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                  CAST(o_totalprice AS DOUBLE) AS pr
+      |           FROM orders WHERE o_orderkey % 3 <> 0),
+      |s1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |              o_totalprice * CAST(1.1 AS DOUBLE) AS pr,
+      |              o_orderstatus = 'F' AS del
+      |       FROM orders WHERE o_orderkey % 2 = 0),
+      |s2 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |              o_totalprice * CAST(1.2 AS DOUBLE) AS pr,
+      |              o_orderstatus = 'O' AS del
+      |       FROM orders WHERE o_orderkey % 5 = 0)
+      |SELECT coalesce(t.k, s1.k, s2.k) AS o_orderkey,
+      | CASE WHEN s2.k IS NOT NULL THEN s2.st
+      |      WHEN s1.k IS NOT NULL THEN s1.st ELSE t.st END AS o_orderstatus,
+      | CASE WHEN s2.k IS NOT NULL THEN s2.pr
+      |      WHEN s1.k IS NOT NULL THEN s1.pr ELSE t.pr END AS o_totalprice
+      |FROM t FULL JOIN s1 ON t.k = s1.k
+      |       FULL JOIN s2 ON coalesce(t.k, s1.k) = s2.k
+      |WHERE CASE WHEN s2.k IS NOT NULL THEN NOT coalesce(s2.del, FALSE)
+      |           WHEN s1.k IS NOT NULL THEN NOT coalesce(s1.del, FALSE)
+      |           ELSE TRUE END
+      |ORDER BY o_orderkey""".stripMargin
+
   private val mergeCdcPartSql =
     """WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
       |           FROM orders WHERE o_orderkey % 3 <> 0),
@@ -2968,6 +3028,7 @@ private[graft] object Queries {
     "q_merge_cdc" -> (mergeCdc _),
     "q_merge_cdc_part" -> (mergeCdcPart _),
     "q_merge_cdc_evolve" -> (mergeCdcEvolve _),
+    "q_merge_mor" -> (mergeMor _),
     "q_text_bigrams" -> (textBigrams _),
     "q_scd2" -> (scd2 _),
     "q_embed_quantize" -> (embedQuantize _),
@@ -3103,6 +3164,7 @@ private[graft] object Queries {
     "q_merge_cdc" -> mergeCdcSql,
     "q_merge_cdc_part" -> mergeCdcPartSql,
     "q_merge_cdc_evolve" -> mergeCdcEvolveSql,
+    "q_merge_mor" -> mergeMorSql,
     "q_text_bigrams" -> textBigramsSql,
     "q_scd2" -> scd2Sql,
     "q_embed_quantize" -> embedQuantizeSql,
