@@ -2057,6 +2057,39 @@ private[graft] object Queries {
       |WHERE s.o_orderkey IS NULL OR NOT coalesce(s.del, FALSE)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Profile-ADVISED join ([[graft.ops.ValidateOps.adviseJoin]] →
+    * [[graft.ops.ValidateOps.advisedJoin]]): the profiler loop closed.
+    * The build side's row count and the probe key's (rows, distinct,
+    * top-1 count) — the same O(1) scalars a cost-based optimizer reads
+    * from table stats — feed the advisor; customer is broadcast-small at
+    * every test sf, so the verdict is Broadcast and the executed plan
+    * carries no shuffle of orders at all (plan-pinned in
+    * `IntervalValidateSpec`; the Salted/Plain verdicts are pinned there
+    * too). The oracle is the strategy-invariant plain join.
+    */
+  def joinAdvised(s: SparkSession, d: String): DataFrame = {
+    val V = graft.ops.ValidateOps
+    val build = cust(s, d).withColumnRenamed("c_custkey", "o_custkey")
+    val probeProfile = V.profileStats(ord(s, d), Seq("o_custkey")).head()
+    val top = ord(s, d).groupBy("o_custkey").count()
+      .agg(max("count")).head().getLong(0)
+    val stats = V.KeyStats(probeProfile.getAs[Long]("n_rows"),
+      probeProfile.getAs[Long]("n_distinct"), top)
+    val strategy = V.adviseJoin(build.count(), stats)
+    V.advisedJoin(ord(s, d), build.select("o_custkey", "c_mktsegment"),
+        Seq("o_custkey"), strategy)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("o_totalprice")))).as("sum_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val joinAdvisedSql =
+    """SELECT c_mktsegment, COUNT(*) AS n,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Merge-on-read CDC ([[graft.ops.Warehouse.appendPatch]] /
     * [[graft.ops.Warehouse.readMergeOnRead]]): two patch batches land as
     * O(batch) sidecar writes — the base parquet is never rewritten (spec
@@ -3029,6 +3062,7 @@ private[graft] object Queries {
     "q_merge_cdc_part" -> (mergeCdcPart _),
     "q_merge_cdc_evolve" -> (mergeCdcEvolve _),
     "q_merge_mor" -> (mergeMor _),
+    "q_join_advised" -> (joinAdvised _),
     "q_text_bigrams" -> (textBigrams _),
     "q_scd2" -> (scd2 _),
     "q_embed_quantize" -> (embedQuantize _),
@@ -3165,6 +3199,7 @@ private[graft] object Queries {
     "q_merge_cdc_part" -> mergeCdcPartSql,
     "q_merge_cdc_evolve" -> mergeCdcEvolveSql,
     "q_merge_mor" -> mergeMorSql,
+    "q_join_advised" -> joinAdvisedSql,
     "q_text_bigrams" -> textBigramsSql,
     "q_scd2" -> scd2Sql,
     "q_embed_quantize" -> embedQuantizeSql,

@@ -58,7 +58,9 @@ class ContractSpec extends SparkSuite {
                                 // driver-small sketch that then broadcasts
       // sink queries ARE the write path
       "q_sink_jsonl", "q_sink_jdbc", "q_merge_jdbc", "q_write_partitioned",
-      "q_merge_cdc_part",  // snapshot fixture write + per-partition merge swaps
+      "q_merge_cdc_part",  // snapshot fixture write + single-job merge swap
+      "q_merge_mor",       // base fixture write + O(batch) patch appends
+      "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor
       // scan queries write their fixture on first use + scalar watermark cuts
       "q_scan_csv", "q_scan_jsonl", "q_scan_corrupt", "q_scan_orc",
       "q_scan_paged", "q_scan_http", "q_scan_http_offset", "q_scan_http_agg",

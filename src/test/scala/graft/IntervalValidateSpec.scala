@@ -77,6 +77,51 @@ class IntervalValidateSpec extends SparkSuite {
       "v" -> ((4L, 1L, 2L))), s"got $out")
   }
 
+  test("profileStats: a column name with a dot profiles the column, not a field") {
+    import spark.implicits._
+    val df = Seq((1, Option("a")), (2, Option.empty[String])).toDF("k", "a.b")
+    val out = ValidateOps.profileStats(df, Seq("a.b"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.toSeq == Seq(("a.b", 2L, 1L, 1L)), s"got ${out.toSeq}")
+  }
+
+  test("adviseJoin: profile scalars pick broadcast / salted / plain") {
+    import ValidateOps.{adviseJoin, Broadcast, KeyStats, Plain, Salted}
+    // small build side: broadcast regardless of probe skew
+    assert(adviseJoin(1000L, KeyStats(10000000L, 5L, 9000000L)) == Broadcast)
+    // big build + hot key (top share ≫ avg): salt
+    assert(adviseJoin(10000000L,
+      KeyStats(rows = 100000000L, distinct = 1000000L, topCount = 40000000L)) == Salted)
+    // big build, uniform keys: plain
+    assert(adviseJoin(10000000L,
+      KeyStats(rows = 100000000L, distinct = 1000000L, topCount = 150L)) == Plain)
+    // hot RATIO but tiny absolute rows: not worth the replication — plain
+    assert(adviseJoin(10000000L,
+      KeyStats(rows = 1000L, distinct = 10L, topCount = 900L)) == Plain)
+  }
+
+  test("advisedJoin: verdicts pin the physical plan; results are strategy-invariant") {
+    import spark.implicits._
+    import ValidateOps.{advisedJoin, Broadcast, Plain, Salted}
+    val probe = (1 to 2000).map(i => (i % 7, i)).toDF("k", "payload")
+    val build = (0 until 7).map(i => (i, s"dim-$i")).toDF("k", "name")
+    val expected = probe.join(build, Seq("k")).as[(Int, Int, String)].collect().toSet
+
+    val bPlan = advisedJoin(probe, build, Seq("k"), Broadcast)
+    assert(bPlan.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "Broadcast verdict must plan a broadcast hash join")
+    assert(bPlan.as[(Int, Int, String)].collect().toSet == expected)
+
+    val sPlan = advisedJoin(probe, build, Seq("k"), Salted, saltBuckets = 8)
+    assert(sPlan.queryExecution.analyzed.toString.contains("__salt"),
+      "Salted verdict must join on the salt column")
+    assert(sPlan.as[(Int, Int, String)].collect().toSet == expected,
+      "salting must be row-invisible")
+
+    val pPlan = advisedJoin(probe, build, Seq("k"), Plain)
+    assert(pPlan.as[(Int, Int, String)].collect().toSet == expected)
+  }
+
   test("profileStats approx path tracks exact cardinalities within HLL error") {
     import spark.implicits._
     val df = (1 to 5000).map(i => (i.toLong, (i % 997).toString)).toDF("k", "s")
