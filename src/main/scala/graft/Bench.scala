@@ -59,14 +59,21 @@ object Bench {
     try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (seconds, completed): the caller must see a throw DIRECTLY — the old
+    // infer-from-failed.size-growth guard missed a query that had already
+    // failed once and threw again on its re-timing run
+    def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => if (!failed.contains(name)) failed += name }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable =>
+          if (!failed.contains(name)) failed += name
+          false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     def runAll(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) => name -> runOne(name, fn) }
+      SparkEntry.queries.map { case (name, fn) => name -> runOne(name, fn)._1 }
     // Two passes, BOTH reported. `value` (the driver-gated headline) is the
     // FIRST pass — a cold sweep including Janino codegen compilation and C2
     // JIT, the conservative number. `steady_sec` is the second pass —
@@ -104,9 +111,8 @@ object Bench {
     // replace a valid steady sample via min() — a 0.2 s fast-fail would
     // report a phantom speedup; the throw still lands in `failed`
     val reruns = outliers.flatMap { q =>
-      val nFailedBefore = failed.size
-      val t = runOne(q, SparkEntry.queries(q))
-      if (failed.size > nFailedBefore) None else Some(q -> t)
+      val (t, ok) = runOne(q, SparkEntry.queries(q))
+      if (ok) Some(q -> t) else None
     }.toMap
     val steady = steadyRaw.map { case (q, s) => q -> math.min(s, reruns.getOrElse(q, s)) }
     val coldTotal = cold.values.sum

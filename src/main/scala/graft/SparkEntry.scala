@@ -1137,6 +1137,31 @@ private[graft] object Queries {
       .orderBy("id_a", "id_b")
   }
 
+  /** The PERSISTED-signature daily loop ([[graft.ops.DedupOps
+    * .incrementalDedupRound]]), end to end: round 1 ingests the even-id
+    * half of `documents` into a signature table (batch-internal pairs),
+    * round 2 ingests the odd-id half against it — corpus×batch cross
+    * pairs plus batch-internal pairs, with the batch's signatures
+    * appended first-writer-wins so a crash-rerun appends nothing
+    * (replay idempotence spec-proved in `DedupSpec`). Returns round 2's
+    * pairs — the same decomposition `q_dedup_incr` computes from raw
+    * text, now through the stored-signature path.
+    */
+  def dedupLifecycle(s: SparkSession, d: String): DataFrame = {
+    val dir = fixtureDir(d, "siglife")
+    // the query is a pure function of the fixtures: reset the table so a
+    // re-run replays the same two rounds
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val docs = Tables.documents(s, d)
+    DedupOps.incrementalDedupRound(docs.filter(col("doc_id") % 2 === 0), dir,
+      "doc_id", "text", n = 3, k = 64, bands = 8, threshold = 0.7).count()
+    DedupOps.incrementalDedupRound(docs.filter(col("doc_id") % 2 === 1), dir,
+        "doc_id", "text", n = 3, k = 64, bands = 8, threshold = 0.7)
+      .orderBy("id_a", "id_b")
+  }
+
   /** GLOBAL exact Jaccard join via the prefix filter — no blocking column;
     * candidates from rarest-first prefix tokens, exact verify. Same answer
     * as the quadratic form (oracle computes all pairs), sub-quadratic plan.
@@ -3063,6 +3088,7 @@ private[graft] object Queries {
     "q_merge_cdc_evolve" -> (mergeCdcEvolve _),
     "q_merge_mor" -> (mergeMor _),
     "q_join_advised" -> (joinAdvised _),
+    "q_dedup_lifecycle" -> (dedupLifecycle _),
     "q_text_bigrams" -> (textBigrams _),
     "q_scd2" -> (scd2 _),
     "q_embed_quantize" -> (embedQuantize _),

@@ -39,7 +39,20 @@ object Tables {
     * DuckDB's naive-timestamp oracle does.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The legacy conf must be ON while the footer is probed (the NANOS
+    // vintage cannot even be schema-read without it) — but it mutates
+    // SHARED session state, so restore it unless the footer really is
+    // nanos: only that vintage's SCANS depend on the conf at execution
+    // time, and only then does the set stick (documented hazard: other
+    // nanos-timestamp parquet in the same session would also read as
+    // long while an events nanos plan is live).
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    def restore(): Unit = prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
     val raw = apply(s, d, "events")
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
@@ -47,14 +60,19 @@ object Tables {
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts DIV 1000")))
       case TimestampNTZType =>
+        restore()
         raw.withColumn("ts", raw.col("ts").cast(TimestampType))
-      case TimestampType => raw
+      case TimestampType =>
+        restore()
+        raw
       // fail at LOAD time with the vintage named — a wildcard pass-through
       // would re-create round 8's failure mode, where an unannounced
       // fixture retype surfaced only as nine queries dying one by one
-      case other => throw new IllegalStateException(
-        s"events.ts fixture vintage $other is not handled — extend Tables.events " +
-          "with the new type's normalization to TimestampType")
+      case other =>
+        restore()
+        throw new IllegalStateException(
+          s"events.ts fixture vintage $other is not handled — extend Tables.events " +
+            "with the new type's normalization to TimestampType")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

@@ -172,6 +172,66 @@ object DedupOps {
       .select("id_a", "id_b", "est_jaccard")
   }
 
+  /** [[minhashLshPairs]] over a PRECOMPUTED (id, sig) relation — the
+    * batch-internal half of the steady-state ingest round, sharing the
+    * batch's one shingling pass with the cross-pairs half.
+    */
+  def minhashLshPairsFromSignatures(sigs: DataFrame, k: Int = 64, bands: Int = 16,
+                                    threshold: Double = 0.5): DataFrame = {
+    val withBands = bandExplode(sigs, k, bands)
+    val a = withBands.alias("a")
+    val b = withBands.alias("b")
+    a.join(b,
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        minhashEstimate(col("a.sig"), col("b.sig"), k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** The FULL daily ingest round over a persisted signature table, as one
+    * call: read the corpus's stored signatures, emit every near-dup pair
+    * the new batch introduces (corpus×batch cross pairs ∪ batch-internal
+    * pairs — O(C·B + B²) candidate work, the corpus never self-joins or
+    * re-shingles), then append the batch's signatures — IDEMPOTENTLY.
+    *
+    * Replay safety, both halves:
+    * - the append is a first-writer-wins keyed upsert
+    *   ([[Warehouse.upsertIntoParquet]] on `id`), so re-running a batch
+    *   appends ZERO duplicate signatures;
+    * - the corpus side excludes the batch's own ids (anti-join) before
+    *   pairing, so a replayed batch — whose signatures are already in the
+    *   table — produces exactly the original round's pairs, not
+    *   self-matches at est 1.0.
+    * Ids must be globally unique per document (the signature table's key).
+    */
+  def incrementalDedupRound(batch: DataFrame, sigTableDir: String,
+                            idCol: String, textCol: String,
+                            n: Int = 3, k: Int = 64, bands: Int = 16,
+                            threshold: Double = 0.5): DataFrame = {
+    val spark = batch.sparkSession
+    val batchSigs = minhashSignatures(batch, idCol, textCol, n, k)
+    val fs = new org.apache.hadoop.fs.Path(sigTableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(sigTableDir))
+    val internal = minhashLshPairsFromSignatures(batchSigs, k, bands, threshold)
+    val pairs =
+      if (!exists) internal
+      else {
+        val corpusOnly = spark.read.parquet(sigTableDir)
+          .join(batchSigs.select("id"), Seq("id"), "left_anti")
+        minhashLshPairsAgainstSignatures(corpusOnly, batchSigs, k, bands, threshold)
+          .unionByName(internal)
+      }
+    // signatures are a pure function of the text, so same-id collisions
+    // carry identical payloads and any deterministic tiebreak works
+    Warehouse.upsertIntoParquet(batchSigs, sigTableDir, Seq("id"),
+      Seq(org.apache.spark.sql.functions.hash(col("sig"))))
+    pairs
+  }
+
   /** SimHash near-dup pairs via Manku-et-al. block COMBINATIONS: split the
     * 64-bit hash into `nBlocks > maxDistance` slices and key on every
     * (nBlocks − maxDistance)-subset's concatenated values. A pair within

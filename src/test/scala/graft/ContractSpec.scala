@@ -19,6 +19,8 @@ class ContractSpec extends SparkSuite {
       "q_dedup_minhash",      // hash-seeded estimate: DedupSpec
       "q_dedup_incr",         // hash-seeded incremental LSH: DedupSpec
                               // (decomposition + signature-path identity)
+      "q_dedup_lifecycle",    // hash-seeded persisted-signature loop:
+                              // DedupSpec (lifecycle + replay idempotence)
       "q_dedup_simhash",      // hash-seeded blocking: DedupSpec
       "q_similarity_lsh",     // seeded projections: SimilaritySpec recall
       "q_similarity_ivf",     // centroid-seeded: SimilaritySpec full-probe == brute
@@ -60,6 +62,7 @@ class ContractSpec extends SparkSuite {
       "q_sink_jsonl", "q_sink_jdbc", "q_merge_jdbc", "q_write_partitioned",
       "q_merge_cdc_part",  // snapshot fixture write + single-job merge swap
       "q_merge_mor",       // base fixture write + O(batch) patch appends
+      "q_dedup_lifecycle", // two ingest rounds against the signature table
       "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor
       // scan queries write their fixture on first use + scalar watermark cuts
       "q_scan_csv", "q_scan_jsonl", "q_scan_corrupt", "q_scan_orc",

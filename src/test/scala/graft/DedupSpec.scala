@@ -238,6 +238,44 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("incrementalDedupRound: signature-table lifecycle, replay appends nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("siglife").toString + "/sigs"
+    val half = docs.count() / 2
+    val a = docs.filter($"doc_id" <= half)
+    val b = docs.filter($"doc_id" > half)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select("id_a", "id_b").as[(Long, Long)].collect().sorted.toSeq
+
+    // round 1: empty table — batch-internal pairs only, sigs persisted
+    val r1 = canon(DedupOps.incrementalDedupRound(a, dir, "doc_id", "text",
+      n = 3, k = 64, bands = 8, threshold = 0.7))
+    assert(canon(DedupOps.minhashLshPairsFromSignatures(
+      DedupOps.minhashSignatures(a, "doc_id", "text", 3, 64), 64, 8, 0.7)) == r1)
+    val sigsAfter1 = spark.read.parquet(dir).count()
+    assert(sigsAfter1 == a.count())
+
+    // round 2: cross + internal — equals the one-shot decomposition
+    val r2 = canon(DedupOps.incrementalDedupRound(b, dir, "doc_id", "text",
+      n = 3, k = 64, bands = 8, threshold = 0.7))
+    val expected = canon(DedupOps.minhashLshPairsAgainst(a, b, "doc_id", "text",
+        n = 3, k = 64, bands = 8, threshold = 0.7)
+      .unionByName(DedupOps.minhashLshPairs(b, "doc_id", "text",
+        n = 3, k = 64, bands = 8, threshold = 0.7)))
+    assert(r2 == expected)
+    assert(spark.read.parquet(dir).count() == docs.count())
+
+    // REPLAY round 2 (the crash-rerun): identical pairs come back and the
+    // signature table gains ZERO rows — no duplicate signatures, no
+    // self-matches against the already-ingested copy
+    val r2again = canon(DedupOps.incrementalDedupRound(b, dir, "doc_id", "text",
+      n = 3, k = 64, bands = 8, threshold = 0.7))
+    assert(r2again == r2, "replayed round must reproduce its pairs")
+    assert(spark.read.parquet(dir).count() == docs.count(),
+      "replayed round must append zero signatures")
+    assert(spark.read.parquet(dir).groupBy("id").count()
+      .filter($"count" > 1).isEmpty, "signature table keys must stay unique")
+  }
+
   test("content-hash dedup equals exact text dedup") {
     val byText = DedupOps.exactDedup(docs, Seq("text"), Seq($"doc_id")).count()
     val byHash = DedupOps.exactDedup(
