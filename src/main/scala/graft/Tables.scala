@@ -49,30 +49,31 @@ object Tables {
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = s.conf.getOption(key)
     s.conf.set(key, "true")
-    def restore(): Unit = prior match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-    val raw = apply(s, d, "events")
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-    raw.schema("ts").dataType match {
-      case LongType =>
-        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
-      case TimestampNTZType =>
-        restore()
-        raw.withColumn("ts", raw.col("ts").cast(TimestampType))
-      case TimestampType =>
-        restore()
-        raw
-      // fail at LOAD time with the vintage named — a wildcard pass-through
-      // would re-create round 8's failure mode, where an unannounced
-      // fixture retype surfaced only as nine queries dying one by one
-      case other =>
-        restore()
-        throw new IllegalStateException(
+    // the conf sticks ONLY for the nanos vintage (its scans depend on it
+    // at execution time); every other exit — including a throw from a
+    // missing/unreadable fixture — restores the session's prior value
+    var keepConf = false
+    try {
+      val raw = apply(s, d, "events")
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      raw.schema("ts").dataType match {
+        case LongType =>
+          keepConf = true
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case TimestampNTZType =>
+          raw.withColumn("ts", raw.col("ts").cast(TimestampType))
+        case TimestampType => raw
+        // fail at LOAD time with the vintage named — a wildcard pass-through
+        // would re-create round 8's failure mode, where an unannounced
+        // fixture retype surfaced only as nine queries dying one by one
+        case other => throw new IllegalStateException(
           s"events.ts fixture vintage $other is not handled — extend Tables.events " +
             "with the new type's normalization to TimestampType")
+      }
+    } finally if (!keepConf) prior match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")

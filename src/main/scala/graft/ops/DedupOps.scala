@@ -87,14 +87,6 @@ object DedupOps {
     sigs.select(col("id"), col("sig"),
       posexplode(lshBandHashes(col("sig"), bands, k / bands)).as(Seq("band", "bhash")))
 
-  /** Per-row (id, sig, band, bhash) banding used by both LSH joins —
-    * signature + band hashes are narrow per-row expressions; the explode
-    * produces the (band, hash) equi-join key.
-    */
-  private def lshBanded(df: DataFrame, idCol: String, textCol: String,
-                        n: Int, k: Int, bands: Int): DataFrame =
-    bandExplode(minhashSignatures(df, idCol, textCol, n, k), k, bands)
-
   /** MinHash-LSH candidate pairs above an estimated-Jaccard threshold.
     *
     * Plan shape (the part that must survive 100×): per-row signature +
@@ -105,23 +97,9 @@ object DedupOps {
     */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, k: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.5): DataFrame = {
-    val withBands = lshBanded(df, idCol, textCol, n, k, bands)
-    val a = withBands.alias("a")
-    val b = withBands.alias("b")
-    // Verify BEFORE deduplicating: the estimator is a cheap native kernel,
-    // so re-evaluating it once per agreeing band costs less than shuffling
-    // both 8·k-byte signatures through dropDuplicates. The surviving rows
-    // are (long, long, double) — the dedup shuffle moves 24-byte rows.
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        minhashEstimate(col("a.sig"), col("b.sig"), k).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
-      .dropDuplicates("id_a", "id_b")
-      .select("id_a", "id_b", "est_jaccard")
-  }
+                      threshold: Double = 0.5): DataFrame =
+    minhashLshPairsFromSignatures(minhashSignatures(df, idCol, textCol, n, k),
+      k, bands, threshold)
 
   /** INCREMENTAL MinHash-LSH: near-dup pairs BETWEEN an existing corpus
     * and a new batch — the daily-crawl shape. Re-running
@@ -181,6 +159,10 @@ object DedupOps {
     val withBands = bandExplode(sigs, k, bands)
     val a = withBands.alias("a")
     val b = withBands.alias("b")
+    // Verify BEFORE deduplicating: the estimator is a cheap native kernel,
+    // so re-evaluating it once per agreeing band costs less than shuffling
+    // both 8·k-byte signatures through dropDuplicates. The surviving rows
+    // are (long, long, double) — the dedup shuffle moves 24-byte rows.
     a.join(b,
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.id") < col("b.id"))

@@ -52,9 +52,10 @@ object Warehouse {
                         keys: Seq[String], tiebreak: Seq[Column]): Long = {
     val spark = incoming.sparkSession
     val deduped = dedupByKey(incoming, keys, tiebreak)
-    val exists = new org.apache.hadoop.fs.Path(warehouseDir)
+    val upsertFs = new org.apache.hadoop.fs.Path(warehouseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .exists(new org.apache.hadoop.fs.Path(warehouseDir))
+    recoverRetired(upsertFs, warehouseDir)
+    val exists = upsertFs.exists(new org.apache.hadoop.fs.Path(warehouseDir))
     val toInsert =
       if (exists) upsertNewRows(deduped, spark.read.parquet(warehouseDir), keys)
       else deduped
@@ -82,6 +83,7 @@ object Warehouse {
     val deduped = dedupByKey(incoming, keys, tiebreak)
     val fs = new org.apache.hadoop.fs.Path(warehouseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRetired(fs, warehouseDir)
     val target = new org.apache.hadoop.fs.Path(warehouseDir)
     val merged =
       if (fs.exists(target))
@@ -117,6 +119,28 @@ object Warehouse {
     fs.rename(staging, target)
     fs.delete(retired, true)
     out
+  }
+
+  /** Close the swap's one non-atomic window: a crash BETWEEN
+    * `rename(target, retired)` and `rename(staging, target)` leaves the
+    * data only in the hidden `_<dir>.old` sibling. Every merge entry
+    * point calls this BEFORE reading or classifying `dir`, restoring the
+    * retired copy when it is the sole survivor — without it, a rerun
+    * would misread the dir as absent (create semantics) and the swap's
+    * `delete(retired)` would destroy the last copy of the old rows. When
+    * both exist the crash was after the new data landed; the stale
+    * retired copy is simply dropped.
+    */
+  private def recoverRetired(fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val retired = new org.apache.hadoop.fs.Path(target.getParent,
+      "_" + target.getName + ".old")
+    if (fs.exists(retired)) {
+      if (!fs.exists(target)) {
+        require(fs.rename(retired, target),
+          s"recoverRetired: could not restore $retired to $target")
+      } else fs.delete(retired, true)
+    }
   }
 
   // ---------------------------------------------------------------- S6 (JDBC)
@@ -293,6 +317,7 @@ object Warehouse {
                      targetFileBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRetired(fs, dir)
     val target = new org.apache.hadoop.fs.Path(dir)
     val entries = fs.listStatus(target)
     val dataFiles = entries
@@ -475,19 +500,11 @@ object Warehouse {
                           deleteCond: Column,
                           payloadCols: Seq[String] = Seq.empty,
                           evolveSchema: Boolean = false,
-                          metaCols: Seq[String] = Seq.empty): Long =
-    applyChangesParquetInternal(changes, warehouseDir, keys, tiebreak,
-      deleteCond, payloadCols, skipEmptyProbe = false, evolveSchema, metaCols)
-
-  private def applyChangesParquetInternal(changes: DataFrame, warehouseDir: String,
-                                          keys: Seq[String], tiebreak: Seq[Column],
-                                          deleteCond: Column, payloadCols: Seq[String],
-                                          skipEmptyProbe: Boolean,
-                                          evolveSchema: Boolean = false,
-                                          metaCols: Seq[String] = Seq.empty): Long = {
+                          metaCols: Seq[String] = Seq.empty): Long = {
     val spark = changes.sparkSession
     val fs = new org.apache.hadoop.fs.Path(warehouseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRetired(fs, warehouseDir)
     val target = new org.apache.hadoop.fs.Path(warehouseDir)
     val exists = fs.exists(target)
     // empty changelog against an existing warehouse: honor the documented
@@ -495,10 +512,8 @@ object Warehouse {
     // through and the swap rewrites the whole table for zero changes.
     // Probe the PRE-dedup relation (dedup preserves emptiness): isEmpty on
     // the deduped plan would execute the TopK exchange once for the probe
-    // and again for the merge write. The partitioned wrapper skips the
-    // probe entirely — its per-partition slices are non-empty by
-    // construction (the touched list came from the same rows).
-    if (exists && !skipEmptyProbe && changes.isEmpty)
+    // and again for the merge write.
+    if (exists && changes.isEmpty)
       return spark.read.parquet(warehouseDir).count()
     val deduped = dedupByKey(changes, keys, tiebreak)
     val merged =
@@ -632,6 +647,10 @@ object Warehouse {
       partCols.zip(vals).map { case (c, v) => s"$c=${esc(v)}" }.mkString("/")
     val fs = new org.apache.hadoop.fs.Path(warehouseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover any leaf a crashed swap left only in its retired copy —
+    // BEFORE classification, or the rerun would misread it as a CREATE
+    // and the swap below would delete the last copy of its rows
+    touched.foreach(vals => recoverRetired(fs, s"$warehouseDir/${relPath(vals)}"))
     val (existingT, createdT) = touched.partition(vals =>
       fs.exists(new org.apache.hadoop.fs.Path(s"$warehouseDir/${relPath(vals)}")))
 
@@ -655,8 +674,11 @@ object Warehouse {
         leafOf(new org.apache.hadoop.fs.Path(warehouseDir), 0)
           .map(leaf => spark.read.parquet(leaf.toString)
             .columns.filterNot(keys.contains).toSeq)
+          // bootstrap (no partitions anywhere): the changelog shape minus
+          // transport metadata — same exclusion as the flat create path,
+          // or metaCols would become table payload on day one
           .getOrElse(changes.columns
-            .filterNot((keys ++ partCols :+ "__pdel").contains).toSeq)
+            .filterNot((keys ++ partCols ++ metaCols :+ "__pdel").contains).toSeq)
       }
 
     // one row per (partition, key): same result as the old per-partition
@@ -815,7 +837,14 @@ object Warehouse {
       .withColumn("__mor_del", coalesce(deleteCond, lit(false)))
     val tmp = new org.apache.hadoop.fs.Path(root, s".b$next.tmp")
     flagged.write.mode("overwrite").parquet(tmp.toString)
-    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"b$next"))
+    // single-writer protocol (same as every merge above): a concurrent
+    // append that lost the b<seq> race must fail LOUDLY, not leave its
+    // batch as an unread dot-dir — some filesystems rename INTO an
+    // existing dest dir rather than returning false, so probe first
+    val dest = new org.apache.hadoop.fs.Path(root, s"b$next")
+    require(!fs.exists(dest) && fs.rename(tmp, dest),
+      s"appendPatch: batch b$next already exists — concurrent appendPatch " +
+        "writers are not supported (serialize CDC appends per table)")
     next
   }
 
@@ -829,6 +858,7 @@ object Warehouse {
                       keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
     val fs = new org.apache.hadoop.fs.Path(warehouseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRetired(fs, warehouseDir)
     val base = spark.read.parquet(warehouseDir)
     val patches = listPatches(fs, patchRoot(warehouseDir))
     if (patches.isEmpty) base
@@ -856,6 +886,7 @@ object Warehouse {
                          keys: Seq[String], tiebreak: Seq[Column]): (Int, Long) = {
     val fs = new org.apache.hadoop.fs.Path(warehouseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverRetired(fs, warehouseDir)
     require(!fs.listStatus(new org.apache.hadoop.fs.Path(warehouseDir))
         .exists(st => st.isDirectory && st.getPath.getName.contains("=")),
       "compactMergeOnRead: partitioned base — materialize through " +

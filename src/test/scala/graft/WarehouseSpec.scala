@@ -631,6 +631,42 @@ class WarehouseSpec extends SparkSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("crash between swap renames: retired-only state recovers, no rows lost") {
+    // simulate the swap's one non-atomic window — target renamed to
+    // _<dir>.old, new data never landed — for both the partitioned and
+    // the flat paths; a rerun must restore the retired copy, MERGE into
+    // it (not re-create from the changelog), and lose nothing
+    val dir = Files.createTempDirectory("cdccrash").toString + "/wh"
+    Seq((1, "p1", "a"), (2, "p1", "b"), (3, "p2", "c"))
+      .toDF("k", "p", "s").write.partitionBy("p").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/p=p1"),
+      new org.apache.hadoop.fs.Path(s"$dir/_p=p1.old"))
+    assert(!new java.io.File(s"$dir/p=p1").exists(), "window precondition")
+    val counts = Warehouse.applyChangesPartitioned(
+      Seq((1, "p1", "A", false)).toDF("k", "p", "s", "del"),
+      dir, "p", Seq("k"), Seq($"s"), $"del")
+    assert(counts == Map("p1" -> 2L), s"got $counts")
+    val state = spark.read.parquet(dir).select("k", "p", "s")
+      .as[(Int, String, String)].collect().toSet
+    // k=2 is the row the old code would have destroyed (create-branch
+    // rerun + delete(retired))
+    assert(state == Set((1, "p1", "A"), (2, "p1", "b"), (3, "p2", "c")), s"got $state")
+
+    val flat = Files.createTempDirectory("flatcrash").toString + "/wh"
+    Seq((1, "a"), (2, "b")).toDF("k", "s").write.parquet(flat)
+    val ffs = new org.apache.hadoop.fs.Path(flat)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ffs.rename(new org.apache.hadoop.fs.Path(flat),
+      new org.apache.hadoop.fs.Path(flat + "/../_wh.old"))
+    assert(Warehouse.applyChangesParquet(
+      Seq((1, "A", false)).toDF("k", "s", "del"),
+      flat, Seq("k"), Seq($"s"), $"del") == 2L)
+    val fstate = spark.read.parquet(flat).as[(Int, String)].collect().toSet
+    assert(fstate == Set((1, "A"), (2, "b")), s"got $fstate")
+  }
+
   test("applyChanges is idempotent for upsert-only changelogs") {
     val snap = Seq((1, "a", 1.0), (2, "b", 2.0)).toDF("k", "s", "v")
     val changes = Seq((2, "B", 2.5, false), (3, "c", 3.0, false))
