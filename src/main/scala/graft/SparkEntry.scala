@@ -2191,6 +2191,109 @@ private[graft] object Queries {
       |WHERE s.o_orderkey IS NULL OR NOT coalesce(s.del, FALSE)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Versioned-table time travel ([[graft.ops.VersionedTable]]): the
+    * metadata-commit lakehouse core. An orders snapshot becomes version 1,
+    * two CDC merges land as versions 2 and 3 — each a stats-pruned
+    * copy-on-write commit that rewrites only key-intersecting files — and
+    * the query reads BOTH `asOf = 2` and the current version: the v2 rows
+    * prove an already-superseded state stays exactly reproducible (its
+    * files are immutable until vacuum), the v3 rows prove the sequential
+    * merge end state. The oracle recomputes both states as chained
+    * FULL JOIN + CASE merges.
+    */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "vtable")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    // reset: the query must be a pure function of the fixture tables
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val snap = ord(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    VT.create(snap, dir, statsCols = Seq("o_orderkey"))
+    val p1 = ord(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"),
+        (col("o_orderstatus") === "F").as("del"))
+    val p2 = ord(s, d).filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * lit(1.2)).as("o_totalprice"),
+        (col("o_orderstatus") === "O").as("del"))
+    VT.commitMerge(p1, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+    VT.commitMerge(p2, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+    VT.read(s, dir, asOf = Some(2L)).withColumn("ver", lit(2L))
+      .unionByName(VT.read(s, dir).withColumn("ver", lit(3L)))
+      .select("ver", "o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("ver", "o_orderkey")
+  }
+
+  private val timeTravelSql =
+    """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                  CAST(o_totalprice AS DOUBLE) AS pr
+      |           FROM orders WHERE o_orderkey % 3 <> 0),
+      |s1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |              o_totalprice * CAST(1.1 AS DOUBLE) AS pr,
+      |              o_orderstatus = 'F' AS del
+      |       FROM orders WHERE o_orderkey % 2 = 0),
+      |s2 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |              o_totalprice * CAST(1.2 AS DOUBLE) AS pr,
+      |              o_orderstatus = 'O' AS del
+      |       FROM orders WHERE o_orderkey % 5 = 0),
+      |v2 AS (SELECT coalesce(t.k, s1.k) AS k,
+      |        CASE WHEN s1.k IS NOT NULL THEN s1.st ELSE t.st END AS st,
+      |        CASE WHEN s1.k IS NOT NULL THEN s1.pr ELSE t.pr END AS pr
+      |       FROM t FULL JOIN s1 ON t.k = s1.k
+      |       WHERE s1.k IS NULL OR NOT coalesce(s1.del, FALSE)),
+      |v3 AS (SELECT coalesce(v2.k, s2.k) AS k,
+      |        CASE WHEN s2.k IS NOT NULL THEN s2.st ELSE v2.st END AS st,
+      |        CASE WHEN s2.k IS NOT NULL THEN s2.pr ELSE v2.pr END AS pr
+      |       FROM v2 FULL JOIN s2 ON v2.k = s2.k
+      |       WHERE s2.k IS NULL OR NOT coalesce(s2.del, FALSE))
+      |SELECT CAST(2 AS BIGINT) AS ver, k AS o_orderkey, st AS o_orderstatus,
+      |       pr AS o_totalprice FROM v2
+      |UNION ALL
+      |SELECT CAST(3 AS BIGINT) AS ver, k AS o_orderkey, st AS o_orderstatus,
+      |       pr AS o_totalprice FROM v3
+      |ORDER BY ver, o_orderkey""".stripMargin
+
+  /** Zone-map data skipping on the versioned table
+    * ([[graft.ops.VersionedTable.readPruned]]): lineitem is written
+    * range-clustered on `l_orderkey` so each file carries a tight manifest
+    * [min, max]; a BETWEEN read then OPENS only the files whose interval
+    * intersects — the same stats-skipping idea as parquet row-group
+    * pruning, one level up where it saves the file open itself (and, on
+    * object storage, the GET). The exact predicate still applies to
+    * survivors, so the result is precisely the filtered table — the oracle
+    * is the plain WHERE aggregate; `VersionedTableSpec` pins that files
+    * genuinely drop.
+    */
+  def statsPrune(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "vtable_prune")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val base = li(s, d).select(col("l_orderkey"), col("l_returnflag"),
+        col("l_extendedprice"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+    VT.create(base, dir, statsCols = Seq("l_orderkey"))
+    VT.readPruned(s, dir, "l_orderkey", lit(1000L), lit(3000L))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val statsPruneSql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Symmetric int8 embedding quantization ([[graft.ops.SimilarityOps
     * .quantizeInt8]]) — 4× smaller vector storage. First 8 code values are
     * flattened to scalar columns (the driver's pandas compare cannot sort
@@ -3087,6 +3190,8 @@ private[graft] object Queries {
     "q_merge_cdc_part" -> (mergeCdcPart _),
     "q_merge_cdc_evolve" -> (mergeCdcEvolve _),
     "q_merge_mor" -> (mergeMor _),
+    "q_time_travel" -> (timeTravel _),
+    "q_stats_prune" -> (statsPrune _),
     "q_join_advised" -> (joinAdvised _),
     "q_dedup_lifecycle" -> (dedupLifecycle _),
     "q_text_bigrams" -> (textBigrams _),
@@ -3225,6 +3330,8 @@ private[graft] object Queries {
     "q_merge_cdc_part" -> mergeCdcPartSql,
     "q_merge_cdc_evolve" -> mergeCdcEvolveSql,
     "q_merge_mor" -> mergeMorSql,
+    "q_time_travel" -> timeTravelSql,
+    "q_stats_prune" -> statsPruneSql,
     "q_join_advised" -> joinAdvisedSql,
     "q_text_bigrams" -> textBigramsSql,
     "q_scd2" -> scd2Sql,

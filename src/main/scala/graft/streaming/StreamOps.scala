@@ -151,6 +151,50 @@ object StreamOps {
     }
   }
 
+  /** Streaming CDC into a VERSIONED table ([[graft.ops.VersionedTable]]):
+    * each micro-batch lands as one stats-pruned copy-on-write merge
+    * COMMIT, so the table's version history IS the stream's batch history
+    * — any intermediate state stays time-travel-readable until vacuum,
+    * which the flat [[streamingCdcApply]] cannot offer (its staged swap
+    * destroys the previous state).
+    *
+    * Exactly-once WITHOUT a sidecar marker file: the batch id rides in
+    * the manifest's transaction ledger (`txn = appId -> batchId`,
+    * [[graft.ops.VersionedTable.Manifest.txns]] — the Delta
+    * `setTransaction` idea). The manifest rename is the single commit
+    * point, so the two crash windows close by construction: merge
+    * committed / offsets uncommitted → the replayed batch id is in the
+    * CURRENT manifest and the commit skips; data written / manifest
+    * unpublished → nothing became visible, the replay re-merges from the
+    * same base version and the orphaned files are vacuumed later.
+    *
+    * The table must already exist ([[graft.ops.VersionedTable.create]]
+    * with the initial snapshot — the Debezium bootstrap shape: snapshot
+    * first, then stream the changelog). `appId` names this stream; use
+    * one per (stream, table) pair and keep it stable across restarts —
+    * it is what makes a replayed batchId recognizable.
+    */
+  def streamingCdcApplyVersioned(spark: SparkSession, srcDir: String,
+                                 schemaDdl: String, checkpointDir: String,
+                                 tableDir: String, keys: Seq[String],
+                                 tiebreak: Seq[org.apache.spark.sql.Column],
+                                 deleteCond: org.apache.spark.sql.Column,
+                                 appId: String): StreamingQuery = {
+    require(graft.ops.VersionedTable.currentVersion(spark, tableDir).nonEmpty,
+      s"streamingCdcApplyVersioned: $tableDir is not a versioned table — " +
+        "create it from the initial snapshot first (VersionedTable.create)")
+    val src = spark.readStream.schema(schemaDdl).parquet(srcDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.VersionedTable.commitMerge(batch, tableDir, keys, tiebreak,
+          deleteCond, txn = Some(appId -> batchId))
+        ()
+      }
+      .start()
+  }
+
   /** Streaming first-seen dedup via `flatMapGroupsWithState` — the custom
     * per-key state surface (`KeyValueGroupedDataset`) the built-in
     * `dropDuplicates` doesn't expose: state is an explicit Boolean

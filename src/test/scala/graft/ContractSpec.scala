@@ -62,6 +62,8 @@ class ContractSpec extends SparkSuite {
       "q_sink_jsonl", "q_sink_jdbc", "q_merge_jdbc", "q_write_partitioned",
       "q_merge_cdc_part",  // snapshot fixture write + single-job merge swap
       "q_merge_mor",       // base fixture write + O(batch) patch appends
+      "q_time_travel",     // versioned-table create + two CoW merge commits
+      "q_stats_prune",     // versioned-table create + manifest file pruning
       "q_dedup_lifecycle", // two ingest rounds against the signature table
       "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor
       // scan queries write their fixture on first use + scalar watermark cuts

@@ -164,6 +164,62 @@ class StreamingSpec extends SparkSuite {
       "replayed merge must converge")
   }
 
+  test("streaming CDC into the versioned table: exactly-once via the manifest txn ledger") {
+    import spark.implicits._
+    import graft.ops.{VersionedTable => VT}
+    val base = Files.createTempDirectory("cdcvstream").toString
+    val (srcDir, ckpt, tbl) = (s"$base/src", s"$base/ckpt", s"$base/table")
+    val ddl = "k bigint, s string, seq bigint, del boolean"
+    val tiebreak = Seq(col("seq").desc)
+
+    // bootstrap: initial snapshot is version 1 (Debezium shape)
+    val snap = (0L until 50L).map(k => (k, s"v1-$k", 0L))
+      .toDF("k", "s", "seq")
+    VT.create(snap, tbl, statsCols = Seq("k"))
+    // an un-bootstrapped table refuses the stream loudly
+    intercept[IllegalArgumentException] {
+      StreamOps.streamingCdcApplyVersioned(spark, srcDir, ddl, ckpt,
+        s"$base/nope", Seq("k"), tiebreak, $"del", appId = "cdc")
+    }
+
+    // phase 1: updates 0..9 + tombstones 10..19 stream in as batch 0
+    val b1 = (0L until 10L).map(k => (k, s"v2-$k", 1L, false)) ++
+      (10L until 20L).map(k => (k, s"v1-$k", 1L, true))
+    b1.toDF("k", "s", "seq", "del").write.mode("append").parquet(srcDir)
+    StreamOps.streamingCdcApplyVersioned(spark, srcDir, ddl, ckpt, tbl,
+      Seq("k"), tiebreak, $"del", appId = "cdc").awaitTermination()
+    assert(VT.currentVersion(spark, tbl).contains(2L))
+    assert(VT.read(spark, tbl).count() == 40)
+
+    // phase 2 (resume on the same checkpoint): inserts 50..59 as batch 1
+    val b2 = (50L until 60L).map(k => (k, s"v2-$k", 2L, false))
+    b2.toDF("k", "s", "seq", "del").write.mode("append").parquet(srcDir)
+    StreamOps.streamingCdcApplyVersioned(spark, srcDir, ddl, ckpt, tbl,
+      Seq("k"), tiebreak, $"del", appId = "cdc").awaitTermination()
+    assert(VT.currentVersion(spark, tbl).contains(3L))
+
+    // end state == ONE batch merge of the full changelog onto the snapshot
+    val model = graft.ops.Warehouse.applyChanges(snap,
+      graft.ops.Warehouse.dedupByKey((b1 ++ b2).toDF("k", "s", "seq", "del"),
+        Seq("k"), tiebreak), Seq("k"), $"del")
+      .select("k", "s", "seq").as[(Long, String, Long)].collect().toSet
+    val got = VT.read(spark, tbl).select("k", "s", "seq")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == model, "stream ≠ batch end state")
+
+    // crash window (merge committed / offsets uncommitted): replaying the
+    // LAST batch id must skip — no GHOST data, no version bump
+    val ghost = Seq((0L, "GHOST", 9L, false)).toDF("k", "s", "seq", "del")
+    assert(VT.commitMerge(ghost, tbl, Seq("k"), tiebreak, $"del",
+      txn = Some("cdc" -> 1L)) == 3L)
+    assert(VT.read(spark, tbl).filter($"k" === 0L)
+      .as[(Long, String, Long)].head()._2 == "v2-0")
+    // every streamed state is still time-travel-readable
+    assert(VT.read(spark, tbl, asOf = Some(1L)).count() == 50)
+    assert(VT.read(spark, tbl, asOf = Some(2L)).count() == 40)
+    assert(VT.readManifest(spark, tbl, 3L).txns == Map("cdc" -> 1L))
+  }
+
   test("S1 x I2: readStream over the paged source — kill mid-run, resume equals batch") {
     // MICRO_BATCH_READ on graft-paged: the page index is the streaming
     // offset, so checkpointLocation owns the "pages done" cursor the

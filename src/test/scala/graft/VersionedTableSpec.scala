@@ -1,0 +1,277 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{VersionedTable => VT, Warehouse}
+
+class VersionedTableSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("vtable").toString + "/t"
+
+  /** (path → (len, mtime)) for every referenced data file of a version. */
+  private def fileSig(dir: String, v: Long): Map[String, (Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VT.readManifest(spark, dir, v).files.map { f =>
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${f.path}"))
+      f.path -> (st.getLen, st.getModificationTime)
+    }.toMap
+  }
+
+  test("create + read + history round-trip") {
+    val dir = tmp()
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)).toDF("k", "s", "v")
+    assert(VT.create(df, dir, Seq("k")) == 1L)
+    assert(VT.currentVersion(spark, dir).contains(1L))
+    val back = VT.read(spark, dir).as[(Long, String, Double)].collect().toSet
+    assert(back == Set((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0)))
+    val h = VT.history(spark, dir)
+    assert(h.map(t => (t._1, t._2, t._4)) == Seq((1L, "create", 3L)))
+    // second create refuses
+    intercept[IllegalArgumentException](VT.create(df, dir, Seq("k")))
+  }
+
+  test("commitAppend reuses every existing file by reference; time travel to v1") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, Seq("k"))
+    val sig1 = fileSig(dir, 1L)
+    VT.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    // every v1 file appears in v2 path-identical and byte-stable
+    val sig2 = fileSig(dir, 2L)
+    assert(sig1.forall { case (p, s) => sig2.get(p).contains(s) },
+      s"v1 files not carried over untouched: $sig1 vs $sig2")
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(VT.read(spark, dir, asOf = Some(1L)).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // schema mismatch fails loudly
+    intercept[IllegalArgumentException](
+      VT.commitAppend(Seq((4L, 9.9)).toDF("k", "s"), dir))
+  }
+
+  test("commitMerge rewrites only key-intersecting files; untouched carried byte-stable") {
+    val dir = tmp()
+    // 4 range-partitioned files over k = 0..99 → tight [min,max] per file
+    val base = spark.range(100).select($"id".as("k"), ($"id" % 7).cast("string").as("s"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k"))
+    val sig1 = fileSig(dir, 1L)
+    assert(sig1.size == 4)
+    // changelog confined to k in [10, 20]: one file's interval
+    val changes = Seq((10L, "UPD", false), (15L, "x", true), (200L, "NEW", false))
+      .toDF("k", "s", "del")
+    VT.commitMerge(changes, dir, Seq("k"), Seq($"s"), $"del")
+    val m2 = VT.readManifest(spark, dir, 2L)
+    val carried = m2.files.map(_.path).toSet intersect sig1.keySet
+    assert(carried.size == 3, s"expected 3 carried files, got ${carried.size}")
+    val sig2 = fileSig(dir, 2L)
+    carried.foreach(p => assert(sig2(p) == sig1(p), s"carried file $p rewritten"))
+    // semantics: update applied, tombstone dropped, insert landed, rest intact
+    val out = VT.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(out(10L) == "UPD")
+    assert(!out.contains(15L))
+    assert(out(200L) == "NEW")
+    assert(out.size == 100 - 1 + 1) // 100 base - 1 delete + 1 insert
+    assert(out(50L) == (50 % 7).toString)
+    // and v1 is still exactly the pre-merge state
+    assert(VT.read(spark, dir, asOf = Some(1L)).count() == 100)
+    assert(VT.read(spark, dir, asOf = Some(1L)).filter($"k" === 10L)
+      .as[(Long, String)].head()._2 == (10 % 7).toString)
+  }
+
+  test("two sequential merges time-travel to every intermediate state") {
+    val dir = tmp()
+    VT.create(Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v"), dir, Seq("k"))
+    VT.commitMerge(Seq((2L, 21.0, false), (4L, 40.0, false)).toDF("k", "v", "del"),
+      dir, Seq("k"), Seq($"v"), $"del")
+    VT.commitMerge(Seq((1L, 0.0, true), (4L, 41.0, false)).toDF("k", "v", "del"),
+      dir, Seq("k"), Seq($"v"), $"del")
+    def at(v: Long) = VT.read(spark, dir, Some(v)).as[(Long, Double)].collect().toMap
+    assert(at(1L) == Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0))
+    assert(at(2L) == Map(1L -> 10.0, 2L -> 21.0, 3L -> 30.0, 4L -> 40.0))
+    assert(at(3L) == Map(2L -> 21.0, 3L -> 30.0, 4L -> 41.0))
+    assert(VT.history(spark, dir).map(_._2) == Seq("merge", "merge", "create"))
+  }
+
+  test("merge key must be a stats column") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s"), dir, Seq.empty)
+    val ex = intercept[IllegalArgumentException](
+      VT.commitMerge(Seq((1L, "b", false)).toDF("k", "s", "del"),
+        dir, Seq("k"), Seq($"s"), $"del"))
+    assert(ex.getMessage.contains("stats column"))
+  }
+
+  test("losing a manifest race fails loudly, leaves table consistent") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s"), dir, Seq("k"))
+    // racer artifact: a manifest already sitting at the version this commit
+    // will target (contents: a copy of v1 — parseable, claims version 1, so
+    // the append computes next = 2 and collides with the file on disk)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val v1 = new org.apache.hadoop.fs.Path(dir, "_vlog/v000000000001.json")
+    val v2 = new org.apache.hadoop.fs.Path(dir, "_vlog/v000000000002.json")
+    org.apache.hadoop.fs.FileUtil.copy(fs, v1, fs, v2, false,
+      spark.sparkContext.hadoopConfiguration)
+    val ex = intercept[IllegalStateException](
+      VT.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir))
+    assert(ex.getMessage.contains("committed concurrently"))
+    // the loser's data files are invisible; the racer's v2 still reads
+    assert(VT.read(spark, dir, Some(2L)).count() == 1)
+  }
+
+  test("in-flight .tmp manifests and orphaned data dirs are invisible; vacuum reclaims them") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s"), dir, Seq("k"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash window 1: manifest written to tmp, never renamed
+    val tmpManifest = new org.apache.hadoop.fs.Path(dir, "_vlog/.v2.json.tmp-dead")
+    val o = fs.create(tmpManifest, true); o.write("{}".getBytes); o.close()
+    assert(VT.versions(spark, dir) == Seq(1L))
+    assert(VT.read(spark, dir).count() == 1)
+    // crash window 2: data files written, manifest never published
+    Seq((9L, "dead")).toDF("k", "s").write.parquet(s"$dir/data/c9-orphan")
+    assert(VT.read(spark, dir).count() == 1) // still invisible
+    val deleted = VT.vacuum(spark, dir, keepVersions = 5)
+    assert(deleted >= 1, "orphaned commit's parquet not reclaimed")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/c9-orphan")))
+    assert(VT.read(spark, dir).count() == 1) // live data untouched
+  }
+
+  test("vacuum drops pre-cutoff manifests + unreferenced files, keeps shared ones") {
+    val dir = tmp()
+    val base = spark.range(40).select($"id".as("k"), $"id".cast("string").as("s"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k"))
+    // touch only the first file's range → 3 of 4 files SHARED between v1 and v2
+    VT.commitMerge(Seq((1L, "UPD", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del")
+    val shared = VT.readManifest(spark, dir, 1L).files.map(_.path).toSet intersect
+      VT.readManifest(spark, dir, 2L).files.map(_.path).toSet
+    assert(shared.size == 3)
+    val deleted = VT.vacuum(spark, dir, keepVersions = 1)
+    assert(deleted == 1, s"exactly v1's rewritten file should go, got $deleted")
+    // current version reads fully; the vacuumed one fails loudly
+    assert(VT.read(spark, dir).count() == 40)
+    assert(VT.read(spark, dir).filter($"k" === 1L).as[(Long, String)].head()._2 == "UPD")
+    val ex = intercept[IllegalArgumentException](VT.read(spark, dir, Some(1L)))
+    assert(ex.getMessage.contains("vacuumed"))
+  }
+
+  test("readPruned skips non-intersecting files, result exact") {
+    val dir = tmp()
+    val base = spark.range(1000)
+      .select($"id".as("k"), ($"id" * 2).cast("double").as("v"))
+      .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k", "v"))
+    val (files, m) = VT.pruneFiles(spark, dir, "k", lit(100L), lit(220L))
+    assert(m.files.size == 8)
+    assert(files.size < 8 && files.nonEmpty,
+      s"pruning had no effect: ${files.size} of 8 files survive")
+    val got = VT.readPruned(spark, dir, "k", lit(100L), lit(220L))
+      .agg(count(lit(1)), sum($"v")).as[(Long, Double)].head()
+    val want = base.filter($"k".between(100L, 220L))
+      .agg(count(lit(1)), sum($"v")).as[(Long, Double)].head()
+    assert(got == want)
+    // double-typed stats round-trip through Catalyst casts with fractional bounds
+    val (dFiles, _) = VT.pruneFiles(spark, dir, "v", lit(100.5), lit(300.25))
+    assert(dFiles.size < 8 && dFiles.nonEmpty)
+    val gotD = VT.readPruned(spark, dir, "v", lit(100.5), lit(300.25)).count()
+    assert(gotD == base.filter($"v".between(100.5, 300.25)).count())
+    // un-stats'd column: every file conservatively survives, result still exact
+    val dir2 = tmp()
+    VT.create(base, dir2, Seq("k"))
+    val (all, _) = VT.pruneFiles(spark, dir2, "v", lit(0.0), lit(10.0))
+    assert(all.size == 8)
+  }
+
+  test("all-null stats files are skipped by BETWEEN reads") {
+    val dir = tmp()
+    val withNulls = Seq((1L, Some(5.0)), (2L, None), (3L, Some(7.0)))
+      .toDF("k", "v")
+    VT.create(withNulls.repartition(1), dir, Seq("k", "v"))
+    // append an all-null-v file
+    VT.commitAppend(Seq((10L, Option.empty[Double]), (11L, Option.empty[Double]))
+      .toDF("k", "v").repartition(1), dir)
+    val (files, m) = VT.pruneFiles(spark, dir, "v", lit(0.0), lit(100.0))
+    assert(m.files.size == 2 && files.size == 1,
+      s"all-null file should be pruned for BETWEEN: $files")
+    assert(VT.readPruned(spark, dir, "v", lit(0.0), lit(100.0)).count() == 2)
+  }
+
+  test("txn ledger: a replayed batch id skips, a fresh one commits, ledger carries") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, Seq("k"))
+    val v2 = VT.commitMerge(Seq((1L, "upd", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del", txn = Some("cdc-stream" -> 0L))
+    assert(v2 == 2L)
+    // replay of batch 0 (offsets-uncommitted crash window): GHOST data must
+    // NOT land, version must not advance
+    val replayed = VT.commitMerge(Seq((1L, "GHOST", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del", txn = Some("cdc-stream" -> 0L))
+    assert(replayed == 2L)
+    assert(VT.read(spark, dir).filter($"k" === 1L).as[(Long, String)].head()._2 == "upd")
+    // a DIFFERENT app's batch 0 is not confused with this stream's
+    val other = VT.commitAppend(Seq((9L, "x")).toDF("k", "s"), dir,
+      txn = Some("other-app" -> 0L))
+    assert(other == 3L)
+    // ledger carried across the unrelated commit: batch 0 still skips,
+    // batch 1 commits
+    assert(VT.commitMerge(Seq((1L, "GHOST2", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del", txn = Some("cdc-stream" -> 0L)) == 3L)
+    assert(VT.commitMerge(Seq((1L, "upd2", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del", txn = Some("cdc-stream" -> 1L)) == 4L)
+    assert(VT.readManifest(spark, dir, 4L).txns ==
+      Map("cdc-stream" -> 1L, "other-app" -> 0L))
+  }
+
+  test("commitCompact bin-packs small files, preserves data + history, re-clusters") {
+    val dir = tmp()
+    // 6 small files with keys deliberately SCATTERED across files, so
+    // every file's [min,max] spans the whole key range and pruning is
+    // useless before compaction
+    val scattered = spark.range(600)
+      .select($"id".as("k"), $"id".cast("string").as("s"))
+      .repartition(6) // round-robin: each file sees the full range
+    VT.create(scattered, dir, Seq("k"))
+    val m1 = VT.readManifest(spark, dir, 1L)
+    assert(m1.files.size == 6)
+    val (before, _) = VT.pruneFiles(spark, dir, "k", lit(0L), lit(99L))
+    assert(before.size == 6, "scattered layout should defeat pruning")
+    // compact + re-cluster on k
+    val v2 = VT.commitCompact(spark, dir, targetBytes = 4096L,
+      smallBytes = Long.MaxValue, clusterBy = Seq("k"))
+    assert(v2 == 2L)
+    // data identical, history intact
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
+      VT.read(spark, dir, Some(1L)).as[(Long, String)].collect().toSet)
+    assert(VT.history(spark, dir).head._2 == "compact")
+    // clusterBy wrote range-disjoint files: pruning works again
+    val m2 = VT.readManifest(spark, dir, 2L)
+    val (after, _) = VT.pruneFiles(spark, dir, "k", lit(0L), lit(99L))
+    assert(after.size < m2.files.size || m2.files.size == 1,
+      s"re-clustered layout should prune: ${after.size} of ${m2.files.size}")
+    // nothing-to-do path: every file "big enough" → version unchanged
+    assert(VT.commitCompact(spark, dir, smallBytes = 1L) == 2L)
+  }
+
+  test("merge whose keys miss every file interval reuses all files, inserts land") {
+    val dir = tmp()
+    val base = spark.range(50).select($"id".as("k"), lit("x").as("s"))
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k"))
+    val sig1 = fileSig(dir, 1L)
+    VT.commitMerge(Seq((1000L, "ins", false), (2000L, "gone", true))
+      .toDF("k", "s", "del"), dir, Seq("k"), Seq($"s"), $"del")
+    val sig2 = fileSig(dir, 2L)
+    assert(sig1.forall { case (p, s) => sig2.get(p).contains(s) },
+      "no base file intersects the changelog — all must carry over")
+    val out = VT.read(spark, dir)
+    assert(out.count() == 51)
+    assert(out.filter($"k" === 1000L).as[(Long, String)].head()._2 == "ins")
+  }
+}
