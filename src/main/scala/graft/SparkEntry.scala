@@ -2201,12 +2201,18 @@ private[graft] object Queries {
     * merge end state. The oracle recomputes both states as chained
     * FULL JOIN + CASE merges.
     */
-  def timeTravel(s: SparkSession, d: String): DataFrame = {
+  /** Build the shared versioned-orders fixture: v1 = snapshot (keys with
+    * `o_orderkey % 3 ≠ 0`, price pinned double, range-clustered on the
+    * key so merge pruning has tight intervals), v2 = merge of the
+    * `% 2 = 0` changelog (price × 1.1, 'F' tombstones), v3 = merge of
+    * the `% 5 = 0` changelog (price × 1.2, 'O' tombstones). Rebuilt from
+    * scratch on every call — each consuming query stays a pure function
+    * of the fixture tables.
+    */
+  private def buildOrdersVtable(s: SparkSession, d: String, dir: String): Unit = {
     val VT = graft.ops.VersionedTable
-    val dir = fixtureDir(d, "vtable")
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    // reset: the query must be a pure function of the fixture tables
     fs.delete(new org.apache.hadoop.fs.Path(dir), true)
     val snap = ord(s, d).filter(col("o_orderkey") % 3 =!= 0)
       .select(col("o_orderkey"), col("o_orderstatus"),
@@ -2224,6 +2230,12 @@ private[graft] object Queries {
         (col("o_orderstatus") === "O").as("del"))
     VT.commitMerge(p1, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
     VT.commitMerge(p2, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+  }
+
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "vtable")
+    buildOrdersVtable(s, d, dir)
     VT.read(s, dir, asOf = Some(2L)).withColumn("ver", lit(2L))
       .unionByName(VT.read(s, dir).withColumn("ver", lit(3L)))
       .select("ver", "o_orderkey", "o_orderstatus", "o_totalprice")
@@ -2293,6 +2305,59 @@ private[graft] object Queries {
       | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Change data feed ([[graft.ops.VersionedTable.changesBetween]]): what
+    * happened between version 1 and version 3 of the versioned orders
+    * table, one row per changed key with insert / update / delete
+    * classification — the downstream-incremental primitive (a consumer
+    * folds the delta instead of re-diffing snapshots). Because data files
+    * are immutable, the Spark path reads ONLY the files the two manifests
+    * do not share; the oracle recomputes the same classification as a
+    * FULL JOIN of the v1 and v3 states, no-op keys dropped via
+    * IS NOT DISTINCT FROM.
+    */
+  def changeFeed(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "vtable_cdf")
+    buildOrdersVtable(s, d, dir)
+    VT.changesBetween(s, dir, 1L, 3L, Seq("o_orderkey"))
+      .orderBy("change_type", "o_orderkey")
+  }
+
+  private val changeFeedSql =
+    """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                  CAST(o_totalprice AS DOUBLE) AS pr
+      |           FROM orders WHERE o_orderkey % 3 <> 0),
+      |s1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |              o_totalprice * CAST(1.1 AS DOUBLE) AS pr,
+      |              o_orderstatus = 'F' AS del
+      |       FROM orders WHERE o_orderkey % 2 = 0),
+      |s2 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |              o_totalprice * CAST(1.2 AS DOUBLE) AS pr,
+      |              o_orderstatus = 'O' AS del
+      |       FROM orders WHERE o_orderkey % 5 = 0),
+      |v2 AS (SELECT coalesce(t.k, s1.k) AS k,
+      |        CASE WHEN s1.k IS NOT NULL THEN s1.st ELSE t.st END AS st,
+      |        CASE WHEN s1.k IS NOT NULL THEN s1.pr ELSE t.pr END AS pr
+      |       FROM t FULL JOIN s1 ON t.k = s1.k
+      |       WHERE s1.k IS NULL OR NOT coalesce(s1.del, FALSE)),
+      |v3 AS (SELECT coalesce(v2.k, s2.k) AS k,
+      |        CASE WHEN s2.k IS NOT NULL THEN s2.st ELSE v2.st END AS st,
+      |        CASE WHEN s2.k IS NOT NULL THEN s2.pr ELSE v2.pr END AS pr
+      |       FROM v2 FULL JOIN s2 ON v2.k = s2.k
+      |       WHERE s2.k IS NULL OR NOT coalesce(s2.del, FALSE)),
+      |d AS (SELECT
+      |        CASE WHEN t.k IS NULL THEN 'insert'
+      |             WHEN v3.k IS NULL THEN 'delete'
+      |             WHEN t.st IS NOT DISTINCT FROM v3.st
+      |              AND t.pr IS NOT DISTINCT FROM v3.pr THEN NULL
+      |             ELSE 'update' END AS change_type,
+      |        coalesce(t.k, v3.k) AS o_orderkey,
+      |        CASE WHEN v3.k IS NULL THEN t.st ELSE v3.st END AS o_orderstatus,
+      |        CASE WHEN v3.k IS NULL THEN t.pr ELSE v3.pr END AS o_totalprice
+      |      FROM t FULL JOIN v3 ON t.k = v3.k)
+      |SELECT * FROM d WHERE change_type IS NOT NULL
+      |ORDER BY change_type, o_orderkey""".stripMargin
 
   /** Symmetric int8 embedding quantization ([[graft.ops.SimilarityOps
     * .quantizeInt8]]) — 4× smaller vector storage. First 8 code values are
@@ -3192,6 +3257,7 @@ private[graft] object Queries {
     "q_merge_mor" -> (mergeMor _),
     "q_time_travel" -> (timeTravel _),
     "q_stats_prune" -> (statsPrune _),
+    "q_change_feed" -> (changeFeed _),
     "q_join_advised" -> (joinAdvised _),
     "q_dedup_lifecycle" -> (dedupLifecycle _),
     "q_text_bigrams" -> (textBigrams _),
@@ -3332,6 +3398,7 @@ private[graft] object Queries {
     "q_merge_mor" -> mergeMorSql,
     "q_time_travel" -> timeTravelSql,
     "q_stats_prune" -> statsPruneSql,
+    "q_change_feed" -> changeFeedSql,
     "q_join_advised" -> joinAdvisedSql,
     "q_text_bigrams" -> textBigramsSql,
     "q_scd2" -> scd2Sql,

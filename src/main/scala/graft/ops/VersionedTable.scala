@@ -290,7 +290,29 @@ object VersionedTable {
     */
   def commitMerge(changes: DataFrame, dir: String, keys: Seq[String],
                   tiebreak: Seq[Column], deleteCond: Column,
-                  txn: Option[(String, Long)] = None): Long = {
+                  txn: Option[(String, Long)] = None): Long =
+    commitMergeImpl(changes, dir, keys, tiebreak, deleteCond, txn,
+      evolve = false, metaCols = Seq.empty)
+
+  /** [[commitMerge]] with SCHEMA EVOLUTION ([[Warehouse.applyChangesEvolve]]
+    * semantics): a changelog column the table lacks appends to the schema.
+    * Carried-over files simply lack the column on disk — the evolved read
+    * schema fills NULL at scan time (parquet's missing-column rule), so
+    * untouched files stay untouched even across an evolution; only the
+    * MANIFEST's schema changes. `metaCols` keeps transport metadata out of
+    * the table payload.
+    */
+  def commitMergeEvolve(changes: DataFrame, dir: String, keys: Seq[String],
+                        tiebreak: Seq[Column], deleteCond: Column,
+                        metaCols: Seq[String] = Seq.empty,
+                        txn: Option[(String, Long)] = None): Long =
+    commitMergeImpl(changes, dir, keys, tiebreak, deleteCond, txn,
+      evolve = true, metaCols = metaCols)
+
+  private def commitMergeImpl(changes: DataFrame, dir: String, keys: Seq[String],
+                              tiebreak: Seq[Column], deleteCond: Column,
+                              txn: Option[(String, Long)],
+                              evolve: Boolean, metaCols: Seq[String]): Long = {
     val spark = changes.sparkSession
     val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
@@ -332,11 +354,28 @@ object VersionedTable {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else
         spark.read.schema(schema).parquet(touched.map(f => s"$dir/${f.path}"): _*)
-    val merged = Warehouse.applyChanges(base, deduped, keys, deleteCond)
-      .select(schema.fieldNames.map(col): _*)
+    val applied =
+      if (evolve) Warehouse.applyChangesEvolve(base, deduped, keys, deleteCond, metaCols)
+      else Warehouse.applyChanges(base, deduped, keys, deleteCond)
+    // evolved columns append AFTER the existing schema; carried files lack
+    // them on disk and read as NULL through the evolved manifest schema
+    val outCols = schema.fieldNames ++
+      applied.columns.filterNot(schema.fieldNames.contains)
+    val merged = applied.select(outCols.map(col): _*)
+    // DDL stays byte-identical on a plain merge (toDDL would let
+    // nullability drift rewrite it); evolution appends the new fields as
+    // nullable — carried files lack them and must read as NULL
+    val outDdl =
+      if (!evolve) cur.schemaDdl
+      else {
+        val extra = merged.schema.fields
+          .filterNot(f => schema.fieldNames.contains(f.name))
+          .map(_.copy(nullable = true))
+        StructType(schema.fields ++ extra).toDDL
+      }
     val files = writeCommitFiles(merged, dir, next, cur.statsCols)
     writeManifest(fsOf(spark, dir), dir,
-      Manifest(next, "merge", cur.schemaDdl, cur.statsCols, carried ++ files,
+      Manifest(next, "merge", outDdl, cur.statsCols, carried ++ files,
         txnsAfter(cur, txn)))
     next
   }
@@ -455,6 +494,56 @@ object VersionedTable {
           (col("__max").cast(colType) >= lo && col("__min").cast(colType) <= hi)))
       .select("__path").collect().map(_.getString(0)).toSeq
     (survivors, m)
+  }
+
+  /** Change data feed — what happened to the table between two versions,
+    * one row per changed key with `change_type` ∈ insert / update /
+    * delete (post-image for insert/update, pre-image for delete). The
+    * downstream-incremental primitive (Delta's CDF): a consumer keeps a
+    * cursor version and folds only the delta instead of re-diffing
+    * snapshots.
+    *
+    * Cost is O(CHANGED FILES), not O(table): data files are immutable, so
+    * any key whose file is in BOTH manifests is untouched by construction
+    * and never read. Only files dropped by `fromV→toV` (pre-images) and
+    * files added (post-images) are scanned; a key rewritten with an equal
+    * payload (its neighbor changed, its file was rewritten) joins equal
+    * and drops as a no-op. Keys must be table-unique, as everywhere.
+    */
+  def changesBetween(spark: SparkSession, dir: String, fromV: Long, toV: Long,
+                     keys: Seq[String]): DataFrame = {
+    require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
+    val m1 = readManifest(spark, dir, fromV)
+    val m2 = readManifest(spark, dir, toV)
+    val schema = StructType.fromDDL(m2.schemaDdl)
+    require(m1.schemaDdl == m2.schemaDdl,
+      "changesBetween: schema changed between versions — diff the payloads manually")
+    require(!schema.fieldNames.contains("change_type"),
+      "changesBetween: column name change_type is reserved by the feed encoding")
+    val paths1 = m1.files.map(_.path).toSet
+    val paths2 = m2.files.map(_.path).toSet
+    val removed = (paths1 -- paths2).toSeq.sorted
+    val added = (paths2 -- paths1).toSeq.sorted
+    val payload = schema.fieldNames.filterNot(keys.contains).toSeq
+    def readSet(ps: Seq[String]): DataFrame =
+      if (ps.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema).parquet(ps.map(p => s"$dir/$p"): _*)
+    val pre = readSet(removed).select(
+      keys.map(col) :+ struct(payload.map(col): _*).as("__pre"): _*)
+    val post = readSet(added).select(
+      keys.map(col) :+ struct(payload.map(col): _*).as("__post"): _*)
+    pre.join(post, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__pre").isNull, lit("insert"))
+          .when(col("__post").isNull, lit("delete"))
+          .when(col("__pre") <=> col("__post"), lit(null)) // rewritten, unchanged
+          .otherwise(lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(col("change_type") +: keys.map(col) ++: payload.map { c =>
+        when(col("change_type") === "delete", col(s"__pre.$c"))
+          .otherwise(col(s"__post.$c")).as(c)
+      }: _*)
   }
 
   /** Version history, newest first: (version, op, files, rows). */

@@ -259,6 +259,76 @@ class VersionedTableSpec extends SparkSuite {
     assert(VT.commitCompact(spark, dir, smallBytes = 1L) == 2L)
   }
 
+  test("commitMergeEvolve appends a new column; carried files read NULL through the evolved schema") {
+    val dir = tmp()
+    // 2 range-disjoint files; the evolving changelog touches only one
+    val base = spark.range(20).select($"id".as("k"), $"id".cast("string").as("s"))
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k"))
+    val sig1 = fileSig(dir, 1L)
+    VT.commitMergeEvolve(
+      Seq((1L, "upd", 9.5, false), (100L, "new", 1.5, false)).toDF("k", "s", "extra", "del"),
+      dir, Seq("k"), Seq($"s"), $"del", metaCols = Seq("del"))
+    // the untouched file carried over byte-stable despite the evolution
+    val m2 = VT.readManifest(spark, dir, 2L)
+    val carried = m2.files.map(_.path).toSet intersect sig1.keySet
+    assert(carried.size == 1)
+    assert(fileSig(dir, 2L)(carried.head) == sig1(carried.head))
+    // evolved reads: changed/inserted rows carry the value, carried rows NULL
+    val out = VT.read(spark, dir).select("k", "s", "extra")
+      .as[(Long, String, Option[Double])].collect()
+      .map { case (k, s, e) => k -> (s, e) }.toMap
+    assert(out(1L) == ("upd", Some(9.5)))
+    assert(out(100L) == ("new", Some(1.5)))
+    assert(out(15L) == ("15", None), "carried file must read NULL for the evolved column")
+    // the delete flag stayed transport metadata, not table payload
+    assert(!VT.read(spark, dir).columns.contains("del"))
+    // time travel to the pre-evolution version keeps the narrow schema
+    assert(VT.read(spark, dir, Some(1L)).columns.toSeq == Seq("k", "s"))
+  }
+
+  test("changesBetween classifies insert/update/delete, drops rewritten no-ops") {
+    val dir = tmp()
+    // 4 range-clustered files over k = 0..39; the merge touches ONE file's
+    // interval, so its untouched neighbors (k=10..39) are never read by
+    // the feed — and the rewritten file's unchanged keys must drop as
+    // no-ops
+    val base = spark.range(40).select($"id".as("k"), ($"id" % 5).cast("string").as("s"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k"))
+    VT.commitMerge(Seq((3L, "UPD", false), (7L, "x", true), (100L, "NEW", false))
+      .toDF("k", "s", "del"), dir, Seq("k"), Seq($"s"), $"del")
+    val feed = VT.changesBetween(spark, dir, 1L, 2L, Seq("k"))
+      .as[(String, Long, String)].collect().toSet
+    assert(feed == Set(
+      ("update", 3L, "UPD"),
+      ("delete", 7L, (7 % 5).toString),
+      ("insert", 100L, "NEW")), s"got $feed")
+    // equals the brute-force snapshot diff
+    val v1 = VT.read(spark, dir, Some(1L)).as[(Long, String)].collect().toMap
+    val v2 = VT.read(spark, dir, Some(2L)).as[(Long, String)].collect().toMap
+    val model = (v1.keySet ++ v2.keySet).flatMap { k =>
+      (v1.get(k), v2.get(k)) match {
+        case (None, Some(s)) => Some(("insert", k, s))
+        case (Some(s), None) => Some(("delete", k, s))
+        case (Some(a), Some(b)) if a != b => Some(("update", k, b))
+        case _ => None
+      }
+    }
+    assert(feed == model)
+    // cursor composability: feed(1,2) then feed(2,2+) — a second merge,
+    // and the two deltas folded sequentially equal the one-shot diff
+    VT.commitMerge(Seq((3L, "UPD2", false), (100L, "x", true)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del")
+    val oneShot = VT.changesBetween(spark, dir, 1L, 3L, Seq("k"))
+      .as[(String, Long, String)].collect().toSet
+    assert(oneShot.contains(("update", 3L, "UPD2")))
+    assert(!oneShot.exists(_._2 == 100L),
+      "a key inserted then deleted within the window must not appear")
+    intercept[IllegalArgumentException](
+      VT.changesBetween(spark, dir, 2L, 2L, Seq("k")))
+  }
+
   test("merge whose keys miss every file interval reuses all files, inserts land") {
     val dir = tmp()
     val base = spark.range(50).select($"id".as("k"), lit("x").as("s"))
