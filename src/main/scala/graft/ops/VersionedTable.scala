@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.hadoop.fs.{FileSystem, Path}
 import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+import com.fasterxml.jackson.databind.node.ObjectNode
 
 /** Manifest-based versioned parquet table — the metadata-commit idea at the
   * core of the modern lakehouse formats (Delta's `_delta_log`, Iceberg's
@@ -57,9 +57,9 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   *
   * Contracts: single CONCURRENT writer per table (racers fail loudly, see
   * above); keys for [[commitMerge]] must be table-unique (same as every
-  * merge in [[Warehouse]]); schema is pinned at [[create]] and appends /
-  * merges must carry it exactly (evolution is a deliberate non-goal here —
-  * see [[Warehouse.applyChangesEvolve]] for the merge-time analog).
+  * merge in [[Warehouse]]); schema is pinned at [[create]] — appends and
+  * plain merges must carry it exactly, and only [[commitMergeEvolve]] may
+  * widen it (append-only, like [[Warehouse.applyChangesEvolve]]).
   */
 object VersionedTable {
 
@@ -103,8 +103,10 @@ object VersionedTable {
     if (!fs.exists(log)) Seq.empty
     else fs.listStatus(log).iterator
       .map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      // exact shape only — a stray file in _vlog must not crash every read
+      .filter(n => n.length == 18 && n.startsWith("v") && n.endsWith(".json") &&
+        n.substring(1, 13).forall(_.isDigit))
+      .map(_.substring(1, 13).toLong)
       .toSeq.sorted
   }
 
@@ -203,7 +205,9 @@ object VersionedTable {
     val rel = s"data/c$version-$nonce"
     val commitDir = new Path(dir, rel)
     df.write.mode("overwrite").parquet(commitDir.toString)
-    val written = spark.read.parquet(commitDir.toString)
+    // schema pinned explicitly: an all-empty commit (a merge that
+    // tombstones every touched row) must not die on schema inference
+    val written = spark.read.schema(df.schema).parquet(commitDir.toString)
     val statAggs = statsCols.flatMap { c =>
       val q = col(s"`$c`")
       Seq(min(q).cast("string").as(s"__min_$c"),
@@ -216,7 +220,10 @@ object VersionedTable {
       .collect()
     val types = statsCols.map(c => c -> written.schema(c).dataType.sql).toMap
     perFile.map { r =>
-      val name = new Path(new java.net.URI(r.getAs[String]("__file"))).getName
+      // plain suffix split — input_file_name() URI-escapes unevenly across
+      // filesystems, and the part-file NAME never contains a slash
+      val uri = r.getAs[String]("__file")
+      val name = uri.substring(uri.lastIndexOf('/') + 1)
       val stats = statsCols.map { c =>
         c -> ColStat(types(c), Option(r.getAs[String](s"__min_$c")),
           Option(r.getAs[String](s"__max_$c")), r.getAs[Long](s"__nul_$c"))
@@ -233,8 +240,20 @@ object VersionedTable {
     require(currentVersion(spark, dir).isEmpty,
       s"VersionedTable.create: $dir is already a versioned table " +
         s"(current version ${currentVersion(spark, dir).get})")
-    statsCols.foreach(c => require(df.columns.contains(c),
-      s"VersionedTable.create: stats column $c not in schema"))
+    statsCols.foreach { c =>
+      require(df.columns.contains(c),
+        s"VersionedTable.create: stats column $c not in schema")
+      // min/max round-trip through CAST-to-STRING: sound only for types
+      // whose string form preserves the column's order and value. BINARY
+      // in particular would corrupt through UTF-8.
+      val dt = df.schema(c).dataType
+      require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+          Seq("STRING", "DATE", "TIMESTAMP", "TIMESTAMP_NTZ", "BOOLEAN")
+            .contains(dt.sql),
+        s"VersionedTable.create: stats column $c has type ${dt.sql} — " +
+          "only numeric/string/date/timestamp/boolean columns can carry " +
+          "manifest min/max stats (string round-trip must preserve order)")
+    }
     val fs = fsOf(spark, dir)
     val files = writeCommitFiles(df, dir, 1L, statsCols)
     writeManifest(fs, dir, Manifest(1L, "create", df.schema.toDDL, statsCols, files))
@@ -516,10 +535,21 @@ object VersionedTable {
     val m1 = readManifest(spark, dir, fromV)
     val m2 = readManifest(spark, dir, toV)
     val schema = StructType.fromDDL(m2.schemaDdl)
-    require(m1.schemaDdl == m2.schemaDdl,
-      "changesBetween: schema changed between versions — diff the payloads manually")
+    // an evolved window still diffs: evolution only APPENDS columns, so
+    // reading BOTH sides through toV's wider schema is exact — fromV's
+    // files fill NULL for the appended columns, which is precisely their
+    // pre-image value. Anything else (drop, retype, rename) refuses.
+    val old = StructType.fromDDL(m1.schemaDdl)
+    require(old.fields.map(f => (f.name, f.dataType))
+        .sameElements(schema.fields.take(old.size).map(f => (f.name, f.dataType))),
+      s"changesBetween: version $toV's schema is not an append-only evolution " +
+        s"of version $fromV's — diff the payloads manually")
     require(!schema.fieldNames.contains("change_type"),
       "changesBetween: column name change_type is reserved by the feed encoding")
+    require(schema.fieldNames.length > keys.length,
+      "changesBetween: table has no non-key columns")
+    keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"changesBetween: key $k not in table schema"))
     val paths1 = m1.files.map(_.path).toSet
     val paths2 = m2.files.map(_.path).toSet
     val removed = (paths1 -- paths2).toSeq.sorted
@@ -570,6 +600,13 @@ object VersionedTable {
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val referenced = keep.flatMap(v => readManifest(spark, dir, v).files.map(_.path)).toSet
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
+    // sweep manifest tmps abandoned by crashed writers (invisible to
+    // readers either way; under the single-writer contract none is live)
+    fs.listStatus(vlogDir(dir)).foreach { st =>
+      if (st.getPath.getName.startsWith(".v") &&
+          st.getPath.getName.contains(".json.tmp-"))
+        fs.delete(st.getPath, false)
+    }
     val dataRoot = new Path(dir, "data")
     if (!fs.exists(dataRoot)) return 0
     var deleted = 0

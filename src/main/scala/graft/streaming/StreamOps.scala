@@ -172,7 +172,11 @@ object StreamOps {
     * with the initial snapshot — the Debezium bootstrap shape: snapshot
     * first, then stream the changelog). `appId` names this stream; use
     * one per (stream, table) pair and keep it stable across restarts —
-    * it is what makes a replayed batchId recognizable.
+    * it is what makes a replayed batchId recognizable. Corollary: a FRESH
+    * checkpoint restarts batch ids at 0, so starting over against the
+    * same table needs a fresh `appId` too, or the ledger would silently
+    * swallow the new stream's first batches (same rule as the flat
+    * variant's marker: reset checkpoint and identity together).
     */
   def streamingCdcApplyVersioned(spark: SparkSession, srcDir: String,
                                  schemaDdl: String, checkpointDir: String,
