@@ -60,6 +60,17 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   * merge in [[Warehouse]]); schema is pinned at [[create]] — appends and
   * plain merges must carry it exactly, and only [[commitMergeEvolve]] may
   * widen it (append-only, like [[Warehouse.applyChangesEvolve]]).
+  *
+  * Metadata sizing: manifests are SELF-CONTAINED — every version lists its
+  * full file set, so reads never replay a log (Delta must fold JSON
+  * actions since the last checkpoint; here `read(asOf)` is one file).
+  * The trade is O(files) metadata per commit: ~200 bytes/entry means a
+  * 10 000-file table writes ~2 MB of manifest per commit and a
+  * 100 000-file one ~20 MB — fine for the target shape (files sized
+  * 128 MB–1 GB by [[commitCompact]], so 100k files ≈ 12–100 TB). Beyond
+  * that, the next step is Iceberg's: shard the file list into manifest
+  * segments reused across versions and keep a small manifest-list per
+  * version.
   */
 object VersionedTable {
 
@@ -469,10 +480,18 @@ object VersionedTable {
     * filtered DataFrame; surviving file count is `prunedFiles` for specs.
     */
   def readPruned(spark: SparkSession, dir: String, column: String,
-                 lo: Column, hi: Column, asOf: Option[Long] = None): DataFrame = {
-    val (survivors, m) = pruneFiles(spark, dir, column, lo, hi, asOf)
+                 lo: Column, hi: Column, asOf: Option[Long] = None): DataFrame =
+    readPrunedMulti(spark, dir, Seq((column, lo, hi)), asOf)
+
+  /** Conjunctive multi-range [[readPruned]] — see [[pruneFilesMulti]]. */
+  def readPrunedMulti(spark: SparkSession, dir: String,
+                      preds: Seq[(String, Column, Column)],
+                      asOf: Option[Long] = None): DataFrame = {
+    val (survivors, m) = pruneFilesMulti(spark, dir, preds, asOf)
     val schema = StructType.fromDDL(m.schemaDdl)
-    val filter = col(s"`$column`") >= lo && col(s"`$column`") <= hi
+    val filter = preds.map { case (c, lo, hi) =>
+      col(s"`$c`") >= lo && col(s"`$c`") <= hi
+    }.reduce(_ && _)
     if (survivors.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .filter(filter)
@@ -489,28 +508,61 @@ object VersionedTable {
     */
   def pruneFiles(spark: SparkSession, dir: String, column: String,
                  lo: Column, hi: Column,
-                 asOf: Option[Long] = None): (Seq[String], Manifest) = {
+                 asOf: Option[Long] = None): (Seq[String], Manifest) =
+    pruneFilesMulti(spark, dir, Seq((column, lo, hi)), asOf)
+
+  /** Conjunctive multi-range pruning: a file survives only if EVERY
+    * `(column, lo, hi)` interval could intersect its stats — the z-order
+    * read path ([[LayoutOps.zorderWrite]] exists precisely so that several
+    * dimensions carry tight per-file intervals at once). Columns without
+    * declared stats are skipped (conservative; they prune nothing).
+    */
+  def pruneFilesMulti(spark: SparkSession, dir: String,
+                      preds: Seq[(String, Column, Column)],
+                      asOf: Option[Long] = None): (Seq[String], Manifest) = {
+    import scala.jdk.CollectionConverters._
+    require(preds.nonEmpty, "pruneFiles: need at least one (column, lo, hi)")
     val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable.readPruned: $dir is not a versioned table"))
     val m = readManifest(spark, dir, v)
     val schema = StructType.fromDDL(m.schemaDdl)
-    if (!m.statsCols.contains(column)) return (m.files.map(_.path), m)
-    val colType = schema(column).dataType
+    val active = preds.filter { case (c, _, _) => m.statsCols.contains(c) }
+    if (active.isEmpty) return (m.files.map(_.path), m)
+    if (m.files.isEmpty) return (Seq.empty, m)
+    // one LOCAL row per file carrying every active column's interval;
+    // evaluated through Catalyst casts so the pruning comparison is
+    // exactly the scan's
     val rows = m.files.map { f =>
-      f.stats.get(column) match {
-        case Some(ColStat(_, Some(mn), Some(mx), _)) => (f.path, mn, mx, false, false)
-        case Some(ColStat(_, None, None, _)) => (f.path, null: String, null: String, false, true)
-        case _ => (f.path, null: String, null: String, true, false)
-      }
+      org.apache.spark.sql.Row.fromSeq(
+        f.path +: active.flatMap { case (c, _, _) =>
+          f.stats.get(c) match {
+            case Some(ColStat(_, Some(mn), Some(mx), _)) => Seq(mn, mx, "range")
+            case Some(ColStat(_, None, None, _)) => Seq(null, null, "allnull")
+            case _ => Seq(null, null, "blind")
+          }
+        })
     }
-    if (rows.isEmpty) return (Seq.empty, m)
-    // evaluate the interval test through Catalyst casts on a local relation
-    // (one row per file): identical comparison semantics to the scan itself
-    val survivors = spark.createDataFrame(rows)
-      .toDF("__path", "__min", "__max", "__blind", "__allNull")
-      .filter(!col("__allNull") &&
-        (col("__blind") ||
-          (col("__max").cast(colType) >= lo && col("__min").cast(colType) <= hi)))
+    val statSchema = StructType(
+      org.apache.spark.sql.types.StructField("__path",
+        org.apache.spark.sql.types.StringType) +:
+      active.zipWithIndex.flatMap { case (_, i) => Seq(
+        org.apache.spark.sql.types.StructField(s"__min_$i",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(s"__max_$i",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField(s"__kind_$i",
+          org.apache.spark.sql.types.StringType))
+      })
+    val cond = active.zipWithIndex.map { case ((c, lo, hi), i) =>
+      val colType = schema(c).dataType
+      (col(s"__kind_$i") === "blind") ||
+        (col(s"__kind_$i") === "range" &&
+          col(s"__max_$i").cast(colType) >= lo &&
+          col(s"__min_$i").cast(colType) <= hi)
+    }.reduce(_ && _)
+    val survivors = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), statSchema)
+      .filter(cond)
       .select("__path").collect().map(_.getString(0)).toSeq
     (survivors, m)
   }

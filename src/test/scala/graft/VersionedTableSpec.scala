@@ -329,6 +329,37 @@ class VersionedTableSpec extends SparkSuite {
       VT.changesBetween(spark, dir, 2L, 2L, Seq("k")))
   }
 
+  test("multi-range pruning: z-ordered layout prunes on BOTH dimensions at once") {
+    import graft.ops.LayoutOps
+    val dir = tmp()
+    // z-order 4096 (x, y) grid points so every file carries tight
+    // intervals on BOTH columns, then version the clustered layout
+    val grid = spark.range(4096).select(
+      ($"id" % 64).cast("double").as("x"),
+      floor($"id" / 64).cast("double").as("y"))
+    val clustered = grid
+      .repartitionByRange(8, LayoutOps.zvalue(
+        LayoutOps.rank32($"x", 0, 64), LayoutOps.rank32($"y", 0, 64)))
+      .sortWithinPartitions(LayoutOps.zvalue(
+        LayoutOps.rank32($"x", 0, 64), LayoutOps.rank32($"y", 0, 64)))
+    VT.create(clustered, dir, Seq("x", "y"))
+    val (xOnly, m) = VT.pruneFilesMulti(spark, dir,
+      Seq(("x", lit(0.0), lit(15.0))))
+    val (both, _) = VT.pruneFilesMulti(spark, dir,
+      Seq(("x", lit(0.0), lit(15.0)), ("y", lit(0.0), lit(15.0))))
+    assert(m.files.size == 8)
+    assert(both.size <= xOnly.size,
+      s"adding a conjunct can only prune more: x=${xOnly.size} both=${both.size}")
+    assert(both.size < 8, "z-ordered layout should prune the 2-D box")
+    val got = VT.readPrunedMulti(spark, dir,
+        Seq(("x", lit(0.0), lit(15.0)), ("y", lit(0.0), lit(15.0)))).count()
+    assert(got == 16 * 16, s"exact 2-D box count, got $got")
+    // un-stats'd predicate column → conservative full survival, exact result
+    val (all, _) = VT.pruneFilesMulti(spark, dir,
+      Seq(("nope", lit(0.0), lit(1.0))).map { case (c, a, b) => (c, a, b) })
+    assert(all.size == 8)
+  }
+
   test("review hardening: junk vlog files, binary stats refusal, tombstone-everything merge") {
     val dir = tmp()
     VT.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, Seq("k"))
