@@ -520,8 +520,20 @@ object VersionedTable {
   def pruneFilesMulti(spark: SparkSession, dir: String,
                       preds: Seq[(String, Column, Column)],
                       asOf: Option[Long] = None): (Seq[String], Manifest) = {
-    import scala.jdk.CollectionConverters._
     require(preds.nonEmpty, "pruneFiles: need at least one (column, lo, hi)")
+    pruneRanges(spark, dir,
+      preds.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) }, asOf)
+  }
+
+  /** Shared pruning core: each predicate is a possibly one-sided interval
+    * on a column (None = unbounded on that side). A file survives only if
+    * every interval could intersect its stats. All-null files are pruned
+    * by ANY interval predicate — a comparison never selects NULL.
+    */
+  private def pruneRanges(spark: SparkSession, dir: String,
+                          preds: Seq[(String, Option[Column], Option[Column])],
+                          asOf: Option[Long]): (Seq[String], Manifest) = {
+    import scala.jdk.CollectionConverters._
     val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable.readPruned: $dir is not a versioned table"))
     val m = readManifest(spark, dir, v)
@@ -555,10 +567,10 @@ object VersionedTable {
       })
     val cond = active.zipWithIndex.map { case ((c, lo, hi), i) =>
       val colType = schema(c).dataType
+      val loOk = lo.map(l => col(s"__max_$i").cast(colType) >= l).getOrElse(lit(true))
+      val hiOk = hi.map(h => col(s"__min_$i").cast(colType) <= h).getOrElse(lit(true))
       (col(s"__kind_$i") === "blind") ||
-        (col(s"__kind_$i") === "range" &&
-          col(s"__max_$i").cast(colType) >= lo &&
-          col(s"__min_$i").cast(colType) <= hi)
+        (col(s"__kind_$i") === "range" && loOk && hiOk)
     }.reduce(_ && _)
     val survivors = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), statSchema)
@@ -566,6 +578,47 @@ object VersionedTable {
       .select("__path").collect().map(_.getString(0)).toSeq
     (survivors, m)
   }
+
+  /** Predicate-driven data skipping: take an ARBITRARY boolean filter
+    * Column, mine its top-level conjuncts for `col <op> literal`
+    * comparisons on stats columns, prune files by the implied intervals,
+    * and apply the FULL predicate to the survivors. The UX of an
+    * integrated scan — `readWhere(dir, $"k" > 5 && $"cat" === "x" &&
+    * someUdf($"s"))` skips files on `k` and `cat` while the UDF conjunct
+    * simply prunes nothing — with correctness independent of extraction:
+    * every extracted range is implied by the conjunct it came from, and
+    * the exact filter always re-applies. Disjunctions (OR) at the top are
+    * never split, so they never prune — conservative by construction.
+    * Strict `<`/`>` widen to closed interval tests (a file whose max
+    * equals the bound may still be opened; rows die in the filter).
+    */
+  def readWhere(spark: SparkSession, dir: String, cond: Column,
+                asOf: Option[Long] = None): DataFrame = {
+    val ranges = extractRanges(cond)
+    val (survivors, m) =
+      if (ranges.isEmpty) {
+        val mm = readManifest(spark, dir, asOf.orElse(currentVersion(spark, dir))
+          .getOrElse(throw new IllegalArgumentException(
+            s"VersionedTable.readWhere: $dir is not a versioned table")))
+        (mm.files.map(_.path), mm)
+      } else pruneRanges(spark, dir, ranges, asOf)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    if (survivors.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .filter(cond)
+    else
+      spark.read.schema(schema).parquet(survivors.map(p => s"$dir/$p"): _*)
+        .filter(cond)
+  }
+
+  /** The conjunct miner behind [[readWhere]] — delegates to
+    * [[org.apache.spark.sql.GraftShim.mineRanges]] (Spark 4 predicates are
+    * ColumnNode trees whose `private[sql]` API only the shim package sees).
+    * Package-visible so specs can pin exactly what prunes.
+    */
+  private[graft] def extractRanges(
+      cond: Column): Seq[(String, Option[Column], Option[Column])] =
+    org.apache.spark.sql.GraftShim.mineRanges(cond)
 
   /** Change data feed — what happened to the table between two versions,
     * one row per changed key with `change_type` ∈ insert / update /

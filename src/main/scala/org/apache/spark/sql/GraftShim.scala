@@ -21,4 +21,52 @@ object GraftShim {
   def dataFrame(spark: SparkSession,
                 plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Mine `attr <op> literal` comparisons from a predicate Column's
+    * top-level AND conjuncts — Spark 4 Columns are backend-agnostic
+    * [[internal.ColumnNode]] trees (`UnresolvedFunction("and"/">="/...)`),
+    * not Catalyst expressions, so the walk must live here where the
+    * `private[sql]` node API is visible. Returns one possibly one-sided
+    * closed interval per comparison: `(name, lo, hi)` with `None` =
+    * unbounded (strict ops widen to closed — the caller re-applies the
+    * exact predicate anyway). OR nodes are never split; anything
+    * unrecognized yields nothing — strictly conservative.
+    */
+  def mineRanges(c: Column): Seq[(String, Option[Column], Option[Column])] = {
+    import org.apache.spark.sql.internal._
+    def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {
+      case UnresolvedFunction("and", args, _, _, _, _) if args.size == 2 =>
+        conjuncts(args(0)) ++ conjuncts(args(1))
+      case other => Seq(other)
+    }
+    def attrName(n: ColumnNode): Option[String] = n match {
+      case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
+      case _ => None
+    }
+    def asCol(n: ColumnNode): Column = Column(n)
+    conjuncts(c.node).flatMap {
+      case UnresolvedFunction(op, args, _, _, _, _) if args.size == 2 =>
+        (args(0), args(1)) match {
+          case (a, l: Literal) if attrName(a).isDefined =>
+            val n = attrName(a).get
+            op match {
+              case ">=" | ">"       => Some((n, Some(asCol(l)), None))
+              case "<=" | "<"       => Some((n, None, Some(asCol(l))))
+              case "=" | "==" => Some((n, Some(asCol(l)), Some(asCol(l))))
+              case _ => None
+            }
+          case (l: Literal, a) if attrName(a).isDefined =>
+            val n = attrName(a).get
+            op match {
+              // literal on the LEFT flips the direction
+              case ">=" | ">"       => Some((n, None, Some(asCol(l))))
+              case "<=" | "<"       => Some((n, Some(asCol(l)), None))
+              case "=" | "==" => Some((n, Some(asCol(l)), Some(asCol(l))))
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
 }

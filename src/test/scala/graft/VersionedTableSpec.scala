@@ -360,6 +360,40 @@ class VersionedTableSpec extends SparkSuite {
     assert(all.size == 8)
   }
 
+  test("readWhere mines prunable conjuncts from an arbitrary predicate") {
+    val dir = tmp()
+    val base = spark.range(800).select($"id".as("k"),
+        ($"id" % 10).cast("string").as("cat"), ($"id" * 3).cast("double").as("v"))
+      .repartitionByRange(8, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k"))
+    // mixed predicate: two range conjuncts on the stats column, an
+    // equality on an un-stats'd column, and an un-extractable length()
+    // conjunct — result must equal the plain filter exactly
+    val cond = $"k" >= 100L && $"k" < 220L && $"cat" === "3" && length($"cat") === 1
+    val got = VT.readWhere(spark, dir, cond).as[(Long, String, Double)].collect().toSet
+    val want = base.filter(cond).as[(Long, String, Double)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // the miner found exactly the three comparison conjuncts
+    val ranges = VT.extractRanges(cond)
+    assert(ranges.map(_._1) == Seq("k", "k", "cat"), s"got ${ranges.map(_._1)}")
+    assert(ranges(0)._2.isDefined && ranges(0)._3.isEmpty)  // k >= 100: lo only
+    assert(ranges(1)._2.isEmpty && ranges(1)._3.isDefined)  // k < 220: hi only
+    assert(ranges(2)._2.isDefined && ranges(2)._3.isDefined) // cat = '3': point
+    // and the k conjuncts genuinely pruned: survivors < total files
+    val (survivors, m) = VT.pruneFilesMulti(spark, dir,
+      Seq(("k", lit(100L), lit(220L))))
+    assert(m.files.size == 8 && survivors.size < 8)
+    // flipped operand order and a literal-on-left strict compare
+    val flipped = VT.extractRanges(lit(500L) > $"k")
+    assert(flipped == flipped.filter { case (n, lo, hi) =>
+      n == "k" && lo.isEmpty && hi.isDefined })
+    // an OR is never split — nothing extracted, nothing pruned, still exact
+    val orCond = $"k" < 10L || $"cat" === "7"
+    assert(VT.extractRanges(orCond).isEmpty)
+    assert(VT.readWhere(spark, dir, orCond).count() ==
+      base.filter(orCond).count())
+  }
+
   test("review hardening: junk vlog files, binary stats refusal, tombstone-everything merge") {
     val dir = tmp()
     VT.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, Seq("k"))
