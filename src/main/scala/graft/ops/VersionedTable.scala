@@ -532,21 +532,36 @@ object VersionedTable {
     */
   private def pruneRanges(spark: SparkSession, dir: String,
                           preds: Seq[(String, Option[Column], Option[Column])],
-                          asOf: Option[Long]): (Seq[String], Manifest) = {
+                          asOf: Option[Long]): (Seq[String], Manifest) =
+    pruneCore(spark, dir, preds, Seq.empty, asOf)
+
+  /** Shared by every pruning entry point: conjunction of interval
+    * predicates and IN-set predicates. A file survives only if each
+    * interval could intersect its stats AND each IN-set has at least one
+    * value inside them. All-null files are pruned by ANY predicate here —
+    * neither a comparison nor IN ever selects NULL.
+    */
+  private def pruneCore(spark: SparkSession, dir: String,
+                        ranges: Seq[(String, Option[Column], Option[Column])],
+                        inSets: Seq[(String, Seq[Column])],
+                        asOf: Option[Long]): (Seq[String], Manifest) = {
     import scala.jdk.CollectionConverters._
     val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable.readPruned: $dir is not a versioned table"))
     val m = readManifest(spark, dir, v)
     val schema = StructType.fromDDL(m.schemaDdl)
-    val active = preds.filter { case (c, _, _) => m.statsCols.contains(c) }
-    if (active.isEmpty) return (m.files.map(_.path), m)
+    val activeRanges = ranges.filter { case (c, _, _) => m.statsCols.contains(c) }
+    val activeIns = inSets.filter { case (c, vs) => m.statsCols.contains(c) && vs.nonEmpty }
+    if (activeRanges.isEmpty && activeIns.isEmpty) return (m.files.map(_.path), m)
     if (m.files.isEmpty) return (Seq.empty, m)
     // one LOCAL row per file carrying every active column's interval;
     // evaluated through Catalyst casts so the pruning comparison is
     // exactly the scan's
+    val cols = (activeRanges.map(_._1) ++ activeIns.map(_._1)).distinct
+    val idx = cols.zipWithIndex.toMap
     val rows = m.files.map { f =>
       org.apache.spark.sql.Row.fromSeq(
-        f.path +: active.flatMap { case (c, _, _) =>
+        f.path +: cols.flatMap { c =>
           f.stats.get(c) match {
             case Some(ColStat(_, Some(mn), Some(mx), _)) => Seq(mn, mx, "range")
             case Some(ColStat(_, None, None, _)) => Seq(null, null, "allnull")
@@ -557,7 +572,7 @@ object VersionedTable {
     val statSchema = StructType(
       org.apache.spark.sql.types.StructField("__path",
         org.apache.spark.sql.types.StringType) +:
-      active.zipWithIndex.flatMap { case (_, i) => Seq(
+      cols.indices.flatMap { i => Seq(
         org.apache.spark.sql.types.StructField(s"__min_$i",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField(s"__max_$i",
@@ -565,13 +580,25 @@ object VersionedTable {
         org.apache.spark.sql.types.StructField(s"__kind_$i",
           org.apache.spark.sql.types.StringType))
       })
-    val cond = active.zipWithIndex.map { case ((c, lo, hi), i) =>
-      val colType = schema(c).dataType
-      val loOk = lo.map(l => col(s"__max_$i").cast(colType) >= l).getOrElse(lit(true))
-      val hiOk = hi.map(h => col(s"__min_$i").cast(colType) <= h).getOrElse(lit(true))
+    def surviving(c: String)(rangeTest: (Column, Column) => Column): Column = {
+      val i = idx(c)
+      val t = schema(c).dataType
       (col(s"__kind_$i") === "blind") ||
-        (col(s"__kind_$i") === "range" && loOk && hiOk)
-    }.reduce(_ && _)
+        (col(s"__kind_$i") === "range" &&
+          rangeTest(col(s"__min_$i").cast(t), col(s"__max_$i").cast(t)))
+    }
+    val rangeConds = activeRanges.map { case (c, lo, hi) =>
+      surviving(c) { (mn, mx) =>
+        lo.map(l => mx >= l).getOrElse(lit(true)) &&
+          hi.map(h => mn <= h).getOrElse(lit(true))
+      }
+    }
+    val inConds = activeIns.map { case (c, vs) =>
+      surviving(c) { (mn, mx) =>
+        vs.map(v => mn <= v && mx >= v).reduce(_ || _)
+      }
+    }
+    val cond = (rangeConds ++ inConds).reduce(_ && _)
     val survivors = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), statSchema)
       .filter(cond)
@@ -595,13 +622,14 @@ object VersionedTable {
   def readWhere(spark: SparkSession, dir: String, cond: Column,
                 asOf: Option[Long] = None): DataFrame = {
     val ranges = extractRanges(cond)
+    val inSets = org.apache.spark.sql.GraftShim.mineInSets(cond)
     val (survivors, m) =
-      if (ranges.isEmpty) {
+      if (ranges.isEmpty && inSets.isEmpty) {
         val mm = readManifest(spark, dir, asOf.orElse(currentVersion(spark, dir))
           .getOrElse(throw new IllegalArgumentException(
             s"VersionedTable.readWhere: $dir is not a versioned table")))
         (mm.files.map(_.path), mm)
-      } else pruneRanges(spark, dir, ranges, asOf)
+      } else pruneCore(spark, dir, ranges, inSets, asOf)
     val schema = StructType.fromDDL(m.schemaDdl)
     if (survivors.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -32,6 +32,9 @@ object GraftShim {
     * exact predicate anyway). OR nodes are never split; anything
     * unrecognized yields nothing — strictly conservative.
     */
+  /** Debug: a Column's node tree rendering (probe aid). */
+  def nodeString(c: Column): String = c.node.toString
+
   def mineRanges(c: Column): Seq[(String, Option[Column], Option[Column])] = {
     import org.apache.spark.sql.internal._
     def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {
@@ -64,6 +67,31 @@ object GraftShim {
               case "=" | "==" => Some((n, Some(asCol(l)), Some(asCol(l))))
               case _ => None
             }
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  /** Companion miner for IN-lists: `attr.isin(lit, …)` conjuncts as
+    * `(name, values)` — the dynamic-partition-pruning shape (a join's
+    * build-side key set pushed at a scan). Only all-literal IN lists are
+    * mined; a NULL literal inside the list is harmless (SQL IN never
+    * selects on a NULL match, so a file pruned because only NULL "fit"
+    * had no qualifying rows anyway).
+    */
+  def mineInSets(c: Column): Seq[(String, Seq[Column])] = {
+    import org.apache.spark.sql.internal._
+    def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {
+      case UnresolvedFunction("and", args, _, _, _, _) if args.size == 2 =>
+        conjuncts(args(0)) ++ conjuncts(args(1))
+      case other => Seq(other)
+    }
+    conjuncts(c.node).flatMap {
+      case UnresolvedFunction("in", args, _, _, _, _) if args.size >= 2 =>
+        (args.head, args.tail) match {
+          case (a: UnresolvedAttribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+            Some((a.nameParts.mkString("."), vs.map(v => Column(v))))
           case _ => None
         }
       case _ => None

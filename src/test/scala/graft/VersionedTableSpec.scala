@@ -392,6 +392,17 @@ class VersionedTableSpec extends SparkSuite {
     assert(VT.extractRanges(orCond).isEmpty)
     assert(VT.readWhere(spark, dir, orCond).count() ==
       base.filter(orCond).count())
+    // IN-list pruning (the DPP shape): two far-apart point lookups open
+    // only their two files; result exact
+    val inCond = $"k".isin(5L, 700L) && length($"cat") === 1
+    val mined = org.apache.spark.sql.GraftShim.mineInSets(inCond)
+    assert(mined.map(_._1) == Seq("k") && mined.head._2.size == 2)
+    val gotIn = VT.readWhere(spark, dir, inCond).as[(Long, String, Double)]
+      .collect().map(_._1).toSet
+    assert(gotIn == Set(5L, 700L))
+    // pruning engaged: an IN over one value must open fewer files than the table has
+    val (inSurv, _) = VT.pruneFilesMulti(spark, dir, Seq(("k", lit(5L), lit(5L))))
+    assert(inSurv.size == 1)
   }
 
   test("review hardening: junk vlog files, binary stats refusal, tombstone-everything merge") {
