@@ -2306,6 +2306,42 @@ private[graft] object Queries {
       |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Predicate-driven data skipping ([[graft.ops.VersionedTable
+    * .readWhere]]): an ARBITRARY filter Column — two range conjuncts on
+    * the clustered key, an equality on an un-stats'd column, and an IN
+    * list — is mined for prunable intervals; files whose manifest stats
+    * cannot satisfy them are never opened, and the full predicate
+    * re-applies to survivors. The oracle is simply the same WHERE clause:
+    * correctness is independent of how well extraction pruned.
+    */
+  def pruneWhere(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "vtable_where")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val base = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_extendedprice"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+    VT.create(base, dir, statsCols = Seq("l_orderkey"))
+    VT.readWhere(s, dir,
+        col("l_orderkey") >= 500L && col("l_orderkey") < 2500L &&
+          col("l_returnflag") =!= "N" && col("l_linenumber").isin(1, 2, 3))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        asDouble(sum(dec(col("l_extendedprice")))).as("sum_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val pruneWhereSql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey >= 500 AND l_orderkey < 2500
+      |  AND l_returnflag <> 'N' AND l_linenumber IN (1, 2, 3)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Change data feed ([[graft.ops.VersionedTable.changesBetween]]): what
     * happened between version 1 and version 3 of the versioned orders
     * table, one row per changed key with insert / update / delete
@@ -3257,6 +3293,7 @@ private[graft] object Queries {
     "q_merge_mor" -> (mergeMor _),
     "q_time_travel" -> (timeTravel _),
     "q_stats_prune" -> (statsPrune _),
+    "q_prune_where" -> (pruneWhere _),
     "q_change_feed" -> (changeFeed _),
     "q_join_advised" -> (joinAdvised _),
     "q_dedup_lifecycle" -> (dedupLifecycle _),
@@ -3398,6 +3435,7 @@ private[graft] object Queries {
     "q_merge_mor" -> mergeMorSql,
     "q_time_travel" -> timeTravelSql,
     "q_stats_prune" -> statsPruneSql,
+    "q_prune_where" -> pruneWhereSql,
     "q_change_feed" -> changeFeedSql,
     "q_join_advised" -> joinAdvisedSql,
     "q_text_bigrams" -> textBigramsSql,

@@ -65,6 +65,7 @@ class ContractSpec extends SparkSuite {
       "q_time_travel",     // versioned-table create + two CoW merge commits
       "q_stats_prune",     // versioned-table create + manifest file pruning
       "q_change_feed",     // versioned-table fixture + manifest file diff
+      "q_prune_where",     // versioned-table create + predicate-mined pruning
       "q_dedup_lifecycle", // two ingest rounds against the signature table
       "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor
       // scan queries write their fixture on first use + scalar watermark cuts
