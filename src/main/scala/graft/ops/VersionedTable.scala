@@ -81,9 +81,16 @@ object VersionedTable {
   final case class ColStat(colType: String, min: Option[String],
                            max: Option[String], nulls: Long)
 
-  /** One manifest entry: a data file path RELATIVE to the table dir. */
+  /** One manifest entry: a data file path RELATIVE to the table dir.
+    * `blooms` maps a bloom column to its sidecar file (also relative) —
+    * a per-file bloom over `xxhash64` of the column's values, sized to
+    * the file's exact row count. Min/max answers "could this range live
+    * here"; the bloom answers the sharper "does this KEY live here",
+    * which is what point lookups and CDC merges actually ask.
+    */
   final case class FileEntry(path: String, rows: Long,
-                             stats: Map[String, ColStat])
+                             stats: Map[String, ColStat],
+                             blooms: Map[String, String] = Map.empty)
 
   /** `txns` is the Delta-style transaction ledger: per writer-app, the
     * highest batch id whose changes this version already contains. Carried
@@ -94,7 +101,9 @@ object VersionedTable {
     */
   final case class Manifest(version: Long, op: String, schemaDdl: String,
                             statsCols: Seq[String], files: Seq[FileEntry],
-                            txns: Map[String, Long] = Map.empty)
+                            txns: Map[String, Long] = Map.empty,
+                            bloomCols: Seq[String] = Seq.empty,
+                            bloomFpp: Double = 0.01)
 
   private val mapper = new ObjectMapper()
 
@@ -137,6 +146,11 @@ object VersionedTable {
       val tn = root.putObject("txns")
       m.txns.foreach { case (app, id) => tn.put(app, id) }
     }
+    if (m.bloomCols.nonEmpty) {
+      val bc = root.putArray("bloomCols")
+      m.bloomCols.foreach(bc.add)
+      root.put("bloomFpp", m.bloomFpp)
+    }
     val fl = root.putArray("files")
     m.files.foreach { f =>
       val fn = fl.addObject()
@@ -149,6 +163,10 @@ object VersionedTable {
         cs.min.foreach(cn.put("min", _))
         cs.max.foreach(cn.put("max", _))
         cn.put("nulls", cs.nulls)
+      }
+      if (f.blooms.nonEmpty) {
+        val bl = fn.putObject("blooms")
+        f.blooms.foreach { case (c, p) => bl.put(c, p) }
       }
     }
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
@@ -191,13 +209,18 @@ object VersionedTable {
           Option(cn.get("max")).map(_.asText()),
           cn.get("nulls").asLong())
       }.toMap
-      FileEntry(fn.get("path").asText(), fn.get("rows").asLong(), m)
+      val blooms = Option(fn.get("blooms")).map(_.fields().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
+      FileEntry(fn.get("path").asText(), fn.get("rows").asLong(), m, blooms)
     }.toSeq
     val statsCols = root.get("statsCols").elements().asScala.map(_.asText()).toSeq
     val txns = Option(root.get("txns")).map(_.fields().asScala.map(e =>
       e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty[String, Long])
+    val bloomCols = Option(root.get("bloomCols"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val bloomFpp = Option(root.get("bloomFpp")).map(_.asDouble()).getOrElse(0.01)
     Manifest(root.get("version").asLong(), root.get("op").asText(),
-      root.get("schemaDdl").asText(), statsCols, entries, txns)
+      root.get("schemaDdl").asText(), statsCols, entries, txns, bloomCols, bloomFpp)
   }
 
   // ------------------------------------------------------------ data writes
@@ -209,8 +232,15 @@ object VersionedTable {
     * the commit's own output, and a production build would instead lift
     * the identical numbers from the parquet footers it just wrote.
     */
+  private def fileNameOf(uri: String): String =
+    // plain suffix split — input_file_name() URI-escapes unevenly across
+    // filesystems, and the part-file NAME never contains a slash
+    uri.substring(uri.lastIndexOf('/') + 1)
+
   private def writeCommitFiles(df: DataFrame, dir: String, version: Long,
-                               statsCols: Seq[String]): Seq[FileEntry] = {
+                               statsCols: Seq[String],
+                               bloomCols: Seq[String] = Seq.empty,
+                               bloomFpp: Double = 0.01): Seq[FileEntry] = {
     val spark = df.sparkSession
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val rel = s"data/c$version-$nonce"
@@ -229,28 +259,92 @@ object VersionedTable {
       .groupBy(input_file_name().as("__file"))
       .agg(count(lit(1)).as("__rows"), statAggs: _*)
       .collect()
+    val blooms = writeBloomSidecars(written, dir, rel, bloomCols, bloomFpp)
     val types = statsCols.map(c => c -> written.schema(c).dataType.sql).toMap
     perFile.map { r =>
-      // plain suffix split — input_file_name() URI-escapes unevenly across
-      // filesystems, and the part-file NAME never contains a slash
-      val uri = r.getAs[String]("__file")
-      val name = uri.substring(uri.lastIndexOf('/') + 1)
+      val name = fileNameOf(r.getAs[String]("__file"))
       val stats = statsCols.map { c =>
         c -> ColStat(types(c), Option(r.getAs[String](s"__min_$c")),
           Option(r.getAs[String](s"__max_$c")), r.getAs[Long](s"__nul_$c"))
       }.toMap
-      FileEntry(s"$rel/$name", r.getAs[Long]("__rows"), stats)
+      FileEntry(s"$rel/$name", r.getAs[Long]("__rows"), stats,
+        blooms.getOrElse(name, Map.empty))
     }.sortBy(_.path).toSeq
   }
 
+  /** Build one bloom sidecar per (data file, bloom column) and write it
+    * from the TASK (no per-file bytes ever collect to the driver): rows
+    * group by their `input_file_name`, each group's `xxhash64(col)` values
+    * buffer once, and the bloom is created at the file's EXACT row count —
+    * optimal bits, no saturation. Returns file name → (col → relative
+    * sidecar path). One shuffle of (fileName, hashes) per bloom column —
+    * the price of exact sizing; skipped entirely when `bloomCols` is empty.
+    */
+  private def writeBloomSidecars(written: DataFrame, dir: String, rel: String,
+                                 bloomCols: Seq[String], fpp: Double)
+      : Map[String, Map[String, String]] = {
+    if (bloomCols.isEmpty) return Map.empty
+    val spark = written.sparkSession
+    import spark.implicits._
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val dirStr = dir
+    val relStr = rel
+    bloomCols.map { c =>
+      val safe = java.net.URLEncoder.encode(c, "UTF-8")
+      val sidecars = written
+        .select(input_file_name().as("f"), xxhash64(col(s"`$c`")).as("h"))
+        .as[(String, Long)]
+        .groupByKey(_._1)
+        .mapGroups { (file, it) =>
+          val hashes = it.map(_._2).toArray
+          val bloom = org.apache.spark.util.sketch.BloomFilter
+            .create(math.max(1L, hashes.length.toLong), fpp)
+          hashes.foreach(bloom.putLong)
+          val name = fileNameOf(file)
+          val sidecarRel = s"$relStr/_bloom-$safe-$name.bloom"
+          val p = new org.apache.hadoop.fs.Path(dirStr, sidecarRel)
+          val fs = p.getFileSystem(hconf.value)
+          val out = fs.create(p, true)
+          try bloom.writeTo(out) finally out.close()
+          (name, sidecarRel)
+        }
+        .collect()
+      c -> sidecars.toMap
+    }.foldLeft(Map.empty[String, Map[String, String]]) { case (acc, (c, m)) =>
+      m.foldLeft(acc) { case (a, (file, path)) =>
+        a + (file -> (a.getOrElse(file, Map.empty) + (c -> path)))
+      }
+    }
+  }
+
+  /** Load a file's bloom for `column` (None when absent). */
+  private def loadBloom(fs: FileSystem, dir: String,
+                        f: FileEntry, column: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    f.blooms.get(column).map { relPath =>
+      val in = fs.open(new Path(dir, relPath))
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+    }
+
   // ------------------------------------------------------------ commits
 
-  /** Create the table as version 1. Fails if `dir` already holds one. */
-  def create(df: DataFrame, dir: String, statsCols: Seq[String]): Long = {
+  /** Create the table as version 1. Fails if `dir` already holds one.
+    * `bloomCols` opt into per-file bloom sidecars (see [[FileEntry
+    * .blooms]]) — declare the merge key here and [[commitMerge]] skips
+    * files whose interval covers a changed key that the file does not
+    * actually contain.
+    */
+  def create(df: DataFrame, dir: String, statsCols: Seq[String],
+             bloomCols: Seq[String] = Seq.empty,
+             bloomFpp: Double = 0.01): Long = {
     val spark = df.sparkSession
     require(currentVersion(spark, dir).isEmpty,
       s"VersionedTable.create: $dir is already a versioned table " +
         s"(current version ${currentVersion(spark, dir).get})")
+    bloomCols.foreach(c => require(df.columns.contains(c),
+      s"VersionedTable.create: bloom column $c not in schema"))
+    require(bloomFpp > 0 && bloomFpp < 1, "bloomFpp must be in (0, 1)")
     statsCols.foreach { c =>
       require(df.columns.contains(c),
         s"VersionedTable.create: stats column $c not in schema")
@@ -266,8 +360,9 @@ object VersionedTable {
           "manifest min/max stats (string round-trip must preserve order)")
     }
     val fs = fsOf(spark, dir)
-    val files = writeCommitFiles(df, dir, 1L, statsCols)
-    writeManifest(fs, dir, Manifest(1L, "create", df.schema.toDDL, statsCols, files))
+    val files = writeCommitFiles(df, dir, 1L, statsCols, bloomCols, bloomFpp)
+    writeManifest(fs, dir, Manifest(1L, "create", df.schema.toDDL, statsCols, files,
+      Map.empty, bloomCols, bloomFpp))
     1L
   }
 
@@ -290,12 +385,19 @@ object VersionedTable {
       s"VersionedTable.commitAppend: schema mismatch — table has " +
         s"${expected.toDDL}, append carries ${df.schema.toDDL}")
     val next = cur.version + 1
-    val files = writeCommitFiles(df, dir, next, cur.statsCols)
+    val files = writeCommitFiles(df, dir, next, cur.statsCols, cur.bloomCols, cur.bloomFpp)
     writeManifest(fsOf(spark, dir), dir,
       Manifest(next, "append", cur.schemaDdl, cur.statsCols, cur.files ++ files,
-        txnsAfter(cur, txn)))
+        txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp))
     next
   }
+
+  /** Above this many interval-surviving files, bloom refinement is skipped:
+    * loading thousands of sidecars to the driver costs more than the
+    * rewrites it would save, and a changelog touching that much of the
+    * table is a bulk update, not the narrow-merge case blooms exist for.
+    */
+  private val maxBloomRefineFiles = 256
 
   private def alreadyApplied(cur: Manifest, txn: Option[(String, Long)]): Boolean =
     txn.exists { case (app, id) => cur.txns.get(app).exists(_ >= id) }
@@ -371,11 +473,37 @@ object VersionedTable {
       .toDF("__path", "__min", "__max", "__blind")
       .withColumn("__min", col("__min").cast(keyType))
       .withColumn("__max", col("__max").cast(keyType))
-    val touchedPaths = deduped.select(col(key))
+    val candidates = deduped
+      .select(col(key), xxhash64(col(key).cast(keyType)).as("__kh"))
       .join(broadcast(intervalDf),
         col("__blind") || (col(key) >= col("__min") && col(key) <= col("__max")),
         "inner")
+    val intervalTouched = candidates
       .select("__path").distinct().collect().map(_.getString(0)).toSet
+    // bloom refinement: a changed key INSIDE a file's interval but absent
+    // from the file must not rewrite it. Blooms load driver-side for the
+    // interval survivors only (bounded below), broadcast as a path→bloom
+    // map, and the candidate (key, path) pairs filter in SPARK — the
+    // changelog never collects. False positives merely rewrite an extra
+    // file; false negatives cannot happen (bloom contract).
+    val touchedPaths =
+      if (!cur.bloomCols.contains(key) ||
+          intervalTouched.size > maxBloomRefineFiles) intervalTouched
+      else {
+        val entries = cur.files.filter(f => intervalTouched(f.path))
+        val fs = fsOf(spark, dir)
+        val bloomMap = entries.flatMap(f =>
+          loadBloom(fs, dir, f, key).map(f.path -> _)).toMap
+        if (bloomMap.isEmpty) intervalTouched
+        else {
+          val bc = spark.sparkContext.broadcast(bloomMap)
+          val hit = udf { (path: String, kh: Long) =>
+            bc.value.get(path).forall(_.mightContainLong(kh))
+          }
+          candidates.filter(hit(col("__path"), col("__kh")))
+            .select("__path").distinct().collect().map(_.getString(0)).toSet
+        }
+      }
 
     val (touched, carried) = cur.files.partition(f => touchedPaths(f.path))
     val next = cur.version + 1
@@ -403,10 +531,11 @@ object VersionedTable {
           .map(_.copy(nullable = true))
         StructType(schema.fields ++ extra).toDDL
       }
-    val files = writeCommitFiles(merged, dir, next, cur.statsCols)
+    val files = writeCommitFiles(merged, dir, next, cur.statsCols,
+      cur.bloomCols, cur.bloomFpp)
     writeManifest(fsOf(spark, dir), dir,
       Manifest(next, "merge", outDdl, cur.statsCols, carried ++ files,
-        txnsAfter(cur, txn)))
+        txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp))
     next
   }
 
@@ -446,11 +575,12 @@ object VersionedTable {
           .sortWithinPartitions(clusterBy.map(col): _*)
       else rows.coalesce(nOut)
     val next = cur.version + 1
-    val files = writeCommitFiles(packed, dir, next, cur.statsCols)
+    val files = writeCommitFiles(packed, dir, next, cur.statsCols,
+      cur.bloomCols, cur.bloomFpp)
     val carried = if (clusterBy.nonEmpty) Seq.empty else big.map(_._1)
     writeManifest(fs, dir,
       Manifest(next, "compact", cur.schemaDdl, cur.statsCols,
-        carried ++ files, cur.txns))
+        carried ++ files, cur.txns, cur.bloomCols, cur.bloomFpp))
     next
   }
 
@@ -603,7 +733,56 @@ object VersionedTable {
         new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), statSchema)
       .filter(cond)
       .select("__path").collect().map(_.getString(0)).toSeq
-    (survivors, m)
+    (bloomRefine(spark, dir, m, schema, activeIns, survivors), m)
+  }
+
+  /** Spec window into the full pruning pipeline (intervals + bloom
+    * refinement) — production callers go through [[readWhere]].
+    */
+  private[graft] def pruneForSpec(spark: SparkSession, dir: String,
+                                  ranges: Seq[(String, Option[Column], Option[Column])],
+                                  inSets: Seq[(String, Seq[Column])],
+                                  asOf: Option[Long] = None): Seq[String] =
+    pruneCore(spark, dir, ranges, inSets, asOf)._1
+
+  /** Sharpen interval survivors with per-file blooms for IN/point
+    * predicates: min/max says a value COULD live in the file, the bloom
+    * says whether it plausibly DOES. Only engages on bloom'd columns and
+    * a bounded survivor count (each test opens a sidecar); files without
+    * a sidecar conservatively survive. A NULL probe value hashes to the
+    * seed and simply never matches a row — pruning on it stays correct
+    * because SQL IN never selects on NULL either.
+    */
+  private def bloomRefine(spark: SparkSession, dir: String, m: Manifest,
+                          schema: StructType,
+                          inSets: Seq[(String, Seq[Column])],
+                          survivors: Seq[String]): Seq[String] = {
+    val refinable = inSets.filter { case (c, vs) =>
+      m.bloomCols.contains(c) && vs.nonEmpty }
+    if (refinable.isEmpty || survivors.isEmpty ||
+        survivors.size > maxBloomRefineFiles) return survivors
+    // evaluate each probe value's xxhash64 EXACTLY as the write side did
+    // (cast to the column's own type first) — one local no-scan projection
+    val hashCols = refinable.flatMap { case (c, vs) =>
+      val t = schema(c).dataType
+      vs.map(v => xxhash64(v.cast(t)))
+    }
+    val row = spark.range(1).select(hashCols: _*).head()
+    var i = -1
+    val hashesPerPred = refinable.map { case (c, vs) =>
+      c -> vs.map { _ => i += 1; row.getLong(i) }
+    }
+    val fs = fsOf(spark, dir)
+    val byPath = m.files.map(f => f.path -> f).toMap
+    survivors.filter { p =>
+      val f = byPath(p)
+      hashesPerPred.forall { case (c, hs) =>
+        loadBloom(fs, dir, f, c) match {
+          case Some(b) => hs.exists(b.mightContainLong)
+          case None => true
+        }
+      }
+    }
   }
 
   /** Predicate-driven data skipping: take an ARBITRARY boolean filter
@@ -731,7 +910,10 @@ object VersionedTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"VersionedTable.vacuum: $dir is not a versioned table")
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val referenced = keep.flatMap(v => readManifest(spark, dir, v).files.map(_.path)).toSet
+    val referenced = keep.flatMap { v =>
+      val mf = readManifest(spark, dir, v)
+      mf.files.map(_.path) ++ mf.files.flatMap(_.blooms.values)
+    }.toSet
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
     // sweep manifest tmps abandoned by crashed writers (invisible to
     // readers either way; under the single-writer contract none is live)
@@ -746,16 +928,16 @@ object VersionedTable {
     fs.listStatus(dataRoot).foreach { cd =>
       if (cd.isDirectory) {
         val commitRel = s"data/${cd.getPath.getName}"
+        def isData(n: String): Boolean =
+          n.endsWith(".parquet") || n.endsWith(".bloom")
         fs.listStatus(cd.getPath).foreach { f =>
           val rel = s"$commitRel/${f.getPath.getName}"
-          val isData = f.getPath.getName.endsWith(".parquet")
-          if (isData && !referenced(rel)) {
+          if (isData(f.getPath.getName) && !referenced(rel)) {
             fs.delete(f.getPath, false)
             deleted += 1
           }
         }
-        if (fs.listStatus(cd.getPath).forall(st =>
-            !st.getPath.getName.endsWith(".parquet")))
+        if (fs.listStatus(cd.getPath).forall(st => !isData(st.getPath.getName)))
           fs.delete(cd.getPath, true) // only markers (_SUCCESS etc.) remain
       }
     }

@@ -405,6 +405,59 @@ class VersionedTableSpec extends SparkSuite {
     assert(inSurv.size == 1)
   }
 
+  test("bloom sidecars: merge skips covered-but-absent keys; IN probes sharpen; vacuum reclaims") {
+    val dir = tmp()
+    // 4 range-clustered files over EVEN keys 0..98 — every odd key falls
+    // inside some file's [min,max] yet lives in NO file
+    val base = spark.range(100).filter($"id" % 2 === 0)
+      .select($"id".as("k"), $"id".cast("string").as("s"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k"), bloomCols = Seq("k"))
+    val m1 = VT.readManifest(spark, dir, 1L)
+    assert(m1.files.size == 4 && m1.files.forall(_.blooms.contains("k")))
+    val sig1 = fileSig(dir, 1L)
+    // upsert of key 51: interval-covered but absent — the bloom proves it,
+    // so NO existing file rewrites and the row lands as a pure insert
+    VT.commitMerge(Seq((51L, "ins", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del")
+    val sig2 = fileSig(dir, 2L)
+    assert(sig1.forall { case (p, s) => sig2.get(p).contains(s) },
+      "bloom must prove 51 absent — no base file may rewrite")
+    assert(VT.read(spark, dir).count() == 51)
+    assert(VT.read(spark, dir).filter($"k" === 51L).as[(Long, String)].head()._2 == "ins")
+    // a PRESENT key still merges normally (bloom true positive)
+    VT.commitMerge(Seq((50L, "upd", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del")
+    assert(VT.read(spark, dir).filter($"k" === 50L).as[(Long, String)].head()._2 == "upd")
+    // IN probe at version 1: key 53 is interval-covered (1 file survives
+    // min/max) but the bloom rules it out — zero files open
+    val intervalOnly = VT.pruneForSpec(spark, dir,
+      Seq(("k", Some(lit(53L)), Some(lit(53L)))), Seq.empty, asOf = Some(1L))
+    val withBloom = VT.pruneForSpec(spark, dir,
+      Seq.empty, Seq(("k", Seq(lit(53L)))), asOf = Some(1L))
+    assert(intervalOnly.size == 1 && withBloom.isEmpty,
+      s"interval=$intervalOnly bloom=$withBloom")
+    // present key: exactly its one file, through readWhere end to end
+    assert(VT.readWhere(spark, dir, $"k".isin(48L), asOf = Some(1L))
+      .count() == 1)
+    // rewrite-all compaction then vacuum: the old parquet AND bloom
+    // sidecars all reclaim, the live ones survive
+    VT.commitCompact(spark, dir, targetBytes = Long.MaxValue,
+      smallBytes = Long.MaxValue, clusterBy = Seq("k"))
+    val deleted = VT.vacuum(spark, dir, keepVersions = 1)
+    assert(deleted >= 8, s"4+ parquet and 4+ blooms should reclaim, got $deleted")
+    assert(VT.read(spark, dir).count() == 51)
+    val mLast = VT.readManifest(spark, dir,
+      VT.currentVersion(spark, dir).get)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mLast.files.foreach { f =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/${f.path}")))
+      f.blooms.values.foreach(b =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$b")), s"live bloom $b gone"))
+    }
+  }
+
   test("review hardening: junk vlog files, binary stats refusal, tombstone-everything merge") {
     val dir = tmp()
     VT.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, Seq("k"))
