@@ -48,10 +48,46 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"expected numeric literal, got $other")
   }
 
+  /** SQL TABLE function `graft_vtable('<dir>'[, version])`: a versioned
+    * table ([[graft.ops.VersionedTable]]) as a SQL relation — `FROM
+    * graft_vtable('/wh/orders', 2)` is time travel from pure SQL.
+    * Arguments must be literals: the manifest resolves to a concrete FILE
+    * LIST at analysis time, exactly when a lakehouse catalog would pin a
+    * snapshot, so a query plan never sees a moving table.
+    */
+  private def vtablePlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.nonEmpty && es.size <= 2,
+      "graft_vtable takes (dir) or (dir, version)")
+    val dir = es.head.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"graft_vtable: dir must be a string literal, got $other")
+    }
+    val asOf = es.lift(1).map(_.eval() match {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l.longValue()
+      case other => throw new IllegalArgumentException(
+        s"graft_vtable: version must be an integer literal, got $other")
+    })
+    graft.ops.VersionedTable.read(SparkSession.active, dir, asOf)
+      .queryExecution.analyzed
+  }
+
+  private val tableFns: Seq[(String,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq("graft_vtable" -> (vtablePlan _))
+
   /** Idempotent per-session registration. */
-  def register(spark: SparkSession): Unit = fns.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      name, builder, "built-in")
+  def register(spark: SparkSession): Unit = {
+    fns.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+    tableFns.foreach { case (name, builder) =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
   }
 
   private[functions] def injected: Seq[(FunctionIdentifier,
@@ -59,6 +95,13 @@ object GraftFunctions {
     fns.map { case (name, builder) =>
       (FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.VectorExpressions", name), builder)
+    }
+
+  private[functions] def injectedTable: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    tableFns.map { case (name, builder) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft.ops.VersionedTable", name), builder)
     }
 }
 
@@ -68,6 +111,7 @@ object GraftFunctions {
 class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injected.foreach(ext.injectFunction)
+    GraftFunctions.injectedTable.foreach(ext.injectTableFunction)
     // interval-overlap joins become binned hash joins (see
     // graft.plans.IntervalJoinRewrite) — injected as an optimizer rule so
     // SQL/DataFrame users get the distributable plan transparently

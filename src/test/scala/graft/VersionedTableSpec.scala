@@ -405,6 +405,30 @@ class VersionedTableSpec extends SparkSuite {
     assert(inSurv.size == 1)
   }
 
+  test("SQL time travel through the graft_vtable table function") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmp()
+    VT.create(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"), dir, Seq("k"))
+    VT.commitMerge(Seq((1L, 0.0, true), (3L, 30.0, false)).toDF("k", "v", "del"),
+      dir, Seq("k"), Seq($"v"), $"del")
+    // current version from pure SQL
+    val cur = spark.sql(s"SELECT k, v FROM graft_vtable('$dir') ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    assert(cur == Seq((2L, 20.0), (3L, 30.0)))
+    // time travel + aggregation + joinability like any relation
+    val v1 = spark.sql(
+      s"SELECT count(*) AS n, sum(v) AS s FROM graft_vtable('$dir', 1)")
+      .as[(Long, Double)].head()
+    assert(v1 == ((2L, 30.0)))
+    val joined = spark.sql(
+      s"""SELECT a.k FROM graft_vtable('$dir', 1) a
+         |JOIN graft_vtable('$dir', 2) b ON a.k = b.k""".stripMargin)
+      .as[Long].collect().toSeq
+    assert(joined == Seq(2L), "only key 2 survives into v2")
+    // non-literal args refuse loudly
+    intercept[Exception](spark.sql(s"SELECT * FROM graft_vtable(123)").collect())
+  }
+
   test("bloom sidecars: merge skips covered-but-absent keys; IN probes sharpen; vacuum reclaims") {
     val dir = tmp()
     // 4 range-clustered files over EVEN keys 0..98 — every odd key falls
