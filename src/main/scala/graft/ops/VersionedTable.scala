@@ -305,8 +305,15 @@ object VersionedTable {
           val sidecarRel = s"$relStr/_bloom-$safe-$name.bloom"
           val p = new org.apache.hadoop.fs.Path(dirStr, sidecarRel)
           val fs = p.getFileSystem(hconf.value)
-          val out = fs.create(p, true)
+          // write-then-rename: a retried/speculative attempt must never
+          // interleave bytes into the final path — each attempt owns a
+          // unique tmp, the rename is last-writer-wins of a COMPLETE file
+          val tmp = new org.apache.hadoop.fs.Path(dirStr,
+            s"$sidecarRel.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+          val out = fs.create(tmp, true)
           try bloom.writeTo(out) finally out.close()
+          fs.delete(p, false)
+          if (!fs.rename(tmp, p)) fs.delete(tmp, false) // racer already landed a full copy
           (name, sidecarRel)
         }
         .collect()
@@ -318,13 +325,24 @@ object VersionedTable {
     }
   }
 
-  /** Load a file's bloom for `column` (None when absent). */
+  /** Load a file's bloom for `column`. None when absent OR unreadable —
+    * blooms are an optimization layer; a torn/missing sidecar degrades to
+    * "no refinement" (conservative), never to a failed read or merge.
+    */
   private def loadBloom(fs: FileSystem, dir: String,
                         f: FileEntry, column: String)
       : Option[org.apache.spark.util.sketch.BloomFilter] =
-    f.blooms.get(column).map { relPath =>
-      val in = fs.open(new Path(dir, relPath))
-      try org.apache.spark.util.sketch.BloomFilter.readFrom(in) finally in.close()
+    f.blooms.get(column).flatMap { relPath =>
+      try {
+        val in = fs.open(new Path(dir, relPath))
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      } catch {
+        case e: java.io.IOException =>
+          org.slf4j.LoggerFactory.getLogger(getClass)
+            .warn(s"unreadable bloom sidecar $relPath — refining without it", e)
+          None
+      }
     }
 
   // ------------------------------------------------------------ commits
@@ -935,7 +953,8 @@ object VersionedTable {
           if (isData(f.getPath.getName) && !referenced(rel)) {
             fs.delete(f.getPath, false)
             deleted += 1
-          }
+          } else if (f.getPath.getName.contains(".bloom.tmp-"))
+            fs.delete(f.getPath, false) // dead sidecar attempt, never referenced
         }
         if (fs.listStatus(cd.getPath).forall(st => !isData(st.getPath.getName)))
           fs.delete(cd.getPath, true) // only markers (_SUCCESS etc.) remain

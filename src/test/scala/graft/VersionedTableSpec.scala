@@ -405,6 +405,38 @@ class VersionedTableSpec extends SparkSuite {
     assert(inSurv.size == 1)
   }
 
+  test("composition: near-dup dedup lands as versioned tombstones; CDF reports exactly the drops") {
+    import graft.ops.{DedupOps, GraphOps}
+    val dir = tmp()
+    // documents table with two planted near-dup groups + unique rows
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again!"),
+      (3L, "completely different text about spark manifests and versioned tables"),
+      (4L, "completely different text about spark manifests and versioned table"),
+      (5L, "a unique document with no counterpart anywhere in this corpus")
+    ).toDF("doc_id", "text")
+    VT.create(docs.repartition(2), dir, Seq("doc_id"))
+    // dedup round: LSH pairs → clusters → every non-representative becomes
+    // a TOMBSTONE through the same CDC merge any other change takes
+    val pairs = DedupOps.minhashLshPairs(docs, "doc_id", "text", threshold = 0.7)
+    val doomed = GraphOps.dedupClusters(pairs, "id_a", "id_b")
+      .filter($"id" =!= $"cluster_id")
+      .select($"id".as("doc_id"), lit(null).cast("string").as("text"),
+        lit(true).as("del"))
+    VT.commitMerge(doomed, dir, Seq("doc_id"), Seq($"text"), $"del")
+    val kept = VT.read(spark, dir).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 5L), s"cluster minima + singletons, got $kept")
+    // the brute-force model agrees
+    val model = GraphOps.dropNearDuplicates(docs, "doc_id", pairs, "id_a", "id_b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == model)
+    // CDF between the versions is exactly the dropped duplicates
+    val feed = VT.changesBetween(spark, dir, 1L, 2L, Seq("doc_id"))
+      .select("change_type", "doc_id").as[(String, Long)].collect().toSet
+    assert(feed == Set(("delete", 2L), ("delete", 4L)))
+  }
+
   test("SQL time travel through the graft_vtable table function") {
     graft.functions.GraftFunctions.register(spark)
     val dir = tmp()
