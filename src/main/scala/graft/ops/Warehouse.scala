@@ -7,6 +7,19 @@ import org.apache.spark.sql.functions._
 /** Warehouse-shaped operators from SURVEY.md §2.4-2.6: the reference's
   * upsert/dedup/watermark machinery (/root/reference/scripts/load.py,
   * scripts/extract.py), re-expressed as distributed Spark plans.
+  *
+  * Storage layering — this object vs [[VersionedTable]]: everything here
+  * mutates a plain parquet directory IN PLACE behind a crash-safe staged
+  * swap (or, for [[appendPatch]], a merge-on-read sidecar chain) — one
+  * visible state, minimal metadata, readable by any parquet tool with no
+  * library on the read path. [[VersionedTable]] is the step up when a
+  * deployment needs what single-state storage cannot give: time travel,
+  * an immutable-file commit log (readers never race a swap), stats/bloom
+  * file pruning, a change data feed, and ledger-based exactly-once — at
+  * the price of manifest metadata and a vacuum lifecycle. The merge
+  * SEMANTICS ([[applyChanges]]/[[applyChangesEvolve]]) are shared: the
+  * versioned table calls them per touched file set, so the two layers
+  * cannot drift.
   */
 object Warehouse {
 
