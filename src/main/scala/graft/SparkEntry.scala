@@ -2342,6 +2342,41 @@ private[graft] object Queries {
       |  AND l_returnflag <> 'N' AND l_linenumber IN (1, 2, 3)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Merge-on-read on the VERSIONED table ([[graft.ops.VersionedTable
+    * .commitPatch]]): two CDC batches land as O(batch) patch commits —
+    * no base file is read or rewritten (spec asserts byte-stability) —
+    * and the read-time fold shadows per key by patch order, honoring
+    * tombstones, exactly like the staged-swap MoR (`q_merge_mor`) but
+    * with every patch state time-travelable. Same cascaded FULL JOIN
+    * oracle as `q_merge_mor` — the two MoR layers must agree.
+    */
+  def vtableMor(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "vtable_mor")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val snap = ord(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    VT.create(snap, dir, statsCols = Seq("o_orderkey"))
+    val p1 = ord(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * lit(1.1)).as("o_totalprice"),
+        (col("o_orderstatus") === "F").as("del"))
+    val p2 = ord(s, d).filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * lit(1.2)).as("o_totalprice"),
+        (col("o_orderstatus") === "O").as("del"))
+    VT.commitPatch(p1, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+    VT.commitPatch(p2, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+    VT.read(s, dir)
+      .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** Change data feed ([[graft.ops.VersionedTable.changesBetween]]): what
     * happened between version 1 and version 3 of the versioned orders
     * table, one row per changed key with insert / update / delete
@@ -3295,6 +3330,7 @@ private[graft] object Queries {
     "q_stats_prune" -> (statsPrune _),
     "q_prune_where" -> (pruneWhere _),
     "q_change_feed" -> (changeFeed _),
+    "q_vtable_mor" -> (vtableMor _),
     "q_join_advised" -> (joinAdvised _),
     "q_dedup_lifecycle" -> (dedupLifecycle _),
     "q_text_bigrams" -> (textBigrams _),
@@ -3437,6 +3473,7 @@ private[graft] object Queries {
     "q_stats_prune" -> statsPruneSql,
     "q_prune_where" -> pruneWhereSql,
     "q_change_feed" -> changeFeedSql,
+    "q_vtable_mor" -> mergeMorSql,
     "q_join_advised" -> joinAdvisedSql,
     "q_text_bigrams" -> textBigramsSql,
     "q_scd2" -> scd2Sql,

@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 import org.apache.hadoop.fs.{FileSystem, Path}
-import com.fasterxml.jackson.databind.ObjectMapper
-import com.fasterxml.jackson.databind.node.ObjectNode
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
 /** Manifest-based versioned parquet table — the metadata-commit idea at the
   * core of the modern lakehouse formats (Delta's `_delta_log`, Iceberg's
@@ -99,11 +99,23 @@ object VersionedTable {
     * own id and skips, which is what makes [[commitMerge]] an exactly-once
     * `foreachBatch` sink.
     */
+  /** `patches` is the merge-on-read chain (Iceberg v2 delete-file /
+    * Delta DV idea at row-update granularity): ordered patch file sets,
+    * each one deduped CDC batch (payload + `__vt_del` tombstone flag)
+    * that SHADOWS earlier patches and the base per key at read time.
+    * While the chain is non-empty, only [[commitPatch]]/reads/
+    * [[compactPatches]] may run — base-mutating commits refuse, so the
+    * fold order (base, then patches in sequence) is always the commit
+    * order. `mergeKeys` pins the key columns the chain folds on, making
+    * patched tables self-describing to readers.
+    */
   final case class Manifest(version: Long, op: String, schemaDdl: String,
                             statsCols: Seq[String], files: Seq[FileEntry],
                             txns: Map[String, Long] = Map.empty,
                             bloomCols: Seq[String] = Seq.empty,
-                            bloomFpp: Double = 0.01)
+                            bloomFpp: Double = 0.01,
+                            patches: Seq[Seq[FileEntry]] = Seq.empty,
+                            mergeKeys: Seq[String] = Seq.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -151,23 +163,12 @@ object VersionedTable {
       m.bloomCols.foreach(bc.add)
       root.put("bloomFpp", m.bloomFpp)
     }
-    val fl = root.putArray("files")
-    m.files.foreach { f =>
-      val fn = fl.addObject()
-      fn.put("path", f.path)
-      fn.put("rows", f.rows)
-      val st = fn.putObject("stats")
-      f.stats.foreach { case (c, cs) =>
-        val cn = st.putObject(c)
-        cn.put("colType", cs.colType)
-        cs.min.foreach(cn.put("min", _))
-        cs.max.foreach(cn.put("max", _))
-        cn.put("nulls", cs.nulls)
-      }
-      if (f.blooms.nonEmpty) {
-        val bl = fn.putObject("blooms")
-        f.blooms.foreach { case (c, p) => bl.put(c, p) }
-      }
+    writeFileArray(root.putArray("files"), m.files)
+    if (m.patches.nonEmpty) {
+      val pa = root.putArray("patches")
+      m.patches.foreach(batch => writeFileArray(pa.addArray(), batch))
+      val mk = root.putArray("mergeKeys")
+      m.mergeKeys.foreach(mk.add)
     }
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     val log = vlogDir(dir)
@@ -189,6 +190,41 @@ object VersionedTable {
     }
   }
 
+  private def writeFileArray(fl: ArrayNode, entries: Seq[FileEntry]): Unit =
+    entries.foreach { f =>
+      val fn = fl.addObject()
+      fn.put("path", f.path)
+      fn.put("rows", f.rows)
+      val st = fn.putObject("stats")
+      f.stats.foreach { case (c, cs) =>
+        val cn = st.putObject(c)
+        cn.put("colType", cs.colType)
+        cs.min.foreach(cn.put("min", _))
+        cs.max.foreach(cn.put("max", _))
+        cn.put("nulls", cs.nulls)
+      }
+      if (f.blooms.nonEmpty) {
+        val bl = fn.putObject("blooms")
+        f.blooms.foreach { case (c, p) => bl.put(c, p) }
+      }
+    }
+
+  private def readFileArray(node: JsonNode): Seq[FileEntry] = {
+    import scala.jdk.CollectionConverters._
+    node.elements().asScala.map { fn =>
+      val m = fn.get("stats").fields().asScala.map { e =>
+        val cn = e.getValue
+        e.getKey -> ColStat(cn.get("colType").asText(),
+          Option(cn.get("min")).map(_.asText()),
+          Option(cn.get("max")).map(_.asText()),
+          cn.get("nulls").asLong())
+      }.toMap
+      val blooms = Option(fn.get("blooms")).map(_.fields().asScala.map(e =>
+        e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
+      FileEntry(fn.get("path").asText(), fn.get("rows").asLong(), m, blooms)
+    }.toSeq
+  }
+
   def readManifest(spark: SparkSession, dir: String, version: Long): Manifest = {
     val fs = fsOf(spark, dir)
     val p = manifestPath(dir, version)
@@ -201,26 +237,20 @@ object VersionedTable {
     import scala.jdk.CollectionConverters._
     val in = fs.open(p)
     val root = try mapper.readTree(in) finally in.close()
-    val entries = root.get("files").elements().asScala.map { fn =>
-      val m = fn.get("stats").fields().asScala.map { e =>
-        val cn = e.getValue
-        e.getKey -> ColStat(cn.get("colType").asText(),
-          Option(cn.get("min")).map(_.asText()),
-          Option(cn.get("max")).map(_.asText()),
-          cn.get("nulls").asLong())
-      }.toMap
-      val blooms = Option(fn.get("blooms")).map(_.fields().asScala.map(e =>
-        e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
-      FileEntry(fn.get("path").asText(), fn.get("rows").asLong(), m, blooms)
-    }.toSeq
+    val entries = readFileArray(root.get("files"))
     val statsCols = root.get("statsCols").elements().asScala.map(_.asText()).toSeq
     val txns = Option(root.get("txns")).map(_.fields().asScala.map(e =>
       e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty[String, Long])
     val bloomCols = Option(root.get("bloomCols"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
     val bloomFpp = Option(root.get("bloomFpp")).map(_.asDouble()).getOrElse(0.01)
+    val patches = Option(root.get("patches"))
+      .map(_.elements().asScala.map(readFileArray).toSeq).getOrElse(Seq.empty)
+    val mergeKeys = Option(root.get("mergeKeys"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
     Manifest(root.get("version").asLong(), root.get("op").asText(),
-      root.get("schemaDdl").asText(), statsCols, entries, txns, bloomCols, bloomFpp)
+      root.get("schemaDdl").asText(), statsCols, entries, txns, bloomCols,
+      bloomFpp, patches, mergeKeys)
   }
 
   // ------------------------------------------------------------ data writes
@@ -397,6 +427,7 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"VersionedTable.commitAppend: $dir is not a versioned table — create it first")))
     if (alreadyApplied(cur, txn)) return cur.version
+    requireNoPatches(cur, "commitAppend")
     val expected = StructType.fromDDL(cur.schemaDdl)
     require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
         expected.fields.map(f => (f.name, f.dataType))),
@@ -468,62 +499,35 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"VersionedTable.commitMerge: $dir is not a versioned table — create it first")))
     if (alreadyApplied(cur, txn)) return cur.version
+    requireNoPatches(cur, "commitMerge")
     val key = keys.head
     require(cur.statsCols.contains(key),
       s"VersionedTable.commitMerge: merge key $key is not a stats column " +
         s"(${cur.statsCols.mkString(", ")}) — file pruning would be impossible; " +
         "declare it in create(statsCols)")
-    val schema = StructType.fromDDL(cur.schemaDdl)
     val deduped = Warehouse.dedupByKey(changes, keys, tiebreak)
+    cowMergeCore(spark, dir, cur, deduped, keys, deleteCond, txn,
+      evolve, metaCols, op = "merge")
+  }
 
-    // findTouchedFiles: join the changelog's distinct keys against the
-    // per-file [min,max] intervals — both cast through the column's own
-    // Catalyst type so the comparison is the engine's, not a string's.
-    // The interval relation is one row per file (driver-small, broadcast).
-    val keyType = schema(key).dataType
-    val intervals = cur.files.map { f =>
-      f.stats.get(key) match {
-        case Some(ColStat(_, Some(mn), Some(mx), _)) => (f.path, mn, mx, false)
-        case _ => (f.path, null: String, null: String, true) // no stats → always touched
-      }
-    }
-    val intervalDf = spark.createDataFrame(intervals)
-      .toDF("__path", "__min", "__max", "__blind")
-      .withColumn("__min", col("__min").cast(keyType))
-      .withColumn("__max", col("__max").cast(keyType))
-    val candidates = deduped
-      .select(col(key), xxhash64(col(key).cast(keyType)).as("__kh"))
-      .join(broadcast(intervalDf),
-        col("__blind") || (col(key) >= col("__min") && col(key) <= col("__max")),
-        "inner")
-    val intervalTouched = candidates
-      .select("__path").distinct().collect().map(_.getString(0)).toSet
-    // bloom refinement: a changed key INSIDE a file's interval but absent
-    // from the file must not rewrite it. Blooms load driver-side for the
-    // interval survivors only (bounded below), broadcast as a path→bloom
-    // map, and the candidate (key, path) pairs filter in SPARK — the
-    // changelog never collects. False positives merely rewrite an extra
-    // file; false negatives cannot happen (bloom contract).
-    val touchedPaths =
-      if (!cur.bloomCols.contains(key) ||
-          intervalTouched.size > maxBloomRefineFiles) intervalTouched
+  /** The copy-on-write heart shared by [[commitMerge]] (CDC changelogs)
+    * and [[compactPatches]] (the folded patch chain as a changelog):
+    * find the touched files, merge only them, carry the rest by
+    * reference, publish one manifest. `deduped` must be one row per key.
+    */
+  private def cowMergeCore(spark: SparkSession, dir: String, cur: Manifest,
+                           deduped: DataFrame, keys: Seq[String],
+                           deleteCond: Column, txn: Option[(String, Long)],
+                           evolve: Boolean, metaCols: Seq[String],
+                           op: String): Long = {
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val key = keys.head
+    val (touched, carried) =
+      if (!cur.statsCols.contains(key)) (cur.files, Seq.empty[FileEntry])
       else {
-        val entries = cur.files.filter(f => intervalTouched(f.path))
-        val fs = fsOf(spark, dir)
-        val bloomMap = entries.flatMap(f =>
-          loadBloom(fs, dir, f, key).map(f.path -> _)).toMap
-        if (bloomMap.isEmpty) intervalTouched
-        else {
-          val bc = spark.sparkContext.broadcast(bloomMap)
-          val hit = udf { (path: String, kh: Long) =>
-            bc.value.get(path).forall(_.mightContainLong(kh))
-          }
-          candidates.filter(hit(col("__path"), col("__kh")))
-            .select("__path").distinct().collect().map(_.getString(0)).toSet
-        }
+        val touchedPaths = findTouchedFiles(spark, dir, cur, deduped, key, schema)
+        cur.files.partition(f => touchedPaths(f.path))
       }
-
-    val (touched, carried) = cur.files.partition(f => touchedPaths(f.path))
     val next = cur.version + 1
     val base =
       if (touched.isEmpty)
@@ -552,9 +556,62 @@ object VersionedTable {
     val files = writeCommitFiles(merged, dir, next, cur.statsCols,
       cur.bloomCols, cur.bloomFpp)
     writeManifest(fsOf(spark, dir), dir,
-      Manifest(next, "merge", outDdl, cur.statsCols, carried ++ files,
+      Manifest(next, op, outDdl, cur.statsCols, carried ++ files,
         txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp))
     next
+  }
+
+  /** findTouchedFiles: join the changelog's distinct keys against the
+    * per-file [min,max] intervals — both cast through the column's own
+    * Catalyst type so the comparison is the engine's, not a string's
+    * (the interval relation is one row per file, driver-small, broadcast)
+    * — then refine with per-file blooms when available: a changed key
+    * INSIDE a file's interval but absent from the file must not rewrite
+    * it. Blooms load driver-side for interval survivors only (bounded),
+    * broadcast as a path→bloom map, and the candidate (key, path) pairs
+    * filter in SPARK — the changelog never collects. A bloom false
+    * positive merely rewrites an extra file; false negatives cannot
+    * happen (bloom contract).
+    */
+  private def findTouchedFiles(spark: SparkSession, dir: String, cur: Manifest,
+                               deduped: DataFrame, key: String,
+                               schema: StructType): Set[String] = {
+    val keyType = schema(key).dataType
+    val intervals = cur.files.map { f =>
+      f.stats.get(key) match {
+        case Some(ColStat(_, Some(mn), Some(mx), _)) => (f.path, mn, mx, false)
+        case _ => (f.path, null: String, null: String, true) // no stats → always touched
+      }
+    }
+    if (intervals.isEmpty) return Set.empty
+    val intervalDf = spark.createDataFrame(intervals)
+      .toDF("__path", "__min", "__max", "__blind")
+      .withColumn("__min", col("__min").cast(keyType))
+      .withColumn("__max", col("__max").cast(keyType))
+    val candidates = deduped
+      .select(col(key), xxhash64(col(key).cast(keyType)).as("__kh"))
+      .join(broadcast(intervalDf),
+        col("__blind") || (col(key) >= col("__min") && col(key) <= col("__max")),
+        "inner")
+    val intervalTouched = candidates
+      .select("__path").distinct().collect().map(_.getString(0)).toSet
+    if (!cur.bloomCols.contains(key) ||
+        intervalTouched.size > maxBloomRefineFiles) intervalTouched
+    else {
+      val entries = cur.files.filter(f => intervalTouched(f.path))
+      val fs = fsOf(spark, dir)
+      val bloomMap = entries.flatMap(f =>
+        loadBloom(fs, dir, f, key).map(f.path -> _)).toMap
+      if (bloomMap.isEmpty) intervalTouched
+      else {
+        val bc = spark.sparkContext.broadcast(bloomMap)
+        val hit = udf { (path: String, kh: Long) =>
+          bc.value.get(path).forall(_.mightContainLong(kh))
+        }
+        candidates.filter(hit(col("__path"), col("__kh")))
+          .select("__path").distinct().collect().map(_.getString(0)).toSet
+      }
+    }
   }
 
   /** OPTIMIZE: bin-pack every file smaller than `smallBytes` into
@@ -575,6 +632,7 @@ object VersionedTable {
     val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"VersionedTable.commitCompact: $dir is not a versioned table")))
+    requireNoPatches(cur, "commitCompact")
     val sized = cur.files.map { f =>
       f -> fs.getFileStatus(new Path(s"$dir/${f.path}")).getLen
     }
@@ -602,6 +660,120 @@ object VersionedTable {
     next
   }
 
+  private def requireNoPatches(cur: Manifest, op: String): Unit =
+    require(cur.patches.isEmpty,
+      s"VersionedTable.$op: table has a pending merge-on-read patch chain " +
+        s"(${cur.patches.size} batches) — run compactPatches first. While " +
+        "the chain is non-empty only commitPatch/reads/compactPatches may " +
+        "run, so the fold order always equals the commit order")
+
+  /** Merge-on-read commit: append one CDC batch as PATCH files — the base
+    * is neither read nor written, so a 1-row change is O(batch), not
+    * O(touched file). Reads fold the chain (later batches shadow per key,
+    * tombstones drop keys) to exactly the state sequential [[commitMerge]]
+    * calls would have produced; [[compactPatches]] materializes the fold
+    * back into base files and empties the chain. Read cost grows with the
+    * chain — compaction cadence bounds it; that trade IS merge-on-read
+    * (same contract as [[Warehouse.appendPatch]], here with versioned
+    * time travel over every patch state).
+    *
+    * The chain pins the table: base-mutating commits refuse until
+    * compaction. `keys` must match the chain's keys once one exists.
+    */
+  def commitPatch(changes: DataFrame, dir: String, keys: Seq[String],
+                  tiebreak: Seq[Column], deleteCond: Column,
+                  txn: Option[(String, Long)] = None): Long = {
+    val spark = changes.sparkSession
+    val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.commitPatch: $dir is not a versioned table — create it first")))
+    if (alreadyApplied(cur, txn)) return cur.version
+    require(cur.mergeKeys.isEmpty || cur.mergeKeys == keys,
+      s"VersionedTable.commitPatch: chain keys ${cur.mergeKeys.mkString(",")} " +
+        s"!= ${keys.mkString(",")} — one key set per chain")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(!schema.fieldNames.contains("__vt_del") && !schema.fieldNames.contains("__vt_seq"),
+      "VersionedTable.commitPatch: column names __vt_del/__vt_seq are reserved")
+    schema.fields.foreach { f =>
+      require(changes.columns.contains(f.name) &&
+          changes.schema(f.name).dataType == f.dataType,
+        s"VersionedTable.commitPatch: changes must carry ${f.name}: ${f.dataType.sql}")
+    }
+    val flagged = Warehouse.dedupByKey(changes, keys, tiebreak)
+      .withColumn("__vt_del", coalesce(deleteCond, lit(false)))
+      .select(schema.fieldNames.map(col) :+ col("__vt_del"): _*)
+    val next = cur.version + 1
+    // patch files carry stats (the fold CAN be key-pruned later) but no
+    // blooms — nothing probes them
+    val files = writeCommitFiles(flagged, dir, next,
+      cur.statsCols.filter(schema.fieldNames.contains))
+    writeManifest(fsOf(spark, dir), dir,
+      Manifest(next, "patch", cur.schemaDdl, cur.statsCols, cur.files,
+        txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
+        cur.patches ++ (if (files.nonEmpty) Seq(files) else Seq.empty), keys))
+    next
+  }
+
+  /** Materialize the patch-chain fold back into base files and EMPTY the
+    * chain (op = "compact") — through the SAME copy-on-write core as
+    * [[commitMerge]], so only files containing patched keys rewrite;
+    * untouched base files carry over byte-stable even through compaction.
+    * History is preserved — every patch state still time travels until
+    * vacuumed; the folded patch files become unreferenced and reclaim
+    * with retention. Returns the new version (current when nothing to
+    * fold).
+    */
+  def compactPatches(spark: SparkSession, dir: String): Long = {
+    val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.compactPatches: $dir is not a versioned table")))
+    if (cur.patches.isEmpty) return cur.version
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val changelog = chainChangelog(spark, dir, cur, schema)
+    cowMergeCore(spark, dir, cur, changelog, cur.mergeKeys,
+      col("__vt_del"), txn = None, evolve = false, metaCols = Seq.empty,
+      op = "compact")
+  }
+
+  private def baseRead(spark: SparkSession, dir: String, m: Manifest,
+                       schema: StructType): DataFrame =
+    if (m.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      spark.read.schema(schema).parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+
+  private def patchSchemaOf(schema: StructType): StructType =
+    StructType(schema.fields :+ org.apache.spark.sql.types.StructField(
+      "__vt_del", org.apache.spark.sql.types.BooleanType))
+
+  /** The patch chain collapsed to ONE changelog row per key (later batch
+    * wins — each batch is already one row per key, so `__vt_seq` order is
+    * a total order within a key): the relation both the read fold and
+    * [[compactPatches]] consume.
+    */
+  private def chainChangelog(spark: SparkSession, dir: String, m: Manifest,
+                             schema: StructType): DataFrame = {
+    val ps = patchSchemaOf(schema)
+    val all = m.patches.zipWithIndex.map { case (batch, i) =>
+      spark.read.schema(ps).parquet(batch.map(f => s"$dir/${f.path}"): _*)
+        .withColumn("__vt_seq", lit(i))
+    }.reduce(_ unionByName _)
+    Warehouse.dedupByKey(all, m.mergeKeys, Seq(col("__vt_seq").desc))
+      .drop("__vt_seq")
+  }
+
+  /** Fold the manifest's patch chain over `base`: one dedup exchange over
+    * all patch rows + one [[Warehouse.applyChanges]] merge. No-op when
+    * the chain is empty.
+    */
+  private def foldPatches(spark: SparkSession, dir: String, m: Manifest,
+                          base: DataFrame, schema: StructType): DataFrame = {
+    if (m.patches.isEmpty) return base
+    Warehouse.applyChanges(base, chainChangelog(spark, dir, m, schema),
+        m.mergeKeys, col("__vt_del"))
+      .select(schema.fieldNames.map(col): _*)
+  }
+
   // ------------------------------------------------------------ reads
 
   /** Read the table at `asOf` (default: current). The manifest's file list
@@ -613,10 +785,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"VersionedTable.read: $dir is not a versioned table"))
     val m = readManifest(spark, dir, v)
     val schema = StructType.fromDDL(m.schemaDdl)
-    if (m.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+    foldPatches(spark, dir, m, baseRead(spark, dir, m, schema), schema)
   }
 
   /** Data-skipping read: `column BETWEEN lo AND hi`, with files whose
@@ -636,16 +805,27 @@ object VersionedTable {
                       preds: Seq[(String, Column, Column)],
                       asOf: Option[Long] = None): DataFrame = {
     val (survivors, m) = pruneFilesMulti(spark, dir, preds, asOf)
-    val schema = StructType.fromDDL(m.schemaDdl)
     val filter = preds.map { case (c, lo, hi) =>
       col(s"`$c`") >= lo && col(s"`$c`") <= hi
     }.reduce(_ && _)
-    if (survivors.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .filter(filter)
-    else
-      spark.read.schema(schema).parquet(survivors.map(p => s"$dir/$p"): _*)
-        .filter(filter)
+    prunedFoldedRead(spark, dir, m, survivors).filter(filter)
+  }
+
+  /** Survivor read + patch fold, shared by every pruned entry point.
+    * Pruning the BASE under a patch chain is sound because the fold takes
+    * a patched key's row ENTIRELY from the chain — a pruned base file
+    * only loses rows that are either shadowed (chain wins) or genuinely
+    * outside the predicate; the exact filter applies AFTER the fold.
+    */
+  private def prunedFoldedRead(spark: SparkSession, dir: String, m: Manifest,
+                               survivors: Seq[String]): DataFrame = {
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val base =
+      if (survivors.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else
+        spark.read.schema(schema).parquet(survivors.map(p => s"$dir/$p"): _*)
+    foldPatches(spark, dir, m, base, schema)
   }
 
   /** The file-level pruning decision behind [[readPruned]], exposed for
@@ -827,13 +1007,7 @@ object VersionedTable {
             s"VersionedTable.readWhere: $dir is not a versioned table")))
         (mm.files.map(_.path), mm)
       } else pruneCore(spark, dir, ranges, inSets, asOf)
-    val schema = StructType.fromDDL(m.schemaDdl)
-    if (survivors.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .filter(cond)
-    else
-      spark.read.schema(schema).parquet(survivors.map(p => s"$dir/$p"): _*)
-        .filter(cond)
+    prunedFoldedRead(spark, dir, m, survivors).filter(cond)
   }
 
   /** The conjunct miner behind [[readWhere]] — delegates to
@@ -880,30 +1054,55 @@ object VersionedTable {
       "changesBetween: table has no non-key columns")
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"changesBetween: key $k not in table schema"))
-    val paths1 = m1.files.map(_.path).toSet
-    val paths2 = m2.files.map(_.path).toSet
-    val removed = (paths1 -- paths2).toSeq.sorted
-    val added = (paths2 -- paths1).toSeq.sorted
     val payload = schema.fieldNames.filterNot(keys.contains).toSeq
+    def classify(pre0: DataFrame, post0: DataFrame): DataFrame = {
+      val pre = pre0.select(
+        keys.map(col) :+ struct(payload.map(col): _*).as("__pre"): _*)
+      val post = post0.select(
+        keys.map(col) :+ struct(payload.map(col): _*).as("__post"): _*)
+      pre.join(post, keys, "full_outer")
+        .withColumn("change_type",
+          when(col("__pre").isNull, lit("insert"))
+            .when(col("__post").isNull, lit("delete"))
+            .when(col("__pre") <=> col("__post"), lit(null)) // rewritten, unchanged
+            .otherwise(lit("update")))
+        .filter(col("change_type").isNotNull)
+        .select(col("change_type") +: keys.map(col) ++: payload.map { c =>
+          when(col("change_type") === "delete", col(s"__pre.$c"))
+            .otherwise(col(s"__post.$c")).as(c)
+        }: _*)
+    }
     def readSet(ps: Seq[String]): DataFrame =
       if (ps.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(ps.map(p => s"$dir/$p"): _*)
-    val pre = readSet(removed).select(
-      keys.map(col) :+ struct(payload.map(col): _*).as("__pre"): _*)
-    val post = readSet(added).select(
-      keys.map(col) :+ struct(payload.map(col): _*).as("__post"): _*)
-    pre.join(post, keys, "full_outer")
-      .withColumn("change_type",
-        when(col("__pre").isNull, lit("insert"))
-          .when(col("__post").isNull, lit("delete"))
-          .when(col("__pre") <=> col("__post"), lit(null)) // rewritten, unchanged
-          .otherwise(lit("update")))
-      .filter(col("change_type").isNotNull)
-      .select(col("change_type") +: keys.map(col) ++: payload.map { c =>
-        when(col("change_type") === "delete", col(s"__pre.$c"))
-          .otherwise(col(s"__post.$c")).as(c)
-      }: _*)
+    val paths1 = m1.files.map(_.path).toSet
+    val paths2 = m2.files.map(_.path).toSet
+    if (m1.patches == m2.patches) {
+      // identical chains: any difference lives in the base file sets, and
+      // equal NON-EMPTY chains imply equal bases (base-mutating commits
+      // refuse under a chain) — the file-level content diff is exact
+      val removed = (paths1 -- paths2).toSeq.sorted
+      val added = (paths2 -- paths1).toSeq.sorted
+      classify(readSet(removed), readSet(added))
+    } else if (paths1 == paths2 && m2.patches.startsWith(m1.patches)) {
+      // patch-only window: the delta is confined to keys the NEW patch
+      // batches name — pre/post images come from the FOLDED states (the
+      // truth under merge-on-read), restricted to those keys, so the diff
+      // reads O(new patches + key-pruned folds), not the table
+      val newFiles = m2.patches.drop(m1.patches.size).flatten
+      val changedKeys = spark.read.schema(patchSchemaOf(schema))
+        .parquet(newFiles.map(f => s"$dir/${f.path}"): _*)
+        .select(keys.map(col): _*).distinct()
+      classify(
+        read(spark, dir, Some(fromV)).join(changedKeys, keys, "left_semi"),
+        read(spark, dir, Some(toV)).join(changedKeys, keys, "left_semi"))
+    } else {
+      // the window reshaped the chain non-monotonically (compactPatches
+      // folded it away): fall back to the brute snapshot diff — correct
+      // for every window, just not file-pruned
+      classify(read(spark, dir, Some(fromV)), read(spark, dir, Some(toV)))
+    }
   }
 
   /** Version history, newest first: (version, op, files, rows). */
@@ -930,7 +1129,8 @@ object VersionedTable {
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val referenced = keep.flatMap { v =>
       val mf = readManifest(spark, dir, v)
-      mf.files.map(_.path) ++ mf.files.flatMap(_.blooms.values)
+      val all = mf.files ++ mf.patches.flatten
+      all.map(_.path) ++ all.flatMap(_.blooms.values)
     }.toSet
     drop.foreach(v => fs.delete(manifestPath(dir, v), false))
     // sweep manifest tmps abandoned by crashed writers (invisible to

@@ -183,7 +183,8 @@ object StreamOps {
                                  tableDir: String, keys: Seq[String],
                                  tiebreak: Seq[org.apache.spark.sql.Column],
                                  deleteCond: org.apache.spark.sql.Column,
-                                 appId: String): StreamingQuery = {
+                                 appId: String,
+                                 asPatches: Boolean = false): StreamingQuery = {
     require(graft.ops.VersionedTable.currentVersion(spark, tableDir).nonEmpty,
       s"streamingCdcApplyVersioned: $tableDir is not a versioned table — " +
         "create it from the initial snapshot first (VersionedTable.create)")
@@ -192,8 +193,16 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.ops.VersionedTable.commitMerge(batch, tableDir, keys, tiebreak,
-          deleteCond, txn = Some(appId -> batchId))
+        // asPatches = merge-on-read micro-batches: each trigger is an
+        // O(batch) patch append (no base file rewrites — the steady-state
+        // CDC shape); compactPatches on a cadence bounds the fold cost.
+        // Same txn-ledger exactly-once either way.
+        if (asPatches)
+          graft.ops.VersionedTable.commitPatch(batch, tableDir, keys, tiebreak,
+            deleteCond, txn = Some(appId -> batchId))
+        else
+          graft.ops.VersionedTable.commitMerge(batch, tableDir, keys, tiebreak,
+            deleteCond, txn = Some(appId -> batchId))
         ()
       }
       .start()

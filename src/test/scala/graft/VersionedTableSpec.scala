@@ -405,6 +405,118 @@ class VersionedTableSpec extends SparkSuite {
     assert(inSurv.size == 1)
   }
 
+  test("merge-on-read: patch commits are O(batch), fold equals sequential merges, guards hold") {
+    val dir = tmp()
+    val base = spark.range(40).select($"id".as("k"), ($"id" % 7).cast("string").as("s"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k"))
+    val sig1 = fileSig(dir, 1L)
+    // two patch batches: update/tombstone/insert, then a re-update
+    val p1 = Seq((3L, "UPD", false), (7L, "x", true), (100L, "NEW", false))
+      .toDF("k", "s", "del")
+    val p2 = Seq((3L, "UPD2", false), (100L, "gone", true)).toDF("k", "s", "del")
+    VT.commitPatch(p1, dir, Seq("k"), Seq($"s"), $"del")
+    VT.commitPatch(p2, dir, Seq("k"), Seq($"s"), $"del")
+    // base files NEVER touched by patch commits
+    val sig3 = fileSig(dir, 3L)
+    assert(sig1.forall { case (p, s) => sig3.get(p).contains(s) })
+    assert(VT.readManifest(spark, dir, 3L).patches.size == 2)
+    // fold equals the sequential CoW-merge model
+    val model = {
+      val m1 = Warehouse.applyChanges(base, Warehouse.dedupByKey(p1, Seq("k"), Seq($"s")),
+        Seq("k"), $"del")
+      Warehouse.applyChanges(m1, Warehouse.dedupByKey(p2, Seq("k"), Seq($"s")),
+        Seq("k"), $"del")
+    }.as[(Long, String)].collect().toMap
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toMap == model)
+    assert(model(3L) == "UPD2" && !model.contains(7L) && !model.contains(100L))
+    // every patch state time-travels
+    assert(VT.read(spark, dir, Some(1L)).count() == 40)
+    val v2 = VT.read(spark, dir, Some(2L)).as[(Long, String)].collect().toMap
+    assert(v2(3L) == "UPD" && v2(100L) == "NEW" && !v2.contains(7L))
+    // base-mutating commits refuse under a pending chain
+    intercept[IllegalArgumentException](
+      VT.commitMerge(p1, dir, Seq("k"), Seq($"s"), $"del"))
+    intercept[IllegalArgumentException](
+      VT.commitAppend(Seq((500L, "a")).toDF("k", "s"), dir))
+    intercept[IllegalArgumentException](VT.commitCompact(spark, dir))
+    // mismatched chain keys refuse
+    intercept[IllegalArgumentException](
+      VT.commitPatch(p1.withColumnRenamed("k", "s2")
+        .withColumnRenamed("s", "k").withColumnRenamed("s2", "s"),
+        dir, Seq("s"), Seq($"k"), $"del"))
+    // txn ledger works on patches too: replay of a recorded batch skips
+    val v4 = VT.commitPatch(Seq((5L, "T", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del", txn = Some("app" -> 0L))
+    assert(v4 == 4L)
+    assert(VT.commitPatch(Seq((5L, "GHOST", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del", txn = Some("app" -> 0L)) == 4L)
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toMap.apply(5L) == "T")
+  }
+
+  test("compactPatches folds through the pruned CoW core; pruned reads stay exact under a chain") {
+    val dir = tmp()
+    val base = spark.range(100).select($"id".as("k"), ($"id" * 2).cast("double").as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k"))
+    val sig1 = fileSig(dir, 1L)
+    // patch confined to one file's key interval — and it moves a value
+    // INTO a range that file would otherwise be pruned for
+    VT.commitPatch(Seq((10L, 9999.0, false)).toDF("k", "v", "del"),
+      dir, Seq("k"), Seq($"v"), $"del")
+    // pruned read on v: file of k=10 has on-disk v=20 (pruned for
+    // [9000, 10000]) but the FOLD must still surface the patched row
+    val got = VT.readWhere(spark, dir, $"v" >= 9000.0 && $"v" <= 10000.0)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((10L, 9999.0)), s"patched row lost by pruning: $got")
+    // range read over k prunes base files but folds exactly
+    val r = VT.readPruned(spark, dir, "k", lit(5L), lit(15L))
+      .as[(Long, Double)].collect().toMap
+    assert(r(10L) == 9999.0 && r(11L) == 22.0 && r.size == 11)
+    // compaction folds through the CoW core: only the patched key's file
+    // rewrites, the other three carry over byte-stable; chain empties
+    val vC = VT.compactPatches(spark, dir)
+    val mC = VT.readManifest(spark, dir, vC)
+    assert(mC.patches.isEmpty && mC.op == "compact")
+    val sigC = fileSig(dir, vC)
+    val carried = sigC.keySet intersect sig1.keySet
+    assert(carried.size == 3, s"expected 3 carried base files, got ${carried.size}")
+    carried.foreach(p => assert(sigC(p) == sig1(p)))
+    assert(VT.read(spark, dir).filter($"k" === 10L).as[(Long, Double)].head()._2 == 9999.0)
+    // nothing-to-fold path
+    assert(VT.compactPatches(spark, dir) == vC)
+    // base-mutating commits work again
+    VT.commitAppend(Seq((500L, 1.0)).toDF("k", "v"), dir)
+    assert(VT.read(spark, dir).count() == 101)
+  }
+
+  test("CDF spans patch-only windows key-pruned and falls back across compaction") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .repartition(1), dir, Seq("k"))
+    VT.commitPatch(Seq((2L, "b2", false), (4L, "d", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del")
+    VT.commitPatch(Seq((1L, "x", true)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq($"s"), $"del")
+    // patch-only window: exact insert/update/delete classification
+    val feed = VT.changesBetween(spark, dir, 1L, 3L, Seq("k"))
+      .as[(String, Long, String)].collect().toSet
+    assert(feed == Set(("update", 2L, "b2"), ("insert", 4L, "d"), ("delete", 1L, "a")))
+    // sub-window
+    val feed12 = VT.changesBetween(spark, dir, 1L, 2L, Seq("k"))
+      .as[(String, Long, String)].collect().toSet
+    assert(feed12 == Set(("update", 2L, "b2"), ("insert", 4L, "d")))
+    // across a compaction the chain is not a prefix — brute fallback must
+    // still produce the identical logical diff (and no phantom rows from
+    // the rewrite)
+    VT.compactPatches(spark, dir)
+    val feedAcross = VT.changesBetween(spark, dir, 1L, 4L, Seq("k"))
+      .as[(String, Long, String)].collect().toSet
+    assert(feedAcross == feed, s"compaction changed the logical diff: $feedAcross")
+    // and a window that is ONLY the compaction reports no changes
+    assert(VT.changesBetween(spark, dir, 3L, 4L, Seq("k")).count() == 0)
+  }
+
   test("composition: near-dup dedup lands as versioned tombstones; CDF reports exactly the drops") {
     import graft.ops.{DedupOps, GraphOps}
     val dir = tmp()
