@@ -1054,7 +1054,19 @@ object VersionedTable {
       "changesBetween: table has no non-key columns")
     keys.foreach(k => require(schema.fieldNames.contains(k),
       s"changesBetween: key $k not in table schema"))
+    require((m1.patches.isEmpty && m2.patches.isEmpty) ||
+        (m2.mergeKeys.isEmpty || m2.mergeKeys == keys) &&
+        (m1.mergeKeys.isEmpty || m1.mergeKeys == keys),
+      s"changesBetween: keys ${keys.mkString(",")} must equal the patch " +
+        "chain's merge keys — the fold defines row identity")
     val payload = schema.fieldNames.filterNot(keys.contains).toSeq
+    // v1 read through v2's WIDER schema: evolved columns fill NULL, which
+    // is exactly their pre-image value
+    def align(df: DataFrame): DataFrame =
+      df.select(schema.fields.map { f =>
+        if (df.columns.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
     def classify(pre0: DataFrame, post0: DataFrame): DataFrame = {
       val pre = pre0.select(
         keys.map(col) :+ struct(payload.map(col): _*).as("__pre"): _*)
@@ -1095,13 +1107,13 @@ object VersionedTable {
         .parquet(newFiles.map(f => s"$dir/${f.path}"): _*)
         .select(keys.map(col): _*).distinct()
       classify(
-        read(spark, dir, Some(fromV)).join(changedKeys, keys, "left_semi"),
+        align(read(spark, dir, Some(fromV))).join(changedKeys, keys, "left_semi"),
         read(spark, dir, Some(toV)).join(changedKeys, keys, "left_semi"))
     } else {
       // the window reshaped the chain non-monotonically (compactPatches
       // folded it away): fall back to the brute snapshot diff — correct
       // for every window, just not file-pruned
-      classify(read(spark, dir, Some(fromV)), read(spark, dir, Some(toV)))
+      classify(align(read(spark, dir, Some(fromV))), read(spark, dir, Some(toV)))
     }
   }
 

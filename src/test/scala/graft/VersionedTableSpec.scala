@@ -515,6 +515,23 @@ class VersionedTableSpec extends SparkSuite {
     assert(feedAcross == feed, s"compaction changed the logical diff: $feedAcross")
     // and a window that is ONLY the compaction reports no changes
     assert(VT.changesBetween(spark, dir, 3L, 4L, Seq("k")).count() == 0)
+    // brute fallback across patches → compaction → EVOLUTION: the v1 side
+    // reads through the wider schema, evolved column NULL as pre-image
+    VT.commitMergeEvolve(Seq((2L, "b3", 5.5, false)).toDF("k", "s", "extra", "del"),
+      dir, Seq("k"), Seq($"s"), $"del", metaCols = Seq("del"))
+    val wide = VT.changesBetween(spark, dir, 1L, 5L, Seq("k"))
+      .as[(String, Long, String, Option[Double])].collect().toSet
+    assert(wide == Set(
+      ("update", 2L, "b3", Some(5.5)),
+      ("insert", 4L, "d", None),
+      ("delete", 1L, "a", None)), s"got $wide")
+    // mismatched chain keys refuse while a chain is live
+    val dir2 = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s").repartition(1), dir2, Seq("k"))
+    VT.commitPatch(Seq((1L, "b", false)).toDF("k", "s", "del"),
+      dir2, Seq("k"), Seq($"s"), $"del")
+    intercept[IllegalArgumentException](
+      VT.changesBetween(spark, dir2, 1L, 2L, Seq("s")))
   }
 
   test("composition: near-dup dedup lands as versioned tombstones; CDF reports exactly the drops") {
