@@ -1117,6 +1117,48 @@ object VersionedTable {
     }
   }
 
+  /** Zero-scan table statistics straight from the manifest — the stats
+    * store a cost-based planner consults before touching data: total rows
+    * plus, per stats column, (nulls, global min, global max) folded from
+    * the per-file entries through Catalyst casts. NO Spark job runs and
+    * no file opens; the numbers are exact for the BASE (a pending patch
+    * chain adds unfolded deltas, so `rows` is then an upper bound on live
+    * base rows — patched tables report `exact = false`). Feed `rows` to
+    * [[ValidateOps.adviseJoin]]'s build side for broadcast decisions that
+    * cost one manifest read instead of a count job.
+    */
+  final case class TableStats(rows: Long, exact: Boolean,
+                              cols: Map[String, (Long, Option[String], Option[String])])
+
+  def tableStats(spark: SparkSession, dir: String,
+                 asOf: Option[Long] = None): TableStats = {
+    val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
+      throw new IllegalArgumentException(s"VersionedTable.tableStats: $dir is not a versioned table"))
+    val m = readManifest(spark, dir, v)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val rows = m.files.map(_.rows).sum
+    val cols = m.statsCols.map { c =>
+      val stats = m.files.flatMap(_.stats.get(c))
+      val nulls = stats.map(_.nulls).sum
+      val mins = stats.flatMap(_.min)
+      val maxs = stats.flatMap(_.max)
+      // fold per-file bounds through the column's own comparator: one
+      // local no-scan projection over the (driver-small) bound strings
+      val (gMin, gMax) =
+        if (mins.isEmpty) (None, None)
+        else if (mins.size == 1) (mins.headOption, maxs.headOption)
+        else {
+          val t = schema(c).dataType
+          val r = spark.range(1).select(
+            least(mins.map(s => lit(s).cast(t)): _*).cast("string"),
+            greatest(maxs.map(s => lit(s).cast(t)): _*).cast("string")).head()
+          (Option(r.getString(0)), Option(r.getString(1)))
+        }
+      c -> ((nulls, gMin, gMax))
+    }.toMap
+    TableStats(rows, exact = m.patches.isEmpty, cols)
+  }
+
   /** Version history, newest first: (version, op, files, rows). */
   def history(spark: SparkSession, dir: String): Seq[(Long, String, Int, Long)] =
     versions(spark, dir).reverse.map { v =>

@@ -405,6 +405,31 @@ class VersionedTableSpec extends SparkSuite {
     assert(inSurv.size == 1)
   }
 
+  test("tableStats: exact zero-scan stats from the manifest feed the join advisor") {
+    val dir = tmp()
+    val base = spark.range(200)
+      .select($"id".as("k"), when($"id" % 10 === 0, lit(null)).otherwise($"id" * 2)
+        .cast("double").as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k", "v"))
+    val st = VT.tableStats(spark, dir)
+    assert(st.rows == 200 && st.exact)
+    assert(st.cols("k") == ((0L, Some("0"), Some("199"))))
+    val (vNulls, vMin, vMax) = st.cols("v")
+    assert(vNulls == 20)
+    assert(vMin.contains("2.0") && vMax.contains("398.0"), s"$vMin/$vMax")
+    // the manifest rows feed adviseJoin exactly like a counted build side
+    import graft.ops.ValidateOps
+    val verdict = ValidateOps.adviseJoin(st.rows,
+      ValidateOps.KeyStats(rows = 10_000_000L, distinct = 1_000_000L, topCount = 20L))
+    assert(verdict == ValidateOps.Broadcast,
+      s"a 200-row manifest build side must broadcast, got $verdict")
+    // a pending patch chain demotes exactness
+    VT.commitPatch(Seq((1L, 1.0, false)).toDF("k", "v", "del"),
+      dir, Seq("k"), Seq($"v"), $"del")
+    assert(!VT.tableStats(spark, dir).exact)
+  }
+
   test("merge-on-read: patch commits are O(batch), fold equals sequential merges, guards hold") {
     val dir = tmp()
     val base = spark.range(40).select($"id".as("k"), ($"id" % 7).cast("string").as("s"))
