@@ -2342,6 +2342,43 @@ private[graft] object Queries {
       |  AND l_returnflag <> 'N' AND l_linenumber IN (1, 2, 3)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** OPTIMIZER-integrated data skipping ([[graft.plans.VtableSkipping]]):
+    * the same pruning as `q_prune_where`, but driven from PURE SQL — a
+    * plain `WHERE` over the `graft_vtable` table function, with no
+    * cooperation from the caller. The injected rule fires on
+    * `Filter(cond, taggedRelation)` after Catalyst's own pushdown
+    * batches, mines the conjuncts, and swaps the scan's file index for
+    * the manifest survivors — the Filter stays, so the oracle is again
+    * just the same WHERE clause. This is the UX a lakehouse owes its SQL
+    * users: data skipping nobody has to ask for.
+    */
+  def pruneSql(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    graft.functions.GraftFunctions.register(s)
+    val dir = fixtureDir(d, "vtable_sql")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val base = li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_extendedprice"))
+      .repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+    VT.create(base, dir, statsCols = Seq("l_orderkey"))
+    s.sql(
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+         |FROM graft_vtable('$dir')
+         |WHERE l_orderkey BETWEEN 500 AND 2499 AND l_linenumber IN (1, 2, 3)
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+  }
+
+  private val pruneSqlSql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      | CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 500 AND 2499 AND l_linenumber IN (1, 2, 3)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Merge-on-read on the VERSIONED table ([[graft.ops.VersionedTable
     * .commitPatch]]): two CDC batches land as O(batch) patch commits —
     * no base file is read or rewritten (spec asserts byte-stability) —
@@ -3329,6 +3366,7 @@ private[graft] object Queries {
     "q_time_travel" -> (timeTravel _),
     "q_stats_prune" -> (statsPrune _),
     "q_prune_where" -> (pruneWhere _),
+    "q_prune_sql" -> (pruneSql _),
     "q_change_feed" -> (changeFeed _),
     "q_vtable_mor" -> (vtableMor _),
     "q_join_advised" -> (joinAdvised _),
@@ -3472,6 +3510,7 @@ private[graft] object Queries {
     "q_time_travel" -> timeTravelSql,
     "q_stats_prune" -> statsPruneSql,
     "q_prune_where" -> pruneWhereSql,
+    "q_prune_sql" -> pruneSqlSql,
     "q_change_feed" -> changeFeedSql,
     "q_vtable_mor" -> mergeMorSql,
     "q_join_advised" -> joinAdvisedSql,

@@ -88,6 +88,12 @@ object GraftFunctions {
       spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
         name, builder, "built-in")
     }
+    // sessions built without spark.sql.extensions still get the
+    // versioned-table data-skipping rule (the experimental batch runs
+    // after the main optimizer, same place injected rules land)
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.VtableSkipping))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.VtableSkipping
   }
 
   private[functions] def injected: Seq[(FunctionIdentifier,
@@ -116,5 +122,9 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.IntervalJoinRewrite) — injected as an optimizer rule so
     // SQL/DataFrame users get the distributable plan transparently
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+    // versioned-table manifest data skipping for plain Filter-over-read
+    // plans (SQL WHERE over graft_vtable included) — see
+    // graft.plans.VtableSkipping
+    ext.injectOptimizerRule(_ => graft.plans.VtableSkipping)
   }
 }

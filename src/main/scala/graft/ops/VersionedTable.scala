@@ -385,7 +385,8 @@ object VersionedTable {
     */
   def create(df: DataFrame, dir: String, statsCols: Seq[String],
              bloomCols: Seq[String] = Seq.empty,
-             bloomFpp: Double = 0.01): Long = {
+             bloomFpp: Double = 0.01,
+             txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
     require(currentVersion(spark, dir).isEmpty,
       s"VersionedTable.create: $dir is already a versioned table " +
@@ -410,7 +411,7 @@ object VersionedTable {
     val fs = fsOf(spark, dir)
     val files = writeCommitFiles(df, dir, 1L, statsCols, bloomCols, bloomFpp)
     writeManifest(fs, dir, Manifest(1L, "create", df.schema.toDDL, statsCols, files,
-      Map.empty, bloomCols, bloomFpp))
+      txn.map(t => Map(t)).getOrElse(Map.empty), bloomCols, bloomFpp))
     1L
   }
 
@@ -627,7 +628,8 @@ object VersionedTable {
   def commitCompact(spark: SparkSession, dir: String,
                     targetBytes: Long = 128L << 20,
                     smallBytes: Long = 32L << 20,
-                    clusterBy: Seq[String] = Seq.empty): Long = {
+                    clusterBy: Seq[String] = Seq.empty,
+                    zorder: Boolean = false): Long = {
     val fs = fsOf(spark, dir)
     val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
@@ -646,7 +648,34 @@ object VersionedTable {
     val rows = spark.read.schema(schema)
       .parquet(toRewrite.map(f => s"$dir/${f._1.path}"): _*)
     val packed =
-      if (clusterBy.nonEmpty)
+      if (zorder) {
+        // OPTIMIZE ZORDER: cluster by the Morton z-value of both columns
+        // so EACH carries tight per-file intervals at once — a 2-D box
+        // predicate through [[pruneFilesMulti]]/[[readWhere]] then prunes
+        // on both dimensions, where a lexicographic sort only prunes on
+        // its leading column. Rank bounds come from the MANIFEST's global
+        // [min, max] fold ([[tableStats]]) — no extra scan — which is why
+        // z-order columns must be declared stats columns.
+        require(clusterBy.size == 2,
+          s"commitCompact: zorder takes exactly 2 clusterBy columns, got $clusterBy")
+        val ts = tableStats(spark, dir, asOf = Some(cur.version))
+        val bounds = clusterBy.map { c =>
+          require(cur.statsCols.contains(c),
+            s"commitCompact: zorder column $c needs manifest stats — declare it in statsCols at create")
+          require(schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+            s"commitCompact: zorder column $c must be numeric (rank normalization), is ${schema(c).dataType.sql}")
+          val (_, mn, mx) = ts.cols(c)
+          require(mn.isDefined && mx.isDefined,
+            s"commitCompact: zorder column $c is all-null — nothing to cluster on")
+          (mn.get.toDouble, mx.get.toDouble)
+        }
+        rows.withColumn("__z", LayoutOps.zvalue(
+            LayoutOps.rank32(col(clusterBy(0)).cast("double"), bounds(0)._1, bounds(0)._2),
+            LayoutOps.rank32(col(clusterBy(1)).cast("double"), bounds(1)._1, bounds(1)._2)))
+          .repartitionByRange(nOut, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z")
+      } else if (clusterBy.nonEmpty)
         rows.repartitionByRange(nOut, clusterBy.map(col): _*)
           .sortWithinPartitions(clusterBy.map(col): _*)
       else rows.coalesce(nOut)
@@ -735,12 +764,34 @@ object VersionedTable {
       op = "compact")
   }
 
+  /** Tag carried by the BASE parquet relation of every [[read]]: the
+    * (table dir, pinned version) [[graft.plans.VtableSkipping]] needs to
+    * re-prune the file list from a `Filter` INSIDE the Catalyst optimizer
+    * — SQL/DataFrame users get manifest data skipping without calling
+    * [[readWhere]]. Only the base relation is tagged (patch sidecar reads
+    * are NOT — their files are not the manifest's base set, so pruning
+    * them with base stats would be wrong); pruning a tagged base under a
+    * patch fold is sound for the same reason [[readWhere]] under a chain
+    * is: a Filter Catalyst placed directly on the base only drops rows
+    * the fold would drop, and skipping files none of whose rows survive
+    * that Filter is the same set algebra at file granularity.
+    */
+  val pruneTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[(String, Long)] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[(String, Long)]("graft.vtable.prune")
+
   private def baseRead(spark: SparkSession, dir: String, m: Manifest,
                        schema: StructType): DataFrame =
     if (m.files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else
-      spark.read.schema(schema).parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+    else {
+      val df = spark.read.schema(schema).parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+      df.queryExecution.analyzed.foreach {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.setTagValue(pruneTag, (dir, m.version))
+        case _ =>
+      }
+      df
+    }
 
   private def patchSchemaOf(schema: StructType): StructType =
     StructType(schema.fields :+ org.apache.spark.sql.types.StructField(

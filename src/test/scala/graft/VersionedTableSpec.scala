@@ -259,6 +259,45 @@ class VersionedTableSpec extends SparkSuite {
     assert(VT.commitCompact(spark, dir, smallBytes = 1L) == 2L)
   }
 
+  test("commitCompact zorder: a trailing-dimension band prunes only under z-order") {
+    // 32×32 grid; a band on k2 ALONE is the case lexicographic (k1, k2)
+    // clustering cannot prune (every k1-range file spans all of k2) but a
+    // Morton layout can (z-tiles are boxes in BOTH dimensions).
+    def mk(zorder: Boolean): String = {
+      val dir = tmp()
+      val grid = spark.range(1024)
+        .select(($"id" % 32).as("k1"), ($"id" / 32).cast("long").as("k2"),
+          $"id".cast("string").as("s"))
+        .repartition(4) // scattered: pruning useless before compaction
+      VT.create(grid, dir, Seq("k1", "k2"))
+      VT.commitCompact(spark, dir, targetBytes = 2048L,
+        smallBytes = Long.MaxValue, clusterBy = Seq("k1", "k2"),
+        zorder = zorder)
+      dir
+    }
+    val lex = mk(zorder = false)
+    val zed = mk(zorder = true)
+    val band = Seq(("k2", lit(8L), lit(11L)))
+    val (lexSurv, lexM) = VT.pruneFilesMulti(spark, lex, band)
+    val (zSurv, zM) = VT.pruneFilesMulti(spark, zed, band)
+    assert(lexM.files.size > 2 && zM.files.size > 2, "need a multi-file layout")
+    assert(lexSurv.size == lexM.files.size,
+      s"lexicographic layout should NOT prune a trailing-column band " +
+        s"(${lexSurv.size} of ${lexM.files.size})")
+    assert(zSurv.size < zM.files.size,
+      s"z-order layout should prune the same band (${zSurv.size} of ${zM.files.size})")
+    // and both layouts answer the band identically
+    val want = (8L to 11L).flatMap(k2 => (0L until 32L).map(k1 => (k1, k2))).toSet
+    def got(dir: String) = VT.readPrunedMulti(spark, dir, band)
+      .select($"k1", $"k2").as[(Long, Long)].collect().toSet
+    assert(got(lex) == want && got(zed) == want)
+    // zorder demands manifest stats on both dims
+    val noStats = tmp()
+    VT.create(spark.range(10).select($"id".as("k1"), $"id".as("k2")), noStats, Seq("k1"))
+    intercept[IllegalArgumentException](VT.commitCompact(spark, noStats,
+      clusterBy = Seq("k1", "k2"), zorder = true))
+  }
+
   test("commitMergeEvolve appends a new column; carried files read NULL through the evolved schema") {
     val dir = tmp()
     // 2 range-disjoint files; the evolving changelog touches only one
