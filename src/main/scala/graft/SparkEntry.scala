@@ -2379,6 +2379,115 @@ private[graft] object Queries {
       |WHERE l_orderkey BETWEEN 500 AND 2499 AND l_linenumber IN (1, 2, 3)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Metadata-only aggregates ([[graft.plans.VtableMetadataAgg]]): an
+    * ungrouped, unfiltered COUNT/MIN/MAX over a versioned table is
+    * answered straight from the manifest — the optimizer rule replaces
+    * the whole Aggregate with a one-row local relation, so NO parquet
+    * file opens and NO scan job runs (the spec pins the plan). At 100 TB
+    * this is the difference between an instant catalog answer and a
+    * full-table scan for `SELECT COUNT(*)`. The oracle recomputes the
+    * same aggregates the hard way over the raw table.
+    */
+  def aggMeta(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    graft.functions.GraftFunctions.register(s)
+    val dir = fixtureDir(d, "vtable_meta")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val base = li(s, d).select(col("l_orderkey"), col("l_returnflag"))
+      .repartitionByRange(4, col("l_orderkey"))
+    VT.create(base, dir, statsCols = Seq("l_orderkey"))
+    s.sql(
+      s"""SELECT COUNT(*) AS n, MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx,
+         |       COUNT(l_orderkey) AS nn
+         |FROM graft_vtable('$dir')""".stripMargin)
+  }
+
+  private val aggMetaSql =
+    """SELECT COUNT(*) AS n, MIN(l_orderkey) AS mn, MAX(l_orderkey) AS mx,
+      |       COUNT(l_orderkey) AS nn
+      |FROM lineitem""".stripMargin
+
+  /** Incremental materialized-view maintenance ([[graft.ops.ViewOps]]):
+    * a grouped SUM/COUNT view over a versioned orders table is kept
+    * current by folding each commit's CHANGE DATA FEED (pre-image
+    * encoded, so updates retract their old contribution) instead of
+    * re-aggregating the table — the classic IVM algebra, run through the
+    * whole lakehouse loop: the view is itself a versioned table, each
+    * refresh is one stats-pruned merge touching only changed groups, and
+    * the refresh cursor lives in the view manifest's transaction ledger
+    * (the fourth `refresh()` is a deliberate replay and must no-op).
+    * The oracle re-derives the FINAL source state with chained FULL JOIN
+    * folds (same shape as `q_time_travel`) and aggregates it from
+    * scratch — the folded view must equal that exactly. The measure is
+    * integer cents (`floor(price*100+0.5)`) so the incremental sum is
+    * associative and replay-stable across engines.
+    */
+  def ivm(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val src = fixtureDir(d, "vtable_ivm")
+    val view = fixtureDir(d, "vtable_ivm_view")
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(view), true)
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+    val snap = ord(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("cents"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    VT.create(snap, src, statsCols = Seq("o_orderkey"))
+    def refresh(): Long = graft.ops.ViewOps.refreshAggView(s, src, view,
+      srcKeys = Seq("o_orderkey"), groupCols = Seq("o_orderstatus"),
+      measures = Seq("cents"), appId = "q_ivm")
+    refresh() // bootstrap from v1
+    val p1 = ord(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (cents(col("o_totalprice")) + lit(1000L)).as("cents"),
+        (col("o_orderstatus") === "F").as("del"))
+    VT.commitMerge(p1, src, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+    refresh() // fold CDF v1→v2
+    val p2 = ord(s, d).filter(col("o_orderkey") % 5 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (cents(col("o_totalprice")) * lit(2L)).as("cents"),
+        (col("o_orderstatus") === "O").as("del"))
+    VT.commitMerge(p2, src, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+    refresh() // fold CDF v2→v3
+    refresh() // replay: ledger-skipped no-op
+    graft.ops.ViewOps.present(VT.read(s, view), Seq("cents"))
+      .select(col("o_orderstatus"), col("n"),
+        col("sum_cents").cast("double").as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val ivmSql =
+    """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |           FROM orders WHERE o_orderkey % 3 <> 0),
+      |s1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + 1000 AS c,
+      |              o_orderstatus = 'F' AS del
+      |       FROM orders WHERE o_orderkey % 2 = 0),
+      |s2 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |              CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 2 AS c,
+      |              o_orderstatus = 'O' AS del
+      |       FROM orders WHERE o_orderkey % 5 = 0),
+      |v2 AS (SELECT coalesce(t.k, s1.k) AS k,
+      |        CASE WHEN s1.k IS NOT NULL THEN s1.st ELSE t.st END AS st,
+      |        CASE WHEN s1.k IS NOT NULL THEN s1.c ELSE t.c END AS c
+      |       FROM t FULL JOIN s1 ON t.k = s1.k
+      |       WHERE s1.k IS NULL OR NOT coalesce(s1.del, FALSE)),
+      |v3 AS (SELECT coalesce(v2.k, s2.k) AS k,
+      |        CASE WHEN s2.k IS NOT NULL THEN s2.st ELSE v2.st END AS st,
+      |        CASE WHEN s2.k IS NOT NULL THEN s2.c ELSE v2.c END AS c
+      |       FROM v2 FULL JOIN s2 ON v2.k = s2.k
+      |       WHERE s2.k IS NULL OR NOT coalesce(s2.del, FALSE))
+      |SELECT st AS o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(c) AS DOUBLE) AS sum_cents
+      |FROM v3 GROUP BY st ORDER BY st""".stripMargin
+
   /** Merge-on-read on the VERSIONED table ([[graft.ops.VersionedTable
     * .commitPatch]]): two CDC batches land as O(batch) patch commits —
     * no base file is read or rewritten (spec asserts byte-stability) —
@@ -3367,6 +3476,8 @@ private[graft] object Queries {
     "q_stats_prune" -> (statsPrune _),
     "q_prune_where" -> (pruneWhere _),
     "q_prune_sql" -> (pruneSql _),
+    "q_ivm" -> (ivm _),
+    "q_agg_meta" -> (aggMeta _),
     "q_change_feed" -> (changeFeed _),
     "q_vtable_mor" -> (vtableMor _),
     "q_join_advised" -> (joinAdvised _),
@@ -3511,6 +3622,8 @@ private[graft] object Queries {
     "q_stats_prune" -> statsPruneSql,
     "q_prune_where" -> pruneWhereSql,
     "q_prune_sql" -> pruneSqlSql,
+    "q_ivm" -> ivmSql,
+    "q_agg_meta" -> aggMetaSql,
     "q_change_feed" -> changeFeedSql,
     "q_vtable_mor" -> mergeMorSql,
     "q_join_advised" -> joinAdvisedSql,

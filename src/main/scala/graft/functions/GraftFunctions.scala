@@ -74,9 +74,57 @@ object GraftFunctions {
       .queryExecution.analyzed
   }
 
+  private def litString(e: Expression, what: String): String = e.eval() match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$what must be a string literal, got $other")
+  }
+
+  private def litLong(e: Expression, what: String): Long = e.eval() match {
+    case i: java.lang.Integer => i.toLong
+    case l: java.lang.Long => l.longValue()
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  /** `graft_vtable_history('<dir>')`: the version ledger as a SQL relation
+    * — (version, op, files, rows), newest first. Pure manifest reads, no
+    * data file opens.
+    */
+  private def vtableHistoryPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.size == 1, "graft_vtable_history takes (dir)")
+    val spark = SparkSession.active
+    val h = graft.ops.VersionedTable.history(spark,
+      litString(es.head, "graft_vtable_history: dir"))
+    spark.createDataFrame(h).toDF("version", "op", "files", "rows")
+      .queryExecution.analyzed
+  }
+
+  /** `graft_vtable_changes('<dir>', fromV, toV, '<k1[,k2…]>')`: the change
+    * data feed as a SQL relation ([[graft.ops.VersionedTable
+    * .changesBetween]]) — insert/update/delete per key between two
+    * versions, O(changed files). Keys are a comma-separated literal (SQL
+    * table functions cannot take identifier lists).
+    */
+  private def vtableChangesPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.size == 4,
+      "graft_vtable_changes takes (dir, fromVersion, toVersion, 'key1[,key2…]')")
+    val keys = litString(es(3), "graft_vtable_changes: keys")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    graft.ops.VersionedTable.changesBetween(SparkSession.active,
+        litString(es.head, "graft_vtable_changes: dir"),
+        litLong(es(1), "graft_vtable_changes: fromVersion"),
+        litLong(es(2), "graft_vtable_changes: toVersion"), keys)
+      .queryExecution.analyzed
+  }
+
   private val tableFns: Seq[(String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
-    Seq("graft_vtable" -> (vtablePlan _))
+    Seq("graft_vtable" -> (vtablePlan _),
+      "graft_vtable_history" -> (vtableHistoryPlan _),
+      "graft_vtable_changes" -> (vtableChangesPlan _))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -91,9 +139,11 @@ object GraftFunctions {
     // sessions built without spark.sql.extensions still get the
     // versioned-table data-skipping rule (the experimental batch runs
     // after the main optimizer, same place injected rules land)
-    if (!spark.experimental.extraOptimizations.contains(graft.plans.VtableSkipping))
-      spark.experimental.extraOptimizations =
-        spark.experimental.extraOptimizations :+ graft.plans.VtableSkipping
+    Seq(graft.plans.VtableSkipping, graft.plans.VtableMetadataAgg).foreach { r =>
+      if (!spark.experimental.extraOptimizations.contains(r))
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ r
+    }
   }
 
   private[functions] def injected: Seq[(FunctionIdentifier,
@@ -126,5 +176,8 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // plans (SQL WHERE over graft_vtable included) — see
     // graft.plans.VtableSkipping
     ext.injectOptimizerRule(_ => graft.plans.VtableSkipping)
+    // metadata-only COUNT/MIN/MAX over an unfiltered versioned read —
+    // answered from the manifest, zero file opens
+    ext.injectOptimizerRule(_ => graft.plans.VtableMetadataAgg)
   }
 }

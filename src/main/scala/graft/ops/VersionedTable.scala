@@ -1085,7 +1085,7 @@ object VersionedTable {
     * and drops as a no-op. Keys must be table-unique, as everywhere.
     */
   def changesBetween(spark: SparkSession, dir: String, fromV: Long, toV: Long,
-                     keys: Seq[String]): DataFrame = {
+                     keys: Seq[String], preimages: Boolean = false): DataFrame = {
     require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
     val m1 = readManifest(spark, dir, fromV)
     val m2 = readManifest(spark, dir, toV)
@@ -1123,17 +1123,35 @@ object VersionedTable {
         keys.map(col) :+ struct(payload.map(col): _*).as("__pre"): _*)
       val post = post0.select(
         keys.map(col) :+ struct(payload.map(col): _*).as("__post"): _*)
-      pre.join(post, keys, "full_outer")
+      val tagged = pre.join(post, keys, "full_outer")
         .withColumn("change_type",
           when(col("__pre").isNull, lit("insert"))
             .when(col("__post").isNull, lit("delete"))
             .when(col("__pre") <=> col("__post"), lit(null)) // rewritten, unchanged
             .otherwise(lit("update")))
         .filter(col("change_type").isNotNull)
-        .select(col("change_type") +: keys.map(col) ++: payload.map { c =>
+      if (!preimages)
+        tagged.select(col("change_type") +: keys.map(col) ++: payload.map { c =>
           when(col("change_type") === "delete", col(s"__pre.$c"))
             .otherwise(col(s"__post.$c")).as(c)
         }: _*)
+      else
+        // Delta-CDF encoding: an update emits BOTH images, so a consumer
+        // can RETRACT the old contribution and add the new one — the
+        // signed-delta feed incremental view maintenance needs
+        // ([[ViewOps.aggDelta]]). Still the same single full-outer join;
+        // the doubling is a narrow per-row explode.
+        tagged
+          .withColumn("__r", explode(
+            when(col("change_type") === "insert",
+              array(struct(lit("insert").as("ct"), col("__post").as("img"))))
+            .when(col("change_type") === "delete",
+              array(struct(lit("delete").as("ct"), col("__pre").as("img"))))
+            .otherwise(array(
+              struct(lit("update_preimage").as("ct"), col("__pre").as("img")),
+              struct(lit("update_postimage").as("ct"), col("__post").as("img"))))))
+          .select(col("__r.ct").as("change_type") +: keys.map(col) ++:
+            payload.map(c => col(s"__r.img.$c").as(c)): _*)
     }
     def readSet(ps: Seq[String]): DataFrame =
       if (ps.isEmpty)
@@ -1208,6 +1226,61 @@ object VersionedTable {
       c -> ((nulls, gMin, gMax))
     }.toMap
     TableStats(rows, exact = m.patches.isEmpty, cols)
+  }
+
+  /** RESTORE: roll the table back to `toVersion` as a NEW commit whose
+    * file set (and schema, stats config, patch chain) is that version's —
+    * Delta `RESTORE TABLE ... TO VERSION AS OF`. Nothing is copied or
+    * rewritten: the old manifest's files are still on disk (a manifest
+    * that [[readManifest]] can load was not vacuumed, and vacuum never
+    * deletes a surviving manifest's files), so restore is one manifest
+    * write. History is preserved — the bad version stays inspectable, and
+    * [[changesBetween]] across the restore window naturally emits the
+    * inverse delta (the file-set diff runs in reverse).
+    *
+    * The transaction ledger is carried from the CURRENT version, not the
+    * restored one: idempotence cursors are monotone by contract, and
+    * rolling them back would invite exactly-once consumers to re-apply
+    * batches the table has already seen (their effects are being
+    * deliberately discarded — that is what restore means).
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Long): Long = {
+    val curV = currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.restore: $dir is not a versioned table"))
+    if (toVersion == curV) return curV
+    val cur = readManifest(spark, dir, curV)
+    val target = readManifest(spark, dir, toVersion) // loud if vacuumed
+    writeManifest(fsOf(spark, dir), dir,
+      target.copy(version = curV + 1, op = "restore", txns = cur.txns))
+    curV + 1
+  }
+
+  /** Bounded optimistic-concurrency retry for any commit call: a writer
+    * that loses the manifest race ([[writeManifest]] probes-then-renames;
+    * the loser throws, its data dir left for vacuum) simply re-runs the
+    * commit body, which re-reads the NEW current manifest and merges
+    * against it — the standard client-side answer to optimistic
+    * concurrency (Delta/Iceberg both retry commits this way). The body
+    * must be a full commit closure (it is re-executed from scratch);
+    * idempotent bodies (txn-ledgered) are replay-safe even across the
+    * retry boundary.
+    */
+  def withCommitRetry[T](attempts: Int = 5)(commit: => T): T = {
+    require(attempts >= 1, "withCommitRetry: need at least one attempt")
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return commit
+      catch {
+        case e: IllegalStateException if Option(e.getMessage)
+            .exists(_.contains("committed concurrently")) =>
+          last = e; i += 1
+      }
+    }
+    throw new IllegalStateException(
+      s"VersionedTable.withCommitRetry: lost the commit race $attempts times " +
+        "in a row — contention this hot needs a single-writer queue", last)
   }
 
   /** Version history, newest first: (version, op, files, rows). */

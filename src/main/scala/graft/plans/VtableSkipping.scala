@@ -3,10 +3,14 @@ package graft.plans
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.GraftShim
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{FileStatusCache, HadoopFsRelation, InMemoryFileIndex, LogicalRelation}
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.ops.VersionedTable
 
@@ -124,5 +128,91 @@ object VtableSkipping extends Rule[LogicalPlan] {
       case _ => None
     }
     (ranges, ins)
+  }
+}
+
+/** Metadata-only aggregates: `SELECT COUNT(*) / MIN(k) / MAX(k) /
+  * COUNT(k) FROM graft_vtable('/wh/t')` answered ENTIRELY from the
+  * manifest — zero Spark jobs, zero file opens (the Delta "metadata-only
+  * query"). The manifest already carries exact per-file row counts and,
+  * for stats columns, (nulls, min, max); an ungrouped, unfiltered
+  * aggregate over those functions is a driver-side fold of that list.
+  *
+  * Strictly conservative: fires only when EVERY output aggregate is
+  * answerable — grouping empty, no Filter below (a Filter invalidates
+  * manifest totals; [[VtableSkipping]] handles that shape instead), no
+  * DISTINCT / FILTER clause, no pending patch chain (base rows are then
+  * an upper bound, not a count), and every referenced column has stats in
+  * EVERY file. One unanswerable aggregate leaves the whole plan alone.
+  * Bound folds run through Catalyst `Cast`/`LessThan` on the column's own
+  * type, so the answer is the engine's own comparison — never a string's.
+  *
+  * Matches SQL semantics on the edges: an ungrouped aggregate over an
+  * empty table still returns ONE row (count 0, min/max NULL), and an
+  * all-null stats column folds to min = max = NULL.
+  */
+object VtableMetadataAgg extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case agg @ Aggregate(Nil, _, child, _) =>
+      stripProjects(child) match {
+        case Some(lr) if lr.getTagValue(VersionedTable.pruneTag).isDefined =>
+          val (dir, version) = lr.getTagValue(VersionedTable.pruneTag).get
+          answer(agg, dir, version).getOrElse(agg)
+        case _ => agg
+      }
+  }
+
+  /** Column-pruning leaves pass-through Projects (possibly empty) between
+    * the aggregate and the relation; anything else — a Filter, a computed
+    * column — means the manifest totals no longer apply.
+    */
+  private def stripProjects(p: LogicalPlan): Option[LogicalRelation] = p match {
+    case lr: LogicalRelation => Some(lr)
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      stripProjects(c)
+    case _ => None
+  }
+
+  private def answer(agg: Aggregate, dir: String, version: Long): Option[LogicalPlan] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val m = VersionedTable.readManifest(spark, dir, version)
+    if (m.patches.nonEmpty) return None
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val totalRows = m.files.map(_.rows).sum
+
+    def colStats(name: String): Option[Seq[VersionedTable.ColStat]] = {
+      if (!m.statsCols.contains(name)) return None
+      val per = m.files.map(_.stats.get(name))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten)
+    }
+    def internal(s: String, dt: DataType): Any =
+      Cast(Literal(UTF8String.fromString(s), StringType), dt,
+        Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
+    def lt(a: Any, b: Any, dt: DataType): Boolean =
+      LessThan(Literal(a, dt), Literal(b, dt)).eval(null).asInstanceOf[Boolean]
+    def foldBound(name: String, takeMin: Boolean): Option[Any] =
+      colStats(name).map { stats =>
+        val bounds = stats.flatMap(s => if (takeMin) s.min else s.max)
+          .map(internal(_, schema(name).dataType))
+        if (bounds.isEmpty) null // every file all-null → SQL min/max NULL
+        else bounds.reduce((a, b) =>
+          if (lt(a, b, schema(name).dataType) == takeMin) a else b)
+      }
+
+    val values = agg.aggregateExpressions.map {
+      case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
+        case Count(Seq(l: Literal)) if l.value != null => Some(totalRows)
+        case Count(Seq(a: AttributeReference)) =>
+          colStats(a.name).map(st => totalRows - st.map(_.nulls).sum)
+        case Min(a: AttributeReference) => foldBound(a.name, takeMin = true)
+        case Max(a: AttributeReference) => foldBound(a.name, takeMin = false)
+        case _ => None
+      }
+      case _ => None
+    }
+    if (values.exists(_.isEmpty)) None
+    else Some(LocalRelation(agg.output,
+      Seq(InternalRow.fromSeq(values.map(_.get))), isStreaming = false))
   }
 }

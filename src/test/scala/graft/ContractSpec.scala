@@ -67,6 +67,8 @@ class ContractSpec extends SparkSuite {
       "q_change_feed",     // versioned-table fixture + manifest file diff
       "q_prune_where",     // versioned-table create + predicate-mined pruning
       "q_prune_sql",       // versioned-table create (rule prunes at action time)
+      "q_ivm",             // source table + three CDF-folding view refreshes
+      "q_agg_meta",        // versioned-table create (the query itself scans nothing)
       "q_vtable_mor",      // versioned-table create + two patch commits
       "q_dedup_lifecycle", // two ingest rounds against the signature table
       "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor

@@ -598,6 +598,94 @@ class VersionedTableSpec extends SparkSuite {
       VT.changesBetween(spark, dir2, 1L, 2L, Seq("s")))
   }
 
+  test("restore rolls back as a new commit: data, inverse CDF, ledger monotone, vacuum-safe") {
+    val dir = tmp()
+    val base = spark.range(100)
+      .select($"id".as("k"), ($"id" % 7).cast("string").as("s"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, Seq("k"))
+    val v1Rows = VT.read(spark, dir).as[(Long, String)].collect().toSet
+    VT.commitMerge(Seq((5L, "changed", false), (200L, "new", false), (7L, "", true))
+      .toDF("k", "s", "del"), dir, Seq("k"), Seq.empty, $"del",
+      txn = Some("app-x" -> 1L))
+    VT.commitMerge(Seq((6L, "changed2", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")
+    val v3Rows = VT.read(spark, dir).as[(Long, String)].collect().toSet
+    // restore to v1: one manifest write, read == v1, history records it
+    val v4 = VT.restore(spark, dir, 1L)
+    assert(v4 == 4L)
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet == v1Rows)
+    assert(VT.history(spark, dir).head._2 == "restore")
+    // restore-to-current is a no-op
+    assert(VT.restore(spark, dir, 4L) == 4L)
+    // CDF across the restore window is exactly the inverse delta
+    val feed = VT.changesBetween(spark, dir, 3L, 4L, Seq("k"))
+      .select($"change_type", $"k", $"s").as[(String, Long, String)]
+      .collect().toSet
+    val m1 = v1Rows.toMap; val m3 = v3Rows.toMap
+    val want =
+      (m1.keySet -- m3.keySet).map(k => ("insert", k, m1(k))) ++
+      (m3.keySet -- m1.keySet).map(k => ("delete", k, m3(k))) ++
+      (m1.keySet & m3.keySet).filter(k => m1(k) != m3(k))
+        .map(k => ("update", k, m1(k)))
+    assert(feed == want, s"restore CDF should be the inverse delta: $feed")
+    // the ledger came from the CURRENT version, not the restored one: a
+    // replay of app-x batch 1 must still no-op even though its data was
+    // rolled back (cursors are monotone by contract)
+    assert(VT.commitMerge(Seq((5L, "again", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del", txn = Some("app-x" -> 1L)) == 4L)
+    // vacuum keeps the restored version's (= v1's) files
+    VT.vacuum(spark, dir, keepVersions = 1)
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet == v1Rows)
+    // a vacuumed target fails loudly
+    intercept[IllegalArgumentException](VT.restore(spark, dir, 2L))
+  }
+
+  test("withCommitRetry: re-runs only on the concurrent-commit race, bounded") {
+    var n = 0
+    val r = VT.withCommitRetry(3) {
+      n += 1
+      if (n == 1) throw new IllegalStateException(
+        "VersionedTable: version 7 was committed concurrently — retry")
+      42
+    }
+    assert(r == 42 && n == 2)
+    // exhaustion surfaces the last race loudly
+    val ex = intercept[IllegalStateException] {
+      VT.withCommitRetry(2) {
+        throw new IllegalStateException("was committed concurrently")
+      }
+    }
+    assert(ex.getMessage.contains("lost the commit race 2 times"))
+    // unrelated failures propagate immediately, no retry
+    var m = 0
+    intercept[IllegalArgumentException] {
+      VT.withCommitRetry(5) { m += 1; throw new IllegalArgumentException("boom") }
+    }
+    assert(m == 1)
+  }
+
+  test("SQL TVFs: graft_vtable_history and graft_vtable_changes mirror the library calls") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmp()
+    VT.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(1), dir, Seq("k"))
+    VT.commitMerge(Seq((2L, "b2", false), (3L, "c", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")
+    val sqlHist = spark.sql(s"SELECT * FROM graft_vtable_history('$dir')")
+      .as[(Long, String, Int, Long)].collect().toSeq
+    assert(sqlHist == VT.history(spark, dir))
+    val sqlFeed = spark.sql(
+      s"SELECT change_type, k, s FROM graft_vtable_changes('$dir', 1, 2, 'k')")
+      .as[(String, Long, String)].collect().toSet
+    val libFeed = VT.changesBetween(spark, dir, 1L, 2L, Seq("k"))
+      .select($"change_type", $"k", $"s").as[(String, Long, String)]
+      .collect().toSet
+    assert(sqlFeed == libFeed && sqlFeed.nonEmpty)
+    // non-literal args refuse loudly
+    intercept[Exception](spark.sql(
+      s"SELECT * FROM graft_vtable_changes('$dir', 1, 2, k)").collect())
+  }
+
   test("composition: near-dup dedup lands as versioned tombstones; CDF reports exactly the drops") {
     import graft.ops.{DedupOps, GraphOps}
     val dir = tmp()

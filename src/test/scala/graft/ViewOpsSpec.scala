@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{VersionedTable => VT, ViewOps}
+
+/** Incremental view maintenance over the change data feed: the folded view
+  * must be row-identical to re-aggregating the snapshot, refresh must be
+  * exactly-once under replay, and a refresh must not rewrite untouched
+  * view groups.
+  */
+class ViewOpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("ivm").toString + "/t"
+
+  /** Source table: (k, g, v) keyed by k, grouped by g, measure v. */
+  private def mkSource(dir: String): Unit = {
+    val base = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L),
+      (4L, "b", 40L), (5L, "c", 50L)).toDF("k", "g", "v")
+      .repartitionByRange(2, $"k").sortWithinPartitions("k")
+    VT.create(base, dir, statsCols = Seq("k"))
+  }
+
+  private def viewNow(viewDir: String): Set[(String, Long, Long)] =
+    ViewOps.present(VT.read(spark, viewDir), Seq("v"))
+      .select($"g", $"n", $"sum_v").as[(String, Long, Long)].collect().toSet
+
+  private def reAgg(srcDir: String): Set[(String, Long, Long)] =
+    VT.read(spark, srcDir).groupBy("g")
+      .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"))
+      .as[(String, Long, Long)].collect().toSet
+
+  test("preimage encoding: update emits both images, insert/delete one each") {
+    val dir = tmp(); mkSource(dir)
+    VT.commitMerge(Seq((2L, "a", 25L, false), (6L, "c", 60L, false),
+        (5L, "c", 0L, true)).toDF("k", "g", "v", "del"),
+      dir, Seq("k"), Seq.empty, $"del")
+    val feed = VT.changesBetween(spark, dir, 1L, 2L, Seq("k"), preimages = true)
+      .select($"change_type", $"k", $"v").as[(String, Long, Long)].collect().toSet
+    assert(feed == Set(
+      ("update_preimage", 2L, 20L), ("update_postimage", 2L, 25L),
+      ("insert", 6L, 60L), ("delete", 5L, 50L)))
+    // default encoding unchanged: one row per change, post-image for update
+    val flat = VT.changesBetween(spark, dir, 1L, 2L, Seq("k"))
+      .select($"change_type", $"k", $"v").as[(String, Long, Long)].collect().toSet
+    assert(flat == Set(("update", 2L, 25L), ("insert", 6L, 60L), ("delete", 5L, 50L)))
+  }
+
+  test("folded view equals re-aggregation through updates, inserts, deletes") {
+    val src = tmp(); val view = tmp(); mkSource(src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    assert(viewNow(view) == reAgg(src))
+    // batch 1: update inside a group, insert a new key, delete one
+    VT.commitMerge(Seq((2L, "a", 25L, false), (6L, "c", 60L, false),
+        (3L, "b", 0L, true)).toDF("k", "g", "v", "del"),
+      src, Seq("k"), Seq.empty, $"del")
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    assert(viewNow(view) == reAgg(src))
+    // batch 2: consume group b entirely; touch c
+    VT.commitMerge(Seq((4L, "b", 0L, true), (5L, "c", 55L, false))
+        .toDF("k", "g", "v", "del"),
+      src, Seq("k"), Seq.empty, $"del")
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    assert(viewNow(view) == reAgg(src))
+    assert(!viewNow(view).exists(_._1 == "b"), "consumed group must leave the view")
+  }
+
+  test("refresh is exactly-once: replay and no-change calls do not commit") {
+    val src = tmp(); val view = tmp(); mkSource(src)
+    val v1 = ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    // source unchanged → no new view version
+    assert(ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v")) == v1)
+    VT.commitMerge(Seq((1L, "a", 11L, false)).toDF("k", "g", "v", "del"),
+      src, Seq("k"), Seq.empty, $"del")
+    val v2 = ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    assert(v2 == v1 + 1)
+    val after = viewNow(view)
+    // replay (same source version) → same view version, same rows
+    assert(ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v")) == v2)
+    assert(viewNow(view) == after && after == reAgg(src))
+  }
+
+  test("a refresh rewrites only the touched groups' files") {
+    val src = tmp(); val view = tmp()
+    // 4 groups range-clustered into 4 view files
+    val base = spark.range(400)
+      .select($"id".as("k"), concat(lit("g"), ($"id" % 4)).as("g"), lit(1L).as("v"))
+      .repartitionByRange(2, $"k")
+    VT.create(base, src, statsCols = Seq("k"))
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    // re-cluster the view into one file per group so pruning is visible
+    VT.commitCompact(spark, view, targetBytes = 1L, smallBytes = Long.MaxValue,
+      clusterBy = Seq("g"))
+    val mBefore = VT.readManifest(spark, view,
+      VT.currentVersion(spark, view).get)
+    // touch ONLY group g1 in the source
+    VT.commitMerge(Seq((401L, "g1", 5L, false)).toDF("k", "g", "v", "del"),
+      src, Seq("k"), Seq.empty, $"del")
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    val mAfter = VT.readManifest(spark, view,
+      VT.currentVersion(spark, view).get)
+    val carried = mAfter.files.map(_.path).toSet
+      .intersect(mBefore.files.map(_.path).toSet)
+    assert(carried.nonEmpty,
+      "untouched view groups should carry over by reference")
+    assert(viewNow(view) == reAgg(src))
+  }
+
+  test("null measures: presented sum is NULL exactly when SQL's is") {
+    val src = tmp(); val view = tmp()
+    val base = Seq((1L, "a", Some(10L)), (2L, "b", None), (3L, "b", None))
+      .toDF("k", "g", "v")
+    VT.create(base, src, statsCols = Seq("k"))
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    val got = ViewOps.present(VT.read(spark, view), Seq("v"))
+      .select($"g", $"n", $"sum_v").as[(String, Long, Option[Long])]
+      .collect().toSet
+    assert(got == Set(("a", 1L, Some(10L)), ("b", 2L, None)))
+    // a non-null value arriving in b flips the sum non-null incrementally
+    VT.commitMerge(Seq((4L, "b", Some(7L), false)).toDF("k", "g", "v", "del"),
+      src, Seq("k"), Seq.empty, $"del")
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    val got2 = ViewOps.present(VT.read(spark, view), Seq("v"))
+      .select($"g", $"n", $"sum_v").as[(String, Long, Option[Long])]
+      .collect().toSet
+    assert(got2 == Set(("a", 1L, Some(10L)), ("b", 3L, Some(7L))))
+  }
+
+  test("aggDelta refuses a post-image-only feed") {
+    val flat = Seq(("update", "a", 5L)).toDF("change_type", "g", "v")
+    val ex = intercept[Exception] {
+      ViewOps.aggDelta(flat, Seq("g"), Seq("v")).collect()
+    }
+    assert(ex.getMessage.contains("preimage") ||
+      Option(ex.getCause).exists(_.getMessage.contains("preimage")))
+  }
+}

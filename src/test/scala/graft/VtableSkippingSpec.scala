@@ -25,6 +25,15 @@ class VtableSkippingSpec extends SparkSuite {
       case s: FileSourceScanExec => s.relation.location.inputFiles.length
     }
 
+  /** Rendered FINAL physical plan — aggregates introduce an exchange, so
+    * AQE wraps the plan and hides the scan from a pre-execution collect;
+    * execute first, then render (isFinalPlan=true shows the real tree).
+    */
+  private def finalPlanString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
   /** 4 range-clustered files over k = 0..99 → tight per-file intervals. */
   private def mkTable(dir: String): Unit = {
     val base = spark.range(100)
@@ -108,6 +117,48 @@ class VtableSkippingSpec extends SparkSuite {
     val want = (5L to 15L).map(k =>
       (k, if (k == 10L) "patched" else (k % 7).toString)).toSet
     assert(got == want)
+  }
+
+  test("COUNT/MIN/MAX over an unfiltered read answer from the manifest — no scan at all") {
+    val dir = tmp(); mkTable(dir)
+    val df = spark.sql(
+      s"""SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(k) AS mx, COUNT(k) AS nn
+         |FROM graft_vtable('$dir')""".stripMargin)
+    assert(!finalPlanString(df).contains("FileScan"),
+      "metadata-only aggregate must not plan a parquet scan")
+    assert(df.as[(Long, Long, Long, Long)].head() == ((100L, 0L, 99L, 100L)))
+    // DataFrame route hits the same rule
+    val df2 = VT.read(spark, dir).agg(
+      count(lit(1)).as("n"), min($"k").as("mn"), max($"k").as("mx"))
+    assert(!finalPlanString(df2).contains("FileScan"))
+    assert(df2.as[(Long, Long, Long)].head() == ((100L, 0L, 99L)))
+  }
+
+  test("a WHERE below the aggregate disables the metadata answer; result stays exact") {
+    val dir = tmp(); mkTable(dir)
+    val df = spark.sql(
+      s"SELECT COUNT(*) AS n FROM graft_vtable('$dir') WHERE k >= 10")
+    assert(df.as[Long].head() == 90L)
+  }
+
+  test("an aggregate the manifest cannot answer keeps the scan (all-or-nothing)") {
+    val dir = tmp(); mkTable(dir)
+    // s carries no manifest stats → MIN(s) unanswerable → the whole
+    // aggregate, count included, must fall back to the scan
+    val df = spark.sql(
+      s"SELECT COUNT(*) AS n, MIN(s) AS mn FROM graft_vtable('$dir')")
+    assert(finalPlanString(df).contains("FileScan"),
+      "unanswerable aggregate must keep the scan")
+    assert(df.as[(Long, String)].head() == ((100L, "0")))
+  }
+
+  test("a patch chain declines the metadata answer; the fold stays exact") {
+    val dir = tmp(); mkTable(dir)
+    VT.commitPatch(Seq((500L, "new", false)).toDF("k", "s", "__del"),
+      dir, Seq("k"), tiebreak = Seq.empty, deleteCond = col("__del"))
+    val df = spark.sql(s"SELECT COUNT(*) AS n FROM graft_vtable('$dir')")
+    assert(df.as[Long].head() == 101L,
+      "count under a patch chain must fold the chain, not read the manifest")
   }
 
   test("pruned file set equals the library-level pruning decision") {
