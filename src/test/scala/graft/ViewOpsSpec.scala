@@ -130,6 +130,36 @@ class ViewOpsSpec extends SparkSuite {
     assert(got2 == Set(("a", 1L, Some(10L)), ("b", 3L, Some(7L))))
   }
 
+  test("composition: streamed CDC commits + IVM refreshes track the source exactly") {
+    // the full 100 TB loop: a changelog stream lands as versioned merge
+    // commits (exactly-once via the txn ledger), and a downstream
+    // aggregate view follows through the change feed — never re-reading
+    // the table, staying equal to a from-scratch aggregate at every step
+    val root = Files.createTempDirectory("ivmstream").toString
+    val feed = s"$root/feed"; val src = s"$root/tbl"
+    val view = s"$root/view"; val ckpt = s"$root/ckpt"
+    mkSource(src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    val ddl = "k BIGINT, g STRING, v BIGINT, del BOOLEAN"
+    def drain(): Unit = {
+      val q = graft.streaming.StreamOps.streamingCdcApplyVersioned(spark, feed,
+        ddl, ckpt, src, Seq("k"), Seq.empty, $"del", appId = "ivm-stream")
+      q.awaitTermination()
+    }
+    Seq((2L, "a", 25L, false), (6L, "c", 60L, false)).toDF("k", "g", "v", "del")
+      .repartition(1).write.mode("append").parquet(feed)
+    drain()
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    assert(viewNow(view) == reAgg(src))
+    // second wave: a delete consuming part of a group + resume from ckpt
+    Seq((3L, "b", 0L, true), (7L, "d", 70L, false)).toDF("k", "g", "v", "del")
+      .repartition(1).write.mode("append").parquet(feed)
+    drain()
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    assert(viewNow(view) == reAgg(src))
+    assert(viewNow(view).exists(_._1 == "d"), "streamed insert must reach the view")
+  }
+
   test("aggDelta refuses a post-image-only feed") {
     val flat = Seq(("update", "a", 5L)).toDF("change_type", "g", "v")
     val ex = intercept[Exception] {
