@@ -120,11 +120,35 @@ object GraftFunctions {
       .queryExecution.analyzed
   }
 
+  /** `graft_vtable_stats('<dir>'[, version])`: zero-scan statistics as a
+    * SQL relation — one row per stats column: (rows, exact, col, nulls,
+    * min, max), bounds as strings folded through the column's own
+    * Catalyst order ([[graft.ops.VersionedTable.tableStats]]). The stats
+    * feed a planner consults without touching data, now queryable where
+    * planners live.
+    */
+  private def vtableStatsPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.nonEmpty && es.size <= 2,
+      "graft_vtable_stats takes (dir) or (dir, version)")
+    val spark = SparkSession.active
+    val asOf = es.lift(1).map(litLong(_, "graft_vtable_stats: version"))
+    val ts = graft.ops.VersionedTable.tableStats(spark,
+      litString(es.head, "graft_vtable_stats: dir"), asOf)
+    val rows = ts.cols.toSeq.sortBy(_._1).map { case (c, (nulls, mn, mx)) =>
+      (ts.rows, ts.exact, c, nulls, mn.orNull, mx.orNull)
+    }
+    spark.createDataFrame(rows)
+      .toDF("rows", "exact", "col", "nulls", "min", "max")
+      .queryExecution.analyzed
+  }
+
   private val tableFns: Seq[(String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
     Seq("graft_vtable" -> (vtablePlan _),
       "graft_vtable_history" -> (vtableHistoryPlan _),
-      "graft_vtable_changes" -> (vtableChangesPlan _))
+      "graft_vtable_changes" -> (vtableChangesPlan _),
+      "graft_vtable_stats" -> (vtableStatsPlan _))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {

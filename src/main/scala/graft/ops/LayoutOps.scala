@@ -19,6 +19,29 @@ object LayoutOps {
   def zvalue(xRank: Column, yRank: Column): Column =
     graft.functions.VectorExpressions.zvalue2(xRank, yRank)
 
+  /** N-dimensional Morton z-value (2 ≤ n ≤ 8): each rank contributes its
+    * low ⌊64/n⌋ bits, interleaved round-robin. The 2-D case dispatches to
+    * the native [[zvalue]] kernel; higher arities COMPOSE built-in bit
+    * expressions (shift/and/or), so the whole thing stays inside
+    * whole-stage codegen with no custom expression — ~64 constant-shift
+    * terms the JIT folds flat. Callers must produce ranks with
+    * `buckets ≤ 2^(64/n)` ([[rank32]]'s `buckets` parameter); wider ranks
+    * silently lose their HIGH bits, which destroys locality.
+    */
+  def zvalueN(ranks: Seq[Column]): Column = {
+    require(ranks.size >= 2 && ranks.size <= 8,
+      s"zvalueN interleaves 2 to 8 dimensions, got ${ranks.size}")
+    if (ranks.size == 2) zvalue(ranks(0), ranks(1))
+    else {
+      val n = ranks.size
+      val b = 64 / n
+      val terms = for { d <- 0 until n; i <- 0 until b } yield
+        shiftleft(shiftright(ranks(d).cast("long"), i).bitwiseAND(lit(1L)),
+          i * n + d)
+      terms.reduce(_ bitwiseOR _)
+    }
+  }
+
   /** Equi-width int rank of a numeric column over a known [lo, hi] domain
     * — a one-pass, join-free normalizer good enough for layout (layout
     * needs locality, not exact quantiles).

@@ -649,17 +649,20 @@ object VersionedTable {
       .parquet(toRewrite.map(f => s"$dir/${f._1.path}"): _*)
     val packed =
       if (zorder) {
-        // OPTIMIZE ZORDER: cluster by the Morton z-value of both columns
-        // so EACH carries tight per-file intervals at once — a 2-D box
+        // OPTIMIZE ZORDER: cluster by the Morton z-value of 2-8 columns
+        // so EACH carries tight per-file intervals at once — a box
         // predicate through [[pruneFilesMulti]]/[[readWhere]] then prunes
-        // on both dimensions, where a lexicographic sort only prunes on
+        // on every dimension, where a lexicographic sort only prunes on
         // its leading column. Rank bounds come from the MANIFEST's global
         // [min, max] fold ([[tableStats]]) — no extra scan — which is why
-        // z-order columns must be declared stats columns.
-        require(clusterBy.size == 2,
-          s"commitCompact: zorder takes exactly 2 clusterBy columns, got $clusterBy")
+        // z-order columns must be declared stats columns. Rank width is
+        // 2^min(20, 64/n) so every dimension's bits fit the 64-bit
+        // z-value ([[LayoutOps.zvalueN]]'s contract).
+        require(clusterBy.size >= 2 && clusterBy.size <= 8,
+          s"commitCompact: zorder takes 2 to 8 clusterBy columns, got $clusterBy")
         val ts = tableStats(spark, dir, asOf = Some(cur.version))
-        val bounds = clusterBy.map { c =>
+        val buckets = 1 << math.min(20, 64 / clusterBy.size)
+        val ranked = clusterBy.map { c =>
           require(cur.statsCols.contains(c),
             s"commitCompact: zorder column $c needs manifest stats — declare it in statsCols at create")
           require(schema(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
@@ -667,11 +670,10 @@ object VersionedTable {
           val (_, mn, mx) = ts.cols(c)
           require(mn.isDefined && mx.isDefined,
             s"commitCompact: zorder column $c is all-null — nothing to cluster on")
-          (mn.get.toDouble, mx.get.toDouble)
+          LayoutOps.rank32(col(c).cast("double"),
+            mn.get.toDouble, mx.get.toDouble, buckets)
         }
-        rows.withColumn("__z", LayoutOps.zvalue(
-            LayoutOps.rank32(col(clusterBy(0)).cast("double"), bounds(0)._1, bounds(0)._2),
-            LayoutOps.rank32(col(clusterBy(1)).cast("double"), bounds(1)._1, bounds(1)._2)))
+        rows.withColumn("__z", LayoutOps.zvalueN(ranked))
           .repartitionByRange(nOut, col("__z"))
           .sortWithinPartitions("__z")
           .drop("__z")

@@ -166,7 +166,12 @@ object ViewOps {
         if (lastSrcV >= srcV) return vv // nothing new (or replay) — no-op
         val cdf = VT.changesBetween(spark, srcDir, lastSrcV, srcV, srcKeys,
           preimages = true)
+        // drop zero-net groups: an update that only touched columns this
+        // view doesn't maintain (or churn that cancels exactly) must not
+        // rewrite the group's file — at scale most CDC traffic is exactly
+        // such unrelated churn
         val delta = aggDelta(cdf, groupCols, measures)
+          .filter(stateCols(measures).map(c => col(c) =!= 0L).reduce(_ || _))
         // fold ONLY the touched groups: the untouched ones are carried by
         // the merge's file pruning, never read here
         val touched = applyAggDelta(

@@ -298,6 +298,54 @@ class VersionedTableSpec extends SparkSuite {
       clusterBy = Seq("k1", "k2"), zorder = true))
   }
 
+  test("commitCompact zorder generalizes to 3 dimensions: every trailing band prunes") {
+    // 16×16×16 grid; bands on the SECOND and THIRD dimensions are the
+    // cases lexicographic clustering answers with a full scan
+    def mk(zorder: Boolean): String = {
+      val dir = tmp()
+      val grid = spark.range(4096).select(
+        ($"id" % 16).as("k1"),
+        (($"id" / 16) % 16).cast("long").as("k2"),
+        ($"id" / 256).cast("long").as("k3"))
+        .repartition(4)
+      VT.create(grid, dir, Seq("k1", "k2", "k3"))
+      VT.commitCompact(spark, dir, targetBytes = 700L,
+        smallBytes = Long.MaxValue, clusterBy = Seq("k1", "k2", "k3"),
+        zorder = zorder)
+      dir
+    }
+    val lex = mk(zorder = false)
+    val zed = mk(zorder = true)
+    for (dim <- Seq("k2", "k3")) {
+      val band = Seq((dim, lit(4L), lit(5L)))
+      val (lexSurv, lexM) = VT.pruneFilesMulti(spark, lex, band)
+      val (zSurv, zM) = VT.pruneFilesMulti(spark, zed, band)
+      assert(lexSurv.size == lexM.files.size,
+        s"lex layout should not prune a $dim band")
+      assert(zSurv.size < zM.files.size,
+        s"3-D z-order should prune a $dim band (${zSurv.size} of ${zM.files.size})")
+      val want = spark.range(4096).select(
+          ($"id" % 16).as("k1"), (($"id" / 16) % 16).cast("long").as("k2"),
+          ($"id" / 256).cast("long").as("k3"))
+        .filter(col(dim) >= 4L && col(dim) <= 5L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(VT.readPrunedMulti(spark, zed, band)
+        .as[(Long, Long, Long)].collect().toSet == want)
+    }
+  }
+
+  test("SQL TVF graft_vtable_stats mirrors tableStats without a scan") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = tmp()
+    VT.create(Seq((1L, "a"), (2L, "b"), (3L, null))
+      .toDF("k", "s").repartition(1), dir, Seq("k", "s"))
+    val got = spark.sql(s"SELECT * FROM graft_vtable_stats('$dir')")
+      .as[(Long, Boolean, String, Long, String, String)].collect().toSet
+    assert(got == Set(
+      (3L, true, "k", 0L, "1", "3"),
+      (3L, true, "s", 1L, "a", "b")))
+  }
+
   test("commitMergeEvolve appends a new column; carried files read NULL through the evolved schema") {
     val dir = tmp()
     // 2 range-disjoint files; the evolving changelog touches only one

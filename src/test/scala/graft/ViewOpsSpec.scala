@@ -130,6 +130,26 @@ class ViewOpsSpec extends SparkSuite {
     assert(got2 == Set(("a", 1L, Some(10L)), ("b", 3L, Some(7L))))
   }
 
+  test("unrelated churn never rewrites the view: zero-net deltas drop") {
+    val src = tmp(); val view = tmp()
+    // payload has a column the view does NOT maintain
+    val base = Seq((1L, "a", 10L, "x"), (2L, "b", 20L, "y"))
+      .toDF("k", "g", "v", "note")
+    VT.create(base, src, statsCols = Seq("k"))
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    val mBefore = VT.readManifest(spark, view, VT.currentVersion(spark, view).get)
+    // an update touching ONLY the unmaintained column
+    VT.commitMerge(Seq((1L, "a", 10L, "x2", false)).toDF("k", "g", "v", "note", "del"),
+      src, Seq("k"), Seq.empty, $"del")
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    val mAfter = VT.readManifest(spark, view, VT.currentVersion(spark, view).get)
+    assert(mAfter.files.map(_.path) == mBefore.files.map(_.path),
+      "a zero-net delta must carry every view file by reference")
+    // the cursor still advanced: the next real change folds from here
+    assert(mAfter.txns("graft-ivm") > mBefore.txns("graft-ivm"))
+    assert(viewNow(view) == reAgg(src))
+  }
+
   test("composition: streamed CDC commits + IVM refreshes track the source exactly") {
     // the full 100 TB loop: a changelog stream lands as versioned merge
     // commits (exactly-once via the txn ledger), and a downstream
