@@ -74,6 +74,15 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   */
 object VersionedTable {
 
+  /** Thrown by a commit that loses the optimistic-concurrency manifest
+    * race ([[writeManifest]] probe-then-rename). A dedicated type so
+    * [[withCommitRetry]] matches on the CLASS, not a message substring —
+    * rewording the error can never silently disable retry. Extends
+    * `IllegalStateException` so pre-existing catch sites keep working.
+    */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalStateException(msg)
+
   /** Per-file, per-column stats as stored in the manifest. `min`/`max` are
     * Catalyst `CAST(v AS STRING)` renderings (None when the file is
     * all-null for the column); `colType` is the column's Catalyst DDL.
@@ -183,7 +192,7 @@ object VersionedTable {
     val won = !fs.exists(dest) && fs.rename(tmp, dest)
     if (!won) {
       fs.delete(tmp, false)
-      throw new IllegalStateException(
+      throw new ConcurrentCommitException(
         s"VersionedTable: version ${m.version} was committed concurrently — " +
           "this writer lost the race; re-read and retry (its data files are " +
           "orphaned and will be reclaimed by vacuum)")
@@ -1275,9 +1284,7 @@ object VersionedTable {
     while (i < attempts) {
       try return commit
       catch {
-        case e: IllegalStateException if Option(e.getMessage)
-            .exists(_.contains("committed concurrently")) =>
-          last = e; i += 1
+        case e: ConcurrentCommitException => last = e; i += 1
       }
     }
     throw new IllegalStateException(

@@ -49,16 +49,53 @@ object ViewOps {
   private def stateCols(measures: Seq[String]): Seq[String] =
     "n" +: measures.flatMap(m => Seq(s"sum_$m", s"nn_$m"))
 
+  /** Group keys must be NON-NULL: every join in the maintenance loop —
+    * the state fold, and [[VersionedTable.commitMerge]]'s key-pruned
+    * merge underneath it — keys on null-excluding equality, while GROUP
+    * BY treats NULL as one more group. A null group value would never
+    * match its own view row and the refresh would write a duplicate
+    * delta-only row next to the stale one. Checked on AGGREGATED frames
+    * (state / delta — O(groups), not O(rows)), loud by contract:
+    * pre-coalesce nullable group columns upstream.
+    */
+  private def requireNonNullGroups(aggregated: DataFrame,
+                                   groupCols: Seq[String], ctx: String): Unit = {
+    val nullKey = groupCols.map(col(_).isNull).reduce(_ || _)
+    require(aggregated.filter(nullKey).limit(1).count() == 0L,
+      s"$ctx: NULL value in group column(s) ${groupCols.mkString(", ")} — " +
+        "the incremental fold keys on null-excluding equality and cannot " +
+        "maintain a NULL group; COALESCE the group columns to a sentinel " +
+        "upstream of the view")
+  }
+
+  /** Measures must be integral (LONG sums): exact, associative, replay-
+    * stable. Enforced, not just documented — a DOUBLE measure would
+    * silently take a drift-prone float-sum path and mix with the state's
+    * `lit(0L)` coalesces.
+    */
+  private def requireIntegralMeasures(schema: org.apache.spark.sql.types.StructType,
+                                      measures: Seq[String], ctx: String): Unit =
+    measures.foreach { m =>
+      import org.apache.spark.sql.types._
+      require(Seq(ByteType, ShortType, IntegerType, LongType)
+          .contains(schema(m).dataType),
+        s"$ctx: measure $m has type ${schema(m).dataType.sql} — incremental " +
+          "maintenance requires an integral measure (exact, associative, " +
+          "replay-stable); cast money to cents upstream")
+    }
+
   /** Full (re)aggregation of a snapshot into view-state shape — the
     * bootstrap, and the oracle the folded state must equal.
     */
   def fullState(snapshot: DataFrame, groupCols: Seq[String],
-                measures: Seq[String]): DataFrame =
+                measures: Seq[String]): DataFrame = {
+    requireIntegralMeasures(snapshot.schema, measures, "fullState")
     snapshot.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         measures.flatMap(m => Seq(
           coalesce(sum(col(m)), lit(0L)).as(s"sum_$m"),
           count(col(m)).as(s"nn_$m"))): _*)
+  }
 
   /** Signed per-group delta of a PREIMAGE-ENCODED change feed. Output
     * shape = view state (n / sum_ / nn_ columns), but values are the
@@ -154,8 +191,11 @@ object ViewOps {
           s"refreshAggView: leading group column ${groupCols.head} cannot " +
             "carry manifest stats — the refresh merge could never prune; " +
             "lead with a numeric/string/date group column")
-        VT.create(fullState(snap, groupCols, measures),
-          viewDir, statsCols = statable, txn = Some(appId -> srcV))
+        val state = fullState(snap, groupCols, measures)
+        // O(groups) guard, not O(rows): a null group key surfaces as a
+        // null group ROW in the aggregated state
+        requireNonNullGroups(state, groupCols, "refreshAggView")
+        VT.create(state, viewDir, statsCols = statable, txn = Some(appId -> srcV))
         VT.currentVersion(spark, viewDir).get
       case Some(vv) =>
         val m = VT.readManifest(spark, viewDir, vv)
@@ -166,25 +206,37 @@ object ViewOps {
         if (lastSrcV >= srcV) return vv // nothing new (or replay) — no-op
         val cdf = VT.changesBetween(spark, srcDir, lastSrcV, srcV, srcKeys,
           preimages = true)
+        requireIntegralMeasures(cdf.schema, measures, "refreshAggView")
         // drop zero-net groups: an update that only touched columns this
         // view doesn't maintain (or churn that cancels exactly) must not
         // rewrite the group's file — at scale most CDC traffic is exactly
-        // such unrelated churn
+        // such unrelated churn. PERSIST the (touched-groups-sized) delta:
+        // it feeds the null guard, the fold join, and the merge's own
+        // file-pruning probe — without the pin each action would re-run
+        // the whole CDF read + full-outer diff + signed aggregation.
         val delta = aggDelta(cdf, groupCols, measures)
           .filter(stateCols(measures).map(c => col(c) =!= 0L).reduce(_ || _))
-        // fold ONLY the touched groups: the untouched ones are carried by
-        // the merge's file pruning, never read here
-        val touched = applyAggDelta(
-          VT.read(spark, viewDir).join(delta.select(groupCols.map(col): _*),
-            groupCols, "left_semi"),
-          delta, groupCols, measures)
-        // changelog = new state per touched group; a group absent from
-        // `touched` but present in the delta was consumed → tombstone
-        val changelog = delta.select(groupCols.map(col): _*)
-          .join(touched, groupCols, "left_outer")
-          .withColumn("__dead", col("n").isNull)
-        VT.commitMerge(changelog, viewDir, groupCols, tiebreak = Seq.empty,
-          deleteCond = col("__dead"), txn = Some(appId -> srcV))
+          .persist()
+        try {
+          requireNonNullGroups(delta, groupCols, "refreshAggView")
+          // ONE left join from the delta to the current view: a delta
+          // group's new state is old-state (0 when absent) + delta; a
+          // group whose live count reaches zero is tombstoned. This
+          // replaces the earlier touched-semi-join + full-outer fold +
+          // changelog re-join (three joins, two view reads) — the view is
+          // read once and only the delta's groups flow anywhere.
+          val sc = stateCols(measures)
+          val viewState = VT.read(spark, viewDir).select(
+            groupCols.map(col) ++ sc.map(c => col(c).as(s"__s_$c")): _*)
+          val changelog = delta.select(
+              groupCols.map(col) ++ sc.map(c => col(c).as(s"__d_$c")): _*)
+            .join(viewState, groupCols, "left_outer")
+            .select(groupCols.map(col) ++ sc.map(c =>
+              (coalesce(col(s"__s_$c"), lit(0L)) + col(s"__d_$c")).as(c)): _*)
+            .withColumn("__dead", col("n") <= 0L)
+          VT.commitMerge(changelog, viewDir, groupCols, tiebreak = Seq.empty,
+            deleteCond = col("__dead"), txn = Some(appId -> srcV))
+        } finally delta.unpersist()
         VT.currentVersion(spark, viewDir).get
     }
   }

@@ -65,15 +65,25 @@ object VtableSkipping extends Rule[LogicalPlan] {
           lr.relation.isInstanceOf[HadoopFsRelation] =>
       val (dir, version) = lr.getTagValue(VersionedTable.pruneTag).get
       val (ranges, inSets) = mine(cond)
-      if (ranges.isEmpty && inSets.isEmpty) f
-      else {
+      if (ranges.isEmpty && inSets.isEmpty) {
+        // nothing minable: the decision cannot change, so tag the relation
+        // too — the fixed-point batch (and any re-execution of the same
+        // DataFrame) must not re-walk the conjuncts every pass
+        lr.setTagValue(prunedTag, true)
+        f
+      } else {
         val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
         val spark = fsRel.sparkSession
         val survivors =
           VersionedTable.pruneForSpec(spark, dir, ranges, inSets, Some(version))
         val total = fsRel.location.inputFiles.length
-        if (survivors.size >= total) f
-        else if (survivors.isEmpty)
+        if (survivors.size >= total) {
+          // no-op prune: mark the relation anyway, or every re-execution
+          // repeats the manifest read + bloom refinement (up to 256 file
+          // opens) to re-derive a decision already known to prune nothing
+          lr.setTagValue(prunedTag, true)
+          f
+        } else if (survivors.isEmpty)
           // no file can hold a qualifying row — the relation collapses to
           // an empty local relation with the SAME output attributes
           Filter(cond, LocalRelation(lr.output, Seq.empty, isStreaming = false))

@@ -116,7 +116,7 @@ class VersionedTableSpec extends SparkSuite {
     val v2 = new org.apache.hadoop.fs.Path(dir, "_vlog/v000000000002.json")
     org.apache.hadoop.fs.FileUtil.copy(fs, v1, fs, v2, false,
       spark.sparkContext.hadoopConfiguration)
-    val ex = intercept[IllegalStateException](
+    val ex = intercept[VT.ConcurrentCommitException](
       VT.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir))
     assert(ex.getMessage.contains("committed concurrently"))
     // the loser's data files are invisible; the racer's v2 still reads
@@ -693,7 +693,7 @@ class VersionedTableSpec extends SparkSuite {
     var n = 0
     val r = VT.withCommitRetry(3) {
       n += 1
-      if (n == 1) throw new IllegalStateException(
+      if (n == 1) throw new graft.ops.VersionedTable.ConcurrentCommitException(
         "VersionedTable: version 7 was committed concurrently — retry")
       42
     }
@@ -701,7 +701,7 @@ class VersionedTableSpec extends SparkSuite {
     // exhaustion surfaces the last race loudly
     val ex = intercept[IllegalStateException] {
       VT.withCommitRetry(2) {
-        throw new IllegalStateException("was committed concurrently")
+        throw new graft.ops.VersionedTable.ConcurrentCommitException("was committed concurrently")
       }
     }
     assert(ex.getMessage.contains("lost the commit race 2 times"))

@@ -180,6 +180,38 @@ class ViewOpsSpec extends SparkSuite {
     assert(viewNow(view).exists(_._1 == "d"), "streamed insert must reach the view")
   }
 
+  test("NULL group keys refuse loudly — bootstrap and refresh") {
+    val src = tmp(); val view = tmp()
+    // bootstrap: a null group value in the snapshot
+    VT.create(Seq((1L, Some("a"), 10L), (2L, None, 20L))
+      .toDF("k", "g", "v"), src, statsCols = Seq("k"))
+    val ex = intercept[IllegalArgumentException] {
+      ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    }
+    assert(ex.getMessage.contains("NULL value in group column"))
+    // refresh: clean bootstrap, then a null group key arrives via CDC
+    val src2 = tmp(); val view2 = tmp()
+    VT.create(Seq((1L, Some("a"), 10L)).toDF("k", "g", "v"),
+      src2, statsCols = Seq("k"))
+    ViewOps.refreshAggView(spark, src2, view2, Seq("k"), Seq("g"), Seq("v"))
+    VT.commitMerge(Seq((2L, None: Option[String], 30L, false))
+        .toDF("k", "g", "v", "del"),
+      src2, Seq("k"), Seq.empty, $"del")
+    val ex2 = intercept[IllegalArgumentException] {
+      ViewOps.refreshAggView(spark, src2, view2, Seq("k"), Seq("g"), Seq("v"))
+    }
+    assert(ex2.getMessage.contains("NULL value in group column"))
+  }
+
+  test("non-integral measures refuse loudly (float sums drift)") {
+    val src = tmp(); val view = tmp()
+    VT.create(Seq((1L, "a", 1.5)).toDF("k", "g", "v"), src, statsCols = Seq("k"))
+    val ex = intercept[IllegalArgumentException] {
+      ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    }
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("aggDelta refuses a post-image-only feed") {
     val flat = Seq(("update", "a", 5L)).toDF("change_type", "g", "v")
     val ex = intercept[Exception] {
