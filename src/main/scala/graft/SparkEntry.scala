@@ -2488,6 +2488,74 @@ private[graft] object Queries {
       |       CAST(SUM(c) AS DOUBLE) AS sum_cents
       |FROM v3 GROUP BY st ORDER BY st""".stripMargin
 
+  /** The METADATA-SCALE path of the versioned table, end to end: with the
+    * inline-manifest bound lowered, the fixture's appends cross into
+    * O(delta) manifests + a parquet CHECKPOINT of the file list
+    * ([[graft.ops.VersionedTable]]'s Delta-log/`_last_checkpoint` layer),
+    * the merge finds its touched files via a SPARK JOB over the
+    * checkpoint relation (not a driver loop over parsed JSON), and the
+    * final `readWhere` prunes files through the same distributed tier.
+    * The oracle recomputes the final table state with one FULL JOIN fold
+    * and aggregates the same key slice — every answer must survive the
+    * metadata format change byte-for-byte. Measure is integer cents so
+    * sums are exact across engines.
+    */
+  def vtableCkpt(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "vtable_ckpt")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val knobs = Seq("inlineMaxFiles" -> "4", "checkpointInterval" -> "2",
+      "distributedPruneThreshold" -> "6")
+      .map { case (k, v) => s"spark.graft.vtable.$k" -> v }
+    val olds = knobs.map { case (k, _) => k -> s.conf.getOption(k) }
+    knobs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+      def slice(r: Int) = ord(s, d).filter(col("o_orderkey") % 4 === r)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents(col("o_totalprice")).as("cents"))
+        .repartitionByRange(2, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey")
+      VT.create(slice(1), dir, statsCols = Seq("o_orderkey"))
+      Seq(2, 3, 0).foreach(r => VT.commitAppend(slice(r), dir))
+      val chg = ord(s, d).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (cents(col("o_totalprice")) * lit(2L)).as("cents"),
+          (col("o_orderstatus") === "F").as("del"))
+      VT.commitMerge(chg, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")),
+        col("del"))
+      VT.readWhere(s, dir,
+          col("o_orderkey") >= lit(100L) && col("o_orderkey") <= lit(5000L))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast("double").as("sum_cents"))
+        .orderBy("o_orderstatus")
+    } finally olds.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val vtableCkptSql =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |              FROM orders),
+      |chg AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |               CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 2 AS c,
+      |               o_orderstatus = 'F' AS del
+      |        FROM orders WHERE o_orderkey % 7 = 0),
+      |fin AS (SELECT coalesce(chg.k, base.k) AS k,
+      |               CASE WHEN chg.k IS NOT NULL THEN chg.st ELSE base.st END AS st,
+      |               CASE WHEN chg.k IS NOT NULL THEN chg.c ELSE base.c END AS c
+      |        FROM base FULL JOIN chg ON base.k = chg.k
+      |        WHERE chg.k IS NULL OR NOT coalesce(chg.del, FALSE))
+      |SELECT st AS o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(c) AS DOUBLE) AS sum_cents
+      |FROM fin WHERE k BETWEEN 100 AND 5000
+      |GROUP BY st ORDER BY st""".stripMargin
+
   /** Merge-on-read on the VERSIONED table ([[graft.ops.VersionedTable
     * .commitPatch]]): two CDC batches land as O(batch) patch commits —
     * no base file is read or rewritten (spec asserts byte-stability) —
@@ -3477,6 +3545,7 @@ private[graft] object Queries {
     "q_prune_where" -> (pruneWhere _),
     "q_prune_sql" -> (pruneSql _),
     "q_ivm" -> (ivm _),
+    "q_vtable_ckpt" -> (vtableCkpt _),
     "q_agg_meta" -> (aggMeta _),
     "q_change_feed" -> (changeFeed _),
     "q_vtable_mor" -> (vtableMor _),
@@ -3623,6 +3692,7 @@ private[graft] object Queries {
     "q_prune_where" -> pruneWhereSql,
     "q_prune_sql" -> pruneSqlSql,
     "q_ivm" -> ivmSql,
+    "q_vtable_ckpt" -> vtableCkptSql,
     "q_agg_meta" -> aggMetaSql,
     "q_change_feed" -> changeFeedSql,
     "q_vtable_mor" -> mergeMorSql,

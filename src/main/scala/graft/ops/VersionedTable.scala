@@ -126,6 +126,63 @@ object VersionedTable {
                             patches: Seq[Seq[FileEntry]] = Seq.empty,
                             mergeKeys: Seq[String] = Seq.empty)
 
+  /** Manifest HEADER + change description, WITHOUT the materialized file
+    * list — the driver-cheap view every metadata operation starts from.
+    * Three modes:
+    *
+    *  - `full`: `inlineFiles` IS the file set (the original self-contained
+    *    format; still written whenever the table holds ≤
+    *    [[inlineMaxFiles]] files, so small tables keep one-file reads).
+    *  - `delta`: the file set is the previous version's minus `removes`
+    *    plus `adds` — the manifest is O(CHANGE), not O(table). Every
+    *    [[checkpointInterval]] delta commits (or when one delta alone
+    *    exceeds the inline bound) a parquet CHECKPOINT of the full list
+    *    lands at `_vlog/ckpt-v<version>.parquet`, so replay folds a
+    *    bounded delta chain over a columnar base — the Delta-log
+    *    `_last_checkpoint` / Iceberg manifest-list idea.
+    *  - `restore`: the file set equals version `restoreOf`'s — an O(1)
+    *    rollback commit at any table size.
+    *
+    * `numFiles`/`totalRows` are maintained incrementally in the header so
+    * mode decisions, history and stats never materialize the list.
+    * `patches` stay inline in every mode: the chain is bounded by
+    * compaction cadence, never O(table).
+    */
+  private[graft] final case class ManifestMeta(
+      version: Long, op: String, schemaDdl: String, statsCols: Seq[String],
+      txns: Map[String, Long], bloomCols: Seq[String], bloomFpp: Double,
+      patches: Seq[Seq[FileEntry]], mergeKeys: Seq[String],
+      numFiles: Long, totalRows: Long, mode: String,
+      inlineFiles: Seq[FileEntry] = Seq.empty,
+      adds: Seq[FileEntry] = Seq.empty, removes: Seq[String] = Seq.empty,
+      restoreOf: Long = -1L)
+
+  // ------------------------------------------------ metadata-scale knobs
+  private def confInt(spark: SparkSession, key: String, dflt: Int): Int =
+    spark.conf.getOption(key).map(_.toInt).getOrElse(dflt)
+
+  /** Largest file count still written as a self-contained `full` manifest.
+    * Above it, commits write O(delta) manifests + periodic checkpoints.
+    */
+  private[graft] def inlineMaxFiles(spark: SparkSession): Int =
+    confInt(spark, "spark.graft.vtable.inlineMaxFiles", 2048)
+
+  /** Delta-chain length that triggers a parquet checkpoint. */
+  private[graft] def checkpointInterval(spark: SparkSession): Int =
+    confInt(spark, "spark.graft.vtable.checkpointInterval", 10)
+
+  /** File count above which pruning / touched-file detection run as Spark
+    * jobs over the checkpoint relation instead of a driver loop.
+    */
+  private[graft] def distributedPruneThreshold(spark: SparkSession): Int =
+    confInt(spark, "spark.graft.vtable.distributedPruneThreshold", 4096)
+
+  /** Spec observability: which path the last prune / findTouchedFiles
+    * took ("driver" | "distributed"). Test-only; not part of the API.
+    */
+  @volatile private[graft] var lastPruneMode: String = ""
+  @volatile private[graft] var lastTouchedMode: String = ""
+
   private val mapper = new ObjectMapper()
 
   private def vlogDir(dir: String) = new Path(dir, "_vlog")
@@ -156,7 +213,7 @@ object VersionedTable {
 
   // ------------------------------------------------------------ manifest IO
 
-  private def writeManifest(fs: FileSystem, dir: String, m: Manifest): Unit = {
+  private def writeManifestJson(fs: FileSystem, dir: String, m: ManifestMeta): Unit = {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("version", m.version)
     root.put("op", m.op)
@@ -172,7 +229,22 @@ object VersionedTable {
       m.bloomCols.foreach(bc.add)
       root.put("bloomFpp", m.bloomFpp)
     }
-    writeFileArray(root.putArray("files"), m.files)
+    root.put("numFiles", m.numFiles)
+    root.put("totalRows", m.totalRows)
+    m.mode match {
+      case "full" =>
+        writeFileArray(root.putArray("files"), m.inlineFiles)
+      case "delta" =>
+        root.put("mode", "delta")
+        writeFileArray(root.putArray("adds"), m.adds)
+        val rm = root.putArray("removes")
+        m.removes.foreach(rm.add)
+      case "restore" =>
+        root.put("mode", "restore")
+        root.put("restoreOf", m.restoreOf)
+      case other =>
+        throw new IllegalArgumentException(s"writeManifestJson: unknown mode $other")
+    }
     if (m.patches.nonEmpty) {
       val pa = root.putArray("patches")
       m.patches.foreach(batch => writeFileArray(pa.addArray(), batch))
@@ -234,7 +306,13 @@ object VersionedTable {
     }.toSeq
   }
 
-  def readManifest(spark: SparkSession, dir: String, version: Long): Manifest = {
+  /** Parse one manifest's HEADER + change description. O(header + delta):
+    * a `delta`/`restore` manifest never carries the table's file list, and
+    * a `full` one only exists when the list is ≤ [[inlineMaxFiles]].
+    * Legacy manifests (pre-checkpoint format, no `mode`/`numFiles`) read
+    * as `full` with counts derived from the inline list.
+    */
+  private[graft] def readMeta(spark: SparkSession, dir: String, version: Long): ManifestMeta = {
     val fs = fsOf(spark, dir)
     val p = manifestPath(dir, version)
     require(fs.exists(p), {
@@ -246,7 +324,6 @@ object VersionedTable {
     import scala.jdk.CollectionConverters._
     val in = fs.open(p)
     val root = try mapper.readTree(in) finally in.close()
-    val entries = readFileArray(root.get("files"))
     val statsCols = root.get("statsCols").elements().asScala.map(_.asText()).toSeq
     val txns = Option(root.get("txns")).map(_.fields().asScala.map(e =>
       e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty[String, Long])
@@ -257,9 +334,186 @@ object VersionedTable {
       .map(_.elements().asScala.map(readFileArray).toSeq).getOrElse(Seq.empty)
     val mergeKeys = Option(root.get("mergeKeys"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
-    Manifest(root.get("version").asLong(), root.get("op").asText(),
-      root.get("schemaDdl").asText(), statsCols, entries, txns, bloomCols,
-      bloomFpp, patches, mergeKeys)
+    val mode = Option(root.get("mode")).map(_.asText()).getOrElse("full")
+    val inlineFiles =
+      if (mode == "full") readFileArray(root.get("files")) else Seq.empty
+    val adds =
+      if (mode == "delta") readFileArray(root.get("adds")) else Seq.empty
+    val removes =
+      if (mode == "delta")
+        root.get("removes").elements().asScala.map(_.asText()).toSeq
+      else Seq.empty
+    val numFiles = Option(root.get("numFiles")).map(_.asLong())
+      .getOrElse(inlineFiles.size.toLong)
+    val totalRows = Option(root.get("totalRows")).map(_.asLong())
+      .getOrElse(inlineFiles.map(_.rows).sum)
+    val restoreOf = Option(root.get("restoreOf")).map(_.asLong()).getOrElse(-1L)
+    ManifestMeta(root.get("version").asLong(), root.get("op").asText(),
+      root.get("schemaDdl").asText(), statsCols, txns, bloomCols, bloomFpp,
+      patches, mergeKeys, numFiles, totalRows, mode, inlineFiles, adds,
+      removes, restoreOf)
+  }
+
+  // ----------------------------------------- checkpointed file-list replay
+
+  private def ckptPath(dir: String, v: Long): Path =
+    new Path(vlogDir(dir), f"ckpt-v$v%012d.parquet")
+
+  private implicit lazy val fileEntryEnc: org.apache.spark.sql.Encoder[FileEntry] =
+    org.apache.spark.sql.Encoders.product[FileEntry]
+
+  private def entriesToDF(spark: SparkSession, entries: Seq[FileEntry]): DataFrame =
+    spark.createDataset(entries)(fileEntryEnc).toDF()
+
+  /** Replay chain for version `v`: the nearest BASE at or below it (a
+    * parquet checkpoint, or a `full` manifest's inline list) plus the
+    * delta metas to fold over it, ascending. `restore` manifests jump to
+    * their target — an O(1) hop, never a copy. Bounded by construction:
+    * a checkpoint lands every [[checkpointInterval]] delta commits, so
+    * the chain is at most that long.
+    */
+  private def replayChain(spark: SparkSession, dir: String, v: Long)
+      : (Either[Seq[FileEntry], Path], Seq[ManifestMeta]) = {
+    val fs = fsOf(spark, dir)
+    val deltas = scala.collection.mutable.ListBuffer.empty[ManifestMeta]
+    var cur = readMeta(spark, dir, v)
+    while (true) {
+      if (fs.exists(ckptPath(dir, cur.version)))
+        return (Right(ckptPath(dir, cur.version)), deltas.toSeq)
+      cur.mode match {
+        case "full" => return (Left(cur.inlineFiles), deltas.toSeq)
+        case "restore" => cur = readMeta(spark, dir, cur.restoreOf)
+        case "delta" =>
+          deltas.prepend(cur)
+          cur = readMeta(spark, dir, cur.version - 1)
+        case other => throw new IllegalStateException(
+          s"VersionedTable: manifest ${cur.version} has unknown mode $other")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** The full file list of version `v`, materialized on the DRIVER —
+    * O(files); callers on the metadata-scale path use [[filesDF]] instead.
+    */
+  private[graft] def materializeFiles(spark: SparkSession, dir: String,
+                                      v: Long): Seq[FileEntry] = {
+    val (base, deltas) = replayChain(spark, dir, v)
+    val baseEntries = base match {
+      case Left(entries) => entries
+      case Right(ckpt) =>
+        spark.read.parquet(ckpt.toString).as[FileEntry](fileEntryEnc)
+          .collect().toSeq
+    }
+    if (deltas.isEmpty) baseEntries
+    else {
+      val acc = scala.collection.mutable.LinkedHashMap.empty[String, FileEntry]
+      baseEntries.foreach(f => acc += f.path -> f)
+      deltas.foreach { d =>
+        d.removes.foreach(acc.remove)
+        d.adds.foreach(f => acc += f.path -> f)
+      }
+      acc.values.toSeq
+    }
+  }
+
+  /** The file list of version `v` as a DISTRIBUTED relation (columns:
+    * path, rows, stats map, blooms map) — base checkpoint read as parquet,
+    * bounded delta chain folded as anti-filter + union. This is what lets
+    * pruning run as a Spark job at 10⁵–10⁶ files instead of a driver loop
+    * over a parsed JSON.
+    */
+  private[graft] def filesDF(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val (base, deltas) = replayChain(spark, dir, v)
+    val baseDf = base match {
+      case Left(entries) => entriesToDF(spark, entries)
+      case Right(ckpt) => spark.read.schema(fileEntryEnc.schema).parquet(ckpt.toString)
+    }
+    deltas.foldLeft(baseDf) { (df, d) =>
+      val kept =
+        if (d.removes.isEmpty) df
+        else df.filter(!col("path").isin(d.removes: _*))
+      if (d.adds.isEmpty) kept else kept.unionByName(entriesToDF(spark, d.adds))
+    }
+  }
+
+  /** Write the checkpoint for version `v` (full file list as parquet),
+    * atomically via tmp-dir + rename. Idempotent: a checkpoint already in
+    * place wins. Crash-safe: a torn tmp dir is invisible to [[replayChain]]
+    * and swept by [[vacuum]].
+    */
+  private def writeCheckpoint(spark: SparkSession, dir: String, v: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val dest = ckptPath(dir, v)
+    if (fs.exists(dest)) return
+    val tmp = new Path(vlogDir(dir),
+      s".ckpt-v$v.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    // one ~500k-entry parquet file per output split keeps the checkpoint
+    // itself scan-parallel at 10⁶ files without a tiny-file explosion
+    val df = filesDF(spark, dir, v)
+    val meta = readMeta(spark, dir, v)
+    val splits = math.max(1, (meta.numFiles / 500000L).toInt)
+    df.coalesce(splits).write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(tmp, dest)) fs.delete(tmp, true) // racer landed a full copy
+  }
+
+  /** After a delta commit: checkpoint when the replay chain reached
+    * [[checkpointInterval]], or when this commit's own delta rivals the
+    * inline bound (a huge create/backfill should not be replayed as JSON
+    * forever). Runs AFTER the manifest is published — a crash here only
+    * lengthens the next replay; the next commit re-evaluates and heals.
+    */
+  private def maybeCheckpoint(spark: SparkSession, dir: String, v: Long,
+                              deltaSize: Int): Unit = {
+    if (deltaSize > inlineMaxFiles(spark)) { writeCheckpoint(spark, dir, v); return }
+    val (_, deltas) = replayChain(spark, dir, v)
+    if (deltas.size >= checkpointInterval(spark)) writeCheckpoint(spark, dir, v)
+  }
+
+  /** Publish one commit: maintain header counts incrementally, write a
+    * `full` manifest while the table is small (self-contained one-file
+    * reads) and an O(delta) manifest + periodic checkpoint above
+    * [[inlineMaxFiles]]. `removes` carries (path, rows) so the row total
+    * updates without materializing anything.
+    */
+  private def publishCommit(spark: SparkSession, dir: String,
+                            prev: Option[ManifestMeta], version: Long, op: String,
+                            schemaDdl: String, statsCols: Seq[String],
+                            txns: Map[String, Long], bloomCols: Seq[String],
+                            bloomFpp: Double, patches: Seq[Seq[FileEntry]],
+                            mergeKeys: Seq[String], adds: Seq[FileEntry],
+                            removes: Seq[(String, Long)]): Unit = {
+    val fs = fsOf(spark, dir)
+    val numFiles = prev.map(_.numFiles).getOrElse(0L) - removes.size + adds.size
+    val totalRows = prev.map(_.totalRows).getOrElse(0L) -
+      removes.map(_._2).sum + adds.map(_.rows).sum
+    val header = ManifestMeta(version, op, schemaDdl, statsCols, txns,
+      bloomCols, bloomFpp, patches, mergeKeys, numFiles, totalRows, "delta")
+    if (numFiles <= inlineMaxFiles(spark)) {
+      val prevFiles = prev.map(p => materializeFiles(spark, dir, p.version))
+        .getOrElse(Seq.empty)
+      val rm = removes.map(_._1).toSet
+      val full = prevFiles.filterNot(f => rm(f.path)) ++ adds
+      writeManifestJson(fs, dir, header.copy(mode = "full", inlineFiles = full))
+    } else {
+      writeManifestJson(fs, dir, header.copy(
+        adds = adds, removes = removes.map(_._1)))
+      maybeCheckpoint(spark, dir, version, adds.size + removes.size)
+    }
+  }
+
+  /** Version `v`'s manifest with the file list MATERIALIZED on the driver
+    * — the compatibility view every small-scale call site consumes.
+    * Metadata-scale paths (pruning, touched-file detection, commits) go
+    * through [[readMeta]]/[[filesDF]] and never pay this.
+    */
+  def readManifest(spark: SparkSession, dir: String, version: Long): Manifest = {
+    val m = readMeta(spark, dir, version)
+    val files =
+      if (m.mode == "full") m.inlineFiles
+      else materializeFiles(spark, dir, version)
+    Manifest(m.version, m.op, m.schemaDdl, m.statsCols, files, m.txns,
+      m.bloomCols, m.bloomFpp, m.patches, m.mergeKeys)
   }
 
   // ------------------------------------------------------------ data writes
@@ -417,10 +671,10 @@ object VersionedTable {
           "only numeric/string/date/timestamp/boolean columns can carry " +
           "manifest min/max stats (string round-trip must preserve order)")
     }
-    val fs = fsOf(spark, dir)
     val files = writeCommitFiles(df, dir, 1L, statsCols, bloomCols, bloomFpp)
-    writeManifest(fs, dir, Manifest(1L, "create", df.schema.toDDL, statsCols, files,
-      txn.map(t => Map(t)).getOrElse(Map.empty), bloomCols, bloomFpp))
+    publishCommit(spark, dir, None, 1L, "create", df.schema.toDDL, statsCols,
+      txn.map(t => Map(t)).getOrElse(Map.empty), bloomCols, bloomFpp,
+      Seq.empty, Seq.empty, adds = files, removes = Seq.empty)
     1L
   }
 
@@ -433,11 +687,11 @@ object VersionedTable {
   def commitAppend(df: DataFrame, dir: String,
                    txn: Option[(String, Long)] = None): Long = {
     val spark = df.sparkSession
-    val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"VersionedTable.commitAppend: $dir is not a versioned table — create it first")))
     if (alreadyApplied(cur, txn)) return cur.version
-    requireNoPatches(cur, "commitAppend")
+    requireNoPatches(cur.patches, "commitAppend")
     val expected = StructType.fromDDL(cur.schemaDdl)
     require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
         expected.fields.map(f => (f.name, f.dataType))),
@@ -445,9 +699,35 @@ object VersionedTable {
         s"${expected.toDDL}, append carries ${df.schema.toDDL}")
     val next = cur.version + 1
     val files = writeCommitFiles(df, dir, next, cur.statsCols, cur.bloomCols, cur.bloomFpp)
-    writeManifest(fsOf(spark, dir), dir,
-      Manifest(next, "append", cur.schemaDdl, cur.statsCols, cur.files ++ files,
-        txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp))
+    publishCommit(spark, dir, Some(cur), next, "append", cur.schemaDdl,
+      cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
+      Seq.empty, Seq.empty, adds = files, removes = Seq.empty)
+    next
+  }
+
+  /** Register EXISTING parquet files into the table by reference — the
+    * Iceberg `add_files` / Delta `CONVERT` primitive: no data is read,
+    * copied, or rewritten; one manifest commit makes the files part of
+    * the table. The caller vouches for the metadata (paths relative to
+    * the table dir and not already present; schema matching the table's;
+    * honest `rows` and stats — dishonest stats break pruning exactly as
+    * they would in any format). This is also the metadata-scale
+    * workhorse: registering 10⁵ files costs one O(batch) delta manifest
+    * plus a checkpoint, never an O(table) rewrite.
+    */
+  def commitAddFiles(spark: SparkSession, dir: String, entries: Seq[FileEntry],
+                     txn: Option[(String, Long)] = None): Long = {
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.commitAddFiles: $dir is not a versioned table — create it first")))
+    if (alreadyApplied(cur, txn)) return cur.version
+    requireNoPatches(cur.patches, "commitAddFiles")
+    require(entries.map(_.path).distinct.size == entries.size,
+      "VersionedTable.commitAddFiles: duplicate paths in the batch")
+    val next = cur.version + 1
+    publishCommit(spark, dir, Some(cur), next, "add_files", cur.schemaDdl,
+      cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
+      Seq.empty, Seq.empty, adds = entries, removes = Seq.empty)
     next
   }
 
@@ -458,10 +738,10 @@ object VersionedTable {
     */
   private val maxBloomRefineFiles = 256
 
-  private def alreadyApplied(cur: Manifest, txn: Option[(String, Long)]): Boolean =
+  private def alreadyApplied(cur: ManifestMeta, txn: Option[(String, Long)]): Boolean =
     txn.exists { case (app, id) => cur.txns.get(app).exists(_ >= id) }
 
-  private def txnsAfter(cur: Manifest, txn: Option[(String, Long)]): Map[String, Long] =
+  private def txnsAfter(cur: ManifestMeta, txn: Option[(String, Long)]): Map[String, Long] =
     txn.fold(cur.txns) { case (app, id) => cur.txns + (app -> id) }
 
   /** Stats-pruned copy-on-write MERGE: apply a CDC changelog
@@ -505,11 +785,11 @@ object VersionedTable {
                               txn: Option[(String, Long)],
                               evolve: Boolean, metaCols: Seq[String]): Long = {
     val spark = changes.sparkSession
-    val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"VersionedTable.commitMerge: $dir is not a versioned table — create it first")))
     if (alreadyApplied(cur, txn)) return cur.version
-    requireNoPatches(cur, "commitMerge")
+    requireNoPatches(cur.patches, "commitMerge")
     val key = keys.head
     require(cur.statsCols.contains(key),
       s"VersionedTable.commitMerge: merge key $key is not a stats column " +
@@ -525,19 +805,19 @@ object VersionedTable {
     * find the touched files, merge only them, carry the rest by
     * reference, publish one manifest. `deduped` must be one row per key.
     */
-  private def cowMergeCore(spark: SparkSession, dir: String, cur: Manifest,
+  private def cowMergeCore(spark: SparkSession, dir: String, cur: ManifestMeta,
                            deduped: DataFrame, keys: Seq[String],
                            deleteCond: Column, txn: Option[(String, Long)],
                            evolve: Boolean, metaCols: Seq[String],
                            op: String): Long = {
     val schema = StructType.fromDDL(cur.schemaDdl)
     val key = keys.head
-    val (touched, carried) =
-      if (!cur.statsCols.contains(key)) (cur.files, Seq.empty[FileEntry])
-      else {
-        val touchedPaths = findTouchedFiles(spark, dir, cur, deduped, key, schema)
-        cur.files.partition(f => touchedPaths(f.path))
-      }
+    // touched files rewrite; everything else carries BY OMISSION — the
+    // delta manifest only ever names the touched paths, so the carried
+    // 10⁶-file tail costs nothing on the metadata path
+    val touched: Seq[FileEntry] =
+      if (!cur.statsCols.contains(key)) materializeFiles(spark, dir, cur.version)
+      else findTouchedFiles(spark, dir, cur, deduped, key, schema)
     val next = cur.version + 1
     val base =
       if (touched.isEmpty)
@@ -565,9 +845,9 @@ object VersionedTable {
       }
     val files = writeCommitFiles(merged, dir, next, cur.statsCols,
       cur.bloomCols, cur.bloomFpp)
-    writeManifest(fsOf(spark, dir), dir,
-      Manifest(next, op, outDdl, cur.statsCols, carried ++ files,
-        txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp))
+    publishCommit(spark, dir, Some(cur), next, op, outDdl, cur.statsCols,
+      txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp, Seq.empty, Seq.empty,
+      adds = files, removes = touched.map(f => (f.path, f.rows)))
     next
   }
 
@@ -583,11 +863,55 @@ object VersionedTable {
     * positive merely rewrites an extra file; false negatives cannot
     * happen (bloom contract).
     */
-  private def findTouchedFiles(spark: SparkSession, dir: String, cur: Manifest,
+  private def findTouchedFiles(spark: SparkSession, dir: String, cur: ManifestMeta,
                                deduped: DataFrame, key: String,
-                               schema: StructType): Set[String] = {
+                               schema: StructType): Seq[FileEntry] = {
     val keyType = schema(key).dataType
-    val intervals = cur.files.map { f =>
+    if (cur.numFiles == 0) return Seq.empty
+    val candidateEntries: Seq[FileEntry] =
+      if (cur.numFiles <= distributedPruneThreshold(spark)) {
+        lastTouchedMode = "driver"
+        materializeFiles(spark, dir, cur.version)
+      } else {
+        // metadata-scale pass: the same interval test, evaluated as a
+        // SPARK JOB over the checkpoint relation with the changelog's
+        // distinct keys broadcast — the driver never parses an O(table)
+        // file list. Survivors (the only files a changed key could live
+        // in) collect for the exact/bloom pass below.
+        lastTouchedMode = "distributed"
+        val st = col("stats").getItem(key)
+        val mn = st.getField("min").cast(keyType)
+        val mx = st.getField("max").cast(keyType)
+        val keysDf = deduped.select(col(key).cast(keyType).as("__k")).distinct()
+        filesDF(spark, dir, cur.version)
+          .join(broadcast(keysDf),
+            st.isNull || st.getField("min").isNull || st.getField("max").isNull ||
+              (col("__k") >= mn && col("__k") <= mx),
+            "left_semi")
+          .as[FileEntry](fileEntryEnc).collect().toSeq
+      }
+    // the distributed pass already applied the exact interval test; a
+    // second driver pass only ever SHARPENS via blooms, which are capped —
+    // above the cap (or without a bloom on the key) its verdict is
+    // byte-identical to the survivor set, so skip the redundant join
+    if (lastTouchedMode == "distributed" &&
+        (!cur.bloomCols.contains(key) ||
+          candidateEntries.size > maxBloomRefineFiles))
+      return candidateEntries
+    val touched = touchedAmong(spark, dir, cur, candidateEntries, deduped,
+      key, keyType)
+    candidateEntries.filter(f => touched(f.path))
+  }
+
+  /** Exact interval + bloom refinement over a BOUNDED candidate entry set
+    * — the precise per-file touched decision both tiers of
+    * [[findTouchedFiles]] finish with.
+    */
+  private def touchedAmong(spark: SparkSession, dir: String, cur: ManifestMeta,
+                           files: Seq[FileEntry], deduped: DataFrame,
+                           key: String,
+                           keyType: org.apache.spark.sql.types.DataType): Set[String] = {
+    val intervals = files.map { f =>
       f.stats.get(key) match {
         case Some(ColStat(_, Some(mn), Some(mx), _)) => (f.path, mn, mx, false)
         case _ => (f.path, null: String, null: String, true) // no stats → always touched
@@ -608,7 +932,7 @@ object VersionedTable {
     if (!cur.bloomCols.contains(key) ||
         intervalTouched.size > maxBloomRefineFiles) intervalTouched
     else {
-      val entries = cur.files.filter(f => intervalTouched(f.path))
+      val entries = files.filter(f => intervalTouched(f.path))
       val fs = fsOf(spark, dir)
       val bloomMap = entries.flatMap(f =>
         loadBloom(fs, dir, f, key).map(f.path -> _)).toMap
@@ -640,10 +964,13 @@ object VersionedTable {
                     clusterBy: Seq[String] = Seq.empty,
                     zorder: Boolean = false): Long = {
     val fs = fsOf(spark, dir)
+    // table-maintenance op: inherently O(table) — it stats and may rewrite
+    // every file — so materializing the list here is not the bottleneck
     val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"VersionedTable.commitCompact: $dir is not a versioned table")))
-    requireNoPatches(cur, "commitCompact")
+    requireNoPatches(cur.patches, "commitCompact")
+    val curMeta = readMeta(spark, dir, cur.version)
     val sized = cur.files.map { f =>
       f -> fs.getFileStatus(new Path(s"$dir/${f.path}")).getLen
     }
@@ -693,17 +1020,16 @@ object VersionedTable {
     val next = cur.version + 1
     val files = writeCommitFiles(packed, dir, next, cur.statsCols,
       cur.bloomCols, cur.bloomFpp)
-    val carried = if (clusterBy.nonEmpty) Seq.empty else big.map(_._1)
-    writeManifest(fs, dir,
-      Manifest(next, "compact", cur.schemaDdl, cur.statsCols,
-        carried ++ files, cur.txns, cur.bloomCols, cur.bloomFpp))
+    publishCommit(spark, dir, Some(curMeta), next, "compact", cur.schemaDdl,
+      cur.statsCols, cur.txns, cur.bloomCols, cur.bloomFpp, Seq.empty, Seq.empty,
+      adds = files, removes = toRewrite.map(f => (f._1.path, f._1.rows)))
     next
   }
 
-  private def requireNoPatches(cur: Manifest, op: String): Unit =
-    require(cur.patches.isEmpty,
+  private def requireNoPatches(patches: Seq[Seq[FileEntry]], op: String): Unit =
+    require(patches.isEmpty,
       s"VersionedTable.$op: table has a pending merge-on-read patch chain " +
-        s"(${cur.patches.size} batches) — run compactPatches first. While " +
+        s"(${patches.size} batches) — run compactPatches first. While " +
         "the chain is non-empty only commitPatch/reads/compactPatches may " +
         "run, so the fold order always equals the commit order")
 
@@ -724,7 +1050,7 @@ object VersionedTable {
                   tiebreak: Seq[Column], deleteCond: Column,
                   txn: Option[(String, Long)] = None): Long = {
     val spark = changes.sparkSession
-    val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"VersionedTable.commitPatch: $dir is not a versioned table — create it first")))
     if (alreadyApplied(cur, txn)) return cur.version
@@ -747,10 +1073,12 @@ object VersionedTable {
     // blooms — nothing probes them
     val files = writeCommitFiles(flagged, dir, next,
       cur.statsCols.filter(schema.fieldNames.contains))
-    writeManifest(fsOf(spark, dir), dir,
-      Manifest(next, "patch", cur.schemaDdl, cur.statsCols, cur.files,
-        txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
-        cur.patches ++ (if (files.nonEmpty) Seq(files) else Seq.empty), keys))
+    // base file set untouched: an empty adds/removes delta — O(patch), not
+    // O(table), which is the whole point of merge-on-read
+    publishCommit(spark, dir, Some(cur), next, "patch", cur.schemaDdl,
+      cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
+      cur.patches ++ (if (files.nonEmpty) Seq(files) else Seq.empty), keys,
+      adds = Seq.empty, removes = Seq.empty)
     next
   }
 
@@ -764,12 +1092,12 @@ object VersionedTable {
     * fold).
     */
   def compactPatches(spark: SparkSession, dir: String): Long = {
-    val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"VersionedTable.compactPatches: $dir is not a versioned table")))
     if (cur.patches.isEmpty) return cur.version
     val schema = StructType.fromDDL(cur.schemaDdl)
-    val changelog = chainChangelog(spark, dir, cur, schema)
+    val changelog = chainChangelog(spark, dir, cur.patches, cur.mergeKeys, schema)
     cowMergeCore(spark, dir, cur, changelog, cur.mergeKeys,
       col("__vt_del"), txn = None, evolve = false, metaCols = Seq.empty,
       op = "compact")
@@ -813,14 +1141,16 @@ object VersionedTable {
     * a total order within a key): the relation both the read fold and
     * [[compactPatches]] consume.
     */
-  private def chainChangelog(spark: SparkSession, dir: String, m: Manifest,
+  private def chainChangelog(spark: SparkSession, dir: String,
+                             patches: Seq[Seq[FileEntry]],
+                             mergeKeys: Seq[String],
                              schema: StructType): DataFrame = {
     val ps = patchSchemaOf(schema)
-    val all = m.patches.zipWithIndex.map { case (batch, i) =>
+    val all = patches.zipWithIndex.map { case (batch, i) =>
       spark.read.schema(ps).parquet(batch.map(f => s"$dir/${f.path}"): _*)
         .withColumn("__vt_seq", lit(i))
     }.reduce(_ unionByName _)
-    Warehouse.dedupByKey(all, m.mergeKeys, Seq(col("__vt_seq").desc))
+    Warehouse.dedupByKey(all, mergeKeys, Seq(col("__vt_seq").desc))
       .drop("__vt_seq")
   }
 
@@ -828,11 +1158,13 @@ object VersionedTable {
     * all patch rows + one [[Warehouse.applyChanges]] merge. No-op when
     * the chain is empty.
     */
-  private def foldPatches(spark: SparkSession, dir: String, m: Manifest,
+  private def foldPatches(spark: SparkSession, dir: String,
+                          patches: Seq[Seq[FileEntry]], mergeKeys: Seq[String],
                           base: DataFrame, schema: StructType): DataFrame = {
-    if (m.patches.isEmpty) return base
-    Warehouse.applyChanges(base, chainChangelog(spark, dir, m, schema),
-        m.mergeKeys, col("__vt_del"))
+    if (patches.isEmpty) return base
+    Warehouse.applyChanges(base,
+        chainChangelog(spark, dir, patches, mergeKeys, schema),
+        mergeKeys, col("__vt_del"))
       .select(schema.fieldNames.map(col): _*)
   }
 
@@ -847,7 +1179,8 @@ object VersionedTable {
       throw new IllegalArgumentException(s"VersionedTable.read: $dir is not a versioned table"))
     val m = readManifest(spark, dir, v)
     val schema = StructType.fromDDL(m.schemaDdl)
-    foldPatches(spark, dir, m, baseRead(spark, dir, m, schema), schema)
+    foldPatches(spark, dir, m.patches, m.mergeKeys,
+      baseRead(spark, dir, m, schema), schema)
   }
 
   /** Data-skipping read: `column BETWEEN lo AND hi`, with files whose
@@ -866,7 +1199,9 @@ object VersionedTable {
   def readPrunedMulti(spark: SparkSession, dir: String,
                       preds: Seq[(String, Column, Column)],
                       asOf: Option[Long] = None): DataFrame = {
-    val (survivors, m) = pruneFilesMulti(spark, dir, preds, asOf)
+    require(preds.nonEmpty, "readPrunedMulti: need at least one (column, lo, hi)")
+    val (survivors, m) = pruneCore(spark, dir,
+      preds.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) }, Seq.empty, asOf)
     val filter = preds.map { case (c, lo, hi) =>
       col(s"`$c`") >= lo && col(s"`$c`") <= hi
     }.reduce(_ && _)
@@ -879,7 +1214,7 @@ object VersionedTable {
     * only loses rows that are either shadowed (chain wins) or genuinely
     * outside the predicate; the exact filter applies AFTER the fold.
     */
-  private def prunedFoldedRead(spark: SparkSession, dir: String, m: Manifest,
+  private def prunedFoldedRead(spark: SparkSession, dir: String, m: ManifestMeta,
                                survivors: Seq[String]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
     val base =
@@ -887,7 +1222,7 @@ object VersionedTable {
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else
         spark.read.schema(schema).parquet(survivors.map(p => s"$dir/$p"): _*)
-    foldPatches(spark, dir, m, base, schema)
+    foldPatches(spark, dir, m.patches, m.mergeKeys, base, schema)
   }
 
   /** The file-level pruning decision behind [[readPruned]], exposed for
@@ -911,89 +1246,121 @@ object VersionedTable {
                       preds: Seq[(String, Column, Column)],
                       asOf: Option[Long] = None): (Seq[String], Manifest) = {
     require(preds.nonEmpty, "pruneFiles: need at least one (column, lo, hi)")
-    pruneRanges(spark, dir,
-      preds.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) }, asOf)
+    val (survivors, m) = pruneCore(spark, dir,
+      preds.map { case (c, lo, hi) => (c, Some(lo), Some(hi)) }, Seq.empty, asOf)
+    (survivors, readManifest(spark, dir, m.version))
   }
-
-  /** Shared pruning core: each predicate is a possibly one-sided interval
-    * on a column (None = unbounded on that side). A file survives only if
-    * every interval could intersect its stats. All-null files are pruned
-    * by ANY interval predicate — a comparison never selects NULL.
-    */
-  private def pruneRanges(spark: SparkSession, dir: String,
-                          preds: Seq[(String, Option[Column], Option[Column])],
-                          asOf: Option[Long]): (Seq[String], Manifest) =
-    pruneCore(spark, dir, preds, Seq.empty, asOf)
 
   /** Shared by every pruning entry point: conjunction of interval
     * predicates and IN-set predicates. A file survives only if each
     * interval could intersect its stats AND each IN-set has at least one
     * value inside them. All-null files are pruned by ANY predicate here —
     * neither a comparison nor IN ever selects NULL.
+    *
+    * Two evaluation tiers, same predicate algebra: below
+    * [[distributedPruneThreshold]] the decision is a LOCAL filter over the
+    * driver-parsed file list (no cluster round-trip for a 50-file table);
+    * above it the SAME conditions run as a Spark job over [[filesDF]] —
+    * the checkpoint relation — so a 10⁶-file manifest is pruned by the
+    * cluster and only the survivors ever reach the driver.
     */
   private def pruneCore(spark: SparkSession, dir: String,
                         ranges: Seq[(String, Option[Column], Option[Column])],
                         inSets: Seq[(String, Seq[Column])],
-                        asOf: Option[Long]): (Seq[String], Manifest) = {
+                        asOf: Option[Long]): (Seq[String], ManifestMeta) = {
     import scala.jdk.CollectionConverters._
     val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable.readPruned: $dir is not a versioned table"))
-    val m = readManifest(spark, dir, v)
+    val m = readMeta(spark, dir, v)
     val schema = StructType.fromDDL(m.schemaDdl)
     val activeRanges = ranges.filter { case (c, _, _) => m.statsCols.contains(c) }
     val activeIns = inSets.filter { case (c, vs) => m.statsCols.contains(c) && vs.nonEmpty }
-    if (activeRanges.isEmpty && activeIns.isEmpty) return (m.files.map(_.path), m)
-    if (m.files.isEmpty) return (Seq.empty, m)
-    // one LOCAL row per file carrying every active column's interval;
-    // evaluated through Catalyst casts so the pruning comparison is
-    // exactly the scan's
-    val cols = (activeRanges.map(_._1) ++ activeIns.map(_._1)).distinct
-    val idx = cols.zipWithIndex.toMap
-    val rows = m.files.map { f =>
-      org.apache.spark.sql.Row.fromSeq(
-        f.path +: cols.flatMap { c =>
-          f.stats.get(c) match {
-            case Some(ColStat(_, Some(mn), Some(mx), _)) => Seq(mn, mx, "range")
-            case Some(ColStat(_, None, None, _)) => Seq(null, null, "allnull")
-            case _ => Seq(null, null, "blind")
+    if (activeRanges.isEmpty && activeIns.isEmpty)
+      return (materializeFiles(spark, dir, v).map(_.path), m)
+    if (m.numFiles == 0) return (Seq.empty, m)
+    val survivorEntries: Seq[FileEntry] =
+      if (m.numFiles <= distributedPruneThreshold(spark)) {
+        lastPruneMode = "driver"
+        val files = materializeFiles(spark, dir, v)
+        // one LOCAL row per file carrying every active column's interval;
+        // evaluated through Catalyst casts so the pruning comparison is
+        // exactly the scan's
+        val cols = (activeRanges.map(_._1) ++ activeIns.map(_._1)).distinct
+        val idx = cols.zipWithIndex.toMap
+        val rows = files.map { f =>
+          org.apache.spark.sql.Row.fromSeq(
+            f.path +: cols.flatMap { c =>
+              f.stats.get(c) match {
+                case Some(ColStat(_, Some(mn), Some(mx), _)) => Seq(mn, mx, "range")
+                case Some(ColStat(_, None, None, _)) => Seq(null, null, "allnull")
+                case _ => Seq(null, null, "blind")
+              }
+            })
+        }
+        val statSchema = StructType(
+          org.apache.spark.sql.types.StructField("__path",
+            org.apache.spark.sql.types.StringType) +:
+          cols.indices.flatMap { i => Seq(
+            org.apache.spark.sql.types.StructField(s"__min_$i",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(s"__max_$i",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField(s"__kind_$i",
+              org.apache.spark.sql.types.StringType))
+          })
+        def surviving(c: String)(rangeTest: (Column, Column) => Column): Column = {
+          val i = idx(c)
+          val t = schema(c).dataType
+          (col(s"__kind_$i") === "blind") ||
+            (col(s"__kind_$i") === "range" &&
+              rangeTest(col(s"__min_$i").cast(t), col(s"__max_$i").cast(t)))
+        }
+        val rangeConds = activeRanges.map { case (c, lo, hi) =>
+          surviving(c) { (mn, mx) =>
+            lo.map(l => mx >= l).getOrElse(lit(true)) &&
+              hi.map(h => mn <= h).getOrElse(lit(true))
           }
-        })
-    }
-    val statSchema = StructType(
-      org.apache.spark.sql.types.StructField("__path",
-        org.apache.spark.sql.types.StringType) +:
-      cols.indices.flatMap { i => Seq(
-        org.apache.spark.sql.types.StructField(s"__min_$i",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField(s"__max_$i",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField(s"__kind_$i",
-          org.apache.spark.sql.types.StringType))
-      })
-    def surviving(c: String)(rangeTest: (Column, Column) => Column): Column = {
-      val i = idx(c)
-      val t = schema(c).dataType
-      (col(s"__kind_$i") === "blind") ||
-        (col(s"__kind_$i") === "range" &&
-          rangeTest(col(s"__min_$i").cast(t), col(s"__max_$i").cast(t)))
-    }
-    val rangeConds = activeRanges.map { case (c, lo, hi) =>
-      surviving(c) { (mn, mx) =>
-        lo.map(l => mx >= l).getOrElse(lit(true)) &&
-          hi.map(h => mn <= h).getOrElse(lit(true))
+        }
+        val inConds = activeIns.map { case (c, vs) =>
+          surviving(c) { (mn, mx) =>
+            vs.map(v => mn <= v && mx >= v).reduce(_ || _)
+          }
+        }
+        val cond = (rangeConds ++ inConds).reduce(_ && _)
+        val surv = spark.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), statSchema)
+          .filter(cond)
+          .select("__path").collect().map(_.getString(0)).toSet
+        files.filter(f => surv(f.path))
+      } else {
+        lastPruneMode = "distributed"
+        // the same survive-conditions, expressed over the checkpoint
+        // relation's stats map: entry absent → blind (survives), entry
+        // present with null bounds → all-null (pruned), else the interval
+        // test through the column's own Catalyst type
+        def surviving(c: String)(rangeTest: (Column, Column) => Column): Column = {
+          val t = schema(c).dataType
+          val e = col("stats").getItem(c)
+          e.isNull || (e.getField("min").isNotNull &&
+            rangeTest(e.getField("min").cast(t), e.getField("max").cast(t)))
+        }
+        val rangeConds = activeRanges.map { case (c, lo, hi) =>
+          surviving(c) { (mn, mx) =>
+            lo.map(l => mx >= l).getOrElse(lit(true)) &&
+              hi.map(h => mn <= h).getOrElse(lit(true))
+          }
+        }
+        val inConds = activeIns.map { case (c, vs) =>
+          surviving(c) { (mn, mx) =>
+            vs.map(v => mn <= v && mx >= v).reduce(_ || _)
+          }
+        }
+        val cond = (rangeConds ++ inConds).reduce(_ && _)
+        filesDF(spark, dir, v).filter(cond)
+          .as[FileEntry](fileEntryEnc).collect().toSeq
       }
-    }
-    val inConds = activeIns.map { case (c, vs) =>
-      surviving(c) { (mn, mx) =>
-        vs.map(v => mn <= v && mx >= v).reduce(_ || _)
-      }
-    }
-    val cond = (rangeConds ++ inConds).reduce(_ && _)
-    val survivors = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), statSchema)
-      .filter(cond)
-      .select("__path").collect().map(_.getString(0)).toSeq
-    (bloomRefine(spark, dir, m, schema, activeIns, survivors), m)
+    (bloomRefine(spark, dir, m, schema, activeIns, survivorEntries)
+      .map(_.path), m)
   }
 
   /** Spec window into the full pruning pipeline (intervals + bloom
@@ -1013,10 +1380,10 @@ object VersionedTable {
     * seed and simply never matches a row — pruning on it stays correct
     * because SQL IN never selects on NULL either.
     */
-  private def bloomRefine(spark: SparkSession, dir: String, m: Manifest,
+  private def bloomRefine(spark: SparkSession, dir: String, m: ManifestMeta,
                           schema: StructType,
                           inSets: Seq[(String, Seq[Column])],
-                          survivors: Seq[String]): Seq[String] = {
+                          survivors: Seq[FileEntry]): Seq[FileEntry] = {
     val refinable = inSets.filter { case (c, vs) =>
       m.bloomCols.contains(c) && vs.nonEmpty }
     if (refinable.isEmpty || survivors.isEmpty ||
@@ -1033,9 +1400,7 @@ object VersionedTable {
       c -> vs.map { _ => i += 1; row.getLong(i) }
     }
     val fs = fsOf(spark, dir)
-    val byPath = m.files.map(f => f.path -> f).toMap
-    survivors.filter { p =>
-      val f = byPath(p)
+    survivors.filter { f =>
       hashesPerPred.forall { case (c, hs) =>
         loadBloom(fs, dir, f, c) match {
           case Some(b) => hs.exists(b.mightContainLong)
@@ -1064,10 +1429,10 @@ object VersionedTable {
     val inSets = org.apache.spark.sql.GraftShim.mineInSets(cond)
     val (survivors, m) =
       if (ranges.isEmpty && inSets.isEmpty) {
-        val mm = readManifest(spark, dir, asOf.orElse(currentVersion(spark, dir))
+        val v = asOf.orElse(currentVersion(spark, dir))
           .getOrElse(throw new IllegalArgumentException(
-            s"VersionedTable.readWhere: $dir is not a versioned table")))
-        (mm.files.map(_.path), mm)
+            s"VersionedTable.readWhere: $dir is not a versioned table"))
+        (materializeFiles(spark, dir, v).map(_.path), readMeta(spark, dir, v))
       } else pruneCore(spark, dir, ranges, inSets, asOf)
     prunedFoldedRead(spark, dir, m, survivors).filter(cond)
   }
@@ -1098,8 +1463,8 @@ object VersionedTable {
   def changesBetween(spark: SparkSession, dir: String, fromV: Long, toV: Long,
                      keys: Seq[String], preimages: Boolean = false): DataFrame = {
     require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
-    val m1 = readManifest(spark, dir, fromV)
-    val m2 = readManifest(spark, dir, toV)
+    val m1 = readMeta(spark, dir, fromV)
+    val m2 = readMeta(spark, dir, toV)
     val schema = StructType.fromDDL(m2.schemaDdl)
     // an evolved window still diffs: evolution only APPENDS columns, so
     // reading BOTH sides through toV's wider schema is exact — fromV's
@@ -1168,16 +1533,33 @@ object VersionedTable {
       if (ps.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else spark.read.schema(schema).parquet(ps.map(p => s"$dir/$p"): _*)
-    val paths1 = m1.files.map(_.path).toSet
-    val paths2 = m2.files.map(_.path).toSet
+    // base-file delta across the window: when every manifest in it is
+    // delta-mode the diff folds from the manifests themselves — O(window
+    // changes), never touching the O(table) file lists. A full/restore
+    // manifest in the window falls back to the materialized set diff
+    // (full only exists below the inline bound, so that diff is small;
+    // restore windows are rare and explicit).
+    val win = ((fromV + 1) to toV).map(readMeta(spark, dir, _))
+    val (added, removed): (Seq[String], Seq[String]) =
+      if (win.forall(_.mode == "delta")) {
+        val addedAcc = scala.collection.mutable.LinkedHashSet.empty[String]
+        val removedAcc = scala.collection.mutable.LinkedHashSet.empty[String]
+        win.foreach { d =>
+          d.removes.foreach { p => if (!addedAcc.remove(p)) removedAcc += p }
+          d.adds.foreach { f => addedAcc += f.path; removedAcc -= f.path }
+        }
+        (addedAcc.toSeq.sorted, removedAcc.toSeq.sorted)
+      } else {
+        val p1 = materializeFiles(spark, dir, fromV).map(_.path).toSet
+        val p2 = materializeFiles(spark, dir, toV).map(_.path).toSet
+        ((p2 -- p1).toSeq.sorted, (p1 -- p2).toSeq.sorted)
+      }
     if (m1.patches == m2.patches) {
       // identical chains: any difference lives in the base file sets, and
       // equal NON-EMPTY chains imply equal bases (base-mutating commits
       // refuse under a chain) — the file-level content diff is exact
-      val removed = (paths1 -- paths2).toSeq.sorted
-      val added = (paths2 -- paths1).toSeq.sorted
       classify(readSet(removed), readSet(added))
-    } else if (paths1 == paths2 && m2.patches.startsWith(m1.patches)) {
+    } else if (added.isEmpty && removed.isEmpty && m2.patches.startsWith(m1.patches)) {
       // patch-only window: the delta is confined to keys the NEW patch
       // batches name — pre/post images come from the FOLDED states (the
       // truth under merge-on-read), restricted to those keys, so the diff
@@ -1260,10 +1642,21 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"VersionedTable.restore: $dir is not a versioned table"))
     if (toVersion == curV) return curV
-    val cur = readManifest(spark, dir, curV)
-    val target = readManifest(spark, dir, toVersion) // loud if vacuumed
-    writeManifest(fsOf(spark, dir), dir,
-      target.copy(version = curV + 1, op = "restore", txns = cur.txns))
+    val cur = readMeta(spark, dir, curV)
+    val target = readMeta(spark, dir, toVersion) // loud if vacuumed
+    val header = target.copy(version = curV + 1, op = "restore",
+      txns = cur.txns, inlineFiles = Seq.empty, adds = Seq.empty,
+      removes = Seq.empty)
+    val fs = fsOf(spark, dir)
+    if (target.numFiles <= inlineMaxFiles(spark))
+      // small table: self-contained, exactly the pre-checkpoint behavior
+      writeManifestJson(fs, dir, header.copy(mode = "full",
+        inlineFiles = materializeFiles(spark, dir, toVersion)))
+    else
+      // large table: an O(1) POINTER commit — the file set IS version
+      // `toVersion`'s; replay jumps there, nothing is copied or listed
+      writeManifestJson(fs, dir, header.copy(mode = "restore",
+        restoreOf = toVersion))
     curV + 1
   }
 
@@ -1292,11 +1685,13 @@ object VersionedTable {
         "in a row — contention this hot needs a single-writer queue", last)
   }
 
-  /** Version history, newest first: (version, op, files, rows). */
+  /** Version history, newest first: (version, op, files, rows) — pure
+    * header reads; the file lists are never materialized.
+    */
   def history(spark: SparkSession, dir: String): Seq[(Long, String, Int, Long)] =
     versions(spark, dir).reverse.map { v =>
-      val m = readManifest(spark, dir, v)
-      (v, m.op, m.files.size, m.files.map(_.rows).sum)
+      val m = readMeta(spark, dir, v)
+      (v, m.op, m.numFiles.toInt, m.totalRows)
     }
 
   // ------------------------------------------------------------ vacuum
@@ -1314,18 +1709,38 @@ object VersionedTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"VersionedTable.vacuum: $dir is not a versioned table")
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val dropSet = drop.toSet
+    // kept versions must stay REPLAYABLE after the dropped manifests go:
+    // checkpoint the oldest kept version (its delta chain may run through
+    // dropped manifests) and any kept restore pointing below the cut —
+    // after that, every kept chain resolves inside the kept range.
+    // Ordered BEFORE any deletion so a crash mid-vacuum stays harmless.
+    if (drop.nonEmpty) keep.foreach { v =>
+      val m = readMeta(spark, dir, v)
+      val needsBase =
+        (v == keep.head && m.mode != "full" &&
+          !fs.exists(ckptPath(dir, v))) ||
+        (m.mode == "restore" && (dropSet(m.restoreOf) ||
+          !versions(spark, dir).contains(m.restoreOf)))
+      if (needsBase) writeCheckpoint(spark, dir, v)
+    }
     val referenced = keep.flatMap { v =>
-      val mf = readManifest(spark, dir, v)
-      val all = mf.files ++ mf.patches.flatten
+      val mf = readMeta(spark, dir, v)
+      val all = materializeFiles(spark, dir, v) ++ mf.patches.flatten
       all.map(_.path) ++ all.flatMap(_.blooms.values)
     }.toSet
-    drop.foreach(v => fs.delete(manifestPath(dir, v), false))
-    // sweep manifest tmps abandoned by crashed writers (invisible to
-    // readers either way; under the single-writer contract none is live)
+    drop.foreach { v =>
+      fs.delete(manifestPath(dir, v), false)
+      fs.delete(ckptPath(dir, v), true) // superseded by the kept bases
+    }
+    // sweep manifest/checkpoint tmps abandoned by crashed writers
+    // (invisible to readers either way; under the single-writer contract
+    // none is live)
     fs.listStatus(vlogDir(dir)).foreach { st =>
-      if (st.getPath.getName.startsWith(".v") &&
-          st.getPath.getName.contains(".json.tmp-"))
-        fs.delete(st.getPath, false)
+      val n = st.getPath.getName
+      if ((n.startsWith(".v") && n.contains(".json.tmp-")) ||
+          (n.startsWith(".ckpt-") && n.contains(".tmp-")))
+        fs.delete(st.getPath, true)
     }
     val dataRoot = new Path(dir, "data")
     if (!fs.exists(dataRoot)) return 0
