@@ -2556,6 +2556,142 @@ private[graft] object Queries {
       |FROM fin WHERE k BETWEEN 100 AND 5000
       |GROUP BY st ORDER BY st""".stripMargin
 
+  /** SQL `MERGE INTO` on a versioned table ([[graft.sql.GraftDml]]): the
+    * reference's upsert is a SQL statement (reference/scripts/load.py:
+    * 114-147, `INSERT ... ON CONFLICT (arrest_key) DO NOTHING` over a
+    * staging table); here the PARSED statement — not a library call —
+    * routes through the copy-on-write versioned merge, and the target is
+    * addressed by CATALOG NAME (`graft_register_vtable`), not a path.
+    * Same FULL JOIN + CASE oracle family as `q_merge_cdc`. Measure is
+    * integer cents so every value is engine-exact.
+    */
+  def mergeSql(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    graft.functions.GraftFunctions.register(s)
+    val dir = fixtureDir(d, "vtable_dml_merge")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+    val snap = ord(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("cents"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    VT.create(snap, dir, statsCols = Seq("o_orderkey"))
+    val name = s"orders_dml_${new java.io.File(d).getName}"
+    s.sql(s"SELECT * FROM graft_register_vtable('$name', '$dir')").collect()
+    ord(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (cents(col("o_totalprice")) + lit(1000L)).as("cents"),
+        (col("o_orderstatus") === "F").as("del"))
+      .createOrReplaceTempView("merge_sql_src")
+    graft.sql.GraftSql.sql(s,
+      s"""MERGE INTO graft_vtable('$name') AS t
+         |USING (SELECT o_orderkey, o_orderstatus, cents, del
+         |       FROM merge_sql_src) AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    VT.read(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("cents").cast("double").as("cents"))
+      .orderBy("o_orderkey")
+  }
+
+  private val mergeSqlSql =
+    """WITH t AS (SELECT o_orderkey, o_orderstatus,
+      |                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |           FROM orders WHERE o_orderkey % 3 <> 0),
+      |s AS (SELECT o_orderkey, o_orderstatus,
+      |             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + 1000 AS c,
+      |             o_orderstatus = 'F' AS del
+      |      FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+      | CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+      | CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.c ELSE t.c END AS DOUBLE) AS cents
+      |FROM t FULL JOIN s ON t.o_orderkey = s.o_orderkey
+      |WHERE s.o_orderkey IS NULL OR NOT coalesce(s.del, FALSE)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** SQL `UPDATE` on a versioned table: the parsed statement rewrites
+    * ONLY the files whose manifest interval can hold a matching row
+    * (mined `o_orderkey` range → file pruning; the exact WHERE still
+    * applies per row), carrying the rest by reference — Delta-style
+    * UPDATE semantics reachable from a plain SQL string. Oracle applies
+    * the same CASE to every row.
+    */
+  def updateSql(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "vtable_dml_update")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+    val snap = ord(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("cents"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    VT.create(snap, dir, statsCols = Seq("o_orderkey"))
+    graft.sql.GraftSql.sql(s,
+      s"""UPDATE graft_vtable('$dir')
+         |SET cents = cents * 2
+         |WHERE o_orderkey >= 1000 AND o_orderkey <= 3000
+         |  AND o_orderstatus = 'O'""".stripMargin).collect()
+    VT.read(s, dir).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast("double").as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val updateSqlSql =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |              FROM orders)
+      |SELECT st AS o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(CASE WHEN k >= 1000 AND k <= 3000 AND st = 'O'
+      |                     THEN c * 2 ELSE c END) AS DOUBLE) AS sum_cents
+      |FROM base GROUP BY st ORDER BY st""".stripMargin
+
+  /** SQL `DELETE` on a versioned table: the minable `o_orderkey` bound
+    * prunes untouched files; the unminable `% 2` conjunct rides along as
+    * the exact per-row predicate. History is preserved — the pre-delete
+    * version still time-travels (spec-pinned; the oracle checks the end
+    * state).
+    */
+  def deleteSql(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "vtable_dml_delete")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+    val snap = ord(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("cents"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    VT.create(snap, dir, statsCols = Seq("o_orderkey"))
+    graft.sql.GraftSql.sql(s,
+      s"""DELETE FROM graft_vtable('$dir')
+         |WHERE o_orderkey <= 3000 AND o_orderkey % 2 = 0""".stripMargin).collect()
+    VT.read(s, dir).groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast("double").as("sum_cents"))
+      .orderBy("o_orderstatus")
+  }
+
+  private val deleteSqlSql =
+    """WITH base AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                     CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |              FROM orders)
+      |SELECT st AS o_orderstatus, COUNT(*) AS n,
+      |       CAST(SUM(c) AS DOUBLE) AS sum_cents
+      |FROM base WHERE NOT (k <= 3000 AND k % 2 = 0)
+      |GROUP BY st ORDER BY st""".stripMargin
+
   /** Merge-on-read on the VERSIONED table ([[graft.ops.VersionedTable
     * .commitPatch]]): two CDC batches land as O(batch) patch commits —
     * no base file is read or rewritten (spec asserts byte-stability) —
@@ -3546,6 +3682,9 @@ private[graft] object Queries {
     "q_prune_sql" -> (pruneSql _),
     "q_ivm" -> (ivm _),
     "q_vtable_ckpt" -> (vtableCkpt _),
+    "q_merge_sql" -> (mergeSql _),
+    "q_update_sql" -> (updateSql _),
+    "q_delete_sql" -> (deleteSql _),
     "q_agg_meta" -> (aggMeta _),
     "q_change_feed" -> (changeFeed _),
     "q_vtable_mor" -> (vtableMor _),
@@ -3693,6 +3832,9 @@ private[graft] object Queries {
     "q_prune_sql" -> pruneSqlSql,
     "q_ivm" -> ivmSql,
     "q_vtable_ckpt" -> vtableCkptSql,
+    "q_merge_sql" -> mergeSqlSql,
+    "q_update_sql" -> updateSqlSql,
+    "q_delete_sql" -> deleteSqlSql,
     "q_agg_meta" -> aggMetaSql,
     "q_change_feed" -> changeFeedSql,
     "q_vtable_mor" -> mergeMorSql,

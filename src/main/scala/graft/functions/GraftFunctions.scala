@@ -58,12 +58,13 @@ object GraftFunctions {
   private def vtablePlan(es: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(es.nonEmpty && es.size <= 2,
-      "graft_vtable takes (dir) or (dir, version)")
-    val dir = es.head.eval() match {
-      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
-      case other => throw new IllegalArgumentException(
-        s"graft_vtable: dir must be a string literal, got $other")
-    }
+      "graft_vtable takes (name-or-dir) or (name-or-dir, version)")
+    val dir = graft.ops.GraftCatalog.resolveDir(SparkSession.active,
+      es.head.eval() match {
+        case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+        case other => throw new IllegalArgumentException(
+          s"graft_vtable: name-or-dir must be a string literal, got $other")
+      })
     val asOf = es.lift(1).map(_.eval() match {
       case i: java.lang.Integer => i.toLong
       case l: java.lang.Long => l.longValue()
@@ -96,7 +97,8 @@ object GraftFunctions {
     require(es.size == 1, "graft_vtable_history takes (dir)")
     val spark = SparkSession.active
     val h = graft.ops.VersionedTable.history(spark,
-      litString(es.head, "graft_vtable_history: dir"))
+      graft.ops.GraftCatalog.resolveDir(spark,
+        litString(es.head, "graft_vtable_history: name-or-dir")))
     spark.createDataFrame(h).toDF("version", "op", "files", "rows")
       .queryExecution.analyzed
   }
@@ -113,8 +115,10 @@ object GraftFunctions {
       "graft_vtable_changes takes (dir, fromVersion, toVersion, 'key1[,key2…]')")
     val keys = litString(es(3), "graft_vtable_changes: keys")
       .split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    graft.ops.VersionedTable.changesBetween(SparkSession.active,
-        litString(es.head, "graft_vtable_changes: dir"),
+    val spark = SparkSession.active
+    graft.ops.VersionedTable.changesBetween(spark,
+        graft.ops.GraftCatalog.resolveDir(spark,
+          litString(es.head, "graft_vtable_changes: name-or-dir")),
         litLong(es(1), "graft_vtable_changes: fromVersion"),
         litLong(es(2), "graft_vtable_changes: toVersion"), keys)
       .queryExecution.analyzed
@@ -134,7 +138,8 @@ object GraftFunctions {
     val spark = SparkSession.active
     val asOf = es.lift(1).map(litLong(_, "graft_vtable_stats: version"))
     val ts = graft.ops.VersionedTable.tableStats(spark,
-      litString(es.head, "graft_vtable_stats: dir"), asOf)
+      graft.ops.GraftCatalog.resolveDir(spark,
+        litString(es.head, "graft_vtable_stats: name-or-dir")), asOf)
     val rows = ts.cols.toSeq.sortBy(_._1).map { case (c, (nulls, mn, mx)) =>
       (ts.rows, ts.exact, c, nulls, mn.orNull, mx.orNull)
     }
@@ -143,12 +148,29 @@ object GraftFunctions {
       .queryExecution.analyzed
   }
 
+  /** `graft_register_vtable('<name>', '<dir>')`: bind a catalog name to a
+    * table directory ([[graft.ops.GraftCatalog]]) so every other TVF (and
+    * SQL DML) can address the table by name. Returns the binding as a
+    * one-row relation.
+    */
+  private def vtableRegisterPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.size == 2, "graft_register_vtable takes (name, dir)")
+    val spark = SparkSession.active
+    val name = litString(es.head, "graft_register_vtable: name")
+    val dir = litString(es(1), "graft_register_vtable: dir")
+    graft.ops.GraftCatalog.register(spark, name, dir)
+    spark.createDataFrame(Seq((name, dir))).toDF("name", "dir")
+      .queryExecution.analyzed
+  }
+
   private val tableFns: Seq[(String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
     Seq("graft_vtable" -> (vtablePlan _),
       "graft_vtable_history" -> (vtableHistoryPlan _),
       "graft_vtable_changes" -> (vtableChangesPlan _),
-      "graft_vtable_stats" -> (vtableStatsPlan _))
+      "graft_vtable_stats" -> (vtableStatsPlan _),
+      "graft_register_vtable" -> (vtableRegisterPlan _))
 
   /** Idempotent per-session registration. */
   def register(spark: SparkSession): Unit = {
@@ -203,5 +225,9 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // metadata-only COUNT/MIN/MAX over an unfiltered versioned read —
     // answered from the manifest, zero file opens
     ext.injectOptimizerRule(_ => graft.plans.VtableMetadataAgg)
+    // SQL DML on versioned tables: MERGE INTO / UPDATE / DELETE against
+    // graft_vtable('ref') parse here and route through the versioned
+    // commits; everything else delegates to Spark's parser untouched
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import com.fasterxml.jackson.databind.ObjectMapper
+
+/** Name → directory catalog for versioned tables, so SQL users write
+  * `graft_vtable('orders')` instead of carrying literal paths. One JSON
+  * file (default `spark-warehouse/_graft_catalog.json`, relocatable via
+  * `spark.graft.catalog.path`), updated by tmp-write + atomic rename —
+  * the same single-publisher discipline as the manifests. The catalog
+  * stores LOCATIONS only; everything about a table (schema, stats
+  * config, versions) stays self-described in its own `_vlog`, exactly
+  * like Iceberg's catalog/metadata split — so a catalog entry can be
+  * dropped and re-registered without touching table state, and a table
+  * remains addressable by path regardless.
+  *
+  * Resolution rule ([[resolveDir]]): a reference containing a path
+  * separator IS a path; anything else is a catalog name and must
+  * resolve. Registering validates the target is (or becomes) a real
+  * versioned table only at first read — the catalog is deliberately a
+  * dumb map, not a second source of truth.
+  */
+object GraftCatalog {
+
+  private val mapper = new ObjectMapper()
+
+  private def catalogPath(spark: SparkSession): Path =
+    new Path(spark.conf.getOption("spark.graft.catalog.path")
+      .getOrElse("spark-warehouse/_graft_catalog.json"))
+
+  private def fsOf(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** All registered (name → dir) entries; empty when no catalog exists. */
+  def entries(spark: SparkSession): Map[String, String] = {
+    val p = catalogPath(spark)
+    val fs = fsOf(spark, p)
+    if (!fs.exists(p)) return Map.empty
+    import scala.jdk.CollectionConverters._
+    val in = fs.open(p)
+    val root = try mapper.readTree(in) finally in.close()
+    root.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+  }
+
+  private def write(spark: SparkSession, all: Map[String, String]): Unit = {
+    val p = catalogPath(spark)
+    val fs = fsOf(spark, p)
+    val root = mapper.createObjectNode()
+    all.toSeq.sortBy(_._1).foreach { case (k, v) => root.put(k, v) }
+    val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
+    if (p.getParent != null) fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(bytes) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"GraftCatalog: lost the catalog publish race at $p — retry")
+    }
+  }
+
+  /** Register (or re-point) `name` at `dir`. Names must not look like
+    * paths — that would shadow the path addressing mode.
+    */
+  def register(spark: SparkSession, name: String, dir: String): Unit = {
+    require(name.nonEmpty && !name.contains('/') && !name.contains('\\'),
+      s"GraftCatalog.register: '$name' is not a valid table name " +
+        "(no path separators; use the directory directly for path addressing)")
+    write(spark, entries(spark) + (name -> dir))
+  }
+
+  def drop(spark: SparkSession, name: String): Unit =
+    write(spark, entries(spark) - name)
+
+  def lookup(spark: SparkSession, name: String): Option[String] =
+    entries(spark).get(name)
+
+  /** Name-or-path resolution used by every vtable addressing surface. */
+  def resolveDir(spark: SparkSession, ref: String): String =
+    if (ref.contains('/') || ref.contains('\\')) ref
+    else lookup(spark, ref).getOrElse(throw new IllegalArgumentException(
+      s"GraftCatalog: no versioned table named '$ref' — register it with " +
+        s"graft_register_vtable('$ref', '<dir>') or address it by path"))
+}

@@ -731,6 +731,73 @@ object VersionedTable {
     next
   }
 
+  /** SQL `UPDATE` semantics as a versioned commit: rows matching `cond`
+    * take each SET expression's value (cast to the column's declared
+    * type); everything else is untouched. Only files that COULD hold a
+    * matching row rewrite — `cond`'s minable conjuncts prune through the
+    * same tiered core as reads (unminable predicates conservatively
+    * rewrite every candidate file; the per-row `cond` is still exact) —
+    * and untouched files carry by reference. A NULL-valued condition is
+    * not a match, per SQL. Returns the new version (current when no file
+    * could match).
+    */
+  def commitUpdate(spark: SparkSession, dir: String, cond: Column,
+                   sets: Seq[(String, Column)],
+                   txn: Option[(String, Long)] = None): Long =
+    rewriteMatching(spark, dir, cond, "update", txn) { (df, schema) =>
+      val byName = sets.toMap
+      sets.foreach { case (c, _) => require(schema.fieldNames.contains(c),
+        s"VersionedTable.commitUpdate: SET column $c not in table schema") }
+      df.select(schema.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(v) => when(coalesce(cond, lit(false)),
+            v.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
+    }
+
+  /** SQL `DELETE` semantics as a versioned commit: rows matching `cond`
+    * drop; files that cannot hold a matching row carry by reference
+    * (same pruning as [[commitUpdate]]). NULL condition keeps the row,
+    * per SQL.
+    */
+  def commitDelete(spark: SparkSession, dir: String, cond: Column,
+                   txn: Option[(String, Long)] = None): Long =
+    rewriteMatching(spark, dir, cond, "delete", txn) { (df, _) =>
+      df.filter(!coalesce(cond, lit(false)))
+    }
+
+  private def rewriteMatching(spark: SparkSession, dir: String, cond: Column,
+                              op: String, txn: Option[(String, Long)])
+                             (transform: (DataFrame, StructType) => DataFrame): Long = {
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.commit${op.capitalize}: $dir is not a versioned table")))
+    if (alreadyApplied(cur, txn)) return cur.version
+    requireNoPatches(cur.patches, s"commit${op.capitalize}")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val ranges = org.apache.spark.sql.GraftShim.mineRanges(cond)
+    val inSets = org.apache.spark.sql.GraftShim.mineInSets(cond)
+    val candidates: Seq[FileEntry] =
+      if (ranges.isEmpty && inSets.isEmpty)
+        materializeFiles(spark, dir, cur.version)
+      else pruneEntries(spark, dir, ranges, inSets, Some(cur.version))._1
+    if (candidates.isEmpty) return cur.version
+    val next = cur.version + 1
+    val base = spark.read.schema(schema)
+      .parquet(candidates.map(f => s"$dir/${f.path}"): _*)
+    val rewritten = transform(base, schema)
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val files = writeCommitFiles(rewritten, dir, next, cur.statsCols,
+      cur.bloomCols, cur.bloomFpp)
+    publishCommit(spark, dir, Some(cur), next, op, cur.schemaDdl,
+      cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
+      Seq.empty, Seq.empty, adds = files,
+      removes = candidates.map(f => (f.path, f.rows)))
+    next
+  }
+
   /** Above this many interval-surviving files, bloom refinement is skipped:
     * loading thousands of sidecars to the driver costs more than the
     * rewrites it would save, and a changelog touching that much of the
@@ -1268,6 +1335,17 @@ object VersionedTable {
                         ranges: Seq[(String, Option[Column], Option[Column])],
                         inSets: Seq[(String, Seq[Column])],
                         asOf: Option[Long]): (Seq[String], ManifestMeta) = {
+    val (entries, m) = pruneEntries(spark, dir, ranges, inSets, asOf)
+    (entries.map(_.path), m)
+  }
+
+  /** [[pruneCore]] keeping the surviving ENTRIES (path + rows + stats) —
+    * what DML rewrites need for their removes accounting.
+    */
+  private def pruneEntries(spark: SparkSession, dir: String,
+                           ranges: Seq[(String, Option[Column], Option[Column])],
+                           inSets: Seq[(String, Seq[Column])],
+                           asOf: Option[Long]): (Seq[FileEntry], ManifestMeta) = {
     import scala.jdk.CollectionConverters._
     val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable.readPruned: $dir is not a versioned table"))
@@ -1276,7 +1354,7 @@ object VersionedTable {
     val activeRanges = ranges.filter { case (c, _, _) => m.statsCols.contains(c) }
     val activeIns = inSets.filter { case (c, vs) => m.statsCols.contains(c) && vs.nonEmpty }
     if (activeRanges.isEmpty && activeIns.isEmpty)
-      return (materializeFiles(spark, dir, v).map(_.path), m)
+      return (materializeFiles(spark, dir, v), m)
     if (m.numFiles == 0) return (Seq.empty, m)
     val survivorEntries: Seq[FileEntry] =
       if (m.numFiles <= distributedPruneThreshold(spark)) {
@@ -1359,8 +1437,7 @@ object VersionedTable {
         filesDF(spark, dir, v).filter(cond)
           .as[FileEntry](fileEntryEnc).collect().toSeq
       }
-    (bloomRefine(spark, dir, m, schema, activeIns, survivorEntries)
-      .map(_.path), m)
+    (bloomRefine(spark, dir, m, schema, activeIns, survivorEntries), m)
   }
 
   /** Spec window into the full pruning pipeline (intervals + bloom

@@ -1,0 +1,262 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.AttributeReference
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.GraftShim
+
+import graft.ops.{GraftCatalog, VersionedTable}
+
+/** SQL DML over versioned tables — `MERGE INTO` / `UPDATE` / `DELETE`
+  * statements targeting `graft_vtable('<name-or-dir>')`, parsed here and
+  * routed through the library commits ([[VersionedTable.commitMerge]] /
+  * [[VersionedTable.commitUpdate]] / [[VersionedTable.commitDelete]]).
+  * The reference's upsert is SQL (reference/scripts/load.py:114-147:
+  * `INSERT ... ON CONFLICT DO NOTHING` over a staging table); the
+  * engine's answer is reachable from SQL too.
+  *
+  * Supported grammar (anything else on a graft_vtable target fails LOUDLY
+  * with the supported shape; statements not addressing graft_vtable fall
+  * through to Spark's parser untouched):
+  *
+  * {{{
+  *   MERGE INTO graft_vtable('<ref>') [AS] [t]
+  *   USING (<subquery>) | <table> [AS] [s]
+  *   ON t.k1 = s.k1 [AND t.k2 = s.k2 ...]
+  *   [WHEN MATCHED AND <cond-over-source> THEN DELETE]
+  *   WHEN MATCHED THEN UPDATE SET *
+  *   WHEN NOT MATCHED THEN INSERT *
+  *
+  *   UPDATE graft_vtable('<ref>') SET c1 = <expr> [, c2 = <expr> ...]
+  *     [WHERE <cond>]
+  *
+  *   DELETE FROM graft_vtable('<ref>') [WHERE <cond>]
+  * }}}
+  *
+  * `SET *` / `INSERT *` (whole-row upsert) is deliberate: the versioned
+  * merge is a CDC apply — per-column merge expressions belong upstream in
+  * the changelog query. UPDATE/DELETE conditions prune files through the
+  * manifest (mined conjuncts; see [[VersionedTable.commitUpdate]]), so a
+  * narrow SQL DELETE on a huge table rewrites only the files that could
+  * hold a matching row. Each command returns one row: the new table
+  * version.
+  */
+object GraftDml {
+
+  private val mergeHead =
+    """(?is)^\s*MERGE\s+INTO\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(?:AS\s+)?(\w+)?\s+USING\s+(.*)$""".r
+  private val updateHead =
+    """(?is)^\s*UPDATE\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s+SET\s+(.*)$""".r
+  private val deleteHead =
+    """(?is)^\s*DELETE\s+FROM\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*)$""".r
+
+  /** Our statements return Some(command plan); everything else None. */
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case mergeHead(target, alias, rest) =>
+      Some(parseMerge(target, Option(alias).getOrElse("t"), rest))
+    case updateHead(target, rest) => Some(parseUpdate(target, rest))
+    case deleteHead(target, rest) => Some(parseDelete(target, rest))
+    case _ => None
+  }
+
+  private def fail(what: String): Nothing =
+    throw new IllegalArgumentException(
+      s"GraftDml: $what — supported shapes: MERGE INTO graft_vtable('ref') " +
+        "[AS t] USING (<subquery>)|<table> [AS s] ON t.k = s.k [AND ...] " +
+        "[WHEN MATCHED AND <cond> THEN DELETE] WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *; UPDATE graft_vtable('ref') SET c = " +
+        "expr[, ...] [WHERE cond]; DELETE FROM graft_vtable('ref') [WHERE cond]")
+
+  /** Index of the char AFTER the paren-balanced, quote-aware span opening
+    * at `start` (which must be '(').
+    */
+  private def balancedEnd(s: String, start: Int): Int = {
+    var depth = 0; var i = start; var inQuote = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else c match {
+        case '\'' => inQuote = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    fail("unbalanced parentheses")
+  }
+
+  /** Split on a separator at paren depth 0, outside quotes. */
+  private def topLevelSplit(s: String, sep: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var inQuote = false; var last = 0; var i = 0
+    val upper = s.toUpperCase
+    val sepU = sep.toUpperCase
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false; i += 1 }
+      else c match {
+        case '\'' => inQuote = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ =>
+          if (depth == 0 && upper.startsWith(sepU, i) &&
+              (sep.head.isLetter || true) &&
+              (!sep.head.isLetter || i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
+              (!sep.last.isLetter || i + sep.length >= s.length ||
+                !s.charAt(i + sep.length).isLetterOrDigit)) {
+            out += s.substring(last, i); i += sep.length; last = i
+          } else i += 1
+      }
+    }
+    out += s.substring(last)
+    out.toSeq
+  }
+
+  private def parseMerge(target: String, tAlias: String, rest0: String): LogicalPlan = {
+    val rest = rest0.trim
+    // USING source: parenthesized subquery or a table name
+    val (sourceSql, afterSource) =
+      if (rest.startsWith("(")) {
+        val end = balancedEnd(rest, 0)
+        (rest.substring(1, end - 1).trim, rest.substring(end))
+      } else {
+        val m = """(?s)^([\w.]+)(.*)$""".r.findFirstMatchIn(rest)
+          .getOrElse(fail("MERGE: cannot parse USING source"))
+        (s"SELECT * FROM ${m.group(1)}", m.group(2))
+      }
+    val onSplit = """(?is)^\s*(?:AS\s+)?(\w+)?\s*ON\s+(.*)$""".r
+    val (sAlias, afterOn) = afterSource match {
+      case onSplit(a, r) =>
+        (Option(a).filterNot(x => x == null || x.equalsIgnoreCase("ON"))
+          .getOrElse("s"), r)
+      case _ => fail("MERGE: missing ON clause")
+    }
+    // condition runs to the first top-level WHEN
+    val whenParts = topLevelSplit(afterOn, "WHEN").map(_.trim)
+    if (whenParts.size < 2) fail("MERGE: missing WHEN clauses")
+    val onCond = whenParts.head
+    val keys = topLevelSplit(onCond, "AND").map(_.trim).map { eq =>
+      val m = """^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$""".r.findFirstMatchIn(eq)
+        .getOrElse(fail(s"MERGE: ON must be alias-qualified key equalities, got '$eq'"))
+      val (a1, c1, a2, c2) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      val (tc, sc) =
+        if (a1.equalsIgnoreCase(tAlias) && a2.equalsIgnoreCase(sAlias)) (c1, c2)
+        else if (a2.equalsIgnoreCase(tAlias) && a1.equalsIgnoreCase(sAlias)) (c2, c1)
+        else fail(s"MERGE: ON equality '$eq' must relate $tAlias and $sAlias")
+      if (!tc.equalsIgnoreCase(sc))
+        fail(s"MERGE: key columns must share a name ($tc vs $sc) — alias " +
+          "the source column in the USING query")
+      tc
+    }
+    var deleteCond: Option[String] = None
+    var sawUpdate = false; var sawInsert = false
+    whenParts.tail.foreach { w =>
+      val delM = """(?is)^MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE\s*;?\s*$""".r
+      val updM = """(?is)^MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s*;?\s*$""".r
+      val insM = """(?is)^NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""".r
+      w match {
+        case delM(c) => deleteCond = Some(stripAlias(c, sAlias))
+        case updM() => sawUpdate = true
+        case insM() => sawInsert = true
+        case other => fail(s"MERGE: unsupported WHEN clause 'WHEN $other'")
+      }
+    }
+    if (!sawUpdate || !sawInsert)
+      fail("MERGE: need both WHEN MATCHED THEN UPDATE SET * and " +
+        "WHEN NOT MATCHED THEN INSERT * (whole-row CDC upsert)")
+    GraftMergeCommand(target, sourceSql, keys, deleteCond)
+  }
+
+  /** The delete condition is evaluated over the SOURCE rows — strip the
+    * source alias qualifier so it parses against the bare columns.
+    */
+  private def stripAlias(cond: String, sAlias: String): String =
+    cond.replaceAll(s"(?i)\\b${java.util.regex.Pattern.quote(sAlias)}\\.", "")
+
+  private def splitWhere(rest: String): (String, Option[String]) = {
+    val parts = topLevelSplit(rest, "WHERE")
+    if (parts.size == 1) (parts.head.trim.stripSuffix(";").trim, None)
+    else if (parts.size == 2)
+      (parts.head.trim, Some(parts(1).trim.stripSuffix(";").trim))
+    else fail("more than one top-level WHERE")
+  }
+
+  private def parseUpdate(target: String, rest: String): LogicalPlan = {
+    val (setPart, where) = splitWhere(rest)
+    val sets = topLevelSplit(setPart, ",").map(_.trim).map { kv =>
+      val m = """(?s)^(\w+)\s*=\s*(.+)$""".r.findFirstMatchIn(kv)
+        .getOrElse(fail(s"UPDATE: cannot parse SET assignment '$kv'"))
+      (m.group(1), m.group(2).trim)
+    }
+    if (sets.isEmpty) fail("UPDATE: empty SET list")
+    GraftUpdateCommand(target, sets, where)
+  }
+
+  private def parseDelete(target: String, rest: String): LogicalPlan = {
+    val t = rest.trim
+    val where =
+      if (t.isEmpty || t == ";") None
+      else {
+        val m = """(?is)^WHERE\s+(.+?)\s*;?\s*$""".r.findFirstMatchIn(t)
+          .getOrElse(fail(s"DELETE: unexpected trailing text '$t'"))
+        Some(m.group(1))
+      }
+    GraftDeleteCommand(target, where)
+  }
+
+  private[sql] def versionOutput: Seq[AttributeReference] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  private[sql] def parseCond(spark: SparkSession, sql: Option[String]): Column =
+    sql.map(s => GraftShim.column(
+      spark.sessionState.sqlParser.parseExpression(s))).getOrElse(lit(true))
+}
+
+/** `MERGE INTO graft_vtable(...)` — a copy-on-write CDC upsert commit. */
+case class GraftMergeCommand(target: String, sourceSql: String,
+                             keys: Seq[String], deleteCondSql: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalog.resolveDir(spark, target)
+    val src = spark.sql(sourceSql)
+    val delCond = deleteCondSql.map(s => GraftShim.column(
+      spark.sessionState.sqlParser.parseExpression(s))).getOrElse(lit(false))
+    Seq(Row(VersionedTable.commitMerge(src, dir, keys, Seq.empty, delCond)))
+  }
+}
+
+/** `UPDATE graft_vtable(...) SET ... [WHERE ...]` — file-pruned rewrite. */
+case class GraftUpdateCommand(target: String, sets: Seq[(String, String)],
+                              whereSql: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalog.resolveDir(spark, target)
+    val cond = GraftDml.parseCond(spark, whereSql)
+    val setCols = sets.map { case (c, e) =>
+      c -> GraftShim.column(spark.sessionState.sqlParser.parseExpression(e))
+    }
+    Seq(Row(VersionedTable.commitUpdate(spark, dir, cond, setCols)))
+  }
+}
+
+/** `DELETE FROM graft_vtable(...) [WHERE ...]` — file-pruned rewrite. */
+case class GraftDeleteCommand(target: String, whereSql: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalog.resolveDir(spark, target)
+    Seq(Row(VersionedTable.commitDelete(spark, dir,
+      GraftDml.parseCond(spark, whereSql))))
+  }
+}

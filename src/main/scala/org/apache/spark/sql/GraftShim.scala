@@ -69,6 +69,71 @@ object GraftShim {
             }
           case _ => None
         }
+      // a Column wrapping a CATALYST predicate (SQL-parsed WHERE clauses,
+      // shim-built native expressions) mines through the catalyst walk
+      case other => tryExpressionOf(other).map(mineCatalystRanges)
+        .getOrElse(Nil)
+    }
+  }
+
+  private def tryExpressionOf(
+      n: org.apache.spark.sql.internal.ColumnNode): Option[Expression] =
+    try Some(classic.ExpressionUtils.expression(Column(n)))
+    catch { case _: Exception => None }
+
+  private def catConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      catConjuncts(l) ++ catConjuncts(r)
+    case other => Seq(other)
+  }
+
+  private def catName(e: Expression): Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(a.nameParts.mkString("."))
+    case a: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+      Some(a.name)
+    case _ => None
+  }
+
+  /** The catalyst-side sibling of [[mineRanges]]: the same conservative
+    * conjunct walk over a (possibly unresolved) Catalyst predicate — the
+    * shape a SQL-parsed `WHERE` clause has before analysis. Strictly
+    * conservative: only bare `attr <op> literal` shapes mine.
+    */
+  def mineCatalystRanges(e: Expression): Seq[(String, Option[Column], Option[Column])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    catConjuncts(e).flatMap {
+      case GreaterThanOrEqual(a, l: Literal) if catName(a).isDefined =>
+        Some((catName(a).get, Some(column(l)), None))
+      case GreaterThan(a, l: Literal) if catName(a).isDefined =>
+        Some((catName(a).get, Some(column(l)), None))
+      case LessThanOrEqual(a, l: Literal) if catName(a).isDefined =>
+        Some((catName(a).get, None, Some(column(l))))
+      case LessThan(a, l: Literal) if catName(a).isDefined =>
+        Some((catName(a).get, None, Some(column(l))))
+      case EqualTo(a, l: Literal) if catName(a).isDefined =>
+        Some((catName(a).get, Some(column(l)), Some(column(l))))
+      case GreaterThanOrEqual(l: Literal, a) if catName(a).isDefined =>
+        Some((catName(a).get, None, Some(column(l))))
+      case GreaterThan(l: Literal, a) if catName(a).isDefined =>
+        Some((catName(a).get, None, Some(column(l))))
+      case LessThanOrEqual(l: Literal, a) if catName(a).isDefined =>
+        Some((catName(a).get, Some(column(l)), None))
+      case LessThan(l: Literal, a) if catName(a).isDefined =>
+        Some((catName(a).get, Some(column(l)), None))
+      case EqualTo(l: Literal, a) if catName(a).isDefined =>
+        Some((catName(a).get, Some(column(l)), Some(column(l))))
+      case _ => None
+    }
+  }
+
+  /** Catalyst-side IN-list miner (see [[mineInSets]]). */
+  def mineCatalystInSets(e: Expression): Seq[(String, Seq[Column])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    catConjuncts(e).flatMap {
+      case In(a, vs) if catName(a).isDefined && vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        Some((catName(a).get, vs.map(column)))
       case _ => None
     }
   }
@@ -94,6 +159,9 @@ object GraftShim {
             Some((a.nameParts.mkString("."), vs.map(v => Column(v))))
           case _ => None
         }
+      // catalyst-backed predicate nodes (SQL-parsed WHERE) — see mineRanges
+      case other if !other.isInstanceOf[UnresolvedFunction] =>
+        tryExpressionOf(other).map(mineCatalystInSets).getOrElse(Nil)
       case _ => None
     }
   }

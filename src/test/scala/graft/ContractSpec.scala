@@ -70,6 +70,10 @@ class ContractSpec extends SparkSuite {
       "q_ivm",             // source table + three CDF-folding view refreshes
       "q_agg_meta",        // versioned-table create (the query itself scans nothing)
       "q_vtable_mor",      // versioned-table create + two patch commits
+      "q_vtable_ckpt",     // delta-manifest fixture: appends + checkpoint + distributed merge
+      "q_merge_sql",       // versioned-table create + parsed MERGE commit (eager, like all DML)
+      "q_update_sql",      // versioned-table create + parsed UPDATE rewrite
+      "q_delete_sql",      // versioned-table create + parsed DELETE rewrite
       "q_dedup_lifecycle", // two ingest rounds against the signature table
       "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor
       // scan queries write their fixture on first use + scalar watermark cuts

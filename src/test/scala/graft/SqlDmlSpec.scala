@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.ops.{GraftCatalog, VersionedTable => VT}
+import graft.sql.{GraftDml, GraftSql, GraftSqlParser}
+
+/** SQL DML on versioned tables: MERGE INTO / UPDATE / DELETE statements
+  * parse (not library calls), route through the versioned commits, prune
+  * files via the manifest, and resolve targets through the name catalog.
+  */
+class SqlDmlSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("sqldml").toString + "/t"
+
+  private def mk(dir: String): Unit = {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L)).toDF("k", "s", "v")
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+    VT.create(base, dir, statsCols = Seq("k"))
+  }
+
+  private def rows(dir: String): Set[(Long, String, Long)] =
+    VT.read(spark, dir).as[(Long, String, Long)].collect().toSet
+
+  test("MERGE INTO upserts and deletes through the parsed statement") {
+    val dir = tmp(); mk(dir)
+    Seq((2L, "B2", 21L, false), (5L, "e", 50L, false), (3L, "x", 0L, true))
+      .toDF("k", "s", "v", "del").createOrReplaceTempView("chg")
+    val out = GraftSql.sql(spark,
+      s"""MERGE INTO graft_vtable('$dir') AS t
+         |USING (SELECT k, s, v, del FROM chg) AS s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(out.as[Long].head() == 2L) // returns the new version
+    assert(rows(dir) == Set((1L, "a", 10L), (2L, "B2", 21L),
+      (4L, "d", 40L), (5L, "e", 50L)))
+    // bare table source + no delete clause
+    GraftSql.sql(spark,
+      s"MERGE INTO graft_vtable('$dir') USING chg ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(rows(dir) == Set((1L, "a", 10L), (2L, "B2", 21L),
+      (3L, "x", 0L), (4L, "d", 40L), (5L, "e", 50L)))
+  }
+
+  test("UPDATE rewrites only files that can hold a matching row") {
+    val dir = tmp(); mk(dir)
+    val before = VT.readManifest(spark, dir, 1L).files.map(_.path)
+    val out = GraftSql.sql(spark,
+      s"UPDATE graft_vtable('$dir') SET v = v + 100, s = upper(s) WHERE k >= 3")
+    assert(out.as[Long].head() == 2L)
+    assert(rows(dir) == Set((1L, "a", 10L), (2L, "b", 20L),
+      (3L, "C", 130L), (4L, "D", 140L)))
+    val after = VT.readManifest(spark, dir, 2L).files.map(_.path)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.nonEmpty, "files outside the WHERE range must carry by reference")
+    assert(before.toSet.diff(after.toSet).nonEmpty, "matching files must rewrite")
+  }
+
+  test("DELETE prunes, honors NULL-condition semantics, and supports full-table form") {
+    val dir = tmp(); mk(dir)
+    val before = VT.readManifest(spark, dir, 1L).files.map(_.path)
+    GraftSql.sql(spark, s"DELETE FROM graft_vtable('$dir') WHERE k <= 2 AND s <> 'a'")
+    assert(rows(dir) == Set((1L, "a", 10L), (3L, "c", 30L), (4L, "d", 40L)))
+    val after = VT.readManifest(spark, dir, 2L).files.map(_.path)
+    assert(after.toSet.intersect(before.toSet).nonEmpty,
+      "files above the WHERE bound must carry by reference")
+    GraftSql.sql(spark, s"DELETE FROM graft_vtable('$dir')")
+    assert(VT.read(spark, dir).count() == 0)
+    // history preserved: pre-delete versions still read
+    assert(VT.read(spark, dir, Some(1L)).count() == 4)
+  }
+
+  test("catalog: name addressing works across TVFs and DML") {
+    val cat = Files.createTempDirectory("cat").toString + "/catalog.json"
+    val old = spark.conf.getOption("spark.graft.catalog.path")
+    spark.conf.set("spark.graft.catalog.path", cat)
+    try {
+      graft.functions.GraftFunctions.register(spark)
+      val dir = tmp(); mk(dir)
+      spark.sql(s"SELECT * FROM graft_register_vtable('orders_t', '$dir')")
+      // TVF by name == TVF by path
+      assert(spark.sql("SELECT * FROM graft_vtable('orders_t')").count() ==
+        spark.sql(s"SELECT * FROM graft_vtable('$dir')").count())
+      // DML by name
+      GraftSql.sql(spark, "DELETE FROM graft_vtable('orders_t') WHERE k = 1")
+      assert(rows(dir) == Set((2L, "b", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+      // history/stats TVFs resolve the name too
+      assert(spark.sql("SELECT * FROM graft_vtable_history('orders_t')")
+        .count() == 2)
+      // unknown names fail loudly
+      val ex = intercept[Exception](
+        spark.sql("SELECT * FROM graft_vtable('nope')").collect())
+      assert(ex.getMessage.contains("no versioned table named"))
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.catalog.path", v)
+      case None => spark.conf.unset("spark.graft.catalog.path")
+    }
+  }
+
+  test("parser wrapper: graft DML parses here, everything else delegates") {
+    val p = new GraftSqlParser(spark.sessionState.sqlParser)
+    val plan = p.parsePlan(
+      "MERGE INTO graft_vtable('/x') USING src ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(plan.isInstanceOf[graft.sql.GraftMergeCommand])
+    assert(plan.asInstanceOf[graft.sql.GraftMergeCommand].keys == Seq("k"))
+    // non-graft statements delegate verbatim
+    assert(p.parsePlan("SELECT 1").isInstanceOf[
+      org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+    intercept[Exception](p.parsePlan("SELEC 1"))
+  }
+
+  test("unsupported clauses on a graft target fail loudly, not silently") {
+    // per-column UPDATE SET in MERGE is out of grammar
+    val ex = intercept[IllegalArgumentException] {
+      GraftDml.parse(
+        "MERGE INTO graft_vtable('/x') USING src ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET v = 1 " +
+          "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(ex.getMessage.contains("unsupported WHEN clause") ||
+      ex.getMessage.contains("supported shapes"))
+    // missing INSERT clause
+    val ex2 = intercept[IllegalArgumentException] {
+      GraftDml.parse(
+        "MERGE INTO graft_vtable('/x') USING src ON t.k = s.k " +
+          "WHEN MATCHED THEN UPDATE SET *")
+    }
+    assert(ex2.getMessage.contains("INSERT"))
+    // mismatched key names
+    val ex3 = intercept[IllegalArgumentException] {
+      GraftDml.parse(
+        "MERGE INTO graft_vtable('/x') USING src ON t.k = s.kk " +
+          "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(ex3.getMessage.contains("share a name"))
+  }
+
+  test("DML interop: SQL update then library merge then SQL delete stays exact") {
+    val dir = tmp(); mk(dir)
+    GraftSql.sql(spark, s"UPDATE graft_vtable('$dir') SET v = v * 2 WHERE k IN (1, 3)")
+    VT.commitMerge(Seq((4L, "d4", 44L, false)).toDF("k", "s", "v", "del"),
+      dir, Seq("k"), Seq.empty, $"del")
+    GraftSql.sql(spark, s"DELETE FROM graft_vtable('$dir') WHERE v >= 40 AND v < 60")
+    assert(rows(dir) == Set((1L, "a", 20L), (2L, "b", 20L), (3L, "c", 60L)))
+    // every step versioned: full history time-travels
+    assert(VT.versions(spark, dir) == Seq(1L, 2L, 3L, 4L))
+  }
+}
