@@ -109,9 +109,19 @@ object Bench {
     }.toSeq.sorted
     // a rerun that THROWS records its time-to-throw, which must never
     // replace a valid steady sample via min() — a 0.2 s fast-fail would
-    // report a phantom speedup; the throw still lands in `failed`
+    // report a phantom speedup; the throw still lands in `failed`.
+    // Re-time hygiene: drop cached relations and let the ContextCleaner
+    // reap the steady pass's orphaned localCheckpoint blocks first —
+    // otherwise a checkpoint-bearing query re-materializes NEW blocks
+    // while the old ones still occupy storage memory, and the rerun
+    // times WORSE than steady (r10: q_dedup_near 5.3 s rerun vs 3.2 s
+    // steady), corrupting the min() that robust_sec relies on.
+    spark.catalog.clearCache()
+    System.gc()
+    Thread.sleep(200)
     val reruns = outliers.flatMap { q =>
       val (t, ok) = runOne(q, SparkEntry.queries(q))
+      System.gc() // reap this rerun's blocks before the next sample
       if (ok) Some(q -> t) else None
     }.toMap
     val steady = steadyRaw.map { case (q, s) => q -> math.min(s, reruns.getOrElse(q, s)) }

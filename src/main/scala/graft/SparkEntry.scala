@@ -2228,8 +2228,10 @@ private[graft] object Queries {
       .select(col("o_orderkey"), col("o_orderstatus"),
         (col("o_totalprice") * lit(1.2)).as("o_totalprice"),
         (col("o_orderstatus") === "O").as("del"))
-    VT.commitMerge(p1, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
-    VT.commitMerge(p2, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+    // orders keys are unique → the dedup exchange is a semantic no-op;
+    // take the caller-guaranteed-unique merge path
+    VT.commitMergeUnique(p1, dir, Seq("o_orderkey"), col("del"))
+    VT.commitMergeUnique(p2, dir, Seq("o_orderkey"), col("del"))
   }
 
   def timeTravel(s: SparkSession, d: String): DataFrame = {
@@ -2447,13 +2449,13 @@ private[graft] object Queries {
       .select(col("o_orderkey"), col("o_orderstatus"),
         (cents(col("o_totalprice")) + lit(1000L)).as("cents"),
         (col("o_orderstatus") === "F").as("del"))
-    VT.commitMerge(p1, src, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+    VT.commitMergeUnique(p1, src, Seq("o_orderkey"), col("del"))
     refresh() // fold CDF v1→v2
     val p2 = ord(s, d).filter(col("o_orderkey") % 5 === 0)
       .select(col("o_orderkey"), col("o_orderstatus"),
         (cents(col("o_totalprice")) * lit(2L)).as("cents"),
         (col("o_orderstatus") === "O").as("del"))
-    VT.commitMerge(p2, src, Seq("o_orderkey"), Seq(col("o_orderstatus")), col("del"))
+    VT.commitMergeUnique(p2, src, Seq("o_orderkey"), col("del"))
     refresh() // fold CDF v2→v3
     refresh() // replay: ledger-skipped no-op
     graft.ops.ViewOps.present(VT.read(s, view), Seq("cents"))
@@ -2524,8 +2526,7 @@ private[graft] object Queries {
         .select(col("o_orderkey"), col("o_orderstatus"),
           (cents(col("o_totalprice")) * lit(2L)).as("cents"),
           (col("o_orderstatus") === "F").as("del"))
-      VT.commitMerge(chg, dir, Seq("o_orderkey"), Seq(col("o_orderstatus")),
-        col("del"))
+      VT.commitMergeUnique(chg, dir, Seq("o_orderkey"), col("del"))
       VT.readWhere(s, dir,
           col("o_orderkey") >= lit(100L) && col("o_orderkey") <= lit(5000L))
         .groupBy("o_orderstatus")

@@ -185,6 +185,11 @@ object VersionedTable {
 
   private val mapper = new ObjectMapper()
 
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def publishLockFor(dir: String): Object =
+    publishLocks.computeIfAbsent(dir, _ => new Object)
+
   private def vlogDir(dir: String) = new Path(dir, "_vlog")
   private def manifestPath(dir: String, v: Long) =
     new Path(vlogDir(dir), f"v$v%012d.json")
@@ -260,8 +265,17 @@ object VersionedTable {
     val dest = manifestPath(dir, m.version)
     // optimistic concurrency: probe-then-rename — some filesystems rename
     // INTO an existing dest rather than returning false, so the probe is
-    // load-bearing, same as Warehouse.appendPatch
-    val won = !fs.exists(dest) && fs.rename(tmp, dest)
+    // load-bearing, same as Warehouse.appendPatch. The probe+rename pair
+    // additionally serializes through a per-table JVM monitor: POSIX
+    // rename(2) silently OVERWRITES an existing dest, so on a local
+    // filesystem two same-version racers inside one driver could both
+    // "win" through the TOCTOU window. In-JVM serialization closes that
+    // for the supported deployment (all commits through one driver);
+    // HDFS-style stores keep cross-process safety via their own
+    // no-overwrite rename.
+    val won = publishLockFor(dir).synchronized {
+      !fs.exists(dest) && fs.rename(tmp, dest)
+    }
     if (!won) {
       fs.delete(tmp, false)
       throw new ConcurrentCommitException(
@@ -520,10 +534,16 @@ object VersionedTable {
 
   /** Write `df` as the files of one commit attempt and return the manifest
     * entries (paths relative to the table dir, per-file stats for
-    * `statsCols`). ONE extra narrow aggregation over just-written data
-    * gathers rows + min/max/nulls per file — at 100 TB that re-reads only
-    * the commit's own output, and a production build would instead lift
-    * the identical numbers from the parquet footers it just wrote.
+    * `statsCols`). Stats come from the PARQUET FOOTERS the write just
+    * produced — zero extra Spark jobs, no re-read of the commit's output
+    * (at 100 TB this halves commit cost). Values convert to Catalyst
+    * internal form and render through the same `Cast(x, STRING)` the
+    * scan-side aggregation used, so the manifest encoding is identical
+    * byte-for-byte. Any file×column whose footer stats are unusable
+    * (float/double — NaN ordering differs between parquet and Spark —
+    * INT96 timestamps, dropped/absent stats) falls the whole commit back
+    * to the one-aggregation scan path; `spark.graft.vtable.footerStats=
+    * false` forces that path.
     */
   private def fileNameOf(uri: String): String =
     // plain suffix split — input_file_name() URI-escapes unevenly across
@@ -539,29 +559,39 @@ object VersionedTable {
     val rel = s"data/c$version-$nonce"
     val commitDir = new Path(dir, rel)
     df.write.mode("overwrite").parquet(commitDir.toString)
-    // schema pinned explicitly: an all-empty commit (a merge that
-    // tombstones every touched row) must not die on schema inference
-    val written = spark.read.schema(df.schema).parquet(commitDir.toString)
-    val statAggs = statsCols.flatMap { c =>
-      val q = col(s"`$c`")
-      Seq(min(q).cast("string").as(s"__min_$c"),
-        max(q).cast("string").as(s"__max_$c"),
-        sum(q.isNull.cast("long")).as(s"__nul_$c"))
-    }
-    val perFile = written
-      .groupBy(input_file_name().as("__file"))
-      .agg(count(lit(1)).as("__rows"), statAggs: _*)
-      .collect()
-    val blooms = writeBloomSidecars(written, dir, rel, bloomCols, bloomFpp)
-    val types = statsCols.map(c => c -> written.schema(c).dataType.sql).toMap
-    perFile.map { r =>
-      val name = fileNameOf(r.getAs[String]("__file"))
-      val stats = statsCols.map { c =>
-        c -> ColStat(types(c), Option(r.getAs[String](s"__min_$c")),
-          Option(r.getAs[String](s"__max_$c")), r.getAs[Long](s"__nul_$c"))
-      }.toMap
-      FileEntry(s"$rel/$name", r.getAs[Long]("__rows"), stats,
-        blooms.getOrElse(name, Map.empty))
+    val footerOn = spark.conf.getOption("spark.graft.vtable.footerStats")
+      .forall(_.toBoolean)
+    val lifted: Option[Seq[(String, Long, Map[String, ColStat])]] =
+      if (!footerOn) None
+      else FooterStats.lift(spark, commitDir, statsCols, df.schema)
+    val perFileData: Seq[(String, Long, Map[String, ColStat])] =
+      lifted.getOrElse {
+        // scan fallback: one narrow aggregation over the just-written data
+        val written = spark.read.schema(df.schema).parquet(commitDir.toString)
+        val statAggs = statsCols.flatMap { c =>
+          val q = col(s"`$c`")
+          Seq(min(q).cast("string").as(s"__min_$c"),
+            max(q).cast("string").as(s"__max_$c"),
+            sum(q.isNull.cast("long")).as(s"__nul_$c"))
+        }
+        val types = statsCols.map(c => c -> written.schema(c).dataType.sql).toMap
+        written.groupBy(input_file_name().as("__file"))
+          .agg(count(lit(1)).as("__rows"), statAggs: _*)
+          .collect().toSeq.map { r =>
+            val stats = statsCols.map { c =>
+              c -> ColStat(types(c), Option(r.getAs[String](s"__min_$c")),
+                Option(r.getAs[String](s"__max_$c")), r.getAs[Long](s"__nul_$c"))
+            }.toMap
+            (fileNameOf(r.getAs[String]("__file")), r.getAs[Long]("__rows"), stats)
+          }
+      }
+    val blooms =
+      if (bloomCols.isEmpty) Map.empty[String, Map[String, String]]
+      else writeBloomSidecars(
+        spark.read.schema(df.schema).parquet(commitDir.toString),
+        dir, rel, bloomCols, bloomFpp)
+    perFileData.map { case (name, rows, stats) =>
+      FileEntry(s"$rel/$name", rows, stats, blooms.getOrElse(name, Map.empty))
     }.sortBy(_.path).toSeq
   }
 
@@ -832,6 +862,19 @@ object VersionedTable {
     commitMergeImpl(changes, dir, keys, tiebreak, deleteCond, txn,
       evolve = false, metaCols = Seq.empty)
 
+  /** [[commitMerge]] for changelogs the CALLER guarantees are one row per
+    * key (an aggregation output, an already-deduped feed): skips the
+    * per-key dedup exchange — one fewer shuffle per commit. The
+    * guarantee is a contract, not checked: duplicate keys here produce
+    * the same undefined merge a duplicate-keyed [[Warehouse
+    * .applyChanges]] would.
+    */
+  def commitMergeUnique(changes: DataFrame, dir: String, keys: Seq[String],
+                        deleteCond: Column,
+                        txn: Option[(String, Long)] = None): Long =
+    commitMergeImpl(changes, dir, keys, Seq.empty, deleteCond, txn,
+      evolve = false, metaCols = Seq.empty, dedupe = false)
+
   /** [[commitMerge]] with SCHEMA EVOLUTION ([[Warehouse.applyChangesEvolve]]
     * semantics): a changelog column the table lacks appends to the schema.
     * Carried-over files simply lack the column on disk — the evolved read
@@ -850,7 +893,8 @@ object VersionedTable {
   private def commitMergeImpl(changes: DataFrame, dir: String, keys: Seq[String],
                               tiebreak: Seq[Column], deleteCond: Column,
                               txn: Option[(String, Long)],
-                              evolve: Boolean, metaCols: Seq[String]): Long = {
+                              evolve: Boolean, metaCols: Seq[String],
+                              dedupe: Boolean = true): Long = {
     val spark = changes.sparkSession
     val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
@@ -862,7 +906,8 @@ object VersionedTable {
       s"VersionedTable.commitMerge: merge key $key is not a stats column " +
         s"(${cur.statsCols.mkString(", ")}) — file pruning would be impossible; " +
         "declare it in create(statsCols)")
-    val deduped = Warehouse.dedupByKey(changes, keys, tiebreak)
+    val deduped =
+      if (dedupe) Warehouse.dedupByKey(changes, keys, tiebreak) else changes
     cowMergeCore(spark, dir, cur, deduped, keys, deleteCond, txn,
       evolve, metaCols, op = "merge")
   }

@@ -234,7 +234,9 @@ object ViewOps {
             .select(groupCols.map(col) ++ sc.map(c =>
               (coalesce(col(s"__s_$c"), lit(0L)) + col(s"__d_$c")).as(c)): _*)
             .withColumn("__dead", col("n") <= 0L)
-          VT.commitMerge(changelog, viewDir, groupCols, tiebreak = Seq.empty,
+          // the changelog is an aggregation output — one row per group by
+          // construction — so the merge skips its dedup exchange
+          VT.commitMergeUnique(changelog, viewDir, groupCols,
             deleteCond = col("__dead"), txn = Some(appId -> srcV))
         } finally delta.unpersist()
         VT.currentVersion(spark, viewDir).get
