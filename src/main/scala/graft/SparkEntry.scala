@@ -2693,6 +2693,72 @@ private[graft] object Queries {
       |FROM base WHERE NOT (k <= 3000 AND k % 2 = 0)
       |GROUP BY st ORDER BY st""".stripMargin
 
+  /** STREAMING change-data-feed source ([[graft.sources.VtableCdfSource]]
+    * — the Delta `readChangeFeed` analog): `readStream.format(
+    * "graft-vtable-cdf")` over a versioned table, offsets = table
+    * versions, each commit replayed as a deterministic manifest diff
+    * materialized to `_cdf/` change files (computing the diff's FULL
+    * OUTER join inside the streaming plan would make it a stream-stream
+    * join whose outer rows wait forever on a watermark — the same reason
+    * Delta materializes CDC files). The query drains one commit window
+    * with Trigger.AvailableNow into a memory sink; the oracle re-derives
+    * the same insert/update/delete classification with a LEFT JOIN of
+    * the changelog against the base (all changes originate changelog-
+    * side), no-op tombstones and no-op updates dropped exactly as the
+    * file-diff drops them.
+    */
+  def cdfStream(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "vtable_cdf_src")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+    val snap = ord(s, d).filter(col("o_orderkey") % 3 =!= 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("cents"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    VT.create(snap, dir, statsCols = Seq("o_orderkey"))
+    val chg = ord(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (cents(col("o_totalprice")) + lit(1000L)).as("cents"),
+        (col("o_orderstatus") === "F").as("del"))
+    VT.commitMergeUnique(chg, dir, Seq("o_orderkey"), col("del"))
+    val q = s.readStream.format("graft-vtable-cdf")
+      .option("dir", dir).option("keys", "o_orderkey")
+      .option("startingVersion", "1")
+      .load()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("q_cdf_stream_sink")
+      .option("checkpointLocation", s"$dir/_q_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table("q_cdf_stream_sink")
+      .select(col("change_type"), col("o_orderkey"), col("o_orderstatus"),
+        col("cents").cast("double").as("cents"), col("_commit_version"))
+      .orderBy("o_orderkey")
+  }
+
+  private val cdfStreamSql =
+    """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
+      |           FROM orders WHERE o_orderkey % 3 <> 0),
+      |s AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+      |             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + 1000 AS c,
+      |             o_orderstatus = 'F' AS del
+      |      FROM orders WHERE o_orderkey % 2 = 0)
+      |SELECT CASE WHEN t.k IS NULL THEN 'insert'
+      |            WHEN s.del THEN 'delete' ELSE 'update' END AS change_type,
+      |       s.k AS o_orderkey,
+      |       CASE WHEN t.k IS NOT NULL AND s.del THEN t.st ELSE s.st END AS o_orderstatus,
+      |       CAST(CASE WHEN t.k IS NOT NULL AND s.del THEN t.c ELSE s.c END AS DOUBLE) AS cents,
+      |       CAST(2 AS BIGINT) AS _commit_version
+      |FROM s LEFT JOIN t ON s.k = t.k
+      |WHERE NOT (t.k IS NULL AND s.del)
+      |  AND NOT (t.k IS NOT NULL AND NOT s.del AND t.st = s.st AND t.c = s.c)
+      |ORDER BY o_orderkey""".stripMargin
+
   /** Merge-on-read on the VERSIONED table ([[graft.ops.VersionedTable
     * .commitPatch]]): two CDC batches land as O(batch) patch commits —
     * no base file is read or rewritten (spec asserts byte-stability) —
@@ -3683,6 +3749,7 @@ private[graft] object Queries {
     "q_prune_sql" -> (pruneSql _),
     "q_ivm" -> (ivm _),
     "q_vtable_ckpt" -> (vtableCkpt _),
+    "q_cdf_stream" -> (cdfStream _),
     "q_merge_sql" -> (mergeSql _),
     "q_update_sql" -> (updateSql _),
     "q_delete_sql" -> (deleteSql _),
@@ -3833,6 +3900,7 @@ private[graft] object Queries {
     "q_prune_sql" -> pruneSqlSql,
     "q_ivm" -> ivmSql,
     "q_vtable_ckpt" -> vtableCkptSql,
+    "q_cdf_stream" -> cdfStreamSql,
     "q_merge_sql" -> mergeSqlSql,
     "q_update_sql" -> updateSqlSql,
     "q_delete_sql" -> deleteSqlSql,

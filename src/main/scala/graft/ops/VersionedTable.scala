@@ -194,6 +194,16 @@ object VersionedTable {
   private def manifestPath(dir: String, v: Long) =
     new Path(vlogDir(dir), f"v$v%012d.json")
 
+  /** Empty relation with `schema` as a LOCAL relation — not an empty-RDD
+    * scan — so `PropagateEmptyRelation` can fold it and streaming wrappers
+    * can re-flag it (LogicalRDD's copy is not publicly reconstructible).
+    */
+  private def emptyDF(spark: SparkSession, schema: StructType): DataFrame =
+    org.apache.spark.sql.GraftShim.dataFrame(spark,
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+        org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+        Seq.empty, isStreaming = false))
+
   private def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -933,7 +943,7 @@ object VersionedTable {
     val next = cur.version + 1
     val base =
       if (touched.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        emptyDF(spark, schema)
       else
         spark.read.schema(schema).parquet(touched.map(f => s"$dir/${f.path}"): _*)
     val applied =
@@ -1233,7 +1243,7 @@ object VersionedTable {
   private def baseRead(spark: SparkSession, dir: String, m: Manifest,
                        schema: StructType): DataFrame =
     if (m.files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      emptyDF(spark, schema)
     else {
       val df = spark.read.schema(schema).parquet(m.files.map(f => s"$dir/${f.path}"): _*)
       df.queryExecution.analyzed.foreach {
@@ -1331,7 +1341,7 @@ object VersionedTable {
     val schema = StructType.fromDDL(m.schemaDdl)
     val base =
       if (survivors.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        emptyDF(spark, schema)
       else
         spark.read.schema(schema).parquet(survivors.map(p => s"$dir/$p"): _*)
     foldPatches(spark, dir, m.patches, m.mergeKeys, base, schema)
@@ -1652,8 +1662,7 @@ object VersionedTable {
             payload.map(c => col(s"__r.img.$c").as(c)): _*)
     }
     def readSet(ps: Seq[String]): DataFrame =
-      if (ps.isEmpty)
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      if (ps.isEmpty) emptyDF(spark, schema)
       else spark.read.schema(schema).parquet(ps.map(p => s"$dir/$p"): _*)
     // base-file delta across the window: when every manifest in it is
     // delta-mode the diff folds from the manifests themselves — O(window

@@ -74,6 +74,7 @@ class ContractSpec extends SparkSuite {
       "q_merge_sql",       // versioned-table create + parsed MERGE commit (eager, like all DML)
       "q_update_sql",      // versioned-table create + parsed UPDATE rewrite
       "q_delete_sql",      // versioned-table create + parsed DELETE rewrite
+      "q_cdf_stream",      // versioned-table fixture + a drained AvailableNow CDF stream
       "q_dedup_lifecycle", // two ingest rounds against the signature table
       "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor
       // scan queries write their fixture on first use + scalar watermark cuts

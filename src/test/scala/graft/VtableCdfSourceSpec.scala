@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.ops.{VersionedTable => VT}
+
+/** Streaming change-data-feed SOURCE over a versioned table: offsets are
+  * table versions, each commit replays as a deterministic manifest diff,
+  * restarts resume exactly-once from the engine's offset log, and the
+  * `net` mode folds backlogs into one diff per batch.
+  */
+class VtableCdfSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("cdfsrc").toString
+
+  private def mk(dir: String): Unit = {
+    VT.create(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+      .repartitionByRange(2, $"k").sortWithinPartitions("k"), dir, Seq("k"))
+  }
+
+  private def drain(dir: String, ckpt: String, q: String,
+                    opts: Map[String, String] = Map.empty): Unit = {
+    var reader = spark.readStream.format("graft-vtable-cdf")
+      .option("dir", dir).option("keys", "k")
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val qry = reader.load()
+      .writeStream.outputMode("append").format("memory").queryName(q)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    qry.awaitTermination()
+  }
+
+  private def rows(q: String): Set[(String, Long, String, Long)] =
+    spark.table(q).select($"change_type", $"k", $"s", $"_commit_version")
+      .as[(String, Long, String, Long)].collect().toSet
+
+  test("bootstrap from 0: snapshot as inserts, then per-commit diffs with versions") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    VT.commitMerge(Seq((2L, "B", false), (4L, "d", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v2
+    VT.commitMerge(Seq((1L, "x", true)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v3
+    drain(dir, s"$root/ckpt", "cdf_boot", Map("startingVersion" -> "0"))
+    assert(rows("cdf_boot") == Set(
+      ("insert", 1L, "a", 1L), ("insert", 2L, "b", 1L), ("insert", 3L, "c", 1L),
+      ("update", 2L, "B", 2L), ("insert", 4L, "d", 2L),
+      ("delete", 1L, "a", 3L)))
+  }
+
+  /** Durable-sink drain: the memory sink cannot recover from a
+    * checkpoint, so restart semantics are proved against the parquet
+    * file sink — the production shape anyway.
+    */
+  private def drainToParquet(dir: String, ckpt: String, out: String,
+                             opts: Map[String, String]): Unit = {
+    var reader = spark.readStream.format("graft-vtable-cdf")
+      .option("dir", dir).option("keys", "k")
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val qry = reader.load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    qry.awaitTermination()
+  }
+
+  private def parquetRows(out: String): Set[(String, Long, String, Long)] =
+    spark.read.parquet(out)
+      .select($"change_type", $"k", $"s", $"_commit_version")
+      .as[(String, Long, String, Long)].collect().toSet
+
+  test("restart resumes exactly-once from the checkpoint") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    VT.commitMerge(Seq((4L, "d", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v2
+    drainToParquet(dir, ckpt, out, Map("startingVersion" -> "1"))
+    assert(parquetRows(out) == Set(("insert", 4L, "d", 2L)))
+    // more commits, then resume from the SAME checkpoint: only the new
+    // window replays — nothing duplicated, nothing lost
+    VT.commitMerge(Seq((4L, "D2", false), (5L, "e", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v3
+    drainToParquet(dir, ckpt, out, Map("startingVersion" -> "1"))
+    assert(parquetRows(out) == Set(("insert", 4L, "d", 2L),
+      ("update", 4L, "D2", 3L), ("insert", 5L, "e", 3L)))
+    // an idle resume adds nothing
+    drainToParquet(dir, ckpt, out, Map("startingVersion" -> "1"))
+    assert(parquetRows(out).size == 3)
+  }
+
+  test("net mode folds a multi-commit window into one diff") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    // churn that partially cancels: k=4 inserted then updated; k=2
+    // updated then deleted — the NET window must show only end-vs-start
+    VT.commitMerge(Seq((4L, "d", false), (2L, "B", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v2
+    VT.commitMerge(Seq((4L, "D2", false), (2L, "x", true)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v3
+    drain(dir, s"$root/ckpt", "cdf_net",
+      Map("startingVersion" -> "1", "net" -> "true"))
+    assert(rows("cdf_net") == Set(
+      ("insert", 4L, "D2", 3L), ("delete", 2L, "b", 3L)))
+    // per-commit mode over the same window shows the intermediate states
+    drain(dir, s"$root/ckpt2", "cdf_full", Map("startingVersion" -> "1"))
+    assert(rows("cdf_full") == Set(
+      ("insert", 4L, "d", 2L), ("update", 2L, "B", 2L),
+      ("update", 4L, "D2", 3L), ("delete", 2L, "B", 3L)))
+  }
+
+  test("preimages mode emits the retraction encoding downstream IVM needs") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    VT.commitMerge(Seq((2L, "B", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v2
+    drain(dir, s"$root/ckpt", "cdf_pre",
+      Map("startingVersion" -> "1", "preimages" -> "true"))
+    assert(rows("cdf_pre") == Set(
+      ("update_preimage", 2L, "b", 2L), ("update_postimage", 2L, "B", 2L)))
+  }
+
+  test("admission control: a deep backlog drains in capped multi-version batches") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    (1 to 4).foreach { i =>
+      VT.commitAppend(Seq((100L + i, s"v$i")).toDF("k", "s").coalesce(1), dir)
+    }
+    // maxSlicesPerBatch=2 with AvailableNow: the engine asks latestOffset
+    // per batch, the source caps each to 2 versions, and the drain still
+    // reaches the pinned end — 4 commits across >= 2 batches, exactly once
+    drain(dir, s"$root/ckpt", "cdf_deep",
+      Map("startingVersion" -> "1", "maxSlicesPerBatch" -> "2"))
+    assert(rows("cdf_deep") ==
+      (1 to 4).map(i => ("insert", 100L + i, s"v$i", (i + 1).toLong)).toSet)
+    // a getBatch window wider than the cap (an engine without admission
+    // control) still refuses loudly and names the knobs
+    val src = new graft.sources.VtableCdfSource(spark,
+      Map("dir" -> dir, "keys" -> "k", "maxSlicesPerBatch" -> "2",
+        "startingVersion" -> "1"))
+    def off(v: Long) = new org.apache.spark.sql.execution.streaming.Offset {
+      override def json: String = v.toString
+    }
+    val ex = intercept[IllegalStateException] {
+      src.getBatch(Some(off(1L)), off(5L))
+    }
+    assert(ex.getMessage.contains("net=true"))
+    // net mode folds the same backlog into one slice per batch
+    drain(dir, s"$root/ckpt_net", "cdf_deep_net",
+      Map("startingVersion" -> "1", "net" -> "true"))
+    assert(rows("cdf_deep_net") ==
+      (1 to 4).map(i => ("insert", 100L + i, s"v$i", 5L)).toSet)
+  }
+}
