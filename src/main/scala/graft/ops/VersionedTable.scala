@@ -1723,33 +1723,78 @@ object VersionedTable {
   final case class TableStats(rows: Long, exact: Boolean,
                               cols: Map[String, (Long, Option[String], Option[String])])
 
+  /** Per-column manifest fold: (nulls, global min/max as Catalyst-cast
+    * strings, count of files with NO stats entry for the column). The
+    * blind count matters since [[commitAddFiles]]: externally-registered
+    * entries may omit stats, and a metadata-only ANSWER (unlike pruning,
+    * which just stays conservative) must refuse when any file is blind.
+    */
+  private[graft] final case class ColFold(nulls: Long, min: Option[String],
+                                          max: Option[String], blind: Long)
+
+  /** The stats fold behind [[tableStats]] and the metadata-only aggregate
+    * rule — driver loop below [[distributedPruneThreshold]], ONE Spark
+    * job over the checkpoint relation above it (a 10⁶-file manifest
+    * folds on the cluster; only per-column scalars reach the driver).
+    */
+  private[graft] def statsFold(spark: SparkSession, dir: String,
+                               v: Long): (ManifestMeta, Map[String, ColFold]) = {
+    val m = readMeta(spark, dir, v)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    if (m.statsCols.isEmpty) return (m, Map.empty)
+    if (m.numFiles <= distributedPruneThreshold(spark)) {
+      val files = materializeFiles(spark, dir, v)
+      val cols = m.statsCols.map { c =>
+        val per = files.map(_.stats.get(c))
+        val blind = per.count(_.isEmpty)
+        val stats = per.flatten
+        val nulls = stats.map(_.nulls).sum
+        val mins = stats.flatMap(_.min)
+        val maxs = stats.flatMap(_.max)
+        // fold per-file bounds through the column's own comparator: one
+        // local no-scan projection over the (driver-small) bound strings
+        val (gMin, gMax) =
+          if (mins.isEmpty) (None, None)
+          else if (mins.size == 1) (mins.headOption, maxs.headOption)
+          else {
+            val t = schema(c).dataType
+            val r = spark.range(1).select(
+              least(mins.map(s => lit(s).cast(t)): _*).cast("string"),
+              greatest(maxs.map(s => lit(s).cast(t)): _*).cast("string")).head()
+            (Option(r.getString(0)), Option(r.getString(1)))
+          }
+        c -> ColFold(nulls, gMin, gMax, blind)
+      }.toMap
+      (m, cols)
+    } else {
+      val aggs = m.statsCols.flatMap { c =>
+        val t = schema(c).dataType
+        val e = col("stats").getItem(c)
+        Seq(sum(coalesce(e.getField("nulls"), lit(0L))).as(s"__nul_$c"),
+          min(e.getField("min").cast(t)).cast("string").as(s"__min_$c"),
+          max(e.getField("max").cast(t)).cast("string").as(s"__max_$c"),
+          sum(e.isNull.cast("long")).as(s"__blind_$c"))
+      }
+      val r = filesDF(spark, dir, v).agg(aggs.head, aggs.tail: _*).head()
+      val cols = m.statsCols.map { c =>
+        c -> ColFold(r.getAs[Long](s"__nul_$c"),
+          Option(r.getAs[String](s"__min_$c")),
+          Option(r.getAs[String](s"__max_$c")),
+          r.getAs[Long](s"__blind_$c"))
+      }.toMap
+      (m, cols)
+    }
+  }
+
   def tableStats(spark: SparkSession, dir: String,
                  asOf: Option[Long] = None): TableStats = {
     val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable.tableStats: $dir is not a versioned table"))
-    val m = readManifest(spark, dir, v)
-    val schema = StructType.fromDDL(m.schemaDdl)
-    val rows = m.files.map(_.rows).sum
-    val cols = m.statsCols.map { c =>
-      val stats = m.files.flatMap(_.stats.get(c))
-      val nulls = stats.map(_.nulls).sum
-      val mins = stats.flatMap(_.min)
-      val maxs = stats.flatMap(_.max)
-      // fold per-file bounds through the column's own comparator: one
-      // local no-scan projection over the (driver-small) bound strings
-      val (gMin, gMax) =
-        if (mins.isEmpty) (None, None)
-        else if (mins.size == 1) (mins.headOption, maxs.headOption)
-        else {
-          val t = schema(c).dataType
-          val r = spark.range(1).select(
-            least(mins.map(s => lit(s).cast(t)): _*).cast("string"),
-            greatest(maxs.map(s => lit(s).cast(t)): _*).cast("string")).head()
-          (Option(r.getString(0)), Option(r.getString(1)))
-        }
-      c -> ((nulls, gMin, gMax))
-    }.toMap
-    TableStats(rows, exact = m.patches.isEmpty, cols)
+    val (m, folds) = statsFold(spark, dir, v)
+    TableStats(m.totalRows, exact = m.patches.isEmpty,
+      m.statsCols.map(c => c -> {
+        val f = folds(c); (f.nulls, f.min, f.max)
+      }).toMap)
   }
 
   /** RESTORE: roll the table back to `toVersion` as a NEW commit whose

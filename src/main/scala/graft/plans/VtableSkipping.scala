@@ -186,37 +186,37 @@ object VtableMetadataAgg extends Rule[LogicalPlan] {
 
   private def answer(agg: Aggregate, dir: String, version: Long): Option[LogicalPlan] = {
     val spark = org.apache.spark.sql.SparkSession.active
-    val m = VersionedTable.readManifest(spark, dir, version)
+    val m = VersionedTable.readMeta(spark, dir, version)
     if (m.patches.nonEmpty) return None
     val schema = StructType.fromDDL(m.schemaDdl)
-    val totalRows = m.files.map(_.rows).sum
+    val totalRows = m.totalRows
+    // shared fold: driver loop below the distributed threshold, ONE Spark
+    // job over the checkpoint relation above it — the metadata answer
+    // stays O(metadata) at 10⁶ files too. Lazy: a pure COUNT(*) answers
+    // from the header without folding anything.
+    lazy val folds = VersionedTable.statsFold(spark, dir, version)._2
 
-    def colStats(name: String): Option[Seq[VersionedTable.ColStat]] = {
-      if (!m.statsCols.contains(name)) return None
-      val per = m.files.map(_.stats.get(name))
-      if (per.exists(_.isEmpty)) None else Some(per.flatten)
-    }
+    // a column is answerable only when EVERY file carries stats for it —
+    // an externally-registered entry without stats makes counts/bounds
+    // unknowable, not just unprunable
+    def fold(name: String): Option[VersionedTable.ColFold] =
+      folds.get(name).filter(_.blind == 0L)
     def internal(s: String, dt: DataType): Any =
       Cast(Literal(UTF8String.fromString(s), StringType), dt,
         Some(spark.sessionState.conf.sessionLocalTimeZone)).eval(null)
-    def lt(a: Any, b: Any, dt: DataType): Boolean =
-      LessThan(Literal(a, dt), Literal(b, dt)).eval(null).asInstanceOf[Boolean]
-    def foldBound(name: String, takeMin: Boolean): Option[Any] =
-      colStats(name).map { stats =>
-        val bounds = stats.flatMap(s => if (takeMin) s.min else s.max)
-          .map(internal(_, schema(name).dataType))
-        if (bounds.isEmpty) null // every file all-null → SQL min/max NULL
-        else bounds.reduce((a, b) =>
-          if (lt(a, b, schema(name).dataType) == takeMin) a else b)
+    def bound(name: String, takeMin: Boolean): Option[Any] =
+      fold(name).map { f =>
+        val b = if (takeMin) f.min else f.max
+        b.map(internal(_, schema(name).dataType)).orNull // all-null → SQL NULL
       }
 
     val values = agg.aggregateExpressions.map {
       case Alias(AggregateExpression(fn, _, false, None, _), _) => fn match {
         case Count(Seq(l: Literal)) if l.value != null => Some(totalRows)
         case Count(Seq(a: AttributeReference)) =>
-          colStats(a.name).map(st => totalRows - st.map(_.nulls).sum)
-        case Min(a: AttributeReference) => foldBound(a.name, takeMin = true)
-        case Max(a: AttributeReference) => foldBound(a.name, takeMin = false)
+          fold(a.name).map(f => totalRows - f.nulls)
+        case Min(a: AttributeReference) => bound(a.name, takeMin = true)
+        case Max(a: AttributeReference) => bound(a.name, takeMin = false)
         case _ => None
       }
       case _ => None

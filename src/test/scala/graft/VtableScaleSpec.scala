@@ -150,6 +150,35 @@ class VtableScaleSpec extends SparkSuite {
       .select($"change_type", $"k", $"s").as[(String, Long, String)]
       .collect().toSet
     assert(feed == Set(("update", -1L, "R1")))
+    // tableStats folds the stats as a SPARK JOB above the threshold: the
+    // 50k synthetic files DO NOT EXIST on disk, so a correct answer here
+    // is constructive proof the fold is manifest-only (header rows,
+    // cluster-folded bounds through the column's own Catalyst order)
+    val ts = VT.tableStats(spark, dir)
+    assert(ts.rows == 50003L && ts.exact)
+    assert(ts.cols("k") == ((0L, Some("-3"), Some("49999"))))
+  }
+
+  test("a stats-less registered file blocks metadata-only answers but not reads") {
+    val dir = tmp()
+    VT.create(row1(1L, "a"), dir, Seq("k"))
+    // register a REAL second file by reference, honest rows but NO stats
+    val src = VT.readManifest(spark, dir, 1L).files.head.path
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$dir/$src"), fs,
+      new org.apache.hadoop.fs.Path(s"$dir/ext/copy.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    VT.commitAddFiles(spark, dir,
+      Seq(VT.FileEntry("ext/copy.parquet", 1L, Map.empty)))
+    graft.functions.GraftFunctions.register(spark)
+    // COUNT(*) still answers from the header; MIN over a blind column must
+    // DECLINE the metadata answer and fall back to the (correct) scan
+    val df = spark.sql(s"SELECT COUNT(*) AS n, MIN(k) AS mn FROM graft_vtable('$dir')")
+    assert(df.as[(Long, Long)].head() == ((2L, 1L)))
+    assert(df.queryExecution.executedPlan.toString.contains("Scan"),
+      "a blind entry must force the scan, not a fabricated metadata answer")
   }
 
   test("driver and distributed pruning tiers agree decision-for-decision") {
