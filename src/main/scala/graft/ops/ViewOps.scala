@@ -206,40 +206,105 @@ object ViewOps {
         if (lastSrcV >= srcV) return vv // nothing new (or replay) — no-op
         val cdf = VT.changesBetween(spark, srcDir, lastSrcV, srcV, srcKeys,
           preimages = true)
-        requireIntegralMeasures(cdf.schema, measures, "refreshAggView")
-        // drop zero-net groups: an update that only touched columns this
-        // view doesn't maintain (or churn that cancels exactly) must not
-        // rewrite the group's file — at scale most CDC traffic is exactly
-        // such unrelated churn. PERSIST the (touched-groups-sized) delta:
-        // it feeds the null guard, the fold join, and the merge's own
-        // file-pruning probe — without the pin each action would re-run
-        // the whole CDF read + full-outer diff + signed aggregation.
-        val delta = aggDelta(cdf, groupCols, measures)
-          .filter(stateCols(measures).map(c => col(c) =!= 0L).reduce(_ || _))
-          .persist()
-        try {
-          requireNonNullGroups(delta, groupCols, "refreshAggView")
-          // ONE left join from the delta to the current view: a delta
-          // group's new state is old-state (0 when absent) + delta; a
-          // group whose live count reaches zero is tombstoned. This
-          // replaces the earlier touched-semi-join + full-outer fold +
-          // changelog re-join (three joins, two view reads) — the view is
-          // read once and only the delta's groups flow anywhere.
-          val sc = stateCols(measures)
-          val viewState = VT.read(spark, viewDir).select(
-            groupCols.map(col) ++ sc.map(c => col(c).as(s"__s_$c")): _*)
-          val changelog = delta.select(
-              groupCols.map(col) ++ sc.map(c => col(c).as(s"__d_$c")): _*)
-            .join(viewState, groupCols, "left_outer")
-            .select(groupCols.map(col) ++ sc.map(c =>
-              (coalesce(col(s"__s_$c"), lit(0L)) + col(s"__d_$c")).as(c)): _*)
-            .withColumn("__dead", col("n") <= 0L)
-          // the changelog is an aggregation output — one row per group by
-          // construction — so the merge skips its dedup exchange
-          VT.commitMergeUnique(changelog, viewDir, groupCols,
-            deleteCond = col("__dead"), txn = Some(appId -> srcV))
-        } finally delta.unpersist()
+        foldFeedIntoView(spark, viewDir, cdf, groupCols, measures,
+          txn = appId -> srcV, ctx = "refreshAggView")
         VT.currentVersion(spark, viewDir).get
     }
+  }
+
+  /** Fold one PREIMAGE-ENCODED change feed into the materialized view —
+    * the core both [[refreshAggView]] (cursor-driven CDF windows) and
+    * [[maintainFromStream]] (streamed CDF micro-batches) commit through.
+    * `txn` makes the fold exactly-once per (app, id): a replayed feed
+    * no-ops at the merge.
+    */
+  private def foldFeedIntoView(spark: SparkSession, viewDir: String,
+                               cdf: DataFrame, groupCols: Seq[String],
+                               measures: Seq[String], txn: (String, Long),
+                               ctx: String): Unit = {
+    val VT = VersionedTable
+    requireIntegralMeasures(cdf.schema, measures, ctx)
+    // drop zero-net groups: an update that only touched columns this
+    // view doesn't maintain (or churn that cancels exactly) must not
+    // rewrite the group's file — at scale most CDC traffic is exactly
+    // such unrelated churn. PERSIST the (touched-groups-sized) delta:
+    // it feeds the null guard, the fold join, and the merge's own
+    // file-pruning probe — without the pin each action would re-run
+    // the whole CDF read + full-outer diff + signed aggregation.
+    val delta = aggDelta(cdf, groupCols, measures)
+      .filter(stateCols(measures).map(c => col(c) =!= 0L).reduce(_ || _))
+      .persist()
+    try {
+      requireNonNullGroups(delta, groupCols, ctx)
+      // ONE left join from the delta to the current view: a delta
+      // group's new state is old-state (0 when absent) + delta; a
+      // group whose live count reaches zero is tombstoned. This
+      // replaces the earlier touched-semi-join + full-outer fold +
+      // changelog re-join (three joins, two view reads) — the view is
+      // read once and only the delta's groups flow anywhere.
+      val sc = stateCols(measures)
+      val viewState = VT.read(spark, viewDir).select(
+        groupCols.map(col) ++ sc.map(c => col(c).as(s"__s_$c")): _*)
+      val changelog = delta.select(
+          groupCols.map(col) ++ sc.map(c => col(c).as(s"__d_$c")): _*)
+        .join(viewState, groupCols, "left_outer")
+        .select(groupCols.map(col) ++ sc.map(c =>
+          (coalesce(col(s"__s_$c"), lit(0L)) + col(s"__d_$c")).as(c)): _*)
+        .withColumn("__dead", col("n") <= 0L)
+      // the changelog is an aggregation output — one row per group by
+      // construction — so the merge skips its dedup exchange
+      VT.commitMergeUnique(changelog, viewDir, groupCols,
+        deleteCond = col("__dead"), txn = Some(txn))
+    } finally delta.unpersist()
+  }
+
+  /** CONTINUOUS view maintenance from the STREAMED change feed — the full
+    * loop composed: source versioned table → [[graft.sources
+    * .VtableCdfSource]] (`graft-vtable-cdf`, preimage-encoded) →
+    * per-micro-batch signed-delta fold → the view's own versioned merge.
+    * Bootstraps the view from the source's CURRENT version on first call
+    * (same contract as [[refreshAggView]]) and starts the stream at that
+    * version, so no change is skipped or double-counted across the
+    * bootstrap boundary.
+    *
+    * Exactly-once twice over: the engine's checkpoint replays a failed
+    * micro-batch with the SAME content, and the view merge's txn ledger
+    * no-ops the replay — the same discipline as [[graft.streaming
+    * .StreamOps.streamingCdcApplyVersioned]], now on the consumption
+    * side. The ledger cursor is the max SOURCE version the batch covers
+    * (from `_commit_version`), NOT the engine batch id: one cursor
+    * domain for bootstrap, batch refreshes, and stream folds, so the
+    * modes interleave safely and a FRESH checkpoint resumes from
+    * exactly the view's folded source version instead of re-reading (or
+    * skipping) a window. Returns the started query; drive it with any
+    * trigger (specs use AvailableNow).
+    */
+  def maintainFromStream(spark: SparkSession, srcDir: String, viewDir: String,
+                         srcKeys: Seq[String], groupCols: Seq[String],
+                         measures: Seq[String], checkpoint: String,
+                         appId: String = "graft-ivm-stream")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val VT = VersionedTable
+    if (VT.currentVersion(spark, viewDir).isEmpty)
+      refreshAggView(spark, srcDir, viewDir, srcKeys, groupCols, measures,
+        appId = appId) // bootstrap pins the ledger at the source version
+    val startV = VT.readManifest(spark, viewDir,
+      VT.currentVersion(spark, viewDir).get).txns(appId)
+    spark.readStream.format("graft-vtable-cdf")
+      .option("dir", srcDir)
+      .option("keys", srcKeys.mkString(","))
+      .option("preimages", "true")
+      .option("startingVersion", startV.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val vmax = batch.agg(max(col("_commit_version"))).head().get(0)
+        if (vmax != null) // empty micro-batch: nothing to fold, no commit
+          foldFeedIntoView(spark, viewDir, batch.drop("_commit_version"),
+            groupCols, measures, txn = appId -> vmax.asInstanceOf[Long],
+            ctx = "maintainFromStream")
+      }
+      .start()
   }
 }

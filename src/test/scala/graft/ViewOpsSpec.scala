@@ -212,6 +212,53 @@ class ViewOpsSpec extends SparkSuite {
     assert(ex.getMessage.contains("integral"))
   }
 
+  test("continuous maintenance from the STREAMED change feed tracks the source") {
+    // the full loop: source vtable -> graft-vtable-cdf stream (preimages)
+    // -> per-micro-batch signed-delta fold -> the view's versioned merge
+    val root = Files.createTempDirectory("ivmcdf").toString
+    val src = s"$root/src"; val view = s"$root/view"; val ckpt = s"$root/ckpt"
+    mkSource(src)
+    def drain(): Unit = {
+      val q = ViewOps.maintainFromStream(spark, src, view,
+        Seq("k"), Seq("g"), Seq("v"), ckpt)
+      q.processAllAvailable(); q.stop()
+    }
+    drain() // bootstrap only — no changes yet
+    assert(viewNow(view) == reAgg(src))
+    // wave 1: update + insert + delete across two commits
+    VT.commitMerge(Seq((2L, "a", 25L, false), (6L, "c", 60L, false))
+        .toDF("k", "g", "v", "del"), src, Seq("k"), Seq.empty, $"del")
+    VT.commitMerge(Seq((3L, "b", 0L, true)).toDF("k", "g", "v", "del"),
+      src, Seq("k"), Seq.empty, $"del")
+    drain()
+    assert(viewNow(view) == reAgg(src))
+    // wave 2: consume a group entirely
+    VT.commitMerge(Seq((4L, "b", 0L, true)).toDF("k", "g", "v", "del"),
+      src, Seq("k"), Seq.empty, $"del")
+    drain()
+    assert(viewNow(view) == reAgg(src))
+    assert(!viewNow(view).exists(_._1 == "b"))
+    // idle drain: no new source version, no new view version
+    val vv = VT.currentVersion(spark, view).get
+    drain()
+    assert(VT.currentVersion(spark, view).contains(vv))
+    // FRESH checkpoint resumes from the view's folded source version:
+    // nothing double-applies, and new changes still arrive
+    VT.commitMerge(Seq((7L, "d", 70L, false)).toDF("k", "g", "v", "del"),
+      src, Seq("k"), Seq.empty, $"del")
+    val q2 = ViewOps.maintainFromStream(spark, src, view,
+      Seq("k"), Seq("g"), Seq("v"), s"$root/ckpt_fresh")
+    q2.processAllAvailable(); q2.stop()
+    assert(viewNow(view) == reAgg(src))
+    assert(viewNow(view).exists(_._1 == "d"))
+    // batch-cursor interop: a plain refreshAggView on the same view/app
+    // id sees the stream's cursor and no-ops
+    val vAfter = VT.currentVersion(spark, view).get
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"),
+      appId = "graft-ivm-stream")
+    assert(VT.currentVersion(spark, view).contains(vAfter))
+  }
+
   test("aggDelta refuses a post-image-only feed") {
     val flat = Seq(("update", "a", 5L)).toDF("change_type", "g", "v")
     val ex = intercept[Exception] {
