@@ -1918,6 +1918,23 @@ object VersionedTable {
           (n.startsWith(".ckpt-") && n.contains(".tmp-")))
         fs.delete(st.getPath, true)
     }
+    // reclaim streamed-CDF cache slices whose window ends below the
+    // oldest KEPT version: no stream can legally read them anymore (the
+    // versions they diff are gone), and a slice for a kept window stays
+    // — restarts keep hitting the cache. Names: (pre|post)-v<from>-<to>.
+    val cdfRoot = new Path(dir, "_cdf")
+    if (fs.exists(cdfRoot)) {
+      val sliceName = """(?:pre|post)-v(\d+)-(\d+)""".r
+      fs.listStatus(cdfRoot).foreach { st =>
+        st.getPath.getName match {
+          case sliceName(_, to) if to.toLong < keep.head =>
+            fs.delete(st.getPath, true)
+          case n if n.startsWith(".") && n.contains(".tmp-") =>
+            fs.delete(st.getPath, true) // torn materialization attempt
+          case _ =>
+        }
+      }
+    }
     val dataRoot = new Path(dir, "data")
     if (!fs.exists(dataRoot)) return 0
     var deleted = 0

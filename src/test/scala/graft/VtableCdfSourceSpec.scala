@@ -119,6 +119,33 @@ class VtableCdfSourceSpec extends SparkSuite {
       ("update_preimage", 2L, "b", 2L), ("update_postimage", 2L, "B", 2L)))
   }
 
+  test("vacuum reclaims cache slices below the oldest kept version only") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    VT.commitMerge(Seq((4L, "d", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v2
+    VT.commitMerge(Seq((5L, "e", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v3
+    drain(dir, s"$root/ckpt", "cdf_vac", Map("startingVersion" -> "1"))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def slices: Set[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_cdf"))
+        .map(_.getPath.getName).toSet
+    assert(slices == Set("post-v1-2", "post-v2-3"))
+    // keep v2..v3: the v1→2 slice's window end (2) is still kept → stays;
+    // only slices ending BELOW the oldest kept version reclaim
+    VT.vacuum(spark, dir, keepVersions = 2)
+    assert(slices == Set("post-v1-2", "post-v2-3"))
+    VT.commitMerge(Seq((6L, "f", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v4
+    VT.vacuum(spark, dir, keepVersions = 2)                            // keep v3, v4
+    assert(slices == Set("post-v2-3"),
+      "slices ending below the oldest kept version must reclaim")
+    // the surviving cache still serves a fresh-checkpoint stream
+    drain(dir, s"$root/ckpt2", "cdf_vac2", Map("startingVersion" -> "3"))
+    assert(rows("cdf_vac2") == Set(("insert", 6L, "f", 4L)))
+  }
+
   test("admission control: a deep backlog drains in capped multi-version batches") {
     val root = tmp(); val dir = s"$root/t"; mk(dir)
     (1 to 4).foreach { i =>
