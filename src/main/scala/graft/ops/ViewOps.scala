@@ -236,25 +236,31 @@ object ViewOps {
       .persist()
     try {
       requireNonNullGroups(delta, groupCols, ctx)
-      // ONE left join from the delta to the current view: a delta
-      // group's new state is old-state (0 when absent) + delta; a
-      // group whose live count reaches zero is tombstoned. This
-      // replaces the earlier touched-semi-join + full-outer fold +
-      // changelog re-join (three joins, two view reads) — the view is
-      // read once and only the delta's groups flow anywhere.
-      val sc = stateCols(measures)
-      val viewState = VT.read(spark, viewDir).select(
-        groupCols.map(col) ++ sc.map(c => col(c).as(s"__s_$c")): _*)
-      val changelog = delta.select(
-          groupCols.map(col) ++ sc.map(c => col(c).as(s"__d_$c")): _*)
-        .join(viewState, groupCols, "left_outer")
-        .select(groupCols.map(col) ++ sc.map(c =>
-          (coalesce(col(s"__s_$c"), lit(0L)) + col(s"__d_$c")).as(c)): _*)
-        .withColumn("__dead", col("n") <= 0L)
-      // the changelog is an aggregation output — one row per group by
-      // construction — so the merge skips its dedup exchange
-      VT.commitMergeUnique(changelog, viewDir, groupCols,
-        deleteCond = col("__dead"), txn = Some(txn))
+      // the whole fold sits inside the commit-retry closure: a racing
+      // writer on the view invalidates the state READ too, so the retry
+      // must rebuild the changelog against the NEW current version —
+      // retrying only the merge would fold into a stale snapshot
+      VT.withCommitRetry() {
+        // ONE left join from the delta to the current view: a delta
+        // group's new state is old-state (0 when absent) + delta; a
+        // group whose live count reaches zero is tombstoned. This
+        // replaces the earlier touched-semi-join + full-outer fold +
+        // changelog re-join (three joins, two view reads) — the view is
+        // read once and only the delta's groups flow anywhere.
+        val sc = stateCols(measures)
+        val viewState = VT.read(spark, viewDir).select(
+          groupCols.map(col) ++ sc.map(c => col(c).as(s"__s_$c")): _*)
+        val changelog = delta.select(
+            groupCols.map(col) ++ sc.map(c => col(c).as(s"__d_$c")): _*)
+          .join(viewState, groupCols, "left_outer")
+          .select(groupCols.map(col) ++ sc.map(c =>
+            (coalesce(col(s"__s_$c"), lit(0L)) + col(s"__d_$c")).as(c)): _*)
+          .withColumn("__dead", col("n") <= 0L)
+        // the changelog is an aggregation output — one row per group by
+        // construction — so the merge skips its dedup exchange
+        VT.commitMergeUnique(changelog, viewDir, groupCols,
+          deleteCond = col("__dead"), txn = Some(txn))
+      }
     } finally delta.unpersist()
   }
 

@@ -229,7 +229,11 @@ case class GraftMergeCommand(target: String, sourceSql: String,
     val src = spark.sql(sourceSql)
     val delCond = deleteCondSql.map(s => GraftShim.column(
       spark.sessionState.sqlParser.parseExpression(s))).getOrElse(lit(false))
-    Seq(Row(VersionedTable.commitMerge(src, dir, keys, Seq.empty, delCond)))
+    // commit bodies re-read the CURRENT manifest, so retrying the whole
+    // call is the standard optimistic-concurrency answer
+    Seq(Row(VersionedTable.withCommitRetry() {
+      VersionedTable.commitMerge(src, dir, keys, Seq.empty, delCond)
+    }))
   }
 }
 
@@ -245,7 +249,9 @@ case class GraftUpdateCommand(target: String, sets: Seq[(String, String)],
     val setCols = sets.map { case (c, e) =>
       c -> GraftShim.column(spark.sessionState.sqlParser.parseExpression(e))
     }
-    Seq(Row(VersionedTable.commitUpdate(spark, dir, cond, setCols)))
+    Seq(Row(VersionedTable.withCommitRetry() {
+      VersionedTable.commitUpdate(spark, dir, cond, setCols)
+    }))
   }
 }
 
@@ -256,7 +262,8 @@ case class GraftDeleteCommand(target: String, whereSql: Option[String])
     GraftDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftCatalog.resolveDir(spark, target)
-    Seq(Row(VersionedTable.commitDelete(spark, dir,
-      GraftDml.parseCond(spark, whereSql))))
+    Seq(Row(VersionedTable.withCommitRetry() {
+      VersionedTable.commitDelete(spark, dir, GraftDml.parseCond(spark, whereSql))
+    }))
   }
 }
