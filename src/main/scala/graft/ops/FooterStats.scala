@@ -77,10 +77,18 @@ object FooterStats {
         return None // dropped or untrustworthy footer stats
       val nulls = stats.map(_.getNumNulls).sum
       val nonNull = stats.filter(_.hasNonNullValue)
-      if (nonNull.isEmpty) c -> ColStat(dt.sql, None, None, nulls)
-      else {
-        val mins = nonNull.map(s => internalOf(minOf(s), dt))
-        val maxs = nonNull.map(s => internalOf(maxOf(s), dt))
+      if (nonNull.isEmpty) {
+        // `hasNonNullValue == false` does NOT imply all-null: INT96 (and
+        // other no-order encodings) record null counts but never values.
+        // Only the arithmetic proof nulls == rows licenses the all-null
+        // ColStat — anything else falls back to the scan path, because a
+        // fabricated (None, None) stat would let pruning DROP a live file
+        if (nulls == rows) c -> ColStat(dt.sql, None, None, nulls)
+        else return None
+      } else {
+        val pt = chunks.flatten.head.getPrimitiveType
+        val mins = nonNull.map(s => internalOf(minOf(s), dt, pt))
+        val maxs = nonNull.map(s => internalOf(maxOf(s), dt, pt))
         if (mins.exists(_.isEmpty) || maxs.exists(_.isEmpty)) return None
         val mn = mins.flatten.reduce((a, b) => if (less(a, b, dt)) a else b)
         val mx = maxs.flatten.reduce((a, b) => if (less(a, b, dt)) b else a)
@@ -94,27 +102,43 @@ object FooterStats {
   private def minOf(s: Statistics[_]): Any = s.genericGetMin
   private def maxOf(s: Statistics[_]): Any = s.genericGetMax
 
-  /** Footer value → Catalyst internal value for `dt`; None = untrusted. */
-  private def internalOf(v: Any, dt: DataType): Option[Any] = (dt, v) match {
-    case (LongType, l: java.lang.Long) => Some(l)
-    case (IntegerType, i: java.lang.Integer) => Some(i)
-    case (ShortType, i: java.lang.Integer) => Some(i.shortValue())
-    case (ByteType, i: java.lang.Integer) => Some(i.byteValue())
-    case (BooleanType, b: java.lang.Boolean) => Some(b)
-    case (StringType, b: Binary) => Some(UTF8String.fromBytes(b.getBytes))
-    case (DateType, i: java.lang.Integer) => Some(i) // days since epoch
-    case (TimestampType | TimestampNTZType, l: java.lang.Long) =>
-      // trust only explicit MICROS/MILLIS annotations; INT96 arrives as
-      // Binary and NANOS would truncate the max bound — both refuse
-      None // refined below via annotated path; plain INT64 is ambiguous
-    case (d: DecimalType, i: java.lang.Integer) =>
-      Some(Decimal(BigDecimal(BigInt(i.longValue()), d.scale), d.precision, d.scale))
-    case (d: DecimalType, l: java.lang.Long) =>
-      Some(Decimal(BigDecimal(BigInt(l.longValue()), d.scale), d.precision, d.scale))
-    case (d: DecimalType, b: Binary) =>
-      Some(Decimal(BigDecimal(BigInt(b.getBytes), d.scale), d.precision, d.scale))
-    case _ => None
-  }
+  /** Footer value → Catalyst internal value for `dt`, consulting the
+    * column's parquet `PrimitiveType` where the physical encoding is
+    * ambiguous; None = untrusted (commit falls back to the scan path).
+    */
+  private def internalOf(v: Any, dt: DataType,
+                         pt: org.apache.parquet.schema.PrimitiveType): Option[Any] =
+    (dt, v) match {
+      case (LongType, l: java.lang.Long) => Some(l)
+      case (IntegerType, i: java.lang.Integer) => Some(i)
+      case (ShortType, i: java.lang.Integer) => Some(i.shortValue())
+      case (ByteType, i: java.lang.Integer) => Some(i.byteValue())
+      case (BooleanType, b: java.lang.Boolean) => Some(b)
+      case (StringType, b: Binary) => Some(UTF8String.fromBytes(b.getBytes))
+      case (DateType, i: java.lang.Integer) => Some(i) // days since epoch
+      case (TimestampType | TimestampNTZType, l: java.lang.Long) =>
+        // trust only explicit MICROS/MILLIS annotations with the matching
+        // UTC adjustment; INT96 arrives as Binary (no usable order) and
+        // NANOS would floor-truncate the max bound — both refuse
+        pt.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if ts.isAdjustedToUTC == (dt == TimestampType) =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(l)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some(l * 1000L)
+              case _ => None
+            }
+          case _ => None
+        }
+      case (d: DecimalType, i: java.lang.Integer) =>
+        Some(Decimal(BigDecimal(BigInt(i.longValue()), d.scale), d.precision, d.scale))
+      case (d: DecimalType, l: java.lang.Long) =>
+        Some(Decimal(BigDecimal(BigInt(l.longValue()), d.scale), d.precision, d.scale))
+      case (d: DecimalType, b: Binary) =>
+        Some(Decimal(BigDecimal(BigInt(b.getBytes), d.scale), d.precision, d.scale))
+      case _ => None
+    }
 
   private def less(a: Any, b: Any, dt: DataType): Boolean =
     LessThan(Literal(a, dt), Literal(b, dt)).eval(null).asInstanceOf[Boolean]

@@ -43,6 +43,12 @@ object GraftCatalog {
     root.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
+  /** In-JVM monitor serializing read-modify-write updates (the same
+    * one-driver discipline as manifest publication): concurrent
+    * register/drop calls cannot lose each other's entries.
+    */
+  private val updateLock = new Object
+
   private def write(spark: SparkSession, all: Map[String, String]): Unit = {
     val p = catalogPath(spark)
     val fs = fsOf(spark, p)
@@ -54,11 +60,16 @@ object GraftCatalog {
       s".${p.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
-    fs.delete(p, false)
+    // rename-over first (atomic overwrite on POSIX — no window with no
+    // catalog); only filesystems that refuse to rename over an existing
+    // file take the delete-then-rename fallback
     if (!fs.rename(tmp, p)) {
-      fs.delete(tmp, false)
-      throw new IllegalStateException(
-        s"GraftCatalog: lost the catalog publish race at $p — retry")
+      fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new IllegalStateException(
+          s"GraftCatalog: lost the catalog publish race at $p — retry")
+      }
     }
   }
 
@@ -69,11 +80,15 @@ object GraftCatalog {
     require(name.nonEmpty && !name.contains('/') && !name.contains('\\'),
       s"GraftCatalog.register: '$name' is not a valid table name " +
         "(no path separators; use the directory directly for path addressing)")
-    write(spark, entries(spark) + (name -> dir))
+    updateLock.synchronized {
+      write(spark, entries(spark) + (name -> dir))
+    }
   }
 
   def drop(spark: SparkSession, name: String): Unit =
-    write(spark, entries(spark) - name)
+    updateLock.synchronized {
+      write(spark, entries(spark) - name)
+    }
 
   def lookup(spark: SparkSession, name: String): Option[String] =
     entries(spark).get(name)

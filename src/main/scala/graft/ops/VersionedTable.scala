@@ -407,6 +407,11 @@ object VersionedTable {
       cur.mode match {
         case "full" => return (Left(cur.inlineFiles), deltas.toSeq)
         case "restore" => cur = readMeta(spark, dir, cur.restoreOf)
+        case "delta" if cur.version == 1L =>
+          // a delta-mode CREATE (initial commit bigger than the inline
+          // bound): its base is the empty set — there is no version 0
+          deltas.prepend(cur)
+          return (Left(Seq.empty), deltas.toSeq)
         case "delta" =>
           deltas.prepend(cur)
           cur = readMeta(spark, dir, cur.version - 1)
@@ -990,9 +995,13 @@ object VersionedTable {
                                schema: StructType): Seq[FileEntry] = {
     val keyType = schema(key).dataType
     if (cur.numFiles == 0) return Seq.empty
+    // the tier decision is a LOCAL val — lastTouchedMode is a spec probe,
+    // and branching on a shared volatile would let concurrent commits on
+    // other tables misroute this one's exact-touched test
+    val distributed = cur.numFiles > distributedPruneThreshold(spark)
+    lastTouchedMode = if (distributed) "distributed" else "driver"
     val candidateEntries: Seq[FileEntry] =
-      if (cur.numFiles <= distributedPruneThreshold(spark)) {
-        lastTouchedMode = "driver"
+      if (!distributed) {
         materializeFiles(spark, dir, cur.version)
       } else {
         // metadata-scale pass: the same interval test, evaluated as a
@@ -1000,7 +1009,6 @@ object VersionedTable {
         // distinct keys broadcast — the driver never parses an O(table)
         // file list. Survivors (the only files a changed key could live
         // in) collect for the exact/bloom pass below.
-        lastTouchedMode = "distributed"
         val st = col("stats").getItem(key)
         val mn = st.getField("min").cast(keyType)
         val mx = st.getField("max").cast(keyType)
@@ -1016,7 +1024,7 @@ object VersionedTable {
     // second driver pass only ever SHARPENS via blooms, which are capped —
     // above the cap (or without a bloom on the key) its verdict is
     // byte-identical to the survivor set, so skip the redundant join
-    if (lastTouchedMode == "distributed" &&
+    if (distributed &&
         (!cur.bloomCols.contains(key) ||
           candidateEntries.size > maxBloomRefineFiles))
       return candidateEntries
@@ -1677,7 +1685,12 @@ object VersionedTable {
         val removedAcc = scala.collection.mutable.LinkedHashSet.empty[String]
         win.foreach { d =>
           d.removes.foreach { p => if (!addedAcc.remove(p)) removedAcc += p }
-          d.adds.foreach { f => addedAcc += f.path; removedAcc -= f.path }
+          // a re-registered path CANCELS its earlier remove (files are
+          // content-immutable: present at both window ends = no change);
+          // counting it as an add would emit phantom inserts
+          d.adds.foreach { f =>
+            if (!removedAcc.remove(f.path)) addedAcc += f.path
+          }
         }
         (addedAcc.toSeq.sorted, removedAcc.toSeq.sorted)
       } else {
@@ -1921,10 +1934,10 @@ object VersionedTable {
     // reclaim streamed-CDF cache slices whose window ends below the
     // oldest KEPT version: no stream can legally read them anymore (the
     // versions they diff are gone), and a slice for a kept window stays
-    // — restarts keep hitting the cache. Names: (pre|post)-v<from>-<to>.
+    // — restarts keep hitting the cache. Names: v<from>-<to>-<encoding>.
     val cdfRoot = new Path(dir, "_cdf")
     if (fs.exists(cdfRoot)) {
-      val sliceName = """(?:pre|post)-v(\d+)-(\d+)""".r
+      val sliceName = """v(\d+)-(\d+)-.*""".r
       fs.listStatus(cdfRoot).foreach { st =>
         st.getPath.getName match {
           case sliceName(_, to) if to.toLong < keep.head =>

@@ -305,11 +305,15 @@ object ViewOps {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val vmax = batch.agg(max(col("_commit_version"))).head().get(0)
-        if (vmax != null) // empty micro-batch: nothing to fold, no commit
-          foldFeedIntoView(spark, viewDir, batch.drop("_commit_version"),
-            groupCols, measures, txn = appId -> vmax.asInstanceOf[Long],
-            ctx = "maintainFromStream")
+        // pin the batch: both the cursor probe and the fold read it
+        val b = batch.persist()
+        try {
+          val vmax = b.agg(max(col("_commit_version"))).head().get(0)
+          if (vmax != null) // empty micro-batch: nothing to fold, no commit
+            foldFeedIntoView(spark, viewDir, b.drop("_commit_version"),
+              groupCols, measures, txn = appId -> vmax.asInstanceOf[Long],
+              ctx = "maintainFromStream")
+        } finally b.unpersist()
       }
       .start()
   }

@@ -54,22 +54,33 @@ import graft.ops.VersionedTable
   */
 object VtableSkipping extends Rule[LogicalPlan] {
 
-  /** Marks a relation this rule already rewrote (or decided not to). */
+  /** Decision memo per relation node: Set of predicate `semanticHash`es
+    * already decided NO-OP for this relation (so re-executions skip the
+    * manifest read + bloom refinement), or the `doneMarker` on a relation
+    * this rule REWROTE (never match it again). Keyed by predicate hash —
+    * not a blanket boolean — because DataFrames share relation nodes: a
+    * no-op decision for one filter must not disable pruning for a
+    * DIFFERENT, prunable filter over the same base.
+    */
   private[graft] val prunedTag =
-    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.vtable.pruned")
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Set[Int]]("graft.vtable.pruned")
+  private[graft] val doneMarker = Set(-1)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, lr: LogicalRelation)
         if lr.getTagValue(VersionedTable.pruneTag).isDefined &&
-          lr.getTagValue(prunedTag).isEmpty &&
+          lr.getTagValue(prunedTag).forall(s =>
+            s != doneMarker && !s.contains(cond.semanticHash())) &&
           lr.relation.isInstanceOf[HadoopFsRelation] =>
       val (dir, version) = lr.getTagValue(VersionedTable.pruneTag).get
+      def memoNoOp(): Unit = lr.setTagValue(prunedTag,
+        lr.getTagValue(prunedTag).getOrElse(Set.empty) + cond.semanticHash())
       val (ranges, inSets) = mine(cond)
       if (ranges.isEmpty && inSets.isEmpty) {
-        // nothing minable: the decision cannot change, so tag the relation
-        // too — the fixed-point batch (and any re-execution of the same
-        // DataFrame) must not re-walk the conjuncts every pass
-        lr.setTagValue(prunedTag, true)
+        // nothing minable: the decision cannot change for THIS predicate,
+        // so memo it — the fixed-point batch (and any re-execution of the
+        // same DataFrame) must not re-walk the conjuncts every pass
+        memoNoOp()
         f
       } else {
         val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
@@ -78,10 +89,10 @@ object VtableSkipping extends Rule[LogicalPlan] {
           VersionedTable.pruneForSpec(spark, dir, ranges, inSets, Some(version))
         val total = fsRel.location.inputFiles.length
         if (survivors.size >= total) {
-          // no-op prune: mark the relation anyway, or every re-execution
-          // repeats the manifest read + bloom refinement (up to 256 file
-          // opens) to re-derive a decision already known to prune nothing
-          lr.setTagValue(prunedTag, true)
+          // no-op prune: memo THIS predicate's decision, or every
+          // re-execution repeats the manifest read + bloom refinement (up
+          // to 256 file opens) to re-derive a known nothing
+          memoNoOp()
           f
         } else if (survivors.isEmpty)
           // no file can hold a qualifying row — the relation collapses to
@@ -93,7 +104,7 @@ object VtableSkipping extends Rule[LogicalPlan] {
             Some(fsRel.dataSchema), FileStatusCache.getOrCreate(spark),
             None, None)
           val pruned = lr.copy(relation = fsRel.copy(location = index)(spark))
-          pruned.setTagValue(prunedTag, true)
+          pruned.setTagValue(prunedTag, doneMarker)
           Filter(cond, pruned)
         }
       }

@@ -184,7 +184,11 @@ class VtableCdfSource(spark: SparkSession, parameters: Map[String, String])
   }
 
   private def materialize(fromV: Long, toV: Long): String = {
-    val key = (if (preimages) "pre" else "post") + s"-v$fromV-$toV"
+    // the cache key carries EVERY option that shapes the slice's content:
+    // two streams with different key sets classify changes differently
+    // and must never serve each other's files
+    val key = s"v$fromV-$toV-" + (if (preimages) "pre" else "post") +
+      "-" + java.net.URLEncoder.encode(keys.mkString(","), "UTF-8")
     val dest = new org.apache.hadoop.fs.Path(dir, s"_cdf/$key")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"))) {

@@ -106,7 +106,6 @@ object GraftDml {
         case ')' => depth -= 1; i += 1
         case _ =>
           if (depth == 0 && upper.startsWith(sepU, i) &&
-              (sep.head.isLetter || true) &&
               (!sep.head.isLetter || i == 0 || !s.charAt(i - 1).isLetterOrDigit) &&
               (!sep.last.isLetter || i + sep.length >= s.length ||
                 !s.charAt(i + sep.length).isLetterOrDigit)) {

@@ -74,6 +74,33 @@ class FooterStatsSpec extends SparkSuite {
     assert(a._2("x").max.contains("NaN"))
   }
 
+  test("timestamp stats lift from MICROS-annotated footers and match the scan path") {
+    val old = spark.conf.getOption("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val df = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-03-01 10:15:30.123456")),
+        (2L, java.sql.Timestamp.valueOf("2023-11-30 23:59:59.999999")),
+        (3L, java.sql.Timestamp.valueOf("2024-06-15 00:00:00.0"))
+      ).toDF("k", "ts")
+      val (footer, scan) = bothWays(df, Seq("k", "ts"))
+      assert(footer == scan)
+      assert(footer._2("ts").min.isDefined && footer._2("ts").max.isDefined)
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.sql.parquet.outputTimestampType", v)
+      case None => spark.conf.unset("spark.sql.parquet.outputTimestampType")
+    }
+  }
+
+  test("INT96 timestamps (the Spark default) fall back to the scan path — and agree") {
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-01 10:15:30.0")),
+      (2L, java.sql.Timestamp.valueOf("2023-11-30 23:59:59.0"))
+    ).toDF("k", "ts")
+    val (footer, scan) = bothWays(df, Seq("k", "ts"))
+    assert(footer == scan)
+  }
+
   test("pruning decisions are identical whichever path wrote the stats") {
     val base = spark.range(0, 1000)
       .select($"id".as("k"), concat(lit("v"), $"id").as("s"))

@@ -131,15 +131,15 @@ class VtableCdfSourceSpec extends SparkSuite {
     def slices: Set[String] =
       fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_cdf"))
         .map(_.getPath.getName).toSet
-    assert(slices == Set("post-v1-2", "post-v2-3"))
+    assert(slices == Set("v1-2-post-k", "v2-3-post-k"))
     // keep v2..v3: the v1→2 slice's window end (2) is still kept → stays;
     // only slices ending BELOW the oldest kept version reclaim
     VT.vacuum(spark, dir, keepVersions = 2)
-    assert(slices == Set("post-v1-2", "post-v2-3"))
+    assert(slices == Set("v1-2-post-k", "v2-3-post-k"))
     VT.commitMerge(Seq((6L, "f", false)).toDF("k", "s", "del"),
       dir, Seq("k"), Seq.empty, $"del")                                // v4
     VT.vacuum(spark, dir, keepVersions = 2)                            // keep v3, v4
-    assert(slices == Set("post-v2-3"),
+    assert(slices == Set("v2-3-post-k"),
       "slices ending below the oldest kept version must reclaim")
     // the surviving cache still serves a fresh-checkpoint stream
     drain(dir, s"$root/ckpt2", "cdf_vac2", Map("startingVersion" -> "3"))

@@ -181,6 +181,47 @@ class VtableScaleSpec extends SparkSuite {
       "a blind entry must force the scan, not a fabricated metadata answer")
   }
 
+  test("a CREATE bigger than the inline bound replays from the empty base") {
+    withConfs("spark.graft.vtable.inlineMaxFiles" -> "2") {
+      val dir = tmp()
+      // 4 files in the INITIAL commit: v1 is delta-mode with no ancestor
+      val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s")
+        .repartitionByRange(4, $"k").sortWithinPartitions("k")
+      VT.create(base, dir, Seq("k"))
+      assert(VT.readMeta(spark, dir, 1L).mode == "delta")
+      assert(ckptExists(dir, 1L),
+        "an oversized create must checkpoint immediately")
+      assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
+        Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+      assert(VT.readManifest(spark, dir, 1L).files.size == 4)
+      // and the table keeps working: append + merge + time travel
+      VT.commitAppend(row1(5L, "e"), dir)
+      VT.commitMerge(Seq((2L, "B", false)).toDF("k", "s", "del"),
+        dir, Seq("k"), Seq.empty, $"del")
+      assert(VT.read(spark, dir).count() == 5)
+      assert(VT.read(spark, dir, Some(1L)).count() == 4)
+    }
+  }
+
+  test("a path removed then re-registered nets to NO change in the feed") {
+    withConfs("spark.graft.vtable.inlineMaxFiles" -> "1") {
+      val dir = tmp()
+      VT.create(row1(1L, "a"), dir, Seq("k"))                         // v1
+      VT.commitAppend(row1(2L, "b"), dir)                             // v2
+      val victim = VT.readManifest(spark, dir, 2L).files
+        .find(_.stats("k").min.contains("2")).get // k=2's file, by stats
+      // v3 drops k=2's file (delete rewrites it away entirely)...
+      VT.commitDelete(spark, dir, $"k" === 2L)
+      // ...v4 re-registers the SAME path by reference (file still on disk)
+      VT.commitAddFiles(spark, dir, Seq(victim))
+      assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
+        Set(1L -> "a", 2L -> "b"))
+      // the all-delta window fold must cancel remove-then-readd — the
+      // content at both window ends is identical, so the feed is EMPTY
+      assert(VT.changesBetween(spark, dir, 2L, 4L, Seq("k")).isEmpty)
+    }
+  }
+
   test("driver and distributed pruning tiers agree decision-for-decision") {
     val dir = tmp()
     val base = spark.range(1000)
