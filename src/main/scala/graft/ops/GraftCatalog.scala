@@ -61,15 +61,22 @@ object GraftCatalog {
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     // rename-over first (atomic overwrite on POSIX — no window with no
-    // catalog); only filesystems that refuse to rename over an existing
-    // file take the delete-then-rename fallback
+    // catalog); filesystems that refuse to rename over an existing file
+    // take a SIDESTEP fallback: the live catalog moves aside (never
+    // deleted) so a failure at any point leaves a recoverable copy
     if (!fs.rename(tmp, p)) {
-      fs.delete(p, false)
+      val aside = new Path(p.getParent,
+        s".${p.getName}.old-${java.util.UUID.randomUUID().toString.take(8)}")
+      if (fs.exists(p) && !fs.rename(p, aside))
+        throw new IllegalStateException(
+          s"GraftCatalog: cannot sidestep the live catalog at $p — retry")
       if (!fs.rename(tmp, p)) {
+        fs.rename(aside, p) // restore the previous catalog; nothing lost
         fs.delete(tmp, false)
         throw new IllegalStateException(
           s"GraftCatalog: lost the catalog publish race at $p — retry")
       }
+      fs.delete(aside, false)
     }
   }
 

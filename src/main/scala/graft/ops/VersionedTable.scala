@@ -1938,10 +1938,13 @@ object VersionedTable {
     val cdfRoot = new Path(dir, "_cdf")
     if (fs.exists(cdfRoot)) {
       val sliceName = """v(\d+)-(\d+)-.*""".r
+      val legacyName = """(?:pre|post)-v(\d+)-(\d+)""".r // pre-r11 key format
       fs.listStatus(cdfRoot).foreach { st =>
         st.getPath.getName match {
           case sliceName(_, to) if to.toLong < keep.head =>
             fs.delete(st.getPath, true)
+          case legacyName(_, _) =>
+            fs.delete(st.getPath, true) // unreachable under the new keys
           case n if n.startsWith(".") && n.contains(".tmp-") =>
             fs.delete(st.getPath, true) // torn materialization attempt
           case _ =>

@@ -55,26 +55,37 @@ import graft.ops.VersionedTable
 object VtableSkipping extends Rule[LogicalPlan] {
 
   /** Decision memo per relation node: Set of predicate `semanticHash`es
-    * already decided NO-OP for this relation (so re-executions skip the
-    * manifest read + bloom refinement), or the `doneMarker` on a relation
-    * this rule REWROTE (never match it again). Keyed by predicate hash —
-    * not a blanket boolean — because DataFrames share relation nodes: a
-    * no-op decision for one filter must not disable pruning for a
-    * DIFFERENT, prunable filter over the same base.
+    * already decided NO-OP for this relation, so re-executions skip the
+    * manifest read + bloom refinement. Keyed by predicate hash — not a
+    * blanket boolean — because DataFrames share relation nodes: a no-op
+    * decision for one filter must not disable pruning for a DIFFERENT,
+    * prunable filter over the same base.
     */
   private[graft] val prunedTag =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[Set[Int]]("graft.vtable.pruned")
-  private[graft] val doneMarker = Set(-1)
+
+  /** Separate marker for relations this rule already REWROTE — a
+    * dedicated tag, not a sentinel hash inside the memo set (a real
+    * predicate's semanticHash could collide with any sentinel value and
+    * silently disable pruning for the whole relation).
+    */
+  private[graft] val rewrittenTag =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.vtable.rewritten")
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, lr: LogicalRelation)
         if lr.getTagValue(VersionedTable.pruneTag).isDefined &&
-          lr.getTagValue(prunedTag).forall(s =>
-            s != doneMarker && !s.contains(cond.semanticHash())) &&
+          lr.getTagValue(rewrittenTag).isEmpty &&
+          !lr.getTagValue(prunedTag).exists(_.contains(cond.semanticHash())) &&
           lr.relation.isInstanceOf[HadoopFsRelation] =>
       val (dir, version) = lr.getTagValue(VersionedTable.pruneTag).get
-      def memoNoOp(): Unit = lr.setTagValue(prunedTag,
-        lr.getTagValue(prunedTag).getOrElse(Set.empty) + cond.semanticHash())
+      // synchronized: DataFrames share relation nodes, and concurrent
+      // optimizations of two queries over the same base would otherwise
+      // interleave this get-then-set (the tags map is a plain HashMap)
+      def memoNoOp(): Unit = lr.synchronized {
+        lr.setTagValue(prunedTag,
+          lr.getTagValue(prunedTag).getOrElse(Set.empty) + cond.semanticHash())
+      }
       val (ranges, inSets) = mine(cond)
       if (ranges.isEmpty && inSets.isEmpty) {
         // nothing minable: the decision cannot change for THIS predicate,
@@ -104,7 +115,7 @@ object VtableSkipping extends Rule[LogicalPlan] {
             Some(fsRel.dataSchema), FileStatusCache.getOrCreate(spark),
             None, None)
           val pruned = lr.copy(relation = fsRel.copy(location = index)(spark))
-          pruned.setTagValue(prunedTag, doneMarker)
+          pruned.setTagValue(rewrittenTag, true)
           Filter(cond, pruned)
         }
       }

@@ -184,11 +184,14 @@ class VtableCdfSource(spark: SparkSession, parameters: Map[String, String])
   }
 
   private def materialize(fromV: Long, toV: Long): String = {
-    // the cache key carries EVERY option that shapes the slice's content:
-    // two streams with different key sets classify changes differently
-    // and must never serve each other's files
-    val key = s"v$fromV-$toV-" + (if (preimages) "pre" else "post") +
-      "-" + java.net.URLEncoder.encode(keys.mkString(","), "UTF-8")
+    // the cache key carries EVERY option that shapes the slice's content
+    // (two streams with different key sets classify changes differently
+    // and must never serve each other's files) — digested, so a wide
+    // composite key cannot blow the filesystem's path-component limit
+    val shape = (if (preimages) "pre" else "post") + "|" + keys.mkString(",")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(shape.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val key = s"v$fromV-$toV-$digest"
     val dest = new org.apache.hadoop.fs.Path(dir, s"_cdf/$key")
     val fs = dest.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dest, "_SUCCESS"))) {

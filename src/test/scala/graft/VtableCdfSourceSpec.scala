@@ -128,18 +128,18 @@ class VtableCdfSourceSpec extends SparkSuite {
     drain(dir, s"$root/ckpt", "cdf_vac", Map("startingVersion" -> "1"))
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def slices: Set[String] =
+    def windows: Set[String] =
       fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_cdf"))
-        .map(_.getPath.getName).toSet
-    assert(slices == Set("v1-2-post-k", "v2-3-post-k"))
+        .map(_.getPath.getName.split('-').take(2).mkString("-")).toSet
+    assert(windows == Set("v1-2", "v2-3"))
     // keep v2..v3: the v1→2 slice's window end (2) is still kept → stays;
     // only slices ending BELOW the oldest kept version reclaim
     VT.vacuum(spark, dir, keepVersions = 2)
-    assert(slices == Set("v1-2-post-k", "v2-3-post-k"))
+    assert(windows == Set("v1-2", "v2-3"))
     VT.commitMerge(Seq((6L, "f", false)).toDF("k", "s", "del"),
       dir, Seq("k"), Seq.empty, $"del")                                // v4
     VT.vacuum(spark, dir, keepVersions = 2)                            // keep v3, v4
-    assert(slices == Set("v2-3-post-k"),
+    assert(windows == Set("v2-3"),
       "slices ending below the oldest kept version must reclaim")
     // the surviving cache still serves a fresh-checkpoint stream
     drain(dir, s"$root/ckpt2", "cdf_vac2", Map("startingVersion" -> "3"))

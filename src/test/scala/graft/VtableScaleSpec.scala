@@ -208,17 +208,23 @@ class VtableScaleSpec extends SparkSuite {
       val dir = tmp()
       VT.create(row1(1L, "a"), dir, Seq("k"))                         // v1
       VT.commitAppend(row1(2L, "b"), dir)                             // v2
-      val victim = VT.readManifest(spark, dir, 2L).files
+      VT.commitAppend(row1(3L, "c"), dir)                             // v3
+      val victim = VT.readManifest(spark, dir, 3L).files
         .find(_.stats("k").min.contains("2")).get // k=2's file, by stats
-      // v3 drops k=2's file (delete rewrites it away entirely)...
+      // v4 drops k=2's file (delete rewrites it away entirely); the
+      // table stays ABOVE inlineMaxFiles so the whole window remains
+      // delta-mode and changesBetween takes the manifest FOLD, not the
+      // materialized-set-diff fallback (spec-pinned below)
       VT.commitDelete(spark, dir, $"k" === 2L)
-      // ...v4 re-registers the SAME path by reference (file still on disk)
+      // ...v5 re-registers the SAME path by reference (file still on disk)
       VT.commitAddFiles(spark, dir, Seq(victim))
+      assert(((4L to 5L)).forall(v => VT.readMeta(spark, dir, v).mode == "delta"),
+        "window must stay delta-mode to exercise the fold branch")
       assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
-        Set(1L -> "a", 2L -> "b"))
+        Set(1L -> "a", 2L -> "b", 3L -> "c"))
       // the all-delta window fold must cancel remove-then-readd — the
       // content at both window ends is identical, so the feed is EMPTY
-      assert(VT.changesBetween(spark, dir, 2L, 4L, Seq("k")).isEmpty)
+      assert(VT.changesBetween(spark, dir, 3L, 5L, Seq("k")).isEmpty)
     }
   }
 
