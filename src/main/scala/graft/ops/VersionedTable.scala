@@ -945,6 +945,7 @@ object VersionedTable {
     val touched: Seq[FileEntry] =
       if (!cur.statsCols.contains(key)) materializeFiles(spark, dir, cur.version)
       else findTouchedFiles(spark, dir, cur, deduped, key, schema)
+    val touchedCount = touched.size
     val next = cur.version + 1
     val base =
       if (touched.isEmpty)
@@ -970,7 +971,27 @@ object VersionedTable {
           .map(_.copy(nullable = true))
         StructType(schema.fields ++ extra).toDDL
       }
-    val files = writeCommitFiles(merged, dir, next, cur.statsCols,
+    // Granularity-stable rewrite: without it the merge join's hash
+    // shuffle scatters the rewritten rows over spark.sql.shuffle
+    // .partitions files — a 3-row view refresh writes 32 near-empty
+    // files, the manifest grows 32 entries per commit, and every later
+    // read/merge/footer-lift pays 32 opens. `coalesce(touchedCount)` is
+    // a NARROW collapse (no extra exchange, no sampling pass): the final
+    // merge stage runs one reduce task per file being REPLACED, i.e.
+    // one task per file-size unit the table already had — granularity
+    // in, granularity out, at zero added jobs. Key-range tightening of
+    // the rewritten files (hash scatter leaves each file spanning the
+    // whole key interval) is [[commitCompact]]'s `clusterBy` job — a
+    // layout maintenance pass, not a per-commit tax. Insert-only
+    // commits (nothing touched) keep the changelog's own partitioning —
+    // there is no prior granularity to follow.
+    val clustered =
+      if (touchedCount > 0 &&
+          spark.conf.getOption("spark.graft.vtable.granularMergeWrite")
+            .forall(_.toBoolean))
+        merged.coalesce(touchedCount)
+      else merged
+    val files = writeCommitFiles(clustered, dir, next, cur.statsCols,
       cur.bloomCols, cur.bloomFpp)
     publishCommit(spark, dir, Some(cur), next, op, outDdl, cur.statsCols,
       txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp, Seq.empty, Seq.empty,
@@ -1635,11 +1656,27 @@ object VersionedTable {
         else lit(null).cast(f.dataType).as(f.name)
       }.toIndexedSeq: _*)
     def classify(pre0: DataFrame, post0: DataFrame): DataFrame = {
+      // Diff by UNION + one hash aggregate, not a full-outer join: both
+      // shapes move the same bytes through one shuffle on the key, but
+      // the join plan is five query stages (two exchanges, the join, and
+      // its AQE rounds) where the union-agg is two — and the CDF sits on
+      // the refresh path of every incremental consumer, where per-stage
+      // driver latency is the measured cost at high commit rates. `first`
+      // (ignoreNulls) is exact here — a keyed table has at most one pre
+      // and one post row per key — and unlike struct max() it stays legal
+      // when payloads carry unorderable types (maps).
       val pre = pre0.select(
-        keys.map(col) :+ struct(payload.map(col): _*).as("__pre"): _*)
+        keys.map(col) :+ struct(payload.map(col): _*).as("__pre") :+
+          lit(null).cast(StructType(
+            payload.map(c => post0.schema(c)).toArray)).as("__post"): _*)
       val post = post0.select(
-        keys.map(col) :+ struct(payload.map(col): _*).as("__post"): _*)
-      val tagged = pre.join(post, keys, "full_outer")
+        keys.map(col) :+ lit(null).cast(StructType(
+          payload.map(c => post0.schema(c)).toArray)).as("__pre") :+
+          struct(payload.map(col): _*).as("__post"): _*)
+      val tagged = pre.unionByName(post)
+        .groupBy(keys.map(col): _*)
+        .agg(first(col("__pre"), ignoreNulls = true).as("__pre"),
+          first(col("__post"), ignoreNulls = true).as("__post"))
         .withColumn("change_type",
           when(col("__pre").isNull, lit("insert"))
             .when(col("__post").isNull, lit("delete"))
@@ -1721,6 +1758,66 @@ object VersionedTable {
       // for every window, just not file-pruned
       classify(align(read(spark, dir, Some(fromV))), read(spark, dir, Some(toV)))
     }
+  }
+
+  /** The window's change as SIGNED ROWS — every row of an ADDED base file
+    * with `__sign` +1, every row of a REMOVED one with −1 — for consumers
+    * that fold sign-distributive aggregates (SUM/COUNT — [[graft.ops
+    * .ViewOps]]). For those, the per-key pairing [[changesBetween]]
+    * computes is pure overhead: an unchanged-but-rewritten row appears
+    * once per side and CANCELS in the fold, an update retracts its old
+    * image and adds its new one, and inserts/deletes carry their single
+    * sign — identical group-level nets, with NO key-hash shuffle of the
+    * changed rows at all. The downstream group-by partial-aggregates
+    * map-side, so the one shuffle moves O(groups × partitions) buffers
+    * where the keyed CDF moves every changed row. At a 100 TB source
+    * this is the difference between a refresh bounded by changed-file
+    * scan speed and one bounded by a changed-row shuffle.
+    *
+    * Returns None when the window's change is not expressible as a base
+    * file delta (a patch chain grew or was reshaped in the window) — the
+    * caller falls back to the keyed feed. Schema evolution inside the
+    * window is handled as in [[changesBetween]]: old files read through
+    * the newest schema, appended columns filling NULL.
+    */
+  def signedRowsBetween(spark: SparkSession, dir: String,
+                        fromV: Long, toV: Long): Option[DataFrame] = {
+    require(fromV < toV, s"signedRowsBetween: need fromV < toV, got $fromV >= $toV")
+    val m1 = readMeta(spark, dir, fromV)
+    val m2 = readMeta(spark, dir, toV)
+    if (m1.patches != m2.patches) return None
+    val schema = StructType.fromDDL(m2.schemaDdl)
+    val old = StructType.fromDDL(m1.schemaDdl)
+    require(old.fields.map(f => (f.name, f.dataType))
+        .sameElements(schema.fields.take(old.size).map(f => (f.name, f.dataType))),
+      s"signedRowsBetween: version $toV's schema is not an append-only " +
+        s"evolution of version $fromV's — diff the payloads manually")
+    require(!schema.fieldNames.contains("__sign"),
+      "signedRowsBetween: column name __sign is reserved by the encoding")
+    val win = ((fromV + 1) to toV).map(readMeta(spark, dir, _))
+    val (added, removed): (Seq[String], Seq[String]) =
+      if (win.forall(_.mode == "delta")) {
+        val addedAcc = scala.collection.mutable.LinkedHashSet.empty[String]
+        val removedAcc = scala.collection.mutable.LinkedHashSet.empty[String]
+        win.foreach { d =>
+          d.removes.foreach { p => if (!addedAcc.remove(p)) removedAcc += p }
+          d.adds.foreach { f =>
+            if (!removedAcc.remove(f.path)) addedAcc += f.path
+          }
+        }
+        (addedAcc.toSeq.sorted, removedAcc.toSeq.sorted)
+      } else {
+        val p1 = materializeFiles(spark, dir, fromV).map(_.path).toSet
+        val p2 = materializeFiles(spark, dir, toV).map(_.path).toSet
+        ((p2 -- p1).toSeq.sorted, (p1 -- p2).toSeq.sorted)
+      }
+    def readSet(ps: Seq[String], sign: Int): DataFrame = {
+      val base =
+        if (ps.isEmpty) emptyDF(spark, schema)
+        else spark.read.schema(schema).parquet(ps.map(p => s"$dir/$p"): _*)
+      base.withColumn("__sign", lit(sign.toLong))
+    }
+    Some(readSet(added, 1).unionByName(readSet(removed, -1)))
   }
 
   /** Zero-scan table statistics straight from the manifest — the stats

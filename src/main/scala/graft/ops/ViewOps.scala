@@ -58,15 +58,26 @@ object ViewOps {
     * (state / delta — O(groups), not O(rows)), loud by contract:
     * pre-coalesce nullable group columns upstream.
     */
-  private def requireNonNullGroups(aggregated: DataFrame,
-                                   groupCols: Seq[String], ctx: String): Unit = {
-    val nullKey = groupCols.map(col(_).isNull).reduce(_ || _)
-    require(aggregated.filter(nullKey).limit(1).count() == 0L,
-      s"$ctx: NULL value in group column(s) ${groupCols.mkString(", ")} — " +
-        "the incremental fold keys on null-excluding equality and cannot " +
-        "maintain a NULL group; COALESCE the group columns to a sentinel " +
-        "upstream of the view")
-  }
+  /** Non-null group-key contract (see the class scaladoc), enforced
+    * INSIDE the frame instead of by a separate probe action: each group
+    * column is
+    * wrapped in `coalesce(c, raise_error(...))`, so the violation fires
+    * during whatever action first materializes the frame — the refresh
+    * pays zero extra Spark jobs for the guard. Coalesce evaluates
+    * lazily left-to-right in both interpreted and codegen paths, so the
+    * error expression runs only on an actual NULL group value.
+    */
+  private def withNonNullGroupGuard(df: DataFrame, groupCols: Seq[String],
+                                    ctx: String): DataFrame =
+    df.select(df.columns.toIndexedSeq.map { c =>
+      if (groupCols.contains(c))
+        coalesce(col(c), raise_error(lit(
+          s"$ctx: NULL value in group column $c — the incremental fold " +
+            "keys on null-excluding equality and cannot maintain a NULL " +
+            "group; COALESCE the group columns to a sentinel upstream of " +
+            "the view")).cast(df.schema(c).dataType)).as(c)
+      else col(c)
+    }: _*)
 
   /** Measures must be integral (LONG sums): exact, associative, replay-
     * stable. Enforced, not just documented — a DOUBLE measure would
@@ -116,13 +127,24 @@ object ViewOps {
           lit("aggDelta: change_type '"), col("change_type"),
           lit(s"' — need a preimage-encoded feed (${legal.mkString("/")}); " +
             "re-read changesBetween with preimages = true")))))
-    checked.groupBy(groupCols.map(col): _*)
+    aggSigned(checked, groupCols, measures)
+  }
+
+  /** Signed per-group delta over rows already carrying a `__sign` column
+    * (±1) — the core [[aggDelta]] reduces the keyed CDF to, and what the
+    * batch refresh feeds DIRECTLY from [[VersionedTable
+    * .signedRowsBetween]]'s file-level encoding: the group-by partial-
+    * aggregates map-side, so the only shuffle moves O(groups ×
+    * partitions) buffers, never the changed rows.
+    */
+  def aggSigned(signed: DataFrame, groupCols: Seq[String],
+                measures: Seq[String]): DataFrame =
+    signed.groupBy(groupCols.map(col): _*)
       .agg(sum(col("__sign")).as("n"),
         measures.flatMap(m => Seq(
           coalesce(sum(col("__sign") * col(m)), lit(0L)).as(s"sum_$m"),
           coalesce(sum(when(col(m).isNotNull, col("__sign"))), lit(0L))
             .as(s"nn_$m"))): _*)
-  }
 
   /** Fold a signed delta into a view state: one full-outer join on the
     * group key, sums add, and a group whose live count reaches zero drops
@@ -191,10 +213,11 @@ object ViewOps {
           s"refreshAggView: leading group column ${groupCols.head} cannot " +
             "carry manifest stats — the refresh merge could never prune; " +
             "lead with a numeric/string/date group column")
-        val state = fullState(snap, groupCols, measures)
         // O(groups) guard, not O(rows): a null group key surfaces as a
-        // null group ROW in the aggregated state
-        requireNonNullGroups(state, groupCols, "refreshAggView")
+        // null group ROW in the aggregated state, and the in-frame guard
+        // fires during create's own write action — no separate probe job
+        val state = withNonNullGroupGuard(
+          fullState(snap, groupCols, measures), groupCols, "refreshAggView")
         VT.create(state, viewDir, statsCols = statable, txn = Some(appId -> srcV))
         VT.currentVersion(spark, viewDir).get
       case Some(vv) =>
@@ -204,9 +227,22 @@ object ViewOps {
             s"refreshAggView: view $viewDir has no ledger entry for $appId — " +
               "was it created by a different app id?"))
         if (lastSrcV >= srcV) return vv // nothing new (or replay) — no-op
-        val cdf = VT.changesBetween(spark, srcDir, lastSrcV, srcV, srcKeys,
-          preimages = true)
-        foldFeedIntoView(spark, viewDir, cdf, groupCols, measures,
+        // Fast path: SUM/COUNT distribute over signs, so the refresh folds
+        // the window's file-level ±1 rows directly — no per-key CDF
+        // pairing, no key shuffle (see [[VersionedTable
+        // .signedRowsBetween]]). Patch-chain windows (None) fall back to
+        // the keyed feed, which handles merge-on-read exactly.
+        val delta = VT.signedRowsBetween(spark, srcDir, lastSrcV, srcV) match {
+          case Some(signed) =>
+            requireIntegralMeasures(signed.schema, measures, "refreshAggView")
+            aggSigned(signed, groupCols, measures)
+          case None =>
+            val cdf = VT.changesBetween(spark, srcDir, lastSrcV, srcV,
+              srcKeys, preimages = true)
+            requireIntegralMeasures(cdf.schema, measures, "refreshAggView")
+            aggDelta(cdf, groupCols, measures)
+        }
+        foldDeltaIntoView(spark, viewDir, delta, groupCols, measures,
           txn = appId -> srcV, ctx = "refreshAggView")
         VT.currentVersion(spark, viewDir).get
     }
@@ -222,20 +258,32 @@ object ViewOps {
                                cdf: DataFrame, groupCols: Seq[String],
                                measures: Seq[String], txn: (String, Long),
                                ctx: String): Unit = {
-    val VT = VersionedTable
     requireIntegralMeasures(cdf.schema, measures, ctx)
+    foldDeltaIntoView(spark, viewDir, aggDelta(cdf, groupCols, measures),
+      groupCols, measures, txn, ctx)
+  }
+
+  /** Fold an already-aggregated signed group delta ([[aggDelta]] /
+    * [[aggSigned]] output) into the view — the single commit point both
+    * the batch refresh and the streamed fold go through.
+    */
+  private def foldDeltaIntoView(spark: SparkSession, viewDir: String,
+                                rawDelta: DataFrame, groupCols: Seq[String],
+                                measures: Seq[String], txn: (String, Long),
+                                ctx: String): Unit = {
+    val VT = VersionedTable
     // drop zero-net groups: an update that only touched columns this
     // view doesn't maintain (or churn that cancels exactly) must not
     // rewrite the group's file — at scale most CDC traffic is exactly
     // such unrelated churn. PERSIST the (touched-groups-sized) delta:
     // it feeds the null guard, the fold join, and the merge's own
     // file-pruning probe — without the pin each action would re-run
-    // the whole CDF read + full-outer diff + signed aggregation.
-    val delta = aggDelta(cdf, groupCols, measures)
-      .filter(stateCols(measures).map(c => col(c) =!= 0L).reduce(_ || _))
+    // the whole change read + signed aggregation.
+    val delta = withNonNullGroupGuard(
+        rawDelta.filter(stateCols(measures).map(c => col(c) =!= 0L).reduce(_ || _)),
+        groupCols, ctx)
       .persist()
     try {
-      requireNonNullGroups(delta, groupCols, ctx)
       // the whole fold sits inside the commit-retry closure: a racing
       // writer on the view invalidates the state READ too, so the retry
       // must rebuild the changelog against the NEW current version —
@@ -250,16 +298,25 @@ object ViewOps {
         val sc = stateCols(measures)
         val viewState = VT.read(spark, viewDir).select(
           groupCols.map(col) ++ sc.map(c => col(c).as(s"__s_$c")): _*)
+        // localCheckpoint (eager): the merge underneath runs THREE actions
+        // over the changelog (touched-file probe, rewrite, footer lift) —
+        // without the pin each would replay the view read + fold join.
+        // The checkpointed relation is O(touched groups); inside the retry
+        // closure on purpose, so a lost commit race rebuilds it against
+        // the NEW view version.
         val changelog = delta.select(
             groupCols.map(col) ++ sc.map(c => col(c).as(s"__d_$c")): _*)
           .join(viewState, groupCols, "left_outer")
           .select(groupCols.map(col) ++ sc.map(c =>
             (coalesce(col(s"__s_$c"), lit(0L)) + col(s"__d_$c")).as(c)): _*)
           .withColumn("__dead", col("n") <= 0L)
-        // the changelog is an aggregation output — one row per group by
-        // construction — so the merge skips its dedup exchange
-        VT.commitMergeUnique(changelog, viewDir, groupCols,
-          deleteCond = col("__dead"), txn = Some(txn))
+          .localCheckpoint()
+        try {
+          // the changelog is an aggregation output — one row per group by
+          // construction — so the merge skips its dedup exchange
+          VT.commitMergeUnique(changelog, viewDir, groupCols,
+            deleteCond = col("__dead"), txn = Some(txn))
+        } finally changelog.unpersist()
       }
     } finally delta.unpersist()
   }

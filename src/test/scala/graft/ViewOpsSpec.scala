@@ -185,10 +185,18 @@ class ViewOpsSpec extends SparkSuite {
     // bootstrap: a null group value in the snapshot
     VT.create(Seq((1L, Some("a"), 10L), (2L, None, 20L))
       .toDF("k", "g", "v"), src, statsCols = Seq("k"))
-    val ex = intercept[IllegalArgumentException] {
+    // the guard is an in-frame raise_error (zero extra probe jobs), so it
+    // surfaces as the materializing action's failure — the CONTRACT is
+    // the loud refusal + guidance text, not the exception class
+    def messageChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val ex = intercept[Throwable] {
       ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
     }
-    assert(ex.getMessage.contains("NULL value in group column"))
+    assert(messageChain(ex).contains("NULL value in group column"))
+    assert(VT.currentVersion(spark, view).isEmpty,
+      "a refused bootstrap must not publish a view version")
     // refresh: clean bootstrap, then a null group key arrives via CDC
     val src2 = tmp(); val view2 = tmp()
     VT.create(Seq((1L, Some("a"), 10L)).toDF("k", "g", "v"),
@@ -197,10 +205,13 @@ class ViewOpsSpec extends SparkSuite {
     VT.commitMerge(Seq((2L, None: Option[String], 30L, false))
         .toDF("k", "g", "v", "del"),
       src2, Seq("k"), Seq.empty, $"del")
-    val ex2 = intercept[IllegalArgumentException] {
+    val v2Before = VT.currentVersion(spark, view2)
+    val ex2 = intercept[Throwable] {
       ViewOps.refreshAggView(spark, src2, view2, Seq("k"), Seq("g"), Seq("v"))
     }
-    assert(ex2.getMessage.contains("NULL value in group column"))
+    assert(messageChain(ex2).contains("NULL value in group column"))
+    assert(VT.currentVersion(spark, view2) == v2Before,
+      "a refused refresh must not publish a view version")
   }
 
   test("non-integral measures refuse loudly (float sums drift)") {
