@@ -43,12 +43,20 @@ object ScaleBench {
 
   private def mutateEmb(emb: DataFrame, copies: Int): DataFrame = {
     val n = emb.sparkSession.range(copies.toLong).toDF("__c")
+    // per-copy pseudo-random SIGN FLIPS on ~half the lanes: two distinct
+    // copies of one vector disagree on ~half their flip decisions, so
+    // their cosine lands near 0 — far below every near-dup threshold in
+    // the suite. (The earlier single-lane perturbation left copies at
+    // cos ≈ 0.99 of their source, which manufactured a quadratic
+    // near-dup cluster per source row and made candidate growth measure
+    // the fixture, not the blocking.) Duplicate DENSITY stays organic;
+    // growth measures corpus size.
     emb.crossJoin(n)
       .withColumn("vec_id", col("vec_id") + col("__c") * lit(10000000L))
       .withColumn("embedding",
-        transform(col("embedding"),
-          (v, i) => when(i === pmod(col("__c"), size(col("embedding"))),
-            v + col("__c").cast("float") * lit(0.37f)).otherwise(v)))
+        when(col("__c") === 0, col("embedding")).otherwise(
+          transform(col("embedding"),
+            (v, i) => when(pmod(hash(i, col("__c")), lit(2)) === 0, -v).otherwise(v))))
       .drop("__c")
   }
 
@@ -91,22 +99,75 @@ object ScaleBench {
       .head().getLong(0)
   }
 
-  /** Simhash candidates under the default single-slice scheme (d=3 → four
-    * 16-bit slices over the token simhash — `simhashPairs`' exact keys).
-    * At FIXED slice width this is asymptotically n²/buckets; the Manku
-    * combinatorial variant (`simhashPairsCombinatorial`, more blocks) is
-    * the documented knob that re-sparsifies it at the billion-doc scale.
+  /** Simhash candidates under the single-slice scheme at the REGISTERED
+    * query's d=8 (nine ~7-bit slices — `simhashPairs`' exact keys via
+    * [[graft.ops.DedupOps.simhashSingleKeys]]). At FIXED slice width this
+    * is asymptotically n²/2^(64/(d+1)); contrast with
+    * [[simhashCombCandidates]], the scheme `simhashPairsAuto` routes to
+    * above its corpus cap. (Through r11 this measured the d=3 scheme's
+    * 16-bit slices — a different query than the registered d=8 one; the
+    * two series are not comparable across rounds.)
     */
   private def simhashCandidates(spark: SparkSession, dir: String): Long = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val h = graft.ops.DedupOps.simhash(graft.ops.TextOps.tokens(col("text")))
-    docs.select(h.as("sh"))
-      .select(explode(array((0 until 4).map(s =>
-        concat(lit(s), lit(":"),
-          shiftrightunsigned(col("sh"), s * 16).bitwiseAND(lit(0xFFFFL)))): _*)).as("b"))
-      .groupBy("b").count()
+    bucketPairs(
+      docs.select(h.as("sh"))
+        .select(posexplode(array(
+          graft.ops.DedupOps.simhashSingleKeys(maxDistance = 8): _*))
+          .as(Seq("q", "k"))),
+      Seq("q", "k"))
+  }
+
+  /** Σ per-bucket C(n, 2) — the pair count a blocking key admits. */
+  private def bucketPairs(df: DataFrame, keys: Seq[String]): Long =
+    df.groupBy(keys.map(col): _*).count()
       .select((sum(col("count") * (col("count") - 1)) / 2).cast("long"))
       .head().getLong(0)
+
+  /** Candidate pairs the FIXED-cardinality label blocking admits — the
+    * r11 `weak`: |labels| does not grow with the corpus, so this measures
+    * exponent ≈ 2 per decade. Kept as the baseline the clustered tier is
+    * judged against.
+    */
+  private def labelCandidates(spark: SparkSession, dir: String): Long =
+    bucketPairs(spark.read.parquet(s"$dir/embeddings.parquet"), Seq("label"))
+
+  /** Candidate pairs IVF-cluster blocking admits at the cluster count
+    * [[graft.ops.SimilarityOps.cosinePairsAbove]]'s scale tier would
+    * pick for this corpus (c = n/4096, nprobe = 4) — the EXACT
+    * cluster-id keys its candidate join shuffles on. Per-bucket
+    * populations stay ~constant as c grows with n, so the admitted pair
+    * space grows linearly.
+    */
+  private def ivfCandidates(spark: SparkSession, dir: String): Long = {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val c = math.max(16L, n / graft.ops.SimilarityOps.CosineClusterTargetRows).toInt
+    val matrix = graft.ops.SimilarityOps.collectCentroids(
+      graft.ops.SimilarityOps.ivfCentroids(
+        emb.select(col("vec_id"), col("embedding")), c, iters = 2))
+    bucketPairs(
+      emb.select(explode(graft.functions.VectorExpressions.topCentroids(
+        col("embedding"), matrix, math.min(4, c))).as("cl")),
+      Seq("cl"))
+  }
+
+  /** Simhash candidates under the Manku combinatorial keys
+    * [[graft.ops.DedupOps.simhashPairsAuto]] routes to above its corpus
+    * cap (registered d=8 → B=11: C(11,3)=165 keys of ~17 bits/row vs the
+    * single-slice scheme's 9 keys of ~7 bits) — the exact join keys,
+    * via [[graft.ops.DedupOps.simhashCombKeys]].
+    */
+  private def simhashCombCandidates(spark: SparkSession, dir: String): Long = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val h = graft.ops.DedupOps.simhash(graft.ops.TextOps.tokens(col("text")))
+    bucketPairs(
+      docs.select(h.as("sh"))
+        .select(posexplode(array(
+          graft.ops.DedupOps.simhashCombKeys(maxDistance = 8, nBlocks = 11): _*))
+          .as(Seq("q", "k"))),
+      Seq("q", "k"))
   }
 
   def main(args: Array[String]): Unit = {
@@ -125,8 +186,8 @@ object ScaleBench {
     val family = Seq("q_dedup_exact", "q_dedup_hash", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_near", "q_dedup_jaccard_global",
       "q_ngram_jaccard", "q_dedup_editdist", "q_dedup_cluster",
-      "q_dedup_embedding", "q_similarity_topk", "q_similarity_lsh",
-      "q_similarity_ivf", "q_embed_quantize")
+      "q_dedup_embedding", "q_dedup_embedding_ivf", "q_similarity_topk",
+      "q_similarity_lsh", "q_similarity_ivf", "q_embed_quantize")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).count() // warm: codegen + page cache
@@ -145,8 +206,12 @@ object ScaleBench {
       spark.read.parquet(s"$d/documents.parquet").count())
     val lsh = Seq(base, d10, d100).map(d => lshCandidates(spark, d))
     val sim = Seq(base, d10, d100).map(d => simhashCandidates(spark, d))
+    val simComb = Seq(base, d10, d100).map(d => simhashCombCandidates(spark, d))
+    val lbl = Seq(base, d10, d100).map(d => labelCandidates(spark, d))
+    val ivf = Seq(base, d10, d100).map(d => ivfCandidates(spark, d))
     def exps(v: Seq[Long]): Seq[Double] =
-      v.sliding(2).map(p => math.log10(p(1).toDouble / p(0))).toSeq
+      v.sliding(2).map(p => math.log10(math.max(p(1), 1).toDouble / math.max(p(0), 1)))
+        .toSeq
     val qJson = rows.map { case (q, t1, t10, e) =>
       s""""$q":{"t1x":${sec(t1)},"t10x":${sec(t10)},"exp":${sec(e)}}"""
     }.mkString("{", ",", "}")
@@ -156,6 +221,12 @@ object ScaleBench {
         s""""lsh_exponents":[${exps(lsh).map(sec).mkString(",")}],""" +
         s""""simhash_candidates":[${sim.mkString(",")}],""" +
         s""""simhash_exponents":[${exps(sim).map(sec).mkString(",")}],""" +
+        s""""simhash_comb_candidates":[${simComb.mkString(",")}],""" +
+        s""""simhash_comb_exponents":[${exps(simComb).map(sec).mkString(",")}],""" +
+        s""""emb_label_candidates":[${lbl.mkString(",")}],""" +
+        s""""emb_label_exponents":[${exps(lbl).map(sec).mkString(",")}],""" +
+        s""""emb_ivf_candidates":[${ivf.mkString(",")}],""" +
+        s""""emb_ivf_exponents":[${exps(ivf).map(sec).mkString(",")}],""" +
         s""""allpairs_1x":${nDocs.head * (nDocs.head - 1) / 2},""" +
         s""""allpairs_100x":${nDocs.last * (nDocs.last - 1) / 2},""" +
         s""""queries":$qJson}"""

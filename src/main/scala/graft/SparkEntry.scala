@@ -1264,15 +1264,47 @@ private[graft] object Queries {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin
 
-  /** SimHash near-dup pairs — hash-dependent, no SQL oracle; unit-tested. */
+  /** SimHash near-dup pairs — hash-dependent, no SQL oracle; unit-tested.
+    * Cost-tiered ([[graft.ops.DedupOps.simhashPairsAuto]]): single-slice
+    * blocking at fixture scale, Manku block-combination keys above
+    * 100k docs — result-identical (both schemes are full-recall by
+    * pigeonhole + exact-Hamming-verified), purely a bucket-quadratic
+    * cost choice, spec-pinned equal in DedupSpec.
+    */
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    DedupOps.simhashPairs(Tables.documents(s, d), "doc_id", "text", maxDistance = 8)
+    DedupOps.simhashPairsAuto(Tables.documents(s, d), "doc_id", "text", maxDistance = 8)
       .orderBy("id_a", "id_b")
 
-  /** Embedding-cosine near-dup pairs blocked by label. */
+  /** Embedding-cosine near-dup pairs blocked by label — ADAPTIVE
+    * ([[graft.ops.SimilarityOps.cosinePairsAbove]]): exact within-label
+    * all-pairs at fixture scale (this oracle tier), IVF-cluster candidate
+    * blocking + exact-cosine verify above 100k rows, where the fixed
+    * label cardinality would make within-block pairs O(n²/|labels|).
+    * The scale tier's pair space grows linearly (cluster count scales
+    * with n) — measured in BENCH_SCALE; recall/precision property-specs
+    * in SimilaritySpec.
+    */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     SimilarityOps.cosinePairsAbove(Tables.embeddings(s, d), "label", 0.35)
       .orderBy("id_a", "id_b")
+
+  /** The embedding near-dup SCALE tier run directly on the fixture:
+    * IVF-cluster-blocked candidates (16 clusters, 4 probes), exact
+    * cosine verify, global (no label constraint). Centroid-seeded — no
+    * SQL oracle; SimilaritySpec pins full-probe == brute-force pairs and
+    * bounds partial-probe recall, BENCH_SCALE measures the linear
+    * candidate growth the clustering buys.
+    */
+  def dedupEmbeddingIvf(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    // the same corpus-proportional sizing the auto tier uses, so this
+    // query's ScaleBench wall measures the scale path, not a pinned c
+    val c = math.max(16L,
+      emb.count() / SimilarityOps.CosineClusterTargetRows).toInt
+    SimilarityOps.cosinePairsClustered(emb, None, 0.35,
+      c = c, nprobe = 4, iters = 2)
+      .orderBy("id_a", "id_b")
+  }
 
   private val dedupEmbeddingSql =
     """SELECT id_a, id_b, cos FROM (
@@ -1325,6 +1357,30 @@ private[graft] object Queries {
     val emb = Tables.embeddings(s, d)
     SimilarityOps.ivfTopK(emb.filter(col("vec_id") < 5), emb, 10,
       c = 16, nprobe = 4, iters = 2)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** PERSISTENT IVF index lifecycle ([[graft.ops.SimilarityOps
+    * .ivfIndexBuild]]): build on 3/4 of the corpus (centroids +
+    * cluster-clustered assignments as versioned tables), APPEND the rest
+    * against the frozen centroids (O(batch) — the signature-table
+    * pattern), then probe top-10 for queries 0-4 with the probed
+    * clusters pruning assignment FILES through the manifest. Centroid-
+    * seeded — no SQL oracle; SimilaritySpec pins full-probe == brute
+    * force over the whole corpus, partial-probe == the unpruned
+    * recomputation, and append replay idempotence.
+    */
+  def similarityIvfIncr(s: SparkSession, d: String): DataFrame = {
+    val dir = fixtureDir(d, "ivf_index")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val emb = Tables.embeddings(s, d)
+    SimilarityOps.ivfIndexBuild(emb.filter(col("vec_id") % 4 =!= 0), dir,
+      c = 16, iters = 2)
+    SimilarityOps.ivfIndexAppend(emb.filter(col("vec_id") % 4 === 0), dir,
+      txn = Some("q_similarity_ivf_incr" -> 1L))
+    SimilarityOps.ivfIndexTopK(emb.filter(col("vec_id") < 5), dir, 10, nprobe = 4)
       .orderBy("query_id", "rnk")
   }
 
@@ -2693,6 +2749,61 @@ private[graft] object Queries {
       |FROM base WHERE NOT (k <= 3000 AND k % 2 = 0)
       |GROUP BY st ORDER BY st""".stripMargin
 
+  /** SQL DDL end to end ([[graft.sql.GraftDml]] CREATE/DROP): the whole
+    * table LIFECYCLE without one library call — `DROP TABLE IF EXISTS
+    * ... PURGE` (re-runnable fixture), `CREATE TABLE ... STATS
+    * (c_custkey) AS <query>` (creates the versioned table at the
+    * catalog-default location and registers the name), `MERGE INTO` the
+    * NAME, and a grouped SELECT through the `graft_vtable` TVF — the SQL
+    * analog of the reference's setup_db.py DDL + load.py upsert
+    * (reference/scripts/setup_db.py:33-54, load.py:114-147). The oracle
+    * recomputes the CTAS + merge from scratch in DuckDB.
+    */
+  def ddlSql(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val name = s"cust_ddl_${new java.io.File(d).getName}"
+    val G = graft.sql.GraftSql
+    G.sql(s, s"DROP TABLE IF EXISTS graft_vtable('$name') PURGE").collect()
+    cust(s, d).createOrReplaceTempView("ddl_src")
+    G.sql(s,
+      s"""CREATE TABLE graft_vtable('$name') STATS (c_custkey) AS
+         |SELECT c_custkey, c_nationkey,
+         |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+         |FROM ddl_src WHERE c_custkey % 3 <> 0""".stripMargin).collect()
+    G.sql(s,
+      s"""MERGE INTO graft_vtable('$name') AS t
+         |USING (SELECT c_custkey, c_nationkey,
+         |              CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 500 AS cents,
+         |              c_nationkey % 2 = 0 AS del
+         |       FROM ddl_src WHERE c_custkey % 2 = 0) AS s
+         |ON t.c_custkey = s.c_custkey
+         |WHEN MATCHED AND s.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    s.sql(
+      s"""SELECT c_nationkey, COUNT(*) AS n,
+         |       CAST(SUM(cents) AS DOUBLE) AS sum_cents
+         |FROM graft_vtable('$name')
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  private val ddlSqlSql =
+    """WITH t AS (SELECT c_custkey, c_nationkey,
+      |                  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |           FROM customer WHERE c_custkey % 3 <> 0),
+      |s AS (SELECT c_custkey, c_nationkey,
+      |             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 500 AS cents,
+      |             c_nationkey % 2 = 0 AS del
+      |      FROM customer WHERE c_custkey % 2 = 0),
+      |m AS (SELECT coalesce(t.c_custkey, s.c_custkey) AS k,
+      |       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+      |            ELSE t.c_nationkey END AS nk,
+      |       CASE WHEN s.c_custkey IS NOT NULL THEN s.cents ELSE t.cents END AS c
+      |      FROM t FULL JOIN s ON t.c_custkey = s.c_custkey
+      |      WHERE s.c_custkey IS NULL OR NOT coalesce(s.del, FALSE))
+      |SELECT nk AS c_nationkey, COUNT(*) AS n, CAST(SUM(c) AS DOUBLE) AS sum_cents
+      |FROM m GROUP BY nk ORDER BY nk""".stripMargin
+
   /** STREAMING change-data-feed source ([[graft.sources.VtableCdfSource]]
     * — the Delta `readChangeFeed` analog): `readStream.format(
     * "graft-vtable-cdf")` over a versioned table, offsets = table
@@ -3725,9 +3836,11 @@ private[graft] object Queries {
     "q_dedup_near" -> (dedupNear _),
     "q_dedup_editdist" -> (dedupEditdist _),
     "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_dedup_embedding_ivf" -> (dedupEmbeddingIvf _),
     "q_similarity_topk" -> (similarityTopk _),
     "q_similarity_lsh" -> (similarityLsh _),
     "q_similarity_ivf" -> (similarityIvf _),
+    "q_similarity_ivf_incr" -> (similarityIvfIncr _),
     "q_text_tokens" -> (textTokens _),
     "q_text_quality" -> (textQuality _),
     "q_text_langid" -> (textLangid _),
@@ -3753,6 +3866,7 @@ private[graft] object Queries {
     "q_merge_sql" -> (mergeSql _),
     "q_update_sql" -> (updateSql _),
     "q_delete_sql" -> (deleteSql _),
+    "q_ddl_sql" -> (ddlSql _),
     "q_agg_meta" -> (aggMeta _),
     "q_change_feed" -> (changeFeed _),
     "q_vtable_mor" -> (vtableMor _),
@@ -3904,6 +4018,7 @@ private[graft] object Queries {
     "q_merge_sql" -> mergeSqlSql,
     "q_update_sql" -> updateSqlSql,
     "q_delete_sql" -> deleteSqlSql,
+    "q_ddl_sql" -> ddlSqlSql,
     "q_agg_meta" -> aggMetaSql,
     "q_change_feed" -> changeFeedSql,
     "q_vtable_mor" -> mergeMorSql,

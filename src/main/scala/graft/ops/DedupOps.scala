@@ -225,14 +225,61 @@ object DedupOps {
     * a C(B, d) per-row explode. Use [[simhashPairs]] when corpora are
     * small or d ≤ 3; this variant when buckets, not rows, dominate.
     */
+  /** Corpus-size cap for [[simhashPairsAuto]]'s single-slice tier: the
+    * single-slice scheme's blocking key carries only 64/(d+1) bits, so
+    * bucket populations — and the candidate quadratic n²/2^(64/(d+1)) —
+    * grow past the combinatorial scheme's explode cost around here
+    * (measured: single-slice candidate exponent 1.65/decade at d=8 on
+    * the synthetic corpus vs ~1 for Manku blocking).
+    */
+  val SimhashSingleSliceMaxDocs: Long = 100000L
+
+  /** SimHash near-dup pairs, cost-tiered ([[jaccardPairsGlobal]]
+    * discipline): single-slice blocking ([[simhashPairs]]) up to
+    * `singleSliceMaxDocs` corpus rows, Manku block-combination keys
+    * ([[simhashPairsCombinatorial]], B = d + 3) above. BOTH schemes
+    * guarantee full recall by pigeonhole and verify exact Hamming
+    * distance, so the tier switch is RESULT-IDENTICAL (spec-pinned) —
+    * purely a cost choice: wider keys shrink bucket quadratics at the
+    * price of a C(B, B−d) per-row explode. The tier probe is one count()
+    * job at construction (SURVEY §2.8).
+    */
+  def simhashPairsAuto(df: DataFrame, idCol: String, textCol: String,
+                       maxDistance: Int = 3,
+                       singleSliceMaxDocs: Long = SimhashSingleSliceMaxDocs): DataFrame =
+    if (df.count() <= singleSliceMaxDocs)
+      simhashPairs(df, idCol, textCol, maxDistance)
+    else
+      simhashPairsCombinatorial(df, idCol, textCol, maxDistance,
+        nBlocks = math.min(64, maxDistance + 3))
+
   def simhashPairsCombinatorial(df: DataFrame, idCol: String, textCol: String,
                                 maxDistance: Int, nBlocks: Int): DataFrame = {
     require(maxDistance >= 0 && nBlocks > maxDistance && nBlocks <= 64,
       s"need maxDistance < nBlocks <= 64, got d=$maxDistance B=$nBlocks")
+    simhashBlockedPairs(df, idCol, textCol, maxDistance,
+      simhashCombKeys(maxDistance, nBlocks))
+  }
+
+  /** The Manku scheme's blocking-key expressions over a simhash column
+    * named `sh` — one hash per (nBlocks − maxDistance)-subset of the
+    * slice set. Shared by [[simhashPairsCombinatorial]] and the
+    * ScaleBench candidate-count instrumentation (which must count the
+    * EXACT keys the join would shuffle on).
+    */
+  private[graft] def simhashCombKeys(maxDistance: Int, nBlocks: Int): Seq[Column] = {
     val slices = hashSlices(nBlocks)
-    val keys = (0 until nBlocks).combinations(nBlocks - maxDistance)
+    (0 until nBlocks).combinations(nBlocks - maxDistance)
       .map(ss => hash(ss.map(slices): _*)).toSeq
-    simhashBlockedPairs(df, idCol, textCol, maxDistance, keys)
+  }
+
+  /** The single-slice scheme's blocking keys over a simhash column named
+    * `sh` — the d+1 contiguous slices [[simhashPairs]] joins on. Exposed
+    * for the same ScaleBench instrumentation as [[simhashCombKeys]].
+    */
+  private[graft] def simhashSingleKeys(maxDistance: Int): Seq[Column] = {
+    val slices = hashSlices(maxDistance + 1)
+    (0 until maxDistance + 1).map(slices)
   }
 
 

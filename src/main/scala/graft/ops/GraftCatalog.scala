@@ -100,6 +100,16 @@ object GraftCatalog {
   def lookup(spark: SparkSession, name: String): Option[String] =
     entries(spark).get(name)
 
+  /** Default data directory for a SQL-created table: a `graft/<name>`
+    * sibling of the catalog file, so relocating the catalog
+    * (`spark.graft.catalog.path`) relocates managed table data with it.
+    */
+  def defaultTableDir(spark: SparkSession, name: String): String = {
+    val p = catalogPath(spark)
+    new Path(Option(p.getParent).getOrElse(new Path(".")),
+      s"graft/$name").toString
+  }
+
   /** Name-or-path resolution used by every vtable addressing surface. */
   def resolveDir(spark: SparkSession, ref: String): String =
     if (ref.contains('/') || ref.contains('\\')) ref

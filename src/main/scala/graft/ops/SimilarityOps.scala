@@ -188,21 +188,189 @@ object SimilarityOps {
     rankPerQuery(scored, k)
   }
 
-  /** Embedding near-dup pairs above a cosine threshold, blocked by label
-    * (or any coarse partition column) to bound the pair space. Norms are
-    * computed once per row before the join.
+  /** Corpus-size cap for [[cosinePairsAbove]]'s exact tier. A fixed
+    * blocking column's cardinality does not grow with the corpus, so the
+    * within-block pair space is O(n²/|blocks|) — quadratic in n. Up to
+    * this many rows the quadratic is cheap and EXACT (the oracle tier);
+    * past it the operator routes to [[cosinePairsClustered]], whose
+    * cluster count scales with n.
     */
-  def cosinePairsAbove(df: DataFrame, blockCol: String, threshold: Double): DataFrame = {
-    val withNorm = df.select(col("vec_id"), col("embedding"), col(blockCol),
-      l2norm(col("embedding")).as("nrm"))
-    val a = withNorm.alias("a")
-    val b = withNorm.alias("b")
-    a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
-        col("a.vec_id") < col("b.vec_id"))
+  val CosineBruteMaxRows: Long = 100000L
+
+  /** Target rows per IVF cluster when [[cosinePairsAbove]] sizes the
+    * clustered tier: c = n / this, so per-cluster pair work stays
+    * constant as the corpus grows (candidate pairs ≈ n·bucket·nprobe² —
+    * LINEAR in n at fixed bucket size; measured exponent ~1.0/decade in
+    * BENCH_SCALE once c leaves its floor of 16). The flat coarse
+    * quantizer costs O(c·dim) per assigned row, which holds to c ~ 10⁵
+    * (≈ 25M-row shards at this target); past that, assign through an
+    * ANN index over the CENTROIDS (they are just another embedding
+    * table — [[lshTopK]] over c rows) to make assignment O(log c).
+    */
+  val CosineClusterTargetRows: Long = 256L
+
+  /** Embedding near-dup pairs above a cosine threshold, blocked by
+    * `blockCol` — ADAPTIVE, same cost-tier discipline as
+    * [[DedupOps.jaccardPairsGlobal]]:
+    *
+    *  - at or below `bruteMaxRows` corpus rows: exact all-pairs within
+    *    each block (the oracle tier — deterministic, SQL-differentiable);
+    *  - above it: [[cosinePairsClustered]] with the cluster count sized
+    *    to the corpus (c = n/[[CosineClusterTargetRows]]), keeping the
+    *    block-column equality as an extra candidate conjunct. Candidates
+    *    come from shared IVF cluster assignments, so the pair space grows
+    *    LINEARLY in n instead of O(n²/|blocks|); the exact cosine verify
+    *    keeps precision perfect, and recall (a pair straddling two
+    *    never-co-probed clusters is missed) is the documented
+    *    approximation — property-bounded in SimilaritySpec, exact at
+    *    nprobe = c.
+    *
+    * The tier probe is one count() job at construction (SURVEY §2.8).
+    */
+  def cosinePairsAbove(df: DataFrame, blockCol: String, threshold: Double,
+                       bruteMaxRows: Long = CosineBruteMaxRows): DataFrame = {
+    val n = df.count()
+    if (n <= bruteMaxRows) {
+      val withNorm = df.select(col("vec_id"), col("embedding"), col(blockCol),
+        l2norm(col("embedding")).as("nrm"))
+      val a = withNorm.alias("a")
+      val b = withNorm.alias("b")
+      a.join(b, col(s"a.$blockCol") === col(s"b.$blockCol") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          (dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
+        .filter(col("cos") >= threshold)
+    } else {
+      val c = math.max(16L, n / CosineClusterTargetRows).toInt
+      cosinePairsClustered(df, Some(blockCol), threshold, c = c)
+    }
+  }
+
+  /** Embedding near-dup pairs via IVF-CLUSTER candidate blocking — the
+    * 100 TB path. Every vector is assigned to its `nprobe` nearest
+    * centroids (one narrow native pass, no shuffle of the corpus);
+    * candidates are pairs sharing a probed cluster (an equi-join on
+    * cluster_id — the shuffle key's cardinality GROWS with the corpus via
+    * `c`, unlike a fixed label column); each candidate is verified with
+    * the exact cosine kernel, so precision is exact. Multi-assignment
+    * (`nprobe` > 1) is the recall lever: a pair within the threshold
+    * angle almost always shares one of its top clusters, and at
+    * nprobe = c the blocking admits every pair — spec-pinned equal to
+    * brute force. Scored BEFORE the pair-dedup ([[lshTopK]] discipline):
+    * surviving rows are (long, long, double), so the distinct shuffle
+    * never moves embeddings.
+    */
+  def cosinePairsClustered(df: DataFrame, blockCol: Option[String],
+                           threshold: Double, c: Int, nprobe: Int = 4,
+                           iters: Int = 2): DataFrame = {
+    val corpus = df.select(col("vec_id").as("vec_id"), col("embedding"))
+    val matrix = collectCentroids(ivfCentroids(corpus, c, iters))
+    val probed = df.select(
+      Seq(col("vec_id"), col("embedding"), l2norm(col("embedding")).as("nrm"),
+        explode(VectorExpressions.topCentroids(col("embedding"), matrix,
+          math.min(nprobe, c))).as("cl")) ++ blockCol.map(col): _*)
+    val blockEq = blockCol.map(bc => col(s"a.$bc") === col(s"b.$bc"))
+      .getOrElse(lit(true))
+    probed.as("a").join(probed.as("b"),
+        col("a.cl") === col("b.cl") && blockEq &&
+          col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
         (dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  // ------------------------------------------------------------- persistent IVF index
+  /** PERSISTENT IVF index as two [[VersionedTable]]s under `indexDir` —
+    * the [[DedupOps.incrementalDedupRound]] signature-table pattern
+    * applied to ANN: centroids and assignments are computed ONCE at
+    * build, stored versioned, and every later batch is assigned against
+    * the FROZEN centroids and appended — no per-query Lloyd's, no
+    * re-assignment of the corpus.
+    *
+    *  - `centroids`: (cluster_id, centroid) — k×dim, one file;
+    *  - `assign`: (vec_id, embedding, c_norm, cluster_id),
+    *    range-clustered on cluster_id with cluster_id as a stats column,
+    *    so each file's manifest interval covers few clusters and a probe
+    *    opens only the probed clusters' files ([[VersionedTable
+    *    .readWhere]] IN-set pruning — the on-disk analog of an IVF
+    *    inverted list).
+    *
+    * The versioned layer buys the index time travel (probe yesterday's
+    * index), exactly-once appends (txn ledger), and compaction
+    * ([[VersionedTable.commitCompact]] with `clusterBy = cluster_id`
+    * re-tightens intervals after many small appends).
+    */
+  def ivfIndexBuild(corpus: DataFrame, indexDir: String,
+                    c: Int, iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    val matrix = collectCentroids(ivfCentroids(corpus, c, iters))
+    import spark.implicits._
+    val centDf = matrix.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("cluster_id", "centroid")
+    VersionedTable.create(centDf.coalesce(1), s"$indexDir/centroids",
+      statsCols = Seq("cluster_id"))
+    VersionedTable.create(assignFor(corpus, matrix), s"$indexDir/assign",
+      statsCols = Seq("cluster_id"))
+  }
+
+  private def assignFor(batch: DataFrame,
+                        matrix: Array[Array[Double]]): DataFrame =
+    batch.select(col("vec_id"), col("embedding"),
+        l2norm(col("embedding")).as("c_norm"),
+        VectorExpressions.nearestCentroid(col("embedding"), matrix).as("cluster_id"))
+      // EXPLICIT partition count (~4 clusters per file): an unpinned range
+      // write lets AQE coalesce everything into one file spanning every
+      // cluster, and the probe-time file pruning this layout exists for
+      // degrades to a full read
+      .repartitionByRange(math.max(1, matrix.length / 4),
+        col("cluster_id"), col("vec_id"))
+
+  private def indexCentroids(spark: org.apache.spark.sql.SparkSession,
+                             indexDir: String): Array[Array[Double]] =
+    collectCentroids(VersionedTable.read(spark, s"$indexDir/centroids"))
+
+  /** Assign a new batch against the index's FROZEN centroids and append —
+    * O(batch), the corpus never re-clusters. `txn` makes replayed batches
+    * no-op (exactly-once, the ledger pattern). Returns the assignment
+    * table's new version.
+    */
+  def ivfIndexAppend(batch: DataFrame, indexDir: String,
+                     txn: Option[(String, Long)] = None): Long = {
+    val spark = batch.sparkSession
+    VersionedTable.commitAppend(
+      assignFor(batch, indexCentroids(spark, indexDir)),
+      s"$indexDir/assign", txn = txn)
+  }
+
+  /** Probe the persistent index: top-k cosine over the `nprobe` nearest
+    * clusters per query. The probed cluster-id set (≤ nprobe × |queries|,
+    * driver-small — queries are small by nature) prunes the assignment
+    * table's FILES through the manifest before any row is read; scoring
+    * and ranking are [[ivfTopK]]'s plan. With nprobe ≥ c this reads the
+    * whole index and equals brute force (spec-pinned).
+    */
+  def ivfIndexTopK(queries: DataFrame, indexDir: String,
+                   k: Int, nprobe: Int): DataFrame = {
+    val spark = queries.sparkSession
+    val matrix = indexCentroids(spark, indexDir)
+    val np = math.min(nprobe, matrix.length)
+    val probes = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), l2norm(col("embedding")).as("q_norm"),
+      explode(VectorExpressions.topCentroids(col("embedding"), matrix, np))
+        .as("cluster_id"))
+    val probedIds = probes.select("cluster_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val indexed = VersionedTable.readWhere(spark, s"$indexDir/assign",
+      col("cluster_id").isin(probedIds.map(i => i: Any): _*))
+    val scored = indexed.join(broadcast(probes), Seq("cluster_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("score",
+        dot(col("q_emb"), col("embedding")) / (col("q_norm") * col("c_norm")))
+    rankPerQuery(scored, k)
   }
 
   // ------------------------------------------------------------- int8 quantization

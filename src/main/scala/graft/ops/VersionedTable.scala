@@ -273,18 +273,27 @@ object VersionedTable {
     val out = fs.create(tmp, true)
     try out.write(bytes) finally out.close()
     val dest = manifestPath(dir, m.version)
-    // optimistic concurrency: probe-then-rename — some filesystems rename
-    // INTO an existing dest rather than returning false, so the probe is
-    // load-bearing, same as Warehouse.appendPatch. The probe+rename pair
-    // additionally serializes through a per-table JVM monitor: POSIX
-    // rename(2) silently OVERWRITES an existing dest, so on a local
-    // filesystem two same-version racers inside one driver could both
-    // "win" through the TOCTOU window. In-JVM serialization closes that
-    // for the supported deployment (all commits through one driver);
-    // HDFS-style stores keep cross-process safety via their own
-    // no-overwrite rename.
+    // Optimistic concurrency, atomic ACROSS PROCESSES:
+    //  - local filesystems publish via [[AtomicPublish.publishLocal]] — a
+    //    hard-link CAS on the destination entry (link(2) fails with
+    //    EEXIST), because POSIX rename(2) silently OVERWRITES an existing
+    //    dest and the probe-then-rename pair is a TOCTOU two processes
+    //    can both win. The per-table JVM monitor stays as a cheap
+    //    fast-fail for same-driver racers (it also keeps the common path
+    //    allocation-free of FileAlreadyExistsException throws);
+    //  - HDFS-style stores keep probe-then-rename: their rename refuses
+    //    an existing destination atomically (and some rename INTO an
+    //    existing dest rather than returning false, so the probe is
+    //    load-bearing, same as Warehouse.appendPatch).
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     val won = publishLockFor(dir).synchronized {
-      !fs.exists(dest) && fs.rename(tmp, dest)
+      if (local)
+        !fs.exists(dest) && AtomicPublish.publishLocal(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(dest.toUri.getPath))
+      else
+        !fs.exists(dest) && fs.rename(tmp, dest)
     }
     if (!won) {
       fs.delete(tmp, false)

@@ -52,6 +52,10 @@ object GraftDml {
     """(?is)^\s*UPDATE\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s+SET\s+(.*)$""".r
   private val deleteHead =
     """(?is)^\s*DELETE\s+FROM\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*)$""".r
+  private val createHead =
+    """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*)$""".r
+  private val dropHead =
+    """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*?)\s*;?\s*$""".r
 
   /** Our statements return Some(command plan); everything else None. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -59,6 +63,9 @@ object GraftDml {
       Some(parseMerge(target, Option(alias).getOrElse("t"), rest))
     case updateHead(target, rest) => Some(parseUpdate(target, rest))
     case deleteHead(target, rest) => Some(parseDelete(target, rest))
+    case createHead(ifNot, name, rest) =>
+      Some(parseCreate(name, ifNot != null, rest))
+    case dropHead(ifEx, name, rest) => Some(parseDrop(name, ifEx != null, rest))
     case _ => None
   }
 
@@ -68,7 +75,10 @@ object GraftDml {
         "[AS t] USING (<subquery>)|<table> [AS s] ON t.k = s.k [AND ...] " +
         "[WHEN MATCHED AND <cond> THEN DELETE] WHEN MATCHED THEN UPDATE SET * " +
         "WHEN NOT MATCHED THEN INSERT *; UPDATE graft_vtable('ref') SET c = " +
-        "expr[, ...] [WHERE cond]; DELETE FROM graft_vtable('ref') [WHERE cond]")
+        "expr[, ...] [WHERE cond]; DELETE FROM graft_vtable('ref') [WHERE cond]; " +
+        "CREATE TABLE [IF NOT EXISTS] graft_vtable('name') [LOCATION 'dir'] " +
+        "[STATS (col[, ...])] AS <query>; DROP TABLE [IF EXISTS] " +
+        "graft_vtable('name') [PURGE]")
 
   /** Index of the char AFTER the paren-balanced, quote-aware span opening
     * at `start` (which must be '(').
@@ -197,6 +207,30 @@ object GraftDml {
     GraftUpdateCommand(target, sets, where)
   }
 
+  private def parseCreate(name: String, ifNotExists: Boolean,
+                          rest0: String): LogicalPlan = {
+    val rest = rest0.trim
+    val m = """(?is)^(?:LOCATION\s+'([^']+)'\s*)?(?:STATS\s*\(([^)]*)\)\s*)?AS\s+(.+)$""".r
+      .findFirstMatchIn(rest)
+      .getOrElse(fail("CREATE TABLE: expected [LOCATION 'dir'] " +
+        "[STATS (col[, ...])] AS <query>" +
+        (if (rest.isEmpty || !rest.toUpperCase.contains("AS"))
+          " — column-list DDL is not supported; the schema comes from the AS query"
+        else "")))
+    val statsCols = Option(m.group(2)).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    GraftCreateTableCommand(name, ifNotExists, Option(m.group(1)),
+      statsCols, m.group(3).trim.stripSuffix(";").trim)
+  }
+
+  private def parseDrop(name: String, ifExists: Boolean,
+                        rest: String): LogicalPlan = {
+    val purge = rest.trim.equalsIgnoreCase("PURGE")
+    if (!purge && rest.trim.nonEmpty)
+      fail(s"DROP TABLE: unexpected trailing text '${rest.trim}'")
+    GraftDropTableCommand(name, ifExists, purge)
+  }
+
   private def parseDelete(target: String, rest: String): LogicalPlan = {
     val t = rest.trim
     val where =
@@ -251,6 +285,73 @@ case class GraftUpdateCommand(target: String, sets: Seq[(String, String)],
     Seq(Row(VersionedTable.withCommitRetry() {
       VersionedTable.commitUpdate(spark, dir, cond, setCols)
     }))
+  }
+}
+
+/** `CREATE TABLE graft_vtable('name') [LOCATION ...] [STATS (...)] AS
+  * <query>` — runs the query, creates the versioned table at the given
+  * (or catalog-default) location, and registers the name in
+  * [[GraftCatalog]]. `STATS` declares the manifest stats columns — name
+  * the merge key here or later `MERGE INTO` refuses (the same contract
+  * as [[VersionedTable.create]]); default is the query's FIRST column.
+  * The reference DDL analog: reference/scripts/setup_db.py:33-54. Crash
+  * between create and register leaves the table addressable by path;
+  * re-registering is one `graft_register_vtable` call — the catalog is
+  * deliberately not a second source of truth.
+  */
+case class GraftCreateTableCommand(name: String, ifNotExists: Boolean,
+                                   location: Option[String],
+                                   statsCols: Seq[String], selectSql: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.lookup(spark, name) match {
+      case Some(dir) =>
+        if (!ifNotExists)
+          throw new IllegalArgumentException(
+            s"GraftDml: table '$name' already exists (at $dir) — use CREATE " +
+              "TABLE IF NOT EXISTS to no-op, or DROP TABLE first")
+        Seq(Row(VersionedTable.currentVersion(spark, dir).getOrElse(-1L)))
+      case None =>
+        val dir = location.getOrElse(GraftCatalog.defaultTableDir(spark, name))
+        val df = spark.sql(selectSql)
+        val stats = if (statsCols.nonEmpty) statsCols
+          else df.columns.headOption.toSeq
+        val v = VersionedTable.create(df, dir, statsCols = stats)
+        GraftCatalog.register(spark, name, dir)
+        Seq(Row(v))
+    }
+  }
+}
+
+/** `DROP TABLE graft_vtable('name') [PURGE]` — removes the CATALOG entry
+  * (the table stays addressable by path — Iceberg's catalog/metadata
+  * split); `PURGE` additionally deletes the table directory. Returns the
+  * dropped table's last version, or −1 for an `IF EXISTS` no-op.
+  */
+case class GraftDropTableCommand(name: String, ifExists: Boolean,
+                                 purge: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.lookup(spark, name) match {
+      case None =>
+        if (!ifExists)
+          throw new IllegalArgumentException(
+            s"GraftDml: no table named '$name' — use DROP TABLE IF EXISTS to no-op")
+        Seq(Row(-1L))
+      case Some(dir) =>
+        val v = VersionedTable.currentVersion(spark, dir).getOrElse(-1L)
+        GraftCatalog.drop(spark, name)
+        if (purge) {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
+        Seq(Row(v))
+    }
   }
 }
 

@@ -22,8 +22,12 @@ class ContractSpec extends SparkSuite {
       "q_dedup_lifecycle",    // hash-seeded persisted-signature loop:
                               // DedupSpec (lifecycle + replay idempotence)
       "q_dedup_simhash",      // hash-seeded blocking: DedupSpec
+      "q_dedup_embedding_ivf", // centroid-seeded blocking: SimilaritySpec
+                              // (full-probe == brute, partial-probe recall)
       "q_similarity_lsh",     // seeded projections: SimilaritySpec recall
       "q_similarity_ivf",     // centroid-seeded: SimilaritySpec full-probe == brute
+      "q_similarity_ivf_incr", // centroid-seeded persisted index: SimilaritySpec
+                              // (full-probe == brute, pruned == unpruned, replay)
       "q_multimodal_decode",  // no media codec in DuckDB: MultimodalSpec
       "q_sample_split",       // layout property: SampleOpsSpec
       "q_quantile_sketch",    // sketch error bound: PropertySpec
@@ -56,6 +60,10 @@ class ContractSpec extends SparkSuite {
       "q_dedup_cluster",        // localCheckpoint per CC round
       "q_similarity_ivf",       // k×dim centroid collect per Lloyd round
       "q_similarity_lsh",       // k×dim projection collect
+      "q_dedup_embedding",      // corpus count for the brute/IVF tier choice
+      "q_dedup_embedding_ivf",  // corpus count (tier-matched c) + centroid collects
+      "q_similarity_ivf_incr",  // index build/append fixture + probed-cluster collect
+      "q_dedup_simhash",        // corpus count for the slice/Manku tier choice
       "q_bloom_join",           // stat.bloomFilter: one agg pass builds the
                                 // driver-small sketch that then broadcasts
       // sink queries ARE the write path
@@ -74,6 +82,7 @@ class ContractSpec extends SparkSuite {
       "q_merge_sql",       // versioned-table create + parsed MERGE commit (eager, like all DML)
       "q_update_sql",      // versioned-table create + parsed UPDATE rewrite
       "q_delete_sql",      // versioned-table create + parsed DELETE rewrite
+      "q_ddl_sql",         // parsed CREATE TABLE AS + MERGE (eager, like all DDL/DML)
       "q_cdf_stream",      // versioned-table fixture + a drained AvailableNow CDF stream
       "q_dedup_lifecycle", // two ingest rounds against the signature table
       "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor

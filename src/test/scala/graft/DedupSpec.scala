@@ -205,6 +205,23 @@ class DedupSpec extends SparkSuite {
       s"subset blocking must lose nothing: missing=${(truth -- fast).take(3)} extra=${(fast -- truth).take(3)}")
   }
 
+  test("simhashPairsAuto tier switch is result-identical at the registered d=8") {
+    // both tiers are full-recall by pigeonhole + exact-Hamming-verified,
+    // so routing to Manku blocking above the corpus cap must not change a
+    // single pair — this pins the q_dedup_simhash tier switch
+    val sample = docs.limit(400).cache()
+    val single = DedupOps.simhashPairsAuto(sample, "doc_id", "text",
+        maxDistance = 8, singleSliceMaxDocs = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val manku = DedupOps.simhashPairsAuto(sample, "doc_id", "text",
+        maxDistance = 8, singleSliceMaxDocs = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(single.nonEmpty, "sample should contain pairs within distance 8")
+    assert(manku == single,
+      s"tier switch changed results: missing=${(single -- manku).take(3)} " +
+        s"extra=${(manku -- single).take(3)}")
+  }
+
   test("simhashPairs at maxDistance=0 finds exactly the identical-hash pairs") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),

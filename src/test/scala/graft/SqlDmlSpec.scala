@@ -141,6 +141,89 @@ class SqlDmlSpec extends SparkSuite {
     assert(ex3.getMessage.contains("share a name"))
   }
 
+  test("DDL: CREATE TABLE AS creates, registers, and round-trips; DROP splits catalog from data") {
+    val name = s"ddl_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val loc = tmp()
+    Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+      .createOrReplaceTempView("ddl_spec_src")
+    val v = GraftSql.sql(spark,
+      s"""CREATE TABLE graft_vtable('$name') LOCATION '$loc' STATS (k)
+         |AS SELECT k, v FROM ddl_spec_src""".stripMargin).as[Long].head()
+    assert(v == 1L)
+    // name resolves; the created table is a real versioned table with the
+    // declared stats column, so SQL MERGE works against the NAME
+    assert(GraftCatalog.resolveDir(spark, name) == loc)
+    Seq((3L, 33L, false), (4L, 40L, false)).toDF("k", "v", "del")
+      .createOrReplaceTempView("ddl_spec_chg")
+    GraftSql.sql(spark,
+      s"""MERGE INTO graft_vtable('$name') AS t USING ddl_spec_chg AS s
+         |ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(VT.read(spark, loc).as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L), (3L, 33L), (4L, 40L)))
+    // duplicate CREATE refuses loudly; IF NOT EXISTS no-ops at the
+    // current version without touching data
+    val ex = intercept[IllegalArgumentException] {
+      GraftSql.sql(spark,
+        s"CREATE TABLE graft_vtable('$name') AS SELECT 1 AS k").collect()
+    }
+    assert(ex.getMessage.contains("already exists"))
+    val vNo = GraftSql.sql(spark,
+      s"CREATE TABLE IF NOT EXISTS graft_vtable('$name') AS SELECT 1 AS k")
+      .as[Long].head()
+    assert(vNo == 2L, "IF NOT EXISTS returns the existing version")
+    // DROP removes the NAME only — data stays addressable by path
+    // (catalog/metadata split); the returned version is the last one
+    assert(GraftSql.sql(spark,
+      s"DROP TABLE graft_vtable('$name')").as[Long].head() == 2L)
+    assert(GraftCatalog.lookup(spark, name).isEmpty)
+    assert(VT.read(spark, loc).count() == 4L)
+    // un-registered name: DROP refuses; IF EXISTS no-ops with -1
+    intercept[IllegalArgumentException] {
+      GraftSql.sql(spark, s"DROP TABLE graft_vtable('$name')").collect()
+    }
+    assert(GraftSql.sql(spark,
+      s"DROP TABLE IF EXISTS graft_vtable('$name')").as[Long].head() == -1L)
+    // re-register + DROP PURGE deletes the data too
+    GraftCatalog.register(spark, name, loc)
+    GraftSql.sql(spark, s"DROP TABLE graft_vtable('$name') PURGE").collect()
+    assert(VT.currentVersion(spark, loc).isEmpty, "PURGE must delete the table")
+  }
+
+  test("DDL: default location derives from the catalog; unsupported shapes fail loudly") {
+    val name = s"ddl_dflt_${java.util.UUID.randomUUID().toString.take(8)}"
+    Seq((7L, 70L)).toDF("k", "v").createOrReplaceTempView("ddl_dflt_src")
+    GraftSql.sql(spark,
+      s"CREATE TABLE graft_vtable('$name') AS SELECT k, v FROM ddl_dflt_src").collect()
+    try {
+      val dir = GraftCatalog.resolveDir(spark, name)
+      assert(dir.endsWith(s"graft/$name"), s"default location was $dir")
+      assert(VT.read(spark, dir).count() == 1L)
+      // default stats column is the query's first column → keyed MERGE works
+      Seq((8L, 80L, false)).toDF("k", "v", "del")
+        .createOrReplaceTempView("ddl_dflt_chg")
+      GraftSql.sql(spark,
+        s"MERGE INTO graft_vtable('$name') AS t USING ddl_dflt_chg AS s " +
+          "ON t.k = s.k WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+      assert(VT.read(spark, dir).count() == 2L)
+    } finally GraftSql.sql(spark,
+      s"DROP TABLE IF EXISTS graft_vtable('$name') PURGE").collect()
+    // column-list DDL is out of grammar — the schema comes from AS
+    val ex = intercept[IllegalArgumentException] {
+      GraftDml.parse("CREATE TABLE graft_vtable('x') (k BIGINT, v BIGINT)")
+    }
+    assert(ex.getMessage.contains("AS <query>"))
+    // trailing junk on DROP is refused, not ignored
+    val ex2 = intercept[IllegalArgumentException] {
+      GraftDml.parse("DROP TABLE graft_vtable('x') CASCADE")
+    }
+    assert(ex2.getMessage.contains("unexpected trailing text"))
+    // plain Spark DDL (no graft_vtable marker) falls through untouched
+    assert(GraftDml.parse("CREATE TABLE plain (k INT) USING parquet").isEmpty)
+    assert(GraftDml.parse("DROP TABLE plain").isEmpty)
+  }
+
   test("DML interop: SQL update then library merge then SQL delete stays exact") {
     val dir = tmp(); mk(dir)
     GraftSql.sql(spark, s"UPDATE graft_vtable('$dir') SET v = v * 2 WHERE k IN (1, 3)")

@@ -90,6 +90,62 @@ class VtableCdfSourceSpec extends SparkSuite {
     assert(parquetRows(out).size == 3)
   }
 
+  test("schema evolution mid-stream: loud failure, then a restart resumes wider, exactly-once") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    VT.commitMerge(Seq((4L, "d", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v2
+    // a RUNNING stream (schema pinned at start) sees an append-only
+    // evolution land mid-stream: the batch containing the evolved commit
+    // must fail LOUDLY — silently dropping the new column's changes is
+    // the failure mode the pin exists to prevent
+    val qry = spark.readStream.format("graft-vtable-cdf")
+      .option("dir", dir).option("keys", "k")
+      .option("startingVersion", "1").load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds")).start()
+    try {
+      qry.processAllAvailable() // v2 drained under the narrow schema
+      VT.commitMergeEvolve(
+        Seq((5L, "e", 50L, false)).toDF("k", "s", "extra", "del"),
+        dir, Seq("k"), Seq.empty, $"del")                              // v3 (+extra)
+      val ex = intercept[Exception] {
+        qry.processAllAvailable()
+        qry.awaitTermination(30000)
+      }
+      val chain = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(chain.contains("evolved mid-stream"),
+        s"expected the loud evolution failure, got: $chain")
+    } finally if (qry.isActive) qry.stop()
+    // post-evolution churn BEFORE the restart — the recovered stream must
+    // pick up both the evolution commit and this one
+    VT.commitMerge(Seq((4L, "D2", 40L, false)).toDF("k", "s", "extra", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                                // v4
+    // restart from the SAME checkpoint: the new source pins the WIDER
+    // schema and resumes from the committed offset — nothing lost (v3,
+    // v4 both arrive), nothing doubled (v2 does not replay)
+    val qry2 = spark.readStream.format("graft-vtable-cdf")
+      .option("dir", dir).option("keys", "k")
+      .option("startingVersion", "1").load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    qry2.awaitTermination()
+    val wide = org.apache.spark.sql.types.StructType.fromDDL(
+      "change_type STRING, k BIGINT, s STRING, extra BIGINT, _commit_version BIGINT")
+    val got = spark.read.schema(wide).parquet(out)
+      .as[(String, Long, String, Option[Long], Long)].collect().toSeq
+    assert(got.size == got.toSet.size, s"duplicated change rows: $got")
+    assert(got.toSet == Set(
+      ("insert", 4L, "d", None, 2L),            // pre-evolution file: extra reads NULL
+      ("insert", 5L, "e", Some(50L), 3L),
+      ("update", 4L, "D2", Some(40L), 4L)),
+      s"got $got")
+  }
+
   test("net mode folds a multi-commit window into one diff") {
     val root = tmp(); val dir = s"$root/t"; mk(dir)
     // churn that partially cancels: k=4 inserted then updated; k=2

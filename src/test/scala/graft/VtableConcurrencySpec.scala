@@ -81,6 +81,61 @@ class VtableConcurrencySpec extends SparkSuite {
     }
   }
 
+  test("cross-PROCESS publish race: every version has exactly one winner") {
+    // r11 note 3: the probe-then-rename publish was serialized by a JVM
+    // monitor — safe for one driver, but two PROCESSES could both "win"
+    // version N through the rename(2)-overwrites TOCTOU and silently
+    // lose a manifest. The fix is the hard-link CAS in
+    // [[graft.ops.AtomicPublish]]; this drives EXACTLY that code from
+    // four freshly spawned JVMs racing over the same version sequence,
+    // so the property proven (single winner per version, winner's bytes
+    // published intact) is cross-process, not cross-thread.
+    val dir = Files.createTempDirectory("pubrace")
+    val n = 200
+    val procs = 4
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    def codeSource(c: Class[_]): String =
+      new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
+        .getAbsolutePath
+    val cp = Seq(
+      codeSource(graft.ops.AtomicPublish.getClass), // main classes dir
+      codeSource(classOf[scala.collection.immutable.List[_]]) // scala-library
+    ).mkString(java.io.File.pathSeparator)
+    val started = (1 to procs).map { i =>
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.ops.PublishRacer",
+        dir.toString, s"p$i", n.toString)
+        .redirectErrorStream(true).start()
+    }
+    started.foreach { p =>
+      assert(p.waitFor(120, TimeUnit.SECONDS), "racer process timed out")
+      assert(p.exitValue() == 0,
+        s"racer failed: ${new String(p.getInputStream.readAllBytes())}")
+    }
+    val winners: Map[Int, Seq[Long]] = (1 to procs).map { i =>
+      i -> new String(Files.readAllBytes(dir.resolve(s"winner-p$i.txt")), "UTF-8")
+        .split('\n').filter(_.nonEmpty).map(_.toLong).toSeq
+    }.toMap
+    val all = winners.values.flatten.toSeq
+    // single winner per version, no version lost
+    assert(all.size == all.toSet.size,
+      s"two processes won the same version: ${all.groupBy(identity).filter(_._2.size > 1).keys}")
+    assert(all.toSet == (1L to n).toSet,
+      s"missing versions: ${(1L to n).toSet -- all.toSet}")
+    // the published bytes are the winner's, complete and untorn
+    (1L to n).foreach { v =>
+      val content = new String(Files.readAllBytes(dir.resolve(s"v$v.json")), "UTF-8")
+      val winner = winners.collectFirst { case (i, vs) if vs.contains(v) => s"p$i" }.get
+      assert(content == s"""{"version":$v,"writer":"$winner"}""",
+        s"v$v content does not match its winner: $content vs $winner")
+    }
+    // and no stray tmp files survive
+    import scala.jdk.CollectionConverters._
+    val strays = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains(".tmp-")).toSeq
+    assert(strays.isEmpty, s"unreclaimed tmp files: $strays")
+  }
+
   test("vacuum under a patch chain: kept mid-chain state stays byte-correct") {
     val dir = tmp()
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s")
