@@ -22,53 +22,17 @@ import org.apache.spark.sql.functions._
   */
 object ScaleBench {
 
-  private def mutateCopies(docs: DataFrame, copies: Int): DataFrame = {
-    val n = docs.sparkSession.range(copies.toLong).toDF("__c")
-    docs.crossJoin(n)
-      .withColumn("doc_id", col("doc_id") + col("__c") * lit(10000000L))
-      .withColumn("text",
-        when(col("__c") === 0, col("text")).otherwise(
-          // replace every 2nd token with a copy-hashed token: char-shingle
-          // Jaccard between a copy and its source drops to ~0.3 — below
-          // every near-dup threshold in the suite — so duplicate DENSITY
-          // stays organic and growth measures corpus size, not clusters
-          array_join(zip_with(
-            split(col("text"), " "),
-            sequence(lit(0), size(split(col("text"), " ")) - 1),
-            (t, i) => when(i % 2 === 0,
-              concat(lit("w"), pmod(hash(t, col("__c")), lit(99999))))
-              .otherwise(t)), " ")))
-      .drop("__c")
-  }
-
-  private def mutateEmb(emb: DataFrame, copies: Int): DataFrame = {
-    val n = emb.sparkSession.range(copies.toLong).toDF("__c")
-    // per-copy pseudo-random SIGN FLIPS on ~half the lanes: two distinct
-    // copies of one vector disagree on ~half their flip decisions, so
-    // their cosine lands near 0 — far below every near-dup threshold in
-    // the suite. (The earlier single-lane perturbation left copies at
-    // cos ≈ 0.99 of their source, which manufactured a quadratic
-    // near-dup cluster per source row and made candidate growth measure
-    // the fixture, not the blocking.) Duplicate DENSITY stays organic;
-    // growth measures corpus size.
-    emb.crossJoin(n)
-      .withColumn("vec_id", col("vec_id") + col("__c") * lit(10000000L))
-      .withColumn("embedding",
-        when(col("__c") === 0, col("embedding")).otherwise(
-          transform(col("embedding"),
-            (v, i) => when(pmod(hash(i, col("__c")), lit(2)) === 0, -v).otherwise(v))))
-      .drop("__c")
-  }
-
   private def buildScaled(spark: SparkSession, src: String, dst: String,
                           copies: Int): Unit = {
     val fs = new org.apache.hadoop.fs.Path(dst)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dst/_OK"))) return
-    mutateCopies(spark.read.parquet(s"$src/documents.parquet"), copies)
+    graft.tools.ScaleData.mutateDocs(
+        spark.read.parquet(s"$src/documents.parquet"), copies)
       .repartition(math.max(4, copies))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    mutateEmb(spark.read.parquet(s"$src/embeddings.parquet"), copies)
+    graft.tools.ScaleData.mutateEmb(
+        spark.read.parquet(s"$src/embeddings.parquet"), copies)
       .repartition(math.max(4, copies / 2))
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     // the family only reads documents/embeddings; the other tables pass
@@ -135,7 +99,8 @@ object ScaleBench {
 
   /** Candidate pairs IVF-cluster blocking admits at the cluster count
     * [[graft.ops.SimilarityOps.cosinePairsAbove]]'s scale tier would
-    * pick for this corpus (c = n/4096, nprobe = 4) — the EXACT
+    * pick for this corpus (c = n/[[graft.ops.SimilarityOps
+    * .CosineClusterTargetRows]], nprobe = 4) — the EXACT
     * cluster-id keys its candidate join shuffles on. Per-bucket
     * populations stay ~constant as c grows with n, so the admitted pair
     * space grows linearly.
@@ -191,6 +156,12 @@ object ScaleBench {
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).count() // warm: codegen + page cache
+      // Bench.scala's inter-pass hygiene, for the same reason: a
+      // checkpoint-bearing query re-materializes NEW blocks while the
+      // warm pass's orphans still hold storage memory, and the timed run
+      // lands multi-x slower (bit q_dedup_near at 10x: 165 s vs 31 s)
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       fn(spark, dir).count()
       (System.nanoTime() - t0) / 1e9

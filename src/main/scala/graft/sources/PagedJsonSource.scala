@@ -687,7 +687,15 @@ object LoopbackPages {
     val groupOpt = params.get("$group")
     val selOpt = params.get("$select")
     val items = selOpt.map(SoqlWire.parseSelect)
-    val isAgg = items.exists(_.exists(_.isInstanceOf[SoqlWire.AggItem]))
+    // SoQL semantics: a bare `$group` with no aggregate in `$select` is a
+    // grouped-DISTINCT query (one row per group). Spark pushes exactly
+    // that shape when the aggregate columns are pruned above a complete
+    // pushdown — e.g. count() over a grouped result reduces to
+    // Aggregation(group, aggs=[]) — so keying aggregation off "has an
+    // aggregate function" alone returned the RAW rows and tripped the
+    // client's truncation guard once the corpus outgrew the cap.
+    val isAgg = items.exists(_.exists(_.isInstanceOf[SoqlWire.AggItem])) ||
+      (items.isDefined && groupOpt.exists(_.trim.nonEmpty))
     val shaped =
       if (whereOpt.isEmpty && orderOpt.isEmpty && !isAgg) soqlRows(dir)
       else {

@@ -219,6 +219,35 @@ class SoqlSourceSpec extends SparkSuite {
     assert(reqs.map(_._2).sum == want.length)
   }
 
+  test("pushed DISTINCT ($group with no aggregate) returns groups, not raw rows") {
+    // Catalyst prunes the aggregate columns when only the group keys are
+    // consumed — count() over a grouped result pushes Aggregation(group,
+    // aggs=[]) — and SoQL evaluates bare $group as grouped-DISTINCT. The
+    // server returning RAW rows here is the sf1 failure mode: correctness
+    // survives small corpora (Spark re-distincts client-side only when the
+    // pushdown is partial; here it is complete), then the truncation guard
+    // fires once the corpus outgrows aggLimit.
+    LoopbackPages.clearRequestLog(dir)
+    val grouped = offsetRead(pageSize = 300)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("o_custkey").as("s"))
+    val nGroups = Tables.orders(spark, sf)
+      .select("o_orderpriority").distinct().count()
+    assert(grouped.count() == nGroups)
+    val distinctReqs = soqlRequests.filter(r =>
+      r._1.contains("$group=o_orderpriority") && !r._1.contains("("))
+    assert(distinctReqs.nonEmpty,
+      s"the pruned-aggregate count must push bare $$group: ${soqlRequests.map(_._1)}")
+    // one row PER GROUP crossed the wire — not one per order
+    assert(distinctReqs.forall(_._2 == nGroups),
+      s"bare $$group must return grouped rows: $distinctReqs")
+    // plain SELECT DISTINCT pushes the same shape end-to-end
+    val d = offsetRead(pageSize = 300).select("o_orderpriority").distinct()
+    assert(d.collect().map(_.getString(0)).sorted.toSeq ==
+      Tables.orders(spark, sf).select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq)
+  }
+
   test("global aggregate (no GROUP BY) pushes as a one-row response") {
     val hwm = Tables.orders(spark, sf).agg(max("o_orderkey")).head().getLong(0) / 2
     val df = offsetRead(pageSize = 300)
