@@ -85,12 +85,17 @@ private[graft] object Queries {
       .filter(T.watermarkFilter(li(s, d), "l_shipdate", lit("2001-01-01").cast("timestamp")))
       .select(col("l_orderkey"), col("l_linenumber"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"), col("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // ORDER BY every output column: lineitem carries duplicate
+      // (l_orderkey, l_linenumber) pairs with DIFFERENT payloads (§5
+      // gotcha), so the key pair alone leaves the tie order to file
+      // layout — stable on a single-file fixture, divergent across
+      // engines on a multi-file sf1 table (caught by the sf1 check)
+      .orderBy("l_orderkey", "l_linenumber", "ship_day", "l_quantity")
 
   private val scanPushdownSql =
     """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day, l_quantity
       |FROM lineitem WHERE l_shipdate > TIMESTAMP '2001-01-01'
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, ship_day, l_quantity""".stripMargin
 
   // ================================================================ S2+S5: CSV round-trip (write TSV with NULL '', read back)
   def scanCsv(s: SparkSession, d: String): DataFrame = {
@@ -426,13 +431,14 @@ private[graft] object Queries {
         nullif(col("l_quantity"), lit(1.0)).as("coord_like")),
       intFills = Map("precinct_like" -> -1),
       doubleFills = Map("coord_like" -> 0.0))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order over output cols — duplicate key pairs, see scanPushdown
+      .orderBy("l_orderkey", "l_linenumber", "coord_like")
 
   private val fillnaSql =
     """SELECT l_orderkey, l_linenumber,
       | COALESCE(NULLIF(l_linenumber, 1), -1) AS precinct_like,
       | COALESCE(NULLIF(l_quantity, 1.0), 0.0) AS coord_like
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, coord_like""".stripMargin
 
   // ================================================================ E10/E11: uppercase + trim
   def upperTrim(s: SparkSession, d: String): DataFrame =
@@ -522,14 +528,15 @@ private[graft] object Queries {
       warehouse, "l_shipdate", lit("1900-01-01").cast("timestamp"))
       .select(col("l_orderkey"), col("l_linenumber"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order over output cols — duplicate key pairs, see scanPushdown
+      .orderBy("l_orderkey", "l_linenumber", "ship_day")
   }
 
   private val incrementalSql =
     """SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day
       |FROM lineitem
       |WHERE l_shipdate > (SELECT MAX(l_shipdate) FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01')
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, ship_day""".stripMargin
 
   // ================================================================ joins
   def joinBroadcast(s: SparkSession, d: String): DataFrame =
@@ -605,7 +612,8 @@ private[graft] object Queries {
       .select(col("l_orderkey"), col("l_linenumber"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_day"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order over output cols — duplicate key pairs, see scanPushdown
+      .orderBy("l_orderkey", "l_linenumber", "ship_day", "order_day")
 
   /** As-of join: each event paired with the customer's LATEST order at or
     * before the event timestamp ([[graft.ops.JoinOps.asofJoin]] — union +
@@ -641,7 +649,7 @@ private[graft] object Queries {
       | strftime(o_orderdate, '%Y-%m-%d') AS order_day
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       | AND l_shipdate BETWEEN o_orderdate + INTERVAL 30 DAY AND o_orderdate + INTERVAL 60 DAY
-      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, ship_day, order_day""".stripMargin
 
   // ================================================================ windows
   def windowRank(s: SparkSession, d: String): DataFrame = {
@@ -962,7 +970,11 @@ private[graft] object Queries {
       greatest(col("l_quantity"), lit(10.0)).as("qty_hi"),
       least(col("l_quantity"), lit(10.0)).as("qty_lo"),
       signum(col("l_quantity") - 25.0).as("dev_sign"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order for comparison — qty_sqrt/price_floor are injective
+      // enough in (l_quantity, l_extendedprice) that remaining ties have
+      // equal values in EVERY output column (duplicate key pairs, see
+      // scanPushdown)
+      .orderBy("l_orderkey", "l_linenumber", "qty_sqrt", "price_floor")
 
   private val mathSql =
     """SELECT l_orderkey, l_linenumber,
@@ -974,7 +986,7 @@ private[graft] object Queries {
       | greatest(l_quantity, 10.0) AS qty_hi,
       | least(l_quantity, 10.0) AS qty_lo,
       | CASE WHEN l_quantity - 25.0 > 0 THEN 1.0 WHEN l_quantity - 25.0 < 0 THEN -1.0 ELSE 0.0 END AS dev_sign
-      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber, qty_sqrt, price_floor""".stripMargin
 
   // ================================================================ array scalars (embeddings)
   def arrayOp(s: SparkSession, d: String): DataFrame =
@@ -3204,7 +3216,8 @@ private[graft] object Queries {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
         "metric", "val")
-      .orderBy("l_orderkey", "l_linenumber", "metric")
+      // total order over output cols — duplicate key pairs, see scanPushdown
+      .orderBy("l_orderkey", "l_linenumber", "metric", "val")
 
   private val unpivotSql =
     """SELECT * FROM (
@@ -3216,7 +3229,7 @@ private[graft] object Queries {
       | UNION ALL
       | SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
       |  FROM lineitem WHERE l_orderkey < 100)
-      |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+      |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin
 
   // ================================================================ round-2: time-series completion
   /** Dense daily spine + cumulative gap fill (TimeOps): every (customer,

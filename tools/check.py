@@ -4,8 +4,19 @@ run each oracle SQL in DuckDB against the sf parquet tables, load the
 Spark result parquet, sort columns by name, and compare cell-by-cell.
 
 Usage: python3 tools/check.py <verify_out_dir> <sf_dir>
+
+CHECK_ORACLE_TIMEOUT_SEC (env, optional): per-oracle wall cap. Several
+oracle SQLs are the intentionally-NAIVE quadratic spec (all-pairs
+levenshtein / jaccard / cosine) — exactly right at the sf0.01 gate, but
+~1e10 ops at sf1, where the engine's own sub-quadratic tiers produced the
+answer being checked. A capped oracle interrupts and reports TIMEOUT
+(counted separately, not as pass or fail).
+
+CHECK_FLOAT_RTOL (env, optional): relative tolerance for float64 columns.
+Unset (the sf0.01 gate) compares exactly; at large sf double aggregates
+legitimately drift in the last ulp from summation order.
 """
-import json, os, sys
+import json, os, sys, threading
 import duckdb
 import pandas as pd
 
@@ -29,10 +40,14 @@ def main(out_dir: str, sf_dir: str) -> int:
     db = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # Spark-written table: a dir of part files
+            db.sql(f"CREATE VIEW {t} AS FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             db.sql(f"CREATE VIEW {t} AS FROM '{p}'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
-    n_pass = n_fail = 0
+    timeout = float(os.environ.get("CHECK_ORACLE_TIMEOUT_SEC", "0")) or None
+    rtol = float(os.environ.get("CHECK_FLOAT_RTOL", "0")) or None
+    n_pass = n_fail = n_timeout = 0
     for name in sorted(os.listdir(out_dir)):
         qdir = os.path.join(out_dir, name)
         if not os.path.isdir(qdir):
@@ -41,12 +56,23 @@ def main(out_dir: str, sf_dir: str) -> int:
         if name not in oracles:
             print(f"  -- {name}: no oracle, rows={len(got)}")
             continue
+        timer = None
+        if timeout:
+            timer = threading.Timer(timeout, db.interrupt)
+            timer.start()
         try:
             want = norm(db.sql(oracles[name]).df())
+        except duckdb.InterruptException:
+            print(f"TIMEOUT {name}: oracle exceeded {timeout}s (naive-spec SQL)")
+            n_timeout += 1
+            continue
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             n_fail += 1
             continue
+        finally:
+            if timer:
+                timer.cancel()
         ok = True
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
@@ -61,10 +87,16 @@ def main(out_dir: str, sf_dir: str) -> int:
                     print(f"FAIL {name}.{c}: dtype {a.dtype} != {b.dtype}")
                     ok = False
                     continue
-                if a.dtype == object:
-                    neq = ~((a == b) | (a.isna() & b.isna()))
-                else:
-                    neq = ~((a == b) | (a.isna() & b.isna()))
+                neq = ~((a == b) | (a.isna() & b.isna()))
+                if rtol and str(a.dtype) == "float64" and neq.any():
+                    # order-of-summation ulp drift: legitimate at large sf
+                    # where millions of doubles fold in different orders;
+                    # the sf0.01 gate runs exact (rtol unset)
+                    import numpy as np
+                    close = pd.Series(
+                        np.isclose(a.fillna(0.0), b.fillna(0.0), rtol=rtol),
+                        index=a.index)
+                    neq = neq & ~close
                 if neq.any():
                     i = neq.idxmax()
                     print(f"FAIL {name}.{c}: {int(neq.sum())} diffs, first at row {i}: "
@@ -75,7 +107,8 @@ def main(out_dir: str, sf_dir: str) -> int:
             n_pass += 1
         else:
             n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
+    suffix = f", {n_timeout} oracle-timeout" if n_timeout else ""
+    print(f"\n{n_pass} pass, {n_fail} fail{suffix}")
     return 1 if n_fail else 0
 
 
