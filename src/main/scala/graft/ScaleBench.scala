@@ -153,6 +153,18 @@ object ScaleBench {
       "q_ngram_jaccard", "q_dedup_editdist", "q_dedup_cluster",
       "q_dedup_embedding", "q_dedup_embedding_ivf", "q_similarity_topk",
       "q_similarity_lsh", "q_similarity_ivf", "q_embed_quantize")
+    // Second-decade wall timing (500k docs / 200k embeddings) for the
+    // SCALE-SAFE subset — the decade where the cost tiers ENGAGE
+    // (simhash routes to Manku keys above 100k docs, embedding near-dup
+    // to IVF-cluster blocking above 100k rows), so the registered
+    // queries are measured running their scale path, not just having
+    // its candidate counts projected. The candidate-dense quadratics
+    // (near/jaccard_global/ngram on the near-dense synthetic pair
+    // graph, the deliberately-brute oracle tier) are excluded: their
+    // second decade measures fixture density, not blocking.
+    val family100 = Set("q_dedup_exact", "q_dedup_hash", "q_dedup_minhash",
+      "q_dedup_simhash", "q_dedup_embedding_ivf", "q_similarity_topk",
+      "q_similarity_lsh", "q_similarity_ivf", "q_embed_quantize")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).count() // warm: codegen + page cache
@@ -171,7 +183,9 @@ object ScaleBench {
       val t1 = time(q, base)
       val t10 = time(q, d10)
       val exp = math.log10(math.max(t10, 1e-3) / math.max(t1, 1e-3))
-      (q, t1, t10, exp)
+      val t100 = if (family100(q)) Some(time(q, d100)) else None
+      val exp2 = t100.map(t => math.log10(math.max(t, 1e-3) / math.max(t10, 1e-3)))
+      (q, t1, t10, exp, t100, exp2)
     }
     val nDocs = Seq(base, d10, d100).map(d =>
       spark.read.parquet(s"$d/documents.parquet").count())
@@ -183,8 +197,12 @@ object ScaleBench {
     def exps(v: Seq[Long]): Seq[Double] =
       v.sliding(2).map(p => math.log10(math.max(p(1), 1).toDouble / math.max(p(0), 1)))
         .toSeq
-    val qJson = rows.map { case (q, t1, t10, e) =>
-      s""""$q":{"t1x":${sec(t1)},"t10x":${sec(t10)},"exp":${sec(e)}}"""
+    val qJson = rows.map { case (q, t1, t10, e, t100, e2) =>
+      val tail = (t100, e2) match {
+        case (Some(t), Some(x)) => s""","t100x":${sec(t)},"exp2":${sec(x)}"""
+        case _ => ""
+      }
+      s""""$q":{"t1x":${sec(t1)},"t10x":${sec(t10)},"exp":${sec(e)}$tail}"""
     }.mkString("{", ",", "}")
     val out =
       s"""{"metric":"scale","docs":[${nDocs.mkString(",")}],""" +
