@@ -3648,6 +3648,29 @@ private[graft] object Queries {
     """SELECT c_custkey, c_name, c_acctbal, c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** XML round-trip (Spark 4 ships the XML data source natively in
+    * spark-sql — the donated spark-xml): write suppliers as `<supplier>`
+    * row elements, read back with an explicit schema. Exercises the
+    * remaining built-in file format the source matrix lacked
+    * (CSV/JSONL/parquet/ORC covered); nested-element flattening is the
+    * format's own row model, the scan surface stays declarative.
+    */
+  def scanXml(s: SparkSession, d: String): DataFrame = {
+    val dir = fixtureDir(d, "xml_roundtrip")
+    Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .write.mode("overwrite").option("rootTag", "suppliers").option("rowTag", "supplier")
+      .format("xml").save(dir)
+    s.read
+      .schema("s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double")
+      .option("rowTag", "supplier").format("xml").load(dir)
+      .orderBy("s_suppkey")
+  }
+
+  private val scanXmlSql =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
   /** E6 standalone: date formatting (`dt.strftime('%Y-%m-%d')`,
     * reference/scripts/transform.py:117) — the load-bearing ISO day plus
     * coarser calendar buckets, all from one `date_format` scan.
@@ -3917,6 +3940,7 @@ private[graft] object Queries {
     "q_explode_outer" -> (explodeOuterOp _),
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_scan_orc" -> (scanOrc _),
+    "q_scan_xml" -> (scanXml _),
     "q_scan_http" -> (scanHttp _),
     "q_scan_http_offset" -> (scanHttpOffset _),
     "q_scan_http_agg" -> (scanHttpAgg _),
@@ -4065,6 +4089,7 @@ private[graft] object Queries {
     "q_cross_join" -> crossJoinSql,
     "q_explode_outer" -> explodeOuterSql,
     "q_scan_orc" -> scanOrcSql,
+    "q_scan_xml" -> scanXmlSql,
     "q_scan_http" -> scanHttpSql,
     "q_scan_http_offset" -> scanHttpOffsetSql,
     "q_scan_http_agg" -> scanHttpAggSql,
