@@ -3671,6 +3671,39 @@ private[graft] object Queries {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** `binaryFile` ingest — the entry point of a multimodal pipeline:
+    * raw files on disk become (path, length, content) rows with the
+    * payload as an opaque binary column, globbed server-side
+    * (`pathGlobFilter` prunes at LISTING time, before any read). The
+    * fixture is 16 small files whose bytes are the UTF-8 text of the
+    * first `documents` rows (driver-small collect, same license as the
+    * other scan fixtures), so the whole scan→decode round-trip is
+    * DuckDB-oracled: filename-derived id, byte length, decoded text.
+    */
+  def scanBinary(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Paths.get(fixtureDir(d, "binfiles"))
+    java.nio.file.Files.createDirectories(root)
+    Tables.documents(s, d).filter(col("doc_id") < 16)
+      .select(col("doc_id"), col("text")).collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          root.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+          r.getString(1).getBytes("UTF-8"))
+      }
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(root.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        decode(col("content"), "UTF-8").as("text"))
+      .orderBy("doc_id")
+  }
+
+  private val scanBinarySql =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes, text
+      |FROM documents WHERE doc_id < 16 ORDER BY doc_id""".stripMargin
+
   /** E6 standalone: date formatting (`dt.strftime('%Y-%m-%d')`,
     * reference/scripts/transform.py:117) — the load-bearing ISO day plus
     * coarser calendar buckets, all from one `date_format` scan.
@@ -3941,6 +3974,7 @@ private[graft] object Queries {
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_scan_orc" -> (scanOrc _),
     "q_scan_xml" -> (scanXml _),
+    "q_scan_binary" -> (scanBinary _),
     "q_scan_http" -> (scanHttp _),
     "q_scan_http_offset" -> (scanHttpOffset _),
     "q_scan_http_agg" -> (scanHttpAgg _),
@@ -4090,6 +4124,7 @@ private[graft] object Queries {
     "q_explode_outer" -> explodeOuterSql,
     "q_scan_orc" -> scanOrcSql,
     "q_scan_xml" -> scanXmlSql,
+    "q_scan_binary" -> scanBinarySql,
     "q_scan_http" -> scanHttpSql,
     "q_scan_http_offset" -> scanHttpOffsetSql,
     "q_scan_http_agg" -> scanHttpAggSql,
