@@ -22,32 +22,73 @@ object AtomicPublish {
   /** Atomically publish `tmp` (a fully-written file) at `dest`.
     * Returns true iff THIS call created `dest`; false when a racer
     * already published it. `tmp` is always removed. Falls back to a
-    * create-exclusive copy when the filesystem refuses hard links
-    * (returns false only on a genuine lost race).
+    * claim-file protocol ([[publishViaClaim]]) when the filesystem
+    * refuses hard links.
     */
   def publishLocal(tmp: java.nio.file.Path, dest: java.nio.file.Path): Boolean = {
-    import java.nio.file.{Files, FileAlreadyExistsException, StandardCopyOption}
+    import java.nio.file.{Files, FileAlreadyExistsException}
     try {
       try {
         Files.createLink(dest, tmp)
         true
       } catch {
-        case _: UnsupportedOperationException =>
-          // no-hardlink filesystem: create-exclusive claim file, then an
-          // atomic same-directory rename onto it is still single-winner
-          // because only the claimant reaches the rename
-          val claim = dest.resolveSibling(dest.getFileName.toString + ".claim")
-          Files.createFile(claim) // throws FileAlreadyExistsException on a lost race
-          try {
-            Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-            true
-          } finally Files.deleteIfExists(claim)
+        case _: UnsupportedOperationException => publishViaClaim(tmp, dest)
       }
     } catch {
       case _: FileAlreadyExistsException => false
     } finally {
       Files.deleteIfExists(tmp)
     }
+  }
+
+  /** No-hardlink fallback: a create-exclusive claim file serializes
+    * publishers, and the claim section re-probes `dest` BEFORE moving, so
+    * a claimant that acquires the claim AFTER a winner finished (winners
+    * delete their claim only after `dest` is published, so `dest` is
+    * visible by then) reports the loss instead of `ATOMIC_MOVE`-ing over
+    * the published file — POSIX rename overwrites, so without the
+    * re-probe a slow racer would silently clobber the winner and BOTH
+    * calls would return true.
+    *
+    * Liveness: a process that crashes between `createFile(claim)` and the
+    * `finally` leaves a stale claim that blocks the version forever. A
+    * live claimant holds the claim only for the duration of one
+    * same-directory move, so a later publisher that finds the claim held
+    * polls up to `stalePollMs`: if `dest` appears the race was genuinely
+    * lost (false); if the claim disappears it retries the acquisition;
+    * if after the window the claim is still held with `dest` absent it
+    * THROWS naming the stale claim — loud and actionable (delete the
+    * claim of the dead process and retry) rather than a silent wedge or
+    * a heuristic claim steal, which would reintroduce the double-publish
+    * under a pathological pause.
+    */
+  private[graft] def publishViaClaim(tmp: java.nio.file.Path,
+                                   dest: java.nio.file.Path,
+                                   stalePollMs: Long = 5000L): Boolean = {
+    import java.nio.file.{Files, FileAlreadyExistsException, StandardCopyOption}
+    val claim = dest.resolveSibling(dest.getFileName.toString + ".claim")
+    val deadline = System.nanoTime() + stalePollMs * 1000000L
+    while (true) {
+      try {
+        Files.createFile(claim) // throws FileAlreadyExistsException when held
+        try {
+          if (Files.exists(dest)) return false // lost: winner published before we claimed
+          Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
+          return true
+        } finally Files.deleteIfExists(claim)
+      } catch {
+        case _: FileAlreadyExistsException =>
+          if (Files.exists(dest)) return false // lost: winner already published
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"AtomicPublish: claim $claim is held but $dest was never " +
+                s"published within ${stalePollMs}ms — a publisher crashed " +
+                "mid-claim. Verify no live writer owns it, delete the " +
+                "claim file, and retry the commit")
+          Thread.sleep(10) // live claimant: one file move away from resolution
+      }
+    }
+    false // unreachable
   }
 }
 

@@ -270,7 +270,14 @@ object VersionedTable {
     val log = vlogDir(dir)
     fs.mkdirs(log)
     val tmp = new Path(log, s".v${m.version}.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
+    // Local publish goes through NIO ([[AtomicPublish]]), which bypasses
+    // ChecksumFileSystem — so the tmp must too, or every commit orphans a
+    // `..vN.json.tmp-<uuid>.crc` sidecar in _vlog that nothing reclaims.
+    val writeFs = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    val out = writeFs.create(tmp, true)
     try out.write(bytes) finally out.close()
     val dest = manifestPath(dir, m.version)
     // Optimistic concurrency, atomic ACROSS PROCESSES:

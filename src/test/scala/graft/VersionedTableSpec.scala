@@ -33,6 +33,22 @@ class VersionedTableSpec extends SparkSuite {
     intercept[IllegalArgumentException](VT.create(df, dir, Seq("k")))
   }
 
+  test("local commits leave no checksum sidecars in _vlog") {
+    // The tmp manifest used to be written through the checksummed
+    // LocalFileSystem while [[graft.ops.AtomicPublish]] linked/deleted it
+    // via NIO — orphaning one `..vN.json.tmp-<uuid>.crc` per commit that
+    // vacuum never reclaims. The tmp now bypasses ChecksumFileSystem.
+    val dir = tmp()
+    val df = Seq((1L, "a")).toDF("k", "s")
+    VT.create(df, dir, Seq("k"))
+    (1 to 3).foreach(i => VT.commitAppend(Seq((i + 1L, "x")).toDF("k", "s"), dir))
+    import scala.jdk.CollectionConverters._
+    val strays = Files.list(java.nio.file.Paths.get(s"$dir/_vlog"))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.endsWith(".crc") || n.contains(".tmp-")).toSeq
+    assert(strays.isEmpty, s"orphaned _vlog sidecars/tmps: $strays")
+  }
+
   test("commitAppend reuses every existing file by reference; time travel to v1") {
     val dir = tmp()
     VT.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir, Seq("k"))

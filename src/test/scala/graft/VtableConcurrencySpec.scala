@@ -136,6 +136,82 @@ class VtableConcurrencySpec extends SparkSuite {
     assert(strays.isEmpty, s"unreclaimed tmp files: $strays")
   }
 
+  test("claim fallback: a late claimant must not overwrite a published winner") {
+    // The no-hardlink fallback's original shape deleted the claim after
+    // publishing, so a slower racer could createFile(claim) AFTER the
+    // winner finished and ATOMIC_MOVE over the published dest (POSIX
+    // rename overwrites) — both callers returning true. The fix re-probes
+    // dest inside the claim section; this drives that exact interleaving.
+    val dir = Files.createTempDirectory("claimrace")
+    val dest = dir.resolve("v1.json")
+    val t1 = dir.resolve(".v1.tmp-a")
+    Files.write(t1, """{"writer":"a"}""".getBytes("UTF-8"))
+    assert(graft.ops.AtomicPublish.publishViaClaim(t1, dest),
+      "first publisher must win")
+    Files.deleteIfExists(t1)
+    // winner finished: claim deleted, dest published. The late racer now
+    // acquires the claim unopposed — the advisory scenario.
+    val t2 = dir.resolve(".v1.tmp-b")
+    Files.write(t2, """{"writer":"b"}""".getBytes("UTF-8"))
+    assert(!graft.ops.AtomicPublish.publishViaClaim(t2, dest),
+      "late claimant must report the lost race")
+    Files.deleteIfExists(t2)
+    assert(new String(Files.readAllBytes(dest), "UTF-8") == """{"writer":"a"}""",
+      "published winner was overwritten by a late claimant")
+    assert(!Files.exists(dir.resolve("v1.json.claim")), "claim must not leak")
+  }
+
+  test("claim fallback: contended threads produce exactly one winner") {
+    val dir = Files.createTempDirectory("claimstress")
+    val threads = 8
+    val versions = 50
+    val pool = Executors.newFixedThreadPool(threads)
+    val start = new CountDownLatch(1)
+    val wins = new java.util.concurrent.ConcurrentHashMap[Long, String]()
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (1 to threads).foreach { t =>
+      pool.submit(new Runnable {
+        override def run(): Unit = {
+          start.await()
+          try (1 to versions).foreach { v =>
+            val tmpF = dir.resolve(s".v$v.tmp-t$t")
+            Files.write(tmpF, s"""{"v":$v,"writer":"t$t"}""".getBytes("UTF-8"))
+            if (graft.ops.AtomicPublish.publishViaClaim(tmpF, dir.resolve(s"v$v.json")))
+              assert(wins.put(v.toLong, s"t$t") == null,
+                s"two threads won v$v")
+            Files.deleteIfExists(tmpF)
+          } catch { case e: Throwable => failures.add(e) }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "claim stress timed out")
+    assert(failures.isEmpty, s"racer failed: ${Option(failures.peek())}")
+    assert(wins.size == versions, s"missing winners: got ${wins.size}/$versions")
+    (1 to versions).foreach { v =>
+      val content = new String(Files.readAllBytes(dir.resolve(s"v$v.json")), "UTF-8")
+      assert(content == s"""{"v":$v,"writer":"${wins.get(v.toLong)}"}""",
+        s"v$v bytes are not the recorded winner's")
+    }
+  }
+
+  test("claim fallback: a stale claim fails loudly instead of wedging silently") {
+    val dir = Files.createTempDirectory("claimstale")
+    val dest = dir.resolve("v1.json")
+    // a publisher crashed between createFile(claim) and its move
+    Files.createFile(dir.resolve("v1.json.claim"))
+    val t = dir.resolve(".v1.tmp-x")
+    Files.write(t, "x".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](
+      graft.ops.AtomicPublish.publishViaClaim(t, dest, stalePollMs = 200L))
+    assert(e.getMessage.contains("claim"), s"undiagnostic message: ${e.getMessage}")
+    assert(!Files.exists(dest))
+    // operator remediation: delete the dead claim, retry — now it wins
+    Files.delete(dir.resolve("v1.json.claim"))
+    assert(graft.ops.AtomicPublish.publishViaClaim(t, dest))
+  }
+
   test("vacuum under a patch chain: kept mid-chain state stays byte-correct") {
     val dir = tmp()
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s")

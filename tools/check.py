@@ -56,12 +56,22 @@ def main(out_dir: str, sf_dir: str) -> int:
         if name not in oracles:
             print(f"  -- {name}: no oracle, rows={len(got)}")
             continue
+        # Each oracle runs on its own cursor: a Timer that fires in the
+        # window between query completion and cancel() then interrupts a
+        # cursor nobody will use again, instead of leaking a stray
+        # interrupt into the NEXT oracle on a shared connection.
+        cur = db.cursor() if timeout else db
         timer = None
         if timeout:
-            timer = threading.Timer(timeout, db.interrupt)
+            def _interrupt(c=cur):
+                try:
+                    c.interrupt()
+                except Exception:
+                    pass  # cursor already closed: the query beat the timer
+            timer = threading.Timer(timeout, _interrupt)
             timer.start()
         try:
-            want = norm(db.sql(oracles[name]).df())
+            want = norm(cur.sql(oracles[name]).df())
         except duckdb.InterruptException:
             print(f"TIMEOUT {name}: oracle exceeded {timeout}s (naive-spec SQL)")
             n_timeout += 1
@@ -73,6 +83,8 @@ def main(out_dir: str, sf_dir: str) -> int:
         finally:
             if timer:
                 timer.cancel()
+            if cur is not db:
+                cur.close()
         ok = True
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
@@ -91,11 +103,16 @@ def main(out_dir: str, sf_dir: str) -> int:
                 if rtol and str(a.dtype) == "float64" and neq.any():
                     # order-of-summation ulp drift: legitimate at large sf
                     # where millions of doubles fold in different orders;
-                    # the sf0.01 gate runs exact (rtol unset)
+                    # the sf0.01 gate runs exact (rtol unset). isclose runs
+                    # on the raw values (NaN propagates to "not close") and
+                    # is masked to rows where BOTH sides are non-null, so a
+                    # genuine NULL-vs-value mismatch — including NULL vs
+                    # 0.0, which fillna used to alias — stays a failure.
                     import numpy as np
                     close = pd.Series(
-                        np.isclose(a.fillna(0.0), b.fillna(0.0), rtol=rtol),
-                        index=a.index)
+                        np.isclose(a.to_numpy(dtype=float),
+                                   b.to_numpy(dtype=float), rtol=rtol),
+                        index=a.index) & ~a.isna() & ~b.isna()
                     neq = neq & ~close
                 if neq.any():
                     i = neq.idxmax()
