@@ -2799,6 +2799,63 @@ private[graft] object Queries {
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** SQL TABLE MAINTENANCE end to end ([[graft.sql.GraftDml]] OPTIMIZE /
+    * ALTER / RESTORE / VACUUM, over the DML from `q_ddl_sql`): fragment a
+    * table with a CTAS + two disjoint-slice MERGEs, `OPTIMIZE` the small
+    * files away (logical no-op the oracle never sees), widen the schema
+    * with a metadata-only `ALTER TABLE ... ADD COLUMNS`, fill the new
+    * column with `UPDATE`, `DELETE` a slice, roll the delete back with
+    * `RESTORE TABLE ... TO VERSION AS OF`, and `VACUUM` the superseded
+    * versions — then read the final state. Every lakehouse maintenance
+    * verb reachable from pure SQL; the oracle recomputes the surviving
+    * logical content directly (Delta analogs: OPTIMIZE [ZORDER], ALTER
+    * TABLE ADD COLUMNS, RESTORE, VACUUM).
+    */
+  def maintenanceSql(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val name = s"ord_maint_${new java.io.File(d).getName}"
+    val G = graft.sql.GraftSql
+    G.sql(s, s"DROP TABLE IF EXISTS graft_vtable('$name') PURGE").collect()
+    Tables.orders(s, d).createOrReplaceTempView("maint_src")
+    val slice =
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |FROM maint_src WHERE o_orderkey % 7 = """.stripMargin
+    G.sql(s,
+      s"""CREATE TABLE graft_vtable('$name') STATS (o_orderkey) AS
+         |${slice}0""".stripMargin).collect()
+    Seq(1, 2).foreach { r =>
+      G.sql(s,
+        s"""MERGE INTO graft_vtable('$name') AS t
+           |USING ($slice$r) AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    G.sql(s, s"OPTIMIZE graft_vtable('$name')").collect()
+    G.sql(s, s"ALTER TABLE graft_vtable('$name') ADD COLUMNS (flag STRING)").collect()
+    // versions are data-dependent (OPTIMIZE no-ops when already packed),
+    // so the RESTORE target is the UPDATE's returned version, not a literal
+    val vAfterUpdate = G.sql(s,
+      s"UPDATE graft_vtable('$name') SET flag = 'dec' WHERE o_custkey % 10 = 0")
+      .head().getLong(0)
+    G.sql(s, s"DELETE FROM graft_vtable('$name') WHERE o_orderkey % 7 = 2").collect()
+    G.sql(s,
+      s"RESTORE TABLE graft_vtable('$name') TO VERSION AS OF $vAfterUpdate").collect()
+    G.sql(s, s"VACUUM graft_vtable('$name') RETAIN 2 VERSIONS").collect()
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, cents, flag
+         |FROM graft_vtable('$name')
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val maintenanceSqlSql =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |       CASE WHEN o_custkey % 10 = 0 THEN 'dec' END AS flag
+      |FROM orders WHERE o_orderkey % 7 IN (0, 1, 2)
+      |ORDER BY o_orderkey""".stripMargin
+
   private val ddlSqlSql =
     """WITH t AS (SELECT c_custkey, c_nationkey,
       |                  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
@@ -3936,6 +3993,7 @@ private[graft] object Queries {
     "q_update_sql" -> (updateSql _),
     "q_delete_sql" -> (deleteSql _),
     "q_ddl_sql" -> (ddlSql _),
+    "q_maintenance_sql" -> (maintenanceSql _),
     "q_agg_meta" -> (aggMeta _),
     "q_change_feed" -> (changeFeed _),
     "q_vtable_mor" -> (vtableMor _),
@@ -4090,6 +4148,7 @@ private[graft] object Queries {
     "q_update_sql" -> updateSqlSql,
     "q_delete_sql" -> deleteSqlSql,
     "q_ddl_sql" -> ddlSqlSql,
+    "q_maintenance_sql" -> maintenanceSqlSql,
     "q_agg_meta" -> aggMetaSql,
     "q_change_feed" -> changeFeedSql,
     "q_vtable_mor" -> mergeMorSql,

@@ -921,6 +921,43 @@ object VersionedTable {
     commitMergeImpl(changes, dir, keys, tiebreak, deleteCond, txn,
       evolve = true, metaCols = metaCols)
 
+  /** METADATA-ONLY schema evolution: append nullable columns without
+    * touching one data byte — the `ALTER TABLE ... ADD COLUMNS` commit.
+    * Every existing file carries by reference; the evolved read schema
+    * fills NULL at scan time (parquet's missing-column rule, the same
+    * contract [[commitMergeEvolve]] relies on), so the commit is O(1)
+    * regardless of table size. Columns must be NEW (case-insensitive) —
+    * type changes and drops are refused: a dropped column's data would
+    * still sit in shared files that older versions time-travel to.
+    */
+  def commitAddColumns(spark: SparkSession, dir: String,
+                       cols: Seq[(String, String)]): Long = {
+    require(cols.nonEmpty, "VersionedTable.commitAddColumns: empty column list")
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.commitAddColumns: $dir is not a versioned table")))
+    requireNoPatches(cur.patches, "commitAddColumns")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val existing = schema.fieldNames.map(_.toLowerCase).toSet
+    val added = cols.map { case (name, typeDdl) =>
+      require(!existing.contains(name.toLowerCase),
+        s"VersionedTable.commitAddColumns: column $name already exists — " +
+          "type changes are not supported (shared files are immutable)")
+      val parsed = StructType.fromDDL(s"$name $typeDdl")
+      require(parsed.fields.length == 1,
+        s"VersionedTable.commitAddColumns: cannot parse '$name $typeDdl'")
+      parsed.fields.head.copy(nullable = true) // carried files read NULL
+    }
+    val dup = added.map(_.name.toLowerCase).groupBy(identity).filter(_._2.size > 1)
+    require(dup.isEmpty, s"commitAddColumns: duplicate new columns ${dup.keys}")
+    val next = cur.version + 1
+    publishCommit(spark, dir, Some(cur), next, "addColumns",
+      StructType(schema.fields ++ added).toDDL, cur.statsCols, cur.txns,
+      cur.bloomCols, cur.bloomFpp, Seq.empty, Seq.empty,
+      adds = Seq.empty, removes = Seq.empty)
+    next
+  }
+
   private def commitMergeImpl(changes: DataFrame, dir: String, keys: Seq[String],
                               tiebreak: Seq[Column], deleteCond: Column,
                               txn: Option[(String, Long)],

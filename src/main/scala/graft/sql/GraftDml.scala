@@ -56,6 +56,14 @@ object GraftDml {
     """(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*)$""".r
   private val dropHead =
     """(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*?)\s*;?\s*$""".r
+  private val optimizeHead =
+    """(?is)^\s*OPTIMIZE\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*?)\s*;?\s*$""".r
+  private val vacuumHead =
+    """(?is)^\s*VACUUM\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*?)\s*;?\s*$""".r
+  private val restoreHead =
+    """(?is)^\s*RESTORE\s+TABLE\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*?)\s*;?\s*$""".r
+  private val alterHead =
+    """(?is)^\s*ALTER\s+TABLE\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*?)\s*;?\s*$""".r
 
   /** Our statements return Some(command plan); everything else None. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -66,6 +74,10 @@ object GraftDml {
     case createHead(ifNot, name, rest) =>
       Some(parseCreate(name, ifNot != null, rest))
     case dropHead(ifEx, name, rest) => Some(parseDrop(name, ifEx != null, rest))
+    case optimizeHead(target, rest) => Some(parseOptimize(target, rest))
+    case vacuumHead(target, rest) => Some(parseVacuum(target, rest))
+    case restoreHead(target, rest) => Some(parseRestore(target, rest))
+    case alterHead(target, rest) => Some(parseAlter(target, rest))
     case _ => None
   }
 
@@ -78,7 +90,10 @@ object GraftDml {
         "expr[, ...] [WHERE cond]; DELETE FROM graft_vtable('ref') [WHERE cond]; " +
         "CREATE TABLE [IF NOT EXISTS] graft_vtable('name') [LOCATION 'dir'] " +
         "[STATS (col[, ...])] AS <query>; DROP TABLE [IF EXISTS] " +
-        "graft_vtable('name') [PURGE]")
+        "graft_vtable('name') [PURGE]; OPTIMIZE graft_vtable('ref') " +
+        "[ZORDER BY (c1, c2[, ...])]; VACUUM graft_vtable('ref') RETAIN " +
+        "<n> VERSIONS; RESTORE TABLE graft_vtable('ref') TO VERSION AS OF " +
+        "<n>; ALTER TABLE graft_vtable('ref') ADD COLUMNS (c type[, ...])")
 
   /** Index of the char AFTER the paren-balanced, quote-aware span opening
     * at `start` (which must be '(').
@@ -231,6 +246,66 @@ object GraftDml {
     GraftDropTableCommand(name, ifExists, purge)
   }
 
+  /** `OPTIMIZE graft_vtable('ref') [ZORDER BY (c1, c2[, ...])]` — the
+    * table-maintenance compaction commit ([[VersionedTable.commitCompact]]):
+    * bare OPTIMIZE bin-packs small files; ZORDER BY additionally rewrites
+    * the table clustered on the Morton z-value of the named stats columns
+    * so multi-dimension predicates prune (Delta's OPTIMIZE ZORDER BY).
+    */
+  private def parseOptimize(target: String, rest: String): LogicalPlan = {
+    val t = rest.trim
+    if (t.isEmpty) GraftOptimizeCommand(target, Seq.empty)
+    else {
+      val m = """(?is)^ZORDER\s+BY\s*\(([^)]+)\)$""".r.findFirstMatchIn(t)
+        .getOrElse(fail(s"OPTIMIZE: unexpected trailing text '$t' — supported: " +
+          "OPTIMIZE graft_vtable('ref') [ZORDER BY (c1, c2[, ...])]"))
+      val cols = m.group(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      if (cols.isEmpty) fail("OPTIMIZE: empty ZORDER BY column list")
+      GraftOptimizeCommand(target, cols)
+    }
+  }
+
+  /** `VACUUM graft_vtable('ref') RETAIN <n> VERSIONS` — reclaim data files
+    * referenced only by manifests older than the newest `n` versions.
+    * The retention count is REQUIRED: an unbounded default would silently
+    * destroy time travel, so the statement must say what it keeps.
+    */
+  private def parseVacuum(target: String, rest: String): LogicalPlan = {
+    val m = """(?is)^RETAIN\s+(\d+)\s+VERSIONS$""".r.findFirstMatchIn(rest.trim)
+      .getOrElse(fail(s"VACUUM: expected RETAIN <n> VERSIONS, got '${rest.trim}'"))
+    val keep = m.group(1).toInt
+    if (keep < 1) fail("VACUUM: RETAIN must keep at least 1 version")
+    GraftVacuumCommand(target, keep)
+  }
+
+  /** `RESTORE TABLE graft_vtable('ref') TO VERSION AS OF <n>` — roll the
+    * table back AS A NEW COMMIT ([[VersionedTable.restore]]): history stays
+    * monotone, the rollback itself is time-travelable and CDF-visible.
+    */
+  private def parseRestore(target: String, rest: String): LogicalPlan = {
+    val m = """(?is)^TO\s+VERSION\s+AS\s+OF\s+(\d+)$""".r.findFirstMatchIn(rest.trim)
+      .getOrElse(fail(s"RESTORE TABLE: expected TO VERSION AS OF <n>, got '${rest.trim}'"))
+    GraftRestoreCommand(target, m.group(1).toLong)
+  }
+
+  /** `ALTER TABLE graft_vtable('ref') ADD COLUMNS (c1 type1[, ...])` —
+    * metadata-only schema evolution ([[VersionedTable.commitAddColumns]]).
+    * Only ADD COLUMNS is supported: drops/renames/type changes would
+    * corrupt shared immutable files older versions time-travel to.
+    */
+  private def parseAlter(target: String, rest: String): LogicalPlan = {
+    val m = """(?is)^ADD\s+COLUMNS\s*\((.+)\)$""".r.findFirstMatchIn(rest.trim)
+      .getOrElse(fail(s"ALTER TABLE: only ADD COLUMNS (c type[, ...]) is " +
+        s"supported, got '${rest.trim}'"))
+    val cols = topLevelSplit(m.group(1), ",").map(_.trim).filter(_.nonEmpty).map { cd =>
+      val cm = """(?s)^(\w+)\s+(.+)$""".r.findFirstMatchIn(cd)
+        .getOrElse(fail(s"ALTER TABLE: cannot parse column definition '$cd'"))
+      (cm.group(1), cm.group(2).trim)
+    }
+    if (cols.isEmpty) fail("ALTER TABLE: empty ADD COLUMNS list")
+    GraftAlterAddColumnsCommand(target, cols)
+  }
+
   private def parseDelete(target: String, rest: String): LogicalPlan = {
     val t = rest.trim
     val where =
@@ -364,6 +439,61 @@ case class GraftDeleteCommand(target: String, whereSql: Option[String])
     val dir = GraftCatalog.resolveDir(spark, target)
     Seq(Row(VersionedTable.withCommitRetry() {
       VersionedTable.commitDelete(spark, dir, GraftDml.parseCond(spark, whereSql))
+    }))
+  }
+}
+
+/** `OPTIMIZE graft_vtable(...) [ZORDER BY (...)]` — compaction commit.
+  * Returns the post-optimize version (unchanged when nothing to do).
+  */
+case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalog.resolveDir(spark, target)
+    Seq(Row(VersionedTable.withCommitRetry() {
+      VersionedTable.commitCompact(spark, dir,
+        clusterBy = zorderBy, zorder = zorderBy.nonEmpty)
+    }))
+  }
+}
+
+/** `VACUUM graft_vtable(...) RETAIN n VERSIONS` — returns files deleted. */
+case class GraftVacuumCommand(target: String, keepVersions: Int)
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("deleted_files", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalog.resolveDir(spark, target)
+    Seq(Row(VersionedTable.vacuum(spark, dir, keepVersions).toLong))
+  }
+}
+
+/** `RESTORE TABLE graft_vtable(...) TO VERSION AS OF n` — rollback commit. */
+case class GraftRestoreCommand(target: String, toVersion: Long)
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalog.resolveDir(spark, target)
+    Seq(Row(VersionedTable.withCommitRetry() {
+      VersionedTable.restore(spark, dir, toVersion)
+    }))
+  }
+}
+
+/** `ALTER TABLE graft_vtable(...) ADD COLUMNS (...)` — O(1) metadata-only
+  * schema evolution; no data file is read or written.
+  */
+case class GraftAlterAddColumnsCommand(target: String, cols: Seq[(String, String)])
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalog.resolveDir(spark, target)
+    Seq(Row(VersionedTable.withCommitRetry() {
+      VersionedTable.commitAddColumns(spark, dir, cols)
     }))
   }
 }

@@ -224,6 +224,101 @@ class SqlDmlSpec extends SparkSuite {
     assert(GraftDml.parse("DROP TABLE plain").isEmpty)
   }
 
+  test("OPTIMIZE bin-packs small files; ZORDER BY re-clusters; content and history hold") {
+    val dir = tmp()
+    VT.create(Seq((1L, 1L)).toDF("k", "v").coalesce(1), dir, Seq("k", "v"))
+    (2L to 8L).foreach(i =>
+      VT.commitAppend(Seq((i, i * 10)).toDF("k", "v").coalesce(1), dir))
+    val before = VT.read(spark, dir).as[(Long, Long)].collect().toSet
+    val nFilesBefore = VT.readManifest(spark, dir,
+      VT.currentVersion(spark, dir).get).files.size
+    val v = GraftSql.sql(spark, s"OPTIMIZE graft_vtable('$dir')").as[Long].head()
+    assert(v == 9L, "OPTIMIZE must land as one new commit")
+    val mAfter = VT.readManifest(spark, dir, v)
+    assert(mAfter.files.size < nFilesBefore, "compaction must shrink the file count")
+    assert(VT.read(spark, dir).as[(Long, Long)].collect().toSet == before)
+    // pre-optimize state still time-travels
+    assert(VT.read(spark, dir, Some(8L)).as[(Long, Long)].collect().toSet == before)
+    // ZORDER BY over the two stats columns is one more commit, same rows
+    val v2 = GraftSql.sql(spark,
+      s"OPTIMIZE graft_vtable('$dir') ZORDER BY (k, v)").as[Long].head()
+    assert(v2 == 10L)
+    assert(VT.read(spark, dir).as[(Long, Long)].collect().toSet == before)
+    // trailing junk refused, not ignored
+    val ex = intercept[IllegalArgumentException](
+      GraftDml.parse(s"OPTIMIZE graft_vtable('$dir') FULL"))
+    assert(ex.getMessage.contains("OPTIMIZE"))
+    // plain OPTIMIZE on a non-graft target falls through to Spark
+    assert(GraftDml.parse("OPTIMIZE other_table").isEmpty)
+  }
+
+  test("VACUUM RETAIN n VERSIONS reclaims through SQL; the retention clause is mandatory") {
+    val dir = tmp(); mk(dir)
+    GraftSql.sql(spark, s"UPDATE graft_vtable('$dir') SET v = v + 1")
+    GraftSql.sql(spark, s"UPDATE graft_vtable('$dir') SET v = v + 1")
+    val deleted = GraftSql.sql(spark,
+      s"VACUUM graft_vtable('$dir') RETAIN 1 VERSIONS").as[Long].head()
+    assert(deleted > 0L, "full-table rewrites must leave reclaimable files")
+    assert(rows(dir).map(_._3) == Set(12L, 22L, 32L, 42L))
+    intercept[IllegalArgumentException](VT.read(spark, dir, Some(1L)))
+    // shape without RETAIN is refused loudly — silent unbounded vacuum
+    // would destroy time travel
+    val ex = intercept[IllegalArgumentException](
+      GraftDml.parse(s"VACUUM graft_vtable('$dir')"))
+    assert(ex.getMessage.contains("RETAIN"))
+    intercept[IllegalArgumentException](
+      GraftDml.parse(s"VACUUM graft_vtable('$dir') RETAIN 0 VERSIONS"))
+  }
+
+  test("RESTORE TABLE TO VERSION AS OF rolls back as a new commit through SQL") {
+    val dir = tmp(); mk(dir)
+    GraftSql.sql(spark, s"DELETE FROM graft_vtable('$dir') WHERE k >= 3")
+    assert(rows(dir).map(_._1) == Set(1L, 2L))
+    val v = GraftSql.sql(spark,
+      s"RESTORE TABLE graft_vtable('$dir') TO VERSION AS OF 1").as[Long].head()
+    assert(v == 3L, "restore must append to history, not rewind it")
+    assert(rows(dir).map(_._1) == Set(1L, 2L, 3L, 4L))
+    // the deleted state remains addressable between the endpoints
+    assert(VT.read(spark, dir, Some(2L)).count() == 2L)
+    val ex = intercept[IllegalArgumentException](
+      GraftDml.parse(s"RESTORE TABLE graft_vtable('$dir') TO 1"))
+    assert(ex.getMessage.contains("VERSION AS OF"))
+  }
+
+  test("ALTER TABLE ADD COLUMNS is metadata-only; carried files read NULL; UPDATE fills") {
+    val dir = tmp(); mk(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sig() = VT.readManifest(spark, dir, VT.currentVersion(spark, dir).get)
+      .files.map { f =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${f.path}"))
+        f.path -> (st.getLen, st.getModificationTime)
+      }.toMap
+    val before = sig()
+    val v = GraftSql.sql(spark,
+      s"ALTER TABLE graft_vtable('$dir') ADD COLUMNS (tag STRING, score DOUBLE)")
+      .as[Long].head()
+    assert(v == 2L)
+    assert(sig() == before, "ADD COLUMNS must not touch one data byte")
+    val widened = VT.read(spark, dir)
+    assert(widened.columns.toSeq == Seq("k", "s", "v", "tag", "score"))
+    assert(widened.where(col("tag").isNotNull || col("score").isNotNull).count() == 0L)
+    // v1 time-travels with the ORIGINAL schema
+    assert(VT.read(spark, dir, Some(1L)).columns.toSeq == Seq("k", "s", "v"))
+    // the new column is writable through ordinary DML
+    GraftSql.sql(spark,
+      s"UPDATE graft_vtable('$dir') SET tag = 'hot' WHERE k <= 2")
+    assert(VT.read(spark, dir).where(col("tag") === "hot").count() == 2L)
+    // existing name (any case) refused; drops/renames out of grammar
+    val ex = intercept[Exception](GraftSql.sql(spark,
+      s"ALTER TABLE graft_vtable('$dir') ADD COLUMNS (K BIGINT)").collect())
+    assert(ex.getMessage.contains("already exists"))
+    val ex2 = intercept[IllegalArgumentException](
+      GraftDml.parse(s"ALTER TABLE graft_vtable('$dir') DROP COLUMN v"))
+    assert(ex2.getMessage.contains("ADD COLUMNS"))
+    assert(GraftDml.parse("ALTER TABLE plain ADD COLUMNS (x INT)").isEmpty)
+  }
+
   test("DML interop: SQL update then library merge then SQL delete stays exact") {
     val dir = tmp(); mk(dir)
     GraftSql.sql(spark, s"UPDATE graft_vtable('$dir') SET v = v * 2 WHERE k IN (1, 3)")
