@@ -2532,6 +2532,61 @@ private[graft] object Queries {
       .orderBy("o_orderstatus")
   }
 
+  /** AUTOMATIC MATERIALIZED-VIEW REWRITE ([[graft.plans
+    * .VtableViewRewrite]]): a grouped SUM/COUNT over a versioned fact
+    * table is answered from its IVM-maintained view instead of the scan —
+    * the O(groups)-vs-O(table) read that makes maintained aggregates pay
+    * off at 100 TB. The query builds the fact table in two commits with a
+    * view refresh after each (bootstrap + one incremental fold), then
+    * runs a plain SQL GROUP BY through the `graft_vtable` TVF. The plan
+    * is REQUIRED to scan the view (not just produce matching values), so
+    * the correctness gate also gates the rewrite firing; the ledger
+    * freshness check is what licenses it. The oracle recomputes the
+    * aggregate from the base table.
+    */
+  def mvRewrite(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    graft.functions.GraftFunctions.register(s)
+    val src = fixtureDir(d, "vtable_mv")
+    val view = fixtureDir(d, "vtable_mv_view")
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(view), true)
+    def slice(r: Int) = ord(s, d).filter(col("o_orderkey") % 3 === r)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).as("cents"))
+    VT.create(slice(0).repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey"), src, statsCols = Seq("o_orderkey"))
+    def refresh(): Long = graft.ops.ViewOps.refreshAggView(s, src, view,
+      srcKeys = Seq("o_orderkey"), groupCols = Seq("o_orderpriority"),
+      measures = Seq("cents"), appId = "q_mv")
+    refresh() // bootstrap from v1
+    VT.commitAppend(slice(1), src) // v2
+    refresh() // incremental: signed file-level delta, no key shuffle
+    val q = s.sql(
+      s"""SELECT o_orderpriority, COUNT(*) AS n,
+         |       CAST(SUM(cents) AS DOUBLE) AS sum_cents
+         |FROM graft_vtable('$src')
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    val scans = q.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.getTagValue(VT.pruneTag).isDefined =>
+        lr.getTagValue(VT.pruneTag).get._1
+    }.toSet
+    require(scans == Set(view),
+      s"q_mv_rewrite: the aggregate must be answered from the maintained " +
+        s"view, but the plan scans $scans")
+    q
+  }
+
+  private val mvRewriteSql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+      |            AS DOUBLE) AS sum_cents
+      |FROM orders WHERE o_orderkey % 3 IN (0, 1)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   private val ivmSql =
     """WITH t AS (SELECT o_orderkey AS k, o_orderstatus AS st,
       |                  CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS c
@@ -3987,6 +4042,7 @@ private[graft] object Queries {
     "q_prune_where" -> (pruneWhere _),
     "q_prune_sql" -> (pruneSql _),
     "q_ivm" -> (ivm _),
+    "q_mv_rewrite" -> (mvRewrite _),
     "q_vtable_ckpt" -> (vtableCkpt _),
     "q_cdf_stream" -> (cdfStream _),
     "q_merge_sql" -> (mergeSql _),
@@ -4142,6 +4198,7 @@ private[graft] object Queries {
     "q_prune_where" -> pruneWhereSql,
     "q_prune_sql" -> pruneSqlSql,
     "q_ivm" -> ivmSql,
+    "q_mv_rewrite" -> mvRewriteSql,
     "q_vtable_ckpt" -> vtableCkptSql,
     "q_cdf_stream" -> cdfStreamSql,
     "q_merge_sql" -> mergeSqlSql,

@@ -185,7 +185,10 @@ object GraftFunctions {
     // sessions built without spark.sql.extensions still get the
     // versioned-table data-skipping rule (the experimental batch runs
     // after the main optimizer, same place injected rules land)
-    Seq(graft.plans.VtableSkipping, graft.plans.VtableMetadataAgg).foreach { r =>
+    // VtableViewRewrite runs FIRST: it wants the pristine Aggregate-over-
+    // scan shape before skipping swaps the relation's file index
+    Seq(graft.plans.VtableViewRewrite, graft.plans.VtableSkipping,
+        graft.plans.VtableMetadataAgg).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ r
@@ -218,6 +221,11 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // graft.plans.IntervalJoinRewrite) — injected as an optimizer rule so
     // SQL/DataFrame users get the distributable plan transparently
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRewrite)
+    // grouped COUNT/SUM/AVG over a versioned table answered from its
+    // maintained incremental view, freshness-gated on the ledger — see
+    // graft.plans.VtableViewRewrite (before skipping: it wants the
+    // pristine Aggregate-over-scan shape)
+    ext.injectOptimizerRule(_ => graft.plans.VtableViewRewrite)
     // versioned-table manifest data skipping for plain Filter-over-read
     // plans (SQL WHERE over graft_vtable included) — see
     // graft.plans.VtableSkipping

@@ -41,6 +41,37 @@ import org.apache.spark.sql.functions._
   */
 object ViewOps {
 
+  /** Registry of views eligible for AUTOMATIC QUERY REWRITE
+    * ([[graft.plans.VtableViewRewrite]]): source table dir → the
+    * maintained views over it, each carrying the (groupCols, measures,
+    * appId) the rewrite needs to match shapes and check freshness.
+    * Driver-resident session state, like temp views: every successful
+    * [[refreshAggView]] (and the [[maintainFromStream]] bootstrap that
+    * calls it) registers its view, so a restarted driver re-registers on
+    * its first refresh. Registration is an OPTIMIZATION HINT only —
+    * correctness lives in the rewrite rule's ledger freshness check.
+    */
+  object Rewrites {
+    final case class MvDef(viewDir: String, groupCols: Seq[String],
+                           measures: Seq[String], appId: String)
+    private val bySrc =
+      new java.util.concurrent.ConcurrentHashMap[String, Vector[MvDef]]()
+    private def norm(dir: String): String = dir.stripSuffix("/")
+    def register(srcDir: String, d: MvDef): Unit =
+      bySrc.compute(norm(srcDir), (_, v) =>
+        Option(v).getOrElse(Vector.empty).filterNot(_.viewDir == d.viewDir) :+ d)
+    def forSource(srcDir: String): Seq[MvDef] =
+      Option(bySrc.get(norm(srcDir))).getOrElse(Vector.empty)
+    def drop(srcDir: String, viewDir: String): Unit =
+      bySrc.computeIfPresent(norm(srcDir),
+        (_, v) => v.filterNot(_.viewDir == viewDir) match {
+          case e if e.isEmpty => null
+          case rest => rest
+        })
+    def isEmpty: Boolean = bySrc.isEmpty
+    def clear(): Unit = bySrc.clear()
+  }
+
   /** Internal state columns per measure `m`: `sum_<m>` (0-defaulted
     * running sum) and `nn_<m>` (non-null contribution count, so the
     * presented sum can be NULL exactly when SQL's would be); plus `n`,
@@ -194,6 +225,20 @@ object ViewOps {
                      srcKeys: Seq[String], groupCols: Seq[String],
                      measures: Seq[String],
                      appId: String = "graft-ivm"): Long = {
+    val v = refreshAggViewImpl(spark, srcDir, viewDir, srcKeys, groupCols,
+      measures, appId)
+    // a refreshed view is an automatic-rewrite candidate from here on —
+    // the rule's ledger check decides freshness per query, so registering
+    // eagerly (even when this call no-opped) is always sound
+    Rewrites.register(srcDir,
+      Rewrites.MvDef(viewDir, groupCols, measures, appId))
+    v
+  }
+
+  private def refreshAggViewImpl(spark: SparkSession, srcDir: String,
+                                 viewDir: String, srcKeys: Seq[String],
+                                 groupCols: Seq[String], measures: Seq[String],
+                                 appId: String): Long = {
     val VT = VersionedTable
     val srcV = VT.currentVersion(spark, srcDir).getOrElse(
       throw new IllegalArgumentException(

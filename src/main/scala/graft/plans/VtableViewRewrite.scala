@@ -1,0 +1,179 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.ops.{VersionedTable, ViewOps}
+
+/** Automatic MATERIALIZED-VIEW query rewrite: a grouped `COUNT` / `SUM` /
+  * `AVG` aggregate over a versioned table is answered from its maintained
+  * incremental view ([[graft.ops.ViewOps.refreshAggView]]) instead of
+  * scanning the table — the lakehouse "aggregate routing" every warehouse
+  * ships (Oracle QUERY REWRITE, BigQuery/Snowflake MV rewrite), done as a
+  * Catalyst rule so SQL and DataFrame users get it transparently.
+  *
+  * At 100 TB this is the difference between O(table) and O(groups): the
+  * maintained view holds one row per group, so `SELECT dept, SUM(cents)
+  * FROM fact GROUP BY dept` reads the view's few thousand rows while the
+  * fact scan would read everything. The view is kept current per commit
+  * by IVM ([[graft.ops.ViewOps]]), so the rewrite is read-time free.
+  *
+  * Sound by three gates, each conservative:
+  *
+  *  1. FRESHNESS IS EXACT, version against version. Every versioned read
+  *     pins its version in [[VersionedTable.pruneTag]]; the rewrite fires
+  *     only when the view's transaction ledger says it folded EXACTLY
+  *     that source version (`txns(appId) == scanVersion`). A stale view,
+  *     a time-traveled scan, or a mid-maintenance view leaves the plan
+  *     alone — correct-but-slower, never wrong.
+  *  2. THE ALGEBRA IS THE DISTRIBUTIVE SUBSET. The view state carries
+  *     per group: live count `n`, and per measure `sum_<m>` / non-null
+  *     count `nn_<m>`. Query `COUNT(*)` → `SUM(n)`, `COUNT(m)` →
+  *     `SUM(nn_m)`, `SUM(m)` → `SUM(nullif-presented sum_m)` (a group
+  *     with zero non-null contributions presents NULL, exactly SQL SUM),
+  *     `AVG(m)` → `SUM(presented sum_m) / SUM(nn_m)` as doubles. Because
+  *     these re-aggregate per-group partials, the query may group by any
+  *     SUBSET (or expression) of the view's group columns — the rollup
+  *     falls out of the same algebra. MIN/MAX/DISTINCT/FILTER-clause
+  *     aggregates are not derivable from the state and refuse the
+  *     rewrite. Ungrouped counts coalesce to 0 over an empty state
+  *     (SQL's one-row answer).
+  *  3. PREDICATES ONLY OVER GROUP COLUMNS. A `WHERE` between the
+  *     aggregate and the scan rewrites only when every referenced column
+  *     is a view group column — such a filter commutes with grouping
+  *     (all rows of a group share its value), so filtering view rows is
+  *     the same set. Any other residual expression shape refuses.
+  *
+  * Views announce themselves through [[ViewOps.Rewrites]] — registered
+  * automatically by every successful [[ViewOps.refreshAggView]] in this
+  * JVM (driver-resident session state, like temp views: a restarted
+  * driver re-registers on its first refresh). The output attributes of
+  * the rewritten aggregate reuse the original expression ids, so the
+  * surrounding plan is untouched.
+  */
+object VtableViewRewrite extends Rule[LogicalPlan] {
+
+  /** Marks aggregates this rule produced — the fixed-point batch must not
+    * try to rewrite the rewritten (a view registered over a view would
+    * otherwise loop).
+    */
+  private[graft] val rewrittenTag = TreeNodeTag[Boolean]("graft.mv.rewritten")
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (ViewOps.Rewrites.isEmpty) plan
+    else plan.transformUp {
+      case agg: Aggregate if agg.getTagValue(rewrittenTag).isEmpty =>
+        rewrite(agg).getOrElse(agg)
+    }
+
+  /** Pass-through Projects and at most one Filter between the aggregate
+    * and the tagged base relation; anything else is not a shape the view
+    * can answer.
+    */
+  private def strip(p: LogicalPlan, cond: Option[Expression])
+      : Option[(Option[Expression], LogicalRelation)] = p match {
+    case lr: LogicalRelation => Some((cond, lr))
+    case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+      strip(c, cond)
+    case Filter(f, c) if cond.isEmpty => strip(c, Some(f))
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] =
+    for {
+      (cond, lr) <- strip(agg.child, None)
+      (srcDir, srcV) <- lr.getTagValue(VersionedTable.pruneTag)
+      mvs = ViewOps.Rewrites.forSource(srcDir)
+      if mvs.nonEmpty
+      out <- mvs.view.flatMap(mv => tryAnswer(agg, cond, srcV, mv)).headOption
+    } yield out
+
+  private def tryAnswer(agg: Aggregate, cond: Option[Expression], srcV: Long,
+                        mv: ViewOps.Rewrites.MvDef): Option[LogicalPlan] = try {
+    val spark = SparkSession.active
+    val groupSet = mv.groupCols.map(_.toLowerCase).toSet
+    val measureSet = mv.measures.map(_.toLowerCase).toSet
+    // cheap structural refusals before any manifest read
+    if (!agg.groupingExpressions.forall(_.references.forall(r =>
+        groupSet(r.name.toLowerCase)))) return None
+    if (!cond.forall(_.references.forall(r => groupSet(r.name.toLowerCase))))
+      return None
+    // freshness: the view must have folded EXACTLY the scanned version
+    val vv = VersionedTable.currentVersion(spark, mv.viewDir).getOrElse(return None)
+    val meta = VersionedTable.readMeta(spark, mv.viewDir, vv)
+    if (!meta.txns.get(mv.appId).contains(srcV) || meta.patches.nonEmpty)
+      return None
+
+    val viewPlan = VersionedTable.read(spark, mv.viewDir).queryExecution.analyzed
+    val vAttr: Map[String, Attribute] =
+      viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
+    def nAttr = vAttr("n")
+    def sumAttr(m: String) = vAttr(s"sum_${m.toLowerCase}")
+    def nnAttr(m: String) = vAttr(s"nn_${m.toLowerCase}")
+    def aggOf(fn: AggregateFunction): Expression =
+      AggregateExpression(fn, Complete, isDistinct = false)
+    // a group whose non-null contributions hit zero presents NULL — SUM's
+    // SQL semantics; re-summing presented partials then matches the source
+    def presentedSum(m: String): Expression =
+      If(EqualTo(nnAttr(m), Literal(0L)), Literal(null, LongType), sumAttr(m))
+    def asCount(e: Expression): Expression = Coalesce(Seq(e, Literal(0L)))
+
+    def rewriteExpr(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression if ae.isDistinct || ae.filter.isDefined => None
+      case ae: AggregateExpression => ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) if l.value != null =>
+          Some(asCount(aggOf(Sum(nAttr))))
+        case Count(Seq(a: AttributeReference)) if measureSet(a.name.toLowerCase) =>
+          Some(asCount(aggOf(Sum(nnAttr(a.name)))))
+        case s: Sum => s.child match {
+          case a: AttributeReference if measureSet(a.name.toLowerCase) =>
+            Some(aggOf(Sum(presentedSum(a.name))))
+          case Cast(a: AttributeReference, LongType, _, _)
+              if measureSet(a.name.toLowerCase) =>
+            Some(aggOf(Sum(presentedSum(a.name))))
+          case _ => None
+        }
+        case av: Average => av.child match {
+          case a: AttributeReference if measureSet(a.name.toLowerCase) =>
+            Some(Divide(Cast(aggOf(Sum(presentedSum(a.name))), DoubleType),
+              Cast(aggOf(Sum(nnAttr(a.name))), DoubleType)))
+          case _ => None
+        }
+        case _ => None
+      }
+      case a: AttributeReference =>
+        if (groupSet(a.name.toLowerCase)) Some(vAttr(a.name.toLowerCase)) else None
+      case other =>
+        val kids = other.children.map(rewriteExpr)
+        if (kids.exists(_.isEmpty)) None
+        else Some(other.withNewChildren(kids.map(_.get)))
+    }
+
+    val newGroups = agg.groupingExpressions.map(rewriteExpr)
+    val newAggs = agg.aggregateExpressions.map {
+      case a: AttributeReference =>
+        rewriteExpr(a).map(e => Alias(e, a.name)(exprId = a.exprId))
+      case al @ Alias(child, name) =>
+        rewriteExpr(child).map(e => Alias(e, name)(exprId = al.exprId))
+      case _ => None
+    }
+    if (newGroups.exists(_.isEmpty) || newAggs.exists(_.isEmpty)) return None
+    val newCond = cond.map(rewriteExpr)
+    if (newCond.exists(_.isEmpty)) return None
+    val child = newCond.flatten.map(Filter(_, viewPlan)).getOrElse(viewPlan)
+    val rewritten = Aggregate(newGroups.map(_.get),
+      newAggs.map(_.get.asInstanceOf[NamedExpression]), child)
+    rewritten.setTagValue(rewrittenTag, true)
+    Some(rewritten)
+  } catch {
+    // a vacuumed view, a concurrent drop, a schema surprise: the rewrite
+    // is an optimization — never let it fail the query
+    case scala.util.control.NonFatal(_) => None
+  }
+}

@@ -83,6 +83,8 @@ class ContractSpec extends SparkSuite {
       "q_update_sql",      // versioned-table create + parsed UPDATE rewrite
       "q_delete_sql",      // versioned-table create + parsed DELETE rewrite
       "q_ddl_sql",         // parsed CREATE TABLE AS + MERGE (eager, like all DDL/DML)
+      "q_maintenance_sql", // parsed OPTIMIZE/ALTER/UPDATE/DELETE/RESTORE/VACUUM chain
+      "q_mv_rewrite",      // source table + two view refreshes + plan-assert probe
       "q_cdf_stream",      // versioned-table fixture + a drained AvailableNow CDF stream
       "q_dedup_lifecycle", // two ingest rounds against the signature table
       "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import graft.ops.{VersionedTable => VT, ViewOps}
+
+/** Automatic materialized-view query rewrite
+  * ([[graft.plans.VtableViewRewrite]]): grouped COUNT/SUM/AVG aggregates
+  * over a versioned table must be ANSWERED FROM the maintained view —
+  * plan-asserted, not just value-asserted — exactly when the view is
+  * fresh, and must silently fall back to the scan in every other case
+  * with identical results.
+  */
+class ViewRewriteSpec extends SparkSuite {
+  import spark.implicits._
+
+  graft.functions.GraftFunctions.register(spark)
+
+  private def tmp(): String =
+    Files.createTempDirectory("mvrw").toString + "/t"
+
+  /** Dirs of every versioned base relation the optimized plan scans. */
+  private def scannedDirs(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation if lr.getTagValue(VT.pruneTag).isDefined =>
+        lr.getTagValue(VT.pruneTag).get._1
+    }.toSet
+
+  private def mkSrc(dir: String): Unit = {
+    val rows = Seq(
+      (1L, "a", 10L, Some(100L)), (2L, "a", 20L, None),
+      (3L, "b", 30L, Some(300L)), (4L, "b", 40L, Some(400L)),
+      (5L, "c", 50L, None), (6L, "c", 60L, None))
+    VT.create(rows.toDF("k", "g", "m", "o")
+      .repartitionByRange(2, $"k").sortWithinPartitions("k"),
+      dir, statsCols = Seq("k", "g"))
+  }
+
+  test("fresh view answers COUNT/SUM/AVG; results equal the scan; plan reads the view") {
+    val src = tmp(); val view = tmp(); mkSrc(src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m", "o"))
+    val q = VT.read(spark, src).groupBy("g")
+      .agg(count(lit(1)).as("n_rows"), sum("m").as("sum_m"),
+        count($"o").as("n_o"), sum("o").as("sum_o"), avg("m").as("avg_m"))
+    assert(scannedDirs(q) == Set(view), "fresh view must replace the source scan")
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getDouble(5))).toSet
+    assert(got == Set(
+      ("a", 2L, 30L, 1L, 100L, 15.0),
+      ("b", 2L, 70L, 2L, 700L, 35.0),
+      ("c", 2L, 110L, 0L, -1L, 55.0)),
+      s"rewritten answer diverged: $got")
+  }
+
+  test("stale view falls back to the scan; the next refresh re-enables the rewrite") {
+    val src = tmp(); val view = tmp(); mkSrc(src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m"))
+    VT.commitAppend(Seq((7L, "c", 70L, Option.empty[java.lang.Long]))
+      .toDF("k", "g", "m", "o"), src)
+    val stale = VT.read(spark, src).groupBy("g").agg(sum("m").as("s"))
+    assert(scannedDirs(stale) == Set(src),
+      "a view one version behind must NOT answer the query")
+    assert(stale.where($"g" === "c").head().getLong(1) == 180L)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m"))
+    val fresh = VT.read(spark, src).groupBy("g").agg(sum("m").as("s"))
+    assert(scannedDirs(fresh) == Set(view))
+    assert(fresh.where($"g" === "c").head().getLong(1) == 180L)
+  }
+
+  test("rollup to a group subset and group-column filters rewrite; others refuse") {
+    val src = tmp(); val view = tmp(); mkSrc(src)
+    // two group columns; queries may roll up to either
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g", "k"), Seq("m"))
+    val roll = VT.read(spark, src).groupBy("g").agg(sum("m").as("s"),
+      count(lit(1)).as("n"))
+    assert(scannedDirs(roll) == Set(view), "subset grouping must roll up from the view")
+    assert(roll.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      == Set(("a", 30L, 2L), ("b", 70L, 2L), ("c", 110L, 2L)))
+    // filter over a group column commutes with grouping
+    val filtered = VT.read(spark, src).where($"g" =!= "b")
+      .groupBy("g").agg(sum("m").as("s"))
+    assert(scannedDirs(filtered) == Set(view))
+    assert(filtered.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 30L), ("c", 110L)))
+    // ungrouped: one row, count coalesces over the view
+    val total = VT.read(spark, src).agg(count(lit(1)).as("n"), sum("m").as("s"))
+    assert(scannedDirs(total) == Set(view))
+    assert(total.head() == org.apache.spark.sql.Row(6L, 210L))
+    // MIN is not derivable from the state: full fallback, same answer
+    val withMin = VT.read(spark, src).groupBy("g")
+      .agg(sum("m").as("s"), min("m").as("mn"))
+    assert(scannedDirs(withMin) == Set(src), "MIN must refuse the rewrite")
+    // filter on a NON-group column refuses too
+    val mFiltered = VT.read(spark, src).where($"m" > 20L)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(scannedDirs(mFiltered) == Set(src))
+    assert(mFiltered.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("b", 2L), ("c", 2L)))
+  }
+
+  test("SQL through the graft_vtable TVF rewrites; groups that empty out drop") {
+    val src = tmp(); val view = tmp(); mkSrc(src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m"))
+    val sql = spark.sql(
+      s"""SELECT g, COUNT(*) AS n, SUM(m) AS s
+         |FROM graft_vtable('$src') GROUP BY g ORDER BY g""".stripMargin)
+    assert(scannedDirs(sql) == Set(view), "the SQL TVF path must rewrite too")
+    assert(sql.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      == Seq(("a", 2L, 30L), ("b", 2L, 70L), ("c", 2L, 110L)))
+    // delete group b entirely; after refresh the view dropped its row and
+    // the rewritten answer matches
+    VT.commitDelete(spark, src, col("g") === "b")
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m"))
+    val after = spark.sql(
+      s"SELECT g, COUNT(*) AS n FROM graft_vtable('$src') GROUP BY g")
+    assert(scannedDirs(after) == Set(view))
+    assert(after.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 2L), ("c", 2L)))
+  }
+
+  test("time-traveled scans never rewrite: the pinned version must equal the ledger") {
+    val src = tmp(); val view = tmp(); mkSrc(src)
+    VT.commitAppend(Seq((7L, "d", 70L, Option.empty[java.lang.Long]))
+      .toDF("k", "g", "m", "o"), src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m"))
+    // current scan (v2) rewrites; the v1 time travel must not
+    val cur = VT.read(spark, src).groupBy("g").agg(count(lit(1)).as("n"))
+    assert(scannedDirs(cur) == Set(view))
+    val old = VT.read(spark, src, asOf = Some(1L))
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(scannedDirs(old) == Set(src))
+    assert(old.count() == 3L) // a/b/c only — v1 content
+  }
+}
