@@ -135,6 +135,67 @@ object ScaleBench {
       Seq("q", "k"))
   }
 
+  /** MV-rewrite scaling probe ([[graft.plans.VtableViewRewrite]]): build a
+    * fact table at `mult`× the base `orders`, maintain its grouped view,
+    * apply a FIXED-size churn batch, and measure three walls —
+    * (a) the grouped aggregate answered by the SCAN (rewrite registry
+    * cleared), (b) the same query answered from the VIEW, (c) the
+    * incremental refresh after the churn. The 100 TB claim being tested:
+    * (a) grows with the table, (b) and (c) stay ~flat — the view answer
+    * is O(groups) and the refresh O(changed files + touched groups).
+    */
+  private def mvProbe(spark: SparkSession, base: String, mult: Int,
+                      work: String): (Double, Double, Double) = {
+    import graft.ops.{VersionedTable => VT, ViewOps}
+    val src = s"$work/src"; val view = s"$work/view"
+    val fs = new org.apache.hadoop.fs.Path(work)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(work), true)
+    val orders0 = spark.read.parquet(s"$base/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(col("o_totalprice") * lit(100) + lit(0.5)).as("cents"))
+    val scaled =
+      if (mult == 1) orders0
+      else orders0.crossJoin(spark.range(mult.toLong).toDF("__c"))
+        .withColumn("o_orderkey",
+          col("o_orderkey") + col("__c") * lit(1000000000L))
+        .drop("__c")
+    VT.create(scaled.repartition(math.max(4, mult)), src,
+      statsCols = Seq("o_orderkey"))
+    def refresh(): Long = ViewOps.refreshAggView(spark, src, view,
+      Seq("o_orderkey"), Seq("o_orderpriority"), Seq("cents"),
+      appId = "scale-mv")
+    refresh() // bootstrap
+    // fixed-size churn regardless of table size: the refresh cost being
+    // measured is the INCREMENTAL one
+    VT.commitAppend(orders0.limit(1000)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000000L)), src)
+    val r0 = System.nanoTime(); refresh()
+    val tRefresh = (System.nanoTime() - r0) / 1e9
+    def agg(): DataFrame = VT.read(spark, src).groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"))
+    def timed(body: => Unit): Double = {
+      body // warm
+      spark.catalog.clearCache(); System.gc()
+      val t0 = System.nanoTime(); body
+      (System.nanoTime() - t0) / 1e9
+    }
+    ViewOps.Rewrites.clear() // force the scan answer
+    val tScan = timed(agg().collect())
+    refresh() // no-op fold; re-registers the view for rewrite
+    val tView = timed {
+      val q = agg()
+      val scans = q.queryExecution.optimizedPlan.collect {
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+            if lr.getTagValue(VT.pruneTag).isDefined =>
+          lr.getTagValue(VT.pruneTag).get._1
+      }.toSet
+      require(scans == Set(view), s"mvProbe: expected the view answer, got $scans")
+      q.collect()
+    }
+    (tScan, tView, tRefresh)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -204,8 +265,16 @@ object ScaleBench {
       }
       s""""$q":{"t1x":${sec(t1)},"t10x":${sec(t10)},"exp":${sec(e)}$tail}"""
     }.mkString("{", ",", "}")
+    // MV-rewrite scaling: scan wall should track table size; the view
+    // answer and the fixed-churn refresh should not
+    val mvSizes = Seq(1, 10, 100)
+    val mv = mvSizes.map(m => mvProbe(spark, base, m, s"target/scale/mv$m"))
     val out =
       s"""{"metric":"scale","docs":[${nDocs.mkString(",")}],""" +
+        s""""mv_mults":[${mvSizes.mkString(",")}],""" +
+        s""""mv_scan_secs":[${mv.map(t => sec(t._1)).mkString(",")}],""" +
+        s""""mv_view_secs":[${mv.map(t => sec(t._2)).mkString(",")}],""" +
+        s""""mv_refresh_secs":[${mv.map(t => sec(t._3)).mkString(",")}],""" +
         s""""lsh_candidates":[${lsh.mkString(",")}],""" +
         s""""lsh_exponents":[${exps(lsh).map(sec).mkString(",")}],""" +
         s""""simhash_candidates":[${sim.mkString(",")}],""" +
