@@ -147,6 +147,7 @@ object ScaleBench {
   private def mvProbe(spark: SparkSession, base: String, mult: Int,
                       work: String): (Double, Double, Double) = {
     import graft.ops.{VersionedTable => VT, ViewOps}
+    graft.functions.GraftFunctions.register(spark) // installs the rewrite rule
     val src = s"$work/src"; val view = s"$work/view"
     val fs = new org.apache.hadoop.fs.Path(work)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -7,8 +7,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
 /** Name → directory catalog for versioned tables, so SQL users write
   * `graft_vtable('orders')` instead of carrying literal paths. One JSON
   * file (default `spark-warehouse/_graft_catalog.json`, relocatable via
-  * `spark.graft.catalog.path`), updated by tmp-write + atomic rename —
-  * the same single-publisher discipline as the manifests. The catalog
+  * `spark.graft.catalog.path`), updated by tmp-write + atomic rename,
+  * with the read-modify-write serialized in-JVM by a monitor and
+  * cross-process by a create-exclusive lock file (see
+  * [[withCrossProcessLock]]). The catalog
   * stores LOCATIONS only; everything about a table (schema, stats
   * config, versions) stays self-described in its own `_vlog`, exactly
   * like Iceberg's catalog/metadata split — so a catalog entry can be
@@ -43,11 +45,55 @@ object GraftCatalog {
     root.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
   }
 
-  /** In-JVM monitor serializing read-modify-write updates (the same
-    * one-driver discipline as manifest publication): concurrent
-    * register/drop calls cannot lose each other's entries.
+  /** In-JVM monitor serializing read-modify-write updates: concurrent
+    * register/drop calls in ONE driver cannot lose each other's entries
+    * (and keep the common path free of lock-file round-trips' failures).
     */
   private val updateLock = new Object
+
+  /** Cross-PROCESS serialization of the catalog's read-modify-write: a
+    * create-exclusive lock file beside the catalog (NIO `createFile` on
+    * local filesystems — O_EXCL, atomic; `fs.create(overwrite = false)`
+    * on HDFS-style stores, whose create is atomic server-side). Without
+    * it, two processes interleaving read→write lose one process's entry
+    * silently — the same lost-update the manifests' hard-link CAS closes,
+    * but for a MUTABLE file, so exclusion (not CAS) is the right shape.
+    * A lock held past `spark.graft.catalog.lockTimeoutMs` (default
+    * 10 000 — catalog updates are one small JSON read + write) fails
+    * LOUDLY naming the lock file: a crashed writer needs an operator
+    * decision, not a heuristic steal that would reintroduce the race.
+    */
+  private def withCrossProcessLock[T](spark: SparkSession)(body: => T): T = {
+    val p = catalogPath(spark)
+    val fs = fsOf(spark, p)
+    if (p.getParent != null) fs.mkdirs(p.getParent)
+    val lock = new Path(p.getParent, s".${p.getName}.lock")
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    val timeoutMs = spark.conf.getOption("spark.graft.catalog.lockTimeoutMs")
+      .map(_.toLong).getOrElse(10000L)
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    def tryAcquire(): Boolean =
+      try {
+        if (local)
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath))
+        else fs.create(lock, false).close()
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    while (!tryAcquire()) {
+      if (System.nanoTime() > deadline)
+        throw new IllegalStateException(
+          s"GraftCatalog: lock $lock held for >${timeoutMs}ms — a catalog " +
+            "writer crashed mid-update? Verify no live writer owns it, " +
+            "delete the lock file, and retry")
+      Thread.sleep(20)
+    }
+    try body finally fs.delete(lock, false)
+  }
 
   private def write(spark: SparkSession, all: Map[String, String]): Unit = {
     val p = catalogPath(spark)
@@ -88,13 +134,17 @@ object GraftCatalog {
       s"GraftCatalog.register: '$name' is not a valid table name " +
         "(no path separators; use the directory directly for path addressing)")
     updateLock.synchronized {
-      write(spark, entries(spark) + (name -> dir))
+      withCrossProcessLock(spark) {
+        write(spark, entries(spark) + (name -> dir))
+      }
     }
   }
 
   def drop(spark: SparkSession, name: String): Unit =
     updateLock.synchronized {
-      write(spark, entries(spark) - name)
+      withCrossProcessLock(spark) {
+        write(spark, entries(spark) - name)
+      }
     }
 
   def lookup(spark: SparkSession, name: String): Option[String] =

@@ -224,6 +224,36 @@ class SqlDmlSpec extends SparkSuite {
     assert(GraftDml.parse("DROP TABLE plain").isEmpty)
   }
 
+  test("catalog updates hold a cross-process lock; a stale lock fails loudly") {
+    val name = s"lock_spec_${java.util.UUID.randomUUID().toString.take(8)}"
+    val dir = tmp()
+    // plant a stale lock beside the catalog — a writer crashed mid-update
+    val catPath = new org.apache.hadoop.fs.Path(
+      spark.conf.getOption("spark.graft.catalog.path")
+        .getOrElse("spark-warehouse/_graft_catalog.json"))
+    val fs = catPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(catPath.getParent)
+    val lock = new org.apache.hadoop.fs.Path(catPath.getParent,
+      s".${catPath.getName}.lock")
+    fs.create(lock, false).close()
+    spark.conf.set("spark.graft.catalog.lockTimeoutMs", "300")
+    try {
+      val ex = intercept[IllegalStateException](
+        GraftCatalog.register(spark, name, dir))
+      assert(ex.getMessage.contains("lock"), s"undiagnostic: ${ex.getMessage}")
+      assert(GraftCatalog.lookup(spark, name).isEmpty,
+        "a refused registration must not partially apply")
+    } finally {
+      spark.conf.unset("spark.graft.catalog.lockTimeoutMs")
+      fs.delete(lock, false)
+    }
+    // operator remediation: lock removed, same call succeeds and releases
+    GraftCatalog.register(spark, name, dir)
+    assert(GraftCatalog.lookup(spark, name).contains(dir))
+    assert(!fs.exists(lock), "the lock must release after the update")
+    GraftCatalog.drop(spark, name)
+  }
+
   test("OPTIMIZE bin-packs small files; ZORDER BY re-clusters; content and history hold") {
     val dir = tmp()
     VT.create(Seq((1L, 1L)).toDF("k", "v").coalesce(1), dir, Seq("k", "v"))

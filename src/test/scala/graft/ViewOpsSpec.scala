@@ -278,4 +278,27 @@ class ViewOpsSpec extends SparkSuite {
     assert(ex.getMessage.contains("preimage") ||
       Option(ex.getCause).exists(_.getMessage.contains("preimage")))
   }
+
+  test("refresh spans a source ALTER ADD COLUMNS: ledger advances, view exact") {
+    val src = tmp(); val view = tmp(); mkSource(src)
+    def refresh(): Long = ViewOps.refreshAggView(spark, src, view,
+      Seq("k"), Seq("g"), Seq("v"), appId = "evolve-ivm")
+    refresh() // bootstrap at v1
+    // metadata-only evolution + an update that touches ONLY the new
+    // column: the maintained measures' signed delta nets to zero
+    VT.commitAddColumns(spark, src, Seq("tag" -> "STRING"))         // v2
+    VT.commitUpdate(spark, src, col("g") === "a",
+      Seq("tag" -> lit("hot")))                                     // v3
+    refresh()
+    val m = VT.readManifest(spark, view, VT.currentVersion(spark, view).get)
+    assert(m.txns.get("evolve-ivm").contains(3L),
+      s"the cursor must advance past the evolution window: ${m.txns}")
+    assert(viewNow(view) == reAgg(src))
+    // real churn AFTER the evolution folds exactly
+    VT.commitMerge(Seq((6L, "c", 60L, "x", false))
+      .toDF("k", "g", "v", "tag", "del"), src, Seq("k"), Seq.empty, $"del")
+    refresh()
+    assert(viewNow(view) == reAgg(src))
+    assert(viewNow(view).exists { case (g, n, s) => g == "c" && n == 2 && s == 110L })
+  }
 }
