@@ -161,16 +161,19 @@ object ScaleBench {
         .withColumn("o_orderkey",
           col("o_orderkey") + col("__c") * lit(1000000000L))
         .drop("__c")
-    VT.create(scaled.repartition(math.max(4, mult)), src,
+    VT.create(scaled.repartition(math.min(64, math.max(4, mult))), src,
       statsCols = Seq("o_orderkey"))
     def refresh(): Long = ViewOps.refreshAggView(spark, src, view,
       Seq("o_orderkey"), Seq("o_orderpriority"), Seq("cents"),
       appId = "scale-mv")
     refresh() // bootstrap
     // fixed-size churn regardless of table size: the refresh cost being
-    // measured is the INCREMENTAL one
-    VT.commitAppend(orders0.limit(1000)
-      .withColumn("o_orderkey", col("o_orderkey") + lit(100000000000L)), src)
+    // measured is the INCREMENTAL one. First churn+refresh warms (plan
+    // caches, codegen); the second is the reported wall.
+    def churn(off: Long): Unit = VT.commitAppend(orders0.limit(1000)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(off)), src)
+    churn(100000000000L); refresh()
+    churn(200000000000L)
     val r0 = System.nanoTime(); refresh()
     val tRefresh = (System.nanoTime() - r0) / 1e9
     def agg(): DataFrame = VT.read(spark, src).groupBy("o_orderpriority")
@@ -268,7 +271,7 @@ object ScaleBench {
     }.mkString("{", ",", "}")
     // MV-rewrite scaling: scan wall should track table size; the view
     // answer and the fixed-churn refresh should not
-    val mvSizes = Seq(1, 10, 100)
+    val mvSizes = Seq(1, 10, 100, 1000)
     val mv = mvSizes.map(m => mvProbe(spark, base, m, s"target/scale/mv$m"))
     val out =
       s"""{"metric":"scale","docs":[${nDocs.mkString(",")}],""" +

@@ -124,7 +124,8 @@ object VersionedTable {
                             bloomCols: Seq[String] = Seq.empty,
                             bloomFpp: Double = 0.01,
                             patches: Seq[Seq[FileEntry]] = Seq.empty,
-                            mergeKeys: Seq[String] = Seq.empty)
+                            mergeKeys: Seq[String] = Seq.empty,
+                            props: Map[String, String] = Map.empty)
 
   /** Manifest HEADER + change description, WITHOUT the materialized file
     * list — the driver-cheap view every metadata operation starts from.
@@ -155,7 +156,26 @@ object VersionedTable {
       numFiles: Long, totalRows: Long, mode: String,
       inlineFiles: Seq[FileEntry] = Seq.empty,
       adds: Seq[FileEntry] = Seq.empty, removes: Seq[String] = Seq.empty,
-      restoreOf: Long = -1L)
+      restoreOf: Long = -1L,
+      props: Map[String, String] = Map.empty)
+
+  /** Table-level properties carried forward by every commit (the Delta
+    * `metadata.configuration` idea). [[create]] stamps
+    * `graft.tableId` — a UUID that gives the table an IDENTITY beyond its
+    * path: version numbers restart when a table is dropped and recreated
+    * at the same directory, so any consumer holding a version cursor (the
+    * IVM ledger, the MV rewrite's freshness gate, external CDC readers)
+    * must compare table ids, not just versions, or a recreated table
+    * silently satisfies a stale cursor.
+    */
+  val TableIdProp = "graft.tableId"
+
+  /** The table's identity UUID, when present (tables created before the
+    * props field read as None and are treated as legacy).
+    */
+  def tableId(spark: SparkSession, dir: String): Option[String] =
+    currentVersion(spark, dir).flatMap(v =>
+      readMeta(spark, dir, v).props.get(TableIdProp))
 
   // ------------------------------------------------ metadata-scale knobs
   private def confInt(spark: SparkSession, key: String, dflt: Int): Int =
@@ -265,6 +285,10 @@ object VersionedTable {
       m.patches.foreach(batch => writeFileArray(pa.addArray(), batch))
       val mk = root.putArray("mergeKeys")
       m.mergeKeys.foreach(mk.add)
+    }
+    if (m.props.nonEmpty) {
+      val pn = root.putObject("props")
+      m.props.toSeq.sortBy(_._1).foreach { case (k, v) => pn.put(k, v) }
     }
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     val log = vlogDir(dir)
@@ -388,10 +412,13 @@ object VersionedTable {
     val totalRows = Option(root.get("totalRows")).map(_.asLong())
       .getOrElse(inlineFiles.map(_.rows).sum)
     val restoreOf = Option(root.get("restoreOf")).map(_.asLong()).getOrElse(-1L)
+    val props = Option(root.get("props")).map { pn =>
+      pn.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     ManifestMeta(root.get("version").asLong(), root.get("op").asText(),
       root.get("schemaDdl").asText(), statsCols, txns, bloomCols, bloomFpp,
       patches, mergeKeys, numFiles, totalRows, mode, inlineFiles, adds,
-      removes, restoreOf)
+      removes, restoreOf, props)
   }
 
   // ----------------------------------------- checkpointed file-list replay
@@ -527,13 +554,18 @@ object VersionedTable {
                             txns: Map[String, Long], bloomCols: Seq[String],
                             bloomFpp: Double, patches: Seq[Seq[FileEntry]],
                             mergeKeys: Seq[String], adds: Seq[FileEntry],
-                            removes: Seq[(String, Long)]): Unit = {
+                            removes: Seq[(String, Long)],
+                            props: Option[Map[String, String]] = None): Unit = {
     val fs = fsOf(spark, dir)
     val numFiles = prev.map(_.numFiles).getOrElse(0L) - removes.size + adds.size
     val totalRows = prev.map(_.totalRows).getOrElse(0L) -
       removes.map(_._2).sum + adds.map(_.rows).sum
+    // table-level props carry forward by default; only create (or an
+    // explicit override) sets them
+    val effProps = props.getOrElse(prev.map(_.props).getOrElse(Map.empty))
     val header = ManifestMeta(version, op, schemaDdl, statsCols, txns,
-      bloomCols, bloomFpp, patches, mergeKeys, numFiles, totalRows, "delta")
+      bloomCols, bloomFpp, patches, mergeKeys, numFiles, totalRows, "delta",
+      props = effProps)
     if (numFiles <= inlineMaxFiles(spark)) {
       val prevFiles = prev.map(p => materializeFiles(spark, dir, p.version))
         .getOrElse(Seq.empty)
@@ -558,7 +590,7 @@ object VersionedTable {
       if (m.mode == "full") m.inlineFiles
       else materializeFiles(spark, dir, version)
     Manifest(m.version, m.op, m.schemaDdl, m.statsCols, files, m.txns,
-      m.bloomCols, m.bloomFpp, m.patches, m.mergeKeys)
+      m.bloomCols, m.bloomFpp, m.patches, m.mergeKeys, m.props)
   }
 
   // ------------------------------------------------------------ data writes
@@ -710,7 +742,8 @@ object VersionedTable {
   def create(df: DataFrame, dir: String, statsCols: Seq[String],
              bloomCols: Seq[String] = Seq.empty,
              bloomFpp: Double = 0.01,
-             txn: Option[(String, Long)] = None): Long = {
+             txn: Option[(String, Long)] = None,
+             props: Map[String, String] = Map.empty): Long = {
     val spark = df.sparkSession
     require(currentVersion(spark, dir).isEmpty,
       s"VersionedTable.create: $dir is already a versioned table " +
@@ -732,10 +765,14 @@ object VersionedTable {
           "only numeric/string/date/timestamp/boolean columns can carry " +
           "manifest min/max stats (string round-trip must preserve order)")
     }
+    require(!props.contains(TableIdProp),
+      s"VersionedTable.create: $TableIdProp is stamped by create itself")
     val files = writeCommitFiles(df, dir, 1L, statsCols, bloomCols, bloomFpp)
     publishCommit(spark, dir, None, 1L, "create", df.schema.toDDL, statsCols,
       txn.map(t => Map(t)).getOrElse(Map.empty), bloomCols, bloomFpp,
-      Seq.empty, Seq.empty, adds = files, removes = Seq.empty)
+      Seq.empty, Seq.empty, adds = files, removes = Seq.empty,
+      props = Some(props +
+        (TableIdProp -> java.util.UUID.randomUUID().toString)))
     1L
   }
 
@@ -1983,9 +2020,10 @@ object VersionedTable {
     if (toVersion == curV) return curV
     val cur = readMeta(spark, dir, curV)
     val target = readMeta(spark, dir, toVersion) // loud if vacuumed
+    // data rolls back; table-level identity/props do NOT (same table)
     val header = target.copy(version = curV + 1, op = "restore",
-      txns = cur.txns, inlineFiles = Seq.empty, adds = Seq.empty,
-      removes = Seq.empty)
+      txns = cur.txns, props = cur.props, inlineFiles = Seq.empty,
+      adds = Seq.empty, removes = Seq.empty)
     val fs = fsOf(spark, dir)
     if (target.numFiles <= inlineMaxFiles(spark))
       // small table: self-contained, exactly the pre-checkpoint behavior

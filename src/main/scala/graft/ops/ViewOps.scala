@@ -51,6 +51,12 @@ object ViewOps {
     * its first refresh. Registration is an OPTIMIZATION HINT only —
     * correctness lives in the rewrite rule's ledger freshness check.
     */
+  /** View prop pinning the SOURCE table's [[VersionedTable.TableIdProp]]
+    * at bootstrap — the identity half of the freshness contract (the
+    * ledger cursor is the version half).
+    */
+  val SrcIdProp = "graft.ivm.srcTableId"
+
   object Rewrites {
     final case class MvDef(viewDir: String, groupCols: Seq[String],
                            measures: Seq[String], appId: String)
@@ -263,10 +269,26 @@ object ViewOps {
         // fires during create's own write action — no separate probe job
         val state = withNonNullGroupGuard(
           fullState(snap, groupCols, measures), groupCols, "refreshAggView")
-        VT.create(state, viewDir, statsCols = statable, txn = Some(appId -> srcV))
+        // pin the SOURCE's identity in the view's props: version numbers
+        // restart when a table is dropped and recreated at the same path,
+        // so the ledger cursor alone cannot distinguish "fresh" from
+        // "folded a table that no longer exists"
+        VT.create(state, viewDir, statsCols = statable, txn = Some(appId -> srcV),
+          props = VT.tableId(spark, srcDir).map(SrcIdProp -> _).toMap)
         VT.currentVersion(spark, viewDir).get
       case Some(vv) =>
         val m = VT.readManifest(spark, viewDir, vv)
+        // identity check BEFORE the cursor check: a recreated source
+        // restarts at v1, so a stale cursor can look "ahead of" the new
+        // table and silently freeze the view on dead content
+        (m.props.get(SrcIdProp), VT.tableId(spark, srcDir)) match {
+          case (Some(folded), cur) if !cur.contains(folded) =>
+            throw new IllegalStateException(
+              s"refreshAggView: $srcDir is not the table this view folded — " +
+                s"table id ${cur.getOrElse("<none>")} vs folded $folded. The " +
+                "source was dropped and recreated; drop and rebuild the view")
+          case _ => // legacy view (no pinned id) or matching identity
+        }
         val lastSrcV = m.txns.getOrElse(appId,
           throw new IllegalStateException(
             s"refreshAggView: view $viewDir has no ledger entry for $appId — " +

@@ -91,10 +91,11 @@ object VtableViewRewrite extends Rule[LogicalPlan] {
       (srcDir, srcV) <- lr.getTagValue(VersionedTable.pruneTag)
       mvs = ViewOps.Rewrites.forSource(srcDir)
       if mvs.nonEmpty
-      out <- mvs.view.flatMap(mv => tryAnswer(agg, cond, srcV, mv)).headOption
+      out <- mvs.view.flatMap(mv => tryAnswer(agg, cond, srcDir, srcV, mv)).headOption
     } yield out
 
-  private def tryAnswer(agg: Aggregate, cond: Option[Expression], srcV: Long,
+  private def tryAnswer(agg: Aggregate, cond: Option[Expression],
+                        srcDir: String, srcV: Long,
                         mv: ViewOps.Rewrites.MvDef): Option[LogicalPlan] = try {
     val spark = SparkSession.active
     val groupSet = mv.groupCols.map(_.toLowerCase).toSet
@@ -104,10 +105,19 @@ object VtableViewRewrite extends Rule[LogicalPlan] {
         groupSet(r.name.toLowerCase)))) return None
     if (!cond.forall(_.references.forall(r => groupSet(r.name.toLowerCase))))
       return None
-    // freshness: the view must have folded EXACTLY the scanned version
+    // freshness: the view must have folded EXACTLY the scanned version...
     val vv = VersionedTable.currentVersion(spark, mv.viewDir).getOrElse(return None)
     val meta = VersionedTable.readMeta(spark, mv.viewDir, vv)
     if (!meta.txns.get(mv.appId).contains(srcV) || meta.patches.nonEmpty)
+      return None
+    // ...OF THE SAME TABLE: version numbers restart across drop/recreate
+    // at one path, so the cursor alone would let a stale view answer for
+    // a different table. The view pins the source's identity UUID at
+    // bootstrap; a pinned id must match the scanned version's manifest.
+    val foldedId = meta.props.get(ViewOps.SrcIdProp)
+    if (foldedId.isDefined &&
+        VersionedTable.readMeta(spark, srcDir, srcV).props
+          .get(VersionedTable.TableIdProp) != foldedId)
       return None
 
     val viewPlan = VersionedTable.read(spark, mv.viewDir).queryExecution.analyzed

@@ -120,6 +120,28 @@ class ViewRewriteSpec extends SparkSuite {
       == Set(("a", 2L), ("c", 2L)))
   }
 
+  test("a recreated source never rewrites: identity beats a matching version cursor") {
+    val src = tmp(); val view = tmp(); mkSrc(src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m"))
+    // drop + recreate at the SAME path: versions restart at 1, so the
+    // view's ledger cursor (src v1) MATCHES the new scan's pinned version
+    // — only the table id tells them apart
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    VT.create(Seq((1L, "z", 999L, Option.empty[java.lang.Long]))
+      .toDF("k", "g", "m", "o"), src, statsCols = Seq("k", "g"))
+    val q = VT.read(spark, src).groupBy("g").agg(sum("m").as("s"))
+    assert(scannedDirs(q) == Set(src),
+      "a view folded from a DIFFERENT table must not answer, even at a matching version")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("z", 999L)))
+    // and the refresh path refuses loudly instead of freezing the view
+    val ex = intercept[IllegalStateException](
+      ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m")))
+    assert(ex.getMessage.contains("recreated"), s"undiagnostic: ${ex.getMessage}")
+  }
+
   test("time-traveled scans never rewrite: the pinned version must equal the ledger") {
     val src = tmp(); val view = tmp(); mkSrc(src)
     VT.commitAppend(Seq((7L, "d", 70L, Option.empty[java.lang.Long]))
