@@ -51,7 +51,7 @@ class VtableCdfSourceProvider extends StreamSourceProvider with DataSourceRegist
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
-    new VtableCdfSource(sqlContext.sparkSession, parameters)
+    new VtableCdfSource(sqlContext.sparkSession, parameters, metadataPath)
 }
 
 object VtableCdfSource {
@@ -73,7 +73,8 @@ object VtableCdfSource {
   }
 }
 
-class VtableCdfSource(spark: SparkSession, parameters: Map[String, String])
+class VtableCdfSource(spark: SparkSession, parameters: Map[String, String],
+                      metadataPath: String = "")
   extends Source
   with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
@@ -92,6 +93,53 @@ class VtableCdfSource(spark: SparkSession, parameters: Map[String, String])
 
   override val schema: StructType = VtableCdfSource.schemaFor(spark, parameters)
 
+  /** Offsets ARE versions, and version numbers restart when a table is
+    * dropped and recreated at this path — the checkpoint's cursor would
+    * then point into a DIFFERENT table's log: first a silent idle (new
+    * current version below the committed offset), then garbage diffs once
+    * it passes it. The table's identity UUID is pinned IN THE CHECKPOINT
+    * (the source's metadata dir) at first start — pinning in the source
+    * instance would just re-pin the impostor on restart — and every
+    * offset/batch call re-checks it, failing loudly the moment the log
+    * underneath changes hands (legacy tables without an id keep the old
+    * behavior).
+    */
+  private val pinnedTableId: Option[String] =
+    if (metadataPath.isEmpty) VT.tableId(spark, dir)
+    else {
+      val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-table-id")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def readPin(): Option[String] = {
+        val in = fs.open(p)
+        val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+        Option(s).filter(_.nonEmpty)
+      }
+      if (fs.exists(p)) readPin()
+      else VT.tableId(spark, dir) match {
+        case some @ Some(id) =>
+          try {
+            val out = fs.create(p, false) // first writer wins
+            try out.write(id.getBytes("UTF-8")) finally out.close()
+            some
+          } catch { // racer pinned first: their pin is the checkpoint's
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => readPin()
+            case _: java.io.IOException if fs.exists(p) => readPin()
+          }
+        case None => None
+      }
+    }
+
+  private def requireSameTable(): Unit =
+    pinnedTableId.foreach { pinned =>
+      val cur = VT.tableId(spark, dir)
+      if (!cur.contains(pinned))
+        throw new IllegalStateException(
+          s"graft-vtable-cdf: $dir is no longer the table this stream " +
+            s"reads — table id ${cur.getOrElse("<none>")} vs pinned $pinned. " +
+            "The table was dropped and recreated; start a NEW stream (new " +
+            "checkpoint) against the new table")
+    }
+
   private case class CdfOffset(version: Long) extends V1Offset {
     override def json: String = version.toString
   }
@@ -103,6 +151,7 @@ class VtableCdfSource(spark: SparkSession, parameters: Map[String, String])
     }
 
   override def getOffset: Option[V1Offset] = {
+    requireSameTable()
     val cur = VT.currentVersion(spark, dir).getOrElse(return None)
     if (cur > startVersion || startVersion == 0L && cur >= 1L)
       Some(CdfOffset(cur))
@@ -132,6 +181,7 @@ class VtableCdfSource(spark: SparkSession, parameters: Map[String, String])
       start: org.apache.spark.sql.connector.read.streaming.Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
       : org.apache.spark.sql.connector.read.streaming.Offset = {
+    requireSameTable()
     val cur = availableNowEnd
       .orElse(VT.currentVersion(spark, dir)).getOrElse(return null)
     val from = Option(start).map(versionOf).getOrElse(math.max(0L, startVersion))
@@ -204,6 +254,7 @@ class VtableCdfSource(spark: SparkSession, parameters: Map[String, String])
   }
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    requireSameTable()
     val from = start.map(versionOf).getOrElse(math.max(0L, startVersion))
     val to = versionOf(end)
     if (to <= from)

@@ -146,6 +146,33 @@ class VtableCdfSourceSpec extends SparkSuite {
       s"got $got")
   }
 
+  test("a recreated table fails the stream loudly: identity beats version cursors") {
+    // offsets ARE versions and versions restart across drop/recreate at
+    // one path — without the pinned table id the stream first idles
+    // silently (new current version below the committed offset), then
+    // emits garbage diffs spanning two unrelated logs
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    VT.commitAppend(Seq((4L, "d")).toDF("k", "s"), dir)                // v2
+    drainToParquet(dir, s"$root/ckpt", s"$root/out",
+      Map("startingVersion" -> "1"))
+    // drop + recreate, then advance the NEW table past the old cursor
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    mk(dir)                                                            // new v1
+    VT.commitAppend(Seq((9L, "z")).toDF("k", "s"), dir)                // new v2
+    VT.commitAppend(Seq((10L, "y")).toDF("k", "s"), dir)               // new v3
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drainToParquet(dir, s"$root/ckpt", s"$root/out", Map.empty)
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(ex).exists(m => m != null && m.contains("recreated")),
+      s"undiagnostic failure: ${chain(ex)}")
+    // the pre-drop output is intact; nothing from the impostor log landed
+    assert(parquetRows(s"$root/out") == Set(("insert", 4L, "d", 2L)))
+  }
+
   test("net mode folds a multi-commit window into one diff") {
     val root = tmp(); val dir = s"$root/t"; mk(dir)
     // churn that partially cancels: k=4 inserted then updated; k=2
