@@ -2856,7 +2856,7 @@ private[graft] object Queries {
 
   /** SQL TABLE MAINTENANCE end to end ([[graft.sql.GraftDml]] OPTIMIZE /
     * ALTER / RESTORE / VACUUM, over the DML from `q_ddl_sql`): fragment a
-    * table with a CTAS + two disjoint-slice MERGEs, `OPTIMIZE` the small
+    * table with a CTAS + `INSERT INTO` + a disjoint-slice MERGE, `OPTIMIZE` the small
     * files away (logical no-op the oracle never sees), widen the schema
     * with a metadata-only `ALTER TABLE ... ADD COLUMNS`, fill the new
     * column with `UPDATE`, `DELETE` a slice, roll the delete back with
@@ -2879,14 +2879,14 @@ private[graft] object Queries {
     G.sql(s,
       s"""CREATE TABLE graft_vtable('$name') STATS (o_orderkey) AS
          |${slice}0""".stripMargin).collect()
-    Seq(1, 2).foreach { r =>
-      G.sql(s,
-        s"""MERGE INTO graft_vtable('$name') AS t
-           |USING ($slice$r) AS s
-           |ON t.o_orderkey = s.o_orderkey
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
-    }
+    G.sql(s,
+      s"INSERT INTO graft_vtable('$name') ${slice}1").collect()
+    G.sql(s,
+      s"""MERGE INTO graft_vtable('$name') AS t
+         |USING (${slice}2) AS s
+         |ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
     G.sql(s, s"OPTIMIZE graft_vtable('$name')").collect()
     G.sql(s, s"ALTER TABLE graft_vtable('$name') ADD COLUMNS (flag STRING)").collect()
     // versions are data-dependent (OPTIMIZE no-ops when already packed),

@@ -64,6 +64,8 @@ object GraftDml {
     """(?is)^\s*RESTORE\s+TABLE\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*?)\s*;?\s*$""".r
   private val alterHead =
     """(?is)^\s*ALTER\s+TABLE\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*?)\s*;?\s*$""".r
+  private val insertHead =
+    """(?is)^\s*INSERT\s+INTO\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s+(.+?)\s*;?\s*$""".r
 
   /** Our statements return Some(command plan); everything else None. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -78,6 +80,7 @@ object GraftDml {
     case vacuumHead(target, rest) => Some(parseVacuum(target, rest))
     case restoreHead(target, rest) => Some(parseRestore(target, rest))
     case alterHead(target, rest) => Some(parseAlter(target, rest))
+    case insertHead(target, query) => Some(GraftInsertCommand(target, query))
     case _ => None
   }
 
@@ -93,7 +96,8 @@ object GraftDml {
         "graft_vtable('name') [PURGE]; OPTIMIZE graft_vtable('ref') " +
         "[ZORDER BY (c1, c2[, ...])]; VACUUM graft_vtable('ref') RETAIN " +
         "<n> VERSIONS; RESTORE TABLE graft_vtable('ref') TO VERSION AS OF " +
-        "<n>; ALTER TABLE graft_vtable('ref') ADD COLUMNS (c type[, ...])")
+        "<n>; ALTER TABLE graft_vtable('ref') ADD COLUMNS (c type[, ...]); " +
+        "INSERT INTO graft_vtable('ref') <query>")
 
   /** Index of the char AFTER the paren-balanced, quote-aware span opening
     * at `start` (which must be '(').
@@ -439,6 +443,37 @@ case class GraftDeleteCommand(target: String, whereSql: Option[String])
     val dir = GraftCatalog.resolveDir(spark, target)
     Seq(Row(VersionedTable.withCommitRetry() {
       VersionedTable.commitDelete(spark, dir, GraftDml.parseCond(spark, whereSql))
+    }))
+  }
+}
+
+/** `INSERT INTO graft_vtable(...) <query>` — an append-only commit
+  * ([[VersionedTable.commitAppend]]): new files only, no existing byte
+  * read or rewritten. Columns resolve BY NAME (any order); a missing or
+  * extra column fails loudly — positional coercion silently writing the
+  * wrong column is the classic INSERT footgun.
+  */
+case class GraftInsertCommand(target: String, sourceSql: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalog.resolveDir(spark, target)
+    val cur = VersionedTable.currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"GraftDml: INSERT INTO target $dir is not a versioned table"))
+    val tableCols = org.apache.spark.sql.types.StructType
+      .fromDDL(VersionedTable.readManifest(spark, dir, cur).schemaDdl)
+      .fieldNames.toSeq
+    val df = spark.sql(sourceSql)
+    if (df.columns.sorted.toSeq != tableCols.sorted)
+      throw new IllegalArgumentException(
+        s"GraftDml: INSERT INTO columns ${df.columns.sorted.mkString(", ")} " +
+          s"do not match the table's ${tableCols.sorted.mkString(", ")} — " +
+          "columns resolve by name; alias the query's output")
+    val aligned = df.select(tableCols.map(org.apache.spark.sql.functions.col): _*)
+    Seq(Row(VersionedTable.withCommitRetry() {
+      VersionedTable.commitAppend(aligned, dir)
     }))
   }
 }

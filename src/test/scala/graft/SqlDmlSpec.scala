@@ -349,6 +349,29 @@ class SqlDmlSpec extends SparkSuite {
     assert(GraftDml.parse("ALTER TABLE plain ADD COLUMNS (x INT)").isEmpty)
   }
 
+  test("INSERT INTO appends by name; column mismatches refuse loudly") {
+    val dir = tmp(); mk(dir)
+    // columns deliberately out of order: resolution is BY NAME
+    Seq((55L, 5L, "e")).toDF("v", "k", "s").createOrReplaceTempView("ins_src")
+    val v = GraftSql.sql(spark,
+      s"INSERT INTO graft_vtable('$dir') SELECT v, k, s FROM ins_src")
+      .as[Long].head()
+    assert(v == 2L)
+    assert(rows(dir) == Set((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L),
+      (4L, "d", 40L), (5L, "e", 55L)))
+    // the append reused every existing file by reference
+    val m = VT.readManifest(spark, dir, 2L)
+    val m1 = VT.readManifest(spark, dir, 1L)
+    assert(m1.files.map(_.path).forall(m.files.map(_.path).contains))
+    // missing column refuses loudly, nothing commits
+    val ex = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"INSERT INTO graft_vtable('$dir') SELECT 6 AS k, 'f' AS s").collect())
+    assert(ex.getMessage.contains("resolve by name"), ex.getMessage)
+    assert(VT.currentVersion(spark, dir).contains(2L))
+    // non-graft INSERT falls through to Spark untouched
+    assert(GraftDml.parse("INSERT INTO plain VALUES (1)").isEmpty)
+  }
+
   test("DML interop: SQL update then library merge then SQL delete stays exact") {
     val dir = tmp(); mk(dir)
     GraftSql.sql(spark, s"UPDATE graft_vtable('$dir') SET v = v * 2 WHERE k IN (1, 3)")
