@@ -2942,6 +2942,57 @@ private[graft] object Queries {
     * side), no-op tombstones and no-op updates dropped exactly as the
     * file-diff drops them.
     */
+  /** STREAMING SINK into a versioned table
+    * ([[graft.sources.VtableSink]] — `writeStream.format("graft-vtable")`,
+    * the write side whose read side is `q_cdf_stream`): bootstrap a table
+    * from a snapshot slice, stream a CDC changelog through the sink in
+    * merge mode (updates + tombstones + inserts, one AvailableNow drain),
+    * and read the final state through the TVF. Exactly-once is the
+    * table's own txn ledger (appId × batchId), so the engine's replayed
+    * batches no-op at the commit. The oracle recomputes the merged final
+    * state directly from `orders`.
+    */
+  def streamSink(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    graft.functions.GraftFunctions.register(s)
+    val src = fixtureDir(d, "sink_stream_src")
+    val tbl = fixtureDir(d, "sink_stream_tbl")
+    val ckpt = fixtureDir(d, "sink_stream_ckpt")
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(src, tbl, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+    VT.create(ord(s, d).filter(col("o_orderkey") % 4 === 0)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey"), tbl, statsCols = Seq("o_orderkey"))
+    // the changelog: every even key — updates for the snapshot's %8==0,
+    // tombstones for its %8==4, inserts for the %4==2 keys it never had
+    ord(s, d).filter(col("o_orderkey") % 2 === 0)
+      .select(col("o_orderkey"),
+        (cents(col("o_totalprice")) + lit(500L)).as("cents"),
+        (col("o_orderkey") % 8 === 4).as("del"))
+      .write.mode("overwrite").parquet(src)
+    s.readStream.schema("o_orderkey bigint, cents bigint, del boolean")
+      .parquet(src)
+      .writeStream.format("graft-vtable")
+      .option("dir", tbl).option("mode", "merge").option("keys", "o_orderkey")
+      .option("deleteCond", "del").option("appId", "q_stream_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    s.sql(
+      s"""SELECT o_orderkey, cents FROM graft_vtable('$tbl')
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val streamSinkSql =
+    """SELECT o_orderkey,
+      |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) + 500 AS cents
+      |FROM orders WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 2
+      |ORDER BY o_orderkey""".stripMargin
+
   def cdfStream(s: SparkSession, d: String): DataFrame = {
     val VT = graft.ops.VersionedTable
     val dir = fixtureDir(d, "vtable_cdf_src")
@@ -4045,6 +4096,7 @@ private[graft] object Queries {
     "q_mv_rewrite" -> (mvRewrite _),
     "q_vtable_ckpt" -> (vtableCkpt _),
     "q_cdf_stream" -> (cdfStream _),
+    "q_stream_sink" -> (streamSink _),
     "q_merge_sql" -> (mergeSql _),
     "q_update_sql" -> (updateSql _),
     "q_delete_sql" -> (deleteSql _),
@@ -4201,6 +4253,7 @@ private[graft] object Queries {
     "q_mv_rewrite" -> mvRewriteSql,
     "q_vtable_ckpt" -> vtableCkptSql,
     "q_cdf_stream" -> cdfStreamSql,
+    "q_stream_sink" -> streamSinkSql,
     "q_merge_sql" -> mergeSqlSql,
     "q_update_sql" -> updateSqlSql,
     "q_delete_sql" -> deleteSqlSql,

@@ -1,0 +1,155 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, GraftShim, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider}
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.ops.{GraftCatalog, VersionedTable => VT}
+
+/** STREAMING SINK into a versioned table — the write side of the CDC loop
+  * as a first-class format, so `df.writeStream.format("graft-vtable")
+  * .option("dir", …).option("mode", "merge").option("keys", "k")` replaces
+  * the `foreachBatch` + commit boilerplate
+  * ([[graft.streaming.StreamOps.streamingCdcApplyVersioned]] stays as the
+  * library shape).
+  *
+  * Exactly-once is the table's OWN transaction ledger: every micro-batch
+  * commits with `txn = (appId, batchId)`, so the engine's post-failure
+  * batch replay (same id, same content — the Structured Streaming
+  * contract) no-ops at the commit instead of double-applying. No sidecar
+  * state; a crash between commit and checkpoint advance is absorbed by
+  * the replay.
+  *
+  * Modes (option `mode`, default `append`):
+  *  - `append`: [[VT.commitAppend]] — new files only, columns resolved BY
+  *    NAME (the INSERT INTO discipline), no existing byte rewritten.
+  *  - `merge`: [[VT.commitMerge]] — each batch is a CDC changelog (keys
+  *    update, `deleteCond` rows tombstone, new keys insert), stats-pruned
+  *    copy-on-write.
+  *  - `patch`: [[VT.commitPatch]] — merge-on-read: O(batch) patch appends,
+  *    `compactPatches` on a cadence bounds the fold.
+  *
+  * The TARGET TABLE's identity UUID is pinned under the query's
+  * checkpoint at first batch (same discipline as
+  * [[VtableCdfSource]]): the ledger lives in the table, so a recreated
+  * table arrives with an EMPTY ledger and the engine's replayed batch ids
+  * would all apply "fresh" against the wrong table — the pin turns that
+  * into a loud failure naming both ids.
+  *
+  * Restart rule (shared with the library helper): a NEW checkpoint
+  * restarts batch ids at 0, so starting over against the same table needs
+  * a fresh `appId` too, or the ledger silently swallows the new stream's
+  * first batches.
+  */
+class VtableSinkProvider extends StreamSinkProvider with DataSourceRegister {
+  override def shortName(): String = "graft-vtable"
+
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(partitionColumns.isEmpty,
+      "graft-vtable sink: partitionBy is not supported — cluster the table " +
+        "with OPTIMIZE ... ZORDER BY instead")
+    require(outputMode == OutputMode.Append() || outputMode == OutputMode.Update(),
+      s"graft-vtable sink: $outputMode is not supported — each micro-batch " +
+        "must be a DELTA (append/update); Complete mode would re-commit the " +
+        "whole result every trigger")
+    new VtableSink(sqlContext.sparkSession, parameters)
+  }
+}
+
+class VtableSink(spark: SparkSession, parameters: Map[String, String])
+  extends Sink {
+
+  private val dir = GraftCatalog.resolveDir(spark, parameters.getOrElse("dir",
+    throw new IllegalArgumentException(
+      "graft-vtable sink: option 'dir' (table name or directory) is required")))
+  private val mode = parameters.getOrElse("mode", "append").toLowerCase
+  require(Seq("append", "merge", "patch").contains(mode),
+    s"graft-vtable sink: mode must be append|merge|patch, got '$mode'")
+  private val keys: Seq[String] = parameters.get("keys")
+    .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)
+  require(mode == "append" || keys.nonEmpty,
+    s"graft-vtable sink: mode=$mode requires option 'keys' " +
+      "(comma-separated merge key columns)")
+  private val appId = parameters.getOrElse("appId", "graft-vtable-sink")
+  private val deleteCond = parameters.get("deleteCond")
+    .map(s => GraftShim.column(
+      spark.sessionState.sqlParser.parseExpression(s)))
+    .getOrElse(lit(false))
+  require(VT.currentVersion(spark, dir).nonEmpty,
+    s"graft-vtable sink: $dir is not a versioned table — create it from " +
+      "the initial snapshot first (VersionedTable.create / CREATE TABLE)")
+
+  /** Identity pin under the checkpoint (absent → pin at instance scope —
+    * weaker, but `checkpointLocation` is always present in practice).
+    */
+  private val pinnedTableId: Option[String] =
+    parameters.get("checkpointLocation") match {
+      case None => VT.tableId(spark, dir)
+      case Some(ckpt) =>
+        val p = new org.apache.hadoop.fs.Path(ckpt, "graft-table-id")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        def readPin(): Option[String] = {
+          val in = fs.open(p)
+          val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
+          Option(s).filter(_.nonEmpty)
+        }
+        if (fs.exists(p)) readPin()
+        else VT.tableId(spark, dir) match {
+          case some @ Some(id) =>
+            try {
+              fs.mkdirs(p.getParent)
+              val out = fs.create(p, false)
+              try out.write(id.getBytes("UTF-8")) finally out.close()
+              some
+            } catch {
+              case _: org.apache.hadoop.fs.FileAlreadyExistsException => readPin()
+              case _: java.io.IOException if fs.exists(p) => readPin()
+            }
+          case None => None
+        }
+    }
+
+  private def requireSameTable(): Unit =
+    pinnedTableId.foreach { pinned =>
+      val cur = VT.tableId(spark, dir)
+      if (!cur.contains(pinned))
+        throw new IllegalStateException(
+          s"graft-vtable sink: $dir is no longer the table this stream " +
+            s"writes — table id ${cur.getOrElse("<none>")} vs pinned $pinned. " +
+            "The table was dropped and recreated (its ledger is gone, so " +
+            "replayed batch ids would all apply fresh); start a NEW stream " +
+            "with a new checkpoint against the new table")
+    }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    requireSameTable()
+    val batch = GraftShim.asBatch(data)
+    VT.withCommitRetry() {
+      mode match {
+        case "append" =>
+          val tableCols = org.apache.spark.sql.types.StructType
+            .fromDDL(VT.readMeta(spark, dir,
+              VT.currentVersion(spark, dir).get).schemaDdl).fieldNames.toSeq
+          require(batch.columns.sorted.toSeq == tableCols.sorted,
+            s"graft-vtable sink: batch columns ${batch.columns.sorted.mkString(", ")} " +
+              s"do not match the table's ${tableCols.sorted.mkString(", ")}")
+          VT.commitAppend(batch.select(tableCols.map(col): _*), dir,
+            txn = Some(appId -> batchId))
+        case "merge" =>
+          VT.commitMerge(batch, dir, keys, Seq.empty, deleteCond,
+            txn = Some(appId -> batchId))
+        case "patch" =>
+          VT.commitPatch(batch, dir, keys, Seq.empty, deleteCond,
+            txn = Some(appId -> batchId))
+      }
+    }
+    ()
+  }
+
+  override def toString: String = s"VtableSink[$dir, mode=$mode]"
+}

@@ -35,6 +35,20 @@ object GraftShim {
   /** Debug: a Column's node tree rendering (probe aid). */
   def nodeString(c: Column): String = c.node.toString
 
+  /** Re-wrap a streaming micro-batch DataFrame as a BATCH one over the
+    * already-planned RDD — the `ForeachBatchSink` trick, needed by any V1
+    * [[execution.streaming.Sink]] that wants to run its own actions on
+    * the batch (a plan with streaming-flagged leaves refuses every action
+    * but the engine's own). `LogicalRDD.fromDataset` is `private[sql]`,
+    * hence here.
+    */
+  def asBatch(data: DataFrame): DataFrame = {
+    val ds = data.asInstanceOf[classic.Dataset[Row]]
+    val node = execution.LogicalRDD.fromDataset(
+      ds.queryExecution.toRdd, ds, isStreaming = false)
+    classic.Dataset.ofRows(ds.sparkSession, node)
+  }
+
   def mineRanges(c: Column): Seq[(String, Option[Column], Option[Column])] = {
     import org.apache.spark.sql.internal._
     def conjuncts(n: ColumnNode): Seq[ColumnNode] = n match {

@@ -86,6 +86,7 @@ class ContractSpec extends SparkSuite {
       "q_maintenance_sql", // parsed OPTIMIZE/ALTER/UPDATE/DELETE/RESTORE/VACUUM chain
       "q_mv_rewrite",      // source table + two view refreshes + plan-assert probe
       "q_cdf_stream",      // versioned-table fixture + a drained AvailableNow CDF stream
+      "q_stream_sink",     // snapshot create + changelog fixture + a drained sink stream
       "q_dedup_lifecycle", // two ingest rounds against the signature table
       "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor
       // scan queries write their fixture on first use + scalar watermark cuts
