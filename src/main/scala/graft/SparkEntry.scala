@@ -2879,6 +2879,11 @@ private[graft] object Queries {
     G.sql(s,
       s"""CREATE TABLE graft_vtable('$name') STATS (o_orderkey) AS
          |${slice}0""".stripMargin).collect()
+    // a CHECK constraint published before the churn: every later
+    // INSERT/MERGE/UPDATE below runs with in-frame enforcement live
+    G.sql(s,
+      s"""ALTER TABLE graft_vtable('$name')
+         |ADD CONSTRAINT cents_pos CHECK (cents >= 0)""".stripMargin).collect()
     G.sql(s,
       s"INSERT INTO graft_vtable('$name') ${slice}1").collect()
     G.sql(s,

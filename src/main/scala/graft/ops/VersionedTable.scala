@@ -177,6 +177,98 @@ object VersionedTable {
     currentVersion(spark, dir).flatMap(v =>
       readMeta(spark, dir, v).props.get(TableIdProp))
 
+  /** Prop-key prefix for CHECK constraints (Delta's
+    * `delta.constraints.<name>` shape): `graft.check.<name>` → the SQL
+    * predicate every LIVE row entering the table must satisfy. Standard
+    * SQL CHECK semantics: a NULL predicate passes; only FALSE violates.
+    */
+  val CheckPropPrefix = "graft.check."
+
+  private[graft] def checksOf(props: Map[String, String]): Seq[(String, String)] =
+    props.toSeq.collect { case (k, v) if k.startsWith(CheckPropPrefix) =>
+      (k.stripPrefix(CheckPropPrefix), v)
+    }.sortBy(_._1)
+
+  /** In-frame CHECK enforcement: the first column is wrapped so a
+    * violating row raises DURING the commit's own write action — zero
+    * extra jobs, and the failed commit leaves only vacuumable orphans
+    * (the manifest never publishes). `precond` restricts enforcement to
+    * rows entering the table LIVE (a tombstone's payload is dead weight
+    * and may be arbitrary).
+    */
+  private def withCheckGuards(df: DataFrame, props: Map[String, String],
+                              ctx: String,
+                              precond: Column = lit(true)): DataFrame = {
+    val checks = checksOf(props)
+    if (checks.isEmpty || df.columns.isEmpty) return df
+    val parser = df.sparkSession.sessionState.sqlParser
+    val c0 = df.columns.head
+    val dt = df.schema(c0).dataType
+    val guarded = checks.foldLeft(col(c0)) { case (acc, (name, sql)) =>
+      val e = org.apache.spark.sql.GraftShim.column(parser.parseExpression(sql))
+      when(precond && !coalesce(e, lit(true)),
+        raise_error(lit(s"VersionedTable.$ctx: CHECK constraint '$name' " +
+          s"violated: $sql — the commit aborted; no version was published"))
+          .cast(dt))
+        .otherwise(acc)
+    }
+    df.withColumn(c0, guarded)
+  }
+
+  /** Add a table-level CHECK constraint as a metadata commit. Validates
+    * the predicate against the CURRENT data first (one pruned count —
+    * refuse loudly rather than publish a constraint the table already
+    * violates; `validateExisting = false` skips the scan and only
+    * analysis-checks the expression). Every later commit that introduces
+    * live rows (create/append/merge/update/patch) enforces it in-frame;
+    * compaction and restore don't re-validate — they move rows that
+    * already passed.
+    */
+  def addCheckConstraint(spark: SparkSession, dir: String, name: String,
+                         exprSql: String,
+                         validateExisting: Boolean = true): Long = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"VersionedTable.addCheckConstraint: invalid constraint name '$name'")
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.addCheckConstraint: $dir is not a versioned table")))
+    require(!cur.props.contains(CheckPropPrefix + name),
+      s"VersionedTable.addCheckConstraint: constraint '$name' already exists " +
+        s"(${cur.props(CheckPropPrefix + name)}) — drop it first")
+    val e = org.apache.spark.sql.GraftShim.column(
+      spark.sessionState.sqlParser.parseExpression(exprSql))
+    if (validateExisting) {
+      val bad = read(spark, dir).filter(!coalesce(e, lit(true))).limit(1).count()
+      require(bad == 0L,
+        s"VersionedTable.addCheckConstraint: existing rows violate '$name' " +
+          s"($exprSql) — fix the data first or the constraint is a lie")
+    } else {
+      // analysis-only: unknown columns refuse NOW, not at the next commit
+      read(spark, dir).filter(coalesce(e, lit(true))).queryExecution.analyzed
+    }
+    val next = cur.version + 1
+    publishCommit(spark, dir, Some(cur), next, "addConstraint",
+      cur.schemaDdl, cur.statsCols, cur.txns, cur.bloomCols, cur.bloomFpp,
+      cur.patches, cur.mergeKeys, adds = Seq.empty, removes = Seq.empty,
+      props = Some(cur.props + (CheckPropPrefix + name -> exprSql)))
+    next
+  }
+
+  /** Drop a CHECK constraint (metadata commit). Loud when absent. */
+  def dropCheckConstraint(spark: SparkSession, dir: String, name: String): Long = {
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.dropCheckConstraint: $dir is not a versioned table")))
+    require(cur.props.contains(CheckPropPrefix + name),
+      s"VersionedTable.dropCheckConstraint: no constraint named '$name'")
+    val next = cur.version + 1
+    publishCommit(spark, dir, Some(cur), next, "dropConstraint",
+      cur.schemaDdl, cur.statsCols, cur.txns, cur.bloomCols, cur.bloomFpp,
+      cur.patches, cur.mergeKeys, adds = Seq.empty, removes = Seq.empty,
+      props = Some(cur.props - (CheckPropPrefix + name)))
+    next
+  }
+
   // ------------------------------------------------ metadata-scale knobs
   private def confInt(spark: SparkSession, key: String, dflt: Int): Int =
     spark.conf.getOption(key).map(_.toInt).getOrElse(dflt)
@@ -767,7 +859,8 @@ object VersionedTable {
     }
     require(!props.contains(TableIdProp),
       s"VersionedTable.create: $TableIdProp is stamped by create itself")
-    val files = writeCommitFiles(df, dir, 1L, statsCols, bloomCols, bloomFpp)
+    val files = writeCommitFiles(withCheckGuards(df, props, "create"),
+      dir, 1L, statsCols, bloomCols, bloomFpp)
     publishCommit(spark, dir, None, 1L, "create", df.schema.toDDL, statsCols,
       txn.map(t => Map(t)).getOrElse(Map.empty), bloomCols, bloomFpp,
       Seq.empty, Seq.empty, adds = files, removes = Seq.empty,
@@ -796,7 +889,8 @@ object VersionedTable {
       s"VersionedTable.commitAppend: schema mismatch — table has " +
         s"${expected.toDDL}, append carries ${df.schema.toDDL}")
     val next = cur.version + 1
-    val files = writeCommitFiles(df, dir, next, cur.statsCols, cur.bloomCols, cur.bloomFpp)
+    val files = writeCommitFiles(withCheckGuards(df, cur.props, "commitAppend"),
+      dir, next, cur.statsCols, cur.bloomCols, cur.bloomFpp)
     publishCommit(spark, dir, Some(cur), next, "append", cur.schemaDdl,
       cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
       Seq.empty, Seq.empty, adds = files, removes = Seq.empty)
@@ -885,8 +979,12 @@ object VersionedTable {
     val next = cur.version + 1
     val base = spark.read.schema(schema)
       .parquet(candidates.map(f => s"$dir/${f.path}"): _*)
-    val rewritten = transform(base, schema)
+    val rewritten0 = transform(base, schema)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    // UPDATE introduces new values; DELETE's survivors already passed
+    val rewritten =
+      if (op == "update") withCheckGuards(rewritten0, cur.props, "commitUpdate")
+      else rewritten0
     val files = writeCommitFiles(rewritten, dir, next, cur.statsCols,
       cur.bloomCols, cur.bloomFpp)
     publishCommit(spark, dir, Some(cur), next, op, cur.schemaDdl,
@@ -1049,7 +1147,8 @@ object VersionedTable {
     // them on disk and read as NULL through the evolved manifest schema
     val outCols = schema.fieldNames ++
       applied.columns.filterNot(schema.fieldNames.contains)
-    val merged = applied.select(outCols.map(col): _*)
+    val merged = withCheckGuards(
+      applied.select(outCols.map(col): _*), cur.props, s"commit${op.capitalize}")
     // DDL stays byte-identical on a plain merge (toDDL would let
     // nullability drift rewrite it); evolution appends the new fields as
     // nullable — carried files lack them and must read as NULL
@@ -1312,7 +1411,10 @@ object VersionedTable {
     val next = cur.version + 1
     // patch files carry stats (the fold CAN be key-pruned later) but no
     // blooms — nothing probes them
-    val files = writeCommitFiles(flagged, dir, next,
+    val files = writeCommitFiles(
+      withCheckGuards(flagged, cur.props, "commitPatch",
+        precond = !col("__vt_del")),
+      dir, next,
       cur.statsCols.filter(schema.fieldNames.contains))
     // base file set untouched: an empty adds/removes delta — O(patch), not
     // O(table), which is the whole point of merge-on-read

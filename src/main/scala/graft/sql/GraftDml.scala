@@ -293,14 +293,28 @@ object GraftDml {
   }
 
   /** `ALTER TABLE graft_vtable('ref') ADD COLUMNS (c1 type1[, ...])` —
-    * metadata-only schema evolution ([[VersionedTable.commitAddColumns]]).
-    * Only ADD COLUMNS is supported: drops/renames/type changes would
-    * corrupt shared immutable files older versions time-travel to.
+    * metadata-only schema evolution ([[VersionedTable.commitAddColumns]]);
+    * `... ADD CONSTRAINT name CHECK (expr)` / `... DROP CONSTRAINT name` —
+    * table-level CHECK constraints enforced by every later live-row
+    * commit ([[VersionedTable.addCheckConstraint]]). Drops/renames/type
+    * changes of COLUMNS are not supported: they would corrupt shared
+    * immutable files older versions time-travel to.
     */
   private def parseAlter(target: String, rest: String): LogicalPlan = {
-    val m = """(?is)^ADD\s+COLUMNS\s*\((.+)\)$""".r.findFirstMatchIn(rest.trim)
-      .getOrElse(fail(s"ALTER TABLE: only ADD COLUMNS (c type[, ...]) is " +
-        s"supported, got '${rest.trim}'"))
+    val t = rest.trim
+    val addCons = """(?is)^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)$""".r
+    val dropCons = """(?is)^DROP\s+CONSTRAINT\s+(\w+)$""".r
+    t match {
+      case addCons(name, expr) =>
+        return GraftAlterConstraintCommand(target, name, Some(expr.trim))
+      case dropCons(name) =>
+        return GraftAlterConstraintCommand(target, name, None)
+      case _ =>
+    }
+    val m = """(?is)^ADD\s+COLUMNS\s*\((.+)\)$""".r.findFirstMatchIn(t)
+      .getOrElse(fail(s"ALTER TABLE: only ADD COLUMNS (c type[, ...]), " +
+        "ADD CONSTRAINT name CHECK (expr), and DROP CONSTRAINT name are " +
+        s"supported, got '$t'"))
     val cols = topLevelSplit(m.group(1), ",").map(_.trim).filter(_.nonEmpty).map { cd =>
       val cm = """(?s)^(\w+)\s+(.+)$""".r.findFirstMatchIn(cd)
         .getOrElse(fail(s"ALTER TABLE: cannot parse column definition '$cd'"))
@@ -514,6 +528,27 @@ case class GraftRestoreCommand(target: String, toVersion: Long)
     val dir = GraftCatalog.resolveDir(spark, target)
     Seq(Row(VersionedTable.withCommitRetry() {
       VersionedTable.restore(spark, dir, toVersion)
+    }))
+  }
+}
+
+/** `ALTER TABLE graft_vtable(...) ADD CONSTRAINT name CHECK (expr)` /
+  * `DROP CONSTRAINT name` — table-level CHECK constraints
+  * ([[VersionedTable.addCheckConstraint]]: existing data validated before
+  * the constraint publishes; later live-row commits enforce in-frame).
+  */
+case class GraftAlterConstraintCommand(target: String, name: String,
+                                       checkSql: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalog.resolveDir(spark, target)
+    Seq(Row(VersionedTable.withCommitRetry() {
+      checkSql match {
+        case Some(expr) => VersionedTable.addCheckConstraint(spark, dir, name, expr)
+        case None => VersionedTable.dropCheckConstraint(spark, dir, name)
+      }
     }))
   }
 }

@@ -349,6 +349,58 @@ class SqlDmlSpec extends SparkSuite {
     assert(GraftDml.parse("ALTER TABLE plain ADD COLUMNS (x INT)").isEmpty)
   }
 
+  test("CHECK constraints: validated at ADD, enforced by every live-row commit") {
+    val dir = tmp(); mk(dir)
+    // adding a constraint the data already violates refuses loudly
+    val ex0 = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"ALTER TABLE graft_vtable('$dir') ADD CONSTRAINT big CHECK (v > 15)").collect())
+    assert(ex0.getMessage.contains("existing rows violate"), ex0.getMessage)
+    val v = GraftSql.sql(spark,
+      s"ALTER TABLE graft_vtable('$dir') ADD CONSTRAINT pos CHECK (v > 0)")
+      .as[Long].head()
+    assert(v == 2L)
+    // a violating INSERT aborts mid-write: no version published, data intact
+    Seq((9L, "x", -1L)).toDF("k", "s", "v").createOrReplaceTempView("bad_ins")
+    val ex1 = intercept[Exception](GraftSql.sql(spark,
+      s"INSERT INTO graft_vtable('$dir') SELECT k, s, v FROM bad_ins").collect())
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(ex1).exists(m => m != null && m.contains("CHECK constraint 'pos'")),
+      s"undiagnostic: ${chain(ex1)}")
+    assert(VT.currentVersion(spark, dir).contains(2L), "no version may publish")
+    assert(rows(dir).map(_._1) == Set(1L, 2L, 3L, 4L))
+    // a violating UPDATE aborts; a valid one passes
+    val ex2 = intercept[Exception](GraftSql.sql(spark,
+      s"UPDATE graft_vtable('$dir') SET v = -v WHERE k = 1").collect())
+    assert(chain(ex2).exists(m => m != null && m.contains("'pos'")))
+    GraftSql.sql(spark, s"UPDATE graft_vtable('$dir') SET v = v + 1 WHERE k = 1")
+    // a violating MERGE insert aborts; tombstones are exempt (dead payload)
+    Seq((5L, "e", -5L, false)).toDF("k", "s", "v", "del")
+      .createOrReplaceTempView("bad_chg")
+    val ex3 = intercept[Exception](GraftSql.sql(spark,
+      s"""MERGE INTO graft_vtable('$dir') AS t USING bad_chg AS s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
+    assert(chain(ex3).exists(m => m != null && m.contains("'pos'")))
+    // SQL NULL semantics: a NULL predicate PASSES (standard CHECK)
+    Seq((6L, null.asInstanceOf[String], 60L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("null_ins")
+    GraftSql.sql(spark,
+      s"ALTER TABLE graft_vtable('$dir') ADD CONSTRAINT named CHECK (length(s) > 0)")
+    GraftSql.sql(spark,
+      s"INSERT INTO graft_vtable('$dir') SELECT k, s, v FROM null_ins").collect()
+    assert(rows(dir).exists(_._1 == 6L), "NULL CHECK must pass per SQL")
+    // DROP lifts enforcement; duplicate add / missing drop refuse
+    GraftSql.sql(spark, s"ALTER TABLE graft_vtable('$dir') DROP CONSTRAINT pos")
+    GraftSql.sql(spark,
+      s"INSERT INTO graft_vtable('$dir') SELECT 9L AS k, 'x' AS s, -1L AS v").collect()
+    assert(rows(dir).exists(t => t._1 == 9L && t._3 == -1L))
+    intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"ALTER TABLE graft_vtable('$dir') DROP CONSTRAINT pos").collect())
+    intercept[IllegalArgumentException](GraftSql.sql(spark,
+      s"ALTER TABLE graft_vtable('$dir') ADD CONSTRAINT named CHECK (1 = 1)").collect())
+  }
+
   test("INSERT INTO appends by name; column mismatches refuse loudly") {
     val dir = tmp(); mk(dir)
     // columns deliberately out of order: resolution is BY NAME
