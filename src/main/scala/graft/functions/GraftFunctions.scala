@@ -148,6 +148,28 @@ object GraftFunctions {
       .queryExecution.analyzed
   }
 
+  /** `graft_vtable_props('<dir>'[, version])`: the table-level properties
+    * as a (key, value) SQL relation — identity UUID (`graft.tableId`),
+    * CHECK constraints (`graft.check.<name>`), the IVM source pin. Pure
+    * manifest-header read, no data file opens.
+    */
+  private def vtablePropsPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.nonEmpty && es.size <= 2,
+      "graft_vtable_props takes (dir) or (dir, version)")
+    val spark = SparkSession.active
+    val dir = graft.ops.GraftCatalog.resolveDir(spark,
+      litString(es.head, "graft_vtable_props: name-or-dir"))
+    val v = es.lift(1).map(litLong(_, "graft_vtable_props: version"))
+      .orElse(graft.ops.VersionedTable.currentVersion(spark, dir))
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft_vtable_props: $dir is not a versioned table"))
+    val props = graft.ops.VersionedTable.readManifest(spark, dir, v)
+      .props.toSeq.sortBy(_._1)
+    spark.createDataFrame(props).toDF("key", "value")
+      .queryExecution.analyzed
+  }
+
   /** `graft_register_vtable('<name>', '<dir>')`: bind a catalog name to a
     * table directory ([[graft.ops.GraftCatalog]]) so every other TVF (and
     * SQL DML) can address the table by name. Returns the binding as a
@@ -170,6 +192,7 @@ object GraftFunctions {
       "graft_vtable_history" -> (vtableHistoryPlan _),
       "graft_vtable_changes" -> (vtableChangesPlan _),
       "graft_vtable_stats" -> (vtableStatsPlan _),
+      "graft_vtable_props" -> (vtablePropsPlan _),
       "graft_register_vtable" -> (vtableRegisterPlan _))
 
   /** Idempotent per-session registration. */

@@ -748,6 +748,16 @@ class VersionedTableSpec extends SparkSuite {
     // non-literal args refuse loudly
     intercept[Exception](spark.sql(
       s"SELECT * FROM graft_vtable_changes('$dir', 1, 2, k)").collect())
+    // props TVF: the identity UUID is queryable, constraints appear/vanish
+    val id = spark.sql(s"SELECT value FROM graft_vtable_props('$dir') " +
+      "WHERE key = 'graft.tableId'").as[String].collect()
+    assert(id.length == 1 && id.head == VT.tableId(spark, dir).get)
+    VT.addCheckConstraint(spark, dir, "k_pos", "k > 0")
+    assert(spark.sql(s"SELECT value FROM graft_vtable_props('$dir') " +
+      "WHERE key = 'graft.check.k_pos'").as[String].head() == "k > 0")
+    // version arg: the pre-constraint manifest has no such prop
+    assert(spark.sql(s"SELECT * FROM graft_vtable_props('$dir', 2) " +
+      "WHERE key LIKE 'graft.check.%'").count() == 0L)
   }
 
   test("composition: near-dup dedup lands as versioned tombstones; CDF reports exactly the drops") {
