@@ -760,6 +760,32 @@ class VersionedTableSpec extends SparkSuite {
       "WHERE key LIKE 'graft.check.%'").count() == 0L)
   }
 
+  test("a CHECK constraint added under a patch chain preserves the chain and gates patches") {
+    val dir = tmp()
+    VT.create(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), dir, Seq("k"))
+    VT.commitPatch(Seq((1L, 11L, false)).toDF("k", "v", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                               // v2: chain
+    // validation folds the chain; the metadata commit must carry it
+    VT.addCheckConstraint(spark, dir, "v_pos", "v > 0")               // v3
+    val m = VT.readManifest(spark, dir, 3L)
+    assert(m.patches.nonEmpty, "the constraint commit must preserve the patch chain")
+    assert(VT.read(spark, dir).as[(Long, Long)].collect().toSet ==
+      Set((1L, 11L), (2L, 20L)))
+    // live patch rows enforce; tombstone payloads are exempt
+    val ex = intercept[Exception](VT.commitPatch(
+      Seq((3L, -3L, false)).toDF("k", "v", "del"), dir, Seq("k"), Seq.empty, $"del"))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: chain(e.getCause))
+    assert(chain(ex).exists(msg => msg != null && msg.contains("'v_pos'")))
+    VT.commitPatch(Seq((2L, -999L, true)).toDF("k", "v", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                               // v4: tombstone ok
+    assert(VT.read(spark, dir).as[(Long, Long)].collect().toSet == Set((1L, 11L)))
+    // a constraint the folded chain violates refuses
+    val ex2 = intercept[IllegalArgumentException](
+      VT.addCheckConstraint(spark, dir, "big", "v > 100"))
+    assert(ex2.getMessage.contains("existing rows violate"))
+  }
+
   test("composition: near-dup dedup lands as versioned tombstones; CDF reports exactly the drops") {
     import graft.ops.{DedupOps, GraphOps}
     val dir = tmp()
