@@ -164,7 +164,8 @@ object GraftFunctions {
       .orElse(graft.ops.VersionedTable.currentVersion(spark, dir))
       .getOrElse(throw new IllegalArgumentException(
         s"graft_vtable_props: $dir is not a versioned table"))
-    val props = graft.ops.VersionedTable.readManifest(spark, dir, v)
+    // header-only read: readManifest would materialize the file list
+    val props = graft.ops.VersionedTable.readMeta(spark, dir, v)
       .props.toSeq.sortBy(_._1)
     spark.createDataFrame(props).toDF("key", "value")
       .queryExecution.analyzed

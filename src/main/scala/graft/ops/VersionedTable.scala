@@ -221,8 +221,11 @@ object VersionedTable {
     * violates; `validateExisting = false` skips the scan and only
     * analysis-checks the expression). Every later commit that introduces
     * live rows (create/append/merge/update/patch) enforces it in-frame;
-    * compaction and restore don't re-validate — they move rows that
-    * already passed.
+    * [[commitAddFiles]] validates the registered files with one pruned
+    * scan (by-reference rows never pass through a write frame); [[restore]]
+    * re-validates the restored version (its rows may PREDATE the
+    * constraint); compaction alone skips — it rewrites rows that already
+    * passed under the same constraint set.
     */
   def addCheckConstraint(spark: SparkSession, dir: String, name: String,
                          exprSql: String,
@@ -916,6 +919,24 @@ object VersionedTable {
     requireNoPatches(cur.patches, "commitAddFiles")
     require(entries.map(_.path).distinct.size == entries.size,
       "VersionedTable.commitAddFiles: duplicate paths in the batch")
+    // by-reference rows never pass through a write frame, so the in-frame
+    // CHECK guards can't see them — validate the registered files with
+    // one O(batch) scan before publishing
+    val checks = checksOf(cur.props)
+    if (checks.nonEmpty && entries.nonEmpty) {
+      val parser = spark.sessionState.sqlParser
+      val anyBad = checks.map { case (_, sql) =>
+        !coalesce(org.apache.spark.sql.GraftShim.column(
+          parser.parseExpression(sql)), lit(true))
+      }.reduce(_ || _)
+      val bad = spark.read.schema(StructType.fromDDL(cur.schemaDdl))
+        .parquet(entries.map(e => s"$dir/${e.path}"): _*)
+        .filter(anyBad).limit(1).count()
+      require(bad == 0L,
+        s"VersionedTable.commitAddFiles: registered files violate a live " +
+          s"CHECK constraint (${checks.map(_._1).mkString(", ")}) — " +
+          "fix the files or drop the constraint")
+    }
     val next = cur.version + 1
     publishCommit(spark, dir, Some(cur), next, "add_files", cur.schemaDdl,
       cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
@@ -2122,6 +2143,23 @@ object VersionedTable {
     if (toVersion == curV) return curV
     val cur = readMeta(spark, dir, curV)
     val target = readMeta(spark, dir, toVersion) // loud if vacuumed
+    // constraints carry forward, so the RESTORED data must satisfy them:
+    // rows predating a constraint were never validated (addCheckConstraint
+    // only scanned the then-current state), and publishing a restore that
+    // resurrects violating rows would break the add-time invariant
+    val checks = checksOf(cur.props)
+    if (checks.nonEmpty) {
+      val parser = spark.sessionState.sqlParser
+      val anyBad = checks.map { case (_, sql) =>
+        !coalesce(org.apache.spark.sql.GraftShim.column(
+          parser.parseExpression(sql)), lit(true))
+      }.reduce(_ || _)
+      val bad = read(spark, dir, Some(toVersion)).filter(anyBad).limit(1).count()
+      require(bad == 0L,
+        s"VersionedTable.restore: version $toVersion holds rows that violate " +
+          s"a live CHECK constraint (${checks.map(_._1).mkString(", ")}) — " +
+          "drop the constraint first or restore to a validated version")
+    }
     // data rolls back; table-level identity/props do NOT (same table)
     val header = target.copy(version = curV + 1, op = "restore",
       txns = cur.txns, props = cur.props, inlineFiles = Seq.empty,

@@ -100,10 +100,16 @@ object VtableViewRewrite extends Rule[LogicalPlan] {
     val spark = SparkSession.active
     val groupSet = mv.groupCols.map(_.toLowerCase).toSet
     val measureSet = mv.measures.map(_.toLowerCase).toSet
-    // cheap structural refusals before any manifest read
+    // cheap structural refusals before any manifest read. Determinism is
+    // load-bearing, not hygiene: a non-deterministic predicate (rand())
+    // has no column references, passes the group-column gate vacuously,
+    // and would sample one-row-per-group VIEW rows instead of source rows
     if (!agg.groupingExpressions.forall(_.references.forall(r =>
         groupSet(r.name.toLowerCase)))) return None
-    if (!cond.forall(_.references.forall(r => groupSet(r.name.toLowerCase))))
+    if (!agg.groupingExpressions.forall(_.deterministic)) return None
+    if (!agg.aggregateExpressions.forall(_.deterministic)) return None
+    if (!cond.forall(c => c.deterministic &&
+        c.references.forall(r => groupSet(r.name.toLowerCase))))
       return None
     // freshness: the view must have folded EXACTLY the scanned version...
     val vv = VersionedTable.currentVersion(spark, mv.viewDir).getOrElse(return None)
@@ -120,7 +126,11 @@ object VtableViewRewrite extends Rule[LogicalPlan] {
           .get(VersionedTable.TableIdProp) != foldedId)
       return None
 
-    val viewPlan = VersionedTable.read(spark, mv.viewDir).queryExecution.analyzed
+    // read the view AT the validated version — a concurrent refresh
+    // between the freshness check and this read would otherwise serve a
+    // NEWER view state to a scan pinned at srcV
+    val viewPlan = VersionedTable.read(spark, mv.viewDir, asOf = Some(vv))
+      .queryExecution.analyzed
     val vAttr: Map[String, Attribute] =
       viewPlan.output.map(a => a.name.toLowerCase -> a).toMap
     def nAttr = vAttr("n")

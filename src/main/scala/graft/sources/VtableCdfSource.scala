@@ -108,37 +108,15 @@ class VtableCdfSource(spark: SparkSession, parameters: Map[String, String],
     if (metadataPath.isEmpty) VT.tableId(spark, dir)
     else {
       val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-table-id")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      def readPin(): Option[String] = {
-        val in = fs.open(p)
-        val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-        Option(s).filter(_.nonEmpty)
-      }
-      if (fs.exists(p)) readPin()
-      else VT.tableId(spark, dir) match {
-        case some @ Some(id) =>
-          try {
-            val out = fs.create(p, false) // first writer wins
-            try out.write(id.getBytes("UTF-8")) finally out.close()
-            some
-          } catch { // racer pinned first: their pin is the checkpoint's
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException => readPin()
-            case _: java.io.IOException if fs.exists(p) => readPin()
-          }
-        case None => None
-      }
+      graft.ops.TableIdPin.pinOrRead(
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+        VT.tableId(spark, dir))
     }
 
   private def requireSameTable(): Unit =
-    pinnedTableId.foreach { pinned =>
-      val cur = VT.tableId(spark, dir)
-      if (!cur.contains(pinned))
-        throw new IllegalStateException(
-          s"graft-vtable-cdf: $dir is no longer the table this stream " +
-            s"reads — table id ${cur.getOrElse("<none>")} vs pinned $pinned. " +
-            "The table was dropped and recreated; start a NEW stream (new " +
-            "checkpoint) against the new table")
-    }
+    graft.ops.TableIdPin.requireSame(pinnedTableId, VT.tableId(spark, dir),
+      "graft-vtable-cdf", dir,
+      "start a NEW stream (new checkpoint) against the new table")
 
   private case class CdfOffset(version: Long) extends V1Offset {
     override def json: String = version.toString

@@ -38,10 +38,11 @@ import graft.ops.{GraftCatalog, VersionedTable => VT}
   * would all apply "fresh" against the wrong table — the pin turns that
   * into a loud failure naming both ids.
   *
-  * Restart rule (shared with the library helper): a NEW checkpoint
-  * restarts batch ids at 0, so starting over against the same table needs
-  * a fresh `appId` too, or the ledger silently swallows the new stream's
-  * first batches.
+  * Ledger identity: the default `appId` derives from the checkpoint path
+  * (batch ids are checkpoint-scoped, so the ledger key is too — two
+  * queries with different checkpoints get independent ledgers instead of
+  * silently swallowing each other's restarting batch ids). An EXPLICIT
+  * `appId` keeps the library rule: reset checkpoint and appId together.
   */
 class VtableSinkProvider extends StreamSinkProvider with DataSourceRegister {
   override def shortName(): String = "graft-vtable"
@@ -75,7 +76,25 @@ class VtableSink(spark: SparkSession, parameters: Map[String, String])
   require(mode == "append" || keys.nonEmpty,
     s"graft-vtable sink: mode=$mode requires option 'keys' " +
       "(comma-separated merge key columns)")
-  private val appId = parameters.getOrElse("appId", "graft-vtable-sink")
+  /** Ledger identity. The default derives from the CHECKPOINT path: the
+    * engine's batch ids are checkpoint-scoped, so the ledger key must be
+    * too — a fixed default would let a SECOND query (fresh checkpoint,
+    * batch ids restarting at 0) find the first query's high cursor and
+    * silently swallow every one of its batches. Same checkpoint →
+    * same derived id → restarts stay exactly-once; different checkpoint →
+    * different id → independent ledgers. Checkpoint-less (dev) runs fall
+    * back to a per-instance random id: duplicate ledger entries beat
+    * silent data loss.
+    */
+  private val appId = parameters.get("appId").getOrElse {
+    parameters.get("checkpointLocation") match {
+      case Some(ckpt) =>
+        "graft-vtable-sink-" + java.security.MessageDigest.getInstance("MD5")
+          .digest(ckpt.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      case None =>
+        "graft-vtable-sink-" + java.util.UUID.randomUUID().toString.take(12)
+    }
+  }
   private val deleteCond = parameters.get("deleteCond")
     .map(s => GraftShim.column(
       spark.sessionState.sqlParser.parseExpression(s)))
@@ -92,39 +111,16 @@ class VtableSink(spark: SparkSession, parameters: Map[String, String])
       case None => VT.tableId(spark, dir)
       case Some(ckpt) =>
         val p = new org.apache.hadoop.fs.Path(ckpt, "graft-table-id")
-        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        def readPin(): Option[String] = {
-          val in = fs.open(p)
-          val s = try new String(in.readAllBytes(), "UTF-8").trim finally in.close()
-          Option(s).filter(_.nonEmpty)
-        }
-        if (fs.exists(p)) readPin()
-        else VT.tableId(spark, dir) match {
-          case some @ Some(id) =>
-            try {
-              fs.mkdirs(p.getParent)
-              val out = fs.create(p, false)
-              try out.write(id.getBytes("UTF-8")) finally out.close()
-              some
-            } catch {
-              case _: org.apache.hadoop.fs.FileAlreadyExistsException => readPin()
-              case _: java.io.IOException if fs.exists(p) => readPin()
-            }
-          case None => None
-        }
+        graft.ops.TableIdPin.pinOrRead(
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+          VT.tableId(spark, dir))
     }
 
   private def requireSameTable(): Unit =
-    pinnedTableId.foreach { pinned =>
-      val cur = VT.tableId(spark, dir)
-      if (!cur.contains(pinned))
-        throw new IllegalStateException(
-          s"graft-vtable sink: $dir is no longer the table this stream " +
-            s"writes — table id ${cur.getOrElse("<none>")} vs pinned $pinned. " +
-            "The table was dropped and recreated (its ledger is gone, so " +
-            "replayed batch ids would all apply fresh); start a NEW stream " +
-            "with a new checkpoint against the new table")
-    }
+    graft.ops.TableIdPin.requireSame(pinnedTableId, VT.tableId(spark, dir),
+      "graft-vtable sink", dir,
+      "its ledger is gone, so replayed batch ids would all apply fresh — " +
+        "start a NEW stream with a new checkpoint against the new table")
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     requireSameTable()

@@ -477,7 +477,7 @@ case class GraftInsertCommand(target: String, sourceSql: String)
       throw new IllegalArgumentException(
         s"GraftDml: INSERT INTO target $dir is not a versioned table"))
     val tableCols = org.apache.spark.sql.types.StructType
-      .fromDDL(VersionedTable.readManifest(spark, dir, cur).schemaDdl)
+      .fromDDL(VersionedTable.readMeta(spark, dir, cur).schemaDdl)
       .fieldNames.toSeq
     val df = spark.sql(sourceSql)
     if (df.columns.sorted.toSeq != tableCols.sorted)

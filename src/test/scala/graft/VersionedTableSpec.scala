@@ -760,6 +760,40 @@ class VersionedTableSpec extends SparkSuite {
       "WHERE key LIKE 'graft.check.%'").count() == 0L)
   }
 
+  test("restore and commitAddFiles cannot smuggle rows past a CHECK constraint") {
+    val dir = tmp()
+    VT.create(Seq((1L, -5L), (2L, 20L)).toDF("k", "v").coalesce(1), dir, Seq("k")) // v1
+    VT.commitUpdate(spark, dir, col("v") < 0L, Seq("v" -> lit(5L)))               // v2
+    VT.addCheckConstraint(spark, dir, "pos", "v > 0")                             // v3
+    // restoring to v1 would resurrect the v = -5 row UNDER the live
+    // constraint — the add-time invariant must hold across restore
+    val ex = intercept[IllegalArgumentException](VT.restore(spark, dir, 1L))
+    assert(ex.getMessage.contains("violate"), ex.getMessage)
+    assert(VT.currentVersion(spark, dir).contains(3L))
+    // a validated version restores fine
+    assert(VT.restore(spark, dir, 2L) == 4L)
+    // commitAddFiles: by-reference rows never cross a write frame, so the
+    // batch is validated with its own scan
+    val ext = s"$dir/ext"
+    Seq((9L, -9L)).toDF("k", "v").coalesce(1).write.parquet(ext)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val part = fs.listStatus(new org.apache.hadoop.fs.Path(ext))
+      .map(_.getPath.getName).find(_.endsWith(".parquet")).get
+    val entry = VT.FileEntry(s"ext/$part", 1L, Map.empty)
+    val ex2 = intercept[IllegalArgumentException](
+      VT.commitAddFiles(spark, dir, Seq(entry)))
+    assert(ex2.getMessage.contains("violate"), ex2.getMessage)
+    // a clean external file registers
+    val ext2 = s"$dir/ext2"
+    Seq((9L, 9L)).toDF("k", "v").coalesce(1).write.parquet(ext2)
+    val part2 = fs.listStatus(new org.apache.hadoop.fs.Path(ext2))
+      .map(_.getPath.getName).find(_.endsWith(".parquet")).get
+    VT.commitAddFiles(spark, dir, Seq(VT.FileEntry(s"ext2/$part2", 1L, Map.empty)))
+    assert(VT.read(spark, dir).as[(Long, Long)].collect().toSet ==
+      Set((1L, 5L), (2L, 20L), (9L, 9L)))
+  }
+
   test("a CHECK constraint added under a patch chain preserves the chain and gates patches") {
     val dir = tmp()
     VT.create(Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1), dir, Seq("k"))

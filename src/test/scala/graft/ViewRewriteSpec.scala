@@ -142,6 +142,22 @@ class ViewRewriteSpec extends SparkSuite {
     assert(ex.getMessage.contains("recreated"), s"undiagnostic: ${ex.getMessage}")
   }
 
+  test("non-deterministic predicates and aggregates refuse the rewrite") {
+    // rand() has NO column references, so the group-column gate is
+    // vacuously satisfied — without the determinism gate the sample would
+    // run over one-row-per-group VIEW rows instead of source rows
+    val src = tmp(); val view = tmp(); mkSrc(src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m"))
+    val sampled = VT.read(spark, src).where(rand(7) < 0.5)
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(scannedDirs(sampled) == Set(src),
+      "a non-deterministic filter must keep the source scan")
+    // deterministic control: same shape minus rand() rewrites
+    val det = VT.read(spark, src).where($"g" =!= "zzz")
+      .groupBy("g").agg(count(lit(1)).as("n"))
+    assert(scannedDirs(det) == Set(view))
+  }
+
   test("time-traveled scans never rewrite: the pinned version must equal the ledger") {
     val src = tmp(); val view = tmp(); mkSrc(src)
     VT.commitAppend(Seq((7L, "d", 70L, Option.empty[java.lang.Long]))

@@ -109,6 +109,27 @@ class VtableSinkSpec extends SparkSuite {
       "nothing may land on the impostor table")
   }
 
+  test("two queries with different checkpoints get independent ledgers by default") {
+    // the old fixed default appId let query B's batch 0 collide with
+    // query A's cursor and silently vanish
+    val base = tmp()
+    val tbl = s"$base/t"
+    VT.create(Seq((0L, "seed")).toDF("k", "s"), tbl, statsCols = Seq("k"))
+    Seq((1L, "a", false)).toDF("k", "s", "del").write.parquet(s"$base/srcA")
+    drain(s"$base/srcA", s"$base/ckptA", "k bigint, s string, del boolean",
+      Map("dir" -> tbl, "mode" -> "merge", "keys" -> "k", "deleteCond" -> "del"))
+    Seq((2L, "b", false)).toDF("k", "s", "del").write.parquet(s"$base/srcB")
+    drain(s"$base/srcB", s"$base/ckptB", "k bigint, s string, del boolean",
+      Map("dir" -> tbl, "mode" -> "merge", "keys" -> "k", "deleteCond" -> "del"))
+    assert(VT.read(spark, tbl).select("k").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L),
+      "the second query's batches must not be swallowed by the first's ledger")
+    // and the same checkpoint re-drained still replays exactly-once
+    drain(s"$base/srcB", s"$base/ckptB", "k bigint, s string, del boolean",
+      Map("dir" -> tbl, "mode" -> "merge", "keys" -> "k", "deleteCond" -> "del"))
+    assert(VT.read(spark, tbl).count() == 3L)
+  }
+
   test("unsupported shapes refuse at start: partitionBy, bad mode, missing keys") {
     val base = tmp()
     val tbl = s"$base/t"
