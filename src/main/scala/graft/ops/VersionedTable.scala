@@ -872,6 +872,37 @@ object VersionedTable {
     1L
   }
 
+  /** Replace the table's ENTIRE content in one commit (SQL `INSERT
+    * OVERWRITE` / Delta `overwrite` mode): the new files are written, every
+    * current file is removed BY REFERENCE (bytes stay for time travel until
+    * vacuum), schema unchanged. Inherently O(table) on the metadata path —
+    * a logical overwrite must name every replaced file — but zero existing
+    * data bytes are read. CHECK constraints enforce in-frame; `txn` gives
+    * the same per-app idempotence as every commit.
+    */
+  def commitOverwrite(df: DataFrame, dir: String,
+                      txn: Option[(String, Long)] = None): Long = {
+    val spark = df.sparkSession
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.commitOverwrite: $dir is not a versioned table — create it first")))
+    if (alreadyApplied(cur, txn)) return cur.version
+    requireNoPatches(cur.patches, "commitOverwrite")
+    val expected = StructType.fromDDL(cur.schemaDdl)
+    require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+        expected.fields.map(f => (f.name, f.dataType))),
+      s"VersionedTable.commitOverwrite: schema mismatch — table has " +
+        s"${expected.toDDL}, overwrite carries ${df.schema.toDDL}")
+    val next = cur.version + 1
+    val files = writeCommitFiles(withCheckGuards(df, cur.props, "commitOverwrite"),
+      dir, next, cur.statsCols, cur.bloomCols, cur.bloomFpp)
+    publishCommit(spark, dir, Some(cur), next, "overwrite", cur.schemaDdl,
+      cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
+      Seq.empty, Seq.empty, adds = files,
+      removes = materializeFiles(spark, dir, cur.version).map(f => (f.path, f.rows)))
+    next
+  }
+
   /** Append-only commit: new files plus every current file, by reference —
     * no existing byte is read or rewritten. `txn = Some(appId -> batchId)`
     * makes the commit idempotent per writer app: a batch id the table has

@@ -65,7 +65,7 @@ object GraftDml {
   private val alterHead =
     """(?is)^\s*ALTER\s+TABLE\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s*(.*?)\s*;?\s*$""".r
   private val insertHead =
-    """(?is)^\s*INSERT\s+INTO\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s+(.+?)\s*;?\s*$""".r
+    """(?is)^\s*INSERT\s+(INTO|OVERWRITE)\s+graft_vtable\s*\(\s*'([^']+)'\s*\)\s+(.+?)\s*;?\s*$""".r
 
   /** Our statements return Some(command plan); everything else None. */
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
@@ -80,7 +80,9 @@ object GraftDml {
     case vacuumHead(target, rest) => Some(parseVacuum(target, rest))
     case restoreHead(target, rest) => Some(parseRestore(target, rest))
     case alterHead(target, rest) => Some(parseAlter(target, rest))
-    case insertHead(target, query) => Some(GraftInsertCommand(target, query))
+    case insertHead(kind, target, query) =>
+      Some(GraftInsertCommand(target, query,
+        overwrite = kind.equalsIgnoreCase("OVERWRITE")))
     case _ => None
   }
 
@@ -97,7 +99,7 @@ object GraftDml {
         "[ZORDER BY (c1, c2[, ...])]; VACUUM graft_vtable('ref') RETAIN " +
         "<n> VERSIONS; RESTORE TABLE graft_vtable('ref') TO VERSION AS OF " +
         "<n>; ALTER TABLE graft_vtable('ref') ADD COLUMNS (c type[, ...]); " +
-        "INSERT INTO graft_vtable('ref') <query>")
+        "INSERT INTO|OVERWRITE graft_vtable('ref') <query>")
 
   /** Index of the char AFTER the paren-balanced, quote-aware span opening
     * at `start` (which must be '(').
@@ -463,11 +465,14 @@ case class GraftDeleteCommand(target: String, whereSql: Option[String])
 
 /** `INSERT INTO graft_vtable(...) <query>` — an append-only commit
   * ([[VersionedTable.commitAppend]]): new files only, no existing byte
-  * read or rewritten. Columns resolve BY NAME (any order); a missing or
-  * extra column fails loudly — positional coercion silently writing the
-  * wrong column is the classic INSERT footgun.
+  * read or rewritten. `INSERT OVERWRITE` replaces the whole content as
+  * one commit ([[VersionedTable.commitOverwrite]]; prior versions keep
+  * time-traveling until vacuum). Columns resolve BY NAME (any order); a
+  * missing or extra column fails loudly — positional coercion silently
+  * writing the wrong column is the classic INSERT footgun.
   */
-case class GraftInsertCommand(target: String, sourceSql: String)
+case class GraftInsertCommand(target: String, sourceSql: String,
+                              overwrite: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     GraftDml.versionOutput
@@ -475,19 +480,20 @@ case class GraftInsertCommand(target: String, sourceSql: String)
     val dir = GraftCatalog.resolveDir(spark, target)
     val cur = VersionedTable.currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
-        s"GraftDml: INSERT INTO target $dir is not a versioned table"))
+        s"GraftDml: INSERT target $dir is not a versioned table"))
     val tableCols = org.apache.spark.sql.types.StructType
       .fromDDL(VersionedTable.readMeta(spark, dir, cur).schemaDdl)
       .fieldNames.toSeq
     val df = spark.sql(sourceSql)
     if (df.columns.sorted.toSeq != tableCols.sorted)
       throw new IllegalArgumentException(
-        s"GraftDml: INSERT INTO columns ${df.columns.sorted.mkString(", ")} " +
+        s"GraftDml: INSERT columns ${df.columns.sorted.mkString(", ")} " +
           s"do not match the table's ${tableCols.sorted.mkString(", ")} — " +
           "columns resolve by name; alias the query's output")
     val aligned = df.select(tableCols.map(org.apache.spark.sql.functions.col): _*)
     Seq(Row(VersionedTable.withCommitRetry() {
-      VersionedTable.commitAppend(aligned, dir)
+      if (overwrite) VersionedTable.commitOverwrite(aligned, dir)
+      else VersionedTable.commitAppend(aligned, dir)
     }))
   }
 }

@@ -422,6 +422,17 @@ class SqlDmlSpec extends SparkSuite {
     assert(VT.currentVersion(spark, dir).contains(2L))
     // non-graft INSERT falls through to Spark untouched
     assert(GraftDml.parse("INSERT INTO plain VALUES (1)").isEmpty)
+    // INSERT OVERWRITE replaces the whole content as one commit; the
+    // pre-overwrite state keeps time-traveling
+    val vBefore = VT.currentVersion(spark, dir).get
+    val vOw = GraftSql.sql(spark,
+      s"INSERT OVERWRITE graft_vtable('$dir') " +
+        "SELECT 100 + id AS k, 'ow' AS s, id * 2 AS v FROM range(3)")
+      .as[Long].head()
+    assert(vOw == vBefore + 1)
+    assert(rows(dir) == Set((100L, "ow", 0L), (101L, "ow", 2L), (102L, "ow", 4L)))
+    assert(VT.read(spark, dir, Some(vBefore)).count() == 5L,
+      "the overwritten state must still time-travel")
   }
 
   test("DML interop: SQL update then library merge then SQL delete stays exact") {
