@@ -2916,6 +2916,127 @@ private[graft] object Queries {
       |FROM orders WHERE o_orderkey % 7 IN (0, 1, 2)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Predicate-scoped overwrite from SQL ([[graft.sql.GraftDml]]
+    * `INSERT INTO ... REPLACE WHERE (<cond>) <query>` →
+    * [[graft.ops.VersionedTable.commitReplaceWhere]] — the Delta
+    * `replaceWhere` idea): build a table in two append commits (disjoint
+    * key ranges, so the second commit's files provably cannot hold a
+    * matching row), then replace one key range with re-derived content as
+    * ONE commit. Files outside the predicate's mined range carry by
+    * reference — never read — which is what makes a daily re-materialization
+    * of one date slice O(slice), not O(table), at 100 TB
+    * (`SqlDmlSpec` pins the byte-identical carry and the in-frame
+    * containment guard; this query pins the end-to-end SQL content).
+    */
+  def replaceWhereSql(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val name = s"ord_replw_${new java.io.File(d).getName}"
+    val G = graft.sql.GraftSql
+    G.sql(s, s"DROP TABLE IF EXISTS graft_vtable('$name') PURGE").collect()
+    Tables.orders(s, d).createOrReplaceTempView("replw_src")
+    val body =
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |FROM replw_src WHERE """.stripMargin
+    G.sql(s,
+      s"""CREATE TABLE graft_vtable('$name') STATS (o_orderkey) AS
+         |${body}o_orderkey < 8000""".stripMargin).collect()
+    G.sql(s,
+      s"INSERT INTO graft_vtable('$name') ${body}o_orderkey >= 8000").collect()
+    G.sql(s,
+      s"""INSERT INTO graft_vtable('$name')
+         |REPLACE WHERE (o_orderkey BETWEEN 1000 AND 3000)
+         |SELECT o_orderkey, o_custkey,
+         |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) - 7 AS cents
+         |FROM replw_src
+         |WHERE o_orderkey BETWEEN 1000 AND 3000""".stripMargin).collect()
+    s.sql(
+      s"""SELECT o_orderkey, o_custkey, cents
+         |FROM graft_vtable('$name')
+         |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val replaceWhereSqlSql =
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+      |         + CASE WHEN o_orderkey BETWEEN 1000 AND 3000 THEN -7 ELSE 0 END AS cents
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Zero-copy SHALLOW CLONE from SQL ([[graft.sql.GraftDml]]
+    * `CREATE TABLE … SHALLOW CLONE graft_vtable('src', v)` →
+    * [[graft.ops.VersionedTable.shallowClone]]): snapshot `customer` into
+    * a table, DELETE a slice (v2), clone the table PINNED AT v1 — one
+    * metadata commit, zero data bytes copied — then mutate the clone
+    * independently and read it. The oracle sees BOTH pinning proofs in
+    * one result: rows the source deleted at v2 are present (the clone
+    * took v1), rows the clone deleted are absent, and the source is
+    * untouched by construction (`SqlDmlSpec` pins the zero-copy and
+    * independence invariants file-level).
+    */
+  def cloneSql(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val suffix = new java.io.File(d).getName
+    val src = s"cl_src_$suffix"; val dst = s"cl_dst_$suffix"
+    val G = graft.sql.GraftSql
+    G.sql(s, s"DROP TABLE IF EXISTS graft_vtable('$dst') PURGE").collect()
+    G.sql(s, s"DROP TABLE IF EXISTS graft_vtable('$src') PURGE").collect()
+    Tables.customer(s, d).createOrReplaceTempView("clone_src_v")
+    G.sql(s,
+      s"""CREATE TABLE graft_vtable('$src') STATS (c_custkey) AS
+         |SELECT c_custkey, c_nationkey,
+         |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+         |FROM clone_src_v""".stripMargin).collect()
+    G.sql(s,
+      s"DELETE FROM graft_vtable('$src') WHERE c_custkey % 5 = 0").collect()
+    G.sql(s,
+      s"CREATE TABLE graft_vtable('$dst') SHALLOW CLONE graft_vtable('$src', 1)")
+      .collect()
+    G.sql(s,
+      s"DELETE FROM graft_vtable('$dst') WHERE c_nationkey >= 13").collect()
+    s.sql(
+      s"""SELECT c_custkey, c_nationkey, cents
+         |FROM graft_vtable('$dst')
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val cloneSqlSql =
+    """SELECT c_custkey, c_nationkey,
+      |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |FROM customer WHERE c_nationkey < 13
+      |ORDER BY c_custkey""".stripMargin
+
+  /** `TIMESTAMP AS OF` time travel
+    * ([[graft.ops.VersionedTable.versionAtTimestamp]] /
+    * [[graft.ops.VersionedTable.readAsOfTimestamp]]): snapshot `nation`,
+    * mutate it (v2), then read the table AS OF v1's adjusted commit
+    * instant taken from [[graft.ops.VersionedTable.commitTimestamps]] —
+    * wall-clock resolution is deterministic DATA-wise because the commit
+    * instant is read back from the ledger itself, so the oracle is
+    * simply the pre-mutation content. The adjusted sequence is strictly
+    * increasing even under clock ties (the Delta in-commit-timestamp
+    * idea), so "the table as of t" is never ambiguous.
+    */
+  def timeTravelTs(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val name = s"tt_ts_${new java.io.File(d).getName}"
+    val G = graft.sql.GraftSql
+    G.sql(s, s"DROP TABLE IF EXISTS graft_vtable('$name') PURGE").collect()
+    Tables.nation(s, d).createOrReplaceTempView("tt_ts_src")
+    G.sql(s,
+      s"""CREATE TABLE graft_vtable('$name') STATS (n_nationkey) AS
+         |SELECT n_nationkey, n_name FROM tt_ts_src""".stripMargin).collect()
+    G.sql(s,
+      s"UPDATE graft_vtable('$name') SET n_name = concat(n_name, '!') " +
+        "WHERE n_nationkey % 2 = 0").collect()
+    val dir = graft.ops.GraftCatalog.resolveDir(s, name)
+    val ts1 = graft.ops.VersionedTable.commitTimestamps(s, dir).head._2
+    graft.ops.VersionedTable.readAsOfTimestamp(s, dir, ts1)
+      .orderBy("n_nationkey")
+  }
+
+  private val timeTravelTsSql =
+    "SELECT n_nationkey, n_name FROM nation ORDER BY n_nationkey"
+
   private val ddlSqlSql =
     """WITH t AS (SELECT c_custkey, c_nationkey,
       |                  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
@@ -4107,6 +4228,9 @@ private[graft] object Queries {
     "q_delete_sql" -> (deleteSql _),
     "q_ddl_sql" -> (ddlSql _),
     "q_maintenance_sql" -> (maintenanceSql _),
+    "q_replace_where" -> (replaceWhereSql _),
+    "q_clone_sql" -> (cloneSql _),
+    "q_time_travel_ts" -> (timeTravelTs _),
     "q_agg_meta" -> (aggMeta _),
     "q_change_feed" -> (changeFeed _),
     "q_vtable_mor" -> (vtableMor _),
@@ -4264,6 +4388,9 @@ private[graft] object Queries {
     "q_delete_sql" -> deleteSqlSql,
     "q_ddl_sql" -> ddlSqlSql,
     "q_maintenance_sql" -> maintenanceSqlSql,
+    "q_replace_where" -> replaceWhereSqlSql,
+    "q_clone_sql" -> cloneSqlSql,
+    "q_time_travel_ts" -> timeTravelTsSql,
     "q_agg_meta" -> aggMetaSql,
     "q_change_feed" -> changeFeedSql,
     "q_vtable_mor" -> mergeMorSql,

@@ -48,30 +48,51 @@ object GraftFunctions {
     case other => throw new IllegalArgumentException(s"expected numeric literal, got $other")
   }
 
-  /** SQL TABLE function `graft_vtable('<dir>'[, version])`: a versioned
-    * table ([[graft.ops.VersionedTable]]) as a SQL relation — `FROM
-    * graft_vtable('/wh/orders', 2)` is time travel from pure SQL.
-    * Arguments must be literals: the manifest resolves to a concrete FILE
-    * LIST at analysis time, exactly when a lakehouse catalog would pin a
+  /** SQL TABLE function `graft_vtable('<dir>'[, version | timestamp])`:
+    * a versioned table ([[graft.ops.VersionedTable]]) as a SQL relation —
+    * `FROM graft_vtable('/wh/orders', 2)` is `VERSION AS OF` and
+    * `FROM graft_vtable('/wh/orders', TIMESTAMP '2026-08-15 12:00:00')`
+    * is `TIMESTAMP AS OF` (resolved through
+    * [[graft.ops.VersionedTable.versionAtTimestamp]] — the latest commit
+    * at or before that wall-clock instant; a plain string literal is
+    * accepted in the same `yyyy-MM-dd HH:mm:ss[.f…]` shape). Arguments
+    * must be literals: the manifest resolves to a concrete FILE LIST at
+    * analysis time, exactly when a lakehouse catalog would pin a
     * snapshot, so a query plan never sees a moving table.
     */
   private def vtablePlan(es: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     require(es.nonEmpty && es.size <= 2,
-      "graft_vtable takes (name-or-dir) or (name-or-dir, version)")
-    val dir = graft.ops.GraftCatalog.resolveDir(SparkSession.active,
+      "graft_vtable takes (name-or-dir) or (name-or-dir, version | timestamp)")
+    val spark = SparkSession.active
+    val dir = graft.ops.GraftCatalog.resolveDir(spark,
       es.head.eval() match {
         case s: org.apache.spark.unsafe.types.UTF8String => s.toString
         case other => throw new IllegalArgumentException(
           s"graft_vtable: name-or-dir must be a string literal, got $other")
       })
-    val asOf = es.lift(1).map(_.eval() match {
-      case i: java.lang.Integer => i.toLong
-      case l: java.lang.Long => l.longValue()
-      case other => throw new IllegalArgumentException(
-        s"graft_vtable: version must be an integer literal, got $other")
-    })
-    graft.ops.VersionedTable.read(SparkSession.active, dir, asOf)
+    val asOf = es.lift(1).map { e =>
+      e.dataType match {
+        case org.apache.spark.sql.types.TimestampType =>
+          // TIMESTAMP literal: Catalyst evals to epoch MICROS
+          graft.ops.VersionedTable.versionAtTimestamp(spark, dir,
+            Math.floorDiv(e.eval().asInstanceOf[Long], 1000L))
+        case org.apache.spark.sql.types.StringType =>
+          val s = litString(e, "graft_vtable: timestamp")
+          val t = try java.sql.Timestamp.valueOf(s) catch {
+            case _: IllegalArgumentException => throw new IllegalArgumentException(
+              s"graft_vtable: '$s' is not a 'yyyy-MM-dd HH:mm:ss[.f…]' timestamp")
+          }
+          graft.ops.VersionedTable.versionAtTimestamp(spark, dir, t.getTime)
+        case _ => e.eval() match {
+          case i: java.lang.Integer => i.toLong
+          case l: java.lang.Long => l.longValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_vtable: version must be an integer or timestamp literal, got $other")
+        }
+      }
+    }
+    graft.ops.VersionedTable.read(spark, dir, asOf)
       .queryExecution.analyzed
   }
 
@@ -89,8 +110,9 @@ object GraftFunctions {
   }
 
   /** `graft_vtable_history('<dir>')`: the version ledger as a SQL relation
-    * — (version, op, files, rows), newest first. Pure manifest reads, no
-    * data file opens.
+    * — (version, op, files, rows, commit_ts), newest first; `commit_ts`
+    * is the raw wall-clock commit time (NULL for pre-timestamp
+    * manifests). Pure manifest reads, no data file opens.
     */
   private def vtableHistoryPlan(es: Seq[Expression])
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
@@ -99,7 +121,12 @@ object GraftFunctions {
     val h = graft.ops.VersionedTable.history(spark,
       graft.ops.GraftCatalog.resolveDir(spark,
         litString(es.head, "graft_vtable_history: name-or-dir")))
-    spark.createDataFrame(h).toDF("version", "op", "files", "rows")
+    spark.createDataFrame(h).toDF("version", "op", "files", "rows", "ts_ms")
+      .withColumn("commit_ts", org.apache.spark.sql.functions.when(
+        org.apache.spark.sql.functions.col("ts_ms") > 0L,
+        org.apache.spark.sql.functions.timestamp_millis(
+          org.apache.spark.sql.functions.col("ts_ms"))))
+      .drop("ts_ms")
       .queryExecution.analyzed
   }
 

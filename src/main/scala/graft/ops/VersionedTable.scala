@@ -157,7 +157,8 @@ object VersionedTable {
       inlineFiles: Seq[FileEntry] = Seq.empty,
       adds: Seq[FileEntry] = Seq.empty, removes: Seq[String] = Seq.empty,
       restoreOf: Long = -1L,
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      ts: Long = 0L)
 
   /** Table-level properties carried forward by every commit (the Delta
     * `metadata.configuration` idea). [[create]] stamps
@@ -305,6 +306,16 @@ object VersionedTable {
   private def publishLockFor(dir: String): Object =
     publishLocks.computeIfAbsent(dir, _ => new Object)
 
+  /** Resolve a manifest file reference against the table dir. Files the
+    * table wrote itself are RELATIVE (`data/c<v>-<nonce>/part-…`);
+    * a shallow CLONE's manifest references the source's files ABSOLUTE
+    * (path- or URI-absolute), which pass through untouched. Every read
+    * path resolves through here so a clone is readable everywhere a
+    * regular table is.
+    */
+  private[graft] def dataPath(dir: String, ref: String): String =
+    if (ref.startsWith("/") || ref.contains(":/")) ref else s"$dir/$ref"
+
   private def vlogDir(dir: String) = new Path(dir, "_vlog")
   private def manifestPath(dir: String, v: Long) =
     new Path(vlogDir(dir), f"v$v%012d.json")
@@ -347,6 +358,9 @@ object VersionedTable {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("version", m.version)
     root.put("op", m.op)
+    // wall-clock commit time, stamped at serialization so every commit
+    // path carries it; 0 never writes (legacy manifests read back as 0)
+    root.put("ts", if (m.ts > 0L) m.ts else System.currentTimeMillis())
     root.put("schemaDdl", m.schemaDdl)
     val sc = root.putArray("statsCols")
     m.statsCols.foreach(sc.add)
@@ -513,7 +527,8 @@ object VersionedTable {
     ManifestMeta(root.get("version").asLong(), root.get("op").asText(),
       root.get("schemaDdl").asText(), statsCols, txns, bloomCols, bloomFpp,
       patches, mergeKeys, numFiles, totalRows, mode, inlineFiles, adds,
-      removes, restoreOf, props)
+      removes, restoreOf, props,
+      ts = Option(root.get("ts")).map(_.asLong()).getOrElse(0L))
   }
 
   // ----------------------------------------- checkpointed file-list replay
@@ -872,6 +887,55 @@ object VersionedTable {
     1L
   }
 
+  /** Zero-copy SHALLOW CLONE (the Delta `SHALLOW CLONE` idea): create a
+    * NEW versioned table at `destDir` whose v1 manifest references the
+    * SOURCE's data files (and bloom sidecars) by absolute path — no data
+    * byte is read or copied, so cloning a 100 TB table is one O(files)
+    * metadata commit. The clone then lives its own life: commits on it
+    * write into its own `data/`, its history/identity/constraints are
+    * independent (a FRESH `graft.tableId` is stamped — version cursors
+    * can never confuse clone and source — with `graft.cloneOf`
+    * recording the provenance), and `OPTIMIZE`/[[commitCompact]]
+    * progressively re-materializes shared files into owned ones.
+    *
+    * The sharing caveat is the same as Delta's: `vacuum` on the SOURCE
+    * does not know about clones and can reclaim files a clone still
+    * references (the clone's reads then fail loudly with missing files).
+    * Clones are the dev/test/experimentation primitive — point one at
+    * production, mutate freely, drop it — not an archival copy.
+    * Cloning a table with an unfolded patch chain is refused
+    * (run [[compactPatches]] first): patch files are chain-relative
+    * state, not content.
+    */
+  def shallowClone(spark: SparkSession, srcDir0: String, destDir: String,
+                   asOf: Option[Long] = None): Long = {
+    // the clone's manifest references the source from a different root, so
+    // a relative source dir (e.g. a cwd-relative warehouse path) is
+    // absolutized here rather than written as a reference that only
+    // resolves from this process's working directory
+    val srcDir =
+      if (new Path(srcDir0).isAbsolute || srcDir0.contains(":/")) srcDir0
+      else new java.io.File(srcDir0).getAbsolutePath
+    require(currentVersion(spark, destDir).isEmpty,
+      s"VersionedTable.shallowClone: $destDir is already a versioned table")
+    val srcV = asOf.orElse(currentVersion(spark, srcDir)).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.shallowClone: $srcDir is not a versioned table"))
+    val src = readManifest(spark, srcDir, srcV)
+    requireNoPatches(src.patches, "shallowClone")
+    val abs = src.files.map(f => f.copy(
+      path = dataPath(srcDir, f.path),
+      blooms = f.blooms.map { case (c, p) => c -> dataPath(srcDir, p) }))
+    val props = src.props - TableIdProp +
+      (TableIdProp -> java.util.UUID.randomUUID().toString) +
+      ("graft.cloneOf" -> s"$srcDir@v$srcV")
+    publishCommit(spark, destDir, None, 1L, "clone", src.schemaDdl,
+      src.statsCols, Map.empty, src.bloomCols, src.bloomFpp,
+      Seq.empty, Seq.empty, adds = abs, removes = Seq.empty,
+      props = Some(props))
+    1L
+  }
+
   /** Replace the table's ENTIRE content in one commit (SQL `INSERT
     * OVERWRITE` / Delta `overwrite` mode): the new files are written, every
     * current file is removed BY REFERENCE (bytes stay for time travel until
@@ -900,6 +964,72 @@ object VersionedTable {
       cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
       Seq.empty, Seq.empty, adds = files,
       removes = materializeFiles(spark, dir, cur.version).map(f => (f.path, f.rows)))
+    next
+  }
+
+  /** Predicate-scoped overwrite (the Delta `replaceWhere` idea): replace
+    * EXACTLY the rows matching `cond` with `df`'s rows, as ONE versioned
+    * commit. This is the partition-shaped rewrite workhorse at scale — a
+    * daily re-materialization replaces one date range of a 100 TB table
+    * without reading the rest: files whose manifest stats prove they
+    * cannot hold a matching row carry BY REFERENCE (never read, listed
+    * once); only candidate files rewrite, keeping their rows for which
+    * `cond` is false or NULL (NULL keeps the row, matching
+    * [[commitDelete]]'s SQL semantics). An unminable predicate degrades
+    * to rewriting every file — correct, just unpruned, the same contract
+    * as [[commitUpdate]].
+    *
+    * Every NEW row must satisfy `cond`, enforced IN-FRAME (`raise_error`
+    * inside the write job, so a violation aborts before any manifest
+    * publishes): a replacement row outside the replaced region would
+    * make the operation non-idempotent on the logical content — re-running
+    * the same replace would then delete the stray it just wrote. CHECK
+    * constraints enforce on the new rows as on any append; carried
+    * survivor rows already passed them. `txn` gives per-app idempotence
+    * as on every commit.
+    */
+  def commitReplaceWhere(df: DataFrame, dir: String, cond: Column,
+                         txn: Option[(String, Long)] = None): Long = {
+    val spark = df.sparkSession
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.commitReplaceWhere: $dir is not a versioned table — create it first")))
+    if (alreadyApplied(cur, txn)) return cur.version
+    requireNoPatches(cur.patches, "commitReplaceWhere")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
+        schema.fields.map(f => (f.name, f.dataType))),
+      s"VersionedTable.commitReplaceWhere: schema mismatch — table has " +
+        s"${schema.toDDL}, replacement carries ${df.schema.toDDL}")
+    val ranges = org.apache.spark.sql.GraftShim.mineRanges(cond)
+    val inSets = org.apache.spark.sql.GraftShim.mineInSets(cond)
+    val candidates: Seq[FileEntry] =
+      if (ranges.isEmpty && inSets.isEmpty)
+        materializeFiles(spark, dir, cur.version)
+      else pruneEntries(spark, dir, ranges, inSets, Some(cur.version))._1
+    val survivors =
+      if (candidates.isEmpty) emptyDF(spark, schema)
+      else spark.read.schema(schema)
+        .parquet(candidates.map(f => dataPath(dir, f.path)): _*)
+        .filter(!coalesce(cond, lit(false)))
+    // containment guard on the NEW rows only — applied BEFORE the union so
+    // survivor rows (which legitimately fail `cond`) never see it
+    val c0 = schema.fieldNames.head
+    val dt = schema.head.dataType
+    val checkedNew = withCheckGuards(df, cur.props, "commitReplaceWhere")
+    val guardedNew = checkedNew.withColumn(c0,
+      when(!coalesce(cond, lit(false)),
+        raise_error(lit("VersionedTable.commitReplaceWhere: a replacement " +
+          "row does not satisfy the REPLACE WHERE predicate — the commit " +
+          "aborted; no version was published")).cast(dt))
+        .otherwise(col(c0)))
+    val next = cur.version + 1
+    val files = writeCommitFiles(survivors.unionByName(guardedNew), dir, next,
+      cur.statsCols, cur.bloomCols, cur.bloomFpp)
+    publishCommit(spark, dir, Some(cur), next, "replace_where", cur.schemaDdl,
+      cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
+      Seq.empty, Seq.empty, adds = files,
+      removes = candidates.map(f => (f.path, f.rows)))
     next
   }
 
@@ -961,7 +1091,7 @@ object VersionedTable {
           parser.parseExpression(sql)), lit(true))
       }.reduce(_ || _)
       val bad = spark.read.schema(StructType.fromDDL(cur.schemaDdl))
-        .parquet(entries.map(e => s"$dir/${e.path}"): _*)
+        .parquet(entries.map(e => dataPath(dir, e.path)): _*)
         .filter(anyBad).limit(1).count()
       require(bad == 0L,
         s"VersionedTable.commitAddFiles: registered files violate a live " +
@@ -1030,7 +1160,7 @@ object VersionedTable {
     if (candidates.isEmpty) return cur.version
     val next = cur.version + 1
     val base = spark.read.schema(schema)
-      .parquet(candidates.map(f => s"$dir/${f.path}"): _*)
+      .parquet(candidates.map(f => dataPath(dir, f.path)): _*)
     val rewritten0 = transform(base, schema)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     // UPDATE introduces new values; DELETE's survivors already passed
@@ -1191,7 +1321,7 @@ object VersionedTable {
       if (touched.isEmpty)
         emptyDF(spark, schema)
       else
-        spark.read.schema(schema).parquet(touched.map(f => s"$dir/${f.path}"): _*)
+        spark.read.schema(schema).parquet(touched.map(f => dataPath(dir, f.path)): _*)
     val applied =
       if (evolve) Warehouse.applyChangesEvolve(base, deduped, keys, deleteCond, metaCols)
       else Warehouse.applyChanges(base, deduped, keys, deleteCond)
@@ -1364,7 +1494,7 @@ object VersionedTable {
     requireNoPatches(cur.patches, "commitCompact")
     val curMeta = readMeta(spark, dir, cur.version)
     val sized = cur.files.map { f =>
-      f -> fs.getFileStatus(new Path(s"$dir/${f.path}")).getLen
+      f -> fs.getFileStatus(new Path(dataPath(dir, f.path))).getLen
     }
     val (small, big) = sized.partition(_._2 < smallBytes)
     if (small.size <= 1 && clusterBy.isEmpty) return cur.version
@@ -1374,7 +1504,7 @@ object VersionedTable {
     val bytes = toRewrite.map(_._2).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
     val rows = spark.read.schema(schema)
-      .parquet(toRewrite.map(f => s"$dir/${f._1.path}"): _*)
+      .parquet(toRewrite.map(f => dataPath(dir, f._1.path)): _*)
     val packed =
       if (zorder) {
         // OPTIMIZE ZORDER: cluster by the Morton z-value of 2-8 columns
@@ -1518,7 +1648,7 @@ object VersionedTable {
     if (m.files.isEmpty)
       emptyDF(spark, schema)
     else {
-      val df = spark.read.schema(schema).parquet(m.files.map(f => s"$dir/${f.path}"): _*)
+      val df = spark.read.schema(schema).parquet(m.files.map(f => dataPath(dir, f.path)): _*)
       df.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           lr.setTagValue(pruneTag, (dir, m.version))
@@ -1542,7 +1672,7 @@ object VersionedTable {
                              schema: StructType): DataFrame = {
     val ps = patchSchemaOf(schema)
     val all = patches.zipWithIndex.map { case (batch, i) =>
-      spark.read.schema(ps).parquet(batch.map(f => s"$dir/${f.path}"): _*)
+      spark.read.schema(ps).parquet(batch.map(f => dataPath(dir, f.path)): _*)
         .withColumn("__vt_seq", lit(i))
     }.reduce(_ unionByName _)
     Warehouse.dedupByKey(all, mergeKeys, Seq(col("__vt_seq").desc))
@@ -1616,7 +1746,7 @@ object VersionedTable {
       if (survivors.isEmpty)
         emptyDF(spark, schema)
       else
-        spark.read.schema(schema).parquet(survivors.map(p => s"$dir/$p"): _*)
+        spark.read.schema(schema).parquet(survivors.map(p => dataPath(dir, p)): _*)
     foldPatches(spark, dir, m.patches, m.mergeKeys, base, schema)
   }
 
@@ -1952,7 +2082,7 @@ object VersionedTable {
     }
     def readSet(ps: Seq[String]): DataFrame =
       if (ps.isEmpty) emptyDF(spark, schema)
-      else spark.read.schema(schema).parquet(ps.map(p => s"$dir/$p"): _*)
+      else spark.read.schema(schema).parquet(ps.map(p => dataPath(dir, p)): _*)
     // base-file delta across the window: when every manifest in it is
     // delta-mode the diff folds from the manifests themselves — O(window
     // changes), never touching the O(table) file lists. A full/restore
@@ -1991,7 +2121,7 @@ object VersionedTable {
       // reads O(new patches + key-pruned folds), not the table
       val newFiles = m2.patches.drop(m1.patches.size).flatten
       val changedKeys = spark.read.schema(patchSchemaOf(schema))
-        .parquet(newFiles.map(f => s"$dir/${f.path}"): _*)
+        .parquet(newFiles.map(f => dataPath(dir, f.path)): _*)
         .select(keys.map(col): _*).distinct()
       classify(
         align(read(spark, dir, Some(fromV))).join(changedKeys, keys, "left_semi"),
@@ -2058,7 +2188,7 @@ object VersionedTable {
     def readSet(ps: Seq[String], sign: Int): DataFrame = {
       val base =
         if (ps.isEmpty) emptyDF(spark, schema)
-        else spark.read.schema(schema).parquet(ps.map(p => s"$dir/$p"): _*)
+        else spark.read.schema(schema).parquet(ps.map(p => dataPath(dir, p)): _*)
       base.withColumn("__sign", lit(sign.toLong))
     }
     Some(readSet(added, 1).unionByName(readSet(removed, -1)))
@@ -2236,11 +2366,60 @@ object VersionedTable {
   /** Version history, newest first: (version, op, files, rows) — pure
     * header reads; the file lists are never materialized.
     */
-  def history(spark: SparkSession, dir: String): Seq[(Long, String, Int, Long)] =
+  /** The version ledger, newest first: (version, op, files, rows,
+    * raw commit-time epoch-millis — 0 for pre-timestamp manifests).
+    */
+  def history(spark: SparkSession, dir: String): Seq[(Long, String, Int, Long, Long)] =
     versions(spark, dir).reverse.map { v =>
       val m = readMeta(spark, dir, v)
-      (v, m.op, m.numFiles.toInt, m.totalRows)
+      (v, m.op, m.numFiles.toInt, m.totalRows, m.ts)
     }
+
+  /** (version, commit-time epoch-millis) ascending, ADJUSTED to be
+    * strictly increasing (`adj(v) = max(adj(v-1) + 1, raw(v))` — the
+    * Delta in-commit-timestamp idea): wall clocks are not monotonic
+    * across writers, and timestamp travel needs a total order that agrees
+    * with the version order or "the table as of t" is ambiguous. Raw
+    * times are what [[history]]'s SQL TVF shows; resolution uses the
+    * adjusted sequence. Legacy manifests (pre-timestamp) read as raw 0
+    * and adjust to tiny synthetic values — timestamp travel over them is
+    * meaningless and resolves to the oldest available state, documented
+    * rather than guessed. O(available versions) driver metadata reads,
+    * bounded by vacuum retention.
+    */
+  def commitTimestamps(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
+    var prev = Long.MinValue
+    versions(spark, dir).map { v =>
+      val adj = math.max(if (prev == Long.MinValue) Long.MinValue else prev + 1,
+        readMeta(spark, dir, v).ts)
+      prev = adj
+      (v, adj)
+    }
+  }
+
+  /** The version that was CURRENT at `tsMillis` (latest adjusted commit
+    * time ≤ `tsMillis` — Delta `TIMESTAMP AS OF` semantics). A timestamp
+    * before the earliest available commit fails loudly with the available
+    * range: the honest answers are "the table did not exist yet" or "that
+    * state was vacuumed", never a silent nearest-neighbor guess.
+    */
+  def versionAtTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Long = {
+    val ts = commitTimestamps(spark, dir)
+    require(ts.nonEmpty,
+      s"VersionedTable.versionAtTimestamp: $dir is not a versioned table")
+    require(tsMillis >= ts.head._2,
+      s"VersionedTable.versionAtTimestamp: ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+        s"is before the earliest available commit " +
+        s"(${java.time.Instant.ofEpochMilli(ts.head._2)}, version ${ts.head._1}) — " +
+        "the table did not exist yet, or earlier versions were vacuumed")
+    ts.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** [[read]] at the version current at `tsMillis` — `TIMESTAMP AS OF`
+    * as a library call.
+    */
+  def readAsOfTimestamp(spark: SparkSession, dir: String, tsMillis: Long): DataFrame =
+    read(spark, dir, Some(versionAtTimestamp(spark, dir, tsMillis)))
 
   // ------------------------------------------------------------ vacuum
 

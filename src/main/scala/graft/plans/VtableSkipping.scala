@@ -110,7 +110,7 @@ object VtableSkipping extends Rule[LogicalPlan] {
           // an empty local relation with the SAME output attributes
           Filter(cond, LocalRelation(lr.output, Seq.empty, isStreaming = false))
         else {
-          val paths = survivors.map(p => new Path(s"$dir/$p"))
+          val paths = survivors.map(p => new Path(VersionedTable.dataPath(dir, p)))
           val index = new InMemoryFileIndex(spark, paths, fsRel.options,
             Some(fsRel.dataSchema), FileStatusCache.getOrCreate(spark),
             None, None)

@@ -81,9 +81,34 @@ object GraftDml {
     case restoreHead(target, rest) => Some(parseRestore(target, rest))
     case alterHead(target, rest) => Some(parseAlter(target, rest))
     case insertHead(kind, target, query) =>
-      Some(GraftInsertCommand(target, query,
-        overwrite = kind.equalsIgnoreCase("OVERWRITE")))
+      Some(parseInsert(target, kind.equalsIgnoreCase("OVERWRITE"), query))
     case _ => None
+  }
+
+  private val replaceWhereHead = """(?is)^REPLACE\s+WHERE\s*(\(.*)$""".r
+
+  /** `INSERT INTO|OVERWRITE ... <query>`, plus the predicate-scoped form
+    * `INSERT INTO graft_vtable('ref') REPLACE WHERE (<cond>) <query>`
+    * (the Delta `replaceWhere` idea). The condition is parenthesized and
+    * extracted paren-balanced/quote-aware, so any Spark expression —
+    * including nested function calls and string literals — works without
+    * ambiguity against the query that follows.
+    */
+  private def parseInsert(target: String, overwrite: Boolean,
+                          rest: String): LogicalPlan = rest match {
+    case replaceWhereHead(span) =>
+      if (overwrite)
+        fail("INSERT OVERWRITE does not take REPLACE WHERE — the " +
+          "predicate-scoped form is INSERT INTO graft_vtable('ref') " +
+          "REPLACE WHERE (<cond>) <query>")
+      val end = balancedEnd(span, 0)
+      val cond = span.substring(1, end - 1).trim
+      val query = span.substring(end).trim
+      if (cond.isEmpty) fail("REPLACE WHERE: empty condition")
+      if (query.isEmpty) fail("REPLACE WHERE: missing <query> after the condition")
+      GraftInsertCommand(target, query, overwrite = false,
+        replaceWhere = Some(cond))
+    case _ => GraftInsertCommand(target, rest, overwrite = overwrite)
   }
 
   private def fail(what: String): Nothing =
@@ -94,12 +119,15 @@ object GraftDml {
         "WHEN NOT MATCHED THEN INSERT *; UPDATE graft_vtable('ref') SET c = " +
         "expr[, ...] [WHERE cond]; DELETE FROM graft_vtable('ref') [WHERE cond]; " +
         "CREATE TABLE [IF NOT EXISTS] graft_vtable('name') [LOCATION 'dir'] " +
-        "[STATS (col[, ...])] AS <query>; DROP TABLE [IF EXISTS] " +
+        "[STATS (col[, ...])] AS <query> | SHALLOW CLONE graft_vtable('src'[, v]); " +
+        "DROP TABLE [IF EXISTS] " +
         "graft_vtable('name') [PURGE]; OPTIMIZE graft_vtable('ref') " +
         "[ZORDER BY (c1, c2[, ...])]; VACUUM graft_vtable('ref') RETAIN " +
         "<n> VERSIONS; RESTORE TABLE graft_vtable('ref') TO VERSION AS OF " +
-        "<n>; ALTER TABLE graft_vtable('ref') ADD COLUMNS (c type[, ...]); " +
-        "INSERT INTO|OVERWRITE graft_vtable('ref') <query>")
+        "<n> | TO TIMESTAMP AS OF '<ts>'; " +
+        "ALTER TABLE graft_vtable('ref') ADD COLUMNS (c type[, ...]); " +
+        "INSERT INTO|OVERWRITE graft_vtable('ref') <query>; " +
+        "INSERT INTO graft_vtable('ref') REPLACE WHERE (<cond>) <query>")
 
   /** Index of the char AFTER the paren-balanced, quote-aware span opening
     * at `start` (which must be '(').
@@ -231,10 +259,18 @@ object GraftDml {
   private def parseCreate(name: String, ifNotExists: Boolean,
                           rest0: String): LogicalPlan = {
     val rest = rest0.trim
+    val clone =
+      """(?is)^(?:LOCATION\s+'([^']+)'\s*)?SHALLOW\s+CLONE\s+graft_vtable\s*\(\s*'([^']+)'\s*(?:,\s*(\d+)\s*)?\)\s*;?\s*$""".r
+        .findFirstMatchIn(rest)
+    clone.foreach { c =>
+      return GraftCloneTableCommand(name, ifNotExists, Option(c.group(1)),
+        c.group(2), Option(c.group(3)).map(_.toLong))
+    }
     val m = """(?is)^(?:LOCATION\s+'([^']+)'\s*)?(?:STATS\s*\(([^)]*)\)\s*)?AS\s+(.+)$""".r
       .findFirstMatchIn(rest)
       .getOrElse(fail("CREATE TABLE: expected [LOCATION 'dir'] " +
-        "[STATS (col[, ...])] AS <query>" +
+        "[STATS (col[, ...])] AS <query>, or [LOCATION 'dir'] SHALLOW CLONE " +
+        "graft_vtable('src'[, version])" +
         (if (rest.isEmpty || !rest.toUpperCase.contains("AS"))
           " — column-list DDL is not supported; the schema comes from the AS query"
         else "")))
@@ -284,13 +320,21 @@ object GraftDml {
     GraftVacuumCommand(target, keep)
   }
 
-  /** `RESTORE TABLE graft_vtable('ref') TO VERSION AS OF <n>` — roll the
-    * table back AS A NEW COMMIT ([[VersionedTable.restore]]): history stays
-    * monotone, the rollback itself is time-travelable and CDF-visible.
+  /** `RESTORE TABLE graft_vtable('ref') TO VERSION AS OF <n>` (or
+    * `TO TIMESTAMP AS OF '<yyyy-MM-dd HH:mm:ss[.f…]>'`, resolved through
+    * [[VersionedTable.versionAtTimestamp]]) — roll the table back AS A
+    * NEW COMMIT ([[VersionedTable.restore]]): history stays monotone, the
+    * rollback itself is time-travelable and CDF-visible.
     */
   private def parseRestore(target: String, rest: String): LogicalPlan = {
+    val tsForm = """(?is)^TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'$""".r
+      .findFirstMatchIn(rest.trim)
+    tsForm.foreach { m =>
+      return GraftRestoreCommand(target, -1L, toTimestamp = Some(m.group(1)))
+    }
     val m = """(?is)^TO\s+VERSION\s+AS\s+OF\s+(\d+)$""".r.findFirstMatchIn(rest.trim)
-      .getOrElse(fail(s"RESTORE TABLE: expected TO VERSION AS OF <n>, got '${rest.trim}'"))
+      .getOrElse(fail("RESTORE TABLE: expected TO VERSION AS OF <n> or " +
+        s"TO TIMESTAMP AS OF '<ts>', got '${rest.trim}'"))
     GraftRestoreCommand(target, m.group(1).toLong)
   }
 
@@ -420,6 +464,35 @@ case class GraftCreateTableCommand(name: String, ifNotExists: Boolean,
   }
 }
 
+/** `CREATE TABLE graft_vtable('name') [LOCATION 'dir'] SHALLOW CLONE
+  * graft_vtable('src'[, version])` — zero-copy clone
+  * ([[VersionedTable.shallowClone]]): one metadata commit referencing
+  * the source's files, registered in the catalog under the new name.
+  */
+case class GraftCloneTableCommand(name: String, ifNotExists: Boolean,
+                                  location: Option[String],
+                                  source: String, sourceVersion: Option[Long])
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    GraftCatalog.lookup(spark, name) match {
+      case Some(dir) =>
+        if (!ifNotExists)
+          throw new IllegalArgumentException(
+            s"GraftDml: table '$name' already exists (at $dir) — use CREATE " +
+              "TABLE IF NOT EXISTS to no-op, or DROP TABLE first")
+        Seq(Row(VersionedTable.currentVersion(spark, dir).getOrElse(-1L)))
+      case None =>
+        val dir = location.getOrElse(GraftCatalog.defaultTableDir(spark, name))
+        val srcDir = GraftCatalog.resolveDir(spark, source)
+        val v = VersionedTable.shallowClone(spark, srcDir, dir, sourceVersion)
+        GraftCatalog.register(spark, name, dir)
+        Seq(Row(v))
+    }
+  }
+}
+
 /** `DROP TABLE graft_vtable('name') [PURGE]` — removes the CATALOG entry
   * (the table stays addressable by path — Iceberg's catalog/metadata
   * split); `PURGE` additionally deletes the table directory. Returns the
@@ -467,12 +540,17 @@ case class GraftDeleteCommand(target: String, whereSql: Option[String])
   * ([[VersionedTable.commitAppend]]): new files only, no existing byte
   * read or rewritten. `INSERT OVERWRITE` replaces the whole content as
   * one commit ([[VersionedTable.commitOverwrite]]; prior versions keep
-  * time-traveling until vacuum). Columns resolve BY NAME (any order); a
-  * missing or extra column fails loudly — positional coercion silently
-  * writing the wrong column is the classic INSERT footgun.
+  * time-traveling until vacuum). `REPLACE WHERE (<cond>)` scopes the
+  * overwrite to the predicate ([[VersionedTable.commitReplaceWhere]]):
+  * only files that could hold a matching row rewrite, the rest carry by
+  * reference, and every inserted row must satisfy the predicate (in-frame
+  * loud-fail). Columns resolve BY NAME (any order); a missing or extra
+  * column fails loudly — positional coercion silently writing the wrong
+  * column is the classic INSERT footgun.
   */
 case class GraftInsertCommand(target: String, sourceSql: String,
-                              overwrite: Boolean = false)
+                              overwrite: Boolean = false,
+                              replaceWhere: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     GraftDml.versionOutput
@@ -492,8 +570,13 @@ case class GraftInsertCommand(target: String, sourceSql: String,
           "columns resolve by name; alias the query's output")
     val aligned = df.select(tableCols.map(org.apache.spark.sql.functions.col): _*)
     Seq(Row(VersionedTable.withCommitRetry() {
-      if (overwrite) VersionedTable.commitOverwrite(aligned, dir)
-      else VersionedTable.commitAppend(aligned, dir)
+      replaceWhere match {
+        case Some(condSql) => VersionedTable.commitReplaceWhere(
+          aligned, dir, GraftDml.parseCond(spark, Some(condSql)))
+        case None =>
+          if (overwrite) VersionedTable.commitOverwrite(aligned, dir)
+          else VersionedTable.commitAppend(aligned, dir)
+      }
     }))
   }
 }
@@ -525,15 +608,28 @@ case class GraftVacuumCommand(target: String, keepVersions: Int)
   }
 }
 
-/** `RESTORE TABLE graft_vtable(...) TO VERSION AS OF n` — rollback commit. */
-case class GraftRestoreCommand(target: String, toVersion: Long)
+/** `RESTORE TABLE graft_vtable(...) TO VERSION AS OF n` (or `TO
+  * TIMESTAMP AS OF '<ts>'` — `toTimestamp` wins when set) — rollback
+  * commit.
+  */
+case class GraftRestoreCommand(target: String, toVersion: Long,
+                               toTimestamp: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     GraftDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftCatalog.resolveDir(spark, target)
+    val v = toTimestamp match {
+      case Some(s) =>
+        val t = try java.sql.Timestamp.valueOf(s) catch {
+          case _: IllegalArgumentException => throw new IllegalArgumentException(
+            s"RESTORE TABLE: '$s' is not a 'yyyy-MM-dd HH:mm:ss[.f…]' timestamp")
+        }
+        VersionedTable.versionAtTimestamp(spark, dir, t.getTime)
+      case None => toVersion
+    }
     Seq(Row(VersionedTable.withCommitRetry() {
-      VersionedTable.restore(spark, dir, toVersion)
+      VersionedTable.restore(spark, dir, v)
     }))
   }
 }

@@ -435,6 +435,141 @@ class SqlDmlSpec extends SparkSuite {
       "the overwritten state must still time-travel")
   }
 
+  test("REPLACE WHERE rewrites only candidate files; new rows must satisfy the predicate") {
+    val dir = tmp(); mk(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sig() = VT.readManifest(spark, dir, VT.currentVersion(spark, dir).get)
+      .files.map { f =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${f.path}"))
+        f.path -> (st.getLen, st.getModificationTime)
+      }.toMap
+    val before = sig()
+    Seq((1L, "A", 100L), (2L, "B", 200L)).toDF("k", "s", "v")
+      .createOrReplaceTempView("rw_src")
+    val v = GraftSql.sql(spark,
+      s"INSERT INTO graft_vtable('$dir') REPLACE WHERE (k <= 2) " +
+        "SELECT k, s, v FROM rw_src").as[Long].head()
+    assert(v == 2L)
+    assert(rows(dir) == Set((1L, "A", 100L), (2L, "B", 200L),
+      (3L, "c", 30L), (4L, "d", 40L)))
+    // the k=3 / k=4 files (provably outside the mined range) carried BY
+    // REFERENCE — same path, same bytes, same mtime; the k<=2 files left
+    val after = sig()
+    val carried = before.keySet.intersect(after.keySet)
+    assert(carried.nonEmpty, "files outside the mined range must carry by reference")
+    assert(before.keySet.diff(after.keySet).nonEmpty,
+      "candidate files must leave the manifest")
+    assert(carried.forall(p => after(p) == before(p)),
+      "carried files must be byte-identical (never rewritten)")
+    // pre-replace state still time-travels
+    assert(VT.read(spark, dir, Some(1L)).where($"k" === 1L)
+      .select("v").as[Long].head() == 10L)
+    // a replacement row OUTSIDE the predicate aborts in-frame: no version
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val ex = intercept[Exception](GraftSql.sql(spark,
+      s"INSERT INTO graft_vtable('$dir') REPLACE WHERE (k <= 2) " +
+        "SELECT CAST(9 AS BIGINT) AS k, 'z' AS s, CAST(1 AS BIGINT) AS v").collect())
+    assert(chain(ex).exists(_.contains("does not satisfy the REPLACE WHERE")),
+      chain(ex).mkString(" | "))
+    assert(VT.currentVersion(spark, dir).contains(2L),
+      "a failed replace must not publish")
+    // no candidate files at all still appends the new rows (unlike DELETE,
+    // an empty match set is not a no-op)
+    val v3 = GraftSql.sql(spark,
+      s"INSERT INTO graft_vtable('$dir') REPLACE WHERE (k >= 100) " +
+        "SELECT CAST(100 AS BIGINT) AS k, 'h' AS s, CAST(7 AS BIGINT) AS v")
+      .as[Long].head()
+    assert(v3 == 3L)
+    assert(rows(dir).contains((100L, "h", 7L)))
+    // OVERWRITE + REPLACE WHERE is contradictory: loud grammar fail
+    val ex2 = intercept[IllegalArgumentException](GraftDml.parse(
+      s"INSERT OVERWRITE graft_vtable('$dir') REPLACE WHERE (k <= 2) SELECT 1"))
+    assert(ex2.getMessage.contains("REPLACE WHERE"), ex2.getMessage)
+  }
+
+  test("REPLACE WHERE: unminable predicates stay exact; NULL condition keeps the row") {
+    val dir = tmp()
+    VT.create(Seq((Option(1L), "a"), (Option(3L), "b"), (Option.empty[Long], "n"))
+      .toDF("k", "s"), dir, statsCols = Seq("k"))
+    // k % 2 = 1 mines nothing (full rewrite — correct, just unpruned);
+    // the NULL-keyed row's condition is NULL → the row SURVIVES, matching
+    // DELETE's SQL semantics
+    val v = VT.commitReplaceWhere(
+      Seq((Option(5L), "r")).toDF("k", "s"), dir, expr("k % 2 = 1"))
+    assert(v == 2L)
+    assert(VT.read(spark, dir).as[(Option[Long], String)].collect().toSet ==
+      Set((Option(5L), "r"), (Option.empty[Long], "n")))
+    // txn ledger: replaying the same (app, batch) no-ops at the commit
+    val v2 = VT.commitReplaceWhere(Seq((Option(7L), "x")).toDF("k", "s"),
+      dir, expr("k % 2 = 1"), txn = Some("rw-app" -> 9L))
+    val v3 = VT.commitReplaceWhere(Seq((Option(7L), "x")).toDF("k", "s"),
+      dir, expr("k % 2 = 1"), txn = Some("rw-app" -> 9L))
+    assert(v2 == 3L && v3 == 3L)
+    assert(VT.read(spark, dir).where($"s" === "x").count() == 1L)
+  }
+
+  test("SHALLOW CLONE: zero-copy create, independent life, compaction materializes") {
+    val dir = tmp(); mk(dir)
+    VT.commitAppend(Seq((5L, "e", 50L)).toDF("k", "s", "v"), dir) // v2
+    val cloneDir = tmp()
+    val v = VT.shallowClone(spark, dir, cloneDir)
+    assert(v == 1L)
+    // zero-copy: the clone wrote NO data files of its own
+    val cloneData = new java.io.File(cloneDir, "data")
+    assert(!cloneData.exists() || cloneData.listFiles().isEmpty,
+      "a shallow clone must not copy data")
+    assert(VT.read(spark, cloneDir).as[(Long, String, Long)].collect().toSet ==
+      rows(dir))
+    // fresh identity, provenance recorded
+    assert(VT.tableId(spark, cloneDir) != VT.tableId(spark, dir))
+    assert(VT.readManifest(spark, cloneDir, 1L).props("graft.cloneOf")
+      .startsWith(dir))
+    // pruned reads work through the absolute references
+    assert(VT.readWhere(spark, cloneDir, $"k" >= 5L).count() == 1L)
+    // clone-side DELETE does not touch the source…
+    VT.commitDelete(spark, cloneDir, $"k" <= 2L)
+    assert(VT.read(spark, cloneDir).count() == 3L)
+    assert(VT.read(spark, dir).count() == 5L)
+    // …and source-side appends do not leak into the clone
+    VT.commitAppend(Seq((6L, "f", 60L)).toDF("k", "s", "v"), dir)
+    assert(VT.read(spark, cloneDir).count() == 3L)
+    // compaction re-materializes: afterwards the clone owns all its files
+    VT.commitCompact(spark, cloneDir)
+    val owned = VT.readManifest(spark, cloneDir,
+      VT.currentVersion(spark, cloneDir).get).files
+    assert(owned.nonEmpty && owned.forall(f => !f.path.startsWith("/")),
+      s"post-compact files must be clone-relative, got ${owned.map(_.path)}")
+    assert(VT.read(spark, cloneDir).as[(Long, String, Long)].collect().toSet ==
+      Set((3L, "c", 30L), (4L, "d", 40L), (5L, "e", 50L)))
+    // SQL surface: clone AT an older version via the catalog, read via TVF
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS graft_vtable('clone_src') PURGE").collect()
+    GraftSql.sql(spark, "DROP TABLE IF EXISTS graft_vtable('clone_t') PURGE").collect()
+    GraftSql.sql(spark,
+      s"CREATE TABLE graft_vtable('clone_src') LOCATION '$dir-again' AS " +
+        "SELECT CAST(id AS BIGINT) AS k FROM range(4)").collect()
+    GraftSql.sql(spark,
+      "INSERT INTO graft_vtable('clone_src') SELECT CAST(9 AS BIGINT) AS k").collect()
+    val vc = GraftSql.sql(spark,
+      s"CREATE TABLE graft_vtable('clone_t') LOCATION '$dir-clone' " +
+        "SHALLOW CLONE graft_vtable('clone_src', 1)").as[Long].head()
+    assert(vc == 1L)
+    assert(spark.sql("SELECT COUNT(*) FROM graft_vtable('clone_t')")
+      .as[Long].head() == 4L, "clone pinned source version 1")
+    GraftSql.sql(spark, "DROP TABLE graft_vtable('clone_src')").collect()
+    GraftSql.sql(spark, "DROP TABLE graft_vtable('clone_t')").collect()
+    // a patch-chain source refuses with the remediation
+    val morDir = tmp()
+    VT.create(Seq((1L, 1L)).toDF("k", "x"), morDir, Seq("k"))
+    VT.commitPatch(Seq((2L, 2L)).toDF("k", "x"), morDir, Seq("k"),
+      Seq.empty, lit(false))
+    val ex = intercept[IllegalArgumentException](
+      VT.shallowClone(spark, morDir, tmp()))
+    assert(ex.getMessage.contains("shallowClone"), ex.getMessage)
+  }
+
   test("DML interop: SQL update then library merge then SQL delete stays exact") {
     val dir = tmp(); mk(dir)
     GraftSql.sql(spark, s"UPDATE graft_vtable('$dir') SET v = v * 2 WHERE k IN (1, 3)")

@@ -735,9 +735,13 @@ class VersionedTableSpec extends SparkSuite {
     VT.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s").repartition(1), dir, Seq("k"))
     VT.commitMerge(Seq((2L, "b2", false), (3L, "c", false)).toDF("k", "s", "del"),
       dir, Seq("k"), Seq.empty, $"del")
-    val sqlHist = spark.sql(s"SELECT * FROM graft_vtable_history('$dir')")
-      .as[(Long, String, Int, Long)].collect().toSeq
+    val sqlHist = spark.sql(
+      s"SELECT version, op, files, rows, CAST(unix_millis(commit_ts) AS BIGINT) " +
+        s"FROM graft_vtable_history('$dir')")
+      .as[(Long, String, Int, Long, Long)].collect().toSeq
     assert(sqlHist == VT.history(spark, dir))
+    // every commit carries a wall-clock timestamp, newest-first ordering
+    assert(sqlHist.forall(_._5 > 0L))
     val sqlFeed = spark.sql(
       s"SELECT change_type, k, s FROM graft_vtable_changes('$dir', 1, 2, 'k')")
       .as[(String, Long, String)].collect().toSet
@@ -758,6 +762,48 @@ class VersionedTableSpec extends SparkSuite {
     // version arg: the pre-constraint manifest has no such prop
     assert(spark.sql(s"SELECT * FROM graft_vtable_props('$dir', 2) " +
       "WHERE key LIKE 'graft.check.%'").count() == 0L)
+  }
+
+  test("TIMESTAMP AS OF: adjusted commit times resolve versions deterministically") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s"), dir, Seq("k"))
+    VT.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+    VT.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)
+    val ts = VT.commitTimestamps(spark, dir)
+    assert(ts.map(_._1) == Seq(1L, 2L, 3L))
+    // STRICTLY increasing even when raw clocks tie within one milli —
+    // without the adjustment "the table as of t" would be ambiguous
+    assert(ts.sliding(2).forall { case Seq(a, b) => a._2 < b._2; case _ => true })
+    // boundary semantics: exact commit instant → that version; any
+    // instant in between → the version that was current then
+    assert(VT.versionAtTimestamp(spark, dir, ts.head._2) == 1L)
+    assert(VT.versionAtTimestamp(spark, dir, ts(1)._2) == 2L)
+    assert(VT.versionAtTimestamp(spark, dir, ts(2)._2) == 3L)
+    assert(VT.versionAtTimestamp(spark, dir, ts(2)._2 + 1000000L) == 3L)
+    assert(VT.readAsOfTimestamp(spark, dir, ts(1)._2).count() == 2L)
+    // before the first commit: loud, with the available range — never a
+    // nearest-neighbor guess
+    val ex = intercept[IllegalArgumentException](
+      VT.versionAtTimestamp(spark, dir, ts.head._2 - 1))
+    assert(ex.getMessage.contains("before the earliest"), ex.getMessage)
+    // SQL: TIMESTAMP literal and string literal both resolve (session and
+    // JVM zone are both UTC in this suite; Timestamp.valueOf is wall-clock)
+    graft.functions.GraftFunctions.register(spark)
+    val s2 = new java.sql.Timestamp(ts(1)._2).toString
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_vtable('$dir', '$s2')")
+      .as[Long].head() == 2L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_vtable('$dir', TIMESTAMP '$s2')")
+      .as[Long].head() == 2L)
+    // RESTORE TABLE ... TO TIMESTAMP AS OF rolls back through the resolver
+    val vr = graft.sql.GraftSql.sql(spark,
+      s"RESTORE TABLE graft_vtable('$dir') TO TIMESTAMP AS OF '$s2'")
+      .as[Long].head()
+    assert(vr == 4L)
+    assert(VT.read(spark, dir).count() == 2L)
+    // malformed timestamp refuses loudly
+    val ex2 = intercept[IllegalArgumentException](graft.sql.GraftSql.sql(spark,
+      s"RESTORE TABLE graft_vtable('$dir') TO TIMESTAMP AS OF 'not-a-time'").collect())
+    assert(ex2.getMessage.contains("not a"), ex2.getMessage)
   }
 
   test("restore and commitAddFiles cannot smuggle rows past a CHECK constraint") {
