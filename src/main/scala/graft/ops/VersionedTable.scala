@@ -1055,10 +1055,7 @@ object VersionedTable {
     val next = cur.version + 1
     val files = writeCommitFiles(withCheckGuards(df, cur.props, "commitAppend"),
       dir, next, cur.statsCols, cur.bloomCols, cur.bloomFpp)
-    publishCommit(spark, dir, Some(cur), next, "append", cur.schemaDdl,
-      cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
-      Seq.empty, Seq.empty, adds = files, removes = Seq.empty)
-    next
+    publishAppendRebasing(spark, dir, cur, "append", files, txn, "commitAppend")
   }
 
   /** Register EXISTING parquet files into the table by reference — the
@@ -1083,26 +1080,10 @@ object VersionedTable {
     // by-reference rows never pass through a write frame, so the in-frame
     // CHECK guards can't see them — validate the registered files with
     // one O(batch) scan before publishing
-    val checks = checksOf(cur.props)
-    if (checks.nonEmpty && entries.nonEmpty) {
-      val parser = spark.sessionState.sqlParser
-      val anyBad = checks.map { case (_, sql) =>
-        !coalesce(org.apache.spark.sql.GraftShim.column(
-          parser.parseExpression(sql)), lit(true))
-      }.reduce(_ || _)
-      val bad = spark.read.schema(StructType.fromDDL(cur.schemaDdl))
-        .parquet(entries.map(e => dataPath(dir, e.path)): _*)
-        .filter(anyBad).limit(1).count()
-      require(bad == 0L,
-        s"VersionedTable.commitAddFiles: registered files violate a live " +
-          s"CHECK constraint (${checks.map(_._1).mkString(", ")}) — " +
-          "fix the files or drop the constraint")
-    }
-    val next = cur.version + 1
-    publishCommit(spark, dir, Some(cur), next, "add_files", cur.schemaDdl,
-      cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
-      Seq.empty, Seq.empty, adds = entries, removes = Seq.empty)
-    next
+    requireFilesPassChecks(spark, dir, cur.schemaDdl, entries,
+      checksOf(cur.props), "commitAddFiles")
+    publishAppendRebasing(spark, dir, cur, "add_files", entries, txn,
+      "commitAddFiles")
   }
 
   /** SQL `UPDATE` semantics as a versioned commit: rows matching `cond`
@@ -1188,6 +1169,106 @@ object VersionedTable {
 
   private def txnsAfter(cur: ManifestMeta, txn: Option[(String, Long)]): Map[String, Long] =
     txn.fold(cur.txns) { case (app, id) => cur.txns + (app -> id) }
+
+  /** One O(batch) scan proving `entries` violate none of `checks` —
+    * by-reference rows never pass through a write frame, so the in-frame
+    * guards can't see them ([[commitAddFiles]] registration, and an
+    * append REBASE racing a concurrent ADD CONSTRAINT).
+    */
+  private def requireFilesPassChecks(spark: SparkSession, dir: String,
+                                     schemaDdl: String, entries: Seq[FileEntry],
+                                     checks: Seq[(String, String)],
+                                     label: String): Unit = {
+    if (checks.isEmpty || entries.isEmpty) return
+    val parser = spark.sessionState.sqlParser
+    val anyBad = checks.map { case (_, sql) =>
+      !coalesce(org.apache.spark.sql.GraftShim.column(
+        parser.parseExpression(sql)), lit(true))
+    }.reduce(_ || _)
+    val bad = spark.read.schema(StructType.fromDDL(schemaDdl))
+      .parquet(entries.map(e => dataPath(dir, e.path)): _*)
+      .filter(anyBad).limit(1).count()
+    require(bad == 0L,
+      s"VersionedTable.$label: rows violate a live CHECK constraint " +
+        s"(${checks.map(_._1).mkString(", ")}) — fix the data or drop the " +
+        "constraint")
+  }
+
+  /** Publish `adds` as an append-shaped commit on top of `first`, REBASING
+    * onto new heads on a lost version race instead of surfacing
+    * [[ConcurrentCommitException]]: the data files are already durable and
+    * an append logically conflicts with nothing that preserves its
+    * validity, so losing the manifest CAS should cost one more metadata
+    * write — never a re-run of the data job that produced the files (at
+    * 100 TB, the difference between a millisecond retry and recomputing
+    * the batch; Delta's logical conflict-resolution idea). Each rebase
+    * re-checks the preconditions against the NEW head:
+    *
+    *  - the txn already applied by someone else → return their version
+    *    (our files orphan to vacuum, exactly-once preserved);
+    *  - a patch chain appeared, or merge keys changed → rethrow (the
+    *    caller's [[withCommitRetry]] takes the full re-derive path, whose
+    *    entry guards produce the loud domain error);
+    *  - schema changed → rebase only across APPEND-ONLY widening (our
+    *    files read NULL for appended columns — the [[commitAddColumns]]
+    *    contract); anything else rethrows;
+    *  - CHECK constraints ADDED by a winner re-validate our files with one
+    *    O(batch) scan before the rebase may publish — in-frame guards ran
+    *    against the constraint set visible at write time, not this one.
+    *
+    * Stats/bloom config and table props always re-read from the new head,
+    * so a racing property change carries forward instead of reverting.
+    */
+  /** Test-only interleaving hook: runs after an append's data files are
+    * durable and before each manifest publish attempt, letting a spec
+    * inject a deterministic racing commit into the exact window the
+    * rebase exists for. No-op in production.
+    */
+  @volatile private[graft] var raceBeforePublish: () => Unit = () => ()
+
+  private def publishAppendRebasing(spark: SparkSession, dir: String,
+                                    first: ManifestMeta, op: String,
+                                    adds: Seq[FileEntry],
+                                    txn: Option[(String, Long)],
+                                    label: String): Long = {
+    var cur = first
+    var rebases = 0
+    while (true) {
+      raceBeforePublish()
+      val next = cur.version + 1
+      try {
+        publishCommit(spark, dir, Some(cur), next, op, cur.schemaDdl,
+          cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
+          Seq.empty, Seq.empty, adds = adds, removes = Seq.empty)
+        return next
+      } catch {
+        case e: ConcurrentCommitException =>
+          rebases += 1
+          if (rebases >= 100) throw e
+          val newCur = readMeta(spark, dir,
+            currentVersion(spark, dir).getOrElse(throw e))
+          if (alreadyApplied(newCur, txn)) return newCur.version
+          if (newCur.patches.nonEmpty || newCur.mergeKeys != cur.mergeKeys)
+            throw e
+          if (newCur.schemaDdl != cur.schemaDdl) {
+            val o = StructType.fromDDL(cur.schemaDdl)
+              .fields.map(f => (f.name, f.dataType))
+            val n = StructType.fromDDL(newCur.schemaDdl)
+              .fields.map(f => (f.name, f.dataType))
+            if (n.length < o.length || !n.take(o.length).sameElements(o))
+              throw e
+          }
+          val addedChecks =
+            checksOf(newCur.props).filterNot(checksOf(cur.props).toSet)
+          // validate under the NEW head's schema: a constraint may
+          // reference an appended column, which our files read as NULL
+          requireFilesPassChecks(spark, dir, newCur.schemaDdl, adds,
+            addedChecks, label)
+          cur = newCur
+      }
+    }
+    -1L // unreachable: the loop returns or throws
+  }
 
   /** Stats-pruned copy-on-write MERGE: apply a CDC changelog
     * ([[Warehouse.applyChanges]] semantics — tombstones delete, matched

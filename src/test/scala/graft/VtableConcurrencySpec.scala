@@ -242,4 +242,99 @@ class VtableConcurrencySpec extends SparkSuite {
     assert(VT.read(spark, dir, Some(4L)).as[(Long, String)].collect().toSet == v3Expect)
     assert(VT.read(spark, dir).as[(Long, String)].collect().toSet == v5Expect)
   }
+
+  /** Arm [[VT.raceBeforePublish]] to fire `f` exactly once, disarmed
+    * before it runs so the racing commit it performs doesn't recurse.
+    */
+  private def raceOnce(f: => Unit)(body: => Unit): Unit = {
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    VT.raceBeforePublish = () =>
+      if (fired.compareAndSet(false, true)) { VT.raceBeforePublish = () => (); f }
+    try body finally VT.raceBeforePublish = () => ()
+  }
+
+  private def dataDirsOf(dir: String): Set[String] =
+    Option(new java.io.File(dir, "data").listFiles())
+      .fold(Set.empty[String])(_.map(_.getName).toSet)
+
+  test("append rebase: a lost race republishes metadata, never re-writes data") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s").coalesce(1), dir, Seq("k")) // v1
+    raceOnce(VT.commitAppend(Seq((2L, "winner")).toDF("k", "s").coalesce(1), dir)) {
+      // our files land for v2, the injected winner takes v2, we rebase to v3
+      val v = VT.commitAppend(Seq((3L, "rebased")).toDF("k", "s").coalesce(1), dir)
+      assert(v == 3L, s"rebase must publish at the next free version, got $v")
+    }
+    assert(VT.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "winner"), (3L, "rebased")))
+    // ZERO orphaned data dirs: the loser's files were published, not re-written
+    val referenced = VT.readManifest(spark, dir, 3L).files
+      .map(_.path.split('/')(1)).toSet
+    assert(dataDirsOf(dir) == referenced,
+      s"rebase must reuse the already-written files: dirs=${dataDirsOf(dir)} refs=$referenced")
+    // the rebased files' stats still prune
+    assert(VT.readWhere(spark, dir, $"k" === 3L).count() == 1L)
+  }
+
+  test("append rebase: a concurrently applied txn returns the winner's version") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s").coalesce(1), dir, Seq("k"))
+    raceOnce(VT.commitAppend(Seq((2L, "theirs")).toDF("k", "s").coalesce(1), dir,
+        txn = Some("app" -> 7L))) {
+      val v = VT.commitAppend(Seq((99L, "mine")).toDF("k", "s").coalesce(1), dir,
+        txn = Some("app" -> 7L))
+      assert(v == 2L, "an already-applied txn must return the applied version")
+    }
+    // exactly-once: our duplicate batch never published; its files orphan
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "theirs")))
+    assert(VT.versions(spark, dir) == Seq(1L, 2L))
+    VT.vacuum(spark, dir, keepVersions = 2)
+    assert(VT.read(spark, dir).count() == 2L, "vacuum must keep the winner's bytes")
+  }
+
+  test("append rebase: re-validates against a concurrently added CHECK constraint") {
+    val dir = tmp()
+    VT.create(Seq((1L, 5L)).toDF("k", "v").coalesce(1), dir, Seq("k"))
+    // violating append must abort even though the constraint landed AFTER
+    // its in-frame guards ran
+    raceOnce(VT.addCheckConstraint(spark, dir, "v_pos", "v >= 0")) {
+      val e = intercept[IllegalArgumentException](
+        VT.commitAppend(Seq((2L, -1L)).toDF("k", "v").coalesce(1), dir))
+      assert(e.getMessage.contains("v_pos"), e.getMessage)
+    }
+    assert(VT.currentVersion(spark, dir).contains(2L), "no version published")
+    assert(VT.read(spark, dir).as[(Long, Long)].collect().toSet == Set((1L, 5L)))
+    // a conforming append rebases and the constraint carries forward
+    raceOnce(VT.addCheckConstraint(spark, dir, "v_cap", "v < 1000")) {
+      assert(VT.commitAppend(Seq((3L, 9L)).toDF("k", "v").coalesce(1), dir) == 4L)
+    }
+    val props = VT.readManifest(spark, dir, 4L).props
+    assert(props.contains("graft.check.v_pos") && props.contains("graft.check.v_cap"),
+      s"rebase must carry the winner's props forward, got ${props.keySet}")
+  }
+
+  test("append rebase: spans an append-only schema widening, refuses a patch chain") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s").coalesce(1), dir, Seq("k"))
+    raceOnce(VT.commitAddColumns(spark, dir, Seq("extra" -> "BIGINT"))) {
+      assert(VT.commitAppend(Seq((2L, "b")).toDF("k", "s").coalesce(1), dir) == 3L)
+    }
+    // the widened schema wins; our pre-widening files read NULL for it
+    assert(VT.read(spark, dir).columns.toSeq == Seq("k", "s", "extra"))
+    assert(VT.read(spark, dir).where($"k" === 2L)
+      .select("extra").collect().head.isNullAt(0))
+    // a patch chain appearing mid-race is NOT rebasable: the conflict
+    // surfaces for the caller's full-retry path to diagnose loudly
+    val dir2 = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s").coalesce(1), dir2, Seq("k"))
+    raceOnce(VT.commitPatch(Seq((1L, "p", false)).toDF("k", "s", "del"),
+        dir2, Seq("k"), Seq.empty, $"del")) {
+      intercept[VT.ConcurrentCommitException](
+        VT.commitAppend(Seq((2L, "b")).toDF("k", "s").coalesce(1), dir2))
+    }
+    assert(VT.read(spark, dir2).as[(Long, String)].collect().toSet ==
+      Set((1L, "p")), "the refused append must leave the winner's state intact")
+  }
 }
