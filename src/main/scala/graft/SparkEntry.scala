@@ -2866,6 +2866,59 @@ private[graft] object Queries {
     * logical content directly (Delta analogs: OPTIMIZE [ZORDER], ALTER
     * TABLE ADD COLUMNS, RESTORE, VACUUM).
     */
+  /** Metadata-only column evolution from SQL ([[graft.sql.GraftDml]]
+    * `ALTER TABLE ... RENAME COLUMN / DROP COLUMN` →
+    * [[graft.ops.VersionedTable.commitRenameColumn]]/[[graft.ops.VersionedTable.commitDropColumn]]
+    * — the Delta column-mapping idea): rename a column (O(1) commit, the
+    * physical name inside every shared file never changes), UPDATE
+    * through the new name, drop a column (bytes stay dead in place), then
+    * RE-ADD a column of the dropped name — which must read NULL
+    * everywhere, never the dropped bytes (the resurrection hazard this
+    * design exists to kill; the oracle pins it via `CAST(NULL AS ...)`)
+    * — and append through the evolved schema. `ColumnMappingSpec` pins
+    * the byte-identical no-rewrite invariants file-level.
+    */
+  def colmapSql(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val name = s"cust_colmap_${new java.io.File(d).getName}"
+    val G = graft.sql.GraftSql
+    G.sql(s, s"DROP TABLE IF EXISTS graft_vtable('$name') PURGE").collect()
+    Tables.customer(s, d).createOrReplaceTempView("colmap_src")
+    G.sql(s,
+      s"""CREATE TABLE graft_vtable('$name') STATS (c_custkey) AS
+         |SELECT c_custkey, c_nationkey,
+         |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+         |FROM colmap_src""".stripMargin).collect()
+    G.sql(s,
+      s"ALTER TABLE graft_vtable('$name') RENAME COLUMN cents TO amount").collect()
+    G.sql(s,
+      s"UPDATE graft_vtable('$name') SET amount = amount + 5 " +
+        "WHERE c_nationkey < 10").collect()
+    G.sql(s,
+      s"ALTER TABLE graft_vtable('$name') DROP COLUMN c_nationkey").collect()
+    G.sql(s,
+      s"ALTER TABLE graft_vtable('$name') ADD COLUMNS (c_nationkey BIGINT)")
+      .collect()
+    G.sql(s,
+      s"INSERT INTO graft_vtable('$name') " +
+        "SELECT CAST(-1 AS BIGINT) AS c_custkey, CAST(0 AS BIGINT) AS amount, " +
+        "CAST(7 AS BIGINT) AS c_nationkey").collect()
+    s.sql(
+      s"""SELECT c_custkey, amount, c_nationkey
+         |FROM graft_vtable('$name')
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val colmapSqlSql =
+    """SELECT c_custkey,
+      |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+      |         + CASE WHEN c_nationkey < 10 THEN 5 ELSE 0 END AS amount,
+      |       CAST(NULL AS BIGINT) AS c_nationkey
+      |FROM customer
+      |UNION ALL
+      |SELECT -1, 0, 7
+      |ORDER BY c_custkey""".stripMargin
+
   def maintenanceSql(s: SparkSession, d: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val name = s"ord_maint_${new java.io.File(d).getName}"
@@ -4228,6 +4281,7 @@ private[graft] object Queries {
     "q_delete_sql" -> (deleteSql _),
     "q_ddl_sql" -> (ddlSql _),
     "q_maintenance_sql" -> (maintenanceSql _),
+    "q_colmap_sql" -> (colmapSql _),
     "q_replace_where" -> (replaceWhereSql _),
     "q_clone_sql" -> (cloneSql _),
     "q_time_travel_ts" -> (timeTravelTs _),
@@ -4388,6 +4442,7 @@ private[graft] object Queries {
     "q_delete_sql" -> deleteSqlSql,
     "q_ddl_sql" -> ddlSqlSql,
     "q_maintenance_sql" -> maintenanceSqlSql,
+    "q_colmap_sql" -> colmapSqlSql,
     "q_replace_where" -> replaceWhereSqlSql,
     "q_clone_sql" -> cloneSqlSql,
     "q_time_travel_ts" -> timeTravelTsSql,

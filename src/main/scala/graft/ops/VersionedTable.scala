@@ -190,6 +190,88 @@ object VersionedTable {
       (k.stripPrefix(CheckPropPrefix), v)
     }.sortBy(_._1)
 
+  // --------------------------------------------------- column mapping
+  //
+  // Metadata-only RENAME/DROP COLUMN (Delta's column-mapping idea): a
+  // column's PHYSICAL name — the field name inside every parquet file
+  // and every manifest stats/bloom key — is assigned when the column
+  // first appears and NEVER changes; the manifest's schemaDdl carries
+  // the LOGICAL names, and `graft.colmap.<logical> = <physical>` props
+  // record the two diverging. Renames and drops are then O(1) manifest
+  // commits over shared immutable files: a rename changes only the
+  // logical name (old files resolve through the stable physical name),
+  // a drop removes the logical column while the bytes stay dead in
+  // place. `graft.coldead` accumulates retired physical names so a
+  // later ADD COLUMNS of the same name gets a FRESH physical identity —
+  // otherwise the new column would silently RESURRECT the dropped
+  // column's bytes out of old files. Reads project physical→logical;
+  // Catalyst pushes filters through that alias Project, so data
+  // skipping fires on physical attributes, which is exactly how the
+  // manifest stats are keyed.
+
+  val ColmapPrefix = "graft.colmap."
+  val ColdeadProp = "graft.coldead"
+
+  /** logical → physical, for the columns whose names diverge. */
+  private[graft] def colmapOf(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(ColmapPrefix) =>
+      k.stripPrefix(ColmapPrefix) -> v
+    }
+
+  /** The PHYSICAL name `logical` resolves to under `props`. */
+  private[graft] def physOf(props: Map[String, String], logical: String): String =
+    props.getOrElse(ColmapPrefix + logical, logical)
+
+  /** Retired physical names: dead bytes may exist under these in shared
+    * files, so no new column may ever take one as its physical identity.
+    */
+  private[graft] def coldeadOf(props: Map[String, String]): Set[String] =
+    props.get(ColdeadProp).fold(Set.empty[String])(
+      _.split(',').filter(_.nonEmpty).toSet)
+
+  /** `schema` with every field under its physical name — the shape the
+    * data files actually carry.
+    */
+  private def physicalSchema(schema: StructType,
+                             props: Map[String, String]): StructType = {
+    val cm = colmapOf(props)
+    if (cm.isEmpty) schema
+    else StructType(schema.fields.map(f =>
+      f.copy(name = cm.getOrElse(f.name, f.name))))
+  }
+
+  /** Rename `df`'s columns logical→physical for a data write. Columns
+    * outside the mapping (including engine-internal ones like `__vt_del`)
+    * pass through.
+    */
+  private def toPhysical(df: DataFrame, props: Map[String, String]): DataFrame = {
+    val cm = colmapOf(props)
+    if (cm.isEmpty || !df.columns.exists(cm.contains)) df
+    else df.select(df.columns.map(c =>
+      col(s"`$c`").as(cm.getOrElse(c, c))).toIndexedSeq: _*)
+  }
+
+  /** Read data files under their PHYSICAL schema and project back to the
+    * LOGICAL names — the one chokepoint every base/patch/CDF/DML read
+    * goes through. `extra` appends engine-internal fields (e.g. a patch
+    * file's `__vt_del`) that carry no mapping. The projection is a pure
+    * alias Project: Catalyst pushes filters through it, so the skipping
+    * rule still sees Filter-over-relation with physical attribute names,
+    * matching the manifest's stats keys.
+    */
+  private def readDataFiles(spark: SparkSession, schema: StructType,
+                            props: Map[String, String], paths: Seq[String],
+                            extra: Seq[org.apache.spark.sql.types.StructField] =
+                              Seq.empty): DataFrame = {
+    val phys = StructType(physicalSchema(schema, props).fields ++ extra)
+    val df = spark.read.schema(phys).parquet(paths: _*)
+    val cm = colmapOf(props)
+    if (cm.isEmpty || !schema.fieldNames.exists(cm.contains)) df
+    else df.select((schema.fields.map(f =>
+      col(s"`${cm.getOrElse(f.name, f.name)}`").as(f.name)) ++
+      extra.map(f => col(s"`${f.name}`"))).toIndexedSeq: _*)
+  }
+
   /** In-frame CHECK enforcement: the first column is wrapped so a
     * violating row raises DURING the commit's own write action — zero
     * extra jobs, and the failed commit leaves only vacuumable orphans
@@ -723,10 +805,13 @@ object VersionedTable {
     // filesystems, and the part-file NAME never contains a slash
     uri.substring(uri.lastIndexOf('/') + 1)
 
-  private def writeCommitFiles(df: DataFrame, dir: String, version: Long,
+  private def writeCommitFiles(df0: DataFrame, dir: String, version: Long,
                                statsCols: Seq[String],
                                bloomCols: Seq[String] = Seq.empty,
-                               bloomFpp: Double = 0.01): Seq[FileEntry] = {
+                               bloomFpp: Double = 0.01,
+                               props: Map[String, String] = Map.empty): Seq[FileEntry] = {
+    // files always carry PHYSICAL column names — stats/bloom keys follow
+    val df = toPhysical(df0, props)
     val spark = df.sparkSession
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val rel = s"data/c$version-$nonce"
@@ -877,8 +962,12 @@ object VersionedTable {
     }
     require(!props.contains(TableIdProp),
       s"VersionedTable.create: $TableIdProp is stamped by create itself")
+    require(!props.contains(ColdeadProp) &&
+        !props.keys.exists(_.startsWith(ColmapPrefix)),
+      "VersionedTable.create: graft.colmap.*/graft.coldead are managed by " +
+        "rename/drop column commits")
     val files = writeCommitFiles(withCheckGuards(df, props, "create"),
-      dir, 1L, statsCols, bloomCols, bloomFpp)
+      dir, 1L, statsCols, bloomCols, bloomFpp, props)
     publishCommit(spark, dir, None, 1L, "create", df.schema.toDDL, statsCols,
       txn.map(t => Map(t)).getOrElse(Map.empty), bloomCols, bloomFpp,
       Seq.empty, Seq.empty, adds = files, removes = Seq.empty,
@@ -959,7 +1048,7 @@ object VersionedTable {
         s"${expected.toDDL}, overwrite carries ${df.schema.toDDL}")
     val next = cur.version + 1
     val files = writeCommitFiles(withCheckGuards(df, cur.props, "commitOverwrite"),
-      dir, next, cur.statsCols, cur.bloomCols, cur.bloomFpp)
+      dir, next, cur.statsCols, cur.bloomCols, cur.bloomFpp, cur.props)
     publishCommit(spark, dir, Some(cur), next, "overwrite", cur.schemaDdl,
       cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
       Seq.empty, Seq.empty, adds = files,
@@ -1009,8 +1098,8 @@ object VersionedTable {
       else pruneEntries(spark, dir, ranges, inSets, Some(cur.version))._1
     val survivors =
       if (candidates.isEmpty) emptyDF(spark, schema)
-      else spark.read.schema(schema)
-        .parquet(candidates.map(f => dataPath(dir, f.path)): _*)
+      else readDataFiles(spark, schema, cur.props,
+          candidates.map(f => dataPath(dir, f.path)))
         .filter(!coalesce(cond, lit(false)))
     // containment guard on the NEW rows only — applied BEFORE the union so
     // survivor rows (which legitimately fail `cond`) never see it
@@ -1025,7 +1114,7 @@ object VersionedTable {
         .otherwise(col(c0)))
     val next = cur.version + 1
     val files = writeCommitFiles(survivors.unionByName(guardedNew), dir, next,
-      cur.statsCols, cur.bloomCols, cur.bloomFpp)
+      cur.statsCols, cur.bloomCols, cur.bloomFpp, cur.props)
     publishCommit(spark, dir, Some(cur), next, "replace_where", cur.schemaDdl,
       cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
       Seq.empty, Seq.empty, adds = files,
@@ -1054,7 +1143,7 @@ object VersionedTable {
         s"${expected.toDDL}, append carries ${df.schema.toDDL}")
     val next = cur.version + 1
     val files = writeCommitFiles(withCheckGuards(df, cur.props, "commitAppend"),
-      dir, next, cur.statsCols, cur.bloomCols, cur.bloomFpp)
+      dir, next, cur.statsCols, cur.bloomCols, cur.bloomFpp, cur.props)
     publishAppendRebasing(spark, dir, cur, "append", files, txn, "commitAppend")
   }
 
@@ -1081,7 +1170,7 @@ object VersionedTable {
     // CHECK guards can't see them — validate the registered files with
     // one O(batch) scan before publishing
     requireFilesPassChecks(spark, dir, cur.schemaDdl, entries,
-      checksOf(cur.props), "commitAddFiles")
+      checksOf(cur.props), "commitAddFiles", cur.props)
     publishAppendRebasing(spark, dir, cur, "add_files", entries, txn,
       "commitAddFiles")
   }
@@ -1140,8 +1229,8 @@ object VersionedTable {
       else pruneEntries(spark, dir, ranges, inSets, Some(cur.version))._1
     if (candidates.isEmpty) return cur.version
     val next = cur.version + 1
-    val base = spark.read.schema(schema)
-      .parquet(candidates.map(f => dataPath(dir, f.path)): _*)
+    val base = readDataFiles(spark, schema, cur.props,
+      candidates.map(f => dataPath(dir, f.path)))
     val rewritten0 = transform(base, schema)
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     // UPDATE introduces new values; DELETE's survivors already passed
@@ -1149,7 +1238,7 @@ object VersionedTable {
       if (op == "update") withCheckGuards(rewritten0, cur.props, "commitUpdate")
       else rewritten0
     val files = writeCommitFiles(rewritten, dir, next, cur.statsCols,
-      cur.bloomCols, cur.bloomFpp)
+      cur.bloomCols, cur.bloomFpp, cur.props)
     publishCommit(spark, dir, Some(cur), next, op, cur.schemaDdl,
       cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
       Seq.empty, Seq.empty, adds = files,
@@ -1178,15 +1267,16 @@ object VersionedTable {
   private def requireFilesPassChecks(spark: SparkSession, dir: String,
                                      schemaDdl: String, entries: Seq[FileEntry],
                                      checks: Seq[(String, String)],
-                                     label: String): Unit = {
+                                     label: String,
+                                     props: Map[String, String]): Unit = {
     if (checks.isEmpty || entries.isEmpty) return
     val parser = spark.sessionState.sqlParser
     val anyBad = checks.map { case (_, sql) =>
       !coalesce(org.apache.spark.sql.GraftShim.column(
         parser.parseExpression(sql)), lit(true))
     }.reduce(_ || _)
-    val bad = spark.read.schema(StructType.fromDDL(schemaDdl))
-      .parquet(entries.map(e => dataPath(dir, e.path)): _*)
+    val bad = readDataFiles(spark, StructType.fromDDL(schemaDdl), props,
+        entries.map(e => dataPath(dir, e.path)))
       .filter(anyBad).limit(1).count()
     require(bad == 0L,
       s"VersionedTable.$label: rows violate a live CHECK constraint " +
@@ -1263,7 +1353,7 @@ object VersionedTable {
           // validate under the NEW head's schema: a constraint may
           // reference an appended column, which our files read as NULL
           requireFilesPassChecks(spark, dir, newCur.schemaDdl, adds,
-            addedChecks, label)
+            addedChecks, label, newCur.props)
           cur = newCur
       }
     }
@@ -1349,10 +1439,129 @@ object VersionedTable {
     val dup = added.map(_.name.toLowerCase).groupBy(identity).filter(_._2.size > 1)
     require(dup.isEmpty, s"commitAddColumns: duplicate new columns ${dup.keys}")
     val next = cur.version + 1
+    // physical-identity hygiene: a new column whose name matches a
+    // RETIRED physical (a dropped column's bytes still sit in shared
+    // files) or another column's live physical must NOT bind those bytes
+    // — it gets a fresh physical name and reads NULL from every existing
+    // file, exactly like any appended column
+    val livePhys = physicalSchema(schema, cur.props)
+      .fieldNames.map(_.toLowerCase).toSet
+    val dead = coldeadOf(cur.props).map(_.toLowerCase)
+    val remapped = added.flatMap { f =>
+      val n = f.name.toLowerCase
+      if (dead.contains(n) || livePhys.contains(n))
+        Some(ColmapPrefix + f.name -> s"${f.name}__p$next")
+      else None
+    }
     publishCommit(spark, dir, Some(cur), next, "addColumns",
       StructType(schema.fields ++ added).toDDL, cur.statsCols, cur.txns,
       cur.bloomCols, cur.bloomFpp, Seq.empty, Seq.empty,
-      adds = Seq.empty, removes = Seq.empty)
+      adds = Seq.empty, removes = Seq.empty,
+      props = if (remapped.isEmpty) None else Some(cur.props ++ remapped))
+    next
+  }
+
+  /** The CHECK constraints whose predicate references `colName` — the
+    * guard renames/drops consult: a constraint compiled against the old
+    * name would bind nothing (or the wrong thing) after the change, so
+    * the operation refuses until the constraint is dropped/re-added.
+    */
+  private def checksReferencing(spark: SparkSession,
+                                props: Map[String, String],
+                                colName: String): Seq[String] =
+    checksOf(props).filter { case (_, sql) =>
+      spark.sessionState.sqlParser.parseExpression(sql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.mkString(".")
+      }.exists(_.equalsIgnoreCase(colName))
+    }.map(_._1)
+
+  /** Metadata-only RENAME COLUMN (Delta column-mapping semantics): an
+    * O(1) manifest commit — zero data files read or written. The
+    * column's PHYSICAL name (its field name inside every shared,
+    * immutable parquet file, and its manifest stats/bloom key) stays
+    * what it always was; only the LOGICAL name in `schemaDdl` changes,
+    * with a `graft.colmap` prop recording the divergence. Every read
+    * projects physical→logical, so old and new files resolve alike;
+    * time travel keeps each version's own names. Refused: renames onto
+    * an existing logical name, onto any LIVE or RETIRED physical name
+    * (predicate translation would turn ambiguous), of a column a CHECK
+    * constraint references (drop and re-add the constraint), engine-
+    * reserved names, and tables with an unfolded patch chain.
+    */
+  def commitRenameColumn(spark: SparkSession, dir: String,
+                         from: String, to: String): Long = {
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.commitRenameColumn: $dir is not a versioned table")))
+    requireNoPatches(cur.patches, "commitRenameColumn")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(schema.fieldNames.contains(from),
+      s"VersionedTable.commitRenameColumn: no column '$from' — table has " +
+        schema.fieldNames.mkString(", "))
+    require(!Seq("__vt_del", "__vt_seq").contains(to.toLowerCase),
+      s"VersionedTable.commitRenameColumn: '$to' is engine-reserved")
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"VersionedTable.commitRenameColumn: column '$to' already exists")
+    val livePhys = physicalSchema(schema, cur.props)
+      .fieldNames.filterNot(_ == physOf(cur.props, from))
+    require(!livePhys.exists(_.equalsIgnoreCase(to)) &&
+        !coldeadOf(cur.props).exists(_.equalsIgnoreCase(to)),
+      s"VersionedTable.commitRenameColumn: '$to' collides with a live or " +
+        "retired PHYSICAL column name — shared files carry bytes under it")
+    val refs = checksReferencing(spark, cur.props, from)
+    require(refs.isEmpty,
+      s"VersionedTable.commitRenameColumn: CHECK constraint(s) " +
+        s"${refs.mkString(", ")} reference '$from' — drop them, rename, " +
+        "re-add against the new name")
+    val phys = physOf(cur.props, from)
+    val newProps = (cur.props - (ColmapPrefix + from)) ++
+      (if (phys == to) Map.empty else Map(ColmapPrefix + to -> phys))
+    val newDdl = StructType(schema.fields.map(f =>
+      if (f.name == from) f.copy(name = to) else f)).toDDL
+    val next = cur.version + 1
+    publishCommit(spark, dir, Some(cur), next, "rename_column", newDdl,
+      cur.statsCols, cur.txns, cur.bloomCols, cur.bloomFpp,
+      Seq.empty, Seq.empty, adds = Seq.empty, removes = Seq.empty,
+      props = Some(newProps))
+    next
+  }
+
+  /** Metadata-only DROP COLUMN: an O(1) manifest commit — the column
+    * leaves the logical schema while its bytes stay dead in the shared
+    * files (older versions still time-travel to them; vacuum reclaims
+    * whole files, not columns). The retired PHYSICAL name is recorded in
+    * `graft.coldead` so a later ADD COLUMNS of the same name gets a
+    * FRESH physical identity instead of silently resurrecting the dead
+    * bytes. Stats/bloom declarations for the column are dropped so
+    * future writes stop computing them. Refused: the last column, a
+    * column a CHECK constraint references, patch-chain tables.
+    */
+  def commitDropColumn(spark: SparkSession, dir: String, name: String): Long = {
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.commitDropColumn: $dir is not a versioned table")))
+    requireNoPatches(cur.patches, "commitDropColumn")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    require(schema.fieldNames.contains(name),
+      s"VersionedTable.commitDropColumn: no column '$name' — table has " +
+        schema.fieldNames.mkString(", "))
+    require(schema.fields.length >= 2,
+      "VersionedTable.commitDropColumn: cannot drop the last column")
+    val refs = checksReferencing(spark, cur.props, name)
+    require(refs.isEmpty,
+      s"VersionedTable.commitDropColumn: CHECK constraint(s) " +
+        s"${refs.mkString(", ")} reference '$name' — drop them first")
+    val phys = physOf(cur.props, name)
+    val newProps = (cur.props - (ColmapPrefix + name)) +
+      (ColdeadProp -> (coldeadOf(cur.props) + phys).toSeq.sorted.mkString(","))
+    val newDdl = StructType(schema.fields.filterNot(_.name == name)).toDDL
+    val next = cur.version + 1
+    publishCommit(spark, dir, Some(cur), next, "drop_column", newDdl,
+      cur.statsCols.filterNot(_ == phys), cur.txns,
+      cur.bloomCols.filterNot(_ == phys), cur.bloomFpp,
+      Seq.empty, Seq.empty, adds = Seq.empty, removes = Seq.empty,
+      props = Some(newProps))
     next
   }
 
@@ -1368,7 +1577,7 @@ object VersionedTable {
     if (alreadyApplied(cur, txn)) return cur.version
     requireNoPatches(cur.patches, "commitMerge")
     val key = keys.head
-    require(cur.statsCols.contains(key),
+    require(cur.statsCols.contains(physOf(cur.props, key)),
       s"VersionedTable.commitMerge: merge key $key is not a stats column " +
         s"(${cur.statsCols.mkString(", ")}) — file pruning would be impossible; " +
         "declare it in create(statsCols)")
@@ -1390,19 +1599,21 @@ object VersionedTable {
                            op: String): Long = {
     val schema = StructType.fromDDL(cur.schemaDdl)
     val key = keys.head
+    val physKey = physOf(cur.props, key) // stats/bloom keys are physical
     // touched files rewrite; everything else carries BY OMISSION — the
     // delta manifest only ever names the touched paths, so the carried
     // 10⁶-file tail costs nothing on the metadata path
     val touched: Seq[FileEntry] =
-      if (!cur.statsCols.contains(key)) materializeFiles(spark, dir, cur.version)
-      else findTouchedFiles(spark, dir, cur, deduped, key, schema)
+      if (!cur.statsCols.contains(physKey)) materializeFiles(spark, dir, cur.version)
+      else findTouchedFiles(spark, dir, cur, deduped, key, physKey, schema)
     val touchedCount = touched.size
     val next = cur.version + 1
     val base =
       if (touched.isEmpty)
         emptyDF(spark, schema)
       else
-        spark.read.schema(schema).parquet(touched.map(f => dataPath(dir, f.path)): _*)
+        readDataFiles(spark, schema, cur.props,
+          touched.map(f => dataPath(dir, f.path)))
     val applied =
       if (evolve) Warehouse.applyChangesEvolve(base, deduped, keys, deleteCond, metaCols)
       else Warehouse.applyChanges(base, deduped, keys, deleteCond)
@@ -1410,6 +1621,20 @@ object VersionedTable {
     // them on disk and read as NULL through the evolved manifest schema
     val outCols = schema.fieldNames ++
       applied.columns.filterNot(schema.fieldNames.contains)
+    // an evolved-in column takes its name as its PHYSICAL identity — it
+    // must not bind a retired physical (dead bytes in shared files) or
+    // another column's physical; commitAddColumns remaps such names, the
+    // implicit evolve path refuses and points there
+    if (evolve) {
+      val taken = coldeadOf(cur.props) ++ colmapOf(cur.props).values
+      val clash = outCols.filterNot(schema.fieldNames.contains)
+        .filter(n => taken.exists(_.equalsIgnoreCase(n)))
+      require(clash.isEmpty,
+        s"VersionedTable.commit${op.capitalize}: evolved column(s) " +
+          s"${clash.mkString(", ")} collide with retired or mapped PHYSICAL " +
+          "names — add them explicitly with commitAddColumns (which assigns " +
+          "a fresh physical identity) before merging")
+    }
     val merged = withCheckGuards(
       applied.select(outCols.map(col): _*), cur.props, s"commit${op.capitalize}")
     // DDL stays byte-identical on a plain merge (toDDL would let
@@ -1444,7 +1669,7 @@ object VersionedTable {
         merged.coalesce(touchedCount)
       else merged
     val files = writeCommitFiles(clustered, dir, next, cur.statsCols,
-      cur.bloomCols, cur.bloomFpp)
+      cur.bloomCols, cur.bloomFpp, cur.props)
     publishCommit(spark, dir, Some(cur), next, op, outDdl, cur.statsCols,
       txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp, Seq.empty, Seq.empty,
       adds = files, removes = touched.map(f => (f.path, f.rows)))
@@ -1465,6 +1690,7 @@ object VersionedTable {
     */
   private def findTouchedFiles(spark: SparkSession, dir: String, cur: ManifestMeta,
                                deduped: DataFrame, key: String,
+                               physKey: String,
                                schema: StructType): Seq[FileEntry] = {
     val keyType = schema(key).dataType
     if (cur.numFiles == 0) return Seq.empty
@@ -1482,7 +1708,7 @@ object VersionedTable {
         // distinct keys broadcast — the driver never parses an O(table)
         // file list. Survivors (the only files a changed key could live
         // in) collect for the exact/bloom pass below.
-        val st = col("stats").getItem(key)
+        val st = col("stats").getItem(physKey)
         val mn = st.getField("min").cast(keyType)
         val mx = st.getField("max").cast(keyType)
         val keysDf = deduped.select(col(key).cast(keyType).as("__k")).distinct()
@@ -1498,11 +1724,11 @@ object VersionedTable {
     // above the cap (or without a bloom on the key) its verdict is
     // byte-identical to the survivor set, so skip the redundant join
     if (distributed &&
-        (!cur.bloomCols.contains(key) ||
+        (!cur.bloomCols.contains(physKey) ||
           candidateEntries.size > maxBloomRefineFiles))
       return candidateEntries
     val touched = touchedAmong(spark, dir, cur, candidateEntries, deduped,
-      key, keyType)
+      key, physKey, keyType)
     candidateEntries.filter(f => touched(f.path))
   }
 
@@ -1512,10 +1738,10 @@ object VersionedTable {
     */
   private def touchedAmong(spark: SparkSession, dir: String, cur: ManifestMeta,
                            files: Seq[FileEntry], deduped: DataFrame,
-                           key: String,
+                           key: String, physKey: String,
                            keyType: org.apache.spark.sql.types.DataType): Set[String] = {
     val intervals = files.map { f =>
-      f.stats.get(key) match {
+      f.stats.get(physKey) match {
         case Some(ColStat(_, Some(mn), Some(mx), _)) => (f.path, mn, mx, false)
         case _ => (f.path, null: String, null: String, true) // no stats → always touched
       }
@@ -1532,13 +1758,13 @@ object VersionedTable {
         "inner")
     val intervalTouched = candidates
       .select("__path").distinct().collect().map(_.getString(0)).toSet
-    if (!cur.bloomCols.contains(key) ||
+    if (!cur.bloomCols.contains(physKey) ||
         intervalTouched.size > maxBloomRefineFiles) intervalTouched
     else {
       val entries = files.filter(f => intervalTouched(f.path))
       val fs = fsOf(spark, dir)
       val bloomMap = entries.flatMap(f =>
-        loadBloom(fs, dir, f, key).map(f.path -> _)).toMap
+        loadBloom(fs, dir, f, physKey).map(f.path -> _)).toMap
       if (bloomMap.isEmpty) intervalTouched
       else {
         val bc = spark.sparkContext.broadcast(bloomMap)
@@ -1584,8 +1810,8 @@ object VersionedTable {
     if (toRewrite.isEmpty) return cur.version
     val bytes = toRewrite.map(_._2).sum
     val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-    val rows = spark.read.schema(schema)
-      .parquet(toRewrite.map(f => dataPath(dir, f._1.path)): _*)
+    val rows = readDataFiles(spark, schema, cur.props,
+      toRewrite.map(f => dataPath(dir, f._1.path)))
     val packed =
       if (zorder) {
         // OPTIMIZE ZORDER: cluster by the Morton z-value of 2-8 columns
@@ -1622,7 +1848,7 @@ object VersionedTable {
       else rows.coalesce(nOut)
     val next = cur.version + 1
     val files = writeCommitFiles(packed, dir, next, cur.statsCols,
-      cur.bloomCols, cur.bloomFpp)
+      cur.bloomCols, cur.bloomFpp, cur.props)
     publishCommit(spark, dir, Some(curMeta), next, "compact", cur.schemaDdl,
       cur.statsCols, cur.txns, cur.bloomCols, cur.bloomFpp, Seq.empty, Seq.empty,
       adds = files, removes = toRewrite.map(f => (f._1.path, f._1.rows)))
@@ -1678,7 +1904,9 @@ object VersionedTable {
       withCheckGuards(flagged, cur.props, "commitPatch",
         precond = !col("__vt_del")),
       dir, next,
-      cur.statsCols.filter(schema.fieldNames.contains))
+      cur.statsCols.filter(
+        physicalSchema(schema, cur.props).fieldNames.contains),
+      props = cur.props)
     // base file set untouched: an empty adds/removes delta — O(patch), not
     // O(table), which is the whole point of merge-on-read
     publishCommit(spark, dir, Some(cur), next, "patch", cur.schemaDdl,
@@ -1703,7 +1931,8 @@ object VersionedTable {
         s"VersionedTable.compactPatches: $dir is not a versioned table")))
     if (cur.patches.isEmpty) return cur.version
     val schema = StructType.fromDDL(cur.schemaDdl)
-    val changelog = chainChangelog(spark, dir, cur.patches, cur.mergeKeys, schema)
+    val changelog = chainChangelog(spark, dir, cur.patches, cur.mergeKeys,
+      schema, cur.props)
     cowMergeCore(spark, dir, cur, changelog, cur.mergeKeys,
       col("__vt_del"), txn = None, evolve = false, metaCols = Seq.empty,
       op = "compact")
@@ -1729,7 +1958,8 @@ object VersionedTable {
     if (m.files.isEmpty)
       emptyDF(spark, schema)
     else {
-      val df = spark.read.schema(schema).parquet(m.files.map(f => dataPath(dir, f.path)): _*)
+      val df = readDataFiles(spark, schema, m.props,
+        m.files.map(f => dataPath(dir, f.path)))
       df.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           lr.setTagValue(pruneTag, (dir, m.version))
@@ -1750,10 +1980,13 @@ object VersionedTable {
   private def chainChangelog(spark: SparkSession, dir: String,
                              patches: Seq[Seq[FileEntry]],
                              mergeKeys: Seq[String],
-                             schema: StructType): DataFrame = {
-    val ps = patchSchemaOf(schema)
+                             schema: StructType,
+                             props: Map[String, String]): DataFrame = {
+    val delField = org.apache.spark.sql.types.StructField(
+      "__vt_del", org.apache.spark.sql.types.BooleanType)
     val all = patches.zipWithIndex.map { case (batch, i) =>
-      spark.read.schema(ps).parquet(batch.map(f => dataPath(dir, f.path)): _*)
+      readDataFiles(spark, schema, props,
+          batch.map(f => dataPath(dir, f.path)), extra = Seq(delField))
         .withColumn("__vt_seq", lit(i))
     }.reduce(_ unionByName _)
     Warehouse.dedupByKey(all, mergeKeys, Seq(col("__vt_seq").desc))
@@ -1766,10 +1999,11 @@ object VersionedTable {
     */
   private def foldPatches(spark: SparkSession, dir: String,
                           patches: Seq[Seq[FileEntry]], mergeKeys: Seq[String],
-                          base: DataFrame, schema: StructType): DataFrame = {
+                          base: DataFrame, schema: StructType,
+                          props: Map[String, String]): DataFrame = {
     if (patches.isEmpty) return base
     Warehouse.applyChanges(base,
-        chainChangelog(spark, dir, patches, mergeKeys, schema),
+        chainChangelog(spark, dir, patches, mergeKeys, schema, props),
         mergeKeys, col("__vt_del"))
       .select(schema.fieldNames.map(col): _*)
   }
@@ -1786,7 +2020,7 @@ object VersionedTable {
     val m = readManifest(spark, dir, v)
     val schema = StructType.fromDDL(m.schemaDdl)
     foldPatches(spark, dir, m.patches, m.mergeKeys,
-      baseRead(spark, dir, m, schema), schema)
+      baseRead(spark, dir, m, schema), schema, m.props)
   }
 
   /** Data-skipping read: `column BETWEEN lo AND hi`, with files whose
@@ -1827,8 +2061,8 @@ object VersionedTable {
       if (survivors.isEmpty)
         emptyDF(spark, schema)
       else
-        spark.read.schema(schema).parquet(survivors.map(p => dataPath(dir, p)): _*)
-    foldPatches(spark, dir, m.patches, m.mergeKeys, base, schema)
+        readDataFiles(spark, schema, m.props, survivors.map(p => dataPath(dir, p)))
+    foldPatches(spark, dir, m.patches, m.mergeKeys, base, schema, m.props)
   }
 
   /** The file-level pruning decision behind [[readPruned]], exposed for
@@ -1890,8 +2124,20 @@ object VersionedTable {
       throw new IllegalArgumentException(s"VersionedTable.readPruned: $dir is not a versioned table"))
     val m = readMeta(spark, dir, v)
     val schema = StructType.fromDDL(m.schemaDdl)
-    val activeRanges = ranges.filter { case (c, _, _) => m.statsCols.contains(c) }
-    val activeIns = inSets.filter { case (c, vs) => m.statsCols.contains(c) && vs.nonEmpty }
+    // predicates arrive in LOGICAL names from library callers and in
+    // PHYSICAL names from the skipping rule (filters pushed below the
+    // alias Project); stats/bloom keys are physical — translate, no-op
+    // when the names coincide
+    val toPhys = (c: String) => physOf(m.props, c)
+    val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
+      schema.fields.flatMap(f =>
+        Seq(f.name -> f.dataType, toPhys(f.name) -> f.dataType)).toMap
+    val activeRanges = ranges
+      .map { case (c, lo, hi) => (toPhys(c), lo, hi) }
+      .filter { case (c, _, _) => m.statsCols.contains(c) }
+    val activeIns = inSets
+      .map { case (c, vs) => (toPhys(c), vs) }
+      .filter { case (c, vs) => m.statsCols.contains(c) && vs.nonEmpty }
     if (activeRanges.isEmpty && activeIns.isEmpty)
       return (materializeFiles(spark, dir, v), m)
     if (m.numFiles == 0) return (Seq.empty, m)
@@ -1927,7 +2173,7 @@ object VersionedTable {
           })
         def surviving(c: String)(rangeTest: (Column, Column) => Column): Column = {
           val i = idx(c)
-          val t = schema(c).dataType
+          val t = typeOf(c)
           (col(s"__kind_$i") === "blind") ||
             (col(s"__kind_$i") === "range" &&
               rangeTest(col(s"__min_$i").cast(t), col(s"__max_$i").cast(t)))
@@ -1956,7 +2202,7 @@ object VersionedTable {
         // present with null bounds → all-null (pruned), else the interval
         // test through the column's own Catalyst type
         def surviving(c: String)(rangeTest: (Column, Column) => Column): Column = {
-          val t = schema(c).dataType
+          val t = typeOf(c)
           val e = col("stats").getItem(c)
           e.isNull || (e.getField("min").isNotNull &&
             rangeTest(e.getField("min").cast(t), e.getField("max").cast(t)))
@@ -1976,7 +2222,7 @@ object VersionedTable {
         filesDF(spark, dir, v).filter(cond)
           .as[FileEntry](fileEntryEnc).collect().toSeq
       }
-    (bloomRefine(spark, dir, m, schema, activeIns, survivorEntries), m)
+    (bloomRefine(spark, dir, m, typeOf, activeIns, survivorEntries), m)
   }
 
   /** Spec window into the full pruning pipeline (intervals + bloom
@@ -1997,7 +2243,7 @@ object VersionedTable {
     * because SQL IN never selects on NULL either.
     */
   private def bloomRefine(spark: SparkSession, dir: String, m: ManifestMeta,
-                          schema: StructType,
+                          typeOf: Map[String, org.apache.spark.sql.types.DataType],
                           inSets: Seq[(String, Seq[Column])],
                           survivors: Seq[FileEntry]): Seq[FileEntry] = {
     val refinable = inSets.filter { case (c, vs) =>
@@ -2007,7 +2253,7 @@ object VersionedTable {
     // evaluate each probe value's xxhash64 EXACTLY as the write side did
     // (cast to the column's own type first) — one local no-scan projection
     val hashCols = refinable.flatMap { case (c, vs) =>
-      val t = schema(c).dataType
+      val t = typeOf(c)
       vs.map(v => xxhash64(v.cast(t)))
     }
     val row = spark.range(1).select(hashCols: _*).head()
@@ -2163,7 +2409,7 @@ object VersionedTable {
     }
     def readSet(ps: Seq[String]): DataFrame =
       if (ps.isEmpty) emptyDF(spark, schema)
-      else spark.read.schema(schema).parquet(ps.map(p => dataPath(dir, p)): _*)
+      else readDataFiles(spark, schema, m2.props, ps.map(p => dataPath(dir, p)))
     // base-file delta across the window: when every manifest in it is
     // delta-mode the diff folds from the manifests themselves — O(window
     // changes), never touching the O(table) file lists. A full/restore
@@ -2201,8 +2447,10 @@ object VersionedTable {
       // truth under merge-on-read), restricted to those keys, so the diff
       // reads O(new patches + key-pruned folds), not the table
       val newFiles = m2.patches.drop(m1.patches.size).flatten
-      val changedKeys = spark.read.schema(patchSchemaOf(schema))
-        .parquet(newFiles.map(f => dataPath(dir, f.path)): _*)
+      val changedKeys = readDataFiles(spark, schema, m2.props,
+          newFiles.map(f => dataPath(dir, f.path)),
+          extra = Seq(org.apache.spark.sql.types.StructField(
+            "__vt_del", org.apache.spark.sql.types.BooleanType)))
         .select(keys.map(col): _*).distinct()
       classify(
         align(read(spark, dir, Some(fromV))).join(changedKeys, keys, "left_semi"),
@@ -2269,7 +2517,7 @@ object VersionedTable {
     def readSet(ps: Seq[String], sign: Int): DataFrame = {
       val base =
         if (ps.isEmpty) emptyDF(spark, schema)
-        else spark.read.schema(schema).parquet(ps.map(p => dataPath(dir, p)): _*)
+        else readDataFiles(spark, schema, m2.props, ps.map(p => dataPath(dir, p)))
       base.withColumn("__sign", lit(sign.toLong))
     }
     Some(readSet(added, 1).unionByName(readSet(removed, -1)))
@@ -2356,8 +2604,11 @@ object VersionedTable {
     val v = asOf.orElse(currentVersion(spark, dir)).getOrElse(
       throw new IllegalArgumentException(s"VersionedTable.tableStats: $dir is not a versioned table"))
     val (m, folds) = statsFold(spark, dir, v)
+    // stats keys are PHYSICAL; present them under the logical names the
+    // caller knows (a renamed column's stats follow it)
+    val logicalOf = colmapOf(m.props).map(_.swap)
     TableStats(m.totalRows, exact = m.patches.isEmpty,
-      m.statsCols.map(c => c -> {
+      m.statsCols.map(c => logicalOf.getOrElse(c, c) -> {
         val f = folds(c); (f.nulls, f.min, f.max)
       }).toMap)
   }
@@ -2402,9 +2653,18 @@ object VersionedTable {
           s"a live CHECK constraint (${checks.map(_._1).mkString(", ")}) — " +
           "drop the constraint first or restore to a validated version")
     }
-    // data rolls back; table-level identity/props do NOT (same table)
+    // data rolls back; table-level identity/props do NOT (same table) —
+    // EXCEPT the column-mapping state, which is schema-bound: the header
+    // carries the TARGET's schemaDdl, so its colmap/coldead must be the
+    // target's too, or a restored-then-readded column could bind another
+    // column's physical bytes
+    val mergedProps = cur.props.filterNot { case (k, _) =>
+      k.startsWith(ColmapPrefix) || k == ColdeadProp
+    } ++ target.props.filter { case (k, _) =>
+      k.startsWith(ColmapPrefix) || k == ColdeadProp
+    }
     val header = target.copy(version = curV + 1, op = "restore",
-      txns = cur.txns, props = cur.props, inlineFiles = Seq.empty,
+      txns = cur.txns, props = mergedProps, inlineFiles = Seq.empty,
       adds = Seq.empty, removes = Seq.empty)
     val fs = fsOf(spark, dir)
     if (target.numFiles <= inlineMaxFiles(spark))

@@ -125,7 +125,8 @@ object GraftDml {
         "[ZORDER BY (c1, c2[, ...])]; VACUUM graft_vtable('ref') RETAIN " +
         "<n> VERSIONS; RESTORE TABLE graft_vtable('ref') TO VERSION AS OF " +
         "<n> | TO TIMESTAMP AS OF '<ts>'; " +
-        "ALTER TABLE graft_vtable('ref') ADD COLUMNS (c type[, ...]); " +
+        "ALTER TABLE graft_vtable('ref') ADD COLUMNS (c type[, ...]) | " +
+        "RENAME COLUMN a TO b | DROP COLUMN c; " +
         "INSERT INTO|OVERWRITE graft_vtable('ref') <query>; " +
         "INSERT INTO graft_vtable('ref') REPLACE WHERE (<cond>) <query>")
 
@@ -340,27 +341,38 @@ object GraftDml {
 
   /** `ALTER TABLE graft_vtable('ref') ADD COLUMNS (c1 type1[, ...])` —
     * metadata-only schema evolution ([[VersionedTable.commitAddColumns]]);
-    * `... ADD CONSTRAINT name CHECK (expr)` / `... DROP CONSTRAINT name` —
-    * table-level CHECK constraints enforced by every later live-row
-    * commit ([[VersionedTable.addCheckConstraint]]). Drops/renames/type
-    * changes of COLUMNS are not supported: they would corrupt shared
-    * immutable files older versions time-travel to.
+    * `... RENAME COLUMN a TO b` / `... DROP COLUMN c` — metadata-only
+    * column mapping ([[VersionedTable.commitRenameColumn]]/
+    * [[VersionedTable.commitDropColumn]]: shared immutable files keep
+    * their physical names; dropped bytes stay dead and can never be
+    * resurrected by a re-add); `... ADD CONSTRAINT name CHECK (expr)` /
+    * `... DROP CONSTRAINT name` — table-level CHECK constraints enforced
+    * by every later live-row commit
+    * ([[VersionedTable.addCheckConstraint]]). TYPE changes are not
+    * supported: they would corrupt shared immutable files older versions
+    * time-travel to.
     */
   private def parseAlter(target: String, rest: String): LogicalPlan = {
     val t = rest.trim
     val addCons = """(?is)^ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)$""".r
     val dropCons = """(?is)^DROP\s+CONSTRAINT\s+(\w+)$""".r
+    val renameCol = """(?is)^RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*$""".r
+    val dropCol = """(?is)^DROP\s+COLUMN\s+(\w+)\s*;?\s*$""".r
     t match {
       case addCons(name, expr) =>
         return GraftAlterConstraintCommand(target, name, Some(expr.trim))
       case dropCons(name) =>
         return GraftAlterConstraintCommand(target, name, None)
+      case renameCol(from, to) =>
+        return GraftAlterColumnCommand(target, from, Some(to))
+      case dropCol(name) =>
+        return GraftAlterColumnCommand(target, name, None)
       case _ =>
     }
     val m = """(?is)^ADD\s+COLUMNS\s*\((.+)\)$""".r.findFirstMatchIn(t)
       .getOrElse(fail(s"ALTER TABLE: only ADD COLUMNS (c type[, ...]), " +
-        "ADD CONSTRAINT name CHECK (expr), and DROP CONSTRAINT name are " +
-        s"supported, got '$t'"))
+        "RENAME COLUMN a TO b, DROP COLUMN c, ADD CONSTRAINT name CHECK " +
+        s"(expr), and DROP CONSTRAINT name are supported, got '$t'"))
     val cols = topLevelSplit(m.group(1), ",").map(_.trim).filter(_.nonEmpty).map { cd =>
       val cm = """(?s)^(\w+)\s+(.+)$""".r.findFirstMatchIn(cd)
         .getOrElse(fail(s"ALTER TABLE: cannot parse column definition '$cd'"))
@@ -658,6 +670,29 @@ case class GraftAlterConstraintCommand(target: String, name: String,
 /** `ALTER TABLE graft_vtable(...) ADD COLUMNS (...)` — O(1) metadata-only
   * schema evolution; no data file is read or written.
   */
+/** `ALTER TABLE graft_vtable('ref') RENAME COLUMN a TO b` / `DROP COLUMN
+  * c` — metadata-only schema evolution over shared immutable files
+  * ([[VersionedTable.commitRenameColumn]]/[[VersionedTable.commitDropColumn]]
+  * — the Delta column-mapping idea): O(1) commits, zero data bytes
+  * touched, dropped/renamed physical identities tracked so later adds
+  * can never resurrect dead bytes.
+  */
+case class GraftAlterColumnCommand(target: String, column: String,
+                                   renameTo: Option[String])
+  extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    GraftDml.versionOutput
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftCatalog.resolveDir(spark, target)
+    Seq(Row(VersionedTable.withCommitRetry() {
+      renameTo match {
+        case Some(to) => VersionedTable.commitRenameColumn(spark, dir, column, to)
+        case None => VersionedTable.commitDropColumn(spark, dir, column)
+      }
+    }))
+  }
+}
+
 case class GraftAlterAddColumnsCommand(target: String, cols: Seq[(String, String)])
   extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =

@@ -85,6 +85,7 @@ class ContractSpec extends SparkSuite {
       "q_ddl_sql",         // parsed CREATE TABLE AS + MERGE (eager, like all DDL/DML)
       "q_maintenance_sql", // parsed OPTIMIZE/ALTER/UPDATE/DELETE/RESTORE/VACUUM chain
       "q_replace_where",   // versioned-table create + parsed REPLACE WHERE commit
+      "q_colmap_sql",      // create + rename/drop/re-add column chain (eager DDL)
       "q_clone_sql",       // source create + DELETE + zero-copy clone + clone DELETE
       "q_time_travel_ts",  // versioned-table create + UPDATE (ts read is metadata)
       "q_mv_rewrite",      // source table + two view refreshes + plan-assert probe

@@ -344,7 +344,7 @@ class SqlDmlSpec extends SparkSuite {
       s"ALTER TABLE graft_vtable('$dir') ADD COLUMNS (K BIGINT)").collect())
     assert(ex.getMessage.contains("already exists"))
     val ex2 = intercept[IllegalArgumentException](
-      GraftDml.parse(s"ALTER TABLE graft_vtable('$dir') DROP COLUMN v"))
+      GraftDml.parse(s"ALTER TABLE graft_vtable('$dir') ALTER COLUMN v TYPE STRING"))
     assert(ex2.getMessage.contains("ADD COLUMNS"))
     assert(GraftDml.parse("ALTER TABLE plain ADD COLUMNS (x INT)").isEmpty)
   }
