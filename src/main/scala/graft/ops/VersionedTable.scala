@@ -1268,15 +1268,24 @@ object VersionedTable {
                                      schemaDdl: String, entries: Seq[FileEntry],
                                      checks: Seq[(String, String)],
                                      label: String,
-                                     props: Map[String, String]): Unit = {
+                                     props: Map[String, String],
+                                     patchShape: Boolean = false): Unit = {
     if (checks.isEmpty || entries.isEmpty) return
     val parser = spark.sessionState.sqlParser
     val anyBad = checks.map { case (_, sql) =>
       !coalesce(org.apache.spark.sql.GraftShim.column(
         parser.parseExpression(sql)), lit(true))
     }.reduce(_ || _)
-    val bad = readDataFiles(spark, StructType.fromDDL(schemaDdl), props,
-        entries.map(e => dataPath(dir, e.path)))
+    // patch files carry a __vt_del flag; tombstone payloads are dead
+    // weight and exempt from constraints, same as the in-frame guards
+    val extra =
+      if (!patchShape) Seq.empty
+      else Seq(org.apache.spark.sql.types.StructField(
+        "__vt_del", org.apache.spark.sql.types.BooleanType))
+    val df0 = readDataFiles(spark, StructType.fromDDL(schemaDdl), props,
+      entries.map(e => dataPath(dir, e.path)), extra = extra)
+    val df = if (patchShape) df0.filter(!col("__vt_del")) else df0
+    val bad = df
       .filter(anyBad).limit(1).count()
     require(bad == 0L,
       s"VersionedTable.$label: rows violate a live CHECK constraint " +
@@ -1908,12 +1917,43 @@ object VersionedTable {
         physicalSchema(schema, cur.props).fieldNames.contains),
       props = cur.props)
     // base file set untouched: an empty adds/removes delta — O(patch), not
-    // O(table), which is the whole point of merge-on-read
-    publishCommit(spark, dir, Some(cur), next, "patch", cur.schemaDdl,
-      cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
-      cur.patches ++ (if (files.nonEmpty) Seq(files) else Seq.empty), keys,
-      adds = Seq.empty, removes = Seq.empty)
-    next
+    // O(table), which is the whole point of merge-on-read. A lost version
+    // race REBASES like an append ([[publishAppendRebasing]]'s logic,
+    // patch-shaped): the batch's content is input-only, so stacking it on
+    // the new head — after whatever patches, merges, or compactions won —
+    // is exactly what a serialized re-run would produce, without
+    // re-running the data write. Schema or key changes rethrow for the
+    // full-retry path; constraints added by a winner re-validate the
+    // batch's LIVE rows with one O(batch) scan.
+    var head = cur
+    var rebases = 0
+    while (true) {
+      raceBeforePublish()
+      try {
+        publishCommit(spark, dir, Some(head), head.version + 1, "patch",
+          head.schemaDdl, head.statsCols, txnsAfter(head, txn),
+          head.bloomCols, head.bloomFpp,
+          head.patches ++ (if (files.nonEmpty) Seq(files) else Seq.empty),
+          keys, adds = Seq.empty, removes = Seq.empty)
+        return head.version + 1
+      } catch {
+        case e: ConcurrentCommitException =>
+          rebases += 1
+          if (rebases >= 100) throw e
+          val newHead = readMeta(spark, dir,
+            currentVersion(spark, dir).getOrElse(throw e))
+          if (alreadyApplied(newHead, txn)) return newHead.version
+          if (newHead.schemaDdl != head.schemaDdl ||
+              !(newHead.mergeKeys.isEmpty || newHead.mergeKeys == keys))
+            throw e
+          val addedChecks =
+            checksOf(newHead.props).filterNot(checksOf(head.props).toSet)
+          requireFilesPassChecks(spark, dir, newHead.schemaDdl, files,
+            addedChecks, "commitPatch", newHead.props, patchShape = true)
+          head = newHead
+      }
+    }
+    -1L // unreachable: the loop returns or throws
   }
 
   /** Materialize the patch-chain fold back into base files and EMPTY the

@@ -337,4 +337,50 @@ class VtableConcurrencySpec extends SparkSuite {
     assert(VT.read(spark, dir2).as[(Long, String)].collect().toSet ==
       Set((1L, "p")), "the refused append must leave the winner's state intact")
   }
+
+  test("patch rebase: a lost race stacks the batch on the new head, data written once") {
+    val dir = tmp()
+    VT.create(Seq((1L, 10L), (2L, 20L)).toDF("k", "x").coalesce(1), dir, Seq("k"))
+    // the winner is ANOTHER patch: ours must stack AFTER it (chain order)
+    raceOnce(VT.commitPatch(Seq((2L, 21L, false)).toDF("k", "x", "del"),
+        dir, Seq("k"), Seq.empty, $"del")) {
+      val v = VT.commitPatch(Seq((2L, 22L, false), (3L, 30L, false))
+        .toDF("k", "x", "del"), dir, Seq("k"), Seq.empty, $"del")
+      assert(v == 3L, s"patch rebase must land at the next free version, got $v")
+    }
+    // serialized-equivalent fold: our batch wins key 2 (later in the chain)
+    assert(VT.read(spark, dir).as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 22L), (3L, 30L)))
+    // no orphaned data dirs: the loser's patch files were reused
+    val m = VT.readManifest(spark, dir, 3L)
+    val referenced = (m.files ++ m.patches.flatten)
+      .map(_.path.split('/')(1)).toSet
+    assert(dataDirsOf(dir) == referenced,
+      s"patch rebase must reuse the written files: dirs=${dataDirsOf(dir)} refs=$referenced")
+    // a winner that COMPACTED the chain: our batch becomes the whole chain
+    raceOnce({ VT.compactPatches(spark, dir); () }) {
+      val v = VT.commitPatch(Seq((1L, 11L, false)).toDF("k", "x", "del"),
+        dir, Seq("k"), Seq.empty, $"del")
+      assert(v == 5L, s"rebase over a compaction, got $v")
+    }
+    assert(VT.read(spark, dir).as[(Long, Long)].collect().toSet ==
+      Set((1L, 11L), (2L, 22L), (3L, 30L)))
+    // a constraint added mid-race re-validates LIVE rows only: a batch
+    // whose only live rows conform passes even with a violating tombstone
+    raceOnce(VT.addCheckConstraint(spark, dir, "x_pos", "x >= 0")) {
+      val v = VT.commitPatch(
+        Seq((2L, -99L, true), (4L, 40L, false)).toDF("k", "x", "del"),
+        dir, Seq("k"), Seq.empty, $"del")
+      assert(v == 7L)
+    }
+    assert(VT.read(spark, dir).as[(Long, Long)].collect().toSet ==
+      Set((1L, 11L), (3L, 30L), (4L, 40L)))
+    // ...and a violating LIVE row aborts with the constraint named
+    raceOnce(VT.addCheckConstraint(spark, dir, "x_cap", "x < 1000")) {
+      val e = intercept[IllegalArgumentException](VT.commitPatch(
+        Seq((5L, 5000L, false)).toDF("k", "x", "del"),
+        dir, Seq("k"), Seq.empty, $"del"))
+      assert(e.getMessage.contains("x_cap"), e.getMessage)
+    }
+  }
 }
