@@ -78,12 +78,10 @@ object GraftFunctions {
           graft.ops.VersionedTable.versionAtTimestamp(spark, dir,
             Math.floorDiv(e.eval().asInstanceOf[Long], 1000L))
         case org.apache.spark.sql.types.StringType =>
-          val s = litString(e, "graft_vtable: timestamp")
-          val t = try java.sql.Timestamp.valueOf(s) catch {
-            case _: IllegalArgumentException => throw new IllegalArgumentException(
-              s"graft_vtable: '$s' is not a 'yyyy-MM-dd HH:mm:ss[.f…]' timestamp")
-          }
-          graft.ops.VersionedTable.versionAtTimestamp(spark, dir, t.getTime)
+          // session-timezone parse, matching the TIMESTAMP-literal branch
+          graft.ops.VersionedTable.versionAtTimestamp(spark, dir,
+            graft.ops.VersionedTable.parseTsMillis(spark,
+              litString(e, "graft_vtable: timestamp"), "graft_vtable"))
         case _ => e.eval() match {
           case i: java.lang.Integer => i.toLong
           case l: java.lang.Long => l.longValue()

@@ -1325,49 +1325,74 @@ object VersionedTable {
     */
   @volatile private[graft] var raceBeforePublish: () => Unit = () => ()
 
-  private def publishAppendRebasing(spark: SparkSession, dir: String,
-                                    first: ManifestMeta, op: String,
-                                    adds: Seq[FileEntry],
-                                    txn: Option[(String, Long)],
-                                    label: String): Long = {
-    var cur = first
+  /** The shared CAS-rebase driver: run `publish(head)`, and on a lost
+    * version race advance `head` to the new current manifest after
+    * re-checking the preconditions every rebase shares — the txn already
+    * applied by someone else returns the winner's version (our files
+    * orphan to vacuum, exactly-once kept); an incompatible head (per
+    * `compatible`, the op-specific schema/chain policy) rethrows so the
+    * caller's [[withCommitRetry]] takes the full re-derive path; CHECK
+    * constraints ADDED by a winner re-validate the already-written files
+    * with one O(batch) scan under the new head's schema (a constraint may
+    * reference an appended column, which the files read as NULL;
+    * `patchShape` exempts tombstone payloads, matching the in-frame
+    * guards).
+    */
+  private def rebaseLoop(spark: SparkSession, dir: String,
+                         first: ManifestMeta, files: Seq[FileEntry],
+                         txn: Option[(String, Long)], label: String,
+                         patchShape: Boolean)
+                        (compatible: (ManifestMeta, ManifestMeta) => Boolean)
+                        (publish: ManifestMeta => Long): Long = {
+    var head = first
     var rebases = 0
     while (true) {
       raceBeforePublish()
-      val next = cur.version + 1
-      try {
-        publishCommit(spark, dir, Some(cur), next, op, cur.schemaDdl,
-          cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
-          Seq.empty, Seq.empty, adds = adds, removes = Seq.empty)
-        return next
-      } catch {
+      try return publish(head)
+      catch {
         case e: ConcurrentCommitException =>
           rebases += 1
           if (rebases >= 100) throw e
-          val newCur = readMeta(spark, dir,
+          val newHead = readMeta(spark, dir,
             currentVersion(spark, dir).getOrElse(throw e))
-          if (alreadyApplied(newCur, txn)) return newCur.version
-          if (newCur.patches.nonEmpty || newCur.mergeKeys != cur.mergeKeys)
-            throw e
-          if (newCur.schemaDdl != cur.schemaDdl) {
-            val o = StructType.fromDDL(cur.schemaDdl)
-              .fields.map(f => (f.name, f.dataType))
-            val n = StructType.fromDDL(newCur.schemaDdl)
-              .fields.map(f => (f.name, f.dataType))
-            if (n.length < o.length || !n.take(o.length).sameElements(o))
-              throw e
-          }
+          if (alreadyApplied(newHead, txn)) return newHead.version
+          if (!compatible(head, newHead)) throw e
           val addedChecks =
-            checksOf(newCur.props).filterNot(checksOf(cur.props).toSet)
-          // validate under the NEW head's schema: a constraint may
-          // reference an appended column, which our files read as NULL
-          requireFilesPassChecks(spark, dir, newCur.schemaDdl, adds,
-            addedChecks, label, newCur.props)
-          cur = newCur
+            checksOf(newHead.props).filterNot(checksOf(head.props).toSet)
+          requireFilesPassChecks(spark, dir, newHead.schemaDdl, files,
+            addedChecks, label, newHead.props, patchShape)
+          head = newHead
       }
     }
     -1L // unreachable: the loop returns or throws
   }
+
+  private def publishAppendRebasing(spark: SparkSession, dir: String,
+                                    first: ManifestMeta, op: String,
+                                    adds: Seq[FileEntry],
+                                    txn: Option[(String, Long)],
+                                    label: String): Long =
+    rebaseLoop(spark, dir, first, adds, txn, label, patchShape = false) {
+      (head, newHead) =>
+        // appends rebase across anything but a patch chain, a merge-key
+        // change, or a non-append-only schema change (our files read
+        // NULL for appended columns — the commitAddColumns contract)
+        newHead.patches.isEmpty && newHead.mergeKeys == head.mergeKeys && {
+          newHead.schemaDdl == head.schemaDdl || {
+            val o = StructType.fromDDL(head.schemaDdl)
+              .fields.map(f => (f.name, f.dataType))
+            val n = StructType.fromDDL(newHead.schemaDdl)
+              .fields.map(f => (f.name, f.dataType))
+            n.length >= o.length && n.take(o.length).sameElements(o)
+          }
+        }
+    } { head =>
+      val next = head.version + 1
+      publishCommit(spark, dir, Some(head), next, op, head.schemaDdl,
+        head.statsCols, txnsAfter(head, txn), head.bloomCols, head.bloomFpp,
+        Seq.empty, Seq.empty, adds = adds, removes = Seq.empty)
+      next
+    }
 
   /** Stats-pruned copy-on-write MERGE: apply a CDC changelog
     * ([[Warehouse.applyChanges]] semantics — tombstones delete, matched
@@ -1450,15 +1475,24 @@ object VersionedTable {
     val next = cur.version + 1
     // physical-identity hygiene: a new column whose name matches a
     // RETIRED physical (a dropped column's bytes still sit in shared
-    // files) or another column's live physical must NOT bind those bytes
-    // — it gets a fresh physical name and reads NULL from every existing
-    // file, exactly like any appended column
-    val livePhys = physicalSchema(schema, cur.props)
-      .fieldNames.map(_.toLowerCase).toSet
+    // files) must NOT bind those bytes — it gets a fresh physical name
+    // and reads NULL from every existing file. A name matching a LIVE
+    // physical (another column's storage, post-rename) REFUSES instead:
+    // remapping would leave one bare name meaning different columns on
+    // the logical and physical sides, and predicate translation — which
+    // sees names from both sides — could no longer tell them apart
+    val physByOwner = schema.fieldNames
+      .map(n => physOf(cur.props, n).toLowerCase -> n).toMap
     val dead = coldeadOf(cur.props).map(_.toLowerCase)
     val remapped = added.flatMap { f =>
       val n = f.name.toLowerCase
-      if (dead.contains(n) || livePhys.contains(n))
+      physByOwner.get(n).foreach { owner =>
+        require(owner.equalsIgnoreCase(f.name), // == would be a dup, caught above
+          s"VersionedTable.commitAddColumns: '${f.name}' is the physical " +
+            s"storage name of column '$owner' (renamed away from it) — " +
+            "choose another name")
+      }
+      if (dead.contains(n))
         Some(ColmapPrefix + f.name -> s"${f.name}__p$next")
       else None
     }
@@ -1925,35 +1959,20 @@ object VersionedTable {
     // re-running the data write. Schema or key changes rethrow for the
     // full-retry path; constraints added by a winner re-validate the
     // batch's LIVE rows with one O(batch) scan.
-    var head = cur
-    var rebases = 0
-    while (true) {
-      raceBeforePublish()
-      try {
-        publishCommit(spark, dir, Some(head), head.version + 1, "patch",
-          head.schemaDdl, head.statsCols, txnsAfter(head, txn),
-          head.bloomCols, head.bloomFpp,
-          head.patches ++ (if (files.nonEmpty) Seq(files) else Seq.empty),
-          keys, adds = Seq.empty, removes = Seq.empty)
-        return head.version + 1
-      } catch {
-        case e: ConcurrentCommitException =>
-          rebases += 1
-          if (rebases >= 100) throw e
-          val newHead = readMeta(spark, dir,
-            currentVersion(spark, dir).getOrElse(throw e))
-          if (alreadyApplied(newHead, txn)) return newHead.version
-          if (newHead.schemaDdl != head.schemaDdl ||
-              !(newHead.mergeKeys.isEmpty || newHead.mergeKeys == keys))
-            throw e
-          val addedChecks =
-            checksOf(newHead.props).filterNot(checksOf(head.props).toSet)
-          requireFilesPassChecks(spark, dir, newHead.schemaDdl, files,
-            addedChecks, "commitPatch", newHead.props, patchShape = true)
-          head = newHead
-      }
+    rebaseLoop(spark, dir, cur, files, txn, "commitPatch",
+        patchShape = true) { (head, newHead) =>
+      // patch files carry the exact schema, so only an identical-schema
+      // head is stackable; the chain's keys must stay ours
+      newHead.schemaDdl == head.schemaDdl &&
+        (newHead.mergeKeys.isEmpty || newHead.mergeKeys == keys)
+    } { head =>
+      publishCommit(spark, dir, Some(head), head.version + 1, "patch",
+        head.schemaDdl, head.statsCols, txnsAfter(head, txn),
+        head.bloomCols, head.bloomFpp,
+        head.patches ++ (if (files.nonEmpty) Seq(files) else Seq.empty),
+        keys, adds = Seq.empty, removes = Seq.empty)
+      head.version + 1
     }
-    -1L // unreachable: the loop returns or throws
   }
 
   /** Materialize the patch-chain fold back into base files and EMPTY the
@@ -2169,9 +2188,11 @@ object VersionedTable {
     // alias Project); stats/bloom keys are physical — translate, no-op
     // when the names coincide
     val toPhys = (c: String) => physOf(m.props, c)
+    // physical entries LAST so they win a (structurally-prevented, see
+    // commitAddColumns' live-physical refusal) logical/physical name tie
     val typeOf: Map[String, org.apache.spark.sql.types.DataType] =
-      schema.fields.flatMap(f =>
-        Seq(f.name -> f.dataType, toPhys(f.name) -> f.dataType)).toMap
+      (schema.fields.map(f => f.name -> f.dataType) ++
+        schema.fields.map(f => toPhys(f.name) -> f.dataType)).toMap
     val activeRanges = ranges
       .map { case (c, lo, hi) => (toPhys(c), lo, hi) }
       .filter { case (c, _, _) => m.statsCols.contains(c) }
@@ -2705,7 +2726,11 @@ object VersionedTable {
     }
     val header = target.copy(version = curV + 1, op = "restore",
       txns = cur.txns, props = mergedProps, inlineFiles = Seq.empty,
-      adds = Seq.empty, removes = Seq.empty)
+      adds = Seq.empty, removes = Seq.empty,
+      // ts = 0 → serialization stamps NOW: the restore happened at restore
+      // time, not at the restored version's old wall-clock instant —
+      // TIMESTAMP AS OF between the two must resolve the pre-restore state
+      ts = 0L)
     val fs = fsOf(spark, dir)
     if (target.numFiles <= inlineMaxFiles(spark))
       // small table: self-contained, exactly the pre-checkpoint behavior
@@ -2794,6 +2819,29 @@ object VersionedTable {
         s"(${java.time.Instant.ofEpochMilli(ts.head._2)}, version ${ts.head._1}) — " +
         "the table did not exist yet, or earlier versions were vacuumed")
     ts.takeWhile(_._2 <= tsMillis).last._1
+  }
+
+  /** Parse a `'yyyy-MM-dd HH:mm:ss[.f…]'` wall-clock string in the SPARK
+    * SESSION timezone — the zone a `TIMESTAMP` literal evaluates in — so
+    * the string and literal forms of `TIMESTAMP AS OF` always resolve
+    * the same instant (`java.sql.Timestamp.valueOf` would use the JVM
+    * default zone, which can silently differ by hours and roll a table
+    * back to the wrong version). Shared by the TVF and SQL RESTORE.
+    */
+  def parseTsMillis(spark: SparkSession, s: String, ctx: String): Long = {
+    val fmt = new java.time.format.DateTimeFormatterBuilder()
+      .appendPattern("yyyy-MM-dd HH:mm:ss")
+      .optionalStart()
+      .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND, 1, 9, true)
+      .optionalEnd()
+      .toFormatter()
+    val ldt = try java.time.LocalDateTime.parse(s.trim, fmt) catch {
+      case _: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"$ctx: '$s' is not a 'yyyy-MM-dd HH:mm:ss[.f…]' timestamp")
+    }
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    ldt.atZone(zone).toInstant.toEpochMilli
   }
 
   /** [[read]] at the version current at `tsMillis` — `TIMESTAMP AS OF`

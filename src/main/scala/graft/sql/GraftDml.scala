@@ -633,11 +633,8 @@ case class GraftRestoreCommand(target: String, toVersion: Long,
     val dir = GraftCatalog.resolveDir(spark, target)
     val v = toTimestamp match {
       case Some(s) =>
-        val t = try java.sql.Timestamp.valueOf(s) catch {
-          case _: IllegalArgumentException => throw new IllegalArgumentException(
-            s"RESTORE TABLE: '$s' is not a 'yyyy-MM-dd HH:mm:ss[.f…]' timestamp")
-        }
-        VersionedTable.versionAtTimestamp(spark, dir, t.getTime)
+        VersionedTable.versionAtTimestamp(spark, dir,
+          VersionedTable.parseTsMillis(spark, s, "RESTORE TABLE"))
       case None => toVersion
     }
     Seq(Row(VersionedTable.withCommitRetry() {

@@ -176,6 +176,52 @@ class ColumnMappingSpec extends SparkSuite {
     assert(ex2.getMessage.toLowerCase.contains("physical"), ex2.getMessage)
   }
 
+  test("ADD COLUMNS refuses a live physical name; predicate types never cross columns") {
+    val dir = tmp()
+    VT.create(Seq((1L, 5L), (2L, 6L)).toDF("k", "v").coalesce(1),
+      dir, statsCols = Seq("k", "v"), bloomCols = Seq("v"))
+    VT.commitRenameColumn(spark, dir, "v", "w")
+    // re-using w's STORAGE name for a new column would make the bare name
+    // 'v' mean different columns on the logical and physical sides —
+    // predicate translation could no longer tell them apart; refuse loudly
+    val ex = intercept[IllegalArgumentException](
+      VT.commitAddColumns(spark, dir, Seq("v" -> "STRING")))
+    assert(ex.getMessage.contains("physical storage name"), ex.getMessage)
+    // the renamed column still bloom-prunes with its own (BIGINT) hashing
+    assert(VT.readWhere(spark, dir, $"w" === 6L).as[(Long, Long)]
+      .collect().toSet == Set((2L, 6L)))
+  }
+
+  test("TIMESTAMP AS OF string form parses in the SESSION timezone, matching the literal") {
+    val dir = tmp(); mk(dir)
+    graft.functions.GraftFunctions.register(spark)
+    val oldTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // a zone far from the JVM default (UTC in this suite): the two
+      // forms must still agree — Timestamp.valueOf would diverge by 8h
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val utc = VT.parseTsMillis(spark, "2026-01-15 00:00:00", "spec")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val utc2 = VT.parseTsMillis(spark, "2026-01-15 00:00:00", "spec")
+      assert(utc - utc2 == 8L * 3600 * 1000,
+        s"LA parse must be 8h after the UTC parse (PST), got ${utc - utc2}")
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val inst = VT.commitTimestamps(spark, dir).head._2
+      val laStr = java.time.Instant.ofEpochMilli(inst)
+        .atZone(java.time.ZoneId.of("America/Los_Angeles"))
+        .toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      val viaString = spark.sql(
+        s"SELECT COUNT(*) FROM graft_vtable('$dir', '$laStr')").as[Long].head()
+      val viaLiteral = spark.sql(
+        s"SELECT COUNT(*) FROM graft_vtable('$dir', TIMESTAMP '$laStr')")
+        .as[Long].head()
+      assert(viaString == viaLiteral && viaString == 4L,
+        s"string=$viaString literal=$viaLiteral")
+    } finally spark.conf.set("spark.sql.session.timeZone", oldTz)
+  }
+
   test("SQL surface: RENAME/DROP COLUMN end-to-end, CDF honesty across the window") {
     val dir = tmp(); mk(dir)
     graft.functions.GraftFunctions.register(spark)

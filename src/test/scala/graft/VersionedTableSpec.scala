@@ -795,11 +795,20 @@ class VersionedTableSpec extends SparkSuite {
     assert(spark.sql(s"SELECT COUNT(*) FROM graft_vtable('$dir', TIMESTAMP '$s2')")
       .as[Long].head() == 2L)
     // RESTORE TABLE ... TO TIMESTAMP AS OF rolls back through the resolver
+    Thread.sleep(5) // separate the restore's wall-clock instant from v1-v3's
     val vr = graft.sql.GraftSql.sql(spark,
       s"RESTORE TABLE graft_vtable('$dir') TO TIMESTAMP AS OF '$s2'")
       .as[Long].head()
     assert(vr == 4L)
     assert(VT.read(spark, dir).count() == 2L)
+    // the restore commit is stamped at RESTORE time, not the restored
+    // version's old instant: resolving at v3's commit time must still
+    // return the PRE-restore state (v3), never the rollback
+    val ts4 = VT.commitTimestamps(spark, dir)
+    assert(ts4.last._1 == 4L && ts4.last._2 > ts(2)._2,
+      s"restore must carry its own commit time, got $ts4 vs ${ts(2)}")
+    assert(VT.versionAtTimestamp(spark, dir, ts(2)._2) == 3L,
+      "the table AS OF v3's instant is v3, even after a later restore")
     // malformed timestamp refuses loudly
     val ex2 = intercept[IllegalArgumentException](graft.sql.GraftSql.sql(spark,
       s"RESTORE TABLE graft_vtable('$dir') TO TIMESTAMP AS OF 'not-a-time'").collect())
