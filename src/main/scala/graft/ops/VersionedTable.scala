@@ -2859,6 +2859,26 @@ object VersionedTable {
     * first, then files) makes a crash mid-vacuum harmless: re-running
     * converges, and no surviving manifest ever names a deleted file.
     */
+  /** Time-based retention (Delta `VACUUM ... RETAIN n HOURS` semantics):
+    * keep every version whose ADJUSTED commit time ([[commitTimestamps]])
+    * falls within the last `hours`, always including the current version,
+    * and reclaim the rest. This is the operational form of retention —
+    * the SLA is "time travel back h hours", and commit COUNTS vary with
+    * write cadence while wall-clock retention doesn't. The adjusted
+    * sequence is strictly increasing, so the kept set is always a suffix
+    * of the version range and the count form of [[vacuum]] applies
+    * directly. Legacy pre-timestamp manifests adjust to tiny synthetic
+    * values and age out first — documented, not guessed.
+    */
+  def vacuumRetainHours(spark: SparkSession, dir: String, hours: Double): Int = {
+    require(hours >= 0, "VersionedTable.vacuumRetainHours: negative retention")
+    val ts = commitTimestamps(spark, dir)
+    require(ts.nonEmpty,
+      s"VersionedTable.vacuumRetainHours: $dir is not a versioned table")
+    val cutoff = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
+    vacuum(spark, dir, keepVersions = math.max(1, ts.count(_._2 >= cutoff)))
+  }
+
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int): Int = {
     require(keepVersions >= 1, "VersionedTable.vacuum: must keep at least 1 version")
     val fs = fsOf(spark, dir)

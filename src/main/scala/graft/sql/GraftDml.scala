@@ -123,7 +123,8 @@ object GraftDml {
         "DROP TABLE [IF EXISTS] " +
         "graft_vtable('name') [PURGE]; OPTIMIZE graft_vtable('ref') " +
         "[ZORDER BY (c1, c2[, ...])]; VACUUM graft_vtable('ref') RETAIN " +
-        "<n> VERSIONS; RESTORE TABLE graft_vtable('ref') TO VERSION AS OF " +
+        "<n> VERSIONS | RETAIN <n> HOURS; " +
+        "RESTORE TABLE graft_vtable('ref') TO VERSION AS OF " +
         "<n> | TO TIMESTAMP AS OF '<ts>'; " +
         "ALTER TABLE graft_vtable('ref') ADD COLUMNS (c type[, ...]) | " +
         "RENAME COLUMN a TO b | DROP COLUMN c; " +
@@ -314,8 +315,14 @@ object GraftDml {
     * destroy time travel, so the statement must say what it keeps.
     */
   private def parseVacuum(target: String, rest: String): LogicalPlan = {
+    val hoursForm = """(?is)^RETAIN\s+(\d+)\s+HOURS$""".r
+      .findFirstMatchIn(rest.trim)
+    hoursForm.foreach { h =>
+      return GraftVacuumCommand(target, -1, hours = Some(h.group(1).toLong))
+    }
     val m = """(?is)^RETAIN\s+(\d+)\s+VERSIONS$""".r.findFirstMatchIn(rest.trim)
-      .getOrElse(fail(s"VACUUM: expected RETAIN <n> VERSIONS, got '${rest.trim}'"))
+      .getOrElse(fail(s"VACUUM: expected RETAIN <n> VERSIONS or RETAIN <n> " +
+        s"HOURS, got '${rest.trim}'"))
     val keep = m.group(1).toInt
     if (keep < 1) fail("VACUUM: RETAIN must keep at least 1 version")
     GraftVacuumCommand(target, keep)
@@ -610,13 +617,17 @@ case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
 }
 
 /** `VACUUM graft_vtable(...) RETAIN n VERSIONS` — returns files deleted. */
-case class GraftVacuumCommand(target: String, keepVersions: Int)
+case class GraftVacuumCommand(target: String, keepVersions: Int,
+                              hours: Option[Long] = None)
   extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("deleted_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftCatalog.resolveDir(spark, target)
-    Seq(Row(VersionedTable.vacuum(spark, dir, keepVersions).toLong))
+    Seq(Row(hours match {
+      case Some(h) => VersionedTable.vacuumRetainHours(spark, dir, h.toDouble).toLong
+      case None => VersionedTable.vacuum(spark, dir, keepVersions).toLong
+    }))
   }
 }
 

@@ -300,6 +300,24 @@ class SqlDmlSpec extends SparkSuite {
       GraftDml.parse(s"VACUUM graft_vtable('$dir') RETAIN 0 VERSIONS"))
   }
 
+  test("VACUUM RETAIN n HOURS keeps the wall-clock window, always the current version") {
+    val dir = tmp(); mk(dir)                                        // v1
+    GraftSql.sql(spark, s"UPDATE graft_vtable('$dir') SET v = v + 1").collect() // v2
+    Thread.sleep(5)
+    GraftSql.sql(spark, s"UPDATE graft_vtable('$dir') SET v = v + 1").collect() // v3
+    // a generous window keeps everything
+    GraftSql.sql(spark, s"VACUUM graft_vtable('$dir') RETAIN 48 HOURS").collect()
+    assert(VT.versions(spark, dir) == Seq(1L, 2L, 3L))
+    // zero-hour retention reclaims history but NEVER the current version
+    val deleted = GraftSql.sql(spark,
+      s"VACUUM graft_vtable('$dir') RETAIN 0 HOURS").as[Long].head()
+    assert(deleted >= 0L)
+    assert(VT.versions(spark, dir).lastOption.contains(3L))
+    assert(VT.read(spark, dir).count() == 4L, "current content must survive")
+    intercept[IllegalArgumentException](
+      GraftDml.parse(s"VACUUM graft_vtable('$dir') RETAIN 1 DAYS"))
+  }
+
   test("RESTORE TABLE TO VERSION AS OF rolls back as a new commit through SQL") {
     val dir = tmp(); mk(dir)
     GraftSql.sql(spark, s"DELETE FROM graft_vtable('$dir') WHERE k >= 3")
