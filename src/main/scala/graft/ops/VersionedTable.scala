@@ -1834,16 +1834,31 @@ object VersionedTable {
                     targetBytes: Long = 128L << 20,
                     smallBytes: Long = 32L << 20,
                     clusterBy: Seq[String] = Seq.empty,
-                    zorder: Boolean = false): Long = {
+                    zorder: Boolean = false,
+                    where: Option[Column] = None): Long = {
     val fs = fsOf(spark, dir)
-    // table-maintenance op: inherently O(table) — it stats and may rewrite
-    // every file — so materializing the list here is not the bottleneck
+    // table-maintenance op: O(scope) — `where` scopes the candidate set at
+    // FILE granularity through the manifest stats (whole files rewrite,
+    // every row kept, so the predicate only chooses WHICH files — the
+    // Delta `OPTIMIZE ... WHERE` shape): daily maintenance bin-packs
+    // yesterday's fragmented slice without statting or touching the
+    // accumulated tail. Unscoped remains inherently O(table).
     val cur = readManifest(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"VersionedTable.commitCompact: $dir is not a versioned table")))
     requireNoPatches(cur.patches, "commitCompact")
     val curMeta = readMeta(spark, dir, cur.version)
-    val sized = cur.files.map { f =>
+    val scoped: Seq[FileEntry] = where match {
+      case None => cur.files
+      case Some(cond) =>
+        val ranges = org.apache.spark.sql.GraftShim.mineRanges(cond)
+        val ins = org.apache.spark.sql.GraftShim.mineInSets(cond)
+        // an unminable predicate degrades to the whole table — correct,
+        // just unscoped, the same contract as the DML rewrites
+        if (ranges.isEmpty && ins.isEmpty) cur.files
+        else pruneEntries(spark, dir, ranges, ins, Some(cur.version))._1
+    }
+    val sized = scoped.map { f =>
       f -> fs.getFileStatus(new Path(dataPath(dir, f.path))).getLen
     }
     val (small, big) = sized.partition(_._2 < smallBytes)

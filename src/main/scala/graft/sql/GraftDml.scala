@@ -297,15 +297,27 @@ object GraftDml {
     * so multi-dimension predicates prune (Delta's OPTIMIZE ZORDER BY).
     */
   private def parseOptimize(target: String, rest: String): LogicalPlan = {
-    val t = rest.trim
-    if (t.isEmpty) GraftOptimizeCommand(target, Seq.empty)
+    var t = rest.trim
+    // optional file-granularity scope, Delta's OPTIMIZE ... WHERE shape:
+    // the parenthesized condition extracts paren-balanced/quote-aware
+    var where: Option[String] = None
+    val w = """(?is)^WHERE\s*(\(.*)$""".r.findFirstMatchIn(t)
+    w.foreach { m =>
+      val span = m.group(1)
+      val end = balancedEnd(span, 0)
+      val cond = span.substring(1, end - 1).trim
+      if (cond.isEmpty) fail("OPTIMIZE WHERE: empty condition")
+      where = Some(cond)
+      t = span.substring(end).trim
+    }
+    if (t.isEmpty) GraftOptimizeCommand(target, Seq.empty, where)
     else {
       val m = """(?is)^ZORDER\s+BY\s*\(([^)]+)\)$""".r.findFirstMatchIn(t)
         .getOrElse(fail(s"OPTIMIZE: unexpected trailing text '$t' — supported: " +
-          "OPTIMIZE graft_vtable('ref') [ZORDER BY (c1, c2[, ...])]"))
+          "OPTIMIZE graft_vtable('ref') [WHERE (<cond>)] [ZORDER BY (c1, c2[, ...])]"))
       val cols = m.group(1).split(',').map(_.trim).filter(_.nonEmpty).toSeq
       if (cols.isEmpty) fail("OPTIMIZE: empty ZORDER BY column list")
-      GraftOptimizeCommand(target, cols)
+      GraftOptimizeCommand(target, cols, where)
     }
   }
 
@@ -600,10 +612,14 @@ case class GraftInsertCommand(target: String, sourceSql: String,
   }
 }
 
-/** `OPTIMIZE graft_vtable(...) [ZORDER BY (...)]` — compaction commit.
-  * Returns the post-optimize version (unchanged when nothing to do).
+/** `OPTIMIZE graft_vtable(...) [WHERE (<cond>)] [ZORDER BY (...)]` —
+  * compaction commit; `WHERE` scopes the candidate set at FILE
+  * granularity through the manifest stats (whole files rewrite, rows
+  * unchanged), so daily maintenance is O(slice), not O(table). Returns
+  * the post-optimize version (unchanged when nothing to do).
   */
-case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
+case class GraftOptimizeCommand(target: String, zorderBy: Seq[String],
+                                whereSql: Option[String] = None)
   extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     GraftDml.versionOutput
@@ -611,7 +627,8 @@ case class GraftOptimizeCommand(target: String, zorderBy: Seq[String])
     val dir = GraftCatalog.resolveDir(spark, target)
     Seq(Row(VersionedTable.withCommitRetry() {
       VersionedTable.commitCompact(spark, dir,
-        clusterBy = zorderBy, zorder = zorderBy.nonEmpty)
+        clusterBy = zorderBy, zorder = zorderBy.nonEmpty,
+        where = whereSql.map(s => GraftDml.parseCond(spark, Some(s))))
     }))
   }
 }

@@ -300,6 +300,63 @@ class SqlDmlSpec extends SparkSuite {
       GraftDml.parse(s"VACUUM graft_vtable('$dir') RETAIN 0 VERSIONS"))
   }
 
+  test("OPTIMIZE WHERE compacts only the scoped files; the tail carries byte-identical") {
+    val dir = tmp()
+    // two key ranges in separate files; fragment the LOW range with small
+    // appends — the HIGH range's file must never be touched
+    VT.create(Seq((100L, "hi")).toDF("k", "s").coalesce(1), dir, Seq("k"))
+    (1L to 3L).foreach { i =>
+      GraftSql.sql(spark,
+        s"INSERT INTO graft_vtable('$dir') SELECT CAST($i AS BIGINT) AS k, 'lo' AS s")
+        .collect()
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sig() = VT.readManifest(spark, dir, VT.currentVersion(spark, dir).get)
+      .files.map { f =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${f.path}"))
+        f.path -> (st.getLen, st.getModificationTime)
+      }.toMap
+    val before = sig()
+    assert(before.size == 4)
+    val v = GraftSql.sql(spark,
+      s"OPTIMIZE graft_vtable('$dir') WHERE (k < 50)").as[Long].head()
+    assert(v == 5L)
+    val after = sig()
+    // the three low-range fragments packed into one file; the high-range
+    // file carried byte-identical (never statted away, never rewritten)
+    assert(after.size == 2, s"expected 2 files after scoped pack, got ${after.keys}")
+    val carried = before.keySet.intersect(after.keySet)
+    assert(carried.size == 1 && carried.forall(p => after(p) == before(p)),
+      "the out-of-scope file must carry byte-identical")
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
+      Set((100L, "hi"), (1L, "lo"), (2L, "lo"), (3L, "lo")))
+    // pre-optimize state still time-travels
+    assert(VT.read(spark, dir, Some(4L)).count() == 4L)
+    // WHERE composes with ZORDER BY: only scoped files re-cluster
+    val dir2 = tmp()
+    VT.create(Seq((1L, 1L), (2L, 2L), (50L, 5L), (60L, 6L))
+      .toDF("a", "b").repartition(4), dir2, Seq("a", "b"))
+    val before2 = sig2(fs, dir2)
+    GraftSql.sql(spark,
+      s"OPTIMIZE graft_vtable('$dir2') WHERE (a < 10) ZORDER BY (a, b)").collect()
+    val after2 = sig2(fs, dir2)
+    assert(before2.keySet.intersect(after2.keySet).nonEmpty,
+      "out-of-scope files must survive a scoped zorder")
+    assert(VT.read(spark, dir2).count() == 4L)
+    // empty condition refuses at parse
+    intercept[IllegalArgumentException](
+      GraftDml.parse(s"OPTIMIZE graft_vtable('$dir') WHERE ()"))
+  }
+
+  private def sig2(fs: org.apache.hadoop.fs.FileSystem,
+                   dir: String): Map[String, (Long, Long)] =
+    VT.readManifest(spark, dir, VT.currentVersion(spark, dir).get)
+      .files.map { f =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/${f.path}"))
+        f.path -> (st.getLen, st.getModificationTime)
+      }.toMap
+
   test("VACUUM RETAIN n HOURS keeps the wall-clock window, always the current version") {
     val dir = tmp(); mk(dir)                                        // v1
     GraftSql.sql(spark, s"UPDATE graft_vtable('$dir') SET v = v + 1").collect() // v2
