@@ -2946,6 +2946,10 @@ private[graft] object Queries {
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
     G.sql(s, s"OPTIMIZE graft_vtable('$name')").collect()
+    // predicate-scoped compaction: file-granularity, row-preserving — the
+    // oracle is unchanged, the verb runs oracled-live
+    G.sql(s,
+      s"OPTIMIZE graft_vtable('$name') WHERE (o_orderkey < 1000)").collect()
     G.sql(s, s"ALTER TABLE graft_vtable('$name') ADD COLUMNS (flag STRING)").collect()
     // versions are data-dependent (OPTIMIZE no-ops when already packed),
     // so the RESTORE target is the UPDATE's returned version, not a literal
@@ -2955,6 +2959,9 @@ private[graft] object Queries {
     G.sql(s, s"DELETE FROM graft_vtable('$name') WHERE o_orderkey % 7 = 2").collect()
     G.sql(s,
       s"RESTORE TABLE graft_vtable('$name') TO VERSION AS OF $vAfterUpdate").collect()
+    // wall-clock retention first (keeps everything committed just now),
+    // then the count form does the actual reclamation
+    G.sql(s, s"VACUUM graft_vtable('$name') RETAIN 48 HOURS").collect()
     G.sql(s, s"VACUUM graft_vtable('$name') RETAIN 2 VERSIONS").collect()
     s.sql(
       s"""SELECT o_orderkey, o_custkey, cents, flag
