@@ -2398,21 +2398,41 @@ object VersionedTable {
     * payload (its neighbor changed, its file was rewritten) joins equal
     * and drops as a no-op. Keys must be table-unique, as everywhere.
     */
+  /** Require `m2`'s schema to be an append-only PHYSICAL evolution of
+    * `m1`'s — same physical names and types, position for position, with
+    * `m2` possibly longer — and return the (fromLogical, toLogical) name
+    * pairs of the shared prefix. RENAMES pass (a rename changes nothing
+    * at the physical layer — the column is the same bytes in the same
+    * files under a new display name); drops and retypes refuse, because
+    * no exact diff exists for them. This is the evolution contract every
+    * cross-version reader (CDF, signed deltas, IVM folds) shares.
+    */
+  private def physicalPrefixMap(m1: ManifestMeta, m2: ManifestMeta,
+                                ctx: String): Seq[(String, String)] = {
+    val o = StructType.fromDDL(m1.schemaDdl).fields.map(f =>
+      (physOf(m1.props, f.name), f.name, f.dataType))
+    val n = StructType.fromDDL(m2.schemaDdl).fields.map(f =>
+      (physOf(m2.props, f.name), f.name, f.dataType))
+    require(n.length >= o.length && o.indices.forall(i =>
+        o(i)._1 == n(i)._1 && o(i)._3 == n(i)._3),
+      s"$ctx: version ${m2.version}'s schema is not an append-only " +
+        s"(physical) evolution of version ${m1.version}'s — a column was " +
+        "dropped or retyped in the window; diff the payloads manually")
+    o.indices.map(i => (o(i)._2, n(i)._2))
+  }
+
   def changesBetween(spark: SparkSession, dir: String, fromV: Long, toV: Long,
                      keys: Seq[String], preimages: Boolean = false): DataFrame = {
     require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
     val m1 = readMeta(spark, dir, fromV)
     val m2 = readMeta(spark, dir, toV)
     val schema = StructType.fromDDL(m2.schemaDdl)
-    // an evolved window still diffs: evolution only APPENDS columns, so
-    // reading BOTH sides through toV's wider schema is exact — fromV's
-    // files fill NULL for the appended columns, which is precisely their
-    // pre-image value. Anything else (drop, retype, rename) refuses.
-    val old = StructType.fromDDL(m1.schemaDdl)
-    require(old.fields.map(f => (f.name, f.dataType))
-        .sameElements(schema.fields.take(old.size).map(f => (f.name, f.dataType))),
-      s"changesBetween: version $toV's schema is not an append-only evolution " +
-        s"of version $fromV's — diff the payloads manually")
+    // an evolved window still diffs: appends read NULL for the new
+    // columns through toV's wider schema (precisely their pre-image), and
+    // RENAMES are invisible physically — the align below maps fromV's
+    // logical names onto toV's by shared physical identity. Drops and
+    // retypes refuse inside physicalPrefixMap.
+    val toName = physicalPrefixMap(m1, m2, "changesBetween").toMap
     require(!schema.fieldNames.contains("change_type"),
       "changesBetween: column name change_type is reserved by the feed encoding")
     require(schema.fieldNames.length > keys.length,
@@ -2425,12 +2445,16 @@ object VersionedTable {
       s"changesBetween: keys ${keys.mkString(",")} must equal the patch " +
         "chain's merge keys — the fold defines row identity")
     val payload = schema.fieldNames.filterNot(keys.contains).toSeq
-    // v1 read through v2's WIDER schema: evolved columns fill NULL, which
-    // is exactly their pre-image value
+    // v1 read through v2's WIDER schema: shared columns map by PHYSICAL
+    // identity (so renamed columns line up under their toV names), evolved
+    // columns fill NULL — exactly their pre-image value
+    val fromName = toName.map(_.swap)
     def align(df: DataFrame): DataFrame =
       df.select(schema.fields.map { f =>
-        if (df.columns.contains(f.name)) col(f.name)
-        else lit(null).cast(f.dataType).as(f.name)
+        fromName.get(f.name) match {
+          case Some(fn) if df.columns.contains(fn) => col(s"`$fn`").as(f.name)
+          case _ => lit(null).cast(f.dataType).as(f.name)
+        }
       }.toIndexedSeq: _*)
     def classify(pre0: DataFrame, post0: DataFrame): DataFrame = {
       // Diff by UNION + one hash aggregate, not a full-outer join: both
@@ -2566,11 +2590,9 @@ object VersionedTable {
     val m2 = readMeta(spark, dir, toV)
     if (m1.patches != m2.patches) return None
     val schema = StructType.fromDDL(m2.schemaDdl)
-    val old = StructType.fromDDL(m1.schemaDdl)
-    require(old.fields.map(f => (f.name, f.dataType))
-        .sameElements(schema.fields.take(old.size).map(f => (f.name, f.dataType))),
-      s"signedRowsBetween: version $toV's schema is not an append-only " +
-        s"evolution of version $fromV's — diff the payloads manually")
+    // renames pass (physical identity unchanged; both sides read through
+    // toV's schema+mapping), drops/retypes refuse
+    physicalPrefixMap(m1, m2, "signedRowsBetween")
     require(!schema.fieldNames.contains("__sign"),
       "signedRowsBetween: column name __sign is reserved by the encoding")
     val win = ((fromV + 1) to toV).map(readMeta(spark, dir, _))

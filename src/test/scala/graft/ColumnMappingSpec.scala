@@ -239,8 +239,16 @@ class ColumnMappingSpec extends SparkSuite {
     assert(v2 == 4L)
     assert(spark.sql(s"SELECT * FROM graft_vtable('$dir')")
       .columns.toSeq == Seq("k", "amount"))
-    // CDF across a rename/drop window refuses LOUDLY (not append-only
-    // evolution); a window past the change works under the new names
+    // CDF across a RENAME window diffs exactly — renames are invisible at
+    // the physical layer, and the align maps fromV's names onto toV's by
+    // shared physical identity: the v1→v3 window (rename at v2, update at
+    // v3) emits ONE update, under the new name
+    val renamedWin = VT.changesBetween(spark, dir, 1L, 3L, Seq("k"))
+    assert(renamedWin.columns.contains("amount"), renamedWin.columns.toSeq)
+    assert(renamedWin.select("change_type", "k", "amount")
+      .as[(String, Long, Long)].collect().toSet == Set(("update", 1L, 11L)))
+    // a window containing a DROP still refuses loudly — no exact diff
+    // exists for a removed column
     val exCdf = intercept[IllegalArgumentException](
       VT.changesBetween(spark, dir, 1L, 4L, Seq("k")))
     assert(exCdf.getMessage.contains("append-only"), exCdf.getMessage)
