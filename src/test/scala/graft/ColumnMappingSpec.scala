@@ -51,10 +51,20 @@ class ColumnMappingSpec extends SparkSuite {
     val (survivors, _) = VT.pruneFilesMulti(spark, dir,
       Seq(("amount", lit(35L), lit(45L))))
     assert(survivors.size == 1, s"expected 1 surviving file, got $survivors")
-    // ...and through the optimizer rule on a SQL filter over the TVF
+    // ...and through the optimizer rule on a SQL filter over the TVF:
+    // the alias Project is transparent to predicate pushdown, so the
+    // EXECUTED scan must open only the pruned file (plan-asserted, not
+    // just answer-asserted)
     graft.functions.GraftFunctions.register(spark)
-    assert(spark.sql(s"SELECT k FROM graft_vtable('$dir') WHERE amount >= 35")
-      .as[Long].collect().toSet == Set(4L))
+    val pruned = spark.sql(
+      s"SELECT k FROM graft_vtable('$dir') WHERE amount >= 35")
+    assert(pruned.as[Long].collect().toSet == Set(4L))
+    val scans = pruned.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+        sc.relation.location.inputFiles.length
+    }
+    assert(scans.nonEmpty && scans.forall(_ == 1),
+      s"the renamed-column filter must prune to 1 file, scans=$scans")
     // DML speaks the new name; the rewrite prunes and the result is exact
     VT.commitUpdate(spark, dir, $"amount" === 40L,
       Seq("amount" -> lit(41L)))
