@@ -268,18 +268,20 @@ object GraftDml {
       return GraftCloneTableCommand(name, ifNotExists, Option(c.group(1)),
         c.group(2), Option(c.group(3)).map(_.toLong))
     }
-    val m = """(?is)^(?:LOCATION\s+'([^']+)'\s*)?(?:STATS\s*\(([^)]*)\)\s*)?AS\s+(.+)$""".r
+    val m = """(?is)^(?:LOCATION\s+'([^']+)'\s*)?(?:STATS\s*\(([^)]*)\)\s*)?(?:CLUSTER\s+BY\s*\(([^)]*)\)\s*)?AS\s+(.+)$""".r
       .findFirstMatchIn(rest)
       .getOrElse(fail("CREATE TABLE: expected [LOCATION 'dir'] " +
-        "[STATS (col[, ...])] AS <query>, or [LOCATION 'dir'] SHALLOW CLONE " +
-        "graft_vtable('src'[, version])" +
+        "[STATS (col[, ...])] [CLUSTER BY (col[, ...])] AS <query>, or " +
+        "[LOCATION 'dir'] SHALLOW CLONE graft_vtable('src'[, version])" +
         (if (rest.isEmpty || !rest.toUpperCase.contains("AS"))
           " — column-list DDL is not supported; the schema comes from the AS query"
         else "")))
     val statsCols = Option(m.group(2)).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val clusterBy = Option(m.group(3)).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     GraftCreateTableCommand(name, ifNotExists, Option(m.group(1)),
-      statsCols, m.group(3).trim.stripSuffix(";").trim)
+      statsCols, m.group(4).trim.stripSuffix(";").trim, clusterBy)
   }
 
   private def parseDrop(name: String, ifExists: Boolean,
@@ -469,9 +471,16 @@ case class GraftUpdateCommand(target: String, sets: Seq[(String, String)],
   * re-registering is one `graft_register_vtable` call — the catalog is
   * deliberately not a second source of truth.
   */
+/** CTAS; `CLUSTER BY (cols)` range-partitions and sorts the INITIAL
+  * write so the manifest's per-file [min, max] intervals are tight from
+  * v1 — stats pruning and merge touched-file detection work immediately,
+  * without waiting for an `OPTIMIZE` layout pass. The clustering columns
+  * should be (a prefix of) the STATS columns, where the intervals pay.
+  */
 case class GraftCreateTableCommand(name: String, ifNotExists: Boolean,
                                    location: Option[String],
-                                   statsCols: Seq[String], selectSql: String)
+                                   statsCols: Seq[String], selectSql: String,
+                                   clusterBy: Seq[String] = Seq.empty)
   extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     GraftDml.versionOutput
@@ -485,7 +494,15 @@ case class GraftCreateTableCommand(name: String, ifNotExists: Boolean,
         Seq(Row(VersionedTable.currentVersion(spark, dir).getOrElse(-1L)))
       case None =>
         val dir = location.getOrElse(GraftCatalog.defaultTableDir(spark, name))
-        val df = spark.sql(selectSql)
+        val df0 = spark.sql(selectSql)
+        clusterBy.foreach(c => require(df0.columns.contains(c),
+          s"GraftDml: CLUSTER BY column $c is not in the query's output " +
+            s"(${df0.columns.mkString(", ")})"))
+        val df =
+          if (clusterBy.isEmpty) df0
+          else df0
+            .repartitionByRange(clusterBy.map(org.apache.spark.sql.functions.col): _*)
+            .sortWithinPartitions(clusterBy.map(org.apache.spark.sql.functions.col): _*)
         val stats = if (statsCols.nonEmpty) statsCols
           else df.columns.headOption.toSeq
         val v = VersionedTable.create(df, dir, statsCols = stats)

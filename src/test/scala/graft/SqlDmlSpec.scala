@@ -300,6 +300,44 @@ class SqlDmlSpec extends SparkSuite {
       GraftDml.parse(s"VACUUM graft_vtable('$dir') RETAIN 0 VERSIONS"))
   }
 
+  test("CTAS CLUSTER BY: tight per-file intervals from v1, no OPTIMIZE pass needed") {
+    val name = s"ctas_cl_${java.util.UUID.randomUUID().toString.take(8)}"
+    val loc = tmp()
+    spark.range(0, 4000).selectExpr("id AS k", "CAST(id % 7 AS LONG) AS v")
+      .repartition(8) // deliberately scrambled input layout
+      .createOrReplaceTempView("ctas_cl_src")
+    // AQE size-coalescing folds this tiny fixture into ONE range
+    // partition (the right behavior at real sizes); pin a multi-file
+    // layout so the interval assertions bite
+    val oldCoalesce = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try GraftSql.sql(spark,
+      s"CREATE TABLE graft_vtable('$name') LOCATION '$loc' STATS (k) " +
+        "CLUSTER BY (k) AS SELECT k, v FROM ctas_cl_src").collect()
+    finally spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.enabled", oldCoalesce)
+    val files = VT.readManifest(spark, loc, 1L).files
+    assert(files.size > 1, "need multiple files for the layout to matter")
+    // range-clustered write: per-file [min,max] on k are non-overlapping
+    val ivs = files.map { f =>
+      val st = f.stats("k"); (st.min.get.toLong, st.max.get.toLong)
+    }.sortBy(_._1)
+    assert(ivs.sliding(2).forall {
+      case Seq(a, b) => a._2 < b._1
+      case _ => true
+    }, s"intervals must be disjoint, got $ivs")
+    // ...so a narrow range prunes to one file immediately
+    val (survivors, _) = VT.pruneFilesMulti(spark, loc,
+      Seq(("k", lit(10L), lit(20L))))
+    assert(survivors.size == 1, s"expected 1 survivor, got $survivors")
+    // an unknown CLUSTER BY column refuses loudly
+    val ex = intercept[Exception](GraftSql.sql(spark,
+      s"CREATE TABLE graft_vtable('${name}_b') CLUSTER BY (nope) " +
+        "AS SELECT k FROM ctas_cl_src").collect())
+    assert(ex.getMessage.contains("nope"), ex.getMessage)
+    GraftSql.sql(spark, s"DROP TABLE graft_vtable('$name')").collect()
+  }
+
   test("OPTIMIZE WHERE compacts only the scoped files; the tail carries byte-identical") {
     val dir = tmp()
     // two key ranges in separate files; fragment the LOW range with small
