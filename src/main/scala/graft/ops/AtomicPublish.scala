@@ -42,30 +42,42 @@ object AtomicPublish {
   }
 
   /** No-hardlink fallback: a create-exclusive claim file serializes
-    * publishers, and the claim section re-probes `dest` BEFORE moving, so
-    * a claimant that acquires the claim AFTER a winner finished (winners
-    * delete their claim only after `dest` is published, so `dest` is
-    * visible by then) reports the loss instead of `ATOMIC_MOVE`-ing over
-    * the published file — POSIX rename overwrites, so without the
-    * re-probe a slow racer would silently clobber the winner and BOTH
-    * calls would return true.
+    * publishers, and the publish itself is a CREATE-EXCLUSIVE write of
+    * `tmp`'s bytes at `dest` (`CREATE_NEW` — atomic refuse-if-exists at
+    * the syscall), NOT a rename: POSIX rename overwrites, so a claimant
+    * PAUSED after its dest re-probe whose "stale" claim an operator
+    * deleted would, on resume, silently clobber the publisher that won
+    * in the meantime — with `CREATE_NEW` its late write fails with
+    * EEXIST and it reports the lost race. The claim is thereby a pure
+    * throughput serializer (it keeps racers from burning EEXIST
+    * retries), never the safety mechanism. The cost of abandoning
+    * rename: `dest` is visible before its bytes land, so a reader
+    * racing THIS fallback path (no-hardlink filesystems only — the
+    * primary `createLink` path stays fully atomic) can observe a
+    * short-lived torn manifest; that fails a JSON parse LOUDLY and a
+    * retry reads the complete file — strictly better than the silent
+    * double-publish it replaces.
     *
     * Liveness: a process that crashes between `createFile(claim)` and the
     * `finally` leaves a stale claim that blocks the version forever. A
     * live claimant holds the claim only for the duration of one
-    * same-directory move, so a later publisher that finds the claim held
+    * same-directory write, so a later publisher that finds the claim held
     * polls up to `stalePollMs`: if `dest` appears the race was genuinely
     * lost (false); if the claim disappears it retries the acquisition;
     * if after the window the claim is still held with `dest` absent it
-    * THROWS naming the stale claim — loud and actionable (delete the
-    * claim of the dead process and retry) rather than a silent wedge or
-    * a heuristic claim steal, which would reintroduce the double-publish
-    * under a pathological pause.
+    * THROWS naming the stale claim — loud and actionable: deleting the
+    * dead claim and retrying is SAFE, because even a paused (not dead)
+    * claimant can no longer overwrite whatever the retry publishes.
+    *
+    * `beforePublish` is a spec-only hook between the dest re-probe and
+    * the exclusive write — the paused-claimant interleaving is driven
+    * through it, so the property proven is the property shipped.
     */
   private[graft] def publishViaClaim(tmp: java.nio.file.Path,
                                    dest: java.nio.file.Path,
-                                   stalePollMs: Long = 5000L): Boolean = {
-    import java.nio.file.{Files, FileAlreadyExistsException, StandardCopyOption}
+                                   stalePollMs: Long = 5000L,
+                                   beforePublish: () => Unit = () => ()): Boolean = {
+    import java.nio.file.{Files, FileAlreadyExistsException, StandardOpenOption}
     val claim = dest.resolveSibling(dest.getFileName.toString + ".claim")
     val deadline = System.nanoTime() + stalePollMs * 1000000L
     while (true) {
@@ -73,8 +85,15 @@ object AtomicPublish {
         Files.createFile(claim) // throws FileAlreadyExistsException when held
         try {
           if (Files.exists(dest)) return false // lost: winner published before we claimed
-          Files.move(tmp, dest, StandardCopyOption.ATOMIC_MOVE)
-          return true
+          beforePublish()
+          try {
+            Files.write(dest, Files.readAllBytes(tmp),
+              StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+            return true
+          } catch {
+            case _: FileAlreadyExistsException =>
+              return false // a racer landed between the probe and the write
+          }
         } finally Files.deleteIfExists(claim)
       } catch {
         case _: FileAlreadyExistsException =>

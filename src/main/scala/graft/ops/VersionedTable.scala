@@ -2027,6 +2027,16 @@ object VersionedTable {
   val pruneTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[(String, Long)] =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[(String, Long)]("graft.vtable.prune")
 
+  /** Companion tag to [[pruneTag]]: the scanned table's identity UUID
+    * ([[TableIdProp]]), lifted from the manifest the read already parsed —
+    * so plan-time consumers ([[graft.plans.VtableViewRewrite]]'s
+    * drop/recreate gate) can check identity from MEMORY instead of
+    * re-reading the source manifest inside an optimizer rule. Absent on
+    * legacy tables without an id.
+    */
+  val tableIdTag: org.apache.spark.sql.catalyst.trees.TreeNodeTag[String] =
+    org.apache.spark.sql.catalyst.trees.TreeNodeTag[String]("graft.vtable.tableId")
+
   private def baseRead(spark: SparkSession, dir: String, m: Manifest,
                        schema: StructType): DataFrame =
     if (m.files.isEmpty)
@@ -2037,6 +2047,7 @@ object VersionedTable {
       df.queryExecution.analyzed.foreach {
         case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
           lr.setTagValue(pruneTag, (dir, m.version))
+          m.props.get(TableIdProp).foreach(lr.setTagValue(tableIdTag, _))
         case _ =>
       }
       df

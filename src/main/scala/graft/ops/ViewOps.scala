@@ -62,20 +62,30 @@ object ViewOps {
                            measures: Seq[String], appId: String)
     private val bySrc =
       new java.util.concurrent.ConcurrentHashMap[String, Vector[MvDef]]()
+    /** Bumped on every registry mutation; [[graft.plans.VtableViewRewrite]]
+      * keys its negative freshness memo on it, so a refresh that makes a
+      * view current invalidates "stale" verdicts immediately instead of
+      * waiting out a TTL.
+      */
+    val epoch = new java.util.concurrent.atomic.AtomicLong()
     private def norm(dir: String): String = dir.stripSuffix("/")
-    def register(srcDir: String, d: MvDef): Unit =
+    def register(srcDir: String, d: MvDef): Unit = {
       bySrc.compute(norm(srcDir), (_, v) =>
         Option(v).getOrElse(Vector.empty).filterNot(_.viewDir == d.viewDir) :+ d)
+      epoch.incrementAndGet()
+    }
     def forSource(srcDir: String): Seq[MvDef] =
       Option(bySrc.get(norm(srcDir))).getOrElse(Vector.empty)
-    def drop(srcDir: String, viewDir: String): Unit =
+    def drop(srcDir: String, viewDir: String): Unit = {
       bySrc.computeIfPresent(norm(srcDir),
         (_, v) => v.filterNot(_.viewDir == viewDir) match {
           case e if e.isEmpty => null
           case rest => rest
         })
+      epoch.incrementAndGet()
+    }
     def isEmpty: Boolean = bySrc.isEmpty
-    def clear(): Unit = bySrc.clear()
+    def clear(): Unit = { bySrc.clear(); epoch.incrementAndGet() }
   }
 
   /** Internal state columns per measure `m`: `sum_<m>` (0-defaulted

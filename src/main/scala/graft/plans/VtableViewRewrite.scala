@@ -91,13 +91,123 @@ object VtableViewRewrite extends Rule[LogicalPlan] {
       (srcDir, srcV) <- lr.getTagValue(VersionedTable.pruneTag)
       mvs = ViewOps.Rewrites.forSource(srcDir)
       if mvs.nonEmpty
-      out <- mvs.view.flatMap(mv => tryAnswer(agg, cond, srcDir, srcV, mv)).headOption
+      out <- mvs.view.flatMap(mv => tryAnswer(agg, cond, lr, srcDir, srcV, mv))
+        .headOption
     } yield out
 
+  /** The session the plan's relation belongs to — `SparkSession.active`
+    * is a thread-local that can name a DIFFERENT session in multi-session
+    * JVMs, and an optimizer rule must not cross that boundary.
+    */
+  private def sessionOf(lr: LogicalRelation): SparkSession = lr.relation match {
+    case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+      h.sparkSession
+    case _ => SparkSession.active
+  }
+
+  /** Pure (no-I/O) feasibility gate on the aggregate-function shapes, run
+    * BEFORE any manifest read: a query whose aggregates the view algebra
+    * cannot derive (MIN/MAX/DISTINCT/FILTER/unknown) must not pay
+    * filesystem I/O per optimizer fixpoint iteration just to refuse in
+    * `rewriteExpr` later.
+    */
+  private def shapeSupported(agg: Aggregate, measureSet: Set[String]): Boolean =
+    agg.aggregateExpressions.forall(_.collect {
+      case ae: AggregateExpression => ae
+    }.forall { ae =>
+      !ae.isDistinct && ae.filter.isEmpty && (ae.aggregateFunction match {
+        case Count(Seq(l: Literal)) => l.value != null
+        case Count(Seq(a: AttributeReference)) => measureSet(a.name.toLowerCase)
+        case s: Sum => s.child match {
+          case a: AttributeReference => measureSet(a.name.toLowerCase)
+          case Cast(a: AttributeReference, LongType, _, _) =>
+            measureSet(a.name.toLowerCase)
+          case _ => false
+        }
+        case av: Average => av.child match {
+          case a: AttributeReference => measureSet(a.name.toLowerCase)
+          case _ => false
+        }
+        case _ => false
+      })
+    })
+
+  /** Freshness memo. A POSITIVE verdict — "view version `vv` folded
+    * exactly source version `srcV` of table identity `srcId`" — is a
+    * statement about immutable manifests, so once computed it is sound
+    * forever and cached unconditionally (a later vacuum of `vv` just
+    * fails the subsequent view read and the rewrite declines). The
+    * identity is part of the key, read from the scan's
+    * [[VersionedTable.tableIdTag]] (stamped from the manifest the read
+    * already parsed — no I/O here); scans of legacy tables without an id
+    * bypass the memo entirely and keep the original per-call check. A
+    * NEGATIVE verdict ("view not caught up") can flip at any commit, so
+    * it lives only until the registry epoch bumps (a refresh in this JVM)
+    * or a short TTL expires (a refresh elsewhere) — bounded staleness,
+    * bounded I/O per planning pass.
+    */
+  private final case class FreshKey(viewDir: String, appId: String,
+                                    srcDir: String, srcV: Long, srcId: String)
+  private final case class Miss(epoch: Long, deadlineNanos: Long)
+  private val freshHit =
+    new java.util.concurrent.ConcurrentHashMap[FreshKey, java.lang.Long]()
+  private val freshMiss =
+    new java.util.concurrent.ConcurrentHashMap[FreshKey, Miss]()
+  private val missTtlNanos = 2000L * 1000 * 1000
+  private def boundedPut[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V],
+                               k: K, v: V): Unit = {
+    if (m.size > 4096) m.clear() // arbitrary eviction is safe for a memo
+    m.put(k, v)
+  }
+
+  /** The view version whose state folds EXACTLY `srcV`, or None. */
+  private def freshViewVersion(spark: SparkSession,
+                               mv: ViewOps.Rewrites.MvDef, srcDir: String,
+                               srcV: Long, scanId: Option[String]): Option[Long] = {
+    val key = scanId.map(FreshKey(mv.viewDir, mv.appId, srcDir, srcV, _))
+    key.foreach { k =>
+      val hit = freshHit.get(k)
+      if (hit != null) return Some(hit.longValue)
+      val miss = freshMiss.get(k)
+      if (miss != null && miss.epoch == ViewOps.Rewrites.epoch.get() &&
+          System.nanoTime() < miss.deadlineNanos) return None
+    }
+    val verdict = computeFreshness(spark, mv, srcDir, srcV, scanId)
+    key.foreach { k =>
+      verdict match {
+        case Some(vv) => boundedPut(freshHit, k, java.lang.Long.valueOf(vv))
+        case None => boundedPut(freshMiss, k,
+          Miss(ViewOps.Rewrites.epoch.get(), System.nanoTime() + missTtlNanos))
+      }
+    }
+    verdict
+  }
+
+  private def computeFreshness(spark: SparkSession,
+                               mv: ViewOps.Rewrites.MvDef, srcDir: String,
+                               srcV: Long, scanId: Option[String]): Option[Long] = {
+    // freshness: the view must have folded EXACTLY the scanned version...
+    val vv = VersionedTable.currentVersion(spark, mv.viewDir).getOrElse(return None)
+    val meta = VersionedTable.readMeta(spark, mv.viewDir, vv)
+    if (!meta.txns.get(mv.appId).contains(srcV) || meta.patches.nonEmpty)
+      return None
+    // ...OF THE SAME TABLE: version numbers restart across drop/recreate
+    // at one path, so the cursor alone would let a stale view answer for
+    // a different table. The view pins the source's identity UUID at
+    // bootstrap; a pinned id must match the scanned table's (from the
+    // scan's tag when stamped, else the version's manifest).
+    val foldedId = meta.props.get(ViewOps.SrcIdProp)
+    if (foldedId.isDefined && scanId.orElse(
+        VersionedTable.readMeta(spark, srcDir, srcV).props
+          .get(VersionedTable.TableIdProp)) != foldedId)
+      return None
+    Some(vv)
+  }
+
   private def tryAnswer(agg: Aggregate, cond: Option[Expression],
-                        srcDir: String, srcV: Long,
+                        lr: LogicalRelation, srcDir: String, srcV: Long,
                         mv: ViewOps.Rewrites.MvDef): Option[LogicalPlan] = try {
-    val spark = SparkSession.active
+    val spark = sessionOf(lr)
     val groupSet = mv.groupCols.map(_.toLowerCase).toSet
     val measureSet = mv.measures.map(_.toLowerCase).toSet
     // cheap structural refusals before any manifest read. Determinism is
@@ -111,20 +221,9 @@ object VtableViewRewrite extends Rule[LogicalPlan] {
     if (!cond.forall(c => c.deterministic &&
         c.references.forall(r => groupSet(r.name.toLowerCase))))
       return None
-    // freshness: the view must have folded EXACTLY the scanned version...
-    val vv = VersionedTable.currentVersion(spark, mv.viewDir).getOrElse(return None)
-    val meta = VersionedTable.readMeta(spark, mv.viewDir, vv)
-    if (!meta.txns.get(mv.appId).contains(srcV) || meta.patches.nonEmpty)
-      return None
-    // ...OF THE SAME TABLE: version numbers restart across drop/recreate
-    // at one path, so the cursor alone would let a stale view answer for
-    // a different table. The view pins the source's identity UUID at
-    // bootstrap; a pinned id must match the scanned version's manifest.
-    val foldedId = meta.props.get(ViewOps.SrcIdProp)
-    if (foldedId.isDefined &&
-        VersionedTable.readMeta(spark, srcDir, srcV).props
-          .get(VersionedTable.TableIdProp) != foldedId)
-      return None
+    if (!shapeSupported(agg, measureSet)) return None
+    val vv = freshViewVersion(spark, mv, srcDir, srcV,
+      lr.getTagValue(VersionedTable.tableIdTag)).getOrElse(return None)
 
     // read the view AT the validated version — a concurrent refresh
     // between the freshness check and this read would otherwise serve a

@@ -103,15 +103,30 @@ class VtableCdfSource(spark: SparkSession, parameters: Map[String, String],
     * offset/batch call re-checks it, failing loudly the moment the log
     * underneath changes hands (legacy tables without an id keep the old
     * behavior).
+    *
+    * The pin is LAZY, re-attempted on every offset/batch call until an id
+    * is observed, then cached: pinning once at construction would pin
+    * NOTHING when no table id is visible yet (a table dropped between
+    * construction and first trigger, a legacy table upgraded mid-stream),
+    * silently disabling the identity check for the query's whole lifetime
+    * — exactly the hazard the pin exists to close. The unpinned-yet
+    * retry costs one metadata read per trigger, on calls that already
+    * read the current manifest.
     */
-  private val pinnedTableId: Option[String] =
-    if (metadataPath.isEmpty) VT.tableId(spark, dir)
-    else {
-      val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-table-id")
-      graft.ops.TableIdPin.pinOrRead(
-        p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
-        VT.tableId(spark, dir))
+  @volatile private var pinnedTableIdCache: Option[String] = None
+  private def pinnedTableId: Option[String] = {
+    if (pinnedTableIdCache.isEmpty) {
+      pinnedTableIdCache =
+        if (metadataPath.isEmpty) VT.tableId(spark, dir)
+        else {
+          val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-table-id")
+          graft.ops.TableIdPin.pinOrRead(
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+            VT.tableId(spark, dir))
+        }
     }
+    pinnedTableIdCache
+  }
 
   private def requireSameTable(): Unit =
     graft.ops.TableIdPin.requireSame(pinnedTableId, VT.tableId(spark, dir),

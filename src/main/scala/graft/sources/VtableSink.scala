@@ -82,9 +82,19 @@ class VtableSink(spark: SparkSession, parameters: Map[String, String])
     * batch ids restarting at 0) find the first query's high cursor and
     * silently swallow every one of its batches. Same checkpoint →
     * same derived id → restarts stay exactly-once; different checkpoint →
-    * different id → independent ledgers. Checkpoint-less (dev) runs fall
-    * back to a per-instance random id: duplicate ledger entries beat
-    * silent data loss.
+    * different id → independent ledgers.
+    *
+    * When the option is ABSENT the query may still be durably
+    * checkpointed through the `spark.sql.streaming.checkpointLocation`
+    * session conf — the engine then checkpoints under a per-query
+    * SUBDIRECTORY this sink cannot see, so no stable id can be derived
+    * and a random one would mint a FRESH ledger key per (re)start: a
+    * crash-restart replays the last micro-batch under the new key and
+    * append mode duplicates it. That shape therefore REFUSES at query
+    * start and demands an explicit `appId`. Only a genuinely temp
+    * checkpoint (neither option nor conf — a non-resumable dev run, no
+    * cross-restart replay possible) falls back to a per-instance random
+    * id: duplicate ledger entries beat silent data loss.
     */
   private val appId = parameters.get("appId").getOrElse {
     parameters.get("checkpointLocation") match {
@@ -92,6 +102,13 @@ class VtableSink(spark: SparkSession, parameters: Map[String, String])
         "graft-vtable-sink-" + java.security.MessageDigest.getInstance("MD5")
           .digest(ckpt.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       case None =>
+        require(spark.conf.getOption("spark.sql.streaming.checkpointLocation").isEmpty,
+          "graft-vtable sink: this query checkpoints under " +
+            "spark.sql.streaming.checkpointLocation (a per-query subdirectory " +
+            "the sink cannot observe), so no exactly-once ledger identity can " +
+            "be derived — pass .option(\"appId\", <stable id>) (reset it " +
+            "together with the checkpoint) or pass checkpointLocation as a " +
+            "writer option")
         "graft-vtable-sink-" + java.util.UUID.randomUUID().toString.take(12)
     }
   }

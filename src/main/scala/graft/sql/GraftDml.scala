@@ -327,6 +327,14 @@ object GraftDml {
     * referenced only by manifests older than the newest `n` versions.
     * The retention count is REQUIRED: an unbounded default would silently
     * destroy time travel, so the statement must say what it keeps.
+    *
+    * The two forms guard differently ON PURPOSE: `RETAIN 0 VERSIONS`
+    * would keep NOTHING — not even the current version — so it refuses;
+    * `RETAIN 0 HOURS` bounds AGE and the engine always keeps the current
+    * version regardless of age ([[graft.ops.VersionedTable]] time-based
+    * retention), so `0 HOURS` is the intentional, spec-pinned
+    * "keep only the current version" spelling (Delta's idiom for the
+    * same knob).
     */
   private def parseVacuum(target: String, rest: String): LogicalPlan = {
     val hoursForm = """(?is)^RETAIN\s+(\d+)\s+HOURS$""".r

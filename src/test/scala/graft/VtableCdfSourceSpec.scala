@@ -173,6 +173,34 @@ class VtableCdfSourceSpec extends SparkSuite {
     assert(parquetRows(s"$root/out") == Set(("insert", 4L, "d", 2L)))
   }
 
+  test("identity pin is LAZY: a pin unobservable at construction still arms on first call") {
+    // Pinning once at construction pins NOTHING when no table id is
+    // visible yet (table dropped between construction and first trigger)
+    // — silently disabling the drop/recreate check for the query's whole
+    // lifetime. The lazy pin re-attempts per call: the first observed id
+    // is pinned, and a LATER recreate still fails loudly.
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    val src = new graft.sources.VtableCdfSource(spark,
+      Map("dir" -> dir, "keys" -> "k"), s"$root/meta")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // drop + recreate BEFORE any source call: the constructor-era id is
+    // never observed, so the first call pins the NEW table's id (nothing
+    // was consumed yet — pin-at-first-start semantics)…
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    mk(dir)
+    assert(src.getOffset.isEmpty, "no changes past startingVersion yet")
+    VT.commitAppend(Seq((4L, "d")).toDF("k", "s"), dir)
+    assert(src.getOffset.nonEmpty, "the recreated table's commit is visible")
+    // …and a SECOND recreate after the pin armed fails loudly
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    mk(dir)
+    VT.commitAppend(Seq((9L, "z")).toDF("k", "s"), dir)
+    val ex = intercept[IllegalStateException](src.getOffset)
+    assert(ex.getMessage.contains("recreated"),
+      s"undiagnostic failure: ${ex.getMessage}")
+  }
+
   test("net mode folds a multi-commit window into one diff") {
     val root = tmp(); val dir = s"$root/t"; mk(dir)
     // churn that partially cancels: k=4 inserted then updated; k=2

@@ -212,6 +212,43 @@ class VtableConcurrencySpec extends SparkSuite {
     assert(graft.ops.AtomicPublish.publishViaClaim(t, dest))
   }
 
+  test("claim fallback: a PAUSED claimant whose claim was operator-deleted cannot clobber the new winner") {
+    // The stale-claim remedy is "delete the dead claim and retry" — but
+    // the claimant might be paused, not dead. With a rename-based publish
+    // it would resume and silently overwrite the retry's winner (POSIX
+    // rename replaces; both callers return true). The CREATE_NEW publish
+    // makes its late write fail with EEXIST instead. Driven through the
+    // spec-only beforePublish hook: paused exactly between the dest
+    // re-probe and the exclusive write — the advisory interleaving.
+    val dir = Files.createTempDirectory("claimpause")
+    val dest = dir.resolve("v1.json")
+    val tA = dir.resolve(".v1.tmp-a")
+    val tB = dir.resolve(".v1.tmp-b")
+    Files.write(tA, """{"writer":"a"}""".getBytes("UTF-8"))
+    Files.write(tB, """{"writer":"b"}""".getBytes("UTF-8"))
+    val probed = new CountDownLatch(1)
+    val resume = new CountDownLatch(1)
+    val aResult = new java.util.concurrent.atomic.AtomicReference[Any]()
+    val a = new Thread(() =>
+      aResult.set(
+        try graft.ops.AtomicPublish.publishViaClaim(tA, dest,
+          beforePublish = () => { probed.countDown(); resume.await() })
+        catch { case t: Throwable => t }))
+    a.start()
+    assert(probed.await(30, TimeUnit.SECONDS), "claimant A never reached its probe")
+    // operator sees A's claim as stale and deletes it; B retries and wins
+    Files.delete(dir.resolve("v1.json.claim"))
+    assert(graft.ops.AtomicPublish.publishViaClaim(tB, dest),
+      "the retry after operator remediation must win")
+    resume.countDown()
+    a.join(30000)
+    assert(aResult.get() == false,
+      s"paused claimant must report the lost race, got: ${aResult.get()}")
+    assert(new String(Files.readAllBytes(dest), "UTF-8") == """{"writer":"b"}""",
+      "the paused claimant clobbered the published winner")
+    Files.deleteIfExists(tA); Files.deleteIfExists(tB)
+  }
+
   test("vacuum under a patch chain: kept mid-chain state stays byte-correct") {
     val dir = tmp()
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "s")

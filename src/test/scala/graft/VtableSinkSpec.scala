@@ -151,4 +151,38 @@ class VtableSinkSpec extends SparkSuite {
     // and the table still holds exactly its create state
     assert(VT.read(spark, tbl).count() == 1)
   }
+
+  test("session-conf checkpoint without explicit appId refuses at start") {
+    // spark.sql.streaming.checkpointLocation checkpoints under a per-query
+    // subdirectory the sink cannot observe: a derived-random appId would
+    // mint a fresh ledger key per restart and append mode would duplicate
+    // the replayed batch — so that shape must refuse loudly at query
+    // start, and an explicit appId must unblock it.
+    val base = tmp()
+    val tbl = s"$base/t"
+    VT.create(Seq((1L, "a")).toDF("k", "s"), tbl, statsCols = Seq("k"))
+    Seq((2L, "b")).toDF("k", "s").write.parquet(s"$base/src")
+    spark.conf.set("spark.sql.streaming.checkpointLocation", s"$base/sess-ckpt")
+    try {
+      def start(extra: Map[String, String]): Unit = {
+        var w = spark.readStream.schema("k bigint, s string")
+          .parquet(s"$base/src")
+          .writeStream.format("graft-vtable").option("dir", tbl)
+          .queryName("sessckpt-" + extra.size)
+          .trigger(Trigger.AvailableNow())
+        extra.foreach { case (k, v) => w = w.option(k, v) }
+        w.start().awaitTermination()
+      }
+      val ex = intercept[Exception](start(Map.empty))
+      def chain(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e =>
+          Option(e.getMessage).toSeq ++ chain(e.getCause))
+      assert(chain(ex).exists(_.contains("appId")),
+        s"undiagnostic refusal: ${chain(ex)}")
+      assert(VT.read(spark, tbl).count() == 1, "nothing may have landed")
+      start(Map("appId" -> "sessckpt-explicit"))
+      assert(VT.read(spark, tbl).select("k").as[Long].collect().toSet ==
+        Set(1L, 2L), "explicit appId must unblock the session-conf shape")
+    } finally spark.conf.unset("spark.sql.streaming.checkpointLocation")
+  }
 }
