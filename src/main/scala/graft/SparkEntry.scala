@@ -2854,6 +2854,77 @@ private[graft] object Queries {
          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
   }
 
+  /** V2 `TableCatalog` end to end ([[graft.catalog.GraftTableCatalog]]):
+    * the versioned table addressed as `graft.<name>` through SPARK'S OWN
+    * analyzer — CTAS with `CLUSTER BY` (the layout contract: every write
+    * through the catalog range-clusters, so manifest intervals are tight
+    * from the first commit), `INSERT INTO` through the V1Write bridge,
+    * `DELETE … WHERE` through `SupportsDelete`, and a final narrow
+    * SELECT — no `graft_vtable()` TVF anywhere. Plan-asserted inside the
+    * query: the catalog read swaps to the SAME tagged parquet relation
+    * the TVF produces ([[graft.plans.VtableCatalogReads]]) AND
+    * manifest-prunes below the table's file count
+    * ([[graft.plans.VtableSkipping]] firing through the catalog
+    * spelling). Reference analog: the warehouse IS a named catalog
+    * table (reference/scripts/setup_db.py:33, load.py:114).
+    */
+  def catalogSql(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftTableCatalog].getName)
+    val name = s"cust_cat_${new java.io.File(d).getName}".replace('.', '_')
+    val G = graft.sql.GraftSql
+    G.sql(s, s"DROP TABLE IF EXISTS graft_vtable('$name') PURGE").collect()
+    cust(s, d).createOrReplaceTempView("cat_src")
+    s.sql(
+      s"""CREATE TABLE graft.`$name` CLUSTER BY (c_custkey)
+         |AS SELECT c_custkey, c_nationkey,
+         |          CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+         |   FROM cat_src WHERE c_custkey % 3 <> 0""".stripMargin).collect()
+    s.sql(
+      s"""INSERT INTO graft.`$name`
+         |SELECT c_custkey, c_nationkey,
+         |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 500
+         |FROM cat_src WHERE c_custkey % 3 = 0""".stripMargin).collect()
+    s.sql(s"DELETE FROM graft.`$name` WHERE c_custkey BETWEEN 100 AND 199")
+      .collect()
+    val q = s.sql(
+      s"""SELECT c_custkey, c_nationkey, cents
+         |FROM graft.`$name`
+         |WHERE c_custkey >= 50 AND c_custkey < 400
+         |ORDER BY c_custkey""".stripMargin)
+    // plan-assert on an ORDER-BY-free probe: the sort's exchange would AQE-
+    // wrap the executed plan and hide the scan from a pre-execution collect
+    def filesScanned(df: DataFrame): Int =
+      df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+    val total = filesScanned(s.sql(s"SELECT c_custkey FROM graft.`$name`"))
+    val pruned = filesScanned(s.sql(
+      s"SELECT c_custkey FROM graft.`$name` " +
+        "WHERE c_custkey >= 50 AND c_custkey < 400"))
+    require(pruned > 0,
+      "q_catalog_sql: the catalog read must swap to the native parquet scan")
+    require(pruned < total,
+      s"q_catalog_sql: expected a manifest-pruned scan, got $pruned/$total files")
+    q
+  }
+
+  private val catalogSqlSql =
+    """WITH base AS (SELECT c_custkey, c_nationkey,
+      |                     CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |              FROM customer),
+      |t AS (SELECT c_custkey, c_nationkey, cents FROM base
+      |      WHERE c_custkey % 3 <> 0
+      |      UNION ALL
+      |      SELECT c_custkey, c_nationkey, cents + 500 FROM base
+      |      WHERE c_custkey % 3 = 0)
+      |SELECT c_custkey, c_nationkey, cents FROM t
+      |WHERE NOT (c_custkey BETWEEN 100 AND 199)
+      |  AND c_custkey >= 50 AND c_custkey < 400
+      |ORDER BY c_custkey""".stripMargin
+
   /** SQL TABLE MAINTENANCE end to end ([[graft.sql.GraftDml]] OPTIMIZE /
     * ALTER / RESTORE / VACUUM, over the DML from `q_ddl_sql`): fragment a
     * table with a CTAS + `INSERT INTO` + a disjoint-slice MERGE, `OPTIMIZE` the small
@@ -4287,6 +4358,7 @@ private[graft] object Queries {
     "q_update_sql" -> (updateSql _),
     "q_delete_sql" -> (deleteSql _),
     "q_ddl_sql" -> (ddlSql _),
+    "q_catalog_sql" -> (catalogSql _),
     "q_maintenance_sql" -> (maintenanceSql _),
     "q_colmap_sql" -> (colmapSql _),
     "q_replace_where" -> (replaceWhereSql _),
@@ -4448,6 +4520,7 @@ private[graft] object Queries {
     "q_update_sql" -> updateSqlSql,
     "q_delete_sql" -> deleteSqlSql,
     "q_ddl_sql" -> ddlSqlSql,
+    "q_catalog_sql" -> catalogSqlSql,
     "q_maintenance_sql" -> maintenanceSqlSql,
     "q_colmap_sql" -> colmapSqlSql,
     "q_replace_where" -> replaceWhereSqlSql,

@@ -233,10 +233,14 @@ object GraftFunctions {
     }
     // sessions built without spark.sql.extensions still get the
     // versioned-table data-skipping rule (the experimental batch runs
-    // after the main optimizer, same place injected rules land)
-    // VtableViewRewrite runs FIRST: it wants the pristine Aggregate-over-
-    // scan shape before skipping swaps the relation's file index
-    Seq(graft.plans.VtableViewRewrite, graft.plans.VtableSkipping,
+    // after the main optimizer, same place injected rules land).
+    // VtableCatalogReads runs FIRST (swaps V2-catalog scan relations for
+    // the native tagged read the other rules key off — the batch is a
+    // fixed point, so they see the swap on the next iteration); then
+    // VtableViewRewrite: it wants the pristine Aggregate-over-scan shape
+    // before skipping swaps the relation's file index
+    Seq(graft.plans.VtableCatalogReads,
+        graft.plans.VtableViewRewrite, graft.plans.VtableSkipping,
         graft.plans.VtableMetadataAgg).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
         spark.experimental.extraOptimizations =
@@ -286,5 +290,10 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // graft_vtable('ref') parse here and route through the versioned
     // commits; everything else delegates to Spark's parser untouched
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // V2-catalog reads (`SELECT … FROM graft.t`) swap to the native
+    // versioned read plan — same tagged relation as the TVF, so skipping/
+    // metadata-agg/MV-rewrite apply identically — see
+    // graft.plans.VtableCatalogReads
+    ext.injectPostHocResolutionRule(_ => graft.plans.VtableCatalogReads)
   }
 }

@@ -72,53 +72,78 @@ object VtableSkipping extends Rule[LogicalPlan] {
   private[graft] val rewrittenTag =
     org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.vtable.rewritten")
 
+  private def eligible(lr: LogicalRelation, cond: Expression): Boolean =
+    lr.getTagValue(VersionedTable.pruneTag).isDefined &&
+      lr.getTagValue(rewrittenTag).isEmpty &&
+      !lr.getTagValue(prunedTag).exists(_.contains(cond.semanticHash())) &&
+      lr.relation.isInstanceOf[HadoopFsRelation]
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, lr: LogicalRelation)
-        if lr.getTagValue(VersionedTable.pruneTag).isDefined &&
-          lr.getTagValue(rewrittenTag).isEmpty &&
-          !lr.getTagValue(prunedTag).exists(_.contains(cond.semanticHash())) &&
-          lr.relation.isInstanceOf[HadoopFsRelation] =>
-      val (dir, version) = lr.getTagValue(VersionedTable.pruneTag).get
-      // synchronized: DataFrames share relation nodes, and concurrent
-      // optimizations of two queries over the same base would otherwise
-      // interleave this get-then-set (the tags map is a plain HashMap)
-      def memoNoOp(): Unit = lr.synchronized {
-        lr.setTagValue(prunedTag,
-          lr.getTagValue(prunedTag).getOrElse(Set.empty) + cond.semanticHash())
+    // an attribute-only Project between Filter and relation (the V2
+    // catalog swap's narrowing shape — see VtableCatalogReads) is
+    // transparent to pruning: its list is bare relation attributes, so
+    // the predicate's names are the relation's names
+    case f @ Filter(cond, proj @ Project(pl, lr: LogicalRelation))
+        if pl.forall(_.isInstanceOf[AttributeReference]) &&
+          eligible(lr, cond) =>
+      pruneRelation(cond, lr) match {
+        case None => f
+        case Some(newLr) => Filter(cond, Project(pl, newLr))
       }
-      val (ranges, inSets) = mine(cond)
-      if (ranges.isEmpty && inSets.isEmpty) {
-        // nothing minable: the decision cannot change for THIS predicate,
-        // so memo it — the fixed-point batch (and any re-execution of the
-        // same DataFrame) must not re-walk the conjuncts every pass
+    case f @ Filter(cond, lr: LogicalRelation) if eligible(lr, cond) =>
+      pruneRelation(cond, lr) match {
+        case None => f
+        case Some(newLr) => Filter(cond, newLr)
+      }
+  }
+
+  /** The pruned replacement for `lr` under predicate `cond`: a narrowed
+    * relation, an empty local relation (no survivor), or None when
+    * nothing prunes (decision memoized on the node).
+    */
+  private def pruneRelation(cond: Expression,
+                            lr: LogicalRelation): Option[LogicalPlan] = {
+    val (dir, version) = lr.getTagValue(VersionedTable.pruneTag).get
+    // synchronized: DataFrames share relation nodes, and concurrent
+    // optimizations of two queries over the same base would otherwise
+    // interleave this get-then-set (the tags map is a plain HashMap)
+    def memoNoOp(): Unit = lr.synchronized {
+      lr.setTagValue(prunedTag,
+        lr.getTagValue(prunedTag).getOrElse(Set.empty) + cond.semanticHash())
+    }
+    val (ranges, inSets) = mine(cond)
+    if (ranges.isEmpty && inSets.isEmpty) {
+      // nothing minable: the decision cannot change for THIS predicate,
+      // so memo it — the fixed-point batch (and any re-execution of the
+      // same DataFrame) must not re-walk the conjuncts every pass
+      memoNoOp()
+      None
+    } else {
+      val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
+      val spark = fsRel.sparkSession
+      val survivors =
+        VersionedTable.pruneForSpec(spark, dir, ranges, inSets, Some(version))
+      val total = fsRel.location.inputFiles.length
+      if (survivors.size >= total) {
+        // no-op prune: memo THIS predicate's decision, or every
+        // re-execution repeats the manifest read + bloom refinement (up
+        // to 256 file opens) to re-derive a known nothing
         memoNoOp()
-        f
-      } else {
-        val fsRel = lr.relation.asInstanceOf[HadoopFsRelation]
-        val spark = fsRel.sparkSession
-        val survivors =
-          VersionedTable.pruneForSpec(spark, dir, ranges, inSets, Some(version))
-        val total = fsRel.location.inputFiles.length
-        if (survivors.size >= total) {
-          // no-op prune: memo THIS predicate's decision, or every
-          // re-execution repeats the manifest read + bloom refinement (up
-          // to 256 file opens) to re-derive a known nothing
-          memoNoOp()
-          f
-        } else if (survivors.isEmpty)
-          // no file can hold a qualifying row — the relation collapses to
-          // an empty local relation with the SAME output attributes
-          Filter(cond, LocalRelation(lr.output, Seq.empty, isStreaming = false))
-        else {
-          val paths = survivors.map(p => new Path(VersionedTable.dataPath(dir, p)))
-          val index = new InMemoryFileIndex(spark, paths, fsRel.options,
-            Some(fsRel.dataSchema), FileStatusCache.getOrCreate(spark),
-            None, None)
-          val pruned = lr.copy(relation = fsRel.copy(location = index)(spark))
-          pruned.setTagValue(rewrittenTag, true)
-          Filter(cond, pruned)
-        }
+        None
+      } else if (survivors.isEmpty)
+        // no file can hold a qualifying row — the relation collapses to
+        // an empty local relation with the SAME output attributes
+        Some(LocalRelation(lr.output, Seq.empty, isStreaming = false))
+      else {
+        val paths = survivors.map(p => new Path(VersionedTable.dataPath(dir, p)))
+        val index = new InMemoryFileIndex(spark, paths, fsRel.options,
+          Some(fsRel.dataSchema), FileStatusCache.getOrCreate(spark),
+          None, None)
+        val pruned = lr.copy(relation = fsRel.copy(location = index)(spark))
+        pruned.setTagValue(rewrittenTag, true)
+        Some(pruned)
       }
+    }
   }
 
   /** Conjunct miner over RESOLVED Catalyst predicates — the optimizer-side

@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.ops.{GraftCatalog, VersionedTable => VT}
+
+/** The V2 `TableCatalog` surface ([[graft.catalog.GraftTableCatalog]]):
+  * `graft.<name>` resolves through SPARK'S analyzer — SELECT (swapped to
+  * the native manifest-pruned read), INSERT INTO/OVERWRITE, CTAS, ALTER,
+  * DELETE, TRUNCATE, time travel — against the same name→dir catalog the
+  * TVF surface uses.
+  */
+class GraftTableCatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  graft.functions.GraftFunctions.register(spark)
+  spark.conf.set("spark.sql.catalog.graft",
+    classOf[graft.catalog.GraftTableCatalog].getName)
+
+  /** Isolated catalog file per test — names are global state. */
+  private def withCatalog[T](body: String => T): T = {
+    val root = Files.createTempDirectory("v2cat").toString
+    val old = spark.conf.getOption("spark.graft.catalog.path")
+    spark.conf.set("spark.graft.catalog.path", s"$root/_catalog.json")
+    try body(root)
+    finally old match {
+      case Some(v) => spark.conf.set("spark.graft.catalog.path", v)
+      case None => spark.conf.unset("spark.graft.catalog.path")
+    }
+  }
+
+  /** 4 range-clustered files over k = 0..99 → tight per-file intervals. */
+  private def mkTable(dir: String): Unit = {
+    val base = spark.range(100)
+      .select($"id".as("k"), ($"id" % 7).cast("string").as("s"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k")
+    VT.create(base, dir, statsCols = Seq("k"))
+  }
+
+  private def scanFiles(df: DataFrame): Seq[Int] =
+    df.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s.relation.location.inputFiles.length
+    }
+
+  test("SELECT graft.t resolves through Spark's analyzer to the SAME pruned native scan") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_sel", dir)
+      val df = spark.sql("SELECT k, s FROM graft.cat_sel WHERE k BETWEEN 80 AND 99")
+      // swapped to the tagged parquet relation and manifest-pruned, exactly
+      // like the TVF/library read — no V2 row-based fallback scan
+      val files = scanFiles(df)
+      assert(files.nonEmpty && files.head < 4,
+        s"expected the native pruned scan (<4 files), got $files")
+      assert(df.as[(Long, String)].collect().toSet ==
+        (80L to 99L).map(k => (k, (k % 7).toString)).toSet)
+      // and the answer matches the library read bit-for-bit
+      assert(spark.sql("SELECT * FROM graft.cat_sel").as[(Long, String)]
+        .collect().toSet ==
+        VT.read(spark, dir).as[(Long, String)].collect().toSet)
+    }
+  }
+
+  test("CREATE TABLE + INSERT INTO + INSERT OVERWRITE through SQL") {
+    withCatalog { root =>
+      spark.sql("CREATE TABLE graft.cat_ins (k BIGINT, s STRING) " +
+        s"LOCATION '$root/ti' TBLPROPERTIES ('stats'='k')")
+      val dir = GraftCatalog.lookup(spark, "cat_ins").get
+      assert(VT.currentVersion(spark, dir).contains(1L), "created empty at v1")
+      spark.sql("INSERT INTO graft.cat_ins VALUES (1, 'a'), (2, 'b')")
+      spark.sql("INSERT INTO graft.cat_ins SELECT 3L, 'c'")
+      assert(spark.sql("SELECT * FROM graft.cat_ins").as[(Long, String)]
+        .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // by-position with coercion: analyzer casts INT literals to BIGINT
+      spark.sql("INSERT OVERWRITE graft.cat_ins VALUES (9, 'z')")
+      assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
+        Set((9L, "z")))
+      // history preserved: the overwrite is a commit, not a truncate-write
+      assert(VT.read(spark, dir, asOf = Some(3L)).count() == 3L)
+    }
+  }
+
+  test("CTAS, DROP TABLE (entry only) and PURGE") {
+    withCatalog { root =>
+      spark.conf.set("spark.graft.catalog.path", s"$root/_catalog.json")
+      spark.sql(s"CREATE TABLE graft.cat_ctas LOCATION '$root/ctas' " +
+        "TBLPROPERTIES ('stats'='k') AS SELECT id AS k, id * 2 AS v FROM range(10)")
+      assert(spark.sql("SELECT sum(v) FROM graft.cat_ctas").as[Long].head() == 90L)
+      val dir = GraftCatalog.lookup(spark, "cat_ctas").get
+      spark.sql("DROP TABLE graft.cat_ctas")
+      assert(GraftCatalog.lookup(spark, "cat_ctas").isEmpty)
+      // catalog/metadata split: the table survives by path
+      assert(VT.read(spark, dir).count() == 10L)
+    }
+  }
+
+  test("ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP COLUMN via Spark grammar") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_alt", dir)
+      spark.sql("ALTER TABLE graft.cat_alt ADD COLUMNS (v BIGINT)")
+      assert(spark.table("graft.cat_alt").columns.toSeq == Seq("k", "s", "v"))
+      spark.sql("ALTER TABLE graft.cat_alt RENAME COLUMN s TO label")
+      assert(spark.table("graft.cat_alt").columns.toSeq == Seq("k", "label", "v"))
+      spark.sql("ALTER TABLE graft.cat_alt DROP COLUMN v")
+      assert(spark.table("graft.cat_alt").columns.toSeq == Seq("k", "label"))
+      assert(spark.sql("SELECT count(*) FROM graft.cat_alt").as[Long].head() == 100L)
+    }
+  }
+
+  test("DELETE FROM graft.t WHERE … and TRUNCATE route through SupportsDelete") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_del", dir)
+      spark.sql("DELETE FROM graft.cat_del WHERE k >= 50")
+      assert(spark.sql("SELECT count(*), max(k) FROM graft.cat_del")
+        .as[(Long, Long)].head() == ((50L, 49L)))
+      // versioned: the delete is a commit, pre-image travels
+      assert(VT.read(spark, dir, asOf = Some(1L)).count() == 100L)
+      spark.sql("TRUNCATE TABLE graft.cat_del")
+      assert(spark.table("graft.cat_del").count() == 0L)
+    }
+  }
+
+  test("VERSION AS OF / TIMESTAMP AS OF time travel through Spark grammar") {
+    withCatalog { root =>
+      val dir = s"$root/t"
+      VT.create(Seq((1L, "a")).toDF("k", "s"), dir, statsCols = Seq("k"))
+      VT.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)
+      GraftCatalog.register(spark, "cat_tt", dir)
+      assert(spark.sql("SELECT count(*) FROM graft.cat_tt VERSION AS OF 1")
+        .as[Long].head() == 1L)
+      assert(spark.sql("SELECT count(*) FROM graft.cat_tt VERSION AS OF 2")
+        .as[Long].head() == 2L)
+      // a timestamp far in the future resolves to the current version
+      assert(spark.sql(
+        "SELECT count(*) FROM graft.cat_tt TIMESTAMP AS OF '2099-01-01 00:00:00'")
+        .as[Long].head() == 2L)
+    }
+  }
+
+  test("DataFrame writeTo: append and replace-where overwrite") {
+    withCatalog { root =>
+      val dir = s"$root/t"
+      VT.create(Seq((1L, "a"), (5L, "e")).toDF("k", "s"), dir,
+        statsCols = Seq("k"))
+      GraftCatalog.register(spark, "cat_w", dir)
+      Seq((2L, "b")).toDF("k", "s").writeTo("graft.cat_w").append()
+      assert(VT.read(spark, dir).count() == 3L)
+      // overwrite(cond) = REPLACE WHERE: rows in the k<3 slice are
+      // replaced, k=5 survives untouched
+      Seq((1L, "A"), (2L, "B")).toDF("k", "s")
+        .writeTo("graft.cat_w").overwrite($"k" < 3L)
+      assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
+        Set((1L, "A"), (2L, "B"), (5L, "e")))
+    }
+  }
+
+  test("the two addressing surfaces are one catalog: TVF name == graft.name") {
+    withCatalog { root =>
+      spark.sql(s"CREATE TABLE graft.cat_two (k BIGINT) LOCATION '$root/two'")
+      spark.sql("INSERT INTO graft.cat_two VALUES (7)")
+      // TVF spelling sees the same table
+      assert(spark.sql("SELECT k FROM graft_vtable('cat_two')").as[Long]
+        .collect().toSeq == Seq(7L))
+      assert(spark.sql("SHOW TABLES IN graft").collect()
+        .map(_.getString(1)).contains("cat_two"))
+    }
+  }
+
+  test("writes to a time-traveled table and unknown names refuse loudly") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_err", dir)
+      intercept[Exception](
+        spark.sql("INSERT INTO graft.nope VALUES (1)"))
+      val e = intercept[Exception](
+        spark.sql("SELECT * FROM graft.cat_err VERSION AS OF 99").collect())
+      assert(e.getMessage != null)
+    }
+  }
+}
