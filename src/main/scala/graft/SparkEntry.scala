@@ -3250,6 +3250,58 @@ private[graft] object Queries {
       |FROM orders WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 2
       |ORDER BY o_orderkey""".stripMargin
 
+  /** STREAMING TABLE source ([[graft.sources.VtableTableSource]] —
+    * Delta's default `readStream` on a table): `readStream.format(
+    * "graft-vtable")` emits the table's initial SNAPSHOT, then each
+    * commit's APPENDED rows, payload schema only — the common front door
+    * for downstream training-data pipelines ("the table, as it grows"),
+    * vs the CDF source's full change semantics. Offsets are versions;
+    * two `Trigger.AvailableNow` drains against one checkpoint prove
+    * snapshot-then-follow exactly-once (the second drain emits only the
+    * two append commits, and an interleaved `commitCompact` — a byte
+    * rewrite, not a row change — must contribute NOTHING). The oracle is
+    * the final logical table content, which equals the drained output
+    * precisely because snapshot + appends partition the rows.
+    */
+  def streamTable(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    graft.functions.GraftFunctions.register(s)
+    val tbl = fixtureDir(d, "tbl_stream_src")
+    val out = fixtureDir(d, "tbl_stream_out")
+    val ckpt = fixtureDir(d, "tbl_stream_ckpt")
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(tbl, out, ckpt).foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), true))
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+    def slice(cond: Column) = ord(s, d).filter(cond)
+      .select(col("o_orderkey"), cents(col("o_totalprice")).as("cents"))
+      .repartitionByRange(4, col("o_orderkey"))
+      .sortWithinPartitions("o_orderkey")
+    VT.create(slice(col("o_orderkey") % 3 === 1), tbl,
+      statsCols = Seq("o_orderkey"))
+    def drain(): Unit =
+      s.readStream.format("graft-vtable").option("dir", tbl).load()
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    drain() // snapshot
+    VT.commitAppend(slice(
+      col("o_orderkey") % 3 === 2 && col("o_orderkey") % 2 === 0), tbl)
+    VT.commitAppend(slice(
+      col("o_orderkey") % 3 === 2 && col("o_orderkey") % 2 =!= 0), tbl)
+    VT.commitCompact(s, tbl) // layout only: invisible to the stream
+    drain() // the two appends, exactly-once
+    s.read.parquet(out).select("o_orderkey", "cents").orderBy("o_orderkey")
+  }
+
+  private val streamTableSql =
+    """SELECT o_orderkey,
+      |       CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      |FROM orders WHERE o_orderkey % 3 <> 0
+      |ORDER BY o_orderkey""".stripMargin
+
   def cdfStream(s: SparkSession, d: String): DataFrame = {
     val VT = graft.ops.VersionedTable
     val dir = fixtureDir(d, "vtable_cdf_src")
@@ -4354,6 +4406,7 @@ private[graft] object Queries {
     "q_vtable_ckpt" -> (vtableCkpt _),
     "q_cdf_stream" -> (cdfStream _),
     "q_stream_sink" -> (streamSink _),
+    "q_stream_table" -> (streamTable _),
     "q_merge_sql" -> (mergeSql _),
     "q_update_sql" -> (updateSql _),
     "q_delete_sql" -> (deleteSql _),
@@ -4516,6 +4569,7 @@ private[graft] object Queries {
     "q_vtable_ckpt" -> vtableCkptSql,
     "q_cdf_stream" -> cdfStreamSql,
     "q_stream_sink" -> streamSinkSql,
+    "q_stream_table" -> streamTableSql,
     "q_merge_sql" -> mergeSqlSql,
     "q_update_sql" -> updateSqlSql,
     "q_delete_sql" -> deleteSqlSql,

@@ -785,6 +785,31 @@ object VersionedTable {
       m.bloomCols, m.bloomFpp, m.patches, m.mergeKeys, m.props)
   }
 
+  /** The rows ADDED by commit `version`, read under that version's
+    * schema + column mapping — the streaming table source's append
+    * slice ([[graft.sources.VtableTableSource]]). O(change) on the
+    * metadata path: delta-mode manifests carry their adds verbatim;
+    * full-mode (small-table) manifests diff against the predecessor's
+    * file set.
+    */
+  private[graft] def addedRows(spark: SparkSession, dir: String,
+                               version: Long): DataFrame = {
+    val m = readMeta(spark, dir, version)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val adds: Seq[FileEntry] =
+      if (m.mode == "delta") m.adds
+      else {
+        val cur = readManifest(spark, dir, version).files
+        val prev =
+          if (version <= 1L) Set.empty[String]
+          else readManifest(spark, dir, version - 1).files.map(_.path).toSet
+        cur.filterNot(f => prev(f.path))
+      }
+    if (adds.isEmpty) emptyDF(spark, schema)
+    else readDataFiles(spark, schema, m.props,
+      adds.map(f => dataPath(dir, f.path)))
+  }
+
   // ------------------------------------------------------------ data writes
 
   /** Write `df` as the files of one commit attempt and return the manifest

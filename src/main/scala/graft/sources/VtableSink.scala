@@ -44,8 +44,26 @@ import graft.ops.{GraftCatalog, VersionedTable => VT}
   * silently swallowing each other's restarting batch ids). An EXPLICIT
   * `appId` keeps the library rule: reset checkpoint and appId together.
   */
-class VtableSinkProvider extends StreamSinkProvider with DataSourceRegister {
+class VtableSinkProvider extends StreamSinkProvider
+  with org.apache.spark.sql.sources.StreamSourceProvider with DataSourceRegister {
   override def shortName(): String = "graft-vtable"
+
+  // ---- the READ side of the same format: snapshot-then-appends
+  // streaming over a versioned table (see [[VtableTableSource]]) --------
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[org.apache.spark.sql.types.StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, org.apache.spark.sql.types.StructType) =
+    (shortName(), VtableTableSource.schemaFor(sqlContext.sparkSession, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[org.apache.spark.sql.types.StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new VtableTableSource(sqlContext.sparkSession, parameters, metadataPath)
 
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],

@@ -1,0 +1,241 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Source}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.{GraftCatalog, VersionedTable => VT}
+
+/** STREAMING TABLE SOURCE over a versioned table — Delta's default
+  * `readStream` shape (initial snapshot, then per-commit APPENDED rows,
+  * payload schema only — no change-type/preimage machinery; that is
+  * [[VtableCdfSource]]): `spark.readStream.format("graft-vtable")
+  * .option("dir", …).load()` is the common front door for downstream
+  * training-data pipelines that just want "the table, as it grows".
+  *
+  * Offsets ARE table versions; slices are deterministic functions of the
+  * immutable manifests, so restarts replay exactly-once from the
+  * engine's offset log with no sidecar state. Unlike the CDF source,
+  * no slice needs materialization: the snapshot and every append slice
+  * are pure parquet scans (no diff join), flagged streaming in place.
+  *
+  * Commit-kind semantics (Delta's contract):
+  *  - `append` / `add_files` (and `create`/`clone` when the window
+  *    reaches back to v1): the commit's ADDED rows, O(change) from the
+  *    delta manifest ([[VT.addedRows]]).
+  *  - layout / metadata commits (`compact`, constraints, column
+  *    add/rename/drop): emit NOTHING — they change no logical row
+  *    (`dataChange=false` in Delta terms). A widened/renamed schema
+  *    surfaces on the NEXT data commit, whose slice no longer aligns
+  *    with the pinned stream schema and fails loudly; a restart adopts
+  *    the new schema and resumes from the checkpoint.
+  *  - row-REWRITING commits (`merge`, `update`, `delete`, `overwrite`,
+  *    `replace_where`, `restore`, `patch`): refuse LOUDLY by default —
+  *    appended-rows semantics cannot represent them (Delta fails the
+  *    same way). `skipChangeCommits=true` skips them (the consumer
+  *    accepts missing updates/deletes); consumers that need them use
+  *    the CDF source.
+  *
+  * `startingVersion=N` skips the snapshot and follows data commits from
+  * version N (inclusive). The table's identity UUID is pinned lazily
+  * under the checkpoint (same discipline as [[VtableCdfSource]]) so a
+  * drop/recreate fails loudly instead of replaying a foreign log.
+  */
+class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
+                        metadataPath: String = "")
+  extends Source
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  private val dir = GraftCatalog.resolveDir(spark, parameters.getOrElse("dir",
+    throw new IllegalArgumentException(
+      "graft-vtable source: option 'dir' (table name or directory) is required")))
+  private val skipChangeCommits =
+    parameters.get("skipChangeCommits").exists(_.toBoolean)
+  private val maxVersions =
+    parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(128)
+
+  /** Snapshot version (no `startingVersion`): pinned at source
+    * construction — commits landing between construction and the first
+    * trigger arrive as ordinary append slices.
+    */
+  private val snapshotV: Option[Long] = parameters.get("startingVersion") match {
+    case Some(v) =>
+      require(v.toLong >= 1L,
+        s"graft-vtable source: startingVersion must be >= 1, got $v")
+      None
+    case None => Some(VT.currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-vtable source: $dir is not a versioned table")))
+  }
+  /** Versions <= baseV are before the stream's horizon. `0` marks a
+    * pending snapshot (the snapshot slice advances the cursor to
+    * `snapshotV`).
+    */
+  private val baseV: Long =
+    parameters.get("startingVersion").map(_.toLong - 1L).getOrElse(0L)
+
+  override val schema: StructType = VtableTableSource.schemaFor(spark, parameters)
+
+  @volatile private var pinnedTableIdCache: Option[String] = None
+  private def pinnedTableId: Option[String] = {
+    if (pinnedTableIdCache.isEmpty) {
+      pinnedTableIdCache =
+        if (metadataPath.isEmpty) VT.tableId(spark, dir)
+        else {
+          val p = new org.apache.hadoop.fs.Path(metadataPath, "graft-table-id")
+          graft.ops.TableIdPin.pinOrRead(
+            p.getFileSystem(spark.sparkContext.hadoopConfiguration), p,
+            VT.tableId(spark, dir))
+        }
+    }
+    pinnedTableIdCache
+  }
+
+  private def requireSameTable(): Unit =
+    graft.ops.TableIdPin.requireSame(pinnedTableId, VT.tableId(spark, dir),
+      "graft-vtable source", dir,
+      "start a NEW stream (new checkpoint) against the new table")
+
+  private case class TblOffset(version: Long) extends V1Offset {
+    override def json: String = version.toString
+  }
+
+  private def versionOf(o: org.apache.spark.sql.connector.read.streaming.Offset): Long =
+    o match {
+      case TblOffset(v) => v
+      case other => other.json.trim.toLong // incl. SerializedOffset replays
+    }
+
+  override def getOffset: Option[V1Offset] = {
+    requireSameTable()
+    val cur = VT.currentVersion(spark, dir).getOrElse(return None)
+    if (cur > baseV) Some(TblOffset(cur)) else None
+  }
+
+  // ---- admission control + Trigger.AvailableNow (see VtableCdfSource:
+  // with SupportsAdmissionControl the engine hands latestOffset the START
+  // offset, so per-batch version capping is restart-safe) ----------------
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = VT.currentVersion(spark, dir)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    VT.currentVersion(spark, dir).map(TblOffset).orNull
+
+  override def latestOffset(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    requireSameTable()
+    val cur = availableNowEnd
+      .orElse(VT.currentVersion(spark, dir)).getOrElse(return null)
+    val from = Option(start).map(versionOf).getOrElse(baseV)
+    // a pending snapshot (from == 0) advances at least to snapshotV in
+    // one slice; appended versions ride along up to the cap
+    val effFrom = if (from == 0L) snapshotV.getOrElse(from) else from
+    val endV = math.max(effFrom, math.min(cur, effFrom + maxVersions))
+    if (endV > from) TblOffset(endV) else null
+  }
+
+  /** Pinned-schema alignment: a slice read under an evolved table schema
+    * either widened (extra columns — fail: restart to adopt) or lost a
+    * pinned column (rename/drop — fail: restart to adopt).
+    */
+  private def align(df: DataFrame): DataFrame = {
+    val extra = df.columns.filterNot(schema.fieldNames.contains)
+    val missing = schema.fieldNames.filterNot(df.columns.contains)
+    if (extra.nonEmpty || missing.nonEmpty)
+      throw new IllegalStateException(
+        s"graft-vtable source: table $dir evolved mid-stream " +
+          s"(new: ${extra.mkString(", ")}; gone: ${missing.mkString(", ")}) " +
+          "— restart the stream to adopt the new schema")
+    df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  private val changeOps = Set("merge", "update", "delete", "overwrite",
+    "replace_where", "restore", "patch")
+  private val silentOps = Set("compact", "addConstraint", "dropConstraint",
+    "addColumns", "rename_column", "drop_column")
+
+  /** One version's appended rows (None = nothing to emit). */
+  private def slice(v: Long): Option[DataFrame] = {
+    val op = VT.readMeta(spark, dir, v).op
+    op match {
+      case "append" | "add_files" | "create" | "clone" =>
+        Some(align(VT.addedRows(spark, dir, v)))
+      case _ if silentOps(op) => None
+      case _ if changeOps(op) =>
+        if (skipChangeCommits) None
+        else throw new IllegalStateException(
+          s"graft-vtable source: version $v of $dir is a '$op' commit — " +
+            "appended-rows streaming cannot represent row rewrites. Set " +
+            "option skipChangeCommits=true to skip them, or consume the " +
+            "change feed (format graft-vtable-cdf) for full CDC semantics")
+      case other => throw new IllegalStateException(
+        s"graft-vtable source: version $v of $dir has unrecognized commit " +
+          s"kind '$other' — refusing to guess its streaming semantics")
+    }
+  }
+
+  /** The snapshot: the table AS OF the pinned version — a pure parquet
+    * scan. A patch chain at the snapshot version would make it a fold
+    * (join) inside a streaming plan; refuse and point at compaction.
+    */
+  private def snapshotSlice(): DataFrame = {
+    val v = snapshotV.get
+    require(VT.readMeta(spark, dir, v).patches.isEmpty,
+      s"graft-vtable source: $dir has an unfolded patch chain at the " +
+        "snapshot version — run compactPatches (or OPTIMIZE) first")
+    align(VT.read(spark, dir, Some(v)))
+  }
+
+  private def asStreaming(df: DataFrame): DataFrame = {
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if !lr.isStreaming => lr.copy(isStreaming = true)
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if !lr.isStreaming => lr.copy(isStreaming = true)
+    }
+    org.apache.spark.sql.GraftShim.dataFrame(spark, plan)
+  }
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    requireSameTable()
+    val from = start.map(versionOf).getOrElse(baseV)
+    val to = versionOf(end)
+    // the snapshot floor applies ONLY when the snapshot slice is in THIS
+    // batch (from == 0): a restarted query re-pins snapshotV at the NEW
+    // current version, which must not swallow the append window
+    val snapshot = if (from == 0L) Some(snapshotSlice()) else None
+    val follow = ((if (from == 0L) snapshotV.get else from) + 1) to to
+    val slices = snapshot.toSeq ++ follow.flatMap(slice)
+    val out = slices.reduceOption(_ union _).getOrElse(
+      org.apache.spark.sql.GraftShim.dataFrame(spark,
+        org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
+          org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+          Seq.empty, isStreaming = true)))
+    asStreaming(out)
+  }
+
+  override def stop(): Unit = ()
+}
+
+object VtableTableSource {
+  private[sources] def schemaFor(spark: SparkSession,
+                                 parameters: Map[String, String]): StructType = {
+    val dir = GraftCatalog.resolveDir(spark, parameters.getOrElse("dir",
+      throw new IllegalArgumentException(
+        "graft-vtable source: option 'dir' (table name or directory) is required")))
+    val v = VT.currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"graft-vtable source: $dir is not a versioned table"))
+    StructType.fromDDL(VT.readMeta(spark, dir, v).schemaDdl)
+  }
+}

@@ -92,6 +92,7 @@ class ContractSpec extends SparkSuite {
       "q_mv_rewrite",      // source table + two view refreshes + plan-assert probe
       "q_cdf_stream",      // versioned-table fixture + a drained AvailableNow CDF stream
       "q_stream_sink",     // snapshot create + changelog fixture + a drained sink stream
+      "q_stream_table",    // table fixture + two drained snapshot/append streams
       "q_dedup_lifecycle", // two ingest rounds against the signature table
       "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor
       // scan queries write their fixture on first use + scalar watermark cuts

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.ops.{VersionedTable => VT}
+
+/** Streaming TABLE source over a versioned table
+  * ([[graft.sources.VtableTableSource]], `readStream.format(
+  * "graft-vtable")`): initial snapshot then per-commit appended rows,
+  * offsets = versions, exactly-once across kill/resume, loud refusal of
+  * row-rewriting commits (skippable), layout commits invisible.
+  */
+class VtableTableSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String = Files.createTempDirectory("vtsrc").toString
+
+  private def mk(dir: String): Unit =
+    VT.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+      .repartitionByRange(2, $"k").sortWithinPartitions("k"), dir, Seq("k"))
+
+  private def drain(dir: String, ckpt: String, out: String,
+                    opts: Map[String, String] = Map.empty): Unit = {
+    var reader = spark.readStream.format("graft-vtable").option("dir", dir)
+    opts.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+  }
+
+  private def outRows(out: String): Seq[(Long, String)] =
+    spark.read.parquet(out).as[(Long, String)].collect().toSeq
+
+  test("snapshot then appends: drained output equals the table, exactly-once across restarts") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    VT.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)          // v2
+    drain(dir, s"$root/ckpt", s"$root/out")
+    // snapshot at stream start covers v1+v2
+    assert(outRows(s"$root/out").toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // appends land as deltas on resume; replay adds nothing
+    VT.commitAppend(Seq((4L, "d")).toDF("k", "s"), dir)          // v3
+    VT.commitAppend(Seq((5L, "e")).toDF("k", "s"), dir)          // v4
+    drain(dir, s"$root/ckpt", s"$root/out")
+    drain(dir, s"$root/ckpt", s"$root/out") // no-op redrain
+    val got = outRows(s"$root/out")
+    assert(got.size == 5, s"exactly-once violated: $got")
+    assert(got.toSet == VT.read(spark, dir).as[(Long, String)].collect().toSet)
+  }
+
+  test("startingVersion follows appends only, no snapshot") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    VT.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)          // v2
+    VT.commitAppend(Seq((4L, "d")).toDF("k", "s"), dir)          // v3
+    drain(dir, s"$root/ckpt", s"$root/out", Map("startingVersion" -> "2"))
+    assert(outRows(s"$root/out").toSet == Set((3L, "c"), (4L, "d")))
+  }
+
+  test("row-rewriting commits refuse loudly; skipChangeCommits skips them") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    drain(dir, s"$root/ckpt", s"$root/out")
+    VT.commitMerge(Seq((1L, "A", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")                          // v2: update
+    VT.commitAppend(Seq((9L, "z")).toDF("k", "s"), dir)          // v3
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(dir, s"$root/ckpt", s"$root/out")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(ex).exists(m => m.contains("skipChangeCommits") &&
+      m.contains("graft-vtable-cdf")), s"undiagnostic refusal: ${chain(ex)}")
+    // opting in resumes FROM THE CHECKPOINT, emitting only the append
+    drain(dir, s"$root/ckpt", s"$root/out",
+      Map("skipChangeCommits" -> "true"))
+    assert(outRows(s"$root/out").toSet ==
+      Set((1L, "a"), (2L, "b"), (9L, "z")),
+      "the skipped merge must contribute nothing; the append must land")
+  }
+
+  test("compaction is invisible: a layout rewrite emits zero rows") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    drain(dir, s"$root/ckpt", s"$root/out")
+    VT.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)          // v2
+    VT.commitCompact(spark, dir)                                  // v3: layout only
+    drain(dir, s"$root/ckpt", s"$root/out")
+    assert(outRows(s"$root/out").toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "compaction rewrote bytes, not rows — the stream must not re-emit")
+  }
+
+  test("a recreated table fails the stream loudly") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    drain(dir, s"$root/ckpt", s"$root/out")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    mk(dir)
+    VT.commitAppend(Seq((9L, "z")).toDF("k", "s"), dir)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(dir, s"$root/ckpt", s"$root/out")
+    }
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ chain(e.getCause))
+    assert(chain(ex).exists(_.contains("recreated")),
+      s"undiagnostic failure: ${chain(ex)}")
+    assert(outRows(s"$root/out").toSet == Set((1L, "a"), (2L, "b")),
+      "nothing from the impostor log may land")
+  }
+
+  test("schema widening MID-QUERY fails the batch loudly; a restarted query adopts it") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    // mid-query: the source instance pinned the 2-column schema, then the
+    // table widens and appends under 3 columns — the batch must refuse
+    // (silently dropping the new column would be data loss downstream)
+    val src = new graft.sources.VtableTableSource(spark,
+      Map("dir" -> dir), s"$root/meta")
+    VT.commitAddColumns(spark, dir, Seq("v" -> "BIGINT"))         // v2: metadata
+    VT.commitAppend(Seq((3L, "c", 30L)).toDF("k", "s", "v"), dir) // v3: wider
+    val end = src.getOffset.get
+    val ex = intercept[IllegalStateException](src.getBatch(None, end))
+    assert(ex.getMessage.contains("restart"),
+      s"undiagnostic failure: ${ex.getMessage}")
+    // a restarted query re-pins the schema at start and just works — the
+    // snapshot arrives under the wider schema (old rows NULL-filled)
+    drain(dir, s"$root/ckpt", s"$root/out")
+    assert(spark.read.parquet(s"$root/out").as[(Long, String, Option[Long])]
+      .collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))),
+      "a fresh query must adopt the widened schema end to end")
+  }
+}
