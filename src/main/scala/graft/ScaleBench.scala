@@ -184,8 +184,12 @@ object ScaleBench {
       val t0 = System.nanoTime(); body
       (System.nanoTime() - t0) / 1e9
     }
-    ViewOps.Rewrites.clear() // force the scan answer
+    // force the scan answer: the registry is durable now (sidecars under
+    // the source), so clearing the in-memory map no longer disables the
+    // rewrite — the kill-switch conf does
+    spark.conf.set("spark.graft.mv.rewrite", "false")
     val tScan = timed(agg().collect())
+    spark.conf.set("spark.graft.mv.rewrite", "true")
     refresh() // no-op fold; re-registers the view for rewrite
     val tView = timed {
       val q = agg()

@@ -3136,6 +3136,55 @@ private[graft] object Queries {
       |FROM customer WHERE c_nationkey < 13
       |ORDER BY c_custkey""".stripMargin
 
+  /** POSITIONAL DELETION VECTORS ([[graft.ops.VersionedTable.commitDeleteDv]]
+    * / [[graft.ops.VersionedTable.materializeDvs]] — the Delta DV /
+    * Iceberg positional-delete idea): on a DV-enabled table
+    * (`graft.dvs.enabled`), `DELETE WHERE` writes an O(matched-rows)
+    * `(file, row_index)` sidecar — NO base file is rewritten (byte-pinned
+    * in `DeletionVectorSpec`) — reads fold the vectors by anti-join, and
+    * `OPTIMIZE` materializes them back into clean base files. The query
+    * asserts the delete really was a DV commit and that materialization
+    * empties the vector set without changing the answer; the oracle
+    * recomputes the surviving rows directly.
+    */
+  def deleteDv(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "dv_tbl")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+    VT.create(cust(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).cast("long").as("cents"))
+      .repartitionByRange(4, col("c_custkey"))
+      .sortWithinPartitions("c_custkey"),
+      dir, statsCols = Seq("c_custkey"),
+      props = Map(VT.DvsEnabledProp -> "true"))
+    val G = graft.sql.GraftSql
+    G.sql(s, s"DELETE FROM graft_vtable('$dir') WHERE c_nationkey >= 13")
+      .collect()
+    require(VT.readManifest(s, dir, VT.currentVersion(s, dir).get).dvs.nonEmpty,
+      "q_delete_dv: the delete must land as a deletion-vector commit")
+    val preMat = VT.read(s, dir).count()
+    G.sql(s, s"OPTIMIZE graft_vtable('$dir')").collect()
+    require(VT.readManifest(s, dir, VT.currentVersion(s, dir).get).dvs.isEmpty,
+      "q_delete_dv: OPTIMIZE must materialize the deletion vectors")
+    require(VT.read(s, dir).count() == preMat,
+      "q_delete_dv: materialization changed the answer")
+    s.sql(
+      s"""SELECT c_custkey, c_nationkey, cents
+         |FROM graft_vtable('$dir')
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val deleteDvSql =
+    """SELECT c_custkey, c_nationkey,
+      |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |FROM customer WHERE c_nationkey < 13
+      |ORDER BY c_custkey""".stripMargin
+
   /** `TIMESTAMP AS OF` time travel
     * ([[graft.ops.VersionedTable.versionAtTimestamp]] /
     * [[graft.ops.VersionedTable.readAsOfTimestamp]]): snapshot `nation`,
@@ -4412,6 +4461,7 @@ private[graft] object Queries {
     "q_delete_sql" -> (deleteSql _),
     "q_ddl_sql" -> (ddlSql _),
     "q_catalog_sql" -> (catalogSql _),
+    "q_delete_dv" -> (deleteDv _),
     "q_maintenance_sql" -> (maintenanceSql _),
     "q_colmap_sql" -> (colmapSql _),
     "q_replace_where" -> (replaceWhereSql _),
@@ -4575,6 +4625,7 @@ private[graft] object Queries {
     "q_delete_sql" -> deleteSqlSql,
     "q_ddl_sql" -> ddlSqlSql,
     "q_catalog_sql" -> catalogSqlSql,
+    "q_delete_dv" -> deleteDvSql,
     "q_maintenance_sql" -> maintenanceSqlSql,
     "q_colmap_sql" -> colmapSqlSql,
     "q_replace_where" -> replaceWhereSqlSql,

@@ -165,9 +165,23 @@ class GraftTableCatalog extends TableCatalog with SupportsNamespaces {
       .getOrElse(Seq.empty)
     val empty = spark.createDataFrame(
       util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    // user TBLPROPERTIES flow into table props (so knobs like
+    // graft.dvs.enabled work from SQL); engine-reserved and
+    // Spark-internal keys are stripped
+    val reserved = Set(TableCatalog.PROP_LOCATION, TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_TABLE_TYPE,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_COLLATION,
+      "stats", "blooms")
+    val userProps = props.toMap.filterNot { case (k, _) =>
+      reserved(k) || k.startsWith(TableCatalog.OPTION_PREFIX) ||
+        k.startsWith("graft.tableId") || k.startsWith("graft.colmap") ||
+        k == "graft.coldead"
+    }
     VT.create(empty, dir, statsCols = statsCols, bloomCols = blooms,
-      props = if (clusterCols.isEmpty) Map.empty
-        else Map(GraftTable.ClusterByProp -> clusterCols.mkString(",")))
+      props = userProps ++
+        (if (clusterCols.isEmpty) Map.empty
+         else Map(GraftTable.ClusterByProp -> clusterCols.mkString(","))))
     GraftCatalog.register(spark, tname, dir)
     new GraftTable(s"$catalogName.$tname", dir, asOf = None)
   }
@@ -394,7 +408,11 @@ class GraftTable(tableName: String, val dir: String, val asOf: Option[Long])
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     VT.withCommitRetry() {
-      VT.commitDelete(spark, dir, GraftTable.filtersToCondition(filters))
+      // DV-enabled tables delete positionally (byte-stable base files)
+      if (VT.dvsEnabled(spark, dir))
+        VT.commitDeleteDv(spark, dir, GraftTable.filtersToCondition(filters))
+      else
+        VT.commitDelete(spark, dir, GraftTable.filtersToCondition(filters))
     }
     ()
   }

@@ -52,7 +52,24 @@ object FooterStats {
       .sortBy(_.getPath.getName)
     if (parts.length > maxFooterFiles) return None
     val tz = spark.sessionState.conf.sessionLocalTimeZone
-    val lifted = parts.map(liftOne(_, conf, statsCols, schema, tz))
+    // footer opens are independent ~ms-scale IO waits: a serial loop puts
+    // file-count × latency on EVERY commit's critical path, so lift in
+    // parallel on a bounded pool (a handful of files stays inline — the
+    // pool would cost more than it saves)
+    val lifted: Seq[Option[(String, Long, Map[String, ColStat])]] =
+      if (parts.length <= 4) parts.toSeq.map(liftOne(_, conf, statsCols, schema, tz))
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, parts.length))
+        try {
+          parts.toSeq.map { p =>
+            pool.submit(new java.util.concurrent.Callable[
+                Option[(String, Long, Map[String, ColStat])]] {
+              override def call() = liftOne(p, conf, statsCols, schema, tz)
+            })
+          }.map(_.get())
+        } finally pool.shutdown()
+      }
     if (lifted.exists(_.isEmpty)) None
     // 0-row part files carry no data and no information — the scan path
     // never produced entries for them either

@@ -125,7 +125,8 @@ object VersionedTable {
                             bloomFpp: Double = 0.01,
                             patches: Seq[Seq[FileEntry]] = Seq.empty,
                             mergeKeys: Seq[String] = Seq.empty,
-                            props: Map[String, String] = Map.empty)
+                            props: Map[String, String] = Map.empty,
+                            dvs: Seq[String] = Seq.empty)
 
   /** Manifest HEADER + change description, WITHOUT the materialized file
     * list — the driver-cheap view every metadata operation starts from.
@@ -158,7 +159,9 @@ object VersionedTable {
       adds: Seq[FileEntry] = Seq.empty, removes: Seq[String] = Seq.empty,
       restoreOf: Long = -1L,
       props: Map[String, String] = Map.empty,
-      ts: Long = 0L)
+      ts: Long = 0L,
+      adjTs: Long = 0L,
+      dvs: Seq[String] = Seq.empty)
 
   /** Table-level properties carried forward by every commit (the Delta
     * `metadata.configuration` idea). [[create]] stamps
@@ -170,6 +173,17 @@ object VersionedTable {
     * silently satisfies a stale cursor.
     */
   val TableIdProp = "graft.tableId"
+
+  /** Table prop routing `DELETE` through POSITIONAL deletion vectors
+    * ([[commitDeleteDv]]) instead of copy-on-write — the Delta
+    * `enableDeletionVectors` knob, set at create (`TBLPROPERTIES
+    * ('graft.dvs.enabled'='true')`).
+    */
+  val DvsEnabledProp = "graft.dvs.enabled"
+
+  def dvsEnabled(spark: SparkSession, dir: String): Boolean =
+    currentVersion(spark, dir).exists(v =>
+      readMeta(spark, dir, v).props.get(DvsEnabledProp).exists(_.toBoolean))
 
   /** The table's identity UUID, when present (tables created before the
     * props field read as None and are treated as legacy).
@@ -443,6 +457,11 @@ object VersionedTable {
     // wall-clock commit time, stamped at serialization so every commit
     // path carries it; 0 never writes (legacy manifests read back as 0)
     root.put("ts", if (m.ts > 0L) m.ts else System.currentTimeMillis())
+    // ADJUSTED commit time (Delta's in-commit-timestamp): the strictly-
+    // increasing sequence TIMESTAMP AS OF resolves against, chained from
+    // the predecessor AT COMMIT TIME so resolution reads O(log n)
+    // headers (binary search) instead of replaying the whole chain
+    if (m.adjTs > 0L) root.put("adjTs", m.adjTs)
     root.put("schemaDdl", m.schemaDdl)
     val sc = root.putArray("statsCols")
     m.statsCols.foreach(sc.add)
@@ -476,6 +495,10 @@ object VersionedTable {
       m.patches.foreach(batch => writeFileArray(pa.addArray(), batch))
       val mk = root.putArray("mergeKeys")
       m.mergeKeys.foreach(mk.add)
+    }
+    if (m.dvs.nonEmpty) {
+      val dv = root.putArray("dvs")
+      m.dvs.foreach(dv.add)
     }
     if (m.props.nonEmpty) {
       val pn = root.putObject("props")
@@ -567,7 +590,14 @@ object VersionedTable {
     * Legacy manifests (pre-checkpoint format, no `mode`/`numFiles`) read
     * as `full` with counts derived from the inline list.
     */
+  /** Spec instrumentation: manifest-header reads since the last reset —
+    * pins O(log n) claims (timestamp resolution) as measured counts, not
+    * prose.
+    */
+  private[graft] val metaReadCount = new java.util.concurrent.atomic.AtomicLong()
+
   private[graft] def readMeta(spark: SparkSession, dir: String, version: Long): ManifestMeta = {
+    metaReadCount.incrementAndGet()
     val fs = fsOf(spark, dir)
     val p = manifestPath(dir, version)
     require(fs.exists(p), {
@@ -588,6 +618,8 @@ object VersionedTable {
     val patches = Option(root.get("patches"))
       .map(_.elements().asScala.map(readFileArray).toSeq).getOrElse(Seq.empty)
     val mergeKeys = Option(root.get("mergeKeys"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
+    val dvs = Option(root.get("dvs"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Seq.empty)
     val mode = Option(root.get("mode")).map(_.asText()).getOrElse("full")
     val inlineFiles =
@@ -610,7 +642,9 @@ object VersionedTable {
       root.get("schemaDdl").asText(), statsCols, txns, bloomCols, bloomFpp,
       patches, mergeKeys, numFiles, totalRows, mode, inlineFiles, adds,
       removes, restoreOf, props,
-      ts = Option(root.get("ts")).map(_.asLong()).getOrElse(0L))
+      ts = Option(root.get("ts")).map(_.asLong()).getOrElse(0L),
+      adjTs = Option(root.get("adjTs")).map(_.asLong()).getOrElse(0L),
+      dvs = dvs)
   }
 
   // ----------------------------------------- checkpointed file-list replay
@@ -747,7 +781,8 @@ object VersionedTable {
                             bloomFpp: Double, patches: Seq[Seq[FileEntry]],
                             mergeKeys: Seq[String], adds: Seq[FileEntry],
                             removes: Seq[(String, Long)],
-                            props: Option[Map[String, String]] = None): Unit = {
+                            props: Option[Map[String, String]] = None,
+                            dvs: Option[Seq[String]] = None): Unit = {
     val fs = fsOf(spark, dir)
     val numFiles = prev.map(_.numFiles).getOrElse(0L) - removes.size + adds.size
     val totalRows = prev.map(_.totalRows).getOrElse(0L) -
@@ -755,9 +790,18 @@ object VersionedTable {
     // table-level props carry forward by default; only create (or an
     // explicit override) sets them
     val effProps = props.getOrElse(prev.map(_.props).getOrElse(Map.empty))
+    // adjusted commit time chains from the PREDECESSOR at commit time
+    // (strictly increasing even under clock ties/skew), so TIMESTAMP AS
+    // OF can binary-search headers instead of replaying the whole chain.
+    // A legacy predecessor (no adjTs) seeds from the wall clock.
+    val now = System.currentTimeMillis()
+    val adj = math.max(
+      prev.map(_.adjTs).filter(_ > 0L).map(_ + 1L).getOrElse(now), now)
     val header = ManifestMeta(version, op, schemaDdl, statsCols, txns,
       bloomCols, bloomFpp, patches, mergeKeys, numFiles, totalRows, "delta",
-      props = effProps)
+      props = effProps, ts = now, adjTs = adj,
+      // deletion vectors carry forward unless the commit changes them
+      dvs = dvs.getOrElse(prev.map(_.dvs).getOrElse(Seq.empty)))
     if (numFiles <= inlineMaxFiles(spark)) {
       val prevFiles = prev.map(p => materializeFiles(spark, dir, p.version))
         .getOrElse(Seq.empty)
@@ -782,7 +826,7 @@ object VersionedTable {
       if (m.mode == "full") m.inlineFiles
       else materializeFiles(spark, dir, version)
     Manifest(m.version, m.op, m.schemaDdl, m.statsCols, files, m.txns,
-      m.bloomCols, m.bloomFpp, m.patches, m.mergeKeys, m.props)
+      m.bloomCols, m.bloomFpp, m.patches, m.mergeKeys, m.props, m.dvs)
   }
 
   /** The rows ADDED by commit `version`, read under that version's
@@ -808,6 +852,161 @@ object VersionedTable {
     if (adds.isEmpty) emptyDF(spark, schema)
     else readDataFiles(spark, schema, m.props,
       adds.map(f => dataPath(dir, f.path)))
+  }
+
+  // --------------------------------------------------- deletion vectors
+
+  /** POSITIONAL deletion vectors (the Delta DV / Iceberg positional-
+    * delete idea): a `DELETE WHERE` on a DV-enabled table writes a tiny
+    * sidecar of `(relative file path, row index)` pairs instead of
+    * rewriting any base file — O(matched rows), byte-stable bases — and
+    * every read anti-joins the base scan against the manifest's DV set
+    * (`_metadata.row_index` is the positional key, stable because base
+    * files are immutable). `materializeDvs` (run automatically by SQL
+    * `OPTIMIZE`) folds the vectors back into clean base files.
+    *
+    * DVs address positions in TABLE-OWNED files, so they are exclusive
+    * with the key-based patch chain (different fold semantics) and with
+    * shallow-clone absolute refs (positions would collide across
+    * tables); row-rewriting commits refuse while DVs are pending —
+    * materialize first. Unlike patches, an APPEND is always safe: new
+    * files carry no positions.
+    */
+  private[graft] def requireNoDvs(dvs: Seq[String], op: String): Unit =
+    require(dvs.isEmpty,
+      s"VersionedTable.$op: the table carries deletion vectors — run " +
+        "materializeDvs (or SQL OPTIMIZE) to fold them into base files first")
+
+  private val dvSchema = StructType(Seq(
+    org.apache.spark.sql.types.StructField("__vt_file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("__vt_pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** The commit-relative path (`data/<commit>/<part>`) of each row's
+    * file — the DV addressing key, extracted from the scan's metadata
+    * column so it matches [[FileEntry.path]] exactly.
+    */
+  private def relPathCol: Column =
+    regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1)
+
+  /** Base read of `paths` with each row's positional key attached.
+    * Metadata columns resolve only against the raw scan, hence a
+    * dedicated builder rather than a bolt-on to [[readDataFiles]].
+    */
+  private def baseReadWithPos(spark: SparkSession, schema: StructType,
+                              props: Map[String, String],
+                              paths: Seq[String]): DataFrame = {
+    val phys = physicalSchema(schema, props)
+    val df0 = spark.read.schema(phys).parquet(paths: _*)
+    val cm = colmapOf(props)
+    val payload = schema.fields.map(f =>
+      col(s"`${cm.getOrElse(f.name, f.name)}`").as(f.name))
+    df0.select((payload :+ relPathCol.as("__vt_file") :+
+      col("_metadata.row_index").as("__vt_pos")).toIndexedSeq: _*)
+  }
+
+  private def dvTable(spark: SparkSession, dir: String,
+                      dvs: Seq[String]): DataFrame =
+    spark.read.schema(dvSchema).parquet(dvs.map(p => dataPath(dir, p)): _*)
+
+  /** The live rows of `paths` under the table's DV set: base scan minus
+    * deleted positions. The anti-join's build side is the DELETED-ROW
+    * set (small by construction until materialization), so Spark
+    * broadcasts it and the fold costs a hash probe per row.
+    */
+  private def dvFoldedRead(spark: SparkSession, dir: String,
+                           schema: StructType, props: Map[String, String],
+                           paths: Seq[String], dvs: Seq[String]): DataFrame = {
+    if (paths.isEmpty) return emptyDF(spark, schema)
+    val base = baseReadWithPos(spark, schema, props, paths)
+    base.join(dvTable(spark, dir, dvs), Seq("__vt_file", "__vt_pos"),
+        "left_anti")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** `DELETE WHERE` as a deletion-vector commit: no base byte is read
+    * beyond the pruned candidates, none is rewritten. Returns the new
+    * version (the current one when nothing matched).
+    */
+  def commitDeleteDv(spark: SparkSession, dir: String, cond: Column,
+                     txn: Option[(String, Long)] = None): Long = {
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.commitDeleteDv: $dir is not a versioned table")))
+    if (alreadyApplied(cur, txn)) return cur.version
+    requireNoPatches(cur.patches, "commitDeleteDv")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val ranges = org.apache.spark.sql.GraftShim.mineRanges(cond)
+    val inSets = org.apache.spark.sql.GraftShim.mineInSets(cond)
+    val candidates: Seq[FileEntry] =
+      if (ranges.isEmpty && inSets.isEmpty)
+        materializeFiles(spark, dir, cur.version)
+      else pruneEntries(spark, dir, ranges, inSets, Some(cur.version))._1
+    if (candidates.isEmpty) return cur.version
+    candidates.foreach(f => require(
+      !f.path.startsWith("/") && !f.path.contains(":/"),
+      s"VersionedTable.commitDeleteDv: ${f.path} is a shared (clone) " +
+        "reference — positional deletes address table-owned files only; " +
+        "OPTIMIZE first to take ownership"))
+    val next = cur.version + 1
+    // positions of rows that match AND are still live under existing DVs
+    // (double-recording a position would be harmless but unbounded)
+    val base = baseReadWithPos(spark, schema, cur.props,
+      candidates.map(f => dataPath(dir, f.path)))
+    val live =
+      if (cur.dvs.isEmpty) base
+      else base.join(dvTable(spark, dir, cur.dvs),
+        Seq("__vt_file", "__vt_pos"), "left_anti")
+    val pos = live.filter(coalesce(cond, lit(false)))
+      .select("__vt_file", "__vt_pos")
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val rel = s"data/c$next-$nonce"
+    val outDir = new Path(dir, rel)
+    pos.write.mode("overwrite").parquet(outDir.toString)
+    val fs = fsOf(spark, dir)
+    val written = fs.listStatus(outDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .map(n => s"$rel/$n")
+    if (spark.read.schema(dvSchema).parquet(outDir.toString).isEmpty) {
+      fs.delete(outDir, true)
+      return cur.version
+    }
+    publishCommit(spark, dir, Some(cur), next, "delete_dv", cur.schemaDdl,
+      cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
+      Seq.empty, Seq.empty, adds = Seq.empty, removes = Seq.empty,
+      dvs = Some(cur.dvs ++ written))
+    next
+  }
+
+  /** Fold every pending deletion vector into clean base files: files
+    * holding at least one deleted position rewrite (without their dead
+    * rows), untouched files carry by reference, and the DV set empties —
+    * the OPTIMIZE half of the DV contract. Returns the new version (the
+    * current one when no DVs are pending).
+    */
+  def materializeDvs(spark: SparkSession, dir: String): Long = {
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.materializeDvs: $dir is not a versioned table")))
+    if (cur.dvs.isEmpty) return cur.version
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    // one row per dv'd FILE — driver-small by the same argument as the
+    // manifest's own file list
+    val affected = dvTable(spark, dir, cur.dvs)
+      .select("__vt_file").distinct().collect().map(_.getString(0)).toSet
+    val files = materializeFiles(spark, dir, cur.version)
+    val (rewrite, _) = files.partition(f => affected(f.path))
+    val next = cur.version + 1
+    val folded = dvFoldedRead(spark, dir, schema, cur.props,
+      rewrite.map(f => dataPath(dir, f.path)), cur.dvs)
+    val newFiles = writeCommitFiles(folded, dir, next, cur.statsCols,
+      cur.bloomCols, cur.bloomFpp, cur.props)
+    publishCommit(spark, dir, Some(cur), next, "dv_materialize",
+      cur.schemaDdl, cur.statsCols, cur.txns, cur.bloomCols, cur.bloomFpp,
+      Seq.empty, Seq.empty, adds = newFiles,
+      removes = rewrite.map(f => (f.path, f.rows)), dvs = Some(Seq.empty))
+    next
   }
 
   // ------------------------------------------------------------ data writes
@@ -1037,6 +1236,7 @@ object VersionedTable {
         s"VersionedTable.shallowClone: $srcDir is not a versioned table"))
     val src = readManifest(spark, srcDir, srcV)
     requireNoPatches(src.patches, "shallowClone")
+    requireNoDvs(src.dvs, "shallowClone")
     val abs = src.files.map(f => f.copy(
       path = dataPath(srcDir, f.path),
       blooms = f.blooms.map { case (c, p) => c -> dataPath(srcDir, p) }))
@@ -1077,7 +1277,9 @@ object VersionedTable {
     publishCommit(spark, dir, Some(cur), next, "overwrite", cur.schemaDdl,
       cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
       Seq.empty, Seq.empty, adds = files,
-      removes = materializeFiles(spark, dir, cur.version).map(f => (f.path, f.rows)))
+      removes = materializeFiles(spark, dir, cur.version).map(f => (f.path, f.rows)),
+      // a whole-table replace retires every DV with the files it addressed
+      dvs = Some(Seq.empty))
     next
   }
 
@@ -1110,6 +1312,7 @@ object VersionedTable {
         s"VersionedTable.commitReplaceWhere: $dir is not a versioned table — create it first")))
     if (alreadyApplied(cur, txn)) return cur.version
     requireNoPatches(cur.patches, "commitReplaceWhere")
+    requireNoDvs(cur.dvs, "commitReplaceWhere")
     val schema = StructType.fromDDL(cur.schemaDdl)
     require(df.schema.fields.map(f => (f.name, f.dataType)).sameElements(
         schema.fields.map(f => (f.name, f.dataType))),
@@ -1245,6 +1448,7 @@ object VersionedTable {
         s"VersionedTable.commit${op.capitalize}: $dir is not a versioned table")))
     if (alreadyApplied(cur, txn)) return cur.version
     requireNoPatches(cur.patches, s"commit${op.capitalize}")
+    requireNoDvs(cur.dvs, s"commit${op.capitalize}")
     val schema = StructType.fromDDL(cur.schemaDdl)
     val ranges = org.apache.spark.sql.GraftShim.mineRanges(cond)
     val inSets = org.apache.spark.sql.GraftShim.mineInSets(cond)
@@ -1644,6 +1848,7 @@ object VersionedTable {
         s"VersionedTable.commitMerge: $dir is not a versioned table — create it first")))
     if (alreadyApplied(cur, txn)) return cur.version
     requireNoPatches(cur.patches, "commitMerge")
+    requireNoDvs(cur.dvs, "commitMerge")
     val key = keys.head
     require(cur.statsCols.contains(physOf(cur.props, key)),
       s"VersionedTable.commitMerge: merge key $key is not a stats column " +
@@ -1872,6 +2077,8 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"VersionedTable.commitCompact: $dir is not a versioned table")))
     requireNoPatches(cur.patches, "commitCompact")
+    requireNoDvs(cur.dvs,
+      "commitCompact") // SQL OPTIMIZE materializes DVs before compacting
     val curMeta = readMeta(spark, dir, cur.version)
     val scoped: Seq[FileEntry] = where match {
       case None => cur.files
@@ -1969,6 +2176,7 @@ object VersionedTable {
     require(cur.mergeKeys.isEmpty || cur.mergeKeys == keys,
       s"VersionedTable.commitPatch: chain keys ${cur.mergeKeys.mkString(",")} " +
         s"!= ${keys.mkString(",")} — one key set per chain")
+    requireNoDvs(cur.dvs, "commitPatch")
     val schema = StructType.fromDDL(cur.schemaDdl)
     require(!schema.fieldNames.contains("__vt_del") && !schema.fieldNames.contains("__vt_seq"),
       "VersionedTable.commitPatch: column names __vt_del/__vt_seq are reserved")
@@ -2129,8 +2337,12 @@ object VersionedTable {
       throw new IllegalArgumentException(s"VersionedTable.read: $dir is not a versioned table"))
     val m = readManifest(spark, dir, v)
     val schema = StructType.fromDDL(m.schemaDdl)
-    foldPatches(spark, dir, m.patches, m.mergeKeys,
-      baseRead(spark, dir, m, schema), schema, m.props)
+    if (m.dvs.nonEmpty)
+      dvFoldedRead(spark, dir, schema, m.props,
+        m.files.map(f => dataPath(dir, f.path)), m.dvs)
+    else
+      foldPatches(spark, dir, m.patches, m.mergeKeys,
+        baseRead(spark, dir, m, schema), schema, m.props)
   }
 
   /** Data-skipping read: `column BETWEEN lo AND hi`, with files whose
@@ -2167,6 +2379,12 @@ object VersionedTable {
   private def prunedFoldedRead(spark: SparkSession, dir: String, m: ManifestMeta,
                                survivors: Seq[String]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
+    // DV fold over the SURVIVORS is sound for the same reason the patch
+    // fold is: pruning only drops files, DVs only drop rows, and the
+    // exact predicate re-applies after the fold
+    if (m.dvs.nonEmpty)
+      return dvFoldedRead(spark, dir, schema, m.props,
+        survivors.map(p => dataPath(dir, p)), m.dvs)
     val base =
       if (survivors.isEmpty)
         emptyDF(spark, schema)
@@ -2462,6 +2680,15 @@ object VersionedTable {
     require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
     val m1 = readMeta(spark, dir, fromV)
     val m2 = readMeta(spark, dir, toV)
+    // positional deletes are invisible to the file-level diff (bases are
+    // byte-stable), so a window touching DV state would emit WRONG diffs
+    // silently — refuse loudly; materialize first (SQL OPTIMIZE), then
+    // stream from the materialized version on
+    require(m1.dvs.isEmpty && m2.dvs.isEmpty,
+      s"changesBetween: version window [$fromV, $toV] of $dir carries " +
+        "deletion vectors — no exact file-level diff exists. Run " +
+        "materializeDvs/OPTIMIZE and re-bootstrap the feed from the " +
+        "materialized version")
     val schema = StructType.fromDDL(m2.schemaDdl)
     // an evolved window still diffs: appends read NULL for the new
     // columns through toV's wider schema (precisely their pre-image), and
@@ -2797,13 +3024,18 @@ object VersionedTable {
     } ++ target.props.filter { case (k, _) =>
       k.startsWith(ColmapPrefix) || k == ColdeadProp
     }
+    // ts = NOW: the restore happened at restore time, not at the restored
+    // version's old wall-clock instant — TIMESTAMP AS OF between the two
+    // must resolve the pre-restore state. adjTs chains from the CURRENT
+    // head (not the copied target, whose old adjusted time would break
+    // the strictly-increasing sequence).
+    val restoreNow = System.currentTimeMillis()
     val header = target.copy(version = curV + 1, op = "restore",
       txns = cur.txns, props = mergedProps, inlineFiles = Seq.empty,
       adds = Seq.empty, removes = Seq.empty,
-      // ts = 0 → serialization stamps NOW: the restore happened at restore
-      // time, not at the restored version's old wall-clock instant —
-      // TIMESTAMP AS OF between the two must resolve the pre-restore state
-      ts = 0L)
+      ts = restoreNow,
+      adjTs = math.max(
+        if (cur.adjTs > 0L) cur.adjTs + 1L else restoreNow, restoreNow))
     val fs = fsOf(spark, dir)
     if (target.numFiles <= inlineMaxFiles(spark))
       // small table: self-contained, exactly the pre-checkpoint behavior
@@ -2869,8 +3101,16 @@ object VersionedTable {
   def commitTimestamps(spark: SparkSession, dir: String): Seq[(Long, Long)] = {
     var prev = Long.MinValue
     versions(spark, dir).map { v =>
-      val adj = math.max(if (prev == Long.MinValue) Long.MinValue else prev + 1,
-        readMeta(spark, dir, v).ts)
+      val m = readMeta(spark, dir, v)
+      // stored adjusted time (stamped at commit against the TRUE
+      // predecessor) wins; legacy manifests chain from the raw wall clock
+      // exactly as before. The max() keeps the sequence strictly
+      // increasing even across a legacy/stamped boundary.
+      val adj =
+        if (m.adjTs > 0L)
+          math.max(m.adjTs, if (prev == Long.MinValue) m.adjTs else prev + 1)
+        else
+          math.max(if (prev == Long.MinValue) Long.MinValue else prev + 1, m.ts)
       prev = adj
       (v, adj)
     }
@@ -2883,14 +3123,48 @@ object VersionedTable {
     * state was vacuumed", never a silent nearest-neighbor guess.
     */
   def versionAtTimestamp(spark: SparkSession, dir: String, tsMillis: Long): Long = {
-    val ts = commitTimestamps(spark, dir)
-    require(ts.nonEmpty,
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty,
       s"VersionedTable.versionAtTimestamp: $dir is not a versioned table")
-    require(tsMillis >= ts.head._2,
-      s"VersionedTable.versionAtTimestamp: ${java.time.Instant.ofEpochMilli(tsMillis)} " +
-        s"is before the earliest available commit " +
-        s"(${java.time.Instant.ofEpochMilli(ts.head._2)}, version ${ts.head._1}) — " +
-        "the table did not exist yet, or earlier versions were vacuumed")
+    def tooEarly(headV: Long, headAdj: Long): Nothing =
+      throw new IllegalArgumentException(
+        s"VersionedTable.versionAtTimestamp: ${java.time.Instant.ofEpochMilli(tsMillis)} " +
+          s"is before the earliest available commit " +
+          s"(${java.time.Instant.ofEpochMilli(headAdj)}, version $headV) — " +
+          "the table did not exist yet, or earlier versions were vacuumed")
+    // Fast path: every commit since the adjTs field exists carries its
+    // ADJUSTED time in the header, and the stored sequence is strictly
+    // increasing (each chained from its true predecessor at commit time)
+    // — so resolution is a BINARY SEARCH over O(log n) header reads, not
+    // an O(versions) chain replay. Any probed legacy header (adjTs = 0,
+    // pre-field builds) falls back to the exact chain.
+    def storedAdj(v: Long): Long = readMeta(spark, dir, v).adjTs
+    val headAdj = storedAdj(vs.head)
+    if (headAdj > 0L) {
+      if (tsMillis < headAdj) tooEarly(vs.head, headAdj)
+      var lo = 0
+      var hi = vs.size - 1
+      var legacyProbe = false
+      // invariant: adj(vs(lo)) <= tsMillis; answer is the largest such
+      while (lo < hi && !legacyProbe) {
+        val mid = lo + (hi - lo + 1) / 2
+        val a = storedAdj(vs(mid))
+        if (a <= 0L) legacyProbe = true
+        else if (a <= tsMillis) lo = mid
+        else hi = mid - 1
+      }
+      // boundary guard for build-downgrade histories: the version just
+      // past the found boundary must itself be stamped and past t, or an
+      // UNPROBED legacy manifest there could be the true (chain) answer
+      if (!legacyProbe && lo + 1 < vs.size) {
+        val nextAdj = storedAdj(vs(lo + 1))
+        if (nextAdj <= 0L || nextAdj <= tsMillis) legacyProbe = true
+      }
+      if (!legacyProbe) return vs(lo)
+    }
+    // legacy / mixed history: replay the exact chain
+    val ts = commitTimestamps(spark, dir)
+    if (tsMillis < ts.head._2) tooEarly(ts.head._1, ts.head._2)
     ts.takeWhile(_._2 <= tsMillis).last._1
   }
 
@@ -2943,22 +3217,101 @@ object VersionedTable {
     * directly. Legacy pre-timestamp manifests adjust to tiny synthetic
     * values and age out first — documented, not guessed.
     */
-  def vacuumRetainHours(spark: SparkSession, dir: String, hours: Double): Int = {
+  // ------------------------------------------------- stream-cursor pins
+
+  private def cursorsDir(dir: String) = new Path(dir, "_cursors")
+
+  /** Durable READ-CURSOR pin: `consumer` (a resumable stream, keyed by
+    * its checkpoint) still needs `version`'s manifest — and everything
+    * after — to replay its last uncommitted batch. One file per consumer
+    * (`_cursors/<digest>.json`, tmp-write + rename), updated as the
+    * stream's replay floor advances, so [[vacuum]] can refuse to reclaim
+    * state a live (or merely paused) stream would lose. The registry is
+    * advisory-but-loud: an operator can delete a dead stream's pin file,
+    * and `force = true` overrides the whole check.
+    */
+  def pinCursor(spark: SparkSession, dir: String, consumer: String,
+                version: Long): Unit = {
+    val fs = fsOf(spark, dir)
+    val dirP = cursorsDir(dir)
+    fs.mkdirs(dirP)
+    val node = mapper.createObjectNode()
+    node.put("consumer", consumer)
+    node.put("version", version)
+    node.put("updatedMs", System.currentTimeMillis())
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(consumer.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val dest = new Path(dirP, s"$digest.json")
+    val tmp = new Path(dirP,
+      s".$digest.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(mapper.writeValueAsBytes(node)) finally out.close()
+    if (!fs.rename(tmp, dest)) { // no-overwrite store: replace explicitly
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    }
+  }
+
+  /** All registered pins: (consumer, pinned version, last update ms). */
+  def cursorPins(spark: SparkSession, dir: String): Seq[(String, Long, Long)] = {
+    val fs = fsOf(spark, dir)
+    val dirP = cursorsDir(dir)
+    if (!fs.exists(dirP)) return Seq.empty
+    fs.listStatus(dirP).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .flatMap { s =>
+        try {
+          val in = fs.open(s.getPath)
+          val root = try mapper.readTree(in) finally in.close()
+          Some((root.get("consumer").asText(), root.get("version").asLong(),
+            root.get("updatedMs").asLong()))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+  }
+
+  def dropCursor(spark: SparkSession, dir: String, consumer: String): Boolean = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(consumer.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    fsOf(spark, dir).delete(new Path(cursorsDir(dir), s"$digest.json"), false)
+  }
+
+  def vacuumRetainHours(spark: SparkSession, dir: String, hours: Double,
+                        force: Boolean = false): Int = {
     require(hours >= 0, "VersionedTable.vacuumRetainHours: negative retention")
     val ts = commitTimestamps(spark, dir)
     require(ts.nonEmpty,
       s"VersionedTable.vacuumRetainHours: $dir is not a versioned table")
     val cutoff = System.currentTimeMillis() - (hours * 3600 * 1000).toLong
-    vacuum(spark, dir, keepVersions = math.max(1, ts.count(_._2 >= cutoff)))
+    vacuum(spark, dir, keepVersions = math.max(1, ts.count(_._2 >= cutoff)),
+      force = force)
   }
 
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): Int = {
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
+             force: Boolean = false): Int = {
     require(keepVersions >= 1, "VersionedTable.vacuum: must keep at least 1 version")
     val fs = fsOf(spark, dir)
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"VersionedTable.vacuum: $dir is not a versioned table")
     val (drop, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val dropSet = drop.toSet
+    // retention guard: reclaiming below a registered stream cursor would
+    // strand that stream's next replay (silent data loss downstream, or
+    // an unrecoverable checkpoint). Loud, with the remediation spelled
+    // out — never a silent reclaim.
+    if (!force && drop.nonEmpty) {
+      val horizon = keep.head
+      val pinned = cursorPins(spark, dir).filter(_._2 < horizon)
+      require(pinned.isEmpty, {
+        val who = pinned.map { case (c, v, ms) =>
+          s"$c at v$v (updated ${java.time.Instant.ofEpochMilli(ms)})"
+        }.mkString("; ")
+        s"VersionedTable.vacuum: would reclaim versions below registered " +
+          s"stream cursors [$who] — the stream's next replay would lose its " +
+          "offsets. Let it advance, drop the dead pin " +
+          "(VersionedTable.dropCursor / delete the _cursors file), or pass " +
+          "force = true (SQL: VACUUM ... FORCE)"
+      })
+    }
     // kept versions must stay REPLAYABLE after the dropped manifests go:
     // checkpoint the oldest kept version (its delta chain may run through
     // dropped manifests) and any kept restore pointing below the cut —
@@ -2976,7 +3329,7 @@ object VersionedTable {
     val referenced = keep.flatMap { v =>
       val mf = readMeta(spark, dir, v)
       val all = materializeFiles(spark, dir, v) ++ mf.patches.flatten
-      all.map(_.path) ++ all.flatMap(_.blooms.values)
+      all.map(_.path) ++ all.flatMap(_.blooms.values) ++ mf.dvs
     }.toSet
     drop.foreach { v =>
       fs.delete(manifestPath(dir, v), false)

@@ -72,20 +72,115 @@ object ViewOps {
     def register(srcDir: String, d: MvDef): Unit = {
       bySrc.compute(norm(srcDir), (_, v) =>
         Option(v).getOrElse(Vector.empty).filterNot(_.viewDir == d.viewDir) :+ d)
+      durableCache.remove(norm(srcDir))
       epoch.incrementAndGet()
     }
-    def forSource(srcDir: String): Seq[MvDef] =
-      Option(bySrc.get(norm(srcDir))).getOrElse(Vector.empty)
     def drop(srcDir: String, viewDir: String): Unit = {
       bySrc.computeIfPresent(norm(srcDir),
         (_, v) => v.filterNot(_.viewDir == viewDir) match {
           case e if e.isEmpty => null
           case rest => rest
         })
+      durableCache.remove(norm(srcDir))
       epoch.incrementAndGet()
     }
-    def isEmpty: Boolean = bySrc.isEmpty
-    def clear(): Unit = { bySrc.clear(); epoch.incrementAndGet() }
+    def clear(): Unit = {
+      bySrc.clear(); durableCache.clear(); epoch.incrementAndGet()
+    }
+
+    /** All rewrite candidates for `srcDir`: the in-memory registrations
+      * UNION the DURABLE sidecars under `<srcDir>/_views/` — so a FRESH
+      * driver (empty memory) still answers from a maintained view without
+      * waiting for its first refresh. The directory listing is cached for
+      * [[durableTtlNanos]] per source (an optimizer rule must not pay a
+      * filesystem list per candidate aggregate); registry staleness only
+      * ever costs SPEED — the rewrite's freshness/identity gates decide
+      * correctness per query, and a dropped view fails those gates
+      * gracefully.
+      */
+    def forSource(spark: org.apache.spark.sql.SparkSession,
+                  srcDir: String): Seq[MvDef] = {
+      val key = norm(srcDir)
+      val mem = Option(bySrc.get(key)).getOrElse(Vector.empty)
+      val dur = cachedDurable(spark, key)
+      mem ++ dur.filterNot(d => mem.exists(_.viewDir == d.viewDir))
+    }
+
+    private val durableTtlNanos = 30L * 1000 * 1000 * 1000
+    private val durableCache = new java.util.concurrent.ConcurrentHashMap[
+      String, (Long, Vector[MvDef])]()
+    private def cachedDurable(spark: org.apache.spark.sql.SparkSession,
+                              srcDir: String): Vector[MvDef] = {
+      val hit = durableCache.get(srcDir)
+      if (hit != null && System.nanoTime() < hit._1) hit._2
+      else {
+        val fresh = durableViews(spark, srcDir)
+        if (durableCache.size > 4096) durableCache.clear()
+        durableCache.put(srcDir, (System.nanoTime() + durableTtlNanos, fresh))
+        fresh
+      }
+    }
+  }
+
+  // ---- durable view-definition sidecars --------------------------------
+
+  private val viewDefMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def viewsDir(srcDir: String) =
+    new org.apache.hadoop.fs.Path(srcDir, "_views")
+
+  /** Persist one view definition as `<srcDir>/_views/<digest>.json` —
+    * one FILE per view (keyed by the view dir's digest), published by
+    * tmp-write + rename, so concurrent refreshes of different views never
+    * read-modify-write a shared file, and re-registering the same view is
+    * an idempotent overwrite.
+    */
+  private[graft] def persistViewDef(spark: org.apache.spark.sql.SparkSession,
+                                    srcDir: String, d: Rewrites.MvDef): Unit = {
+    val dirP = viewsDir(srcDir)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dirP)
+    val node = viewDefMapper.createObjectNode()
+    node.put("viewDir", d.viewDir)
+    node.put("groupCols", d.groupCols.mkString(","))
+    node.put("measures", d.measures.mkString(","))
+    node.put("appId", d.appId)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.viewDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val dest = new org.apache.hadoop.fs.Path(dirP, s"$digest.json")
+    val tmp = new org.apache.hadoop.fs.Path(dirP,
+      s".$digest.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(viewDefMapper.writeValueAsBytes(node)) finally out.close()
+    // rename-over (atomic overwrite on POSIX); a racer writing the SAME
+    // view wrote identical content, so losing the rename is harmless
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(dest, false)
+      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    }
+  }
+
+  /** The durable view definitions under `srcDir` (empty when none);
+    * unparseable sidecars are skipped — the registry is an optimization
+    * hint, never a correctness input.
+    */
+  private[graft] def durableViews(spark: org.apache.spark.sql.SparkSession,
+                                  srcDir: String): Vector[Rewrites.MvDef] = {
+    val dirP = viewsDir(srcDir)
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dirP)) return Vector.empty
+    fs.listStatus(dirP).toVector
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .flatMap { s =>
+        try {
+          val in = fs.open(s.getPath)
+          val root = try viewDefMapper.readTree(in) finally in.close()
+          def split(f: String): Seq[String] =
+            root.get(f).asText().split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          Some(Rewrites.MvDef(root.get("viewDir").asText(),
+            split("groupCols"), split("measures"), root.get("appId").asText()))
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
   }
 
   /** Internal state columns per measure `m`: `sum_<m>` (0-defaulted
@@ -245,9 +340,12 @@ object ViewOps {
       measures, appId)
     // a refreshed view is an automatic-rewrite candidate from here on —
     // the rule's ledger check decides freshness per query, so registering
-    // eagerly (even when this call no-opped) is always sound
-    Rewrites.register(srcDir,
-      Rewrites.MvDef(viewDir, groupCols, measures, appId))
+    // eagerly (even when this call no-opped) is always sound. The
+    // definition also persists as a sidecar under the SOURCE table, so a
+    // FRESH driver answers from the view before its first refresh.
+    val d = Rewrites.MvDef(viewDir, groupCols, measures, appId)
+    Rewrites.register(srcDir, d)
+    persistViewDef(spark, srcDir, d)
     v
   }
 

@@ -235,6 +235,9 @@ object VtableMetadataAgg extends Rule[LogicalPlan] {
     val spark = org.apache.spark.sql.SparkSession.active
     val m = VersionedTable.readMeta(spark, dir, version)
     if (m.patches.nonEmpty) return None
+    // deletion vectors make header totals BASE-row counts, not live-row
+    // counts — the metadata answer would overcount
+    if (m.dvs.nonEmpty) return None
     val schema = StructType.fromDDL(m.schemaDdl)
     val totalRows = m.totalRows
     // shared fold: driver loop below the distributed threshold, ONE Spark

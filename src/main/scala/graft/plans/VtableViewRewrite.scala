@@ -66,8 +66,7 @@ object VtableViewRewrite extends Rule[LogicalPlan] {
   private[graft] val rewrittenTag = TreeNodeTag[Boolean]("graft.mv.rewritten")
 
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (ViewOps.Rewrites.isEmpty) plan
-    else plan.transformUp {
+    plan.transformUp {
       case agg: Aggregate if agg.getTagValue(rewrittenTag).isEmpty =>
         rewrite(agg).getOrElse(agg)
     }
@@ -89,7 +88,11 @@ object VtableViewRewrite extends Rule[LogicalPlan] {
     for {
       (cond, lr) <- strip(agg.child, None)
       (srcDir, srcV) <- lr.getTagValue(VersionedTable.pruneTag)
-      mvs = ViewOps.Rewrites.forSource(srcDir)
+      spark = sessionOf(lr)
+      // kill switch (ScaleBench uses it to measure the un-rewritten scan;
+      // operators can use it to rule the rewrite out while debugging)
+      if spark.conf.get("spark.graft.mv.rewrite", "true").toBoolean
+      mvs = ViewOps.Rewrites.forSource(spark, srcDir)
       if mvs.nonEmpty
       out <- mvs.view.flatMap(mv => tryAnswer(agg, cond, lr, srcDir, srcV, mv))
         .headOption

@@ -178,6 +178,9 @@ class VtableCdfSource(spark: SparkSession, parameters: Map[String, String],
     val cur = availableNowEnd
       .orElse(VT.currentVersion(spark, dir)).getOrElse(return null)
     val from = Option(start).map(versionOf).getOrElse(math.max(0L, startVersion))
+    // `start` is the last durably committed offset — advance the vacuum
+    // pin (commit() alone lags one batch; see VtableTableSource)
+    if (from > 0L) pinFloor(from)
     val capped = if (net) cur else math.min(cur, from + maxSlices)
     if (capped > from) CdfOffset(capped) else null
   }
@@ -246,10 +249,24 @@ class VtableCdfSource(spark: SparkSession, parameters: Map[String, String],
     dest.toString
   }
 
+  /** Vacuum-guard cursor ([[VT.pinCursor]]): a resumable stream (one with
+    * a checkpoint) registers the lowest version its next replay needs —
+    * the current batch's window start in getBatch, advanced to the
+    * committed offset in commit — so a VACUUM that would strand it
+    * refuses loudly instead of silently reclaiming its manifests.
+    */
+  private def pinFloor(v: Long): Unit =
+    if (metadataPath.nonEmpty)
+      VT.pinCursor(spark, dir, s"graft-vtable-cdf @ $metadataPath",
+        math.max(1L, v))
+
+  override def commit(end: V1Offset): Unit = pinFloor(versionOf(end))
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     requireSameTable()
     val from = start.map(versionOf).getOrElse(math.max(0L, startVersion))
     val to = versionOf(end)
+    pinFloor(from)
     if (to <= from)
       return org.apache.spark.sql.GraftShim.dataFrame(spark,
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(

@@ -137,6 +137,11 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
     val cur = availableNowEnd
       .orElse(VT.currentVersion(spark, dir)).getOrElse(return null)
     val from = Option(start).map(versionOf).getOrElse(baseV)
+    // `start` is the last DURABLY COMMITTED offset — advance the vacuum
+    // pin here too, because the engine only calls commit() for batch N
+    // while constructing batch N+1 (a drained AvailableNow query's final
+    // batch would otherwise leave the pin one batch behind)
+    if (from > 0L) pinFloor(from)
     // a pending snapshot (from == 0) advances at least to snapshotV in
     // one slice; appended versions ride along up to the cap
     val effFrom = if (from == 0L) snapshotV.getOrElse(from) else from
@@ -159,10 +164,12 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
     df.select(schema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
-  private val changeOps = Set("merge", "update", "delete", "overwrite",
-    "replace_where", "restore", "patch")
-  private val silentOps = Set("compact", "addConstraint", "dropConstraint",
-    "addColumns", "rename_column", "drop_column")
+  private val changeOps = Set("merge", "update", "delete", "delete_dv",
+    "overwrite", "replace_where", "restore", "patch")
+  // dv_materialize rewrites BYTES (folding already-streamed-as-deleted
+  // rows out of base files), never logical rows — invisible, like compact
+  private val silentOps = Set("compact", "dv_materialize", "addConstraint",
+    "dropConstraint", "addColumns", "rename_column", "drop_column")
 
   /** One version's appended rows (None = nothing to emit). */
   private def slice(v: Long): Option[DataFrame] = {
@@ -190,9 +197,15 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
     */
   private def snapshotSlice(): DataFrame = {
     val v = snapshotV.get
-    require(VT.readMeta(spark, dir, v).patches.isEmpty,
+    val m = VT.readMeta(spark, dir, v)
+    require(m.patches.isEmpty,
       s"graft-vtable source: $dir has an unfolded patch chain at the " +
         "snapshot version — run compactPatches (or OPTIMIZE) first")
+    // a DV fold is an anti-JOIN — inside a streaming plan it would
+    // become a stream-stream join; materialize first, like patches
+    require(m.dvs.isEmpty,
+      s"graft-vtable source: $dir has pending deletion vectors at the " +
+        "snapshot version — run materializeDvs (or OPTIMIZE) first")
     align(VT.read(spark, dir, Some(v)))
   }
 
@@ -206,10 +219,22 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
     org.apache.spark.sql.GraftShim.dataFrame(spark, plan)
   }
 
+  /** Vacuum-guard cursor (see [[VtableCdfSource]]'s twin): the lowest
+    * version this stream's next replay needs, registered so VACUUM
+    * refuses to strand it.
+    */
+  private def pinFloor(v: Long): Unit =
+    if (metadataPath.nonEmpty)
+      VT.pinCursor(spark, dir, s"graft-vtable @ $metadataPath",
+        math.max(1L, v))
+
+  override def commit(end: V1Offset): Unit = pinFloor(versionOf(end))
+
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     requireSameTable()
     val from = start.map(versionOf).getOrElse(baseV)
     val to = versionOf(end)
+    pinFloor(if (from == 0L) snapshotV.getOrElse(1L) else from)
     // the snapshot floor applies ONLY when the snapshot slice is in THIS
     // batch (from == 0): a restarted query re-pins snapshotV at the NEW
     // current version, which must not swallow the append window

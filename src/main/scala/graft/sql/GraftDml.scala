@@ -123,7 +123,7 @@ object GraftDml {
         "DROP TABLE [IF EXISTS] " +
         "graft_vtable('name') [PURGE]; OPTIMIZE graft_vtable('ref') " +
         "[ZORDER BY (c1, c2[, ...])]; VACUUM graft_vtable('ref') RETAIN " +
-        "<n> VERSIONS | RETAIN <n> HOURS; " +
+        "<n> VERSIONS | RETAIN <n> HOURS [FORCE]; " +
         "RESTORE TABLE graft_vtable('ref') TO VERSION AS OF " +
         "<n> | TO TIMESTAMP AS OF '<ts>'; " +
         "ALTER TABLE graft_vtable('ref') ADD COLUMNS (c type[, ...]) | " +
@@ -337,17 +337,24 @@ object GraftDml {
     * same knob).
     */
   private def parseVacuum(target: String, rest: String): LogicalPlan = {
-    val hoursForm = """(?is)^RETAIN\s+(\d+)\s+HOURS$""".r
-      .findFirstMatchIn(rest.trim)
-    hoursForm.foreach { h =>
-      return GraftVacuumCommand(target, -1, hours = Some(h.group(1).toLong))
+    // trailing FORCE overrides the stream-cursor retention guard
+    val (body, force) = {
+      val t = rest.trim
+      val m = """(?is)^(.*?)\s+FORCE$""".r.findFirstMatchIn(t)
+      m.map(x => (x.group(1).trim, true)).getOrElse((t, false))
     }
-    val m = """(?is)^RETAIN\s+(\d+)\s+VERSIONS$""".r.findFirstMatchIn(rest.trim)
+    val hoursForm = """(?is)^RETAIN\s+(\d+)\s+HOURS$""".r
+      .findFirstMatchIn(body)
+    hoursForm.foreach { h =>
+      return GraftVacuumCommand(target, -1, hours = Some(h.group(1).toLong),
+        force = force)
+    }
+    val m = """(?is)^RETAIN\s+(\d+)\s+VERSIONS$""".r.findFirstMatchIn(body)
       .getOrElse(fail(s"VACUUM: expected RETAIN <n> VERSIONS or RETAIN <n> " +
-        s"HOURS, got '${rest.trim}'"))
+        s"HOURS [FORCE], got '${rest.trim}'"))
     val keep = m.group(1).toInt
     if (keep < 1) fail("VACUUM: RETAIN must keep at least 1 version")
-    GraftVacuumCommand(target, keep)
+    GraftVacuumCommand(target, keep, force = force)
   }
 
   /** `RESTORE TABLE graft_vtable('ref') TO VERSION AS OF <n>` (or
@@ -587,7 +594,14 @@ case class GraftDeleteCommand(target: String, whereSql: Option[String])
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftCatalog.resolveDir(spark, target)
     Seq(Row(VersionedTable.withCommitRetry() {
-      VersionedTable.commitDelete(spark, dir, GraftDml.parseCond(spark, whereSql))
+      // DV-enabled tables (TBLPROPERTIES graft.dvs.enabled=true, the
+      // Delta enableDeletionVectors knob) delete positionally — O(matched
+      // rows), byte-stable bases; others keep the copy-on-write rewrite
+      if (VersionedTable.dvsEnabled(spark, dir))
+        VersionedTable.commitDeleteDv(spark, dir,
+          GraftDml.parseCond(spark, whereSql))
+      else
+        VersionedTable.commitDelete(spark, dir, GraftDml.parseCond(spark, whereSql))
     }))
   }
 }
@@ -650,6 +664,12 @@ case class GraftOptimizeCommand(target: String, zorderBy: Seq[String],
     GraftDml.versionOutput
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftCatalog.resolveDir(spark, target)
+    // pending deletion vectors fold into clean base files first — the
+    // OPTIMIZE half of the DV contract; compaction then proceeds over
+    // DV-free state
+    VersionedTable.withCommitRetry() {
+      VersionedTable.materializeDvs(spark, dir)
+    }
     Seq(Row(VersionedTable.withCommitRetry() {
       VersionedTable.commitCompact(spark, dir,
         clusterBy = zorderBy, zorder = zorderBy.nonEmpty,
@@ -660,15 +680,18 @@ case class GraftOptimizeCommand(target: String, zorderBy: Seq[String],
 
 /** `VACUUM graft_vtable(...) RETAIN n VERSIONS` — returns files deleted. */
 case class GraftVacuumCommand(target: String, keepVersions: Int,
-                              hours: Option[Long] = None)
+                              hours: Option[Long] = None,
+                              force: Boolean = false)
   extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     Seq(AttributeReference("deleted_files", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = GraftCatalog.resolveDir(spark, target)
     Seq(Row(hours match {
-      case Some(h) => VersionedTable.vacuumRetainHours(spark, dir, h.toDouble).toLong
-      case None => VersionedTable.vacuum(spark, dir, keepVersions).toLong
+      case Some(h) =>
+        VersionedTable.vacuumRetainHours(spark, dir, h.toDouble, force).toLong
+      case None =>
+        VersionedTable.vacuum(spark, dir, keepVersions, force).toLong
     }))
   }
 }

@@ -1,0 +1,166 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{VersionedTable => VT}
+
+/** Positional deletion vectors ([[VT.commitDeleteDv]] /
+  * [[VT.materializeDvs]]): keyless `DELETE WHERE` as an O(matched-rows)
+  * sidecar commit — base files BYTE-STABLE (spec-pinned), reads fold the
+  * vectors exactly, time travel spans DV states, OPTIMIZE materializes,
+  * and every fold-incompatible surface refuses loudly.
+  */
+class DeletionVectorSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("dvspec").toString + "/t"
+
+  /** 4 range-clustered files over k = 0..99. */
+  private def mk(dir: String): Unit =
+    VT.create(spark.range(100)
+      .select($"id".as("k"), ($"id" % 7).cast("string").as("s"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k"),
+      dir, statsCols = Seq("k"),
+      props = Map(VT.DvsEnabledProp -> "true"))
+
+  private def dataFileStamps(dir: String): Map[String, (Long, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(dir, "data")
+    val it = fs.listFiles(root, true)
+    val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        out(st.getPath.toString) = (st.getLen, st.getModificationTime)
+    }
+    out.toMap
+  }
+
+  test("DELETE via DV: exact results, byte-stable base files, O(matched) sidecar") {
+    val dir = tmp(); mk(dir)
+    val before = dataFileStamps(dir)
+    val v2 = VT.commitDeleteDv(spark, dir, $"k" % 10 === 3L)     // 10 rows
+    assert(v2 == 2L)
+    // every pre-existing data file byte-identical (size + mtime pinned)
+    val after = dataFileStamps(dir)
+    before.foreach { case (p, stamp) =>
+      assert(after(p) == stamp, s"base file rewritten by a DV delete: $p")
+    }
+    // reads fold exactly
+    assert(VT.read(spark, dir).count() == 90L)
+    assert(VT.read(spark, dir).filter($"k" % 10 === 3L).count() == 0L)
+    // second DV delete stacks; already-deleted rows are not re-recorded
+    val v3 = VT.commitDeleteDv(spark, dir, $"k" < 20L)           // 18 live
+    assert(v3 == 3L)
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
+      (20L to 99L).filter(_ % 10 != 3).map(k => (k, (k % 7).toString)).toSet)
+    // time travel spans DV states exactly
+    assert(VT.read(spark, dir, asOf = Some(1L)).count() == 100L)
+    assert(VT.read(spark, dir, asOf = Some(2L)).count() == 90L)
+    // a no-match delete publishes nothing
+    assert(VT.commitDeleteDv(spark, dir, $"k" === 1000L) == 3L)
+    // pruned reads fold DVs too
+    assert(VT.readPruned(spark, dir, "k", lit(20L), lit(29L)).count() == 9L)
+  }
+
+  test("pruning: a narrow DV delete reads only candidate files") {
+    val dir = tmp(); mk(dir)
+    // k BETWEEN 10 AND 19 lives in file 1 of 4 — the positions scan must
+    // not touch the rest; proven via the commit's own pruning decision
+    VT.commitDeleteDv(spark, dir, $"k" >= 10L && $"k" <= 19L)
+    assert(VT.read(spark, dir).count() == 90L)
+    val (survivors, _) = VT.pruneFiles(spark, dir, "k", lit(10L), lit(19L),
+      asOf = Some(1L))
+    assert(survivors.size < 4, "fixture must make the candidate set narrow")
+  }
+
+  test("OPTIMIZE materializes: DVs fold into clean bases, untouched files carry") {
+    val dir = tmp(); mk(dir)
+    VT.commitDeleteDv(spark, dir, $"k" >= 10L && $"k" <= 19L)    // v2
+    val preMat = dataFileStamps(dir)
+    graft.functions.GraftFunctions.register(spark)
+    graft.sql.GraftSql.sql(spark, s"OPTIMIZE graft_vtable('$dir')").collect()
+    val m = VT.readManifest(spark, dir,
+      VT.currentVersion(spark, dir).get)
+    assert(m.dvs.isEmpty, "OPTIMIZE must clear the DV set")
+    assert(VT.read(spark, dir).count() == 90L)
+    assert(VT.read(spark, dir).filter($"k" >= 10L && $"k" <= 19L).count() == 0L)
+    // files without deleted positions were NOT rewritten by materialize
+    val postMat = dataFileStamps(dir)
+    val carried = preMat.keys.count(p => postMat.get(p).contains(preMat(p)))
+    assert(carried >= 3, s"only dv'd files may rewrite, carried=$carried")
+    // metadata-only aggregates are exact again after materialization
+    assert(VT.read(spark, dir).count() == 90L)
+  }
+
+  test("SQL end to end: DV-enabled table routes DELETE positionally") {
+    val root = Files.createTempDirectory("dvsql").toString
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftTableCatalog].getName)
+    val old = spark.conf.getOption("spark.graft.catalog.path")
+    spark.conf.set("spark.graft.catalog.path", s"$root/_catalog.json")
+    try {
+      graft.functions.GraftFunctions.register(spark)
+      spark.sql(s"CREATE TABLE graft.dv_t (k BIGINT, s STRING) " +
+        s"LOCATION '$root/t' TBLPROPERTIES " +
+        "('stats'='k', 'graft.dvs.enabled'='true')")
+      spark.sql("INSERT INTO graft.dv_t SELECT id, CAST(id % 3 AS STRING) " +
+        "FROM range(50)")
+      val before = dataFileStamps(s"$root/t")
+      // (predicates must be V1-Filter-translatable on the V2 DELETE path;
+      // arbitrary expressions go through the TVF spelling)
+      spark.sql("DELETE FROM graft.dv_t WHERE k >= 40")
+      val after = dataFileStamps(s"$root/t")
+      before.foreach { case (p, stamp) =>
+        assert(after(p) == stamp, s"SQL DV delete rewrote a base file: $p")
+      }
+      assert(VT.readManifest(spark, s"$root/t",
+        VT.currentVersion(spark, s"$root/t").get).dvs.nonEmpty)
+      assert(spark.sql("SELECT count(*) FROM graft.dv_t").as[Long].head() == 40L)
+      // the TVF spelling takes arbitrary predicates through the same route
+      graft.sql.GraftSql.sql(spark,
+        s"DELETE FROM graft_vtable('$root/t') WHERE k % 5 = 0").collect()
+      assert(spark.sql("SELECT count(*) FROM graft.dv_t").as[Long].head() == 32L)
+      before.foreach { case (p, stamp) =>
+        assert(dataFileStamps(s"$root/t")(p) == stamp,
+          s"TVF DV delete rewrote a base file: $p")
+      }
+    } finally old match {
+      case Some(v) => spark.conf.set("spark.graft.catalog.path", v)
+      case None => spark.conf.unset("spark.graft.catalog.path")
+    }
+  }
+
+  test("fold-incompatible surfaces refuse loudly while DVs are pending") {
+    val dir = tmp(); mk(dir)
+    VT.commitDeleteDv(spark, dir, $"k" === 3L)
+    def msg(t: Throwable): String = Option(t.getMessage).getOrElse("")
+    // row-rewriting commits refuse (resurrection hazard)
+    assert(msg(intercept[IllegalArgumentException](VT.commitDelete(spark, dir,
+      $"k" === 5L))).contains("deletion vectors"))
+    assert(msg(intercept[IllegalArgumentException](VT.commitUpdate(spark, dir,
+      $"k" === 5L, Seq("s" -> lit("x"))))).contains("deletion vectors"))
+    assert(msg(intercept[IllegalArgumentException](VT.commitMerge(
+      Seq((5L, "x", false)).toDF("k", "s", "del"), dir, Seq("k"), Seq.empty,
+      $"del"))).contains("deletion vectors"))
+    assert(msg(intercept[IllegalArgumentException](VT.commitPatch(
+      Seq((5L, "x", false)).toDF("k", "s", "del"), dir, Seq("k"), Seq.empty,
+      $"del"))).contains("deletion vectors"))
+    assert(msg(intercept[IllegalArgumentException](VT.shallowClone(spark, dir,
+      dir + "_clone"))).contains("deletion vectors"))
+    // the change feed refuses a DV window (no exact file diff exists)
+    assert(msg(intercept[IllegalArgumentException](VT.changesBetween(spark,
+      dir, 1L, 2L, Seq("k")))).contains("deletion vectors"))
+    // APPEND stays allowed: new files carry no positions
+    VT.commitAppend(Seq((200L, "z")).toDF("k", "s"), dir)
+    assert(VT.read(spark, dir).count() == 100L)
+    // materialize unblocks everything (99 live + appended row = 100)
+    VT.materializeDvs(spark, dir)
+    VT.commitDelete(spark, dir, $"k" === 5L)
+    assert(VT.read(spark, dir).count() == 99L)
+  }
+}

@@ -815,6 +815,41 @@ class VersionedTableSpec extends SparkSuite {
     assert(ex2.getMessage.contains("not a"), ex2.getMessage)
   }
 
+  test("timestamp resolution is O(log n) header reads, not O(versions)") {
+    val dir = tmp()
+    VT.create(Seq((0L, "x")).toDF("k", "s"), dir, Seq("k"))
+    (1 to 34).foreach(i =>
+      VT.commitAppend(Seq((i.toLong, "x")).toDF("k", "s"), dir))
+    // ground truth: the full adjusted chain (the O(n) history API)
+    val chain = VT.commitTimestamps(spark, dir)
+    assert(chain.map(_._1) == (1L to 35L))
+    // differential: the binary-search resolver agrees with the chain at
+    // every boundary instant and at every instant strictly between
+    chain.foreach { case (v, t) =>
+      assert(VT.versionAtTimestamp(spark, dir, t) == v, s"at v$v's instant")
+    }
+    chain.sliding(2).foreach { case Seq((pv, _), (_, t)) =>
+      assert(VT.versionAtTimestamp(spark, dir, t - 1) == pv,
+        s"just before v${pv + 1}'s instant")
+    case _ =>
+    }
+    // the cost claim, measured: head + ~log2(35) probes + boundary guard
+    VT.metaReadCount.set(0L)
+    VT.versionAtTimestamp(spark, dir, chain(17)._2)
+    val reads = VT.metaReadCount.get()
+    assert(reads <= 9,
+      s"resolution did $reads header reads over 35 versions — O(versions) regression")
+    // and it stays flat when history doubles
+    (35 to 69).foreach(i =>
+      VT.commitAppend(Seq((i.toLong, "x")).toDF("k", "s"), dir))
+    val chain70 = VT.commitTimestamps(spark, dir)
+    VT.metaReadCount.set(0L)
+    VT.versionAtTimestamp(spark, dir, chain70(40)._2)
+    val reads70 = VT.metaReadCount.get()
+    assert(reads70 <= 10,
+      s"doubling history must add at most one probe: $reads70 reads at 70 versions")
+  }
+
   test("restore and commitAddFiles cannot smuggle rows past a CHECK constraint") {
     val dir = tmp()
     VT.create(Seq((1L, -5L), (2L, 20L)).toDF("k", "v").coalesce(1), dir, Seq("k")) // v1

@@ -54,6 +54,33 @@ class ViewRewriteSpec extends SparkSuite {
       s"rewritten answer diverged: $got")
   }
 
+  test("FRESH DRIVER still rewrites: the registry is durable sidecars, not memory") {
+    val src = tmp(); val view = tmp(); mkSrc(src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m"))
+    // simulate a restarted driver: in-memory registry (and its durable
+    // listing cache) gone. The sidecar under <src>/_views must still
+    // route the aggregate to the view — with the SAME freshness gates.
+    ViewOps.Rewrites.clear()
+    val q = VT.read(spark, src).groupBy("g").agg(sum("m").as("s"))
+    assert(scannedDirs(q) == Set(view),
+      "a fresh driver must answer from the durable registry")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 30L), ("b", 70L), ("c", 110L)))
+    // and the kill switch still forces the scan for measurement/debugging
+    spark.conf.set("spark.graft.mv.rewrite", "false")
+    try assert(scannedDirs(VT.read(spark, src).groupBy("g")
+      .agg(sum("m").as("s"))) == Set(src),
+      "the kill switch must force the scan answer")
+    finally spark.conf.unset("spark.graft.mv.rewrite")
+    // staleness still gates: a post-clear append must fall back to the scan
+    VT.commitAppend(Seq((7L, "c", 70L, Option.empty[java.lang.Long]))
+      .toDF("k", "g", "m", "o"), src)
+    ViewOps.Rewrites.clear()
+    assert(scannedDirs(VT.read(spark, src).groupBy("g")
+      .agg(sum("m").as("s"))) == Set(src),
+      "durable registration must not bypass the freshness gate")
+  }
+
   test("stale view falls back to the scan; the next refresh re-enables the rewrite") {
     val src = tmp(); val view = tmp(); mkSrc(src)
     ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m"))

@@ -112,6 +112,40 @@ class VtableTableSourceSpec extends SparkSuite {
       "nothing from the impostor log may land")
   }
 
+  test("VACUUM refuses to strand a registered stream cursor; FORCE and dropCursor override") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)
+    drain(dir, s"$root/ckpt", s"$root/out") // pins its committed offset (v1)
+    // the table races ahead; the paused stream's cursor stays at v1
+    (3L to 6L).foreach(k =>
+      VT.commitAppend(Seq((k, "x")).toDF("k", "s"), dir))      // v2..v5
+    val ex = intercept[IllegalArgumentException](
+      VT.vacuum(spark, dir, keepVersions = 1))
+    assert(ex.getMessage.contains("stream cursors") &&
+      ex.getMessage.contains("FORCE"), s"undiagnostic refusal: ${ex.getMessage}")
+    // nothing was reclaimed by the refused vacuum
+    assert(VT.read(spark, dir, asOf = Some(1L)).count() == 2L)
+    // SQL spelling refuses identically; FORCE overrides
+    graft.functions.GraftFunctions.register(spark)
+    intercept[Exception](graft.sql.GraftSql.sql(spark,
+      s"VACUUM graft_vtable('$dir') RETAIN 1 VERSIONS").collect())
+    graft.sql.GraftSql.sql(spark,
+      s"VACUUM graft_vtable('$dir') RETAIN 1 VERSIONS FORCE").collect()
+    assert(VT.versions(spark, dir) == Seq(5L), "FORCE must reclaim")
+    // a caught-up stream advances its pin past the horizon: vacuum passes
+    val dir2 = s"$root/t2"; mk(dir2)
+    drain(dir2, s"$root/ckpt2", s"$root/out2")
+    VT.commitAppend(Seq((9L, "z")).toDF("k", "s"), dir2)
+    drain(dir2, s"$root/ckpt2", s"$root/out2") // commit() pins v2 == horizon
+    VT.vacuum(spark, dir2, keepVersions = 1)
+    // and an operator can drop a dead stream's pin instead of forcing
+    val dir3 = s"$root/t3"; mk(dir3)
+    drain(dir3, s"$root/ckpt3", s"$root/out3")
+    VT.commitAppend(Seq((9L, "z")).toDF("k", "s"), dir3)
+    intercept[IllegalArgumentException](VT.vacuum(spark, dir3, 1))
+    assert(VT.dropCursor(spark, dir3, VT.cursorPins(spark, dir3).head._1))
+    VT.vacuum(spark, dir3, keepVersions = 1)
+  }
+
   test("schema widening MID-QUERY fails the batch loudly; a restarted query adopts it") {
     val root = tmp(); val dir = s"$root/t"; mk(dir)
     // mid-query: the source instance pinned the 2-column schema, then the
