@@ -97,9 +97,15 @@ object VersionedTable {
     * here"; the bloom answers the sharper "does this KEY live here",
     * which is what point lookups and CDC merges actually ask.
     */
+  /** `bytes` is the file's on-disk size, stamped at commit time from one
+    * directory listing (0 in legacy manifests = unknown). It feeds
+    * compaction planning and streaming byte-based admission without a
+    * per-file `getFileStatus` RPC storm — the Delta `add.size` idea.
+    */
   final case class FileEntry(path: String, rows: Long,
                              stats: Map[String, ColStat],
-                             blooms: Map[String, String] = Map.empty)
+                             blooms: Map[String, String] = Map.empty,
+                             bytes: Long = 0L)
 
   /** `txns` is the Delta-style transaction ledger: per writer-app, the
     * highest batch id whose changes this version already contains. Carried
@@ -161,7 +167,8 @@ object VersionedTable {
       props: Map[String, String] = Map.empty,
       ts: Long = 0L,
       adjTs: Long = 0L,
-      dvs: Seq[String] = Seq.empty)
+      dvs: Seq[String] = Seq.empty,
+      firstStampedV: Long = 0L)
 
   /** Table-level properties carried forward by every commit (the Delta
     * `metadata.configuration` idea). [[create]] stamps
@@ -462,6 +469,12 @@ object VersionedTable {
     // the predecessor AT COMMIT TIME so resolution reads O(log n)
     // headers (binary search) instead of replaying the whole chain
     if (m.adjTs > 0L) root.put("adjTs", m.adjTs)
+    // earliest version V such that [V .. this] is a CONTIGUOUS stamped
+    // run (every manifest carries adjTs): the verified prefix that lets
+    // TIMESTAMP AS OF trust the stored adjTs sequence as the exact chain
+    // and binary-search it. A build that predates this field drops it,
+    // which soundly demotes resolution to the chain replay.
+    if (m.firstStampedV > 0L) root.put("firstStampedV", m.firstStampedV)
     root.put("schemaDdl", m.schemaDdl)
     val sc = root.putArray("statsCols")
     m.statsCols.foreach(sc.add)
@@ -566,6 +579,7 @@ object VersionedTable {
         val bl = fn.putObject("blooms")
         f.blooms.foreach { case (c, p) => bl.put(c, p) }
       }
+      if (f.bytes > 0L) fn.put("bytes", f.bytes)
     }
 
   private def readFileArray(node: JsonNode): Seq[FileEntry] = {
@@ -580,7 +594,8 @@ object VersionedTable {
       }.toMap
       val blooms = Option(fn.get("blooms")).map(_.fields().asScala.map(e =>
         e.getKey -> e.getValue.asText()).toMap).getOrElse(Map.empty[String, String])
-      FileEntry(fn.get("path").asText(), fn.get("rows").asLong(), m, blooms)
+      FileEntry(fn.get("path").asText(), fn.get("rows").asLong(), m, blooms,
+        Option(fn.get("bytes")).map(_.asLong()).getOrElse(0L))
     }.toSeq
   }
 
@@ -607,8 +622,34 @@ object VersionedTable {
          else s"available versions: ${vs.head}..${vs.last} (earlier ones may have been vacuumed)")
     })
     import scala.jdk.CollectionConverters._
-    val in = fs.open(p)
-    val root = try mapper.readTree(in) finally in.close()
+    // The no-hardlink publish fallback ([[AtomicPublish.publishViaClaim]])
+    // makes `dest` briefly visible before its bytes land, so a racing
+    // reader can observe a zero-length/partial manifest. That window is
+    // one small same-directory write wide — absorb it with a short
+    // bounded re-read instead of failing the query. A manifest that still
+    // won't parse after the window is genuinely corrupt: fail loudly.
+    val root = {
+      var attempt = 0
+      var parsed: JsonNode = null
+      while (parsed == null) {
+        val in = fs.open(p)
+        val r = try Right(mapper.readTree(in))
+                catch { case e: java.io.IOException => Left(e) }
+                finally in.close()
+        r match {
+          case Right(n) if n != null && n.hasNonNull("version") => parsed = n
+          case other if attempt < 5 =>
+            attempt += 1; Thread.sleep(20L * attempt)
+          case Right(_) => throw new IllegalStateException(
+            s"VersionedTable: manifest $p is empty or truncated after " +
+              "retries — torn beyond the publish window, or corrupt")
+          case Left(e) => throw new IllegalStateException(
+            s"VersionedTable: manifest $p failed to parse after retries — " +
+              "torn beyond the publish window, or corrupt", e)
+        }
+      }
+      parsed
+    }
     val statsCols = root.get("statsCols").elements().asScala.map(_.asText()).toSeq
     val txns = Option(root.get("txns")).map(_.fields().asScala.map(e =>
       e.getKey -> e.getValue.asLong()).toMap).getOrElse(Map.empty[String, Long])
@@ -644,7 +685,9 @@ object VersionedTable {
       removes, restoreOf, props,
       ts = Option(root.get("ts")).map(_.asLong()).getOrElse(0L),
       adjTs = Option(root.get("adjTs")).map(_.asLong()).getOrElse(0L),
-      dvs = dvs)
+      dvs = dvs,
+      firstStampedV =
+        Option(root.get("firstStampedV")).map(_.asLong()).getOrElse(0L))
   }
 
   // ----------------------------------------- checkpointed file-list replay
@@ -801,7 +844,13 @@ object VersionedTable {
       bloomCols, bloomFpp, patches, mergeKeys, numFiles, totalRows, "delta",
       props = effProps, ts = now, adjTs = adj,
       // deletion vectors carry forward unless the commit changes them
-      dvs = dvs.getOrElse(prev.map(_.dvs).getOrElse(Seq.empty)))
+      dvs = dvs.getOrElse(prev.map(_.dvs).getOrElse(Seq.empty)),
+      // the verified stamped-prefix marker: extend the predecessor's run
+      // when it is stamped AND itself verified; otherwise THIS version
+      // starts the run (a stamped-but-unverified predecessor could hide
+      // a legacy skewed clock below it — claim only what is provable)
+      firstStampedV = prev.filter(p => p.adjTs > 0L && p.firstStampedV > 0L)
+        .map(_.firstStampedV).getOrElse(version))
     if (numFiles <= inlineMaxFiles(spark)) {
       val prevFiles = prev.map(p => materializeFiles(spark, dir, p.version))
         .getOrElse(Seq.empty)
@@ -840,18 +889,27 @@ object VersionedTable {
                                version: Long): DataFrame = {
     val m = readMeta(spark, dir, version)
     val schema = StructType.fromDDL(m.schemaDdl)
-    val adds: Seq[FileEntry] =
-      if (m.mode == "delta") m.adds
-      else {
-        val cur = readManifest(spark, dir, version).files
-        val prev =
-          if (version <= 1L) Set.empty[String]
-          else readManifest(spark, dir, version - 1).files.map(_.path).toSet
-        cur.filterNot(f => prev(f.path))
-      }
+    val adds = addedEntries(spark, dir, version)
     if (adds.isEmpty) emptyDF(spark, schema)
     else readDataFiles(spark, schema, m.props,
       adds.map(f => dataPath(dir, f.path)))
+  }
+
+  /** The file entries ADDED by commit `version` — the metadata twin of
+    * [[addedRows]], used for byte-based streaming admission control
+    * (sizes come from the manifest's `bytes` stamps, no data IO).
+    */
+  private[graft] def addedEntries(spark: SparkSession, dir: String,
+                                  version: Long): Seq[FileEntry] = {
+    val m = readMeta(spark, dir, version)
+    if (m.mode == "delta") m.adds
+    else {
+      val cur = readManifest(spark, dir, version).files
+      val prev =
+        if (version <= 1L) Set.empty[String]
+        else readManifest(spark, dir, version - 1).files.map(_.path).toSet
+      cur.filterNot(f => prev(f.path))
+    }
   }
 
   // --------------------------------------------------- deletion vectors
@@ -1072,8 +1130,16 @@ object VersionedTable {
       else writeBloomSidecars(
         spark.read.schema(df.schema).parquet(commitDir.toString),
         dir, rel, bloomCols, bloomFpp)
+    // one directory listing stamps every entry's byte size — O(1) RPCs
+    // per commit, vs the per-file getFileStatus storm it replaces
+    val lens: Map[String, Long] = {
+      val fs = commitDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(commitDir).iterator
+        .map(s => s.getPath.getName -> s.getLen).toMap
+    }
     perFileData.map { case (name, rows, stats) =>
-      FileEntry(s"$rel/$name", rows, stats, blooms.getOrElse(name, Map.empty))
+      FileEntry(s"$rel/$name", rows, stats, blooms.getOrElse(name, Map.empty),
+        lens.getOrElse(name, 0L))
     }.sortBy(_.path).toSeq
   }
 
@@ -2090,8 +2156,11 @@ object VersionedTable {
         if (ranges.isEmpty && ins.isEmpty) cur.files
         else pruneEntries(spark, dir, ranges, ins, Some(cur.version))._1
     }
+    // manifest-stamped sizes avoid a getFileStatus per file (an RPC storm
+    // on object stores); only legacy entries (bytes=0) probe the store
     val sized = scoped.map { f =>
-      f -> fs.getFileStatus(new Path(dataPath(dir, f.path))).getLen
+      f -> (if (f.bytes > 0L) f.bytes
+            else fs.getFileStatus(new Path(dataPath(dir, f.path))).getLen)
     }
     val (small, big) = sized.partition(_._2 < smallBytes)
     if (small.size <= 1 && clusterBy.isEmpty) return cur.version
@@ -3035,7 +3104,12 @@ object VersionedTable {
       adds = Seq.empty, removes = Seq.empty,
       ts = restoreNow,
       adjTs = math.max(
-        if (cur.adjTs > 0L) cur.adjTs + 1L else restoreNow, restoreNow))
+        if (cur.adjTs > 0L) cur.adjTs + 1L else restoreNow, restoreNow),
+      // chains from the CURRENT head like adjTs — NOT from the copied
+      // target, whose marker describes a different prefix
+      firstStampedV =
+        if (cur.adjTs > 0L && cur.firstStampedV > 0L) cur.firstStampedV
+        else curV + 1)
     val fs = fsOf(spark, dir)
     if (target.numFiles <= inlineMaxFiles(spark))
       // small table: self-contained, exactly the pre-checkpoint behavior
@@ -3136,11 +3210,18 @@ object VersionedTable {
     // ADJUSTED time in the header, and the stored sequence is strictly
     // increasing (each chained from its true predecessor at commit time)
     // — so resolution is a BINARY SEARCH over O(log n) header reads, not
-    // an O(versions) chain replay. Any probed legacy header (adjTs = 0,
-    // pre-field builds) falls back to the exact chain.
+    // an O(versions) chain replay. The search is sound only when the
+    // WHOLE available range is one verified stamped run: an UNPROBED
+    // legacy manifest (adjTs = 0) with a skewed-forward wall clock below
+    // the found boundary lifts every later chain value above its stored
+    // adjTs, so the newest header's `firstStampedV` marker must cover
+    // vs.head. Any probed legacy header still falls back to the exact
+    // chain (defense in depth for histories the marker cannot describe).
     def storedAdj(v: Long): Long = readMeta(spark, dir, v).adjTs
+    val newest = readMeta(spark, dir, vs.last)
     val headAdj = storedAdj(vs.head)
-    if (headAdj > 0L) {
+    if (headAdj > 0L && newest.adjTs > 0L && newest.firstStampedV > 0L &&
+        vs.head >= newest.firstStampedV) {
       if (tsMillis < headAdj) tooEarly(vs.head, headAdj)
       var lo = 0
       var hi = vs.size - 1
@@ -3221,14 +3302,23 @@ object VersionedTable {
 
   private def cursorsDir(dir: String) = new Path(dir, "_cursors")
 
+  private def cursorDigest(consumer: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(consumer.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
   /** Durable READ-CURSOR pin: `consumer` (a resumable stream, keyed by
     * its checkpoint) still needs `version`'s manifest — and everything
-    * after — to replay its last uncommitted batch. One file per consumer
-    * (`_cursors/<digest>.json`, tmp-write + rename), updated as the
-    * stream's replay floor advances, so [[vacuum]] can refuse to reclaim
-    * state a live (or merely paused) stream would lose. The registry is
-    * advisory-but-loud: an operator can delete a dead stream's pin file,
-    * and `force = true` overrides the whole check.
+    * after — to replay its last uncommitted batch. Files are
+    * `_cursors/<digest>-<nonce>.json`, and an update CREATES the new pin
+    * before deleting superseded ones, so a concurrently scanning
+    * [[vacuum]] always sees at least one pin at or below the consumer's
+    * true floor — replacement never opens a pin-absent window (the old
+    * delete-then-rename fallback did, letting vacuum reclaim versions
+    * the stream still needed). During the overlap both files exist and
+    * [[cursorPins]] reports the LOWEST version — conservative, safe. The
+    * registry is advisory-but-loud: an operator can delete a dead
+    * stream's pin files ([[dropCursor]]), and `force = true` overrides
+    * the whole check.
     */
   def pinCursor(spark: SparkSession, dir: String, consumer: String,
                 version: Long): Unit = {
@@ -3239,26 +3329,36 @@ object VersionedTable {
     node.put("consumer", consumer)
     node.put("version", version)
     node.put("updatedMs", System.currentTimeMillis())
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(consumer.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val dest = new Path(dirP, s"$digest.json")
+    val digest = cursorDigest(consumer)
+    val dest = new Path(dirP,
+      s"$digest-${java.util.UUID.randomUUID().toString.take(8)}.json")
     val tmp = new Path(dirP,
       s".$digest.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
-    if (!fs.rename(tmp, dest)) { // no-overwrite store: replace explicitly
-      fs.delete(dest, false)
-      if (!fs.rename(tmp, dest)) fs.delete(tmp, false)
+    if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); return }
+    // the new pin is durable — now reap superseded files (legacy
+    // `<digest>.json` included). A racing same-consumer pin can at worst
+    // leave an extra LOWER pin standing: conservative, never unsafe.
+    fs.listStatus(dirP).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isFile && n != dest.getName && n.endsWith(".json") &&
+          (n.startsWith(s"$digest-") || n == s"$digest.json"))
+        fs.delete(s.getPath, false)
     }
   }
 
-  /** All registered pins: (consumer, pinned version, last update ms). */
+  /** All registered pins, one row per consumer: (consumer, pinned
+    * version, last update ms). Mid-update overlap surfaces the lowest
+    * version and the freshest update time — both the safe direction.
+    */
   def cursorPins(spark: SparkSession, dir: String): Seq[(String, Long, Long)] = {
     val fs = fsOf(spark, dir)
     val dirP = cursorsDir(dir)
     if (!fs.exists(dirP)) return Seq.empty
     fs.listStatus(dirP).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".json"))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".json") &&
+        !s.getPath.getName.startsWith("."))
       .flatMap { s =>
         try {
           val in = fs.open(s.getPath)
@@ -3267,12 +3367,23 @@ object VersionedTable {
             root.get("updatedMs").asLong()))
         } catch { case scala.util.control.NonFatal(_) => None }
       }
+      .groupBy(_._1).toSeq.map { case (c, entries) =>
+        (c, entries.map(_._2).min, entries.map(_._3).max)
+      }.sortBy(_._1)
   }
 
   def dropCursor(spark: SparkSession, dir: String, consumer: String): Boolean = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(consumer.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    fsOf(spark, dir).delete(new Path(cursorsDir(dir), s"$digest.json"), false)
+    val fs = fsOf(spark, dir)
+    val dirP = cursorsDir(dir)
+    if (!fs.exists(dirP)) return false
+    val digest = cursorDigest(consumer)
+    val mine = fs.listStatus(dirP).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && n.endsWith(".json") &&
+        (n.startsWith(s"$digest-") || n == s"$digest.json")
+    }
+    mine.foreach(s => fs.delete(s.getPath, false))
+    mine.nonEmpty
   }
 
   def vacuumRetainHours(spark: SparkSession, dir: String, hours: Double,
@@ -3301,15 +3412,40 @@ object VersionedTable {
     if (!force && drop.nonEmpty) {
       val horizon = keep.head
       val pinned = cursorPins(spark, dir).filter(_._2 < horizon)
-      require(pinned.isEmpty, {
-        val who = pinned.map { case (c, v, ms) =>
+      // DEAD-pin downgrade (scoped, unlike FORCE which overrides every
+      // pin): a pin that has not advanced within
+      // `spark.graft.vtable.cursorStaleHours` belongs to a stream that is
+      // gone — refusing forever just teaches operators to reach for FORCE
+      // reflexively. Unset (default) = never downgrade.
+      val staleCutMs = spark.conf
+        .getOption("spark.graft.vtable.cursorStaleHours")
+        .map(h => (h.toDouble * 3600 * 1000).toLong)
+      val now = System.currentTimeMillis()
+      val (stale, live) = staleCutMs match {
+        case Some(ms) => pinned.partition { case (_, _, up) => now - up > ms }
+        case None => (Seq.empty, pinned)
+      }
+      stale.foreach { case (c, v, ms) =>
+        System.err.println(
+          s"VersionedTable.vacuum WARNING: overriding STALE stream cursor " +
+            s"'$c' pinned at v$v of $dir (last advanced " +
+            s"${java.time.Instant.ofEpochMilli(ms)}, older than the " +
+            s"configured spark.graft.vtable.cursorStaleHours) — if that " +
+            "stream is merely paused, its checkpoint is now unrecoverable; " +
+            "restart it with a new checkpoint. Drop dead pins explicitly " +
+            "with VersionedTable.dropCursor to silence this warning")
+      }
+      require(live.isEmpty, {
+        val who = live.map { case (c, v, ms) =>
           s"$c at v$v (updated ${java.time.Instant.ofEpochMilli(ms)})"
         }.mkString("; ")
         s"VersionedTable.vacuum: would reclaim versions below registered " +
           s"stream cursors [$who] — the stream's next replay would lose its " +
           "offsets. Let it advance, drop the dead pin " +
-          "(VersionedTable.dropCursor / delete the _cursors file), or pass " +
-          "force = true (SQL: VACUUM ... FORCE)"
+          "(VersionedTable.dropCursor / delete the _cursors file), set " +
+          "spark.graft.vtable.cursorStaleHours to auto-downgrade pins dead " +
+          "longer than a threshold, or pass force = true (SQL: VACUUM ... " +
+          "FORCE)"
       })
     }
     // kept versions must stay REPLAYABLE after the dropped manifests go:

@@ -38,7 +38,10 @@ import graft.ops.{GraftCatalog, VersionedTable => VT}
   *    the CDF source.
   *
   * `startingVersion=N` skips the snapshot and follows data commits from
-  * version N (inclusive). The table's identity UUID is pinned lazily
+  * version N (inclusive). `maxVersionsPerBatch` / `maxBytesPerBatch`
+  * bound batch admission (versions / manifest-stamped added bytes; both
+  * soft caps — at least one version per batch). The table's identity
+  * UUID is pinned lazily
   * under the checkpoint (same discipline as [[VtableCdfSource]]) so a
   * drop/recreate fails loudly instead of replaying a foreign log.
   */
@@ -54,10 +57,21 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
     parameters.get("skipChangeCommits").exists(_.toBoolean)
   private val maxVersions =
     parameters.get("maxVersionsPerBatch").map(_.toInt).getOrElse(128)
+  /** Byte-based admission (Delta's `maxBytesPerTrigger`): cap a batch by
+    * the manifest-stamped ADDED bytes of the versions it admits. Soft
+    * cap — at least one version always admits so the stream progresses;
+    * a pending snapshot admits `snapshotV` for free (it is mandatory
+    * initial work) and budgets only the ride-along appends. Legacy
+    * entries without byte stamps count 0 (admit-friendly).
+    */
+  private val maxBytes: Option[Long] =
+    parameters.get("maxBytesPerBatch").map(_.toLong)
 
-  /** Snapshot version (no `startingVersion`): pinned at source
-    * construction — commits landing between construction and the first
-    * trigger arrive as ordinary append slices.
+  /** Snapshot PLANNING floor (no `startingVersion`): pinned at source
+    * construction and used ONLY by [[latestOffset]] to size the first
+    * batch. The replayed batch-0 slice is a function of the LOGGED end
+    * offset alone (see [[getBatch]]) — a crash-restart re-pins this at
+    * the new current version, which must not change what batch 0 reads.
     */
   private val snapshotV: Option[Long] = parameters.get("startingVersion") match {
     case Some(v) =>
@@ -68,12 +82,12 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
       throw new IllegalArgumentException(
         s"graft-vtable source: $dir is not a versioned table")))
   }
-  /** Versions <= baseV are before the stream's horizon. `0` marks a
-    * pending snapshot (the snapshot slice advances the cursor to
-    * `snapshotV`).
+  /** Versions <= baseV are before the stream's horizon. `-1` marks a
+    * pending snapshot — distinct from any real version so
+    * `startingVersion=1` (baseV = 0) cannot collide with it.
     */
   private val baseV: Long =
-    parameters.get("startingVersion").map(_.toLong - 1L).getOrElse(0L)
+    parameters.get("startingVersion").map(_.toLong - 1L).getOrElse(-1L)
 
   override val schema: StructType = VtableTableSource.schemaFor(spark, parameters)
 
@@ -142,10 +156,25 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
     // while constructing batch N+1 (a drained AvailableNow query's final
     // batch would otherwise leave the pin one batch behind)
     if (from > 0L) pinFloor(from)
-    // a pending snapshot (from == 0) advances at least to snapshotV in
-    // one slice; appended versions ride along up to the cap
-    val effFrom = if (from == 0L) snapshotV.getOrElse(from) else from
-    val endV = math.max(effFrom, math.min(cur, effFrom + maxVersions))
+    // a pending snapshot (from < 0) advances at least to snapshotV in
+    // one slice; appended versions ride along up to the caps
+    val effFrom = if (from < 0L) snapshotV.get else from
+    val capV = math.max(effFrom, math.min(cur, effFrom + maxVersions))
+    val endV = maxBytes match {
+      case None => capV
+      case Some(budget) =>
+        // one manifest-header read per candidate version (≤ maxVersions);
+        // layout/metadata commits emit nothing, so they admit for free
+        var v = effFrom; var acc = 0L; var stop = false
+        while (v < capV && !stop) {
+          val m = VT.readMeta(spark, dir, v + 1)
+          val b = if (silentOps(m.op)) 0L
+                  else VT.addedEntries(spark, dir, v + 1).map(_.bytes).sum
+          if (v > effFrom && acc + b > budget) stop = true
+          else { acc += b; v += 1 }
+        }
+        v
+    }
     if (endV > from) TblOffset(endV) else null
   }
 
@@ -191,12 +220,11 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
     }
   }
 
-  /** The snapshot: the table AS OF the pinned version — a pure parquet
-    * scan. A patch chain at the snapshot version would make it a fold
-    * (join) inside a streaming plan; refuse and point at compaction.
+  /** The snapshot: the table AS OF `v` — a pure parquet scan. A patch
+    * chain at the snapshot version would make it a fold (join) inside a
+    * streaming plan; refuse and point at compaction.
     */
-  private def snapshotSlice(): DataFrame = {
-    val v = snapshotV.get
+  private def snapshotSlice(v: Long): DataFrame = {
     val m = VT.readMeta(spark, dir, v)
     require(m.patches.isEmpty,
       s"graft-vtable source: $dir has an unfolded patch chain at the " +
@@ -234,13 +262,15 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
     requireSameTable()
     val from = start.map(versionOf).getOrElse(baseV)
     val to = versionOf(end)
-    pinFloor(if (from == 0L) snapshotV.getOrElse(1L) else from)
-    // the snapshot floor applies ONLY when the snapshot slice is in THIS
-    // batch (from == 0): a restarted query re-pins snapshotV at the NEW
-    // current version, which must not swallow the append window
-    val snapshot = if (from == 0L) Some(snapshotSlice()) else None
-    val follow = ((if (from == 0L) snapshotV.get else from) + 1) to to
-    val slices = snapshot.toSeq ++ follow.flatMap(slice)
+    pinFloor(if (from < 0L) to else from)
+    // batch 0 in snapshot mode is the table AS OF the LOGGED end offset —
+    // a pure function of the offset log, so a crash-restart replay (which
+    // re-pins snapshotV at the NEW current version) re-reads exactly the
+    // slice it originally emitted; commits in (construction, end] fold
+    // into the snapshot instead of arriving as append slices (Delta's
+    // reservoirVersion contract). snapshotV is only a planning floor.
+    if (from < 0L) return asStreaming(snapshotSlice(to))
+    val slices = ((from + 1) to to).flatMap(slice)
     val out = slices.reduceOption(_ union _).getOrElse(
       org.apache.spark.sql.GraftShim.dataFrame(spark,
         org.apache.spark.sql.catalyst.plans.logical.LocalRelation(

@@ -1066,6 +1066,119 @@ class VersionedTableSpec extends SparkSuite {
       VT.changesBetween(spark, dir2, 1L, 1L, Seq("k")))
   }
 
+  test("TIMESTAMP AS OF over a MIXED history (legacy skewed clock mid-chain) uses exact chain semantics") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s"), dir, Seq("k"))       // v1 stamped
+    VT.commitAppend(Seq((2L, "b")).toDF("k", "s"), dir)           // v2
+    // forge v2 into a LEGACY manifest (pre-adjTs build) whose wall clock
+    // is skewed far FORWARD — the case where stored adjTs of later
+    // stamped commits disagrees with the exact chain
+    val huge = System.currentTimeMillis() + 1000L * 3600 * 24 * 365
+    val mPath = java.nio.file.Paths.get(s"$dir/_vlog/v${"%012d".format(2)}.json")
+    val forged = new String(java.nio.file.Files.readAllBytes(mPath), "UTF-8")
+      .replaceAll(""""adjTs"\s*:\s*\d+,\s*\n""", "")
+      .replaceAll(""""firstStampedV"\s*:\s*\d+,\s*\n""", "")
+      .replaceAll(""""ts"\s*:\s*\d+""", s""""ts" : $huge""")
+    assert(!forged.contains("adjTs") && forged.contains(huge.toString))
+    java.nio.file.Files.write(mPath, forged.getBytes("UTF-8"))
+    // commits after the legacy manifest restart the verified stamped run
+    VT.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)           // v3
+    VT.commitAppend(Seq((4L, "d")).toDF("k", "s"), dir)           // v4
+    assert(VT.readMeta(spark, dir, 3L).firstStampedV == 3L,
+      "a legacy predecessor must reset the verified-prefix marker")
+    assert(VT.readMeta(spark, dir, 4L).firstStampedV == 3L)
+    // exact chain: adj(v2) = huge, so v3/v4 chain ABOVE it even though
+    // their stored adjTs (wall clock) is below — a binary search over
+    // stored values would wrongly resolve ~now to v4
+    val chain = VT.commitTimestamps(spark, dir)
+    assert(chain(1)._2 == huge && chain(2)._2 == huge + 1 &&
+      chain(3)._2 == huge + 2, s"chain must ride the skew: $chain")
+    val storedV4 = VT.readMeta(spark, dir, 4L).adjTs
+    assert(storedV4 < huge, "precondition: v4's stored stamp is below the skew")
+    assert(VT.versionAtTimestamp(spark, dir, storedV4) == 1L,
+      "an instant before the skewed legacy commit resolves to v1 — " +
+        "the fast path must not trust stored stamps across a legacy gap")
+    assert(VT.versionAtTimestamp(spark, dir, huge) == 2L)
+    assert(VT.versionAtTimestamp(spark, dir, huge + 1) == 3L)
+    assert(VT.versionAtTimestamp(spark, dir, huge + 5000) == 4L)
+  }
+
+  test("a torn manifest (mid-publish read) retries to success; persistent corruption fails loudly") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s"), dir, Seq("k"))
+    val mPath = java.nio.file.Paths.get(s"$dir/_vlog/v${"%012d".format(1)}.json")
+    val orig = java.nio.file.Files.readAllBytes(mPath)
+    // torn = visible-but-empty (the no-hardlink publish fallback's
+    // documented window); a racing repair lands mid-retry
+    java.nio.file.Files.write(mPath, Array.empty[Byte])
+    val repair = new Thread(() => {
+      Thread.sleep(80); java.nio.file.Files.write(mPath, orig)
+    })
+    repair.start()
+    val m = VT.readMeta(spark, dir, 1L) // must absorb the window
+    repair.join()
+    assert(m.version == 1L && m.op == "create")
+    // truncated JSON beyond the window: loud, named, with the cause
+    java.nio.file.Files.write(mPath, orig.take(25))
+    val ex = intercept[IllegalStateException](VT.readMeta(spark, dir, 1L))
+    assert(ex.getMessage.contains("torn") || ex.getMessage.contains("corrupt"),
+      s"undiagnostic: ${ex.getMessage}")
+    java.nio.file.Files.write(mPath, orig)
+  }
+
+  test("cursor-pin update never opens a pin-absent window; overlap reads conservatively") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s"), dir, Seq("k"))
+    val cursors = java.nio.file.Paths.get(s"$dir/_cursors")
+    import scala.jdk.CollectionConverters._
+    def pinFiles(): Seq[String] =
+      java.nio.file.Files.list(cursors).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".json")).toSeq
+    VT.pinCursor(spark, dir, "s1", 2L)
+    VT.pinCursor(spark, dir, "s1", 4L) // advance = create new THEN reap old
+    assert(pinFiles().size == 1, s"superseded pins must be reaped: ${pinFiles()}")
+    assert(VT.cursorPins(spark, dir).map(p => (p._1, p._2)) == Seq(("s1", 4L)))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest("s1".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    // mid-update overlap (two files for one consumer): report the LOWEST
+    // version (vacuum-safe) and the FRESHEST update time (liveness-safe)
+    java.nio.file.Files.write(cursors.resolve(s"$digest-manual.json"),
+      s"""{"consumer":"s1","version":1,"updatedMs":${System.currentTimeMillis() + 60000}}"""
+        .getBytes("UTF-8"))
+    val overlap = VT.cursorPins(spark, dir)
+    assert(overlap.size == 1 && overlap.head._2 == 1L,
+      s"overlap must surface the lowest pinned version: $overlap")
+    // the next advance reaps every superseded spelling, legacy included
+    java.nio.file.Files.write(cursors.resolve(s"$digest.json"),
+      s"""{"consumer":"s1","version":1,"updatedMs":1}""".getBytes("UTF-8"))
+    VT.pinCursor(spark, dir, "s1", 5L)
+    assert(pinFiles().size == 1 &&
+      VT.cursorPins(spark, dir).map(p => (p._1, p._2)) == Seq(("s1", 5L)))
+    // dropCursor removes all spellings
+    assert(VT.dropCursor(spark, dir, "s1") && VT.cursorPins(spark, dir).isEmpty)
+  }
+
+  test("vacuum downgrades pins dead past cursorStaleHours to a warning; fresh pins refuse") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s"), dir, Seq("k"))
+    (2L to 5L).foreach(k =>
+      VT.commitAppend(Seq((k, "x")).toDF("k", "s"), dir))
+    VT.pinCursor(spark, dir, "dead-stream", 1L)
+    // default (no threshold): refuse, naming the remediation conf
+    val ex = intercept[IllegalArgumentException](VT.vacuum(spark, dir, 1))
+    assert(ex.getMessage.contains("cursorStaleHours"), ex.getMessage)
+    // a fresh pin inside a generous threshold still refuses
+    spark.conf.set("spark.graft.vtable.cursorStaleHours", "24.0")
+    try {
+      intercept[IllegalArgumentException](VT.vacuum(spark, dir, 1))
+      // past the threshold: downgraded to a warning, vacuum proceeds
+      spark.conf.set("spark.graft.vtable.cursorStaleHours", "1e-7")
+      Thread.sleep(50)
+      VT.vacuum(spark, dir, keepVersions = 1)
+      assert(VT.versions(spark, dir) == Seq(5L))
+    } finally spark.conf.unset("spark.graft.vtable.cursorStaleHours")
+  }
+
   test("merge whose keys miss every file interval reuses all files, inserts land") {
     val dir = tmp()
     val base = spark.range(50).select($"id".as("k"), lit("x").as("s"))

@@ -60,6 +60,74 @@ class VtableTableSourceSpec extends SparkSuite {
     assert(outRows(s"$root/out").toSet == Set((3L, "c"), (4L, "d")))
   }
 
+  /** Streaming-flagged batch → collectable: the inverse of the source's
+    * `asStreaming`, for driving the Source API directly in tests.
+    */
+  private def destream(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.isStreaming => lr.copy(isStreaming = false)
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if lr.isStreaming => lr.copy(isStreaming = false)
+    }
+    org.apache.spark.sql.GraftShim.dataFrame(spark, plan)
+  }
+
+  test("crash-restart replay of the snapshot batch is a pure function of the logged offset") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)                // v1
+    VT.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)           // v2
+    // batch 0's end offset is logged (v2), then the process dies before
+    // commit; meanwhile the table grows
+    val srcA = new graft.sources.VtableTableSource(spark, Map("dir" -> dir))
+    val end0 = srcA.getOffset.get
+    assert(end0.json.toLong == 2L)
+    VT.commitAppend(Seq((4L, "d")).toDF("k", "s"), dir)           // v3
+    // the restarted query builds a NEW source instance (snapshot planning
+    // floor re-pins at v3) and REPLAYS batch 0 from the offset log — the
+    // slice must be the table AS OF the logged offset, not the new floor
+    val srcB = new graft.sources.VtableTableSource(spark, Map("dir" -> dir))
+    val replay = destream(srcB.getBatch(None, end0))
+      .as[(Long, String)].collect().toSet
+    assert(replay == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"replayed batch 0 must not include post-offset commits: $replay")
+    // the follow-up batch delivers exactly the rest — union is exactly-once
+    val end1 = srcB.getOffset.get
+    val next = destream(srcB.getBatch(Some(end0), end1))
+      .as[(Long, String)].collect().toSet
+    assert(next == Set((4L, "d")), s"batch 1 must emit only (v2, v3]: $next")
+  }
+
+  test("startingVersion=1 follows from the create commit (no snapshot-sentinel collision)") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)               // v1
+    VT.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)           // v2
+    drain(dir, s"$root/ckpt", s"$root/out", Map("startingVersion" -> "1"))
+    assert(outRows(s"$root/out").toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "v1's created rows count as that commit's appends")
+  }
+
+  test("maxBytesPerBatch bounds admission; at least one version always admits") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)               // v1
+    (3L to 5L).foreach(k =>
+      VT.commitAppend(Seq((k, "x")).toDF("k", "s"), dir))         // v2..v4
+    val limit =
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    // a 1-byte budget can never fit a parquet file: the soft cap still
+    // admits exactly one version per batch
+    val tight = new graft.sources.VtableTableSource(spark,
+      Map("dir" -> dir, "startingVersion" -> "2", "maxBytesPerBatch" -> "1"))
+    val o1 = tight.latestOffset(null, limit)
+    assert(o1.json.toLong == 2L, s"soft cap must admit one version: ${o1.json}")
+    val o2 = tight.latestOffset(o1, limit)
+    assert(o2.json.toLong == 3L)
+    // a huge budget admits everything available in one batch
+    val roomy = new graft.sources.VtableTableSource(spark,
+      Map("dir" -> dir, "startingVersion" -> "2",
+        "maxBytesPerBatch" -> (1L << 40).toString))
+    assert(roomy.latestOffset(null, limit).json.toLong == 4L)
+  }
+
   test("row-rewriting commits refuse loudly; skipChangeCommits skips them") {
     val root = tmp(); val dir = s"$root/t"; mk(dir)
     drain(dir, s"$root/ckpt", s"$root/out")
