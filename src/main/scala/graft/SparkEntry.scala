@@ -2925,6 +2925,87 @@ private[graft] object Queries {
       |  AND c_custkey >= 50 AND c_custkey < 400
       |ORDER BY c_custkey""".stripMargin
 
+  /** `MERGE INTO graft.<name>` through SPARK'S OWN MERGE grammar and the
+    * V2 catalog — no TVF, no front-parsed statement head: the analyzer
+    * resolves target and source, and [[graft.plans.VtableCatalogDml]]
+    * rewrites the resolved plan into the library's
+    * [[graft.ops.VersionedTable.commitMerge]] (the Delta
+    * DeltaAnalysis→MergeIntoCommand playbook — the table skips
+    * `SupportsRowLevelOperations`, whose group-based rewrite would
+    * re-plan the merge as a self-join + full-group rewrite the library
+    * commit already beats). Plan-asserted IN the query: the merge's
+    * key range [500, 999] touches a strict subset of the CLUSTER BY
+    * range-clustered base files; the rest must carry into v2 BY
+    * REFERENCE (the same stats-pruned touched-file detection as every
+    * other merge spelling). Reference analog: the upsert is the
+    * reference's core operator (reference/scripts/load.py:114-147).
+    */
+  def catalogMerge(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftTableCatalog].getName)
+    val name = s"cust_catm_${new java.io.File(d).getName}".replace('.', '_')
+    val G = graft.sql.GraftSql
+    G.sql(s, s"DROP TABLE IF EXISTS graft_vtable('$name') PURGE").collect()
+    cust(s, d).createOrReplaceTempView("catm_src")
+    s.sql(
+      s"""CREATE TABLE graft.`$name` CLUSTER BY (c_custkey)
+         |AS SELECT c_custkey, c_nationkey,
+         |          CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+         |   FROM catm_src WHERE c_custkey % 3 <> 0""".stripMargin).collect()
+    // scale-relative key band [max/3, max/2]: touches a strict subset of
+    // the range-clustered files at every SF (an absolute band would miss
+    // the table entirely at small scales)
+    val maxK = cust(s, d).agg(max(col("c_custkey"))).head()
+      .get(0).asInstanceOf[Number].longValue
+    val (lo, hi) = (maxK / 3, maxK / 2)
+    val VT = graft.ops.VersionedTable
+    val dir = graft.ops.GraftCatalog.lookup(s, name).get
+    val vPre = VT.currentVersion(s, dir).get // CTAS = create + append
+    s.sql(
+      s"""MERGE INTO graft.`$name` AS t
+         |USING (SELECT c_custkey, c_nationkey,
+         |              CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 500 AS cents,
+         |              c_nationkey % 2 = 0 AS del
+         |       FROM catm_src WHERE c_custkey BETWEEN $lo AND $hi) AS st
+         |ON t.c_custkey = st.c_custkey
+         |WHEN MATCHED AND st.del THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val v1 = VT.readManifest(s, dir, vPre).files.map(_.path).toSet
+    val v2 = VT.readManifest(s, dir, vPre + 1).files.map(_.path).toSet
+    require(v1.intersect(v2).nonEmpty,
+      "q_catalog_merge: the bounded-key merge must carry untouched base " +
+        "files by reference (stats-pruned touched-file detection)")
+    require(v1.diff(v2).nonEmpty,
+      "q_catalog_merge: the merge must rewrite at least one touched file")
+    s.sql(
+      s"""SELECT c_nationkey, COUNT(*) AS n,
+         |       CAST(SUM(cents) AS DOUBLE) AS sum_cents
+         |FROM graft.`$name`
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  private val catalogMergeSql =
+    """WITH t AS (SELECT c_custkey, c_nationkey,
+      |                  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |           FROM customer WHERE c_custkey % 3 <> 0),
+      |s AS (SELECT c_custkey, c_nationkey,
+      |             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 500 AS cents,
+      |             c_nationkey % 2 = 0 AS del
+      |      FROM customer
+      |      WHERE c_custkey BETWEEN
+      |              (SELECT CAST(FLOOR(MAX(c_custkey) / 3.0) AS BIGINT) FROM customer)
+      |          AND (SELECT CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) FROM customer)),
+      |m AS (SELECT coalesce(t.c_custkey, s.c_custkey) AS k,
+      |       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+      |            ELSE t.c_nationkey END AS nk,
+      |       CASE WHEN s.c_custkey IS NOT NULL THEN s.cents ELSE t.cents END AS c
+      |      FROM t FULL JOIN s ON t.c_custkey = s.c_custkey
+      |      WHERE s.c_custkey IS NULL OR NOT coalesce(s.del, FALSE))
+      |SELECT nk AS c_nationkey, COUNT(*) AS n, CAST(SUM(c) AS DOUBLE) AS sum_cents
+      |FROM m GROUP BY nk ORDER BY nk""".stripMargin
+
   /** SQL TABLE MAINTENANCE end to end ([[graft.sql.GraftDml]] OPTIMIZE /
     * ALTER / RESTORE / VACUUM, over the DML from `q_ddl_sql`): fragment a
     * table with a CTAS + `INSERT INTO` + a disjoint-slice MERGE, `OPTIMIZE` the small
@@ -3183,6 +3264,65 @@ private[graft] object Queries {
     """SELECT c_custkey, c_nationkey,
       |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
       |FROM customer WHERE c_nationkey < 13
+      |ORDER BY c_custkey""".stripMargin
+
+  /** DV-routed SQL `UPDATE` ([[graft.ops.VersionedTable.commitUpdateDv]]
+    * — the Delta DV-enabled UPDATE): the matched rows' positions land in
+    * a sidecar and their updated images APPEND; every base file stays
+    * BYTE-STABLE (require-pinned in the query via manifest paths — the
+    * CoW UPDATE would rewrite the touched files), then the CDF window
+    * across the DV commit composes exactly, and OPTIMIZE materializes
+    * without changing the answer. `DeletionVectorSpec` pins the
+    * size+mtime byte-stability file-level.
+    */
+  def updateDv(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "dv_upd_tbl")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+    VT.create(cust(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).cast("long").as("cents"))
+      .repartitionByRange(4, col("c_custkey"))
+      .sortWithinPartitions("c_custkey"),
+      dir, statsCols = Seq("c_custkey"),
+      props = Map(VT.DvsEnabledProp -> "true"))
+    val base = VT.readManifest(s, dir, 1L).files.map(_.path).toSet
+    val G = graft.sql.GraftSql
+    G.sql(s,
+      s"""UPDATE graft_vtable('$dir') SET cents = cents + 777
+         |WHERE c_nationkey >= 13""".stripMargin).collect()
+    val m2 = VT.readManifest(s, dir, 2L)
+    require(m2.dvs.nonEmpty,
+      "q_update_dv: the update must land as a deletion-vector commit")
+    require(base.subsetOf(m2.files.map(_.path).toSet),
+      "q_update_dv: a DV update must keep EVERY base file (O(matched) " +
+        "appends only — byte-stability is spec-pinned)")
+    // the CDF window across the DV update composes exactly: one update
+    // row per matched key, nothing else
+    val feed = VT.changesBetween(s, dir, 1L, 2L, Seq("c_custkey"))
+    require(feed.filter(col("change_type") =!= "update").count() == 0L,
+      "q_update_dv: the composed CDF window must contain only updates")
+    val preMat = VT.read(s, dir).count()
+    G.sql(s, s"OPTIMIZE graft_vtable('$dir')").collect()
+    require(VT.readManifest(s, dir, VT.currentVersion(s, dir).get).dvs.isEmpty,
+      "q_update_dv: OPTIMIZE must materialize the deletion vectors")
+    require(VT.read(s, dir).count() == preMat,
+      "q_update_dv: materialization changed the answer")
+    s.sql(
+      s"""SELECT c_custkey, c_nationkey, cents
+         |FROM graft_vtable('$dir')
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val updateDvSql =
+    """SELECT c_custkey, c_nationkey,
+      |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) +
+      |         CASE WHEN c_nationkey >= 13 THEN 777 ELSE 0 END AS cents
+      |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
   /** `TIMESTAMP AS OF` time travel
@@ -4461,7 +4601,9 @@ private[graft] object Queries {
     "q_delete_sql" -> (deleteSql _),
     "q_ddl_sql" -> (ddlSql _),
     "q_catalog_sql" -> (catalogSql _),
+    "q_catalog_merge" -> (catalogMerge _),
     "q_delete_dv" -> (deleteDv _),
+    "q_update_dv" -> (updateDv _),
     "q_maintenance_sql" -> (maintenanceSql _),
     "q_colmap_sql" -> (colmapSql _),
     "q_replace_where" -> (replaceWhereSql _),
@@ -4625,7 +4767,9 @@ private[graft] object Queries {
     "q_delete_sql" -> deleteSqlSql,
     "q_ddl_sql" -> ddlSqlSql,
     "q_catalog_sql" -> catalogSqlSql,
+    "q_catalog_merge" -> catalogMergeSql,
     "q_delete_dv" -> deleteDvSql,
+    "q_update_dv" -> updateDvSql,
     "q_maintenance_sql" -> maintenanceSqlSql,
     "q_colmap_sql" -> colmapSqlSql,
     "q_replace_where" -> replaceWhereSqlSql,

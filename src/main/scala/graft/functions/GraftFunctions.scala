@@ -239,7 +239,7 @@ object GraftFunctions {
     // fixed point, so they see the swap on the next iteration); then
     // VtableViewRewrite: it wants the pristine Aggregate-over-scan shape
     // before skipping swaps the relation's file index
-    Seq(graft.plans.VtableCatalogReads,
+    Seq(graft.plans.VtableCatalogDml, graft.plans.VtableCatalogReads,
         graft.plans.VtableViewRewrite, graft.plans.VtableSkipping,
         graft.plans.VtableMetadataAgg).foreach { r =>
       if (!spark.experimental.extraOptimizations.contains(r))
@@ -290,6 +290,11 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
     // graft_vtable('ref') parse here and route through the versioned
     // commits; everything else delegates to Spark's parser untouched
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    // V2-catalog DML (`MERGE INTO graft.t` / `UPDATE` / arbitrary-
+    // predicate `DELETE`) rewrites into the versioned commits — MUST run
+    // before VtableCatalogReads, which would swap the DML target relation
+    // for a read plan — see graft.plans.VtableCatalogDml
+    ext.injectPostHocResolutionRule(_ => graft.plans.VtableCatalogDml)
     // V2-catalog reads (`SELECT … FROM graft.t`) swap to the native
     // versioned read plan — same tagged relation as the TVF, so skipping/
     // metadata-agg/MV-rewrite apply identically — see

@@ -1037,6 +1037,79 @@ object VersionedTable {
     next
   }
 
+  /** `UPDATE` as a deletion-vector commit (Delta's DV-enabled UPDATE):
+    * the matched rows' positions land in a DV sidecar and their UPDATED
+    * images append as new files — ONE commit, O(matched rows) written,
+    * every base file byte-stable (the CoW [[commitUpdate]] rewrites every
+    * touched file). The base candidates are scanned twice (positions,
+    * then updated images) — both scans are file-pruned by the mined
+    * condition and the trade is two pruned reads for zero file
+    * rewrites, which wins as soon as matched rows are sparse in their
+    * files (the UPDATE norm at 100 TB). Returns the new version (the
+    * current one when nothing matched).
+    */
+  def commitUpdateDv(spark: SparkSession, dir: String, cond: Column,
+                     sets: Seq[(String, Column)],
+                     txn: Option[(String, Long)] = None): Long = {
+    val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"VersionedTable.commitUpdateDv: $dir is not a versioned table")))
+    if (alreadyApplied(cur, txn)) return cur.version
+    requireNoPatches(cur.patches, "commitUpdateDv")
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val byName = sets.toMap
+    sets.foreach { case (c, _) => require(schema.fieldNames.contains(c),
+      s"VersionedTable.commitUpdateDv: SET column $c not in table schema") }
+    val ranges = org.apache.spark.sql.GraftShim.mineRanges(cond)
+    val inSets = org.apache.spark.sql.GraftShim.mineInSets(cond)
+    val candidates: Seq[FileEntry] =
+      if (ranges.isEmpty && inSets.isEmpty)
+        materializeFiles(spark, dir, cur.version)
+      else pruneEntries(spark, dir, ranges, inSets, Some(cur.version))._1
+    if (candidates.isEmpty) return cur.version
+    candidates.foreach(f => require(
+      !f.path.startsWith("/") && !f.path.contains(":/"),
+      s"VersionedTable.commitUpdateDv: ${f.path} is a shared (clone) " +
+        "reference — positional deletes address table-owned files only; " +
+        "OPTIMIZE first to take ownership"))
+    val next = cur.version + 1
+    val base = baseReadWithPos(spark, schema, cur.props,
+      candidates.map(f => dataPath(dir, f.path)))
+    val live =
+      if (cur.dvs.isEmpty) base
+      else base.join(dvTable(spark, dir, cur.dvs),
+        Seq("__vt_file", "__vt_pos"), "left_anti")
+    val matched = live.filter(coalesce(cond, lit(false)))
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
+    val rel = s"data/c$next-$nonce-dv"
+    val outDir = new Path(dir, rel)
+    matched.select("__vt_file", "__vt_pos")
+      .write.mode("overwrite").parquet(outDir.toString)
+    val fs = fsOf(spark, dir)
+    val writtenDv = fs.listStatus(outDir).toSeq.map(_.getPath.getName)
+      .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
+      .map(n => s"$rel/$n")
+    if (spark.read.schema(dvSchema).parquet(outDir.toString).isEmpty) {
+      fs.delete(outDir, true)
+      return cur.version
+    }
+    // base files are immutable and the filter deterministic, so this
+    // second evaluation selects exactly the recorded positions' rows
+    val updated = matched.select(schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(v) => v.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    val newFiles = writeCommitFiles(updated, dir, next, cur.statsCols,
+      cur.bloomCols, cur.bloomFpp, cur.props)
+    publishCommit(spark, dir, Some(cur), next, "update_dv", cur.schemaDdl,
+      cur.statsCols, txnsAfter(cur, txn), cur.bloomCols, cur.bloomFpp,
+      Seq.empty, Seq.empty, adds = newFiles, removes = Seq.empty,
+      dvs = Some(cur.dvs ++ writtenDv))
+    next
+  }
+
   /** Fold every pending deletion vector into clean base files: files
     * holding at least one deleted position rewrite (without their dead
     * rows), untouched files carry by reference, and the DV set empties —
@@ -2749,15 +2822,13 @@ object VersionedTable {
     require(fromV < toV, s"changesBetween: need fromV < toV, got $fromV >= $toV")
     val m1 = readMeta(spark, dir, fromV)
     val m2 = readMeta(spark, dir, toV)
-    // positional deletes are invisible to the file-level diff (bases are
-    // byte-stable), so a window touching DV state would emit WRONG diffs
-    // silently — refuse loudly; materialize first (SQL OPTIMIZE), then
-    // stream from the materialized version on
-    require(m1.dvs.isEmpty && m2.dvs.isEmpty,
-      s"changesBetween: version window [$fromV, $toV] of $dir carries " +
-        "deletion vectors — no exact file-level diff exists. Run " +
-        "materializeDvs/OPTIMIZE and re-bootstrap the feed from the " +
-        "materialized version")
+    // positional deletes COMPOSE EXACTLY with the file-level diff: a DV
+    // entry is (file, row position) against an immutable base file, so
+    // the window's row-level change decomposes into (a) removed files'
+    // fromV-LIVE rows, (b) added files' toV-LIVE rows, and (c) for files
+    // present at BOTH ends, the rows at positions whose liveness flipped
+    // (dead@to only → delete pre-image; dead@from only → restore-revived
+    // post-image). See the DV branch below.
     val schema = StructType.fromDDL(m2.schemaDdl)
     // an evolved window still diffs: appends read NULL for the new
     // columns through toV's wider schema (precisely their pre-image), and
@@ -2872,7 +2943,50 @@ object VersionedTable {
       // identical chains: any difference lives in the base file sets, and
       // equal NON-EMPTY chains imply equal bases (base-mutating commits
       // refuse under a chain) — the file-level content diff is exact
-      classify(readSet(removed), readSet(added))
+      if (m1.dvs.isEmpty && m2.dvs.isEmpty)
+        classify(readSet(removed), readSet(added))
+      else {
+        // DV composition. DV files are append-only until a materialize/
+        // restore swaps them, and a position is recorded at most once
+        // (only LIVE rows record), so the position-set diff needs only
+        // the dv FILES unique to each end — carried files cancel.
+        val preOnly = m1.dvs.filterNot(m2.dvs.toSet)
+        val postOnly = m2.dvs.filterNot(m1.dvs.toSet)
+        def dvRows(ps: Seq[String]): DataFrame =
+          if (ps.isEmpty) emptyDF(spark, dvSchema)
+          else dvTable(spark, dir, ps)
+        val newlyDead =
+          if (preOnly.isEmpty) dvRows(postOnly)
+          else dvRows(postOnly).except(dvRows(preOnly))
+        val revived =
+          if (postOnly.isEmpty) dvRows(preOnly)
+          else dvRows(preOnly).except(dvRows(postOnly))
+        // liveness flips matter only for files present at BOTH ends:
+        // added/removed files already contribute their full live sets
+        val addedSet = added.toSet; val removedSet = removed.toSet
+        val diffFiles = newlyDead.unionByName(revived)
+          .select("__vt_file").distinct()
+          .collect().map(_.getString(0))
+          .filterNot(p => addedSet(p) || removedSet(p)).toSeq
+        def folded(ps: Seq[String], dvs: Seq[String]): DataFrame =
+          if (ps.isEmpty) emptyDF(spark, schema)
+          else if (dvs.isEmpty) readSet(ps)
+          else dvFoldedRead(spark, dir, schema, m2.props,
+            ps.map(p => dataPath(dir, p)), dvs)
+        val sharedPos =
+          if (diffFiles.isEmpty) None
+          else Some(baseReadWithPos(spark, schema, m2.props,
+            diffFiles.map(p => dataPath(dir, p))))
+        def atPositions(dv: DataFrame): DataFrame = sharedPos match {
+          case None => emptyDF(spark, schema)
+          case Some(b) => b.join(dv, Seq("__vt_file", "__vt_pos"),
+              "left_semi")
+            .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        }
+        classify(
+          folded(removed, m1.dvs).unionByName(atPositions(newlyDead)),
+          folded(added, m2.dvs).unionByName(atPositions(revived)))
+      }
     } else if (added.isEmpty && removed.isEmpty && m2.patches.startsWith(m1.patches)) {
       // patch-only window: the delta is confined to keys the NEW patch
       // batches name — pre/post images come from the FOLDED states (the

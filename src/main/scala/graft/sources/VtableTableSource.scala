@@ -194,7 +194,7 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
   }
 
   private val changeOps = Set("merge", "update", "delete", "delete_dv",
-    "overwrite", "replace_where", "restore", "patch")
+    "update_dv", "overwrite", "replace_where", "restore", "patch")
   // dv_materialize rewrites BYTES (folding already-streamed-as-deleted
   // rows out of base files), never logical rows — invisible, like compact
   private val silentOps = Set("compact", "dv_materialize", "addConstraint",

@@ -430,7 +430,7 @@ object GraftDml {
     GraftDeleteCommand(target, where)
   }
 
-  private[sql] def versionOutput: Seq[AttributeReference] =
+  private[graft] def versionOutput: Seq[AttributeReference] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   private[sql] def parseCond(spark: SparkSession, sql: Option[String]): Column =
@@ -470,7 +470,11 @@ case class GraftUpdateCommand(target: String, sets: Seq[(String, String)],
       c -> GraftShim.column(spark.sessionState.sqlParser.parseExpression(e))
     }
     Seq(Row(VersionedTable.withCommitRetry() {
-      VersionedTable.commitUpdate(spark, dir, cond, setCols)
+      // DV-enabled tables update positionally: byte-stable base files,
+      // O(matched) written (same routing as DELETE)
+      if (VersionedTable.dvsEnabled(spark, dir))
+        VersionedTable.commitUpdateDv(spark, dir, cond, setCols)
+      else VersionedTable.commitUpdate(spark, dir, cond, setCols)
     }))
   }
 }

@@ -84,7 +84,9 @@ class ContractSpec extends SparkSuite {
       "q_delete_sql",      // versioned-table create + parsed DELETE rewrite
       "q_ddl_sql",         // parsed CREATE TABLE AS + MERGE (eager, like all DDL/DML)
       "q_catalog_sql",     // V2-catalog CTAS + INSERT + DELETE chain (eager DDL/DML)
+      "q_catalog_merge",   // V2-catalog CTAS + Spark-grammar MERGE INTO (eager DDL/DML)
       "q_delete_dv",       // DV-enabled create + positional DELETE + OPTIMIZE fold
+      "q_update_dv",       // DV-enabled create + positional UPDATE + CDF + OPTIMIZE
       "q_maintenance_sql", // parsed OPTIMIZE/ALTER/UPDATE/DELETE/RESTORE/VACUUM chain
       "q_replace_where",   // versioned-table create + parsed REPLACE WHERE commit
       "q_colmap_sql",      // create + rename/drop/re-add column chain (eager DDL)

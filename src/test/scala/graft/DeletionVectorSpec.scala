@@ -135,6 +135,96 @@ class DeletionVectorSpec extends SparkSuite {
     }
   }
 
+  test("UPDATE via DV: byte-stable bases, O(matched) written, stacks with deletes") {
+    val dir = tmp(); mk(dir)
+    val before = dataFileStamps(dir)
+    val v2 = VT.commitUpdateDv(spark, dir,
+      $"k" >= 10L && $"k" < 20L, Seq("s" -> concat($"s", lit("!"))))
+    assert(v2 == 2L)
+    // every pre-existing data file byte-identical — the CoW UPDATE would
+    // have rewritten the touched file; the DV UPDATE writes a sidecar +
+    // 10 new rows only
+    val after = dataFileStamps(dir)
+    before.foreach { case (p, stamp) =>
+      assert(after(p) == stamp, s"base file rewritten by a DV update: $p")
+    }
+    val expect = (0L to 99L).map(k =>
+      (k, (k % 7).toString + (if (k >= 10 && k < 20) "!" else ""))).toSet
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet == expect)
+    // stacks with a DV delete; reads stay exact
+    VT.commitDeleteDv(spark, dir, $"k" === 15L)                    // v3
+    assert(VT.read(spark, dir).count() == 99L)
+    assert(VT.read(spark, dir).filter($"k" === 12L)
+      .as[(Long, String)].head()._2 == "5!")
+    // updating an ALREADY-UPDATED row targets the live (appended) image
+    VT.commitUpdateDv(spark, dir, $"k" === 12L,
+      Seq("s" -> lit("twice")))                                     // v4
+    assert(VT.read(spark, dir).filter($"k" === 12L)
+      .as[(Long, String)].head()._2 == "twice")
+    // time travel spans every DV state
+    assert(VT.read(spark, dir, Some(1L)).count() == 100L)
+    assert(VT.read(spark, dir, Some(2L)).as[(Long, String)]
+      .collect().toSet == expect)
+    // materialize folds everything into clean bases, same logical rows
+    val live = VT.read(spark, dir).as[(Long, String)].collect().toSet
+    VT.materializeDvs(spark, dir)                                   // v5
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet == live)
+    assert(VT.readManifest(spark, dir,
+      VT.currentVersion(spark, dir).get).dvs.isEmpty)
+    // a no-match update is a no-op, not an empty commit
+    assert(VT.commitUpdateDv(spark, dir, $"k" === -1L,
+      Seq("s" -> lit("never"))) == 5L)
+  }
+
+  test("CDF composes exactly across DV delete/update windows") {
+    val dir = tmp(); mk(dir)
+    VT.commitDeleteDv(spark, dir, $"k" < 10L)                       // v2
+    VT.commitUpdateDv(spark, dir, $"k" >= 50L && $"k" < 55L,
+      Seq("s" -> lit("U")))                                         // v3
+    VT.commitAppend(Seq((200L, "z")).toDF("k", "s"), dir)           // v4
+    val feed = VT.changesBetween(spark, dir, 1L, 4L, Seq("k"))
+      .select("change_type", "k", "s").as[(String, Long, String)]
+      .collect().toSet
+    val want =
+      (0L until 10L).map(k => ("delete", k, (k % 7).toString)).toSet ++
+        (50L until 55L).map(k => ("update", k, "U")).toSet +
+        (("insert", 200L, "z"))
+    assert(feed == want, s"composed DV feed wrong:\n got $feed\n want $want")
+    // sub-window limited to the DV update
+    assert(VT.changesBetween(spark, dir, 2L, 3L, Seq("k"))
+      .select("change_type", "k").as[(String, Long)].collect().toSet ==
+      (50L until 55L).map(k => ("update", k)).toSet)
+    // retraction encoding emits both images across a DV update
+    val pre = VT.changesBetween(spark, dir, 2L, 3L, Seq("k"),
+      preimages = true).select("change_type", "k", "s")
+      .as[(String, Long, String)].collect().toSet
+    assert(pre == (50L until 55L).flatMap(k => Seq(
+      ("update_preimage", k, (k % 7).toString),
+      ("update_postimage", k, "U"))).toSet)
+    // a materialize commit is INVISIBLE to the feed (bytes, not rows)
+    VT.materializeDvs(spark, dir)                                   // v5
+    assert(VT.changesBetween(spark, dir, 4L, 5L, Seq("k")).count() == 0L)
+    // and a window SPANNING dv-adds + materialize still diffs exactly
+    assert(VT.changesBetween(spark, dir, 1L, 5L, Seq("k"))
+      .select("change_type", "k", "s").as[(String, Long, String)]
+      .collect().toSet == want)
+    // the streaming CDF source rides the same composition: drain the feed
+    val ckpt = Files.createTempDirectory("dvcdf").toString
+    val out = s"$ckpt/out"
+    val q = spark.readStream.format("graft-vtable-cdf")
+      .option("dir", dir).option("keys", "k")
+      .option("startingVersion", "1").load()
+      .writeStream.outputMode("append").format("parquet")
+      .option("path", out).option("checkpointLocation", s"$ckpt/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .select("change_type", "k", "s").as[(String, Long, String)]
+      .collect().toSet
+    assert(streamed.filter(_._1 != "insert") == want.filter(_._1 != "insert"),
+      s"streamed CDF across DV commits diverged: $streamed")
+  }
+
   test("fold-incompatible surfaces refuse loudly while DVs are pending") {
     val dir = tmp(); mk(dir)
     VT.commitDeleteDv(spark, dir, $"k" === 3L)
@@ -152,9 +242,11 @@ class DeletionVectorSpec extends SparkSuite {
       $"del"))).contains("deletion vectors"))
     assert(msg(intercept[IllegalArgumentException](VT.shallowClone(spark, dir,
       dir + "_clone"))).contains("deletion vectors"))
-    // the change feed refuses a DV window (no exact file diff exists)
-    assert(msg(intercept[IllegalArgumentException](VT.changesBetween(spark,
-      dir, 1L, 2L, Seq("k")))).contains("deletion vectors"))
+    // the change feed COMPOSES across the DV commit (no refusal): the
+    // delete surfaces as exactly one pre-image row
+    assert(VT.changesBetween(spark, dir, 1L, 2L, Seq("k"))
+      .select("change_type", "k").as[(String, Long)].collect().toSeq ==
+      Seq(("delete", 3L)))
     // APPEND stays allowed: new files carry no positions
     VT.commitAppend(Seq((200L, "z")).toDF("k", "s"), dir)
     assert(VT.read(spark, dir).count() == 100L)

@@ -172,6 +172,131 @@ class GraftTableCatalogSpec extends SparkSuite {
     }
   }
 
+  test("native read is the default path; the V1 row-based fallback is reachable ONLY in a bare session") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_fb", dir)
+      // THIS session (register() — the default packaging) must take the
+      // native parquet scan: a packaging mistake that silently dropped
+      // to the row-based fallback would be a correctness-invisible
+      // performance cliff, so the plan shape is the assert
+      val native = spark.sql("SELECT k, s FROM graft.cat_fb WHERE k >= 90")
+      assert(native.queryExecution.executedPlan.collect {
+        case f: FileSourceScanExec => f }.nonEmpty,
+        s"native read lost:\n${native.queryExecution.executedPlan}")
+      assert(native.queryExecution.executedPlan.collect {
+        case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+      }.isEmpty, "registered session must never take the V1 fallback")
+      // a BARE session (no extensions, no register) still answers —
+      // correct, through the V1Scan row-based fallback
+      val bare = spark.newSession()
+      bare.conf.set("spark.sql.catalog.graft",
+        classOf[graft.catalog.GraftTableCatalog].getName)
+      spark.conf.getOption("spark.graft.catalog.path")
+        .foreach(bare.conf.set("spark.graft.catalog.path", _))
+      val fb = bare.sql("SELECT k, s FROM graft.cat_fb WHERE k >= 90")
+      assert(fb.queryExecution.executedPlan.collect {
+        case r: org.apache.spark.sql.execution.RowDataSourceScanExec => r
+      }.nonEmpty,
+        s"expected the V1 fallback scan in a bare session:\n${fb.queryExecution.executedPlan}")
+      assert(fb.as[(Long, String)](org.apache.spark.sql.Encoders.product)
+        .collect().toSet ==
+        (90L to 99L).map(k => (k, (k % 7).toString)).toSet,
+        "the fallback must stay correct")
+    }
+  }
+
+  test("MERGE INTO graft.t via Spark's own grammar: CDC upsert, untouched files carried") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_mrg", dir)
+      val basePaths = VT.readManifest(spark, dir, 1L).files.map(_.path).toSet
+      Seq((200L, "ins", false), (5L, "upd", false), (7L, "gone", true))
+        .toDF("k", "s", "del").createOrReplaceTempView("cat_mrg_src")
+      spark.sql(
+        """MERGE INTO graft.cat_mrg AS t USING cat_mrg_src AS s
+          |ON t.k = s.k
+          |WHEN MATCHED AND s.del THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      val out = VT.read(spark, dir).as[(Long, String)].collect().toMap
+      assert(out.size == 100, s"100 - 1 delete + 1 insert, got ${out.size}")
+      assert(out(5L) == "upd" && out(200L) == "ins" && !out.contains(7L))
+      // the same stats-pruned touched-file detection as the library call:
+      // keys {5, 7, 200} intersect at most 2 of the 4 range-clustered
+      // files — the rest carry BY REFERENCE into v2
+      val v2Paths = VT.readManifest(spark, dir, 2L).files.map(_.path).toSet
+      val carried = basePaths.intersect(v2Paths)
+      assert(carried.size >= 2,
+        s"expected >=2 of 4 base files carried by reference, got $carried")
+    }
+  }
+
+  test("UPDATE graft.t SET … WHERE … via Spark's own grammar") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_upd", dir)
+      spark.sql(
+        """UPDATE graft.cat_upd SET s = concat(s, '!')
+          |WHERE k >= 10 AND k < 20 AND k % 2 = 0""".stripMargin).collect()
+      val out = VT.read(spark, dir).as[(Long, String)].collect().toMap
+      assert(out(10L) == "3!" && out(12L) == "5!" && out(11L) == "4" &&
+        out(9L) == "2" && out.size == 100)
+    }
+  }
+
+  test("DELETE FROM graft.t with an UNPUSHABLE predicate routes through the commit") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_delx", dir)
+      // k % 2 = 0 has no V1 Filter form — SupportsDelete alone cannot
+      // serve it; the DML rewrite can
+      spark.sql("DELETE FROM graft.cat_delx WHERE k < 50 AND k % 2 = 0")
+        .collect()
+      val ks = VT.read(spark, dir).select("k").as[Long].collect().toSet
+      assert(ks.size == 75 && !ks.contains(48L) && ks.contains(49L) &&
+        ks.contains(50L))
+    }
+  }
+
+  test("unsupported MERGE shapes refuse loudly, naming the contract") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_mrg_bad", dir)
+      Seq((5L, "x", false)).toDF("k", "s", "del")
+        .createOrReplaceTempView("cat_mrg_bad_src")
+      def msgOf(sql: String): String = {
+        val e = intercept[Exception](spark.sql(sql).collect())
+        def chain(t: Throwable): String =
+          Option(t).map(e => Option(e.getMessage).getOrElse("") +
+            chain(e.getCause)).getOrElse("")
+        chain(e)
+      }
+      // per-column SET is not the whole-row CDC upsert
+      assert(msgOf(
+        """MERGE INTO graft.cat_mrg_bad AS t USING cat_mrg_bad_src AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET s = 'boom'
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .contains("supported MERGE shape"))
+      // NOT MATCHED BY SOURCE has no CDC meaning here
+      assert(msgOf(
+        """MERGE INTO graft.cat_mrg_bad AS t USING cat_mrg_bad_src AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+        .contains("NOT MATCHED BY SOURCE"))
+      // a non-equality ON condition cannot key the upsert
+      assert(msgOf(
+        """MERGE INTO graft.cat_mrg_bad AS t USING cat_mrg_bad_src AS s
+          |ON t.k > s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .contains("key equality"))
+    }
+  }
+
   test("writes to a time-traveled table and unknown names refuse loudly") {
     withCatalog { root =>
       val dir = s"$root/t"; mkTable(dir)
