@@ -2110,6 +2110,22 @@ object VersionedTable {
     // and branching on a shared volatile would let concurrent commits on
     // other tables misroute this one's exact-touched test
     val distributed = cur.numFiles > distributedPruneThreshold(spark)
+    // ZERO-JOB fast path: a changelog that optimizes to a LocalRelation
+    // (the IVM fold collects its O(touched groups) delta when bounded)
+    // carries its key values ON THE DRIVER — the interval test and bloom
+    // probes evaluate through the same Catalyst Cast/ordering/XxHash64,
+    // so the verdict is byte-identical to the Spark pass with no job
+    // scheduled at all. The file list must be driver-scale (same bound
+    // as the driver tier) — a 10⁶-file table keeps the distributed pass.
+    if (!distributed) {
+      val localKeys = localKeyValues(deduped, key, keyType)
+      if (localKeys.isDefined) {
+        lastTouchedMode = "local"
+        return touchedAmongLocal(spark, dir, cur,
+          materializeFiles(spark, dir, cur.version), localKeys.get,
+          physKey, keyType)
+      }
+    }
     lastTouchedMode = if (distributed) "distributed" else "driver"
     val candidateEntries: Seq[FileEntry] =
       if (!distributed) {
@@ -2144,6 +2160,75 @@ object VersionedTable {
     candidateEntries.filter(f => touched(f.path))
   }
 
+  /** The changelog's key column as CATALYST-INTERNAL values, when (and
+    * only when) the optimized plan is a [[org.apache.spark.sql.catalyst
+    * .plans.logical.LocalRelation]] — i.e. the rows already live on the
+    * driver. None for any distributed plan.
+    */
+  private def localKeyValues(deduped: DataFrame, key: String,
+                             keyType: org.apache.spark.sql.types.DataType)
+      : Option[Array[Any]] =
+    deduped.queryExecution.optimizedPlan match {
+      case lr: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        val idx = lr.output.indexWhere(_.name == key)
+        if (idx < 0) None
+        else {
+          val srcType = lr.output(idx).dataType
+          val vals = lr.data.iterator.map { r =>
+            val v = r.get(idx, srcType)
+            if (v == null || srcType == keyType) v
+            else org.apache.spark.sql.catalyst.expressions.Cast(
+              org.apache.spark.sql.catalyst.expressions.Literal(v, srcType),
+              keyType).eval(null)
+          }.toArray
+          Some(vals)
+        }
+      case _ => None
+    }
+
+  /** Driver-side twin of [[touchedAmong]] for an already-local key set:
+    * the SAME interval semantics (manifest min/max strings cast through
+    * Catalyst to the key's type, ordered by the type's own interpreted
+    * ordering) and the SAME bloom probe (XxHash64 of the key) — zero
+    * Spark jobs. Verdicts are byte-identical to the Spark pass by
+    * construction.
+    */
+  private def touchedAmongLocal(spark: SparkSession, dir: String,
+                                cur: ManifestMeta, files: Seq[FileEntry],
+                                keys: Array[Any], physKey: String,
+                                keyType: org.apache.spark.sql.types.DataType)
+      : Seq[FileEntry] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, XxHash64}
+    val nonNull = keys.filter(_ != null)
+    if (files.isEmpty || nonNull.isEmpty) return Seq.empty
+    val ord = org.apache.spark.sql.catalyst.util.TypeUtils
+      .getInterpretedOrdering(keyType)
+    val zone = Some(spark.sessionState.conf.sessionLocalTimeZone)
+    def castStat(s: String): Any = Cast(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType), keyType, zone).eval(null)
+    val intervalTouched = files.filter { f =>
+      f.stats.get(physKey) match {
+        case Some(ColStat(_, Some(mn), Some(mx), _)) =>
+          val mnV = castStat(mn); val mxV = castStat(mx)
+          mnV == null || mxV == null ||
+            nonNull.exists(k => ord.gteq(k, mnV) && ord.lteq(k, mxV))
+        case _ => true // no stats → always touched
+      }
+    }
+    if (!cur.bloomCols.contains(physKey) ||
+        intervalTouched.size > maxBloomRefineFiles) return intervalTouched
+    val fs = fsOf(spark, dir)
+    lazy val hashes = nonNull.map(k => // seed 42 = the xxhash64 function's
+      XxHash64(Seq(Literal(k, keyType)), 42L).eval(null).asInstanceOf[Long])
+    intervalTouched.filter { f =>
+      loadBloom(fs, dir, f, physKey) match {
+        case Some(bloom) => hashes.exists(bloom.mightContainLong)
+        case None => true // no sidecar → interval verdict stands
+      }
+    }
+  }
+
   /** Exact interval + bloom refinement over a BOUNDED candidate entry set
     * — the precise per-file touched decision both tiers of
     * [[findTouchedFiles]] finish with.
@@ -2159,6 +2244,24 @@ object VersionedTable {
       }
     }
     if (intervals.isEmpty) return Set.empty
+    // No bloom refinement possible → the verdict is pure interval
+    // membership, computable as ONE map-side-partial aggregate (a
+    // per-file `max(key BETWEEN min AND max)` flag column): no distinct
+    // exchange, no join, one stage. The candidate set is bounded by the
+    // driver-tier threshold, so the flag-column count is too.
+    if (!cur.bloomCols.contains(physKey)) {
+      val real = intervals.filter(!_._4)
+      val blind = intervals.filter(_._4).map(_._1)
+      if (real.isEmpty) return blind.toSet
+      val k = col(key).cast(keyType)
+      val flags = real.map { case (_, mn, mx, _) =>
+        max(k >= lit(mn).cast(keyType) && k <= lit(mx).cast(keyType))
+      }
+      val row = deduped.agg(flags.head, flags.tail: _*).head()
+      blind.toSet ++ real.indices.collect {
+        case i if !row.isNullAt(i) && row.getBoolean(i) => real(i)._1
+      }
+    } else {
     val intervalDf = spark.createDataFrame(intervals)
       .toDF("__path", "__min", "__max", "__blind")
       .withColumn("__min", col("__min").cast(keyType))
@@ -2186,6 +2289,7 @@ object VersionedTable {
         candidates.filter(hit(col("__path"), col("__kh")))
           .select("__path").distinct().collect().map(_.getString(0)).toSet
       }
+    }
     }
   }
 

@@ -110,6 +110,41 @@ class ViewOpsSpec extends SparkSuite {
     assert(viewNow(view) == reAgg(src))
   }
 
+  test("a bounded fold merges a LOCAL changelog: zero-job probe, same view either way") {
+    val dir = tmp(); mkSource(dir)
+    val view = tmp()
+    def refresh(v: String): Unit = ViewOps.refreshAggView(spark, dir, v,
+      srcKeys = Seq("k"), groupCols = Seq("g"), measures = Seq("v"),
+      appId = "localfold")
+    refresh(view) // bootstrap
+    VT.commitMerge(Seq((2L, "a", 25L, false), (6L, "c", 60L, false),
+        (5L, "c", 0L, true)).toDF("k", "g", "v", "del"),
+      dir, Seq("k"), Seq.empty, $"del")
+    VT.lastTouchedMode = ""
+    refresh(view) // fold: the O(groups) changelog collects to the driver
+    assert(VT.lastTouchedMode == "local",
+      s"expected the zero-job local touched-file probe, got " +
+        s"'${VT.lastTouchedMode}'")
+    assert(viewNow(view) == reAgg(dir))
+    // differential: the distributed (localCheckpoint) fallback computes
+    // the IDENTICAL view
+    val view2 = tmp()
+    spark.conf.set("spark.graft.ivm.localFoldRows", "0")
+    try {
+      refresh(view2) // bootstrap
+      VT.lastTouchedMode = ""
+      // another source commit so BOTH views fold one more window
+      VT.commitMerge(Seq((1L, "a", 11L, false)).toDF("k", "g", "v", "del"),
+        dir, Seq("k"), Seq.empty, $"del")
+      refresh(view2)
+      assert(VT.lastTouchedMode != "local",
+        "localFoldRows=0 must force the checkpointed fallback")
+    } finally spark.conf.unset("spark.graft.ivm.localFoldRows")
+    refresh(view)
+    assert(viewNow(view) == reAgg(dir) && viewNow(view2) == reAgg(dir),
+      "local and checkpointed folds must produce the same view")
+  }
+
   test("null measures: presented sum is NULL exactly when SQL's is") {
     val src = tmp(); val view = tmp()
     val base = Seq((1L, "a", Some(10L)), (2L, "b", None), (3L, "b", None))
