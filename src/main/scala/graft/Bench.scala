@@ -72,8 +72,20 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // SPARK_GRAFT_QUERIES: optional comma-separated subset — big-SF runs
+    // (sf10) budget-cap a documented slice instead of the whole suite
+    val subset: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+      sys.env.get("SPARK_GRAFT_QUERIES") match {
+        case Some(list) =>
+          val want = list.split(",").map(_.trim).filter(_.nonEmpty)
+          val missing = want.filterNot(SparkEntry.queries.contains)
+          require(missing.isEmpty,
+            s"SPARK_GRAFT_QUERIES names unknown queries: ${missing.mkString(",")}")
+          want.map(q => q -> SparkEntry.queries(q)).toMap
+        case None => SparkEntry.queries
+      }
     def runAll(): Map[String, Double] =
-      SparkEntry.queries.map { case (name, fn) => name -> runOne(name, fn)._1 }
+      subset.map { case (name, fn) => name -> runOne(name, fn)._1 }
     // Two passes, BOTH reported. `value` (the driver-gated headline) is the
     // FIRST pass — a cold sweep including Janino codegen compilation and C2
     // JIT, the conservative number. `steady_sec` is the second pass —

@@ -144,9 +144,25 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
         // and keep going — per-task state stays capped at maxGroups × k rows
         // no matter the partition's cardinality, while hot groups remain
         // resident and keep combining instead of re-emitting every overflow.
+        //
+        // ADAPTIVE PARTIAL SKIP (the low-reduction-ratio escape every
+        // partial aggregate needs): on near-unique keys the map combines
+        // nothing — every row pays a key copy, a heap allocation and map
+        // churn just to be re-emitted, and per-task state balloons to the
+        // partition's cardinality (measured at sf10: 60M near-unique rows
+        // → 57× blowup from GC pressure alone). After `skipFloor` rows,
+        // if fewer than 10% found an existing group, NEW keys stop
+        // inserting and their rows PASS THROUGH uncopied (the final node
+        // settles them — any subset of partial combining is correct);
+        // already-resident hot groups keep combining.
         new Iterator[InternalRow] {
           private var flushed: Iterator[InternalRow] = Iterator.empty
+          private var passRow: InternalRow = null
           private var inputDone = false
+          private var rowsSeen = 0L
+          private var combineHits = 0L
+          private var skip = false
+          private val skipFloor = 1L << 16
           private def drainAll(): Iterator[InternalRow] = {
             val buf = new scala.collection.mutable.ArrayBuffer[InternalRow]()
             groups.forEach((_, heap) => heap.forEach(r => buf += r))
@@ -166,21 +182,43 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], order: Seq[SortOrder],
             buf.iterator
           }
           private def pump(): Unit = {
-            while (!flushed.hasNext && !inputDone) {
+            while (passRow == null && !flushed.hasNext && !inputDone) {
               if (!iter.hasNext) { inputDone = true; flushed = drainAll() }
               else {
                 val row = iter.next()
                 val key = keyProj(row)
-                // containsKey does not touch LRU order; offer's get() below
-                // bumps the group's recency
-                if (!groups.containsKey(key) && groups.size >= maxGroups)
-                  flushed = evictColdestHalf() // emit, then offer this row fresh
-                offer(row, key)
+                rowsSeen += 1
+                val heap = groups.get(key) // bumps the group's LRU recency
+                if (heap != null) {
+                  combineHits += 1
+                  if (heap.size < limit) heap.add(row.copy())
+                  else if (cmp.compare(row, heap.peek()) < 0) {
+                    heap.poll(); heap.add(row.copy())
+                  }
+                } else if (skip) {
+                  // safe uncopied: the consumer (shuffle write) finishes
+                  // with the row before this iterator's next pump()
+                  passRow = row
+                } else {
+                  if (groups.size >= maxGroups)
+                    flushed = evictColdestHalf() // emit, then insert fresh
+                  val h = new java.util.PriorityQueue[InternalRow](limit, heapCmp)
+                  h.add(row.copy())
+                  groups.put(key.copy(), h)
+                  if (rowsSeen >= skipFloor && combineHits * 10L < rowsSeen)
+                    skip = true
+                }
               }
             }
           }
-          override def hasNext: Boolean = { pump(); flushed.hasNext }
-          override def next(): InternalRow = { pump(); flushed.next() }
+          override def hasNext: Boolean = {
+            pump(); passRow != null || flushed.hasNext
+          }
+          override def next(): InternalRow = {
+            pump()
+            if (passRow != null) { val r = passRow; passRow = null; r }
+            else flushed.next()
+          }
         }
       } else {
         val withRank = UnsafeProjection.create(
