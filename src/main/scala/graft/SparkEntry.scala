@@ -3002,7 +3002,8 @@ private[graft] object Queries {
       |            ELSE t.c_nationkey END AS nk,
       |       CASE WHEN s.c_custkey IS NOT NULL THEN s.cents ELSE t.cents END AS c
       |      FROM t FULL JOIN s ON t.c_custkey = s.c_custkey
-      |      WHERE s.c_custkey IS NULL OR NOT coalesce(s.del, FALSE))
+      |      WHERE t.c_custkey IS NULL OR s.c_custkey IS NULL
+      |         OR NOT coalesce(s.del, FALSE))
       |SELECT nk AS c_nationkey, COUNT(*) AS n, CAST(SUM(c) AS DOUBLE) AS sum_cents
       |FROM m GROUP BY nk ORDER BY nk""".stripMargin
 

@@ -900,17 +900,27 @@ object VersionedTable {
     * (sizes come from the manifest's `bytes` stamps, no data IO).
     */
   private[graft] def addedEntries(spark: SparkSession, dir: String,
-                                  version: Long): Seq[FileEntry] = {
-    val m = readMeta(spark, dir, version)
+                                  version: Long): Seq[FileEntry] =
+    addedEntriesOf(spark, dir, readMeta(spark, dir, version))
+
+  /** [[addedEntries]] for a header the caller ALREADY read — admission
+    * loops walk many versions per trigger and must not pay a second
+    * manifest open per step.
+    */
+  private[graft] def addedEntriesOf(spark: SparkSession, dir: String,
+                                    m: ManifestMeta): Seq[FileEntry] =
     if (m.mode == "delta") m.adds
     else {
-      val cur = readManifest(spark, dir, version).files
+      val cur = readManifest(spark, dir, m.version).files
       val prev =
-        if (version <= 1L) Set.empty[String]
-        else readManifest(spark, dir, version - 1).files.map(_.path).toSet
+        if (m.version <= 1L) Set.empty[String]
+        else readManifest(spark, dir, m.version - 1).files.map(_.path).toSet
       cur.filterNot(f => prev(f.path))
     }
-  }
+
+  private[graft] def addedBytesOf(spark: SparkSession, dir: String,
+                                  m: ManifestMeta): Long =
+    addedEntriesOf(spark, dir, m).map(_.bytes).sum
 
   // --------------------------------------------------- deletion vectors
 
@@ -1080,6 +1090,26 @@ object VersionedTable {
       else base.join(dvTable(spark, dir, cur.dvs),
         Seq("__vt_file", "__vt_pos"), "left_anti")
     val matched = live.filter(coalesce(cond, lit(false)))
+    // determinism guard (checked on the RESOLVED plan, where rand() is a
+    // Nondeterministic node — the SQL front door hands us unresolved
+    // trees): the positional pass and the image pass evaluate the
+    // predicate and SET expressions TWICE; a nondeterministic one would
+    // delete one row set and append another — silent corruption. Delta
+    // rejects these the same way; the CoW path evaluates once and has
+    // no such hazard.
+    val updatedPlan = matched.select(schema.fields.map { f =>
+      byName.get(f.name) match {
+        case Some(v) => v.cast(f.dataType).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+    require(!updatedPlan.queryExecution.analyzed.exists(
+        _.expressions.exists(e => e.exists(!_.deterministic))),
+      "VersionedTable.commitUpdateDv: the UPDATE condition or a SET " +
+        "expression is NONDETERMINISTIC — the positional commit evaluates " +
+        "them twice (positions, then images) and would corrupt the table. " +
+        "Materialize the randomness into a column first, or disable " +
+        "deletion vectors to take the single-evaluation copy-on-write path")
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val rel = s"data/c$next-$nonce-dv"
     val outDir = new Path(dir, rel)
@@ -1093,14 +1123,10 @@ object VersionedTable {
       fs.delete(outDir, true)
       return cur.version
     }
-    // base files are immutable and the filter deterministic, so this
-    // second evaluation selects exactly the recorded positions' rows
-    val updated = matched.select(schema.fields.map { f =>
-      byName.get(f.name) match {
-        case Some(v) => v.cast(f.dataType).as(f.name)
-        case None => col(f.name)
-      }
-    }.toIndexedSeq: _*)
+    // base files are immutable and the expressions guard-checked
+    // deterministic, so this second evaluation selects exactly the
+    // recorded positions' rows
+    val updated = updatedPlan
     val newFiles = writeCommitFiles(updated, dir, next, cur.statsCols,
       cur.bloomCols, cur.bloomFpp, cur.props)
     publishCommit(spark, dir, Some(cur), next, "update_dv", cur.schemaDdl,
@@ -1777,11 +1803,20 @@ object VersionedTable {
     * the contract that makes merge pruning possible at all (Delta: cluster
     * / stats columns should include the merge key).
     */
+  /** `deleteMatchedOnly = true` switches the tombstone contract from CDC
+    * (a flagged row drops its matched key and never inserts) to SQL
+    * MERGE (`WHEN MATCHED AND c THEN DELETE` — the flag only gates
+    * MATCHED rows; an unmatched flagged row still INSERTs). Exactness
+    * rides on the touched-file superset: a key absent from every touched
+    * file is absent from the table.
+    */
   def commitMerge(changes: DataFrame, dir: String, keys: Seq[String],
                   tiebreak: Seq[Column], deleteCond: Column,
-                  txn: Option[(String, Long)] = None): Long =
+                  txn: Option[(String, Long)] = None,
+                  deleteMatchedOnly: Boolean = false): Long =
     commitMergeImpl(changes, dir, keys, tiebreak, deleteCond, txn,
-      evolve = false, metaCols = Seq.empty)
+      evolve = false, metaCols = Seq.empty,
+      deleteMatchedOnly = deleteMatchedOnly)
 
   /** [[commitMerge]] for changelogs the CALLER guarantees are one row per
     * key (an aggregation output, an already-deduped feed): skips the
@@ -1980,7 +2015,8 @@ object VersionedTable {
                               tiebreak: Seq[Column], deleteCond: Column,
                               txn: Option[(String, Long)],
                               evolve: Boolean, metaCols: Seq[String],
-                              dedupe: Boolean = true): Long = {
+                              dedupe: Boolean = true,
+                              deleteMatchedOnly: Boolean = false): Long = {
     val spark = changes.sparkSession
     val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
@@ -1996,7 +2032,7 @@ object VersionedTable {
     val deduped =
       if (dedupe) Warehouse.dedupByKey(changes, keys, tiebreak) else changes
     cowMergeCore(spark, dir, cur, deduped, keys, deleteCond, txn,
-      evolve, metaCols, op = "merge")
+      evolve, metaCols, op = "merge", deleteMatchedOnly = deleteMatchedOnly)
   }
 
   /** The copy-on-write heart shared by [[commitMerge]] (CDC changelogs)
@@ -2008,7 +2044,8 @@ object VersionedTable {
                            deduped: DataFrame, keys: Seq[String],
                            deleteCond: Column, txn: Option[(String, Long)],
                            evolve: Boolean, metaCols: Seq[String],
-                           op: String): Long = {
+                           op: String,
+                           deleteMatchedOnly: Boolean = false): Long = {
     val schema = StructType.fromDDL(cur.schemaDdl)
     val key = keys.head
     val physKey = physOf(cur.props, key) // stats/bloom keys are physical
@@ -2028,7 +2065,8 @@ object VersionedTable {
           touched.map(f => dataPath(dir, f.path)))
     val applied =
       if (evolve) Warehouse.applyChangesEvolve(base, deduped, keys, deleteCond, metaCols)
-      else Warehouse.applyChanges(base, deduped, keys, deleteCond)
+      else Warehouse.applyChanges(base, deduped, keys, deleteCond,
+        deleteMatchedOnly = deleteMatchedOnly)
     // evolved columns append AFTER the existing schema; carried files lack
     // them on disk and read as NULL through the evolved manifest schema
     val outCols = schema.fieldNames ++
@@ -3548,20 +3586,29 @@ object VersionedTable {
     node.put("version", version)
     node.put("updatedMs", System.currentTimeMillis())
     val digest = cursorDigest(consumer)
+    // version-in-name, zero-padded: name order == (version, nonce) order,
+    // so the reap below can be made race-safe by ORDER alone
     val dest = new Path(dirP,
-      s"$digest-${java.util.UUID.randomUUID().toString.take(8)}.json")
+      f"$digest-v$version%019d-${java.util.UUID.randomUUID().toString.take(8)}.json")
     val tmp = new Path(dirP,
       s".$digest.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
     try out.write(mapper.writeValueAsBytes(node)) finally out.close()
     if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); return }
-    // the new pin is durable — now reap superseded files (legacy
-    // `<digest>.json` included). A racing same-consumer pin can at worst
-    // leave an extra LOWER pin standing: conservative, never unsafe.
+    // the new pin is durable — reap superseded files, but ONLY those
+    // whose name sorts STRICTLY BELOW ours (plus versionless legacy
+    // spellings): two racing same-consumer pins then can never delete
+    // each other's survivor — the max-named pin is below no one's
+    // threshold, so at every instant at least one pin file exists and a
+    // concurrently scanning vacuum always sees a floor.
+    def legacy(n: String): Boolean =
+      n == s"$digest.json" ||
+        (n.startsWith(s"$digest-") && !n.startsWith(s"$digest-v"))
     fs.listStatus(dirP).foreach { s =>
       val n = s.getPath.getName
       if (s.isFile && n != dest.getName && n.endsWith(".json") &&
-          (n.startsWith(s"$digest-") || n == s"$digest.json"))
+          (n.startsWith(s"$digest-") || n == s"$digest.json") &&
+          (legacy(n) || n < dest.getName))
         fs.delete(s.getPath, false)
     }
   }

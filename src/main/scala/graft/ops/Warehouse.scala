@@ -439,8 +439,10 @@ object Warehouse {
     * shuffles at all.
     */
   def applyChanges(target: DataFrame, changes: DataFrame, keys: Seq[String],
-                   deleteCond: Column): DataFrame =
-    applyChangesImpl(target, changes, keys, deleteCond, extraPayload = Seq.empty)
+                   deleteCond: Column,
+                   deleteMatchedOnly: Boolean = false): DataFrame =
+    applyChangesImpl(target, changes, keys, deleteCond,
+      extraPayload = Seq.empty, deleteMatchedOnly = deleteMatchedOnly)
 
   /** [[applyChanges]] with SCHEMA EVOLUTION — the Delta `mergeSchema`
     * analog the plain merge deliberately refuses (`require`: changes must
@@ -466,7 +468,8 @@ object Warehouse {
   }
 
   private def applyChangesImpl(target: DataFrame, changes: DataFrame, keys: Seq[String],
-                               deleteCond: Column, extraPayload: Seq[String]): DataFrame = {
+                               deleteCond: Column, extraPayload: Seq[String],
+                               deleteMatchedOnly: Boolean = false): DataFrame = {
     val payload = target.columns.filterNot(keys.contains).toSeq
     require(payload.nonEmpty, "applyChanges: target has no non-key columns")
     // the packed-struct encoding reserves these names; a colliding payload
@@ -487,9 +490,15 @@ object Warehouse {
       .withColumn("__del", deleteCond)
       .select(keys.map(col) :+ struct((allPayload.map(col) :+ col("__del")): _*).as("__s"): _*)
     t.join(s, keys, "full_outer")
-      // tombstones drop matched keys and never insert; a null __s.__del
-      // (NULL-valued delete predicate) is not a delete, per SQL CASE
-      .filter(col("__s").isNull || !coalesce(col("__s.__del"), lit(false)))
+      // CDC semantics (default): tombstones drop matched keys and never
+      // insert. SQL MERGE semantics (deleteMatchedOnly): the DELETE
+      // condition only gates MATCHED rows — an unmatched tombstone row
+      // still INSERTs (Spark/Delta `WHEN MATCHED AND c THEN DELETE` +
+      // `WHEN NOT MATCHED THEN INSERT *`). A null __s.__del (NULL-valued
+      // delete predicate) is not a delete either way, per SQL CASE.
+      .filter(col("__s").isNull ||
+        (if (deleteMatchedOnly) col("__t").isNull else lit(false)) ||
+        !coalesce(col("__s.__del"), lit(false)))
       .select(keys.map(col) ++ allPayload.map { c =>
         when(col("__s").isNotNull, col(s"__s.$c")).otherwise(col(s"__t.$c")).as(c)
       }: _*)

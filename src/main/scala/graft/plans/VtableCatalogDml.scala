@@ -125,7 +125,7 @@ object VtableCatalogDml extends Rule[LogicalPlan] {
       case c: Cast => stripCast(c.child)
       case x => x
     }
-    def wholeRow(assigns: Seq[Assignment], what: String): Unit =
+    def wholeRow(assigns: Seq[Assignment], what: String): Unit = {
       assigns.foreach { a =>
         (a.key, stripCast(a.value)) match {
           case (k: AttributeReference, v: AttributeReference)
@@ -136,6 +136,13 @@ object VtableCatalogDml extends Rule[LogicalPlan] {
             s"'${a.key.sql} = ${a.value.sql}'")
         }
       }
+      // a PARTIAL same-name list would silently execute as a whole-row
+      // replace (the commit is whole-row CDC) — coverage is the contract
+      if (assigns.size != tOut.size)
+        fail(s"$what assigns ${assigns.size} of ${tOut.size} target " +
+          "columns — the CDC upsert is whole-row (SET * / INSERT *); " +
+          "partial column lists would silently overwrite the rest")
+    }
     var deleteCond: Option[Expression] = None
     var sawUpdate = false
     m.matchedActions.foreach {
@@ -144,6 +151,11 @@ object VtableCatalogDml extends Rule[LogicalPlan] {
           fail("WHEN MATCHED AND <cond> THEN DELETE: the condition must " +
             "reference only SOURCE columns (the CDC tombstone flag)")
         if (deleteCond.nonEmpty) fail("multiple DELETE actions")
+        if (sawUpdate)
+          fail("WHEN MATCHED THEN UPDATE is listed BEFORE the conditional " +
+            "DELETE — SQL applies the first matching action, making the " +
+            "DELETE unreachable; list WHEN MATCHED AND <cond> THEN DELETE " +
+            "first")
         deleteCond = Some(c)
       case UpdateAction(None, assigns, _) =>
         wholeRow(assigns, "WHEN MATCHED THEN UPDATE"); sawUpdate = true
@@ -206,7 +218,10 @@ case class GraftCatalogMergeCommand(dir: String, source: LogicalPlan,
     val src = GraftShim.dataFrame(spark, source)
     val del = deleteCond.getOrElse(lit(false))
     Seq(Row(VersionedTable.withCommitRetry() {
-      VersionedTable.commitMerge(src, dir, keys, Seq.empty, del)
+      // SQL MERGE semantics, not the CDC contract: the DELETE condition
+      // gates MATCHED rows only — an unmatched flagged row still INSERTs
+      VersionedTable.commitMerge(src, dir, keys, Seq.empty, del,
+        deleteMatchedOnly = true)
     }))
   }
 }

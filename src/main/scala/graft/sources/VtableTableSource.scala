@@ -160,21 +160,46 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
     // one slice; appended versions ride along up to the caps
     val effFrom = if (from < 0L) snapshotV.get else from
     val capV = math.max(effFrom, math.min(cur, effFrom + maxVersions))
-    val endV = maxBytes match {
+    val byteCapped = maxBytes match {
       case None => capV
       case Some(budget) =>
         // one manifest-header read per candidate version (≤ maxVersions);
-        // layout/metadata commits emit nothing, so they admit for free
+        // layout/metadata commits emit nothing, so they admit for free.
+        // addedBytesOf reuses the single header read per version.
         var v = effFrom; var acc = 0L; var stop = false
         while (v < capV && !stop) {
           val m = VT.readMeta(spark, dir, v + 1)
-          val b = if (silentOps(m.op)) 0L
-                  else VT.addedEntries(spark, dir, v + 1).map(_.bytes).sum
+          val b = if (silentOps(m.op)) 0L else VT.addedBytesOf(spark, dir, m)
           if (v > effFrom && acc + b > budget) stop = true
           else { acc += b; v += 1 }
         }
         v
     }
+    val endV =
+      if (from >= 0L) byteCapped
+      else {
+        // batch 0 reads the table AS OF the LOGGED offset, so that offset
+        // must name a version whose snapshot is a pure scan — a pending
+        // DV set or patch chain at `end` could NEVER replay (manifests
+        // are immutable; the checkpoint would wedge permanently). Refuse
+        // at PLANNING time when even the floor is unclean — nothing is
+        // logged, so a restart after OPTIMIZE succeeds; otherwise cap the
+        // ride-alongs at the last clean version (later commits arrive as
+        // ordinary slices under the append-path rules).
+        def clean(v: Long): Boolean = {
+          val m = VT.readMeta(spark, dir, v)
+          m.dvs.isEmpty && m.patches.isEmpty
+        }
+        if (!clean(snapshotV.get))
+          throw new IllegalStateException(
+            s"graft-vtable source: $dir carries deletion vectors or an " +
+              "unfolded patch chain at the stream's snapshot version — " +
+              "run OPTIMIZE (materializeDvs/compactPatches) first, then " +
+              "start the stream")
+        var v = snapshotV.get
+        while (v < byteCapped && clean(v + 1)) v += 1
+        v
+      }
     if (endV > from) TblOffset(endV) else null
   }
 

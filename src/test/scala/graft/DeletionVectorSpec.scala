@@ -174,6 +174,15 @@ class DeletionVectorSpec extends SparkSuite {
     // a no-match update is a no-op, not an empty commit
     assert(VT.commitUpdateDv(spark, dir, $"k" === -1L,
       Seq("s" -> lit("never"))) == 5L)
+    // NONDETERMINISM refuses loudly: the positional commit evaluates the
+    // predicate/SET twice — a rand() would delete one row set and append
+    // another (silent corruption); the guard checks the RESOLVED plan
+    val ex = intercept[IllegalArgumentException](VT.commitUpdateDv(spark,
+      dir, rand() < 0.5, Seq("s" -> lit("x"))))
+    assert(ex.getMessage.contains("NONDETERMINISTIC"), ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException](VT.commitUpdateDv(spark,
+      dir, $"k" === 20L, Seq("s" -> concat(lit("r"), rand().cast("string")))))
+    assert(ex2.getMessage.contains("NONDETERMINISTIC"), ex2.getMessage)
   }
 
   test("CDF composes exactly across DV delete/update windows") {

@@ -211,7 +211,11 @@ class GraftTableCatalogSpec extends SparkSuite {
       val dir = s"$root/t"; mkTable(dir)
       GraftCatalog.register(spark, "cat_mrg", dir)
       val basePaths = VT.readManifest(spark, dir, 1L).files.map(_.path).toSet
-      Seq((200L, "ins", false), (5L, "upd", false), (7L, "gone", true))
+      // (300, del=true) is UNMATCHED: per SQL MERGE semantics the DELETE
+      // action only gates matched rows — it must INSERT (the CDC commit
+      // would have tombstone-dropped it)
+      Seq((200L, "ins", false), (5L, "upd", false), (7L, "gone", true),
+          (300L, "insdel", true))
         .toDF("k", "s", "del").createOrReplaceTempView("cat_mrg_src")
       spark.sql(
         """MERGE INTO graft.cat_mrg AS t USING cat_mrg_src AS s
@@ -220,8 +224,9 @@ class GraftTableCatalogSpec extends SparkSuite {
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
       val out = VT.read(spark, dir).as[(Long, String)].collect().toMap
-      assert(out.size == 100, s"100 - 1 delete + 1 insert, got ${out.size}")
-      assert(out(5L) == "upd" && out(200L) == "ins" && !out.contains(7L))
+      assert(out.size == 101, s"100 - 1 delete + 2 inserts, got ${out.size}")
+      assert(out(5L) == "upd" && out(200L) == "ins" && !out.contains(7L) &&
+        out(300L) == "insdel")
       // the same stats-pruned touched-file detection as the library call:
       // keys {5, 7, 200} intersect at most 2 of the 4 range-clustered
       // files — the rest carry BY REFERENCE into v2
@@ -294,6 +299,25 @@ class GraftTableCatalogSpec extends SparkSuite {
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
         .contains("key equality"))
+      // a PARTIAL same-name list must refuse — the whole-row commit would
+      // silently overwrite the unassigned columns
+      assert(msgOf(
+        """MERGE INTO graft.cat_mrg_bad AS t USING cat_mrg_bad_src AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET s = s.s
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .contains("whole-row"))
+      // SQL applies the FIRST matching action: an unconditional UPDATE
+      // before the DELETE makes the DELETE unreachable — Spark's own
+      // parser rejects the shape (NON_LAST_MATCHED_CLAUSE_OMIT_CONDITION);
+      // the rewrite keeps a defense-in-depth refusal for API-built plans
+      assert(msgOf(
+        """MERGE INTO graft.cat_mrg_bad AS t USING cat_mrg_bad_src AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN MATCHED AND s.del THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .contains("MATCHED"))
     }
   }
 

@@ -1156,6 +1156,19 @@ class VersionedTableSpec extends SparkSuite {
       VT.cursorPins(spark, dir).map(p => (p._1, p._2)) == Seq(("s1", 5L)))
     // dropCursor removes all spellings
     assert(VT.dropCursor(spark, dir, "s1") && VT.cursorPins(spark, dir).isEmpty)
+    // RACE ORDER SAFETY: a zombie's LOWER pin arriving after a newer one
+    // must not reap it (reaping is strictly-below-own-name only) — the
+    // max-named pin survives every interleaving, so no instant is pinless
+    VT.pinCursor(spark, dir, "s2", 5L)
+    VT.pinCursor(spark, dir, "s2", 2L) // zombie: lands, reaps NOTHING above
+    val names = pinFiles().filter(_.startsWith(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest("s2".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)))
+    assert(names.size == 2, s"the newer pin must survive a zombie's reap: $names")
+    assert(VT.cursorPins(spark, dir).map(p => (p._1, p._2)) == Seq(("s2", 2L)),
+      "overlap reads the LOWEST version (vacuum-safe)")
+    VT.pinCursor(spark, dir, "s2", 7L) // a strictly newer pin reaps both
+    assert(VT.cursorPins(spark, dir).map(p => (p._1, p._2)) == Seq(("s2", 7L)))
   }
 
   test("vacuum downgrades pins dead past cursorStaleHours to a warning; fresh pins refuse") {

@@ -107,6 +107,34 @@ class VtableTableSourceSpec extends SparkSuite {
       "v1's created rows count as that commit's appends")
   }
 
+  test("snapshot offsets are only logged at CLEAN versions: DV ride-alongs cap the batch, a dirty floor refuses at planning") {
+    val root = tmp(); val dir = s"$root/t"
+    VT.create(Seq((1L, "a"), (2L, "b")).toDF("k", "s")
+        .repartitionByRange(2, $"k").sortWithinPartitions("k"),
+      dir, Seq("k"), props = Map(VT.DvsEnabledProp -> "true"))  // v1, clean
+    val limit =
+      org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+    // source constructed while clean; a DV commit lands before the first
+    // trigger — the offset must CAP at v1 (an AS-OF-v2 snapshot could
+    // never replay: manifests are immutable)
+    val src = new graft.sources.VtableTableSource(spark, Map("dir" -> dir))
+    VT.commitDeleteDv(spark, dir, $"k" === 1L)                   // v2: dvs
+    val o = src.latestOffset(null, limit)
+    assert(o.json.toLong == 1L,
+      s"batch 0 must stop before the DV version, got ${o.json}")
+    // a stream STARTED on a dirty table refuses at planning — nothing is
+    // logged, so OPTIMIZE + restart recovers (a logged dirty offset would
+    // wedge the checkpoint permanently)
+    val src2 = new graft.sources.VtableTableSource(spark, Map("dir" -> dir))
+    val ex = intercept[IllegalStateException](src2.latestOffset(null, limit))
+    assert(ex.getMessage.contains("OPTIMIZE"), ex.getMessage)
+    // materialize, then the whole pipeline drains end to end
+    VT.materializeDvs(spark, dir)                                 // v3
+    drain(dir, s"$root/ckpt", s"$root/out",
+      Map("skipChangeCommits" -> "true"))
+    assert(outRows(s"$root/out").toSet == Set((2L, "b")))
+  }
+
   test("maxBytesPerBatch bounds admission; at least one version always admits") {
     val root = tmp(); val dir = s"$root/t"; mk(dir)               // v1
     (3L to 5L).foreach(k =>
