@@ -237,6 +237,25 @@ class GraftTableCatalogSpec extends SparkSuite {
     }
   }
 
+  test("DataFrame mergeInto API (MergeIntoWriter) routes through the same rewrite") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_mrg_api", dir)
+      // same resolved MergeIntoTable plan as the SQL spelling — the
+      // post-hoc rule neither knows nor cares which front door built it
+      Seq((200L, "ins", false), (5L, "upd", false), (7L, "gone", true))
+        .toDF("k", "s", "del").as("s")
+        .mergeInto("graft.cat_mrg_api", col("cat_mrg_api.k") === col("s.k"))
+        .whenMatched(col("s.del")).delete()
+        .whenMatched().updateAll()
+        .whenNotMatched().insertAll()
+        .merge()
+      val out = VT.read(spark, dir).as[(Long, String)].collect().toMap
+      assert(out.size == 100 && out(5L) == "upd" && out(200L) == "ins" &&
+        !out.contains(7L))
+    }
+  }
+
   test("UPDATE graft.t SET … WHERE … via Spark's own grammar") {
     withCatalog { root =>
       val dir = s"$root/t"; mkTable(dir)
