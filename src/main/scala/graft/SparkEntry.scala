@@ -3326,6 +3326,58 @@ private[graft] object Queries {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** AUTO-COMPACTION ([[graft.ops.VersionedTable.AutoCompactProp]] — the
+    * Delta `autoCompact` idea): a table created with
+    * `graft.autoCompact.enabled=true` bin-packs its small files as an
+    * amortized best-effort post-commit step, so steady small-batch
+    * ingestion (streaming sinks, CDC micro-batches) self-heals the
+    * small-file tail without an external maintenance scheduler. The
+    * query ingests 8 one-file appends, require-pins that the trigger
+    * FIRED (a `compact` op in history) and that the file count stayed
+    * bounded, and reads the final content — which the compaction must
+    * not have changed (the oracle recomputes it from scratch).
+    */
+  def autoCompact(s: SparkSession, d: String): DataFrame = {
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "vtable_autocompact")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+    val base = cust(s, d).filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).cast("long").as("cents"))
+    VT.create(base.repartitionByRange(2, col("c_custkey"))
+        .sortWithinPartitions("c_custkey"),
+      dir, statsCols = Seq("c_custkey"),
+      props = Map(VT.AutoCompactProp -> "true",
+        "graft.autoCompact.every" -> "4",
+        "graft.autoCompact.minFiles" -> "4"))
+    val rest = cust(s, d).filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).cast("long").as("cents"))
+    (0 until 8).foreach(i =>
+      VT.commitAppend(rest.filter(col("c_custkey") % 8 === i).coalesce(1), dir))
+    val ops = VT.history(s, dir).map(_._2)
+    require(ops.contains("compact"),
+      s"q_auto_compact: the amortized trigger must have fired, got $ops")
+    val files = VT.readManifest(s, dir,
+      VT.currentVersion(s, dir).get).files.size
+    require(files < 8,
+      s"q_auto_compact: 8 one-file appends must not accumulate, got $files")
+    graft.functions.GraftFunctions.register(s)
+    s.sql(
+      s"""SELECT c_custkey, c_nationkey, cents
+         |FROM graft_vtable('$dir')
+         |ORDER BY c_custkey""".stripMargin)
+  }
+
+  private val autoCompactSql =
+    """SELECT c_custkey, c_nationkey,
+      |       CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |FROM customer
+      |ORDER BY c_custkey""".stripMargin
+
   /** `TIMESTAMP AS OF` time travel
     * ([[graft.ops.VersionedTable.versionAtTimestamp]] /
     * [[graft.ops.VersionedTable.readAsOfTimestamp]]): snapshot `nation`,
@@ -4605,6 +4657,7 @@ private[graft] object Queries {
     "q_catalog_merge" -> (catalogMerge _),
     "q_delete_dv" -> (deleteDv _),
     "q_update_dv" -> (updateDv _),
+    "q_auto_compact" -> (autoCompact _),
     "q_maintenance_sql" -> (maintenanceSql _),
     "q_colmap_sql" -> (colmapSql _),
     "q_replace_where" -> (replaceWhereSql _),
@@ -4771,6 +4824,7 @@ private[graft] object Queries {
     "q_catalog_merge" -> catalogMergeSql,
     "q_delete_dv" -> deleteDvSql,
     "q_update_dv" -> updateDvSql,
+    "q_auto_compact" -> autoCompactSql,
     "q_maintenance_sql" -> maintenanceSqlSql,
     "q_colmap_sql" -> colmapSqlSql,
     "q_replace_where" -> replaceWhereSqlSql,

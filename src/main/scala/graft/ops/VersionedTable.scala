@@ -862,6 +862,38 @@ object VersionedTable {
         adds = adds, removes = removes.map(_._1)))
       maybeCheckpoint(spark, dir, version, adds.size + removes.size)
     }
+    maybeAutoCompact(spark, dir, header)
+  }
+
+  /** AUTO-COMPACTION (the Delta `autoCompact` idea): tables created with
+    * `graft.autoCompact.enabled=true` bin-pack their small files as a
+    * best-effort post-commit step, so steady small-batch ingestion
+    * (streaming sinks, CDC micro-batches) never accumulates the
+    * small-file tail that erodes scan/merge/footer-lift performance —
+    * without an external maintenance scheduler. Evaluation is amortized:
+    * only every `graft.autoCompact.every`-th version (default 16) with
+    * at least `graft.autoCompact.minFiles` files (default 32, from the
+    * manifest HEADER — zero IO on the skip path) pays the compact pass,
+    * which itself sizes candidates from the manifest byte stamps. The
+    * compact is a LAYOUT commit: `dataChange=false` to the streaming
+    * table source, invisible to the change feed, refused under patch
+    * chains/DVs (those surfaces own their own materialization) — so the
+    * trigger skips those states. Best-effort by design: a lost commit
+    * race or any failure is swallowed (the NEXT trigger retries);
+    * correctness never depends on it.
+    */
+  val AutoCompactProp = "graft.autoCompact.enabled"
+
+  private def maybeAutoCompact(spark: SparkSession, dir: String,
+                               m: ManifestMeta): Unit = {
+    if (!m.props.get(AutoCompactProp).exists(_.toBoolean)) return
+    if (Set("compact", "dv_materialize", "create").contains(m.op)) return
+    if (m.patches.nonEmpty || m.dvs.nonEmpty) return
+    val every = m.props.get("graft.autoCompact.every").map(_.toInt).getOrElse(16)
+    val minFiles = m.props.get("graft.autoCompact.minFiles").map(_.toInt).getOrElse(32)
+    if (m.version % math.max(1, every) != 0 || m.numFiles < minFiles) return
+    try commitCompact(spark, dir)
+    catch { case scala.util.control.NonFatal(_) => () } // next trigger retries
   }
 
   /** Version `v`'s manifest with the file list MATERIALIZED on the driver

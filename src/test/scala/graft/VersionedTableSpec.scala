@@ -1192,6 +1192,34 @@ class VersionedTableSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.vtable.cursorStaleHours")
   }
 
+  test("auto-compaction: small-batch ingestion self-heals the small-file tail") {
+    val dir = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s"), dir, Seq("k"),
+      props = Map(VT.AutoCompactProp -> "true",
+        "graft.autoCompact.every" -> "8",
+        "graft.autoCompact.minFiles" -> "8"))
+    (1 to 16).foreach(i =>
+      VT.commitAppend(Seq((i * 10L, "x")).toDF("k", "s").coalesce(1), dir))
+    val ops = VT.history(spark, dir).map(_._2)
+    assert(ops.count(_ == "compact") >= 2,
+      s"amortized trigger must have fired (every 8th version): $ops")
+    val files = VT.readManifest(spark, dir,
+      VT.currentVersion(spark, dir).get).files.size
+    assert(files < 10,
+      s"16 one-file appends must not accumulate 17 files, got $files")
+    // content exact through the rewrites; history still time-travels
+    assert(VT.read(spark, dir).count() == 17L)
+    assert(VT.read(spark, dir, Some(2L)).count() == 2L)
+    // a table WITHOUT the prop accumulates one file per append
+    val dir2 = tmp()
+    VT.create(Seq((1L, "a")).toDF("k", "s"), dir2, Seq("k"))
+    (1 to 16).foreach(i =>
+      VT.commitAppend(Seq((i * 10L, "x")).toDF("k", "s").coalesce(1), dir2))
+    assert(VT.readManifest(spark, dir2,
+      VT.currentVersion(spark, dir2).get).files.size == 17)
+    assert(!VT.history(spark, dir2).map(_._2).contains("compact"))
+  }
+
   test("merge whose keys miss every file interval reuses all files, inserts land") {
     val dir = tmp()
     val base = spark.range(50).select($"id".as("k"), lit("x").as("s"))
