@@ -892,9 +892,29 @@ object VersionedTable {
     val every = m.props.get("graft.autoCompact.every").map(_.toInt).getOrElse(16)
     val minFiles = m.props.get("graft.autoCompact.minFiles").map(_.toInt).getOrElse(32)
     if (m.version % math.max(1, every) != 0 || m.numFiles < minFiles) return
+    // synchronous by design: the triggering commit (possibly a streaming
+    // micro-batch) pays the OPTIMIZE inline — amortized to 1-in-`every`
+    // commits, and only past `minFiles`; tune both props (or disable and
+    // schedule commitCompact externally) if tail latency matters more
+    // than the small-file debt. Failures are best-effort-swallowed (the
+    // NEXT trigger retries) but LOGGED once per table per failure class,
+    // so persistently broken auto-compaction is visible, not silent.
     try commitCompact(spark, dir)
-    catch { case scala.util.control.NonFatal(_) => () } // next trigger retries
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        val key = s"$dir:${e.getClass.getName}"
+        if (autoCompactWarned.add(key))
+          System.err.println(
+            s"[graft] auto-compaction failed for $dir (will retry on the " +
+              s"next trigger; further identical failures muted): $e")
+    }
   }
+
+  /** One warning per (table, failure class) — auto-compaction is
+    * best-effort, but a persistent breakage must not be invisible.
+    */
+  private val autoCompactWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Version `v`'s manifest with the file list MATERIALIZED on the driver
     * — the compatibility view every small-scale call site consumes.
@@ -1124,11 +1144,15 @@ object VersionedTable {
     val matched = live.filter(coalesce(cond, lit(false)))
     // determinism guard (checked on the RESOLVED plan, where rand() is a
     // Nondeterministic node — the SQL front door hands us unresolved
-    // trees): the positional pass and the image pass evaluate the
-    // predicate and SET expressions TWICE; a nondeterministic one would
-    // delete one row set and append another — silent corruption. Delta
-    // rejects these the same way; the CoW path evaluates once and has
-    // no such hazard.
+    // trees): a nondeterministic predicate picks an arbitrary row subset
+    // and a nondeterministic SET writes an unreproducible image — both
+    // refuse loudly, matching Delta. Note the image pass below derives
+    // its rows from the RECORDED positions (not by re-evaluating the
+    // predicate), so Catalyst-deterministic-but-per-execution-folded
+    // expressions (current_timestamp()/now()/current_date(), each frozen
+    // to a fresh literal by ComputeCurrentTime per execution) cannot
+    // desynchronize the two passes — the DV and the appended images
+    // agree by construction.
     val updatedPlan = matched.select(schema.fields.map { f =>
       byName.get(f.name) match {
         case Some(v) => v.cast(f.dataType).as(f.name)
@@ -1138,10 +1162,11 @@ object VersionedTable {
     require(!updatedPlan.queryExecution.analyzed.exists(
         _.expressions.exists(e => e.exists(!_.deterministic))),
       "VersionedTable.commitUpdateDv: the UPDATE condition or a SET " +
-        "expression is NONDETERMINISTIC — the positional commit evaluates " +
-        "them twice (positions, then images) and would corrupt the table. " +
-        "Materialize the randomness into a column first, or disable " +
-        "deletion vectors to take the single-evaluation copy-on-write path")
+        "expression is NONDETERMINISTIC — the positional commit records " +
+        "positions then appends images, and a random predicate/SET has " +
+        "no reproducible meaning across them. Materialize the randomness " +
+        "into a column first, or disable deletion vectors to take the " +
+        "single-evaluation copy-on-write path")
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     val rel = s"data/c$next-$nonce-dv"
     val outDir = new Path(dir, rel)
@@ -1155,10 +1180,22 @@ object VersionedTable {
       fs.delete(outDir, true)
       return cur.version
     }
-    // base files are immutable and the expressions guard-checked
-    // deterministic, so this second evaluation selects exactly the
-    // recorded positions' rows
-    val updated = updatedPlan
+    // the image rows derive from the positions JUST RECORDED (semi-join
+    // of the immutable base read against the written DV sidecar on
+    // (__vt_file, __vt_pos) — row_index is a pure function of the file
+    // bytes), NOT from re-evaluating the predicate: the two passes agree
+    // by construction even when the predicate folds per-execution
+    // literals (current_timestamp() et al). Only the SET expressions
+    // evaluate here, exactly once — CoW single-evaluation semantics.
+    val updated = base
+      .join(spark.read.schema(dvSchema).parquet(outDir.toString),
+        Seq("__vt_file", "__vt_pos"), "left_semi")
+      .select(schema.fields.map { f =>
+        byName.get(f.name) match {
+          case Some(v) => v.cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)
     val newFiles = writeCommitFiles(updated, dir, next, cur.statsCols,
       cur.bloomCols, cur.bloomFpp, cur.props)
     publishCommit(spark, dir, Some(cur), next, "update_dv", cur.schemaDdl,
@@ -1845,10 +1882,12 @@ object VersionedTable {
   def commitMerge(changes: DataFrame, dir: String, keys: Seq[String],
                   tiebreak: Seq[Column], deleteCond: Column,
                   txn: Option[(String, Long)] = None,
-                  deleteMatchedOnly: Boolean = false): Long =
+                  deleteMatchedOnly: Boolean = false,
+                  failOnDupKeys: Boolean = false): Long =
     commitMergeImpl(changes, dir, keys, tiebreak, deleteCond, txn,
       evolve = false, metaCols = Seq.empty,
-      deleteMatchedOnly = deleteMatchedOnly)
+      deleteMatchedOnly = deleteMatchedOnly,
+      failOnDupKeys = failOnDupKeys)
 
   /** [[commitMerge]] for changelogs the CALLER guarantees are one row per
     * key (an aggregation output, an already-deduped feed): skips the
@@ -2048,7 +2087,8 @@ object VersionedTable {
                               txn: Option[(String, Long)],
                               evolve: Boolean, metaCols: Seq[String],
                               dedupe: Boolean = true,
-                              deleteMatchedOnly: Boolean = false): Long = {
+                              deleteMatchedOnly: Boolean = false,
+                              failOnDupKeys: Boolean = false): Long = {
     val spark = changes.sparkSession
     val cur = readMeta(spark, dir, currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
@@ -2062,7 +2102,9 @@ object VersionedTable {
         s"(${cur.statsCols.mkString(", ")}) — file pruning would be impossible; " +
         "declare it in create(statsCols)")
     val deduped =
-      if (dedupe) Warehouse.dedupByKey(changes, keys, tiebreak) else changes
+      if (failOnDupKeys) Warehouse.requireUniqueKeys(changes, keys)
+      else if (dedupe) Warehouse.dedupByKey(changes, keys, tiebreak)
+      else changes
     cowMergeCore(spark, dir, cur, deduped, keys, deleteCond, txn,
       evolve, metaCols, op = "merge", deleteMatchedOnly = deleteMatchedOnly)
   }
@@ -2244,14 +2286,26 @@ object VersionedTable {
         if (idx < 0) None
         else {
           val srcType = lr.output(idx).dataType
-          val vals = lr.data.iterator.map { r =>
-            val v = r.get(idx, srcType)
-            if (v == null || srcType == keyType) v
-            else org.apache.spark.sql.catalyst.expressions.Cast(
-              org.apache.spark.sql.catalyst.expressions.Literal(v, srcType),
-              keyType).eval(null)
-          }.toArray
-          Some(vals)
+          // session-tz Cast, like touchedAmongLocal's castStat: a
+          // tz-aware conversion (string->timestamp etc.) with no
+          // timeZoneId is unresolved and throws at eval — the
+          // distributed pass would have used the session zone
+          val zone = Some(deduped.sparkSession.sessionState.conf
+            .sessionLocalTimeZone)
+          val cast = org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal.default(srcType),
+            keyType, zone)
+          if (srcType != keyType && !cast.resolved) None
+          else {
+            val vals = lr.data.iterator.map { r =>
+              val v = r.get(idx, srcType)
+              if (v == null || srcType == keyType) v
+              else org.apache.spark.sql.catalyst.expressions.Cast(
+                org.apache.spark.sql.catalyst.expressions.Literal(v, srcType),
+                keyType, zone).eval(null)
+            }.toArray
+            Some(vals)
+          }
         }
       case _ => None
     }

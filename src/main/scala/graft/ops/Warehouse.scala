@@ -43,6 +43,30 @@ object Warehouse {
     graft.plans.TopKPlans.topKPerGroupSort(df, keys, tiebreak, 1, "__rn")
       .drop("__rn")
 
+  /** SQL MERGE cardinality guard: passes every row through UNCHANGED but
+    * raises at runtime if two source rows share a merge key — the
+    * standard "multiple source rows matched" error SQL MERGE (and Delta)
+    * mandates, where the CDC apply path would instead pick a tiebreak
+    * winner. The count rides the same per-key exchange the dedup pass
+    * would have paid, so the guard costs one window over one shuffle.
+    * Null keys count as duplicates of each other too: the table's merge
+    * contract is one row per key, including the null key.
+    */
+  def requireUniqueKeys(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    df.withColumn("__vt_keycnt", count(lit(1)).over(w))
+      .filter(when(col("__vt_keycnt") > 1, raise_error(concat(
+        lit("MERGE cardinality violation: multiple source rows share the " +
+          s"merge key (${keys.mkString(", ")}) = ("),
+        concat_ws(", ", keys.map(k => coalesce(col(k).cast("string"),
+          lit("NULL"))): _*),
+        lit(") — SQL MERGE matches at most one source row per target row. " +
+          "Deduplicate the source, or use the CDC apply path " +
+          "(Warehouse.applyChanges / commitMerge with a tiebreak) for " +
+          "latest-wins semantics"))).isNotNull).otherwise(lit(true)))
+      .drop("__vt_keycnt")
+  }
+
   // ---------------------------------------------------------------- D1
   /** Insert-if-absent upsert, first-writer-wins (load.py:107-159
     * `INSERT ... SELECT ... ON CONFLICT (arrest_key) DO NOTHING`).

@@ -219,9 +219,11 @@ case class GraftCatalogMergeCommand(dir: String, source: LogicalPlan,
     val del = deleteCond.getOrElse(lit(false))
     Seq(Row(VersionedTable.withCommitRetry() {
       // SQL MERGE semantics, not the CDC contract: the DELETE condition
-      // gates MATCHED rows only — an unmatched flagged row still INSERTs
+      // gates MATCHED rows only — an unmatched flagged row still INSERTs —
+      // and duplicate source keys raise the standard cardinality-violation
+      // error instead of the CDC path's tiebreak dedup
       VersionedTable.commitMerge(src, dir, keys, Seq.empty, del,
-        deleteMatchedOnly = true)
+        deleteMatchedOnly = true, failOnDupKeys = true)
     }))
   }
 }

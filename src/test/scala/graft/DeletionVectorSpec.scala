@@ -185,6 +185,38 @@ class DeletionVectorSpec extends SparkSuite {
     assert(ex2.getMessage.contains("NONDETERMINISTIC"), ex2.getMessage)
   }
 
+  test("DV UPDATE with per-execution-folded time predicates stays consistent") {
+    // current_timestamp()/now()/current_date() are Catalyst-DETERMINISTIC
+    // but ComputeCurrentTime freezes a DIFFERENT literal per execution —
+    // if the image pass re-evaluated the predicate, a time-based WHERE
+    // could record one row set in the DV and append images for another.
+    // The image pass derives from the RECORDED positions instead, so the
+    // commit is consistent by construction; this pins that contract.
+    val dir = tmp(); mk(dir)
+    val v2 = VT.commitUpdateDv(spark, dir,
+      $"k" >= 10L && $"k" < 20L &&
+        current_timestamp() > to_timestamp(lit("2001-01-01")) &&
+        current_date() >= to_date(lit("2001-01-01")),
+      Seq("s" -> lit("t")))
+    assert(v2 == 2L)
+    val expect = (0L to 99L).map(k =>
+      (k, if (k >= 10 && k < 20) "t" else (k % 7).toString)).toSet
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet == expect)
+    // the DV and the appended images agree exactly: positions recorded ==
+    // image rows appended == 10 — no silent duplication or loss
+    val m = VT.readManifest(spark, dir, 2L)
+    assert(m.dvs.nonEmpty)
+    val dvRows = spark.read.parquet(
+      m.dvs.map(p => s"$dir/$p"): _*).count()
+    val appended = m.files.map(_.path).toSet
+      .diff(VT.readManifest(spark, dir, 1L).files.map(_.path).toSet)
+    val appendedRows = spark.read.parquet(
+      appended.toSeq.map(p => s"$dir/$p"): _*)
+      .count()
+    assert(dvRows == 10L && appendedRows == 10L,
+      s"dv=$dvRows appended=$appendedRows")
+  }
+
   test("CDF composes exactly across DV delete/update windows") {
     val dir = tmp(); mk(dir)
     VT.commitDeleteDv(spark, dir, $"k" < 10L)                       // v2

@@ -256,6 +256,38 @@ class GraftTableCatalogSpec extends SparkSuite {
     }
   }
 
+  test("MERGE with duplicate source keys raises the cardinality violation") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_mrg_dup", dir)
+      // key 5 appears twice: SQL MERGE (and Delta) must error, not pick
+      // an arbitrary winner like the CDC tiebreak path would
+      Seq((5L, "a", false), (5L, "b", false), (200L, "ins", false))
+        .toDF("k", "s", "del").createOrReplaceTempView("cat_mrg_dup_src")
+      val e = intercept[Exception](spark.sql(
+        """MERGE INTO graft.cat_mrg_dup AS t USING cat_mrg_dup_src AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
+      def chain(t: Throwable): String =
+        Option(t).map(x => Option(x.getMessage).getOrElse("") +
+          chain(x.getCause)).getOrElse("")
+      assert(chain(e).contains("MERGE cardinality violation"), chain(e))
+      // the failed MERGE must not have committed anything
+      assert(VT.currentVersion(spark, dir).contains(1L))
+      assert(VT.read(spark, dir).count() == 100L)
+      // unique-keyed source still merges fine afterwards
+      spark.sql(
+        """MERGE INTO graft.cat_mrg_dup AS t USING
+          |  (SELECT k, max(s) AS s FROM cat_mrg_dup_src GROUP BY k) AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      val out = VT.read(spark, dir).as[(Long, String)].collect().toMap
+      assert(out.size == 101 && out(5L) == "b" && out(200L) == "ins")
+    }
+  }
+
   test("UPDATE graft.t SET … WHERE … via Spark's own grammar") {
     withCatalog { root =>
       val dir = s"$root/t"; mkTable(dir)
