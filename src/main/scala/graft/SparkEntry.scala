@@ -3007,6 +3007,84 @@ private[graft] object Queries {
       |SELECT nk AS c_nationkey, COUNT(*) AS n, CAST(SUM(c) AS DOUBLE) AS sum_cents
       |FROM m GROUP BY nk ORDER BY nk""".stripMargin
 
+  /** `MERGE WITH SCHEMA EVOLUTION INTO graft.<t>` through Spark's own
+    * grammar: the source carries a column the target lacks; Spark's
+    * ResolveMergeIntoSchemaEvolution (gated on the table's
+    * AUTOMATIC_SCHEMA_EVOLUTION capability) computes the AddColumn
+    * change, drives it through [[graft.catalog.GraftTableCatalog]]
+    * `.alterTable` — an O(1) [[graft.ops.VersionedTable.commitAddColumns]]
+    * metadata commit, NO data rewritten — then re-resolves the merge
+    * against the widened relation. Carried base files lack the column on
+    * disk and read NULL through the evolved manifest schema (parquet's
+    * missing-column rule), which the grouped result exercises: rows the
+    * merge never touched must aggregate with NULL `seg`. Delta parity:
+    * `spark.databricks.delta.schema.autoMerge` / WITH SCHEMA EVOLUTION.
+    */
+  def catalogMergeEvolve(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.catalog.GraftTableCatalog].getName)
+    val name = s"cust_catme_${new java.io.File(d).getName}".replace('.', '_')
+    val G = graft.sql.GraftSql
+    G.sql(s, s"DROP TABLE IF EXISTS graft_vtable('$name') PURGE").collect()
+    cust(s, d).createOrReplaceTempView("catme_src")
+    s.sql(
+      s"""CREATE TABLE graft.`$name` CLUSTER BY (c_custkey)
+         |AS SELECT c_custkey, c_nationkey
+         |   FROM catme_src WHERE c_custkey % 3 <> 0""".stripMargin).collect()
+    val maxK = cust(s, d).agg(max(col("c_custkey"))).head()
+      .get(0).asInstanceOf[Number].longValue
+    val (lo, hi) = (maxK / 3, maxK / 2)
+    val VT = graft.ops.VersionedTable
+    val dir = graft.ops.GraftCatalog.lookup(s, name).get
+    val vPre = VT.currentVersion(s, dir).get
+    val preFiles = VT.readManifest(s, dir, vPre).files.map(_.path).toSet
+    s.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO graft.`$name` AS t
+         |USING (SELECT c_custkey, c_nationkey,
+         |              c_custkey % 5 AS seg
+         |       FROM catme_src WHERE c_custkey BETWEEN $lo AND $hi) AS st
+         |ON t.c_custkey = st.c_custkey
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    // evolution is METADATA-ONLY (an addColumns commit) + an ordinary
+    // merge: exactly two commits, and the untouched base files carry by
+    // reference into the final version — no table-wide rewrite
+    val vPost = VT.currentVersion(s, dir).get
+    require(vPost == vPre + 2,
+      s"q_catalog_merge_evolve: expected ALTER + MERGE = 2 commits, got " +
+        s"${vPost - vPre}")
+    require(VT.readMeta(s, dir, vPre + 1).op == "addColumns",
+      "q_catalog_merge_evolve: the evolution commit must be the O(1) " +
+        "addColumns metadata commit")
+    val postFiles = VT.readManifest(s, dir, vPost).files.map(_.path).toSet
+    require(preFiles.intersect(postFiles).nonEmpty,
+      "q_catalog_merge_evolve: untouched base files must carry by " +
+        "reference through the evolved schema")
+    s.sql(
+      s"""SELECT c_nationkey, COUNT(*) AS n, COUNT(seg) AS n_seg,
+         |       CAST(SUM(seg) AS DOUBLE) AS sum_seg
+         |FROM graft.`$name`
+         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  private val catalogMergeEvolveSql =
+    """WITH t AS (SELECT c_custkey, c_nationkey FROM customer
+      |           WHERE c_custkey % 3 <> 0),
+      |s AS (SELECT c_custkey, c_nationkey, c_custkey % 5 AS seg
+      |      FROM customer
+      |      WHERE c_custkey BETWEEN
+      |              (SELECT CAST(FLOOR(MAX(c_custkey) / 3.0) AS BIGINT) FROM customer)
+      |          AND (SELECT CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) FROM customer)),
+      |m AS (SELECT coalesce(t.c_custkey, s.c_custkey) AS k,
+      |       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+      |            ELSE t.c_nationkey END AS nk,
+      |       s.seg AS seg
+      |      FROM t FULL JOIN s ON t.c_custkey = s.c_custkey)
+      |SELECT nk AS c_nationkey, COUNT(*) AS n, COUNT(seg) AS n_seg,
+      |       CAST(SUM(seg) AS DOUBLE) AS sum_seg
+      |FROM m GROUP BY nk ORDER BY nk""".stripMargin
+
   /** SQL TABLE MAINTENANCE end to end ([[graft.sql.GraftDml]] OPTIMIZE /
     * ALTER / RESTORE / VACUUM, over the DML from `q_ddl_sql`): fragment a
     * table with a CTAS + `INSERT INTO` + a disjoint-slice MERGE, `OPTIMIZE` the small
@@ -4655,6 +4733,7 @@ private[graft] object Queries {
     "q_ddl_sql" -> (ddlSql _),
     "q_catalog_sql" -> (catalogSql _),
     "q_catalog_merge" -> (catalogMerge _),
+    "q_catalog_merge_evolve" -> (catalogMergeEvolve _),
     "q_delete_dv" -> (deleteDv _),
     "q_update_dv" -> (updateDv _),
     "q_auto_compact" -> (autoCompact _),
@@ -4822,6 +4901,7 @@ private[graft] object Queries {
     "q_ddl_sql" -> ddlSqlSql,
     "q_catalog_sql" -> catalogSqlSql,
     "q_catalog_merge" -> catalogMergeSql,
+    "q_catalog_merge_evolve" -> catalogMergeEvolveSql,
     "q_delete_dv" -> deleteDvSql,
     "q_update_dv" -> updateDvSql,
     "q_auto_compact" -> autoCompactSql,

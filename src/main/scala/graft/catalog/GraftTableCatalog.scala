@@ -311,9 +311,15 @@ class GraftTable(tableName: String, val dir: String, val asOf: Option[Long])
   override def version(): String = meta.version.toString
 
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION gates Spark's own
+    // ResolveMergeIntoSchemaEvolution: `MERGE WITH SCHEMA EVOLUTION`
+    // computes AddColumn changes from the merge actions, drives them
+    // through alterTable (commitAddColumns' O(1) metadata commit) and
+    // re-resolves the merge against the widened relation
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   // ---- read: V1Scan fallback (extensions swap in the native plan) -----
 

@@ -175,9 +175,15 @@ object VtableCatalogDml extends Rule[LogicalPlan] {
     if (!sawUpdate || !sawInsert)
       fail("need both WHEN MATCHED THEN UPDATE SET * and WHEN NOT MATCHED " +
         "THEN INSERT *")
-    if (m.withSchemaEvolution)
-      fail("WITH SCHEMA EVOLUTION through the catalog is not supported — " +
-        "use ALTER TABLE ADD COLUMNS first")
+    // WITH SCHEMA EVOLUTION needs no handling here: Spark's own
+    // ResolveMergeIntoSchemaEvolution (resolution batch, before this
+    // post-hoc rule) computes the AddColumn changes from the merge
+    // actions and drives them through GraftTableCatalog.alterTable —
+    // i.e. commitAddColumns' O(1) metadata commit — then re-resolves the
+    // merge against the evolved relation, so the plan arriving here is
+    // an ordinary whole-row merge over the widened schema. Type CHANGES
+    // surface as non-AddColumn TableChanges and refuse inside alterTable
+    // (shared files are immutable), preserving the refusal contract.
     GraftCatalogMergeCommand(t.dir, m.sourceTable, keys,
       deleteCond.map(GraftShim.column))
   }

@@ -38,7 +38,10 @@ import graft.ops.{GraftCatalog, VersionedTable => VT}
   *    the CDF source.
   *
   * `startingVersion=N` skips the snapshot and follows data commits from
-  * version N (inclusive). `maxVersionsPerBatch` / `maxBytesPerBatch`
+  * version N (inclusive); `startingTimestamp='yyyy-MM-dd HH:mm:ss[.f…]'`
+  * resolves to the earliest commit at or after the instant (session time
+  * zone) and behaves identically — the two are mutually exclusive.
+  * `maxVersionsPerBatch` / `maxBytesPerBatch`
   * bound batch admission (versions / manifest-stamped added bytes; both
   * soft caps — at least one version per batch). The table's identity
   * UUID is pinned lazily
@@ -67,17 +70,49 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
   private val maxBytes: Option[Long] =
     parameters.get("maxBytesPerBatch").map(_.toLong)
 
-  /** Snapshot PLANNING floor (no `startingVersion`): pinned at source
+  /** `startingVersion`, with `startingTimestamp` resolved to one
+    * (Delta's spelling pair): the timestamp resolves to the EARLIEST
+    * commit at or after it, riding [[VT.versionAtTimestamp]]'s
+    * verified-stamped-prefix binary search — `versionAtTimestamp` gives
+    * the largest version committed AT OR BEFORE ts, so the stream starts
+    * there when the stamp matches exactly and one past it otherwise. A
+    * timestamp before the first commit starts from version 1 (the whole
+    * history — Delta reads from the earliest available the same way); a
+    * timestamp after the newest commit follows FUTURE commits only.
+    * Resolution happens once, at source construction; the checkpointed
+    * offsets (not the option) govern every batch after the first.
+    */
+  private val startingV: Option[Long] = {
+    require(!(parameters.contains("startingVersion") &&
+        parameters.contains("startingTimestamp")),
+      "graft-vtable source: startingVersion and startingTimestamp are " +
+        "mutually exclusive")
+    parameters.get("startingVersion").map { v =>
+      require(v.toLong >= 1L,
+        s"graft-vtable source: startingVersion must be >= 1, got $v")
+      v.toLong
+    }.orElse(parameters.get("startingTimestamp").map { s =>
+      val ts = VT.parseTsMillis(spark, s,
+        "graft-vtable source startingTimestamp")
+      try {
+        val v = VT.versionAtTimestamp(spark, dir, ts)
+        if (VT.readMeta(spark, dir, v).adjTs >= ts) v else v + 1L
+      } catch {
+        // before the first commit: the whole history qualifies
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("before the earliest") => 1L
+      }
+    })
+  }
+  /** Snapshot PLANNING floor (no starting option): pinned at source
     * construction and used ONLY by [[latestOffset]] to size the first
     * batch. The replayed batch-0 slice is a function of the LOGGED end
     * offset alone (see [[getBatch]]) — a crash-restart re-pins this at
     * the new current version, which must not change what batch 0 reads.
     */
-  private val snapshotV: Option[Long] = parameters.get("startingVersion") match {
-    case Some(v) =>
-      require(v.toLong >= 1L,
-        s"graft-vtable source: startingVersion must be >= 1, got $v")
-      None
+  private val snapshotV: Option[Long] = startingV match {
+    case Some(_) => None
     case None => Some(VT.currentVersion(spark, dir).getOrElse(
       throw new IllegalArgumentException(
         s"graft-vtable source: $dir is not a versioned table")))
@@ -86,8 +121,7 @@ class VtableTableSource(spark: SparkSession, parameters: Map[String, String],
     * pending snapshot — distinct from any real version so
     * `startingVersion=1` (baseV = 0) cannot collide with it.
     */
-  private val baseV: Long =
-    parameters.get("startingVersion").map(_.toLong - 1L).getOrElse(-1L)
+  private val baseV: Long = startingV.map(_ - 1L).getOrElse(-1L)
 
   override val schema: StructType = VtableTableSource.schemaFor(spark, parameters)
 

@@ -85,6 +85,7 @@ class ContractSpec extends SparkSuite {
       "q_ddl_sql",         // parsed CREATE TABLE AS + MERGE (eager, like all DDL/DML)
       "q_catalog_sql",     // V2-catalog CTAS + INSERT + DELETE chain (eager DDL/DML)
       "q_catalog_merge",   // V2-catalog CTAS + Spark-grammar MERGE INTO (eager DDL/DML)
+      "q_catalog_merge_evolve", // CTAS + MERGE WITH SCHEMA EVOLUTION (eager DDL/DML)
       "q_delete_dv",       // DV-enabled create + positional DELETE + OPTIMIZE fold
       "q_update_dv",       // DV-enabled create + positional UPDATE + CDF + OPTIMIZE
       "q_auto_compact",    // create + 8 small appends + amortized auto-compact commits

@@ -256,6 +256,37 @@ class GraftTableCatalogSpec extends SparkSuite {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table through the catalog") {
+    withCatalog { root =>
+      val dir = s"$root/t"; mkTable(dir)
+      GraftCatalog.register(spark, "cat_mrg_evo", dir)
+      // source carries a column the target lacks: Spark's own
+      // ResolveMergeIntoSchemaEvolution computes the AddColumn change,
+      // drives it through GraftTableCatalog.alterTable (an O(1)
+      // commitAddColumns metadata commit), re-resolves, and the ordinary
+      // whole-row merge lands on the widened schema
+      Seq((5L, "upd", "x5"), (200L, "ins", "x200"))
+        .toDF("k", "s", "extra").createOrReplaceTempView("cat_mrg_evo_src")
+      spark.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft.cat_mrg_evo AS t
+          |USING cat_mrg_evo_src AS s
+          |ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      val out = spark.sql(
+        "SELECT k, s, extra FROM graft.cat_mrg_evo")
+        .as[(Long, String, Option[String])].collect()
+        .map { case (k, s, e) => k -> ((s, e)) }.toMap
+      assert(out.size == 101)
+      assert(out(5L) == (("upd", Some("x5"))))
+      assert(out(200L) == (("ins", Some("x200"))))
+      // carried rows read NULL through the evolved schema (no rewrite)
+      assert(out(6L) == (((6 % 7).toString, None)))
+      // two commits: the ALTER (v2) then the merge (v3)
+      assert(VT.currentVersion(spark, dir).contains(3L))
+    }
+  }
+
   test("MERGE with duplicate source keys raises the cardinality violation") {
     withCatalog { root =>
       val dir = s"$root/t"; mkTable(dir)

@@ -60,6 +60,50 @@ class VtableTableSourceSpec extends SparkSuite {
     assert(outRows(s"$root/out").toSet == Set((3L, "c"), (4L, "d")))
   }
 
+  test("startingTimestamp resolves to the earliest commit at or after it") {
+    val root = tmp(); val dir = s"$root/t"; mk(dir)              // v1
+    VT.commitAppend(Seq((3L, "c")).toDF("k", "s"), dir)          // v2
+    VT.commitAppend(Seq((4L, "d")).toDF("k", "s"), dir)          // v3
+    def fmt(ms: Long): String = {
+      val zone = java.time.ZoneId.of(
+        spark.sessionState.conf.sessionLocalTimeZone)
+      java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+        .format(java.time.Instant.ofEpochMilli(ms).atZone(zone))
+    }
+    val adj2 = VT.readMeta(spark, dir, 2L).adjTs
+    assert(adj2 > 0L, "commits must carry adjusted timestamps")
+    // exactly v2's stamp: the stream starts AT v2 (inclusive)
+    drain(dir, s"$root/c1", s"$root/o1",
+      Map("startingTimestamp" -> fmt(adj2)))
+    assert(outRows(s"$root/o1").toSet == Set((3L, "c"), (4L, "d")))
+    // strictly between v2 and v3 (stamps strictly increase): starts at v3
+    drain(dir, s"$root/c2", s"$root/o2",
+      Map("startingTimestamp" -> fmt(adj2 + 1L)))
+    assert(outRows(s"$root/o2").toSet == Set((4L, "d")))
+    // before the first commit: the whole history (no snapshot semantics —
+    // per-commit deltas from v1, same as startingVersion=1)
+    drain(dir, s"$root/c3", s"$root/o3",
+      Map("startingTimestamp" -> "2000-01-01 00:00:00"))
+    assert(outRows(s"$root/o3").toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // after the newest commit: future commits only
+    val adj3 = VT.readMeta(spark, dir, 3L).adjTs
+    val srcF = new graft.sources.VtableTableSource(spark,
+      Map("dir" -> dir, "startingTimestamp" -> fmt(adj3 + 1L)))
+    assert(srcF.getOffset.isEmpty,
+      "a post-history startingTimestamp must have nothing to emit yet")
+    VT.commitAppend(Seq((5L, "e")).toDF("k", "s"), dir)          // v4
+    drain(dir, s"$root/c4", s"$root/o4",
+      Map("startingTimestamp" -> fmt(adj3 + 1L)))
+    assert(outRows(s"$root/o4").toSet == Set((5L, "e")))
+    // the two spellings refuse to combine
+    val e = intercept[Exception](new graft.sources.VtableTableSource(spark,
+      Map("dir" -> dir, "startingVersion" -> "2",
+        "startingTimestamp" -> fmt(adj2))))
+    assert(e.getMessage.contains("mutually exclusive"), e.getMessage)
+  }
+
   /** Streaming-flagged batch → collectable: the inverse of the source's
     * `asStreaming`, for driving the Source API directly in tests.
     */
