@@ -3404,6 +3404,96 @@ private[graft] object Queries {
       |FROM customer
       |ORDER BY c_custkey""".stripMargin
 
+  /** DV COMPOSITION across the two previously-refusing states
+    * ([[graft.ops.VersionedTable.commitUpdateDv]] /
+    * [[graft.ops.VersionedTable.commitDeleteDv]]): (1) a positional
+    * UPDATE lands on a MERGE-ON-READ table — the key-based patch chain
+    * folds first (the same CoW fold SQL OPTIMIZE runs), then positions
+    * record against the clean bases (two commits, both in the log); and
+    * (2) a positional DELETE lands on a SHALLOW CLONE — the DV sidecar
+    * is clone-owned and addresses the shared path-absolute source files
+    * (`dvFileKey`), so the source stays byte-identical while the clone
+    * diverges O(matched rows). Delta analog: DVs compose with cloned
+    * tables the same way. The grouped read of the CLONE is the oracled
+    * answer; require-pins assert the mechanics (fold+DV = 2 commits,
+    * no patches + pending DVs after, source row count untouched).
+    */
+  def dvCompose(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val VT = graft.ops.VersionedTable
+    val dir = fixtureDir(d, "dv_comp_tbl")
+    val cloneDir = fixtureDir(d, "dv_comp_clone")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(cloneDir), true)
+    def cents(c: Column): Column = floor(c * lit(100) + lit(0.5))
+    VT.create(cust(s, d)
+      .filter(col("c_custkey") % 3 =!= 0)
+      .select(col("c_custkey"), col("c_nationkey"),
+        cents(col("c_acctbal")).cast("long").as("cents"))
+      .repartitionByRange(4, col("c_custkey"))
+      .sortWithinPartitions("c_custkey"),
+      dir, statsCols = Seq("c_custkey"),
+      props = Map(VT.DvsEnabledProp -> "true"))                     // v1
+    val maxK = cust(s, d).agg(max(col("c_custkey"))).head()
+      .get(0).asInstanceOf[Number].longValue
+    val (lo, hi) = (maxK / 3, maxK / 2)
+    // MoR patch: band upsert (+500 cents) with nationkey%7 tombstones
+    VT.commitPatch(cust(s, d)
+      .filter(col("c_custkey").between(lo, hi))
+      .select(col("c_custkey"), col("c_nationkey"),
+        (cents(col("c_acctbal")).cast("long") + 500).as("cents"),
+        (col("c_nationkey") % 7 === 0).as("del")),
+      dir, Seq("c_custkey"), Seq.empty, col("del"))                 // v2
+    require(VT.readManifest(s, dir, 2L).patches.nonEmpty,
+      "q_dv_compose: the band upsert must land as a MoR patch commit")
+    // positional UPDATE on the MoR state: chain folds (v3), DV commit (v4)
+    val v = VT.commitUpdateDv(s, dir, col("c_custkey") % 11 === 0,
+      Seq("cents" -> (col("cents") + 7)))
+    require(v == 4L,
+      s"q_dv_compose: fold + DV update must be exactly 2 commits, got $v")
+    val m = VT.readManifest(s, dir, v)
+    require(m.patches.isEmpty && m.dvs.nonEmpty,
+      "q_dv_compose: the fold must clear the chain and the update must " +
+        "land as a deletion vector")
+    val srcRows = VT.read(s, dir).count()
+    // positional DELETE on a shallow CLONE of the folded state
+    VT.materializeDvs(s, dir)                                       // v5
+    VT.shallowClone(s, dir, cloneDir)
+    VT.commitDeleteDv(s, cloneDir, col("c_nationkey") % 5 === 0)
+    require(VT.read(s, dir).count() == srcRows,
+      "q_dv_compose: a clone's positional delete must not touch the source")
+    VT.read(s, cloneDir)
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        sum("cents").cast("double").as("sum_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  private val dvComposeSql =
+    """WITH t AS (SELECT c_custkey, c_nationkey,
+      |                  CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+      |           FROM customer WHERE c_custkey % 3 <> 0),
+      |s AS (SELECT c_custkey, c_nationkey,
+      |             CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) + 500 AS cents,
+      |             c_nationkey % 7 = 0 AS del
+      |      FROM customer
+      |      WHERE c_custkey BETWEEN
+      |              (SELECT CAST(FLOOR(MAX(c_custkey) / 3.0) AS BIGINT) FROM customer)
+      |          AND (SELECT CAST(FLOOR(MAX(c_custkey) / 2.0) AS BIGINT) FROM customer)),
+      |m AS (SELECT coalesce(t.c_custkey, s.c_custkey) AS k,
+      |       CASE WHEN s.c_custkey IS NOT NULL THEN s.c_nationkey
+      |            ELSE t.c_nationkey END AS nk,
+      |       CASE WHEN s.c_custkey IS NOT NULL THEN s.cents ELSE t.cents END AS c
+      |      FROM t FULL JOIN s ON t.c_custkey = s.c_custkey
+      |      WHERE NOT coalesce(s.del, FALSE)),
+      |u AS (SELECT k, nk, CASE WHEN k % 11 = 0 THEN c + 7 ELSE c END AS c
+      |      FROM m),
+      |d AS (SELECT * FROM u WHERE nk % 5 <> 0)
+      |SELECT nk AS c_nationkey, COUNT(*) AS n, CAST(SUM(c) AS DOUBLE) AS sum_cents
+      |FROM d GROUP BY nk ORDER BY nk""".stripMargin
+
   /** AUTO-COMPACTION ([[graft.ops.VersionedTable.AutoCompactProp]] — the
     * Delta `autoCompact` idea): a table created with
     * `graft.autoCompact.enabled=true` bin-packs its small files as an
@@ -4734,6 +4824,7 @@ private[graft] object Queries {
     "q_catalog_sql" -> (catalogSql _),
     "q_catalog_merge" -> (catalogMerge _),
     "q_catalog_merge_evolve" -> (catalogMergeEvolve _),
+    "q_dv_compose" -> (dvCompose _),
     "q_delete_dv" -> (deleteDv _),
     "q_update_dv" -> (updateDv _),
     "q_auto_compact" -> (autoCompact _),
@@ -4902,6 +4993,7 @@ private[graft] object Queries {
     "q_catalog_sql" -> catalogSqlSql,
     "q_catalog_merge" -> catalogMergeSql,
     "q_catalog_merge_evolve" -> catalogMergeEvolveSql,
+    "q_dv_compose" -> dvComposeSql,
     "q_delete_dv" -> deleteDvSql,
     "q_update_dv" -> updateDvSql,
     "q_auto_compact" -> autoCompactSql,

@@ -985,12 +985,16 @@ object VersionedTable {
     * files are immutable). `materializeDvs` (run automatically by SQL
     * `OPTIMIZE`) folds the vectors back into clean base files.
     *
-    * DVs address positions in TABLE-OWNED files, so they are exclusive
-    * with the key-based patch chain (different fold semantics) and with
-    * shallow-clone absolute refs (positions would collide across
-    * tables); row-rewriting commits refuse while DVs are pending —
-    * materialize first. Unlike patches, an APPEND is always safe: new
-    * files carry no positions.
+    * DVs address positions in table-owned files AND local shallow-clone
+    * shared files (keyed path-absolute, see [[dvFileKey]] — the sidecar
+    * is always table-owned; only the addressed file is shared). A
+    * pending key-based patch chain composes by FOLDING FIRST: positions
+    * only exist in physical files, so the DV commit runs compactPatches
+    * (the same CoW fold SQL OPTIMIZE uses) and then records positions
+    * against the clean bases — two commits, both in the log.
+    * Row-rewriting commits refuse while DVs are pending — materialize
+    * first. Unlike patches, an APPEND is always safe: new files carry
+    * no positions.
     */
   private[graft] def requireNoDvs(dvs: Seq[String], op: String): Unit =
     require(dvs.isEmpty,
@@ -1003,18 +1007,48 @@ object VersionedTable {
     org.apache.spark.sql.types.StructField("__vt_pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
 
-  /** The commit-relative path (`data/<commit>/<part>`) of each row's
-    * file — the DV addressing key, extracted from the scan's metadata
-    * column so it matches [[FileEntry.path]] exactly.
+  /** The DV addressing key of each row's file, built to match
+    * [[FileEntry.path]] byte-for-byte: a table-OWNED file keys by its
+    * commit-relative path (`data/<commit>/<part>`); a shallow-clone
+    * SHARED file keys by the same path-absolute reference the clone's
+    * manifest stores — so positional deletes compose with clones (the
+    * DV sidecar is clone-owned; only the ADDRESSED file is shared, and
+    * base files are immutable, so positions stay stable). The two key
+    * shapes cannot collide (`data/…` vs `/…`). The scan reports a
+    * scheme-qualified URI (`file:///…`), so scheme+authority strip
+    * before the ownership test; scheme-qualified manifest REFS (remote
+    * clones) are refused at the commit sites — their stored form could
+    * not match this stripped key.
     */
-  private def relPathCol: Column =
-    regexp_extract(col("_metadata.file_path"), "(data/[^/]+/[^/]+)$", 1)
+  private def dvFileKey(dir: String): Column = {
+    val dirPath = (
+      if (dir.contains(":/")) new Path(dir).toUri.getPath
+      else new java.io.File(dir).getAbsolutePath).stripSuffix("/")
+    val pathOnly = regexp_replace(col("_metadata.file_path"),
+      "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?", "")
+    when(pathOnly.startsWith(s"$dirPath/data/"),
+      regexp_extract(pathOnly, "(data/[^/]+/[^/]+)$", 1))
+      .otherwise(pathOnly)
+  }
+
+  /** Refuse DV commits whose pruned candidates include scheme-qualified
+    * shared refs: [[dvFileKey]] keys by scheme-stripped path, so a
+    * `scheme://…` manifest ref could never match its own rows' key and
+    * the positions would silently record nothing.
+    */
+  private def requireDvAddressable(files: Seq[FileEntry], op: String): Unit =
+    files.foreach(f => require(!f.path.contains(":/"),
+      s"VersionedTable.$op: ${f.path} is a scheme-qualified shared " +
+        "(remote clone) reference — positional deletes address table-owned " +
+        "and path-absolute (local clone) files; OPTIMIZE first to take " +
+        "ownership"))
 
   /** Base read of `paths` with each row's positional key attached.
     * Metadata columns resolve only against the raw scan, hence a
     * dedicated builder rather than a bolt-on to [[readDataFiles]].
     */
-  private def baseReadWithPos(spark: SparkSession, schema: StructType,
+  private def baseReadWithPos(spark: SparkSession, dir: String,
+                              schema: StructType,
                               props: Map[String, String],
                               paths: Seq[String]): DataFrame = {
     val phys = physicalSchema(schema, props)
@@ -1022,7 +1056,7 @@ object VersionedTable {
     val cm = colmapOf(props)
     val payload = schema.fields.map(f =>
       col(s"`${cm.getOrElse(f.name, f.name)}`").as(f.name))
-    df0.select((payload :+ relPathCol.as("__vt_file") :+
+    df0.select((payload :+ dvFileKey(dir).as("__vt_file") :+
       col("_metadata.row_index").as("__vt_pos")).toIndexedSeq: _*)
   }
 
@@ -1039,7 +1073,7 @@ object VersionedTable {
                            schema: StructType, props: Map[String, String],
                            paths: Seq[String], dvs: Seq[String]): DataFrame = {
     if (paths.isEmpty) return emptyDF(spark, schema)
-    val base = baseReadWithPos(spark, schema, props, paths)
+    val base = baseReadWithPos(spark, dir, schema, props, paths)
     base.join(dvTable(spark, dir, dvs), Seq("__vt_file", "__vt_pos"),
         "left_anti")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -1055,7 +1089,6 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"VersionedTable.commitDeleteDv: $dir is not a versioned table")))
     if (alreadyApplied(cur, txn)) return cur.version
-    requireNoPatches(cur.patches, "commitDeleteDv")
     val schema = StructType.fromDDL(cur.schemaDdl)
     val ranges = org.apache.spark.sql.GraftShim.mineRanges(cond)
     val inSets = org.apache.spark.sql.GraftShim.mineInSets(cond)
@@ -1063,16 +1096,20 @@ object VersionedTable {
       if (ranges.isEmpty && inSets.isEmpty)
         materializeFiles(spark, dir, cur.version)
       else pruneEntries(spark, dir, ranges, inSets, Some(cur.version))._1
-    if (candidates.isEmpty) return cur.version
-    candidates.foreach(f => require(
-      !f.path.startsWith("/") && !f.path.contains(":/"),
-      s"VersionedTable.commitDeleteDv: ${f.path} is a shared (clone) " +
-        "reference — positional deletes address table-owned files only; " +
-        "OPTIMIZE first to take ownership"))
+    if (candidates.isEmpty && cur.patches.isEmpty) return cur.version
+    // MoR composition: a pending key-based patch chain has no physical
+    // positions to address — fold it first (the same CoW fold SQL
+    // OPTIMIZE runs, rewriting only chain-touched files), then record
+    // positions against the clean bases. Two commits, both in the log.
+    if (cur.patches.nonEmpty) {
+      compactPatches(spark, dir)
+      return commitDeleteDv(spark, dir, cond, txn)
+    }
+    requireDvAddressable(candidates, "commitDeleteDv")
     val next = cur.version + 1
     // positions of rows that match AND are still live under existing DVs
     // (double-recording a position would be harmless but unbounded)
-    val base = baseReadWithPos(spark, schema, cur.props,
+    val base = baseReadWithPos(spark, dir, schema, cur.props,
       candidates.map(f => dataPath(dir, f.path)))
     val live =
       if (cur.dvs.isEmpty) base
@@ -1117,7 +1154,6 @@ object VersionedTable {
       throw new IllegalArgumentException(
         s"VersionedTable.commitUpdateDv: $dir is not a versioned table")))
     if (alreadyApplied(cur, txn)) return cur.version
-    requireNoPatches(cur.patches, "commitUpdateDv")
     val schema = StructType.fromDDL(cur.schemaDdl)
     val byName = sets.toMap
     sets.foreach { case (c, _) => require(schema.fieldNames.contains(c),
@@ -1128,14 +1164,17 @@ object VersionedTable {
       if (ranges.isEmpty && inSets.isEmpty)
         materializeFiles(spark, dir, cur.version)
       else pruneEntries(spark, dir, ranges, inSets, Some(cur.version))._1
-    if (candidates.isEmpty) return cur.version
-    candidates.foreach(f => require(
-      !f.path.startsWith("/") && !f.path.contains(":/"),
-      s"VersionedTable.commitUpdateDv: ${f.path} is a shared (clone) " +
-        "reference — positional deletes address table-owned files only; " +
-        "OPTIMIZE first to take ownership"))
+    if (candidates.isEmpty && cur.patches.isEmpty) return cur.version
+    // MoR composition: fold the key-based chain first (positions only
+    // exist in physical files; a chain-shadowed row's DV bit would be
+    // meaningless), then update positionally on the clean bases.
+    if (cur.patches.nonEmpty) {
+      compactPatches(spark, dir)
+      return commitUpdateDv(spark, dir, cond, sets, txn)
+    }
+    requireDvAddressable(candidates, "commitUpdateDv")
     val next = cur.version + 1
-    val base = baseReadWithPos(spark, schema, cur.props,
+    val base = baseReadWithPos(spark, dir, schema, cur.props,
       candidates.map(f => dataPath(dir, f.path)))
     val live =
       if (cur.dvs.isEmpty) base
@@ -3203,7 +3242,7 @@ object VersionedTable {
             ps.map(p => dataPath(dir, p)), dvs)
         val sharedPos =
           if (diffFiles.isEmpty) None
-          else Some(baseReadWithPos(spark, schema, m2.props,
+          else Some(baseReadWithPos(spark, dir, schema, m2.props,
             diffFiles.map(p => dataPath(dir, p))))
         def atPositions(dv: DataFrame): DataFrame = sharedPos match {
           case None => emptyDF(spark, schema)

@@ -88,6 +88,7 @@ class ContractSpec extends SparkSuite {
       "q_catalog_merge_evolve", // CTAS + MERGE WITH SCHEMA EVOLUTION (eager DDL/DML)
       "q_delete_dv",       // DV-enabled create + positional DELETE + OPTIMIZE fold
       "q_update_dv",       // DV-enabled create + positional UPDATE + CDF + OPTIMIZE
+      "q_dv_compose",      // MoR patch + fold-first DV update + clone DV delete
       "q_auto_compact",    // create + 8 small appends + amortized auto-compact commits
       "q_maintenance_sql", // parsed OPTIMIZE/ALTER/UPDATE/DELETE/RESTORE/VACUUM chain
       "q_replace_where",   // versioned-table create + parsed REPLACE WHERE commit

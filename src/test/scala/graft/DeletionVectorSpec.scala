@@ -217,6 +217,79 @@ class DeletionVectorSpec extends SparkSuite {
       s"dv=$dvRows appended=$appendedRows")
   }
 
+  test("DV DELETE and UPDATE compose with a shallow clone: shared files stay byte-stable in BOTH tables") {
+    val root = Files.createTempDirectory("dvclone").toString
+    val src = s"$root/src"; mk(src)
+    val srcBefore = dataFileStamps(src)
+    VT.shallowClone(spark, src, s"$root/c")
+    // positional delete on the CLONE: the DV sidecar is clone-owned and
+    // addresses the SHARED (path-absolute) source files — zero bytes
+    // written under the source, zero base files rewritten anywhere
+    val v2 = VT.commitDeleteDv(spark, s"$root/c", $"k" >= 10L && $"k" < 20L)
+    assert(v2 == 2L)
+    assert(VT.read(spark, s"$root/c").count() == 90L)
+    assert(VT.read(spark, src).count() == 100L, "the source must not see it")
+    // UPDATE via DV on the clone: images append clone-owned, bases shared
+    VT.commitUpdateDv(spark, s"$root/c", $"k" === 50L,
+      Seq("s" -> lit("c!")))                                       // v3
+    assert(VT.read(spark, s"$root/c").filter($"k" === 50L)
+      .as[(Long, String)].head()._2 == "c!")
+    assert(VT.read(spark, src).filter($"k" === 50L)
+      .as[(Long, String)].head()._2 == (50 % 7).toString)
+    dataFileStamps(src).foreach { case (p, stamp) =>
+      assert(srcBefore(p) == stamp, s"source file touched by clone DVs: $p")
+    }
+    // time travel on the clone spans its DV states
+    assert(VT.read(spark, s"$root/c", Some(1L)).count() == 100L)
+    // OPTIMIZE takes ownership of exactly the DV'd shared files: after
+    // the fold the clone has no DVs, reads unchanged, source untouched
+    val live = VT.read(spark, s"$root/c").as[(Long, String)].collect().toSet
+    VT.materializeDvs(spark, s"$root/c")                           // v4
+    assert(VT.read(spark, s"$root/c").as[(Long, String)]
+      .collect().toSet == live)
+    assert(VT.readManifest(spark, s"$root/c",
+      VT.currentVersion(spark, s"$root/c").get).dvs.isEmpty)
+    dataFileStamps(src).foreach { case (p, stamp) =>
+      assert(srcBefore(p) == stamp, s"source file touched by materialize: $p")
+    }
+  }
+
+  test("DV UPDATE/DELETE compose with a patch chain: the chain folds first, then positions record") {
+    val root = Files.createTempDirectory("dvmor").toString
+    val dir = s"$root/t"
+    VT.create(spark.range(100)
+      .select($"id".as("k"), ($"id" % 7).cast("string").as("s"))
+      .repartitionByRange(4, $"k").sortWithinPartitions("k"),
+      dir, statsCols = Seq("k"),
+      props = Map(VT.DvsEnabledProp -> "true"))
+    // two MoR patch commits: k=5 updated, k=7 tombstoned, k=200 inserted
+    VT.commitPatch(Seq((5L, "p5", false), (7L, "x", true))
+      .toDF("k", "s", "del"), dir, Seq("k"), Seq.empty, $"del")    // v2
+    VT.commitPatch(Seq((200L, "p200", false))
+      .toDF("k", "s", "del"), dir, Seq("k"), Seq.empty, $"del")    // v3
+    assert(VT.readManifest(spark, dir, 3L).patches.nonEmpty)
+    // positional UPDATE on the MoR state: the chain folds (one CoW
+    // commit), then the DV commit records positions on the clean bases
+    val v = VT.commitUpdateDv(spark, dir, $"k" >= 4L && $"k" < 6L,
+      Seq("s" -> concat($"s", lit("!"))))
+    assert(v == 5L, s"fold + DV commit = 2 versions, got $v")
+    val m = VT.readManifest(spark, dir, v)
+    assert(m.patches.isEmpty && m.dvs.nonEmpty)
+    val out = VT.read(spark, dir).as[(Long, String)].collect().toMap
+    // the folded chain's update is visible THROUGH the positional update
+    assert(out(5L) == "p5!" && out(4L) == "4!" && out(200L) == "p200")
+    assert(!out.contains(7L) && out.size == 100)
+    // DELETE-on-MoR takes the same fold-first route (patch-on-DV still
+    // refuses — only the DV-on-patch direction composes — so clear the
+    // pending DVs before building the next chain)
+    VT.materializeDvs(spark, dir)
+    VT.commitPatch(Seq((300L, "p300", false))
+      .toDF("k", "s", "del"), dir, Seq("k"), Seq.empty, $"del")
+    val v2 = VT.commitDeleteDv(spark, dir, $"k" === 300L)
+    val out2 = VT.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(!out2.contains(300L) && out2.size == 100 && v2 > v + 1)
+  }
+
   test("CDF composes exactly across DV delete/update windows") {
     val dir = tmp(); mk(dir)
     VT.commitDeleteDv(spark, dir, $"k" < 10L)                       // v2
