@@ -3368,7 +3368,10 @@ private[graft] object Queries {
       .repartitionByRange(4, col("c_custkey"))
       .sortWithinPartitions("c_custkey"),
       dir, statsCols = Seq("c_custkey"),
-      props = Map(VT.DvsEnabledProp -> "true"))
+      props = Map(VT.DvsEnabledProp -> "true",
+        // auto-materialize policy: the update below kills ~12/25 of the
+        // nation keys' rows — past this threshold, so the fold must FIRE
+        VT.AutoMaterializeDvsProp -> "0.3"))
     val base = VT.readManifest(s, dir, 1L).files.map(_.path).toSet
     val G = graft.sql.GraftSql
     G.sql(s,
@@ -3380,6 +3383,13 @@ private[graft] object Queries {
     require(base.subsetOf(m2.files.map(_.path).toSet),
       "q_update_dv: a DV update must keep EVERY base file (O(matched) " +
         "appends only — byte-stability is spec-pinned)")
+    // the dead-ratio policy fired as a post-commit layout fold: v3 is a
+    // dv_materialize commit and the DV debt is gone — the answer (and
+    // the CDF window below) must not see it
+    require(VT.currentVersion(s, dir).contains(3L) &&
+        VT.readMeta(s, dir, 3L).op == "dv_materialize",
+      "q_update_dv: graft.autoMaterializeDvs.deadRatio=0.3 must fold the " +
+        "DVs right after the over-threshold update")
     // the CDF window across the DV update composes exactly: one update
     // row per matched key, nothing else
     val feed = VT.changesBetween(s, dir, 1L, 2L, Seq("c_custkey"))

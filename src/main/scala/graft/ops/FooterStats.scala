@@ -37,6 +37,17 @@ object FooterStats {
 
   private val maxFooterFiles = 512
 
+  /** Row count of one parquet file from its FOOTER — a driver-side
+    * metadata read (no Spark job), used by the DV auto-materialize
+    * policy to size sidecars without scanning them.
+    */
+  def rowCount(path: Path, conf: org.apache.hadoop.conf.Configuration): Long = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    val footer = try reader.getFooter finally reader.close()
+    import scala.jdk.CollectionConverters._
+    footer.getBlocks.asScala.map(_.getRowCount).sum
+  }
+
   def lift(spark: SparkSession, commitDir: Path, statsCols: Seq[String],
            schema: StructType): Option[Seq[(String, Long, Map[String, ColStat])]] = {
     val unsupported = statsCols.exists(c => schema(c).dataType match {

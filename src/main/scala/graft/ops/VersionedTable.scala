@@ -862,7 +862,46 @@ object VersionedTable {
         adds = adds, removes = removes.map(_._1)))
       maybeCheckpoint(spark, dir, version, adds.size + removes.size)
     }
+    maybeAutoMaterializeDvs(spark, dir, header)
     maybeAutoCompact(spark, dir, header)
+  }
+
+  /** DV AUTO-MATERIALIZE: tables created with
+    * `graft.autoMaterializeDvs.deadRatio=<0..1>` fold their deletion
+    * vectors back into clean base files as a best-effort post-commit
+    * step once the DEAD-POSITION ratio (sidecar rows / header totalRows)
+    * crosses the threshold — the DV debt self-heals the way
+    * auto-compaction heals the small-file tail, without an external
+    * OPTIMIZE scheduler. The ratio check is driver-side parquet FOOTER
+    * reads of the sidecars (O(#dv files), no Spark job); the fold is
+    * [[materializeDvs]] — a layout commit (`dv_materialize`), silent to
+    * the streaming table source and invisible to the change feed (the
+    * logical rows are unchanged). Best-effort like auto-compaction:
+    * failures log once per (table, failure class) and the next trigger
+    * retries; correctness never depends on it.
+    */
+  val AutoMaterializeDvsProp = "graft.autoMaterializeDvs.deadRatio"
+
+  private def maybeAutoMaterializeDvs(spark: SparkSession, dir: String,
+                                      m: ManifestMeta): Unit = {
+    val ratio = m.props.get(AutoMaterializeDvsProp).map(_.toDouble)
+    if (ratio.isEmpty || m.dvs.isEmpty || m.totalRows <= 0L) return
+    if (Set("dv_materialize", "compact", "create", "restore").contains(m.op))
+      return
+    try {
+      val conf = spark.sessionState.newHadoopConf()
+      val dead = m.dvs.iterator
+        .map(p => FooterStats.rowCount(new Path(dataPath(dir, p)), conf)).sum
+      if (dead.toDouble / m.totalRows < ratio.get) return
+      materializeDvs(spark, dir)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        val key = s"$dir:dvmat:${e.getClass.getName}"
+        if (autoCompactWarned.add(key))
+          System.err.println(
+            s"[graft] DV auto-materialize failed for $dir (will retry on " +
+              s"the next trigger; further identical failures muted): $e")
+    }
   }
 
   /** AUTO-COMPACTION (the Delta `autoCompact` idea): tables created with

@@ -290,6 +290,35 @@ class DeletionVectorSpec extends SparkSuite {
     assert(!out2.contains(300L) && out2.size == 100 && v2 > v + 1)
   }
 
+  test("auto-materialize policy folds DVs past the dead-ratio threshold, answer unchanged") {
+    val dir = tmp()
+    VT.create(spark.range(100)
+      .select($"id".as("k"), ($"id" % 7).cast("string").as("s"))
+      .repartitionByRange(4, $"k").sortWithinPartitions($"k"),
+      dir, statsCols = Seq("k"),
+      props = Map(VT.DvsEnabledProp -> "true",
+        VT.AutoMaterializeDvsProp -> "0.25"))
+    // 10% dead: below the threshold — the DV debt stays pending
+    VT.commitDeleteDv(spark, dir, $"k" < 10L)                      // v2
+    assert(VT.currentVersion(spark, dir).contains(2L),
+      "below-threshold DV commits must not trigger the fold")
+    assert(VT.readManifest(spark, dir, 2L).dvs.nonEmpty)
+    // +20% dead crosses 25%: the post-commit fold fires as v4
+    VT.commitDeleteDv(spark, dir, $"k" >= 50L && $"k" < 70L)       // v3 (+v4)
+    assert(VT.currentVersion(spark, dir).contains(4L),
+      "the over-threshold commit must be followed by the auto fold")
+    val m4 = VT.readMeta(spark, dir, 4L)
+    assert(m4.op == "dv_materialize" && m4.dvs.isEmpty)
+    assert(VT.read(spark, dir).as[(Long, String)].collect().toSet ==
+      (10L to 99L).filterNot(k => k >= 50 && k < 70)
+        .map(k => (k, (k % 7).toString)).toSet)
+    // the fold is CDF-INVISIBLE: the v3->v4 window carries no changes
+    assert(VT.changesBetween(spark, dir, 3L, 4L, Seq("k")).count() == 0L)
+    // and SILENT to the streaming table source (layout op): a stream
+    // started at v3 drains the delete-refusal-free window without error
+    // is covered by VtableTableSourceSpec's silentOps pinning
+  }
+
   test("CDF composes exactly across DV delete/update windows") {
     val dir = tmp(); mk(dir)
     VT.commitDeleteDv(spark, dir, $"k" < 10L)                       // v2
