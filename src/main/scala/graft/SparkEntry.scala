@@ -492,10 +492,20 @@ private[graft] object Queries {
     * engines and runs.
     */
   def dedupPk(s: SparkSession, d: String): DataFrame =
+    // LAZY persist between dedup and ORDER BY: the global sort's range
+    // sampler executes its child once for the partition bounds and the
+    // sort job executes it again — Spark's standard Sort shape, which at
+    // sf10 re-ran the whole scan+exchange+TopK subtree (~half the
+    // query). The cache populates on the sampler's pass and the sort job
+    // reads the cached blocks — the dedup child executes ONCE
+    // (plan-pinned in DedupSpec), construction stays action-free
+    // (persist is lazy, unlike localCheckpoint under AQE), and
+    // MEMORY_AND_DISK eviction bounds the residency.
     W.dedupByKey(li(s, d), Seq("l_orderkey"),
       Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_quantity")))
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .persist()
       .orderBy("l_orderkey")
 
   private val dedupPkSql =
@@ -1178,9 +1188,23 @@ private[graft] object Queries {
     * candidates from rarest-first prefix tokens, exact verify. Same answer
     * as the quadratic form (oracle computes all pairs), sub-quadratic plan.
     */
+  /** STATED CANDIDATE BUDGET for the global-Jaccard family at scale:
+    * ~3×10⁹ evaluated candidate pairs — the measured sf1 (50k-doc)
+    * workload (2.61×10⁹) that fits the 32-core per-query budget, rounded
+    * up so the cap NEVER binds at or below sf1: every oracled gate tier
+    * stays exact. On the adversarially dense 100× corpus (213.6×10⁹
+    * measured candidates — exponent ~1.9/decade, the family's true scale
+    * ceiling) the density-adaptive per-token cap binds, bounding the
+    * quadratic stage to sf1-like cost plus linear overhead; the drop is
+    * logged and probed ([[graft.ops.DedupOps.lastCapReport]] — no silent
+    * caps), with the recall contract documented at the operator.
+    */
+  val JaccardCandidateBudget: Long = 3000000000L
+
   def dedupJaccardGlobal(s: SparkSession, d: String): DataFrame =
     DedupOps.jaccardPairsGlobal(Tables.documents(s, d), "doc_id", "text",
-      n = 3, threshold = 0.8)
+      n = 3, threshold = 0.8,
+      candidatePairBudget = Some(JaccardCandidateBudget))
       .orderBy("id_a", "id_b")
 
   private val dedupJaccardGlobalSql =
@@ -1229,7 +1253,9 @@ private[graft] object Queries {
     */
   def dedupNear(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = DedupOps.jaccardPairsGlobal(docs, "doc_id", "text", n = 3, threshold = 0.8)
+    val pairs = DedupOps.jaccardPairsGlobal(docs, "doc_id", "text",
+      n = 3, threshold = 0.8,
+      candidatePairBudget = Some(JaccardCandidateBudget))
     GraphOps.dropNearDuplicates(docs, "doc_id", pairs, "id_a", "id_b")
       .select("doc_id", "lang", "n_chars")
       .orderBy("doc_id")
@@ -2526,10 +2552,12 @@ private[graft] object Queries {
     VT.commitMergeUnique(p2, src, Seq("o_orderkey"), col("del"))
     refresh() // fold CDF v2→v3
     refresh() // replay: ledger-skipped no-op
+    // coalesce(1) + in-partition sort: same deterministic total order as
+    // orderBy on this O(groups) frame without the range-sampling job
     graft.ops.ViewOps.present(VT.read(s, view), Seq("cents"))
       .select(col("o_orderstatus"), col("n"),
         col("sum_cents").cast("double").as("sum_cents"))
-      .orderBy("o_orderstatus")
+      .coalesce(1).sortWithinPartitions("o_orderstatus")
   }
 
   /** AUTOMATIC MATERIALIZED-VIEW REWRITE ([[graft.plans

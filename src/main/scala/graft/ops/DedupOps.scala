@@ -345,7 +345,8 @@ object DedupOps {
   def jaccardPairsGlobal(df: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, threshold: Double = 0.6,
                          bruteMaxDocs: Long = BruteForceMaxDocs,
-                         maxBitsetUniverse: Long = MaxBitsetUniverse): DataFrame = {
+                         maxBitsetUniverse: Long = MaxBitsetUniverse,
+                         candidatePairBudget: Option[Long] = None): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
       sortedShingles(col(textCol), n).as("sh"))
     // Cost-based tier choice, same spirit as Spark picking broadcast vs
@@ -419,14 +420,101 @@ object DedupOps {
     // match can reach the required ⌈t/(1+t)·(|A|+|B|)⌉. Still a superset —
     // verification is exact.
     val minOverlap = ceilSafe((col("a.sz") + col("b.sz")) * (threshold / (1 + threshold)))
-    val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
-          col("b.sz") >= col("a.lo") &&
-          col("a.sz") >= col("b.lo") &&
-          (least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
-            >= minOverlap))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    // DENSITY-ADAPTIVE CANDIDATE BUDGET (opt-in): on adversarially dense
+    // corpora — a small token universe, or replication-style mutation
+    // where hot prefix tokens mix thousands of docs that are NOT
+    // pairwise similar — the prefix join's evaluated-pair count
+    // Σ_tok C(prefix-df(tok), 2) is the scale ceiling, not the
+    // algorithm. With a budget set, that total is measured from a
+    // deterministic doc SAMPLE (xxhash64(id)-bucketed, ≥20k docs; the
+    // per-token pair count scales as p², so the sample total / p² is an
+    // unbiased estimator — exact when the sample is the whole corpus)
+    // against the prefix-token bucket histogram; when it exceeds the
+    // budget the candidate GENERATOR escalates from single-token prefix
+    // buckets to MinHash-LSH bands: a band key hashes 5 minhashes of the
+    // WHOLE set, so dissimilar docs sharing one hot token no longer
+    // collide — candidate volume tracks true near-dup density instead
+    // of token density. Verification stays EXACT either way (precision
+    // 1.0 always).
+    //
+    // SAMPLED-RECALL CONTRACT when the budget binds (logged + probed —
+    // no silent caps): a pair at Jaccard exactly t is found with
+    // probability ≥ (1 − (1 − t^5)^12) − 0.0013 (MinHash band-collision
+    // theory minus the est-filter's 3σ one-sided tail; ≈0.990 at t=0.8,
+    // and higher above t); below-budget corpora are byte-identical to
+    // the exact prefix path — both spec-pinned in DedupSpec.
+    val cands = {
+      val exactCands = () => prefix.as("a").join(prefix.as("b"),
+          col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+            col("b.sz") >= col("a.lo") &&
+            col("a.sz") >= col("b.lo") &&
+            (least(col("a.sz") - col("a.pos"), col("b.sz") - col("b.pos"))
+              >= minOverlap))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      candidatePairBudget match {
+        case None => lastCapReport = None; exactCands()
+        case Some(budget) =>
+          val spark2 = df.sparkSession
+          import spark2.implicits._
+          // tier decision from a sample: building the FULL prefix
+          // relation (per-doc rarest-first sort) just to count it would
+          // cost a large fraction of the exact join itself on the very
+          // corpora that need the escape hatch
+          val sampleTarget = 20000L
+          val invP = math.max(1L, nDocs / sampleTarget) // sample 1-in-invP
+          val samplePrefix =
+            if (invP == 1L) prefix
+            else prefix.filter(pmod(xxhash64(col("id")), lit(invP)) === 0)
+          val hist = samplePrefix.groupBy("tok").agg(count(lit(1)).as("c"))
+            .groupBy("c").agg(count(lit(1)).as("m"))
+            .as[(Long, Long)].collect()
+          val total = (hist.iterator.map { case (c, m) =>
+            m * (c * (c - 1) / 2.0) }.sum * invP * invP).toLong
+          if (total <= budget) { lastCapReport = None; exactCands() }
+          else {
+            // 12 bands x 5 rows (k=60): sharper than the classic 16x4 —
+            // on densely-similar corpora (every doc at J~0.5-0.7 of every
+            // other, the adversarial shape that trips the budget) band
+            // collision at sub-threshold J falls as J^r, so r=5 cuts the
+            // noise bucket volume ~an order of magnitude while the
+            // at-threshold recall bound stays >= 1-(1-t^5)^12 (0.991 at
+            // t=0.8). A slack-margined signature-agreement filter INSIDE
+            // the join condition (margin 3 sigma below t, sigma =
+            // sqrt(t(1-t)/k) — one-sided tail <= 0.0013 at J=t) makes
+            // sub-threshold bucket pairs die during condition evaluation
+            // instead of materializing into the distinct.
+            val (k, bands) = (60, 12)
+            val r = k / bands
+            val bandBound = 1.0 - math.pow(1.0 - math.pow(threshold, r), bands)
+            val estTail = 0.0013
+            val bound = bandBound - estTail
+            val margin = math.max(0.0, threshold -
+              3.0 * math.sqrt(threshold * (1 - threshold) / k) - 1.0 / k)
+            val rep = CapReport(candidatesBefore = total, budget = budget,
+              bands = bands, rowsPerBand = r,
+              recallBoundAtThreshold = bound)
+            lastCapReport = Some(rep)
+            System.err.println(s"[graft] jaccardPairsGlobal: exact prefix " +
+              s"join would evaluate $total candidate pairs (budget " +
+              s"$budget) — escalating the candidate generator to " +
+              s"MinHash-LSH ($bands bands x $r rows, est-filter margin " +
+              f"$margin%.3f); verification stays exact (precision 1.0), " +
+              f"per-pair recall at J=$threshold >= $bound%.6f and higher " +
+              "above it")
+            val sigs = docs.select(col("id"),
+              minhashSignature(col("sh"), k).as("sig"))
+            val banded = bandExplode(sigs, k, bands)
+            banded.as("a").join(banded.as("b"),
+                col("a.band") === col("b.band") &&
+                  col("a.bhash") === col("b.bhash") &&
+                  col("a.id") < col("b.id") &&
+                  minhashEstimate(col("a.sig"), col("b.sig"), k) >= margin)
+              .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+              .distinct()
+          }
+      }
+    }
     // Distinct BEFORE verification here — the opposite order from the LSH
     // paths, measured both ways: prefix candidates repeat per shared
     // prefix token (~2× here), and a candidate row is only 16 bytes of
@@ -445,6 +533,17 @@ object DedupOps {
           .jaccardSortedGE(col("sh_a"), col("sh_b"), threshold).as("jac"))
       .filter(col("jac") >= threshold)
   }
+
+  /** How the candidate budget bound on the LAST budgeted
+    * [[jaccardPairsGlobal]] plan built on this driver — the "no silent
+    * caps" probe (specs assert it; the operator also logs one stderr
+    * line). None when the budget was absent or did not bind.
+    */
+  @volatile var lastCapReport: Option[CapReport] = None
+
+  final case class CapReport(candidatesBefore: Long, budget: Long,
+                             bands: Int, rowsPerBand: Int,
+                             recallBoundAtThreshold: Double)
 
   /** Token-universe cap for the bitset verification path: ⌈U/64⌉ longs per
     * doc (32768 → 4 KB) — past that, per-doc bitsets cost more to shuffle

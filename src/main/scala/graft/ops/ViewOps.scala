@@ -469,27 +469,70 @@ object ViewOps {
     // drop zero-net groups: an update that only touched columns this
     // view doesn't maintain (or churn that cancels exactly) must not
     // rewrite the group's file — at scale most CDC traffic is exactly
-    // such unrelated churn. PERSIST the (touched-groups-sized) delta:
-    // it feeds the null guard, the fold join, and the merge's own
-    // file-pruning probe — without the pin each action would re-run
-    // the whole change read + signed aggregation.
+    // such unrelated churn.
     val delta = withNonNullGroupGuard(
-        rawDelta.filter(stateCols(measures).map(c => col(c) =!= 0L).reduce(_ || _)),
-        groupCols, ctx)
-      .persist()
-    try {
-      // the whole fold sits inside the commit-retry closure: a racing
-      // writer on the view invalidates the state READ too, so the retry
-      // must rebuild the changelog against the NEW current version —
-      // retrying only the merge would fold into a stale snapshot
-      VT.withCommitRetry() {
-        // ONE left join from the delta to the current view: a delta
-        // group's new state is old-state (0 when absent) + delta; a
-        // group whose live count reaches zero is tombstoned. This
-        // replaces the earlier touched-semi-join + full-outer fold +
-        // changelog re-join (three joins, two view reads) — the view is
-        // read once and only the delta's groups flow anywhere.
-        val sc = stateCols(measures)
+      rawDelta.filter(stateCols(measures).map(c => col(c) =!= 0L).reduce(_ || _)),
+      groupCols, ctx)
+    val sc = stateCols(measures)
+    val maxLocal = spark.conf
+      .getOption("spark.graft.ivm.localFoldRows").map(_.toInt)
+      .getOrElse(100000)
+    // the whole fold sits inside the commit-retry closure: a racing
+    // writer on the view invalidates the state READ (and the cache) too,
+    // so the retry must rebuild the changelog against the NEW current
+    // version — retrying only the merge would fold into a stale snapshot
+    VT.withCommitRetry() {
+      val vv = VT.currentVersion(spark, viewDir).getOrElse(
+        throw new IllegalStateException(s"$ctx: $viewDir vanished mid-fold"))
+      val meta = VT.readMeta(spark, viewDir, vv)
+      // DRIVER-FOLD FAST PATH: this refresher is the view's only writer,
+      // so after every commit it KNOWS the full state — cache it (keyed
+      // by table id + version, O(groups) ≤ the local bound) and fold the
+      // next delta with driver arithmetic. A refresh is then exactly TWO
+      // Spark actions: the delta take and the local-changelog merge
+      // write (whose touched-file probe is the zero-job local path).
+      // Every per-action planning/codegen constant the old view-state
+      // join paid is gone. The cache self-validates: any foreign commit
+      // (or a fresh driver) misses on version/id and falls back to one
+      // view-state read that reseeds it; correctness never depends on a
+      // hit.
+      val stateLocal: Option[Map[Seq[Any], Array[Long]]] =
+        stateCache(spark, viewDir, meta, groupCols, sc, maxLocal)
+      val deltaRows = takeBounded(delta, maxLocal + 1)
+      if (stateLocal.isDefined && deltaRows.length <= maxLocal) {
+        val st = stateLocal.get
+        val nGroups = groupCols.size
+        val folded = deltaRows.map { r =>
+          val key: Seq[Any] = (0 until nGroups).map(r.get).toList
+          val old = st.getOrElse(key, Array.fill(sc.size)(0L))
+          val nw = Array.tabulate(sc.size)(i => old(i) + r.getLong(nGroups + i))
+          (key, nw)
+        }
+        val schema = org.apache.spark.sql.types.StructType(
+          delta.schema.fields :+ org.apache.spark.sql.types.StructField(
+            "__dead", org.apache.spark.sql.types.BooleanType, nullable = false))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          java.util.Arrays.asList(folded.map { case (key, nw) =>
+            org.apache.spark.sql.Row.fromSeq(key ++ nw :+ (nw(0) <= 0L))
+          }: _*)
+        val local = spark.createDataFrame(rows, schema)
+        val committed = VT.commitMergeUnique(local, viewDir, groupCols,
+          deleteCond = col("__dead"), txn = Some(txn))
+        // memoize the POST-COMMIT full state — only when this call
+        // actually committed (a replayed txn no-ops and must not
+        // re-apply the delta to the cached state)
+        if (committed > vv) {
+          val next = st ++ folded.collect {
+            case (key, nw) if nw(0) > 0L => key -> nw
+          } -- folded.collect { case (key, nw) if nw(0) <= 0L => key }
+          putStateCache(spark, viewDir, meta, committed, next, maxLocal)
+        }
+      } else {
+        // distributed fold (state or delta above the driver bound): ONE
+        // left join from the delta to the current view — a delta group's
+        // new state is old-state (0 when absent) + delta; a group whose
+        // live count reaches zero is tombstoned.
+        stateCacheMap.remove(cacheKey(spark, viewDir))
         val viewState = VT.read(spark, viewDir).select(
           groupCols.map(col) ++ sc.map(c => col(c).as(s"__s_$c")): _*)
         val folded = delta.select(
@@ -498,34 +541,79 @@ object ViewOps {
           .select(groupCols.map(col) ++ sc.map(c =>
             (coalesce(col(s"__s_$c"), lit(0L)) + col(s"__d_$c")).as(c)): _*)
           .withColumn("__dead", col("n") <= 0L)
-        // The fold result is O(touched groups). When it fits a driver
-        // bound, COLLECT it and merge a LocalRelation changelog: the
-        // merge's touched-file probe then evaluates DRIVER-SIDE (zero
-        // jobs — [[VersionedTable]]'s local fast path) and the rewrite
-        // broadcasts the local rows, so a refresh commit is ONE Spark
-        // job (the write) after the fold's own. Above the bound, fall
-        // back to localCheckpoint: the merge's probe/rewrite/footer
-        // actions replay nothing either way. Both shapes sit inside the
-        // retry closure so a lost commit race rebuilds against the NEW
-        // view version.
-        val maxLocal = spark.conf
-          .getOption("spark.graft.ivm.localFoldRows").map(_.toInt)
-          .getOrElse(100000)
-        val head = folded.take(maxLocal + 1)
-        if (head.length <= maxLocal) {
-          val local = spark.createDataFrame(
-            java.util.Arrays.asList(head: _*),
-            org.apache.spark.sql.types.StructType(folded.schema.fields))
-          VT.commitMergeUnique(local, viewDir, groupCols,
-            deleteCond = col("__dead"), txn = Some(txn))
-        } else {
-          val changelog = folded.localCheckpoint()
-          try VT.commitMergeUnique(changelog, viewDir, groupCols,
-            deleteCond = col("__dead"), txn = Some(txn))
-          finally changelog.unpersist()
+        val changelog = folded.localCheckpoint()
+        try VT.commitMergeUnique(changelog, viewDir, groupCols,
+          deleteCond = col("__dead"), txn = Some(txn))
+        finally changelog.unpersist()
+      }
+    }
+  }
+
+  /** `df.take(n)` in ONE job: the default incremental limit (scan 1
+    * partition, then scale up) schedules two jobs for any aggregated
+    * frame — double the per-action planning constant for frames this
+    * code path already knows are tiny.
+    */
+  private def takeBounded(df: DataFrame,
+                          n: Int): Array[org.apache.spark.sql.Row] = {
+    val spark = df.sparkSession
+    val key = "spark.sql.limit.initialNumPartitions"
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "1000000")
+    try df.take(n)
+    finally old.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  }
+
+  // ---- driver-side view-state cache (single-writer memoization) -------
+  private final case class StateEntry(tableId: Option[String], version: Long,
+                                      rows: Map[Seq[Any], Array[Long]])
+  private val stateCacheMap =
+    new java.util.concurrent.ConcurrentHashMap[String, StateEntry]()
+
+  private def cacheKey(spark: SparkSession, viewDir: String): String =
+    viewDir.stripSuffix("/")
+
+  /** The view's FULL state on the driver: the memoized entry when it
+    * matches the current (table id, version), else one bounded read that
+    * reseeds the cache; None when the state exceeds the local bound.
+    */
+  private def stateCache(spark: SparkSession, viewDir: String,
+                         meta: VersionedTable.ManifestMeta,
+                         groupCols: Seq[String], sc: Seq[String],
+                         maxLocal: Int): Option[Map[Seq[Any], Array[Long]]] = {
+    val id = meta.props.get(VersionedTable.TableIdProp)
+    val hit = Option(stateCacheMap.get(cacheKey(spark, viewDir)))
+      .filter(e => e.version == meta.version && e.tableId == id)
+    hit.map(_.rows).orElse {
+      if (meta.totalRows > maxLocal) None
+      else {
+        val rows = takeBounded(VersionedTable.read(spark, viewDir,
+          Some(meta.version)).select((groupCols ++ sc).map(col): _*),
+          maxLocal + 1)
+        if (rows.length > maxLocal) None // patches/estimates: stay distributed
+        else {
+          val nGroups = groupCols.size
+          val m = rows.iterator.map { r =>
+            ((0 until nGroups).map(r.get).toList: Seq[Any]) ->
+              Array.tabulate(sc.size)(i => r.getLong(nGroups + i))
+          }.toMap
+          stateCacheMap.put(cacheKey(spark, viewDir),
+            StateEntry(id, meta.version, m))
+          Some(m)
         }
       }
-    } finally delta.unpersist()
+    }
+  }
+
+  private def putStateCache(spark: SparkSession, viewDir: String,
+                            meta: VersionedTable.ManifestMeta, version: Long,
+                            rows: Map[Seq[Any], Array[Long]],
+                            maxLocal: Int): Unit = {
+    if (rows.size <= maxLocal) {
+      if (stateCacheMap.size > 64) stateCacheMap.clear() // tiny LRU stand-in
+      stateCacheMap.put(cacheKey(spark, viewDir),
+        StateEntry(meta.props.get(VersionedTable.TableIdProp), version, rows))
+    } else stateCacheMap.remove(cacheKey(spark, viewDir))
   }
 
   /** CONTINUOUS view maintenance from the STREAMED change feed — the full

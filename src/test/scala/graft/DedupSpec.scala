@@ -144,6 +144,73 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("q_dedup_pk: the sort executes the dedup child ONCE (cached)") {
+    val df = SparkEntry.queries("q_dedup_pk")(spark, sf)
+    // the ORDER BY's subtree must read the CACHED dedup output: the sort
+    // and its range sampler then share one computation of the
+    // scan+exchange+TopK lineage (the sampler's pass populates the
+    // cache) instead of executing it twice — Spark's standard Sort shape
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan"),
+      s"expected the lazy persist between dedup and sort:\n$plan")
+    assert(plan.contains("TopKPerGroup"),
+      s"the cached lineage must still rank through the bounded operator:\n$plan")
+    // and the short-circuit changes no rows
+    val direct = graft.ops.Warehouse.dedupByKey(
+        Tables(spark, sf, "lineitem"), Seq("l_orderkey"),
+        Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_quantity")))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      .orderBy("l_orderkey").collect()
+    assert(df.collect().toSeq == direct.toSeq)
+  }
+
+  test("candidate budget: a non-binding budget is result-identical to the exact path") {
+    val sample = docs.limit(400).cache()
+    def run(budget: Option[Long]) =
+      // bruteMaxDocs = 0 forces the prefix tier (the budget's home)
+      DedupOps.jaccardPairsGlobal(sample, "doc_id", "text", 3, 0.6,
+          bruteMaxDocs = 0L, candidatePairBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = run(None)
+    assert(exact.nonEmpty)
+    assert(run(Some(Long.MaxValue)) == exact,
+      "cap-off (budget present, not binding) must equal the exact pairs")
+    assert(DedupOps.lastCapReport.isEmpty,
+      "a non-binding budget must not report a cap")
+  }
+
+  test("candidate budget: when the cap binds, precision 1.0, recall bounded, report loud") {
+    val sample = docs.limit(400).cache()
+    def run(budget: Option[Long]) =
+      DedupOps.jaccardPairsGlobal(sample, "doc_id", "text", 3, 0.6,
+          bruteMaxDocs = 0L, candidatePairBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = run(None)
+    // squeeze: a budget well under the corpus's candidate total
+    val capped = run(Some(20000L))
+    val rep = DedupOps.lastCapReport
+    assert(rep.nonEmpty, "a binding budget must be REPORTED, never silent")
+    assert(rep.get.candidatesBefore > 20000L && rep.get.budget == 20000L &&
+      rep.get.bands == 12 && rep.get.rowsPerBand == 5 &&
+      rep.get.recallBoundAtThreshold > 0.6,
+      s"report must state the escalation + recall bound: ${rep.get}")
+    // precision 1.0: verification is exact, so capped ⊆ exact always
+    assert(capped.subsetOf(exact),
+      s"budgeted tier emitted a non-pair: ${(capped -- exact).take(3)}")
+    // sampled-recall contract on this fixture: LSH candidates (12 bands x
+    // 5 rows) find a J=t pair w.p. >= 1-(1-t^5)^12 - est tail — ~0.62 at
+    // exactly t=0.6, 0.99 at t=0.8; the fixture's pair Jaccards spread
+    // from the 0.6 threshold up, so the aggregate recall sits between
+    val recall = capped.size.toDouble / exact.size
+    info(f"budgeted-tier recall on fixture: $recall%.3f " +
+      s"(${capped.size}/${exact.size}), report=${rep.get}")
+    assert(recall >= rep.get.recallBoundAtThreshold,
+      f"recall $recall%.3f fell below the stated at-threshold bound " +
+        f"${rep.get.recallBoundAtThreshold}%.3f (the aggregate must sit " +
+        "ABOVE it: most fixture pairs exceed the threshold)")
+  }
+
   test("blocked Jaccard pairs == quadratic per-block join, both paths") {
     val sample = docs.limit(400).cache()
     val sh = sample.select($"doc_id", $"source", DedupOps.sortedShingles($"text", 3).as("sh"))

@@ -122,7 +122,10 @@ class PlanSpec extends SparkSuite {
   }
 
   test("q_dedup_pk: single shuffle keyed on the dedup key, ranked by bounded heaps") {
-    val p = plan("q_dedup_pk")
+    val p0 = plan("q_dedup_pk")
+    // a materialized AQE cache prints "== Final Plan ==" AND "== Initial
+    // Plan ==" for the same subtree — count exchanges once, not per echo
+    val p = p0.split("== Initial Plan ==")(0)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"dedup should shuffle once on the key, got $exchanges:\n$p")
     assert(p.contains("TopKPerGroup"),
