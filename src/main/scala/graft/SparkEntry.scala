@@ -491,22 +491,30 @@ private[graft] object Queries {
     * tiebreak totally orders the row — the winner is deterministic across
     * engines and runs.
     */
-  def dedupPk(s: SparkSession, d: String): DataFrame =
-    // LAZY persist between dedup and ORDER BY: the global sort's range
-    // sampler executes its child once for the partition bounds and the
-    // sort job executes it again — Spark's standard Sort shape, which at
-    // sf10 re-ran the whole scan+exchange+TopK subtree (~half the
-    // query). The cache populates on the sampler's pass and the sort job
-    // reads the cached blocks — the dedup child executes ONCE
-    // (plan-pinned in DedupSpec), construction stays action-free
-    // (persist is lazy, unlike localCheckpoint under AQE), and
-    // MEMORY_AND_DISK eviction bounds the residency.
-    W.dedupByKey(li(s, d), Seq("l_orderkey"),
+  def dedupPk(s: SparkSession, d: String): DataFrame = {
+    val deduped = W.dedupByKey(li(s, d), Seq("l_orderkey"),
       Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_quantity")))
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-      .persist()
-      .orderBy("l_orderkey")
+    // SIZE-GATED lazy persist between dedup and ORDER BY: the global
+    // sort's range sampler executes its child once for the partition
+    // bounds and the sort job executes it again — Spark's standard Sort
+    // shape, which at sf10 re-ran the TopK pass over the 60M-row shuffle
+    // (~half the query). Past the byte threshold (planner file-size
+    // stats, driver-only — no job) the lazy cache makes the dedup child
+    // execute ONCE: the sampler pass populates it, the sort reads it,
+    // MEMORY_AND_DISK eviction bounds residency. Below the threshold the
+    // re-execution is cheaper than the columnar encode, so the plain
+    // shape stays (measured 0.64 s vs 1.17 s at sf0.1) — the same
+    // cost-based tier idea as the dedup family's brute/prefix choice.
+    // Plan-pinned both ways in DedupSpec; persist is lazy, so
+    // construction stays action-free (localCheckpoint under AQE is not).
+    val gateBytes = s.conf.getOption("spark.graft.sortReuseBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val big = li(s, d).queryExecution.optimizedPlan.stats.sizeInBytes >
+      BigInt(gateBytes)
+    (if (big) deduped.persist() else deduped).orderBy("l_orderkey")
+  }
 
   private val dedupPkSql =
     """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity FROM (

@@ -400,9 +400,37 @@ object ViewOps {
         // restart when a table is dropped and recreated at the same path,
         // so the ledger cursor alone cannot distinguish "fresh" from
         // "folded a table that no longer exists"
-        VT.create(state, viewDir, statsCols = statable, txn = Some(appId -> srcV),
-          props = VT.tableId(spark, srcDir).map(SrcIdProp -> _).toMap)
-        VT.currentVersion(spark, viewDir).get
+        val props = VT.tableId(spark, srcDir).map(SrcIdProp -> _).toMap
+        // bootstrap through a bounded driver collect when the state fits:
+        // the aggregate runs once (in the collect, not re-run inside the
+        // create's write job), the create writes LOCAL rows, and the
+        // collected state SEEDS the driver fold cache — the first
+        // incremental refresh then skips its reseeding read. Oversized
+        // states keep the one-action distributed create.
+        val maxLocal = spark.conf
+          .getOption("spark.graft.ivm.localFoldRows").map(_.toInt)
+          .getOrElse(100000)
+        val head = takeBounded(state, maxLocal + 1)
+        if (head.length <= maxLocal) {
+          val local = spark.createDataFrame(
+            java.util.Arrays.asList(head: _*), state.schema)
+          VT.create(local, viewDir, statsCols = statable,
+            txn = Some(appId -> srcV), props = props)
+          val v = VT.currentVersion(spark, viewDir).get
+          val meta = VT.readMeta(spark, viewDir, v)
+          val sc = stateCols(measures)
+          val nGroups = groupCols.size
+          putStateCache(spark, viewDir, meta, v,
+            head.iterator.map { r =>
+              ((0 until nGroups).map(r.get).toList: Seq[Any]) ->
+                Array.tabulate(sc.size)(i => r.getLong(nGroups + i))
+            }.toMap, maxLocal)
+          v
+        } else {
+          VT.create(state, viewDir, statsCols = statable,
+            txn = Some(appId -> srcV), props = props)
+          VT.currentVersion(spark, viewDir).get
+        }
       case Some(vv) =>
         val m = VT.readManifest(spark, viewDir, vv)
         // identity check BEFORE the cursor check: a recreated source

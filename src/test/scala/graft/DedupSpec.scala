@@ -144,12 +144,22 @@ class DedupSpec extends SparkSuite {
     }
   }
 
-  test("q_dedup_pk: the sort executes the dedup child ONCE (cached)") {
-    val df = SparkEntry.queries("q_dedup_pk")(spark, sf)
-    // the ORDER BY's subtree must read the CACHED dedup output: the sort
-    // and its range sampler then share one computation of the
-    // scan+exchange+TopK lineage (the sampler's pass populates the
-    // cache) instead of executing it twice — Spark's standard Sort shape
+  test("q_dedup_pk: at scale the sort executes the dedup child ONCE (cached)") {
+    // below the threshold (fixture scale) the re-execution is cheaper
+    // than the columnar encode: the plain shape must stay. Asserted
+    // FIRST — once the forced variant below registers its cache entry,
+    // CacheManager would swap it into any matching later plan.
+    val small = SparkEntry.queries("q_dedup_pk")(spark, sf)
+    assert(!small.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"),
+      "fixture-scale q_dedup_pk must keep the uncached shape")
+    // force the size gate ON: above the byte threshold the sort and its
+    // range sampler must share ONE computation of the scan+exchange+TopK
+    // lineage through the lazy cache (the sampler's pass populates it)
+    // instead of executing it twice — Spark's standard Sort shape
+    val df = withConfs("spark.graft.sortReuseBytes" -> "0") {
+      SparkEntry.queries("q_dedup_pk")(spark, sf)
+    }
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("InMemoryTableScan"),
       s"expected the lazy persist between dedup and sort:\n$plan")
