@@ -225,15 +225,17 @@ object ScaleBench {
     // Second-decade wall timing (500k docs / 200k embeddings) for the
     // SCALE-SAFE subset — the decade where the cost tiers ENGAGE
     // (simhash routes to Manku keys above 100k docs, embedding near-dup
-    // to IVF-cluster blocking above 100k rows), so the registered
-    // queries are measured running their scale path, not just having
-    // its candidate counts projected. The candidate-dense quadratics
-    // (near/jaccard_global/ngram on the near-dense synthetic pair
-    // graph, the deliberately-brute oracle tier) are excluded: their
-    // second decade measures fixture density, not blocking.
+    // to IVF-cluster blocking above 100k rows, and — since r16 — the
+    // global-Jaccard family's candidate budget escalates its generator
+    // to MinHash-LSH once the prefix-bucket total crosses 3e9), so the
+    // registered queries are measured running their scale path, not
+    // just having its candidate counts projected. q_ngram_jaccard (the
+    // deliberately-brute oracle tier) stays excluded: its second decade
+    // measures fixture density, not blocking.
     val family100 = Set("q_dedup_exact", "q_dedup_hash", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_embedding_ivf", "q_similarity_topk",
-      "q_similarity_lsh", "q_similarity_ivf", "q_embed_quantize")
+      "q_similarity_lsh", "q_similarity_ivf", "q_embed_quantize",
+      "q_dedup_near", "q_dedup_jaccard_global")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).count() // warm: codegen + page cache
