@@ -492,28 +492,28 @@ private[graft] object Queries {
     * engines and runs.
     */
   def dedupPk(s: SparkSession, d: String): DataFrame = {
-    val deduped = W.dedupByKey(li(s, d), Seq("l_orderkey"),
+    // Narrow to key + tiebreak BEFORE the dedup: the winner is decided by
+    // the total-order tiebreak alone, so dropping unused columns first
+    // changes no row — and it keeps the scan at 6 columns, which the
+    // aggregate plan cannot recover by itself (the packed struct's
+    // trailing fields participate in the ordering, so Catalyst must not
+    // prune them through min()).
+    val deduped = W.dedupByKey(
+      li(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "l_extendedprice", "l_quantity"),
+      Seq("l_orderkey"),
       Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
         col("l_extendedprice"), col("l_quantity")))
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-    // SIZE-GATED lazy persist between dedup and ORDER BY: the global
-    // sort's range sampler executes its child once for the partition
-    // bounds and the sort job executes it again — Spark's standard Sort
-    // shape, which at sf10 re-ran the TopK pass over the 60M-row shuffle
-    // (~half the query). Past the byte threshold (planner file-size
-    // stats, driver-only — no job) the lazy cache makes the dedup child
-    // execute ONCE: the sampler pass populates it, the sort reads it,
-    // MEMORY_AND_DISK eviction bounds residency. Below the threshold the
-    // re-execution is cheaper than the columnar encode, so the plain
-    // shape stays (measured 0.64 s vs 1.17 s at sf0.1) — the same
-    // cost-based tier idea as the dedup family's brute/prefix choice.
-    // Plan-pinned both ways in DedupSpec; persist is lazy, so
-    // construction stays action-free (localCheckpoint under AQE is not).
-    val gateBytes = s.conf.getOption("spark.graft.sortReuseBytes")
-      .map(_.toLong).getOrElse(256L << 20)
-    val big = li(s, d).queryExecution.optimizedPlan.stats.sizeInBytes >
-      BigInt(gateBytes)
-    (if (big) deduped.persist() else deduped).orderBy("l_orderkey")
+    // No persist between dedup and ORDER BY: the sort's range sampler
+    // does re-execute its child (Spark's standard Sort shape), but with
+    // the dedup now a partial-combining min(struct) aggregate the child
+    // is ~3x cheaper than the old hash-heap pass, and a lazy cache's
+    // columnar encode costs MORE than the re-execution it avoids at
+    // every measured scale (sf10: 7.0-8.2 s cached vs 4.3-5.7 s plain
+    // under the benched count; the earlier size-gated persist was
+    // compensating for the expensive child, not for the sort).
+    deduped.orderBy("l_orderkey")
   }
 
   private val dedupPkSql =

@@ -28,20 +28,94 @@ object Warehouse {
     * (load.py:146 `ON CONFLICT DO NOTHING` within a chunk = first row per
     * key wins; we order explicitly so the winner is stable across runs).
     *
-    * Planned through the bounded [[graft.plans.TopKPerGroupExec]] custom
-    * operator at k = 1: each task keeps ONE candidate row per key (an O(n)
-    * scan, no sort), the single hash exchange moves ≤ 1 row per
-    * (key, map partition), and the final node picks each key's winner —
-    * vs. the window row_number plan, which shuffles every duplicate and
-    * sorts each partition's full contents just to discard all but one row
-    * per key. The tiebreak must totally order rows within a key (same
-    * contract as before) for a stable winner; directional columns
-    * (e.g. `$"ts".desc` for latest-wins) are honored. Same
-    * single-exchange shape, `q_dedup_pk` plan-pinned.
+    * COST-BASED plan choice, measured at sf10 (60M rows, 14.7M keys):
+    *
+    *  - Uniform-direction attribute tiebreaks (all plain ascending or all
+    *    plain descending — every PK-dedup/CDC consumer in this repo) plan
+    *    as a NATIVE partial-combining aggregate: `min(struct(tiebreak ++
+    *    rest))` (`max` for descending). k = 1 per-group selection IS an
+    *    ordinary aggregate, and Spark's sort-based partial aggregate
+    *    (radix sort on the key + streaming combine) beats the custom
+    *    hash-heap operator ~3× when keys are near-unique per task — the
+    *    exact shape PK dedup has, where a per-row hash-map insert buys no
+    *    combining. Struct ordering compares fields left to right with the
+    *    same NULLS FIRST semantics as the SortOrder default, so the
+    *    winner is identical; the non-tiebreak fields ride behind the
+    *    tiebreak in the struct, which under the total-order contract
+    *    never decides (and without it makes the pick deterministic
+    *    rather than encounter-order-arbitrary).
+    *  - Everything else (mixed directions, expression tiebreaks,
+    *    explicit non-default null ordering, duplicate column names)
+    *    plans through the bounded [[graft.plans.TopKPerGroupExec]]
+    *    operator at k = 1 — the O(n) no-sort hash-heap path, which stays
+    *    the winner when groups are few (genuine top-k ranking, k > 1).
+    *
+    * The tiebreak must totally order rows within a key (same contract as
+    * before) for a stable winner. `spark.graft.dedup.forceTopK=true`
+    * pins the custom-operator plan for A/B measurement.
     */
-  def dedupByKey(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame =
-    graft.plans.TopKPlans.topKPerGroupSort(df, keys, tiebreak, 1, "__rn")
-      .drop("__rn")
+  def dedupByKey(df: DataFrame, keys: Seq[String], tiebreak: Seq[Column]): DataFrame = {
+    val forceTopK = df.sparkSession.conf
+      .getOption("spark.graft.dedup.forceTopK").exists(_.toBoolean)
+    val fast = if (forceTopK) None else minStructDedup(df, keys, tiebreak)
+    fast.getOrElse(
+      graft.plans.TopKPlans.topKPerGroupSort(df, keys, tiebreak, 1, "__rn")
+        .drop("__rn"))
+  }
+
+  /** The native-aggregate k = 1 plan when the tiebreak is eligible (see
+    * [[dedupByKey]]); None → caller falls back to the custom operator.
+    * Eligibility is deliberately conservative: every sort item must
+    * resolve to a DISTINCT plain attribute of `df` with the direction's
+    * DEFAULT null ordering, all column names must be unique and
+    * struct-safe, and every carried type orderable.
+    */
+  private def minStructDedup(df: DataFrame, keys: Seq[String],
+                             tiebreak: Seq[Column]): Option[DataFrame] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, NullsFirst, NullsLast, RowOrdering}
+    if (tiebreak.isEmpty) return None
+    val cols = df.columns
+    if (cols.distinct.length != cols.length) return None
+    // plain col("a.b") parses as a field access — stay off such names
+    if (cols.exists(c => c.contains(".") || c.contains("`"))) return None
+    if (!keys.forall(cols.contains)) return None
+    // resolve direction + target attribute exactly the way the custom
+    // operator does: analyze a throwaway sort of the same child
+    val analyzed =
+      try df.sort(tiebreak: _*).queryExecution.analyzed
+      catch { case scala.util.control.NonFatal(_) => return None }
+    val order = analyzed.collectFirst {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort => s.order
+    }.getOrElse(return None)
+    val dfAttrs = df.queryExecution.analyzed.output
+    val resolved = order.map { so =>
+      (so.child match { case a: Alias => a.child; case c => c }) match {
+        case a: Attribute => dfAttrs.find(_.exprId == a.exprId).map(att =>
+          (att.name, so.direction, so.nullOrdering))
+        case _ => None
+      }
+    }
+    if (resolved.exists(_.isEmpty)) return None
+    val items = resolved.flatten
+    val tbNames = items.map(_._1)
+    if (tbNames.distinct.length != tbNames.length) return None
+    val useMin = items.forall { case (_, d, n) =>
+      d == Ascending && n == NullsFirst }
+    val useMax = items.forall { case (_, d, n) =>
+      d == Descending && n == NullsLast }
+    if (!useMin && !useMax) return None
+    val packNames = tbNames.filterNot(keys.contains) ++
+      cols.filterNot(c => keys.contains(c) || tbNames.contains(c))
+    if (packNames.isEmpty) return None // keys-only rows: keep the operator
+    val typeOf = dfAttrs.map(a => a.name -> a.dataType).toMap
+    if (!packNames.forall(c => RowOrdering.isOrderable(typeOf(c)))) return None
+    val packed = struct(packNames.map(col): _*)
+    val w = (if (useMin) min(packed) else max(packed)).as("__vt_w")
+    Some(df.groupBy(keys.map(col): _*).agg(w)
+      .select(cols.map(c =>
+        if (keys.contains(c)) col(c)
+        else col("__vt_w").getField(c).as(c)).toIndexedSeq: _*))
+  }
 
   /** SQL MERGE cardinality guard: passes every row through UNCHANGED but
     * raises at runtime if two source rows share a merge key — the

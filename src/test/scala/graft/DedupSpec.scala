@@ -144,28 +144,20 @@ class DedupSpec extends SparkSuite {
     }
   }
 
-  test("q_dedup_pk: at scale the sort executes the dedup child ONCE (cached)") {
-    // below the threshold (fixture scale) the re-execution is cheaper
-    // than the columnar encode: the plain shape must stay. Asserted
-    // FIRST — once the forced variant below registers its cache entry,
-    // CacheManager would swap it into any matching later plan.
-    val small = SparkEntry.queries("q_dedup_pk")(spark, sf)
-    assert(!small.queryExecution.executedPlan.toString
-      .contains("InMemoryTableScan"),
-      "fixture-scale q_dedup_pk must keep the uncached shape")
-    // force the size gate ON: above the byte threshold the sort and its
-    // range sampler must share ONE computation of the scan+exchange+TopK
-    // lineage through the lazy cache (the sampler's pass populates it)
-    // instead of executing it twice — Spark's standard Sort shape
-    val df = withConfs("spark.graft.sortReuseBytes" -> "0") {
-      SparkEntry.queries("q_dedup_pk")(spark, sf)
-    }
+  test("q_dedup_pk: uncached aggregate shape; pre-dedup narrowing changes no row") {
+    // no lazy persist between dedup and sort at ANY scale: with the
+    // dedup a partial-combining min(struct) aggregate, the columnar
+    // encode costs more than the sampler's re-execution it would avoid
+    // (measured at sf10 — see SparkEntry.dedupPk)
+    val df = SparkEntry.queries("q_dedup_pk")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("InMemoryTableScan"),
-      s"expected the lazy persist between dedup and sort:\n$plan")
-    assert(plan.contains("TopKPerGroup"),
-      s"the cached lineage must still rank through the bounded operator:\n$plan")
-    // and the short-circuit changes no rows
+    assert(!plan.contains("InMemoryTableScan"),
+      s"q_dedup_pk must keep the uncached shape:\n$plan")
+    assert(plan.contains("partial_min"),
+      s"dedup must plan the partial-combining min(struct) aggregate:\n$plan")
+    // the query narrows to key+tiebreak before the dedup; the winner is
+    // decided by the total-order tiebreak alone, so the full-width dedup
+    // agrees row for row
     val direct = graft.ops.Warehouse.dedupByKey(
         Tables(spark, sf, "lineitem"), Seq("l_orderkey"),
         Seq(col("l_linenumber"), col("l_partkey"), col("l_suppkey"),

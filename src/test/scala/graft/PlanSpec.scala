@@ -121,17 +121,42 @@ class PlanSpec extends SparkSuite {
       s"expected <=2 hash shuffles, got $exchanges:\n$p")
   }
 
-  test("q_dedup_pk: single shuffle keyed on the dedup key, ranked by bounded heaps") {
+  test("q_dedup_pk: single shuffle keyed on the dedup key, partial-combining aggregate") {
     val p0 = plan("q_dedup_pk")
     // a materialized AQE cache prints "== Final Plan ==" AND "== Initial
     // Plan ==" for the same subtree — count exchanges once, not per echo
     val p = p0.split("== Initial Plan ==")(0)
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges <= 1, s"dedup should shuffle once on the key, got $exchanges:\n$p")
-    assert(p.contains("TopKPerGroup"),
-      s"dedupByKey must rank through the bounded custom operator:\n$p")
+    // the k=1 all-ascending tiebreak plans as a NATIVE min(struct)
+    // aggregate (partial combine on the map side — the shuffle moves one
+    // row per (key, task), not every duplicate), measured ~3x the custom
+    // hash-heap operator at sf10's near-unique key cardinality
+    assert(p.contains("partial_min"),
+      s"dedupByKey must plan a partial-combining min(struct) aggregate:\n$p")
     assert(!p.contains("Window"),
       s"dedupByKey must not plan a window sort:\n$p")
+  }
+
+  test("dedupByKey: mixed-direction tiebreak stays on the bounded custom operator") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables(spark, sf, "lineitem")
+    val p = graft.ops.Warehouse.dedupByKey(df, Seq("l_orderkey"),
+        Seq(col("l_linenumber").asc, col("l_partkey").desc))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"),
+      s"mixed asc/desc cannot map to min/max(struct) — expected the " +
+        s"custom operator:\n$p")
+  }
+
+  test("dedupByKey: all-descending tiebreak plans as max(struct)") {
+    import org.apache.spark.sql.functions.col
+    val df = Tables(spark, sf, "lineitem")
+    val p = graft.ops.Warehouse.dedupByKey(df, Seq("l_orderkey"),
+        Seq(col("l_linenumber").desc, col("l_partkey").desc))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_max"),
+      s"all-desc should plan the max(struct) aggregate:\n$p")
   }
 
   test("q_bloom_join: native bloom probe on the fact side BEFORE the join, no ScalaUDF") {

@@ -38,6 +38,27 @@ class WarehouseSpec extends SparkSuite {
     assert(out(0).getString(1) == "a" && out(0).getDouble(2) == 0.5)
   }
 
+  test("dedupByKey: native-aggregate fast path equals the custom operator, nulls included") {
+    // null tiebreak values exercise the NULLS FIRST (asc) / NULLS LAST
+    // (desc) agreement between SortOrder defaults and struct ordering
+    val df = Seq[(Int, Option[String], Option[Double])](
+      (1, Some("b"), Some(2.0)), (1, None, Some(9.0)), (1, Some("a"), None),
+      (2, Some("c"), Some(3.0)), (2, Some("c"), Some(1.0)),
+      (3, None, None), (3, None, Some(0.0)))
+      .toDF("k", "s", "v")
+    def run(tb: Seq[org.apache.spark.sql.Column], force: Boolean) = {
+      spark.conf.set("spark.graft.dedup.forceTopK", force.toString)
+      try Warehouse.dedupByKey(df, Seq("k"), tb).orderBy("k")
+        .collect().map(_.toSeq).toSeq
+      finally spark.conf.unset("spark.graft.dedup.forceTopK")
+    }
+    for (tb <- Seq(Seq($"s", $"v"), Seq($"s".desc, $"v".desc))) {
+      val fast = run(tb, force = false)
+      val slow = run(tb, force = true)
+      assert(fast == slow, s"tiebreak $tb: fast=$fast slow=$slow")
+    }
+  }
+
   test("upsertNewRows = incoming minus existing keys") {
     val target = Seq((1, "t"), (2, "t")).toDF("k", "v")
     val incoming = Seq((2, "i"), (3, "i")).toDF("k", "v")
