@@ -1123,7 +1123,8 @@ private[graft] object Queries {
     // merge-scan kernel. Identical output either way — the oracle is the
     // quadratic set-Jaccard in DuckDB.
     DedupOps.jaccardPairsBlocked(Tables.documents(s, d), "doc_id", "text",
-        "source", n = 3, threshold = 0.6)
+        "source", n = 3, threshold = 0.6,
+        candidatePairBudget = Some(JaccardCandidateBudget))
       .orderBy("id_a", "id_b")
 
   private val ngramJaccardSql =

@@ -573,14 +573,80 @@ object DedupOps {
   def jaccardPairsBlocked(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, n: Int = 3,
                           threshold: Double = 0.6,
-                          maxBitsetUniverse: Long = MaxBitsetUniverse): DataFrame = {
+                          maxBitsetUniverse: Long = MaxBitsetUniverse,
+                          candidatePairBudget: Option[Long] = None): DataFrame = {
     val docs = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       sortedShingles(col(textCol), n).as("sh"))
-    val pairsOf: (DataFrame, Column) => DataFrame = (sides, jac) =>
-      sides.as("a").join(sides.as("b"),
-          col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+    // CANDIDATE BUDGET (opt-in), the blocked twin of the global path's:
+    // within-block all-pairs is quadratic in the block size BY SEMANTICS,
+    // so on a corpus whose blocks grow with it the evaluated-pair total
+    // Σ_blk C(n_blk, 2) is the scale ceiling. Unlike the global prefix
+    // path the total here is EXACT and one cheap distributed aggregate
+    // (block histogram), no sampling. Over budget, the candidate
+    // GENERATOR escalates to MinHash-LSH bands WITHIN blocks (band key =
+    // (blk, band, bhash)) with exact verification — precision 1.0, the
+    // same logged sampled-recall contract (≥ 1-(1-t^5)^12 − est tail at
+    // J = t), no silent caps.
+    val overBudget = candidatePairBudget.filter { budget =>
+      val row = docs.groupBy("blk").agg(count(lit(1)).as("c"))
+        .agg(sum((col("c") * (col("c") - lit(1)) / 2).cast("long")).as("t"))
+        .first()
+      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+      total <= budget match {
+        case true => lastCapReport = None; false
+        case false =>
+          val (k, bands) = (60, 12)
+          val r = k / bands
+          val bound = 1.0 - math.pow(1.0 - math.pow(threshold, r), bands) - 0.0013
+          lastCapReport = Some(CapReport(candidatesBefore = total,
+            budget = budget, bands = bands, rowsPerBand = r,
+            recallBoundAtThreshold = bound))
+          System.err.println(s"[graft] jaccardPairsBlocked: per-block " +
+            s"all-pairs would evaluate $total candidate pairs (budget " +
+            s"$budget) — escalating the candidate generator to " +
+            s"within-block MinHash-LSH ($bands bands x $r rows); " +
+            f"verification stays exact (precision 1.0), per-pair recall " +
+            f"at J=$threshold >= $bound%.6f and higher above it")
+          true
+      }
+    }.isDefined
+    if (overBudget) {
+      val (k, bands) = (60, 12)
+      val r = k / bands
+      val margin = math.max(0.0, threshold -
+        3.0 * math.sqrt(threshold * (1 - threshold) / k) - 1.0 / k)
+      val sigs = docs.select(col("id"), col("blk"),
+        minhashSignature(col("sh"), k).as("sig"))
+      val banded = sigs.select(col("id"), col("blk"), col("sig"),
+        posexplode(lshBandHashes(col("sig"), bands, r)).as(Seq("band", "bhash")))
+      val cands = banded.as("a").join(banded.as("b"),
+          col("a.blk") === col("b.blk") && col("a.band") === col("b.band") &&
+            col("a.bhash") === col("b.bhash") && col("a.id") < col("b.id") &&
+            minhashEstimate(col("a.sig"), col("b.sig"), k) >= margin)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      return cands
+        .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .select(col("id_a"), col("id_b"),
+          graft.functions.VectorExpressions
+            .jaccardSortedGE(col("sh_a"), col("sh_b"), threshold).as("jac"))
+        .filter(col("jac") >= threshold)
+    }
+    // size-band rejection shared by both exact tiers: |A∩B| ≤ min sizes,
+    // so J ≥ t needs b.sz ≥ ⌈a.sz·t⌉ (and symmetrically) — two long
+    // compares per evaluated pair, precomputed per ROW as `lo` (the join
+    // condition runs O(block²) times; see the global brute tier)
+    val sizeBand = col("b.sz") >= col("a.lo") && col("a.sz") >= col("b.lo")
+    val pairsOf: (DataFrame, Column) => DataFrame = (sides, jac) => {
+      val banded = sides.withColumn("lo",
+        ceilSafe(col("sz") * threshold).cast("long"))
+      banded.as("a").join(banded.as("b"),
+          col("a.blk") === col("b.blk") && col("a.id") < col("b.id") &&
+            sizeBand)
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"), jac.as("jac"))
         .filter(col("jac") >= threshold)
+    }
     // Sampled lower-bound pre-probe: a token universe is never smaller
     // than a 1000-doc sample's, so when even the sample overflows the cap
     // the full-corpus distinct aggregation (a whole extra pass at 100 TB)
@@ -597,14 +663,14 @@ object DedupOps {
         // localCheckpoint: the block self-join would otherwise execute the
         // explode→dict-join→groupBy pipeline once per side.
         val withBits = attachBitsets(docs, Seq("id", "blk"), toks, universe)
-          .select(col("id"), col("blk"), col("bits"))
+          .select(col("id"), col("blk"), size(col("ids")).as("sz"), col("bits"))
           .localCheckpoint()
         return pairsOf(withBits,
           graft.functions.VectorExpressions.bitsetJaccard(col("a.bits"), col("b.bits")))
       }
       toks.unpersist()
     }
-    pairsOf(docs,
+    pairsOf(docs.withColumn("sz", size(col("sh"))),
       graft.functions.VectorExpressions
         .jaccardSortedGE(col("a.sh"), col("b.sh"), threshold))
   }

@@ -229,6 +229,38 @@ class DedupSpec extends SparkSuite {
     assert(truth.nonEmpty && run(Long.MaxValue) == truth && run(0) == truth)
   }
 
+  test("blocked candidate budget: non-binding = exact; binding = precision 1.0, loud report") {
+    val sample = docs.limit(400).cache()
+    def run(budget: Option[Long], cap: Long = Long.MaxValue) =
+      DedupOps.jaccardPairsBlocked(sample, "doc_id", "text", "source", 3, 0.6,
+          maxBitsetUniverse = cap, candidatePairBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = run(None)
+    assert(exact.nonEmpty)
+    // non-binding budget: byte-identical to the exact path on BOTH
+    // verification tiers, and no cap reported
+    assert(run(Some(Long.MaxValue)) == exact)
+    assert(DedupOps.lastCapReport.isEmpty,
+      "a non-binding blocked budget must not report a cap")
+    assert(run(Some(Long.MaxValue), cap = 0) == exact)
+    // binding: the within-block LSH tier verifies exactly (subset of the
+    // exact pairs, identical jac values) and reports the escalation
+    val capped = run(Some(1000L))
+    val rep = DedupOps.lastCapReport
+    assert(rep.nonEmpty, "a binding blocked budget must be REPORTED")
+    assert(rep.get.candidatesBefore > 1000L && rep.get.budget == 1000L &&
+      rep.get.bands == 12 && rep.get.rowsPerBand == 5,
+      s"report must state the escalation: ${rep.get}")
+    assert(capped.subsetOf(exact),
+      s"budgeted blocked tier emitted a non-pair: ${(capped -- exact).take(3)}")
+    val recall = capped.size.toDouble / exact.size
+    info(f"blocked budgeted-tier recall on fixture: $recall%.3f " +
+      s"(${capped.size}/${exact.size})")
+    assert(recall >= rep.get.recallBoundAtThreshold,
+      f"recall $recall%.3f fell below the stated at-threshold bound " +
+        f"${rep.get.recallBoundAtThreshold}%.3f")
+  }
+
   test("simhash: identical texts at distance 0, different texts far") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
