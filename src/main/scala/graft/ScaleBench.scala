@@ -227,15 +227,14 @@ object ScaleBench {
     // (simhash routes to Manku keys above 100k docs, embedding near-dup
     // to IVF-cluster blocking above 100k rows, and — since r16 — the
     // global-Jaccard family's candidate budget escalates its generator
-    // to MinHash-LSH once the prefix-bucket total crosses 3e9), so the
-    // registered queries are measured running their scale path, not
-    // just having its candidate counts projected. q_ngram_jaccard (the
-    // deliberately-brute oracle tier) stays excluded: its second decade
-    // measures fixture density, not blocking.
+    // to MinHash-LSH once the prefix-bucket total crosses 3e9, and the
+    // BLOCKED path's exact block-histogram budget does the same for
+    // q_ngram_jaccard), so the registered queries are measured running
+    // their scale path, not just having its candidate counts projected.
     val family100 = Set("q_dedup_exact", "q_dedup_hash", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_embedding_ivf", "q_similarity_topk",
       "q_similarity_lsh", "q_similarity_ivf", "q_embed_quantize",
-      "q_dedup_near", "q_dedup_jaccard_global")
+      "q_dedup_near", "q_dedup_jaccard_global", "q_ngram_jaccard")
     def time(name: String, dir: String): Double = {
       val fn = SparkEntry.queries(name)
       fn(spark, dir).count() // warm: codegen + page cache
