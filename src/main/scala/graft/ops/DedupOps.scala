@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM-data pipelines (SURVEY §2.7 north-star):
@@ -452,9 +452,9 @@ object DedupOps {
               >= minOverlap))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
-      candidatePairBudget match {
-        case None => lastCapReport = None; exactCands()
-        case Some(budget) =>
+      resolveCandidateBudget(df.sparkSession, candidatePairBudget) match {
+        case (None, _) => lastCapReport = None; exactCands()
+        case (Some(budget), budgetSource) =>
           val spark2 = df.sparkSession
           import spark2.implicits._
           // tier decision from a sample: building the FULL prefix
@@ -488,8 +488,8 @@ object DedupOps {
             // sqrt(t(1-t)/k) — one-sided tail <= 0.0013 at J=t) makes
             // sub-threshold bucket pairs die during condition evaluation
             // instead of materializing into the distinct.
-            val (k, bands) = (60, 12)
-            val r = k / bands
+            val (bands, r) = resolveLshShape(spark2)
+            val k = bands * r
             val bandBound = 1.0 - math.pow(1.0 - math.pow(threshold, r), bands)
             val estTail = 0.0013
             val bound = bandBound - estTail
@@ -497,11 +497,11 @@ object DedupOps {
               3.0 * math.sqrt(threshold * (1 - threshold) / k) - 1.0 / k)
             val rep = CapReport(candidatesBefore = total, budget = budget,
               bands = bands, rowsPerBand = r,
-              recallBoundAtThreshold = bound)
+              recallBoundAtThreshold = bound, source = budgetSource)
             lastCapReport = Some(rep)
             System.err.println(s"[graft] jaccardPairsGlobal: exact prefix " +
               s"join would evaluate $total candidate pairs (budget " +
-              s"$budget) — escalating the candidate generator to " +
+              s"$budget from $budgetSource) — escalating the candidate generator to " +
               s"MinHash-LSH ($bands bands x $r rows, est-filter margin " +
               f"$margin%.3f); verification stays exact (precision 1.0), " +
               f"per-pair recall at J=$threshold >= $bound%.6f and higher " +
@@ -545,9 +545,45 @@ object DedupOps {
     */
   @volatile var lastCapReport: Option[CapReport] = None
 
+  /** `source` names where the binding budget came from — the session conf
+    * or the caller's argument — so an escalation in the no-silent-caps
+    * probe is attributable without a rebuild-time diff.
+    */
   final case class CapReport(candidatesBefore: Long, budget: Long,
                              bands: Int, rowsPerBand: Int,
-                             recallBoundAtThreshold: Double)
+                             recallBoundAtThreshold: Double,
+                             source: String = "arg")
+
+  /** Session conf that overrides the caller's `candidatePairBudget`
+    * argument on both Jaccard pair paths — a long, or `none`/`off` to
+    * disable the budget entirely. Operators tune the exact↔LSH tradeoff
+    * per session instead of rebuilding the jar.
+    */
+  val CandidateBudgetConf = "spark.graft.dedup.candidatePairBudget"
+
+  /** LSH escalation shape knobs (k = bands × rowsPerBand minhashes).
+    * Defaults 12×5: see the tier comment in [[jaccardPairsGlobal]].
+    */
+  val LshBandsConf = "spark.graft.dedup.lsh.bands"
+  val LshRowsConf = "spark.graft.dedup.lsh.rowsPerBand"
+
+  /** (effective budget, source label): conf beats argument. */
+  private[graft] def resolveCandidateBudget(spark: SparkSession,
+      arg: Option[Long]): (Option[Long], String) =
+    spark.conf.getOption(CandidateBudgetConf) match {
+      case Some(v) if v.equalsIgnoreCase("none") || v.equalsIgnoreCase("off") =>
+        (None, s"conf:$CandidateBudgetConf=$v")
+      case Some(v) => (Some(v.trim.toLong), s"conf:$CandidateBudgetConf")
+      case None => (arg, "arg")
+    }
+
+  private[graft] def resolveLshShape(spark: SparkSession): (Int, Int) = {
+    val bands = spark.conf.getOption(LshBandsConf).map(_.trim.toInt).getOrElse(12)
+    val r = spark.conf.getOption(LshRowsConf).map(_.trim.toInt).getOrElse(5)
+    require(bands >= 1 && r >= 1,
+      s"$LshBandsConf/$LshRowsConf must be >= 1, got bands=$bands rows=$r")
+    (bands, r)
+  }
 
   /** Token-universe cap for the bitset verification path: ⌈U/64⌉ longs per
     * doc (32768 → 4 KB) — past that, per-doc bitsets cost more to shuffle
@@ -587,35 +623,47 @@ object DedupOps {
     // (blk, band, bhash)) with exact verification — precision 1.0, the
     // same logged sampled-recall contract (≥ 1-(1-t^5)^12 − est tail at
     // J = t), no silent caps.
-    val overBudget = candidatePairBudget.filter { budget =>
-      val row = docs.groupBy("blk").agg(count(lit(1)).as("c"))
-        .agg(sum((col("c") * (col("c") - lit(1)) / 2).cast("long")).as("t"))
-        .first()
-      val total = if (row.isNullAt(0)) 0L else row.getLong(0)
-      total <= budget match {
-        case true => lastCapReport = None; false
-        case false =>
-          val (k, bands) = (60, 12)
-          val r = k / bands
+    val overBudget = resolveCandidateBudget(df.sparkSession,
+        candidatePairBudget) match {
+      case (None, _) => lastCapReport = None; false
+      case (Some(budget), budgetSource) =>
+        // null-keyed rows never join (`a.blk === b.blk` skips nulls), so
+        // the histogram must not count their pseudo-block toward the
+        // exact-tier cost — it would force a recall-losing escalation on
+        // a corpus whose REAL evaluated-pair total is under budget
+        val row = docs.filter(col("blk").isNotNull)
+          .groupBy("blk").agg(count(lit(1)).as("c"))
+          .agg(sum((col("c") * (col("c") - lit(1)) / 2).cast("long")).as("t"))
+          .first()
+        val total = if (row.isNullAt(0)) 0L else row.getLong(0)
+        if (total <= budget) { lastCapReport = None; false }
+        else {
+          val (bands, r) = resolveLshShape(df.sparkSession)
+          val k = bands * r
           val bound = 1.0 - math.pow(1.0 - math.pow(threshold, r), bands) - 0.0013
           lastCapReport = Some(CapReport(candidatesBefore = total,
             budget = budget, bands = bands, rowsPerBand = r,
-            recallBoundAtThreshold = bound))
+            recallBoundAtThreshold = bound, source = budgetSource))
           System.err.println(s"[graft] jaccardPairsBlocked: per-block " +
             s"all-pairs would evaluate $total candidate pairs (budget " +
-            s"$budget) — escalating the candidate generator to " +
-            s"within-block MinHash-LSH ($bands bands x $r rows); " +
-            f"verification stays exact (precision 1.0), per-pair recall " +
-            f"at J=$threshold >= $bound%.6f and higher above it")
+            s"$budget from $budgetSource) — escalating the candidate " +
+            s"generator to within-block MinHash-LSH ($bands bands x $r " +
+            f"rows); verification stays exact (precision 1.0), per-pair " +
+            f"recall at J=$threshold >= $bound%.6f and higher above it")
           true
-      }
-    }.isDefined
+        }
+    }
     if (overBudget) {
-      val (k, bands) = (60, 12)
-      val r = k / bands
+      val (bands, r) = resolveLshShape(df.sparkSession)
+      val k = bands * r
       val margin = math.max(0.0, threshold -
         3.0 * math.sqrt(threshold * (1 - threshold) / k) - 1.0 / k)
-      val sigs = docs.select(col("id"), col("blk"),
+      // one execution per side, like the bitset tier: the signature pass
+      // and BOTH verification joins would otherwise re-run the full
+      // corpus re-shingle — two extra passes on precisely the corpora
+      // big enough to trip the budget
+      val pinned = docs.localCheckpoint()
+      val sigs = pinned.select(col("id"), col("blk"),
         minhashSignature(col("sh"), k).as("sig"))
       val banded = sigs.select(col("id"), col("blk"), col("sig"),
         posexplode(lshBandHashes(col("sig"), bands, r)).as(Seq("band", "bhash")))
@@ -626,8 +674,8 @@ object DedupOps {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
       return cands
-        .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .join(pinned.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(pinned.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
         .select(col("id_a"), col("id_b"),
           graft.functions.VectorExpressions
             .jaccardSortedGE(col("sh_a"), col("sh_b"), threshold).as("jac"))

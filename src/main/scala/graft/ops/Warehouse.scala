@@ -74,6 +74,10 @@ object Warehouse {
                              tiebreak: Seq[Column]): Option[DataFrame] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Descending, NullsFirst, NullsLast, RowOrdering}
     if (tiebreak.isEmpty) return None
+    // same nonEmpty-keys contract as the custom-operator fallback (whose
+    // TopKPerGroup requires it) — an empty `keys` must not silently plan
+    // a global one-row aggregate on one path and throw on the other
+    if (keys.isEmpty) return None
     val cols = df.columns
     if (cols.distinct.length != cols.length) return None
     // plain col("a.b") parses as a field access — stay off such names

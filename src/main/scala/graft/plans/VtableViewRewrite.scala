@@ -71,23 +71,71 @@ object VtableViewRewrite extends Rule[LogicalPlan] {
         rewrite(agg).getOrElse(agg)
     }
 
-  /** Pass-through Projects and at most one Filter between the aggregate
-    * and the tagged base relation; anything else is not a shape the view
-    * can answer.
+  private val dvKeyNames = Set("__vt_file", "__vt_pos")
+
+  /** A bare scan of DV sidecar files — (possibly attribute-projected)
+    * relation whose output is exactly the reserved dv key pair. Returns
+    * its input files (scheme-stripped) for the manifest identity check.
     */
-  private def strip(p: LogicalPlan, cond: Option[Expression])
-      : Option[(Option[Expression], LogicalRelation)] = p match {
-    case lr: LogicalRelation => Some((cond, lr))
+  private def dvSidecarFiles(p: LogicalPlan): Option[Set[String]] = p match {
+    case lr: LogicalRelation if lr.output.map(_.name).toSet == dvKeyNames =>
+      lr.relation match {
+        case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          Some(h.location.inputFiles.map(f =>
+            new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet)
+        case _ => None
+      }
     case Project(pl, c) if pl.forall(_.isInstanceOf[AttributeReference]) =>
-      strip(c, cond)
-    case Filter(f, c) if cond.isEmpty => strip(c, Some(f))
+      dvSidecarFiles(c)
+    // the optimizer's inferred null-filter on the join keys: dropping
+    // null-keyed sidecar rows never changes anti-join semantics (null
+    // keys match nothing), and the identity check is on the FILE set
+    case Filter(f, c) if f.references.forall(r => dvKeyNames(r.name)) =>
+      dvSidecarFiles(c)
     case _ => None
   }
 
+  /** Pass-through Projects, at most one Filter, and at most one
+    * deletion-vector fold (the table's own base⟕sidecar anti-join on the
+    * reserved position keys) between the aggregate and the tagged base
+    * relation; anything else is not a shape the view can answer. `dv`
+    * carries the sidecar scan's file set so the caller can verify it IS
+    * the tagged version's dv state — an arbitrary user anti-join must
+    * refuse.
+    */
+  private def strip(p: LogicalPlan, cond: Option[Expression],
+                    dv: Option[Set[String]])
+      : Option[(Option[Expression], LogicalRelation, Option[Set[String]])] =
+    p match {
+      case lr: LogicalRelation => Some((cond, lr, dv))
+      case Project(pl, c) if pl.forall {
+          case _: AttributeReference => true
+          // under the dv fold, the base side carries the two computed
+          // join keys as aliases — transparent to the aggregate, which
+          // references only real columns
+          case a: Alias => dv.isDefined && dvKeyNames(a.name)
+          case _ => false
+        } => strip(c, cond, dv)
+      case Filter(f, c) if cond.isEmpty => strip(c, Some(f), dv)
+      case org.apache.spark.sql.catalyst.plans.logical.Join(l, r,
+          org.apache.spark.sql.catalyst.plans.LeftAnti, jc, _)
+          if dv.isEmpty && jc.exists(_.references.filter(r.outputSet.contains)
+            .map(_.name).toSet == dvKeyNames) =>
+        dvSidecarFiles(r).flatMap(files => strip(l, cond, Some(files)))
+      case _ => None
+    }
+
   private def rewrite(agg: Aggregate): Option[LogicalPlan] =
     for {
-      (cond, lr) <- strip(agg.child, None)
+      (cond, lr, dvFiles) <- strip(agg.child, None, None)
       (srcDir, srcV) <- lr.getTagValue(VersionedTable.pruneTag)
+      // dv-state identity, from the tag (no I/O): a dv-fold scan must
+      // anti-join EXACTLY the tagged version's sidecar set; a bare
+      // tagged scan must have none pending. The view's state at a fresh
+      // cursor includes the DV retraction (signedRowsBetween composes
+      // DVs), so answering from it is exact.
+      if dvFiles == lr.getTagValue(VersionedTable.dvStateTag)
+        .filter(_.nonEmpty)
       spark = sessionOf(lr)
       // kill switch (ScaleBench uses it to measure the un-rewritten scan;
       // operators can use it to rule the rewrite out while debugging)

@@ -261,6 +261,91 @@ class DedupSpec extends SparkSuite {
         f"${rep.get.recallBoundAtThreshold}%.3f")
   }
 
+  test("candidate budget conf: session knob beats the argument, names itself, 'off' disables") {
+    val sample = docs.limit(400).cache()
+    def runGlobal(budget: Option[Long]) =
+      DedupOps.jaccardPairsGlobal(sample, "doc_id", "text", 3, 0.6,
+          bruteMaxDocs = 0L, candidatePairBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = runGlobal(None)
+    try {
+      // conf budget binds WITHOUT any argument — tune without a rebuild —
+      // and the report names the conf as the budget's source
+      spark.conf.set(DedupOps.CandidateBudgetConf, "20000")
+      val capped = runGlobal(None)
+      val rep = DedupOps.lastCapReport
+      assert(rep.nonEmpty && rep.get.budget == 20000L &&
+        rep.get.source == s"conf:${DedupOps.CandidateBudgetConf}",
+        s"conf-sourced budget must bind and name itself: $rep")
+      assert(capped.subsetOf(exact))
+      // 'off' disables even a binding ARGUMENT budget: exact path, no report
+      spark.conf.set(DedupOps.CandidateBudgetConf, "off")
+      assert(runGlobal(Some(1L)) == exact,
+        "conf=off must force the exact path over a binding argument")
+      assert(DedupOps.lastCapReport.isEmpty)
+      // LSH shape knobs reach the escalated tier (and the report)
+      spark.conf.set(DedupOps.CandidateBudgetConf, "20000")
+      spark.conf.set(DedupOps.LshBandsConf, "16")
+      spark.conf.set(DedupOps.LshRowsConf, "4")
+      val reshaped = runGlobal(None)
+      val rep2 = DedupOps.lastCapReport
+      assert(rep2.exists(r => r.bands == 16 && r.rowsPerBand == 4),
+        s"LSH shape conf must reach the escalation: $rep2")
+      assert(reshaped.subsetOf(exact))
+      // blocked path honors the same conf
+      DedupOps.jaccardPairsBlocked(sample, "doc_id", "text", "source", 3, 0.6,
+        candidatePairBudget = None).collect()
+      val rep3 = DedupOps.lastCapReport
+      assert(rep3.forall(_.source.startsWith("conf:")),
+        s"blocked path must resolve the same conf: $rep3")
+    } finally {
+      spark.conf.unset(DedupOps.CandidateBudgetConf)
+      spark.conf.unset(DedupOps.LshBandsConf)
+      spark.conf.unset(DedupOps.LshRowsConf)
+    }
+  }
+
+  test("blocked budget hygiene: stale reports clear, null blocks don't inflate the probe") {
+    val sample = docs.limit(400).cache()
+    def run(df: org.apache.spark.sql.DataFrame, budget: Option[Long]) =
+      DedupOps.jaccardPairsBlocked(df, "doc_id", "text", "source", 3, 0.6,
+          candidatePairBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // 1. a binding run leaves a report; an UNBUDGETED run must clear it —
+    //    the contract is "None when the budget was absent"
+    run(sample, Some(1000L))
+    assert(DedupOps.lastCapReport.nonEmpty)
+    val exact = run(sample, None)
+    assert(DedupOps.lastCapReport.isEmpty,
+      "an unbudgeted blocked run must clear a stale cap report")
+    // 2. null-keyed rows never pair (=== skips nulls), so a null-heavy
+    //    block column must not push an under-budget corpus over the line
+    val withNulls = sample.withColumn("source",
+      when($"doc_id" % 2 === 0, $"source"))  // half the corpus null-blocked
+    val nonNullTotal = {
+      val counts = withNulls.filter($"source".isNotNull)
+        .groupBy($"source").count().collect().map(_.getLong(1))
+      counts.map(c => c * (c - 1) / 2).sum
+    }
+    val res = run(withNulls, Some(nonNullTotal)) // exactly at budget
+    assert(DedupOps.lastCapReport.isEmpty,
+      "null pseudo-blocks must not count toward the exact-tier cost")
+    // and the answer equals the exact blocked join on the same input
+    assert(res == run(withNulls, None))
+    assert(res.subsetOf(exact))
+  }
+
+  test("dedupByKey: empty keys refuse on BOTH plan paths (same contract)") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.ops.Warehouse.dedupByKey(df, Seq.empty, Seq($"v")).collect()
+    }
+    spark.conf.set("spark.graft.dedup.forceTopK", "true")
+    try intercept[IllegalArgumentException] {
+      graft.ops.Warehouse.dedupByKey(df, Seq.empty, Seq($"v")).collect()
+    } finally spark.conf.unset("spark.graft.dedup.forceTopK")
+  }
+
   test("simhash: identical texts at distance 0, different texts far") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),

@@ -305,6 +305,57 @@ class ViewOpsSpec extends SparkSuite {
     assert(VT.currentVersion(spark, view).contains(vAfter))
   }
 
+  test("DV DELETE/UPDATE inside a refresh window folds exactly (r16 finding)") {
+    // the hole: a deletion-vector commit changes NO file paths, so the
+    // pre-fix signed fast path diffed files, got an EMPTY delta, folded
+    // it, and advanced the cursor — the view then served the deleted
+    // rows' aggregates as FRESH. The fold must retract them instead.
+    val src = tmp(); val view = tmp(); mkSource(src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    assert(viewNow(view) == reAgg(src))
+    // pure-DV window: one DELETE, nothing else
+    VT.commitDeleteDv(spark, src, $"k" === 3L)            // group b loses 30
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    assert(viewNow(view) == reAgg(src),
+      "a deletion-vector DELETE window must retract, not fold empty")
+    // mixed window: DV update + DV delete + ordinary append, one refresh
+    VT.commitUpdateDv(spark, src, $"k" === 2L, Seq("v" -> lit(99L)))
+    VT.commitDeleteDv(spark, src, $"k" === 5L)            // group c loses 50
+    VT.commitAppend(Seq((7L, "c", 70L)).toDF("k", "g", "v"), src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    assert(viewNow(view) == reAgg(src),
+      "DV commits must compose with appends inside one refresh window")
+    // and the refresh stays incremental afterwards: the cursor really
+    // did advance through the DV window
+    VT.commitAppend(Seq((8L, "a", 80L)).toDF("k", "g", "v"), src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("v"))
+    assert(viewNow(view) == reAgg(src))
+  }
+
+  test("batch refresh and streamed maintenance agree over a DV window") {
+    // parity pin: both refresh modes fold the SAME answer out of a
+    // deletion-vector window — the batch path through the (now
+    // DV-composing) signed fast path, the stream through the CDF
+    // source's keyed feed
+    val root = Files.createTempDirectory("ivmdvpar").toString
+    val src = s"$root/src"; val bview = s"$root/bv"; val sview = s"$root/sv"
+    mkSource(src)
+    ViewOps.refreshAggView(spark, src, bview, Seq("k"), Seq("g"), Seq("v"))
+    def drainStream(): Unit = {
+      val q = ViewOps.maintainFromStream(spark, src, sview,
+        Seq("k"), Seq("g"), Seq("v"), s"$root/ckpt")
+      q.processAllAvailable(); q.stop()
+    }
+    drainStream() // bootstrap
+    VT.commitDeleteDv(spark, src, $"k" === 5L)            // group c loses 50
+    VT.commitUpdateDv(spark, src, $"k" === 1L, Seq("v" -> lit(13L)))
+    ViewOps.refreshAggView(spark, src, bview, Seq("k"), Seq("g"), Seq("v"))
+    drainStream()
+    assert(viewNow(bview) == reAgg(src), "batch fold diverged from the source")
+    assert(viewNow(sview) == viewNow(bview),
+      "batch and streamed folds must agree over a DV window")
+  }
+
   test("aggDelta refuses a post-image-only feed") {
     val flat = Seq(("update", "a", 5L)).toDF("change_type", "g", "v")
     val ex = intercept[Exception] {

@@ -96,6 +96,32 @@ class ViewRewriteSpec extends SparkSuite {
     assert(fresh.where($"g" === "c").head().getLong(1) == 180L)
   }
 
+  test("a DV window gates the rewrite; after the refresh it answers the retracted numbers") {
+    // the r16 composition: with the pre-fix signed fast path, a DV DELETE
+    // advanced the view's cursor on an EMPTY fold, the freshness gate then
+    // judged the view FRESH, and the rewrite silently served the deleted
+    // rows' aggregates. Pin all three stages.
+    val src = tmp(); val view = tmp(); mkSrc(src)
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m"))
+    assert(scannedDirs(VT.read(spark, src).groupBy("g")
+      .agg(sum("m").as("s"))) == Set(view))
+    VT.commitDeleteDv(spark, src, $"k" === 3L)   // group b loses m=30
+    // the DV-folded scan's BASE relation is tagged, so the plan probe
+    // sees the source — and the stale view must not answer
+    val stale = VT.read(spark, src).groupBy("g").agg(sum("m").as("s"))
+    assert(scannedDirs(stale) == Set(src),
+      "a view behind a DV commit must NOT answer the query")
+    assert(stale.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 30L), ("b", 40L), ("c", 110L)))
+    ViewOps.refreshAggView(spark, src, view, Seq("k"), Seq("g"), Seq("m"))
+    val q = VT.read(spark, src).groupBy("g").agg(sum("m").as("s"))
+    assert(scannedDirs(q) == Set(view),
+      "the refreshed view must answer again after the DV window")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSet ==
+      Set(("a", 30L), ("b", 40L), ("c", 110L)),
+      "the rewritten answer must reflect the DV retraction")
+  }
+
   test("rollup to a group subset and group-column filters rewrite; others refuse") {
     val src = tmp(); val view = tmp(); mkSrc(src)
     // two group columns; queries may roll up to either
