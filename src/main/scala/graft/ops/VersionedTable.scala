@@ -520,45 +520,64 @@ object VersionedTable {
     val bytes = mapper.writerWithDefaultPrettyPrinter().writeValueAsBytes(root)
     val log = vlogDir(dir)
     fs.mkdirs(log)
-    val tmp = new Path(log, s".v${m.version}.json.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    // Local publish goes through NIO ([[AtomicPublish]]), which bypasses
-    // ChecksumFileSystem — so the tmp must too, or every commit orphans a
-    // `..vN.json.tmp-<uuid>.crc` sidecar in _vlog that nothing reclaims.
-    val writeFs = fs match {
-      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-      case other => other
-    }
-    val out = writeFs.create(tmp, true)
-    try out.write(bytes) finally out.close()
     val dest = manifestPath(dir, m.version)
-    // Optimistic concurrency, atomic ACROSS PROCESSES:
-    //  - local filesystems publish via [[AtomicPublish.publishLocal]] — a
-    //    hard-link CAS on the destination entry (link(2) fails with
-    //    EEXIST), because POSIX rename(2) silently OVERWRITES an existing
-    //    dest and the probe-then-rename pair is a TOCTOU two processes
-    //    can both win. The per-table JVM monitor stays as a cheap
-    //    fast-fail for same-driver racers (it also keeps the common path
-    //    allocation-free of FileAlreadyExistsException throws);
-    //  - HDFS-style stores keep probe-then-rename: their rename refuses
-    //    an existing destination atomically (and some rename INTO an
-    //    existing dest rather than returning false, so the probe is
-    //    load-bearing, same as Warehouse.appendPatch).
-    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
-      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    // Optimistic concurrency, atomic ACROSS PROCESSES, through the
+    // pluggable create-if-absent primitive ([[CommitStore]]):
+    //  - local filesystems default to the hard-link CAS (link(2) fails
+    //    with EEXIST), because POSIX rename(2) silently OVERWRITES an
+    //    existing dest and the probe-then-rename pair is a TOCTOU two
+    //    processes can both win;
+    //  - HDFS-style stores default to probe-then-rename: their rename
+    //    refuses an existing destination atomically (and some rename
+    //    INTO an existing dest rather than returning false, so the
+    //    probe is load-bearing, same as Warehouse.appendPatch);
+    //  - S3-class stores plug the conditional-put backend
+    //    (`spark.graft.commit.store=condput`): the precondition rides
+    //    the PUT itself, no tmp object and no claim protocol.
+    // The per-table JVM monitor stays as a cheap fast-fail for
+    // same-driver racers.
+    val store = commitStoreFor(
+      SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession), fs)
     val won = publishLockFor(dir).synchronized {
-      if (local)
-        !fs.exists(dest) && AtomicPublish.publishLocal(
-          java.nio.file.Paths.get(tmp.toUri.getPath),
-          java.nio.file.Paths.get(dest.toUri.getPath))
-      else
-        !fs.exists(dest) && fs.rename(tmp, dest)
+      store match {
+        case r: RenameStore => r.putIfAbsentHadoop(dest, bytes)
+        case s => s.putIfAbsent(
+          java.nio.file.Paths.get(dest.toUri.getPath), bytes)
+      }
     }
-    if (!won) {
-      fs.delete(tmp, false)
+    if (!won)
       throw new ConcurrentCommitException(
         s"VersionedTable: version ${m.version} was committed concurrently — " +
           "this writer lost the race; re-read and retry (its data files are " +
           "orphaned and will be reclaimed by vacuum)")
+  }
+
+  /** Resolve the commit-publication backend: `spark.graft.commit.store`
+    * = `auto` (default — hard-link CAS on local filesystems, no-overwrite
+    * rename otherwise) | `hardlink` | `condput` | `rename`. The shipped
+    * `condput` realization addresses local paths (it exists so stress
+    * specs drive the exact protocol an object-store SDK backend would
+    * implement); selecting it against a non-path-addressable store
+    * refuses loudly rather than guessing.
+    */
+  private[graft] def commitStoreFor(spark: Option[SparkSession],
+                                    fs: org.apache.hadoop.fs.FileSystem): CommitStore = {
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    spark.flatMap(_.conf.getOption("spark.graft.commit.store"))
+        .map(_.trim.toLowerCase).getOrElse("auto") match {
+      case "auto" => if (local) CommitStore.HardLink else new RenameStore(fs)
+      case "hardlink" => CommitStore.HardLink
+      case "rename" => new RenameStore(fs)
+      case "condput" =>
+        require(local,
+          "spark.graft.commit.store=condput: the shipped conditional-put " +
+            "realization is path-addressable (local) — an object-store " +
+            "deployment supplies its SDK-backed CommitStore instead")
+        CommitStore.ConditionalPut
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.commit.store: unknown backend '$other' " +
+          "(auto|hardlink|condput|rename)")
     }
   }
 

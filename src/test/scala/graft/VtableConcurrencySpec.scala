@@ -136,6 +136,144 @@ class VtableConcurrencySpec extends SparkSuite {
     assert(strays.isEmpty, s"unreclaimed tmp files: $strays")
   }
 
+  test("commit latency under contention on a CHECKPOINTED table: percentiles bounded") {
+    // the 8-writer stress on the delta-manifest + checkpoint shape (not
+    // the toy inline-manifest one), with per-commit wall latency
+    // recorded — pins that the r13 append-rebase keeps contended commit
+    // cost bounded when every read goes through checkpoint + delta
+    // replay rather than one inline file list
+    val olds = Seq("spark.graft.vtable.inlineMaxFiles" -> "1",
+      "spark.graft.vtable.checkpointInterval" -> "5")
+      .map { case (k, v) =>
+        val o = spark.conf.getOption(k); spark.conf.set(k, v); k -> o
+      }
+    try {
+      val dir = tmp()
+      VT.create(Seq((0L, 0L)).toDF("w", "b").coalesce(1), dir, Seq("w"))
+      val writers = 8; val commitsEach = 10
+      val pool = Executors.newFixedThreadPool(writers)
+      val start = new CountDownLatch(1)
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (1 to writers).foreach { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit = {
+            start.await()
+            try (1 to commitsEach).foreach { b =>
+              val t0 = System.nanoTime()
+              VT.withCommitRetry(attempts = 400) {
+                VT.commitAppend(
+                  Seq((w.toLong, b.toLong)).toDF("w", "b").coalesce(1), dir,
+                  txn = Some(s"writer-$w" -> b.toLong))
+              }
+              lat.add(System.nanoTime() - t0)
+            } catch { case t: Throwable => failures.add(t) }
+          }
+        })
+      }
+      start.countDown()
+      pool.shutdown()
+      assert(pool.awaitTermination(300, TimeUnit.SECONDS), "stress pool timed out")
+      assert(failures.isEmpty, s"writer failed: ${Option(failures.peek())}")
+      val vs = VT.versions(spark, dir)
+      assert(vs.size == 1 + writers * commitsEach, "history must be dense")
+      assert(VT.read(spark, dir).count() == 1L + writers * commitsEach)
+      import scala.jdk.CollectionConverters._
+      val ms = lat.iterator().asScala.map(_ / 1e6).toArray.sorted
+      def pct(p: Double): Double = ms(math.min(ms.length - 1,
+        (p * ms.length).toInt))
+      info(f"checkpointed contended commit latency (n=${ms.length}): " +
+        f"p50=${pct(0.50)}%.0f ms p90=${pct(0.90)}%.0f ms " +
+        f"p99=${pct(0.99)}%.0f ms max=${ms.last}%.0f ms")
+      // sanity ceiling, generous for CI noise: a contended commit under
+      // 80 racing commits must not degenerate to minutes
+      assert(pct(0.99) < 60000.0,
+        f"p99 contended commit latency ${pct(0.99)}%.0f ms — rebase or " +
+          "checkpoint replay has degenerated")
+    } finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("conditional-put backend: 4-process x 200-version race, one winner each, zero sidecar files") {
+    // the same cross-process harness, driven through
+    // [[graft.ops.CommitStore.ConditionalPut]] — the S3-class
+    // create-if-absent protocol: the precondition rides the put itself,
+    // so there is no tmp object and no claim file to reclaim, and the
+    // claim-fallback protocol is retired on this backend.
+    val dir = Files.createTempDirectory("condputrace")
+    val n = 200
+    val procs = 4
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    def codeSource(c: Class[_]): String =
+      new java.io.File(c.getProtectionDomain.getCodeSource.getLocation.toURI)
+        .getAbsolutePath
+    val cp = Seq(
+      codeSource(graft.ops.CommitStore.getClass),
+      codeSource(classOf[scala.collection.immutable.List[_]])
+    ).mkString(java.io.File.pathSeparator)
+    val started = (1 to procs).map { i =>
+      new ProcessBuilder(javaBin, "-cp", cp, "graft.ops.CommitStoreRacer",
+        dir.toString, s"p$i", n.toString, "condput")
+        .redirectErrorStream(true).start()
+    }
+    started.foreach { p =>
+      assert(p.waitFor(120, TimeUnit.SECONDS), "racer process timed out")
+      assert(p.exitValue() == 0,
+        s"racer failed: ${new String(p.getInputStream.readAllBytes())}")
+    }
+    val winners: Map[Int, Seq[Long]] = (1 to procs).map { i =>
+      i -> new String(Files.readAllBytes(dir.resolve(s"winner-p$i.txt")), "UTF-8")
+        .split('\n').filter(_.nonEmpty).map(_.toLong).toSeq
+    }.toMap
+    val all = winners.values.flatten.toSeq
+    assert(all.size == all.toSet.size,
+      s"two processes won the same version: ${all.groupBy(identity).filter(_._2.size > 1).keys}")
+    assert(all.toSet == (1L to n).toSet,
+      s"missing versions: ${(1L to n).toSet -- all.toSet}")
+    (1L to n).foreach { v =>
+      val content = new String(Files.readAllBytes(dir.resolve(s"v$v.json")), "UTF-8")
+      val winner = winners.collectFirst { case (i, vs) if vs.contains(v) => s"p$i" }.get
+      assert(content == s"""{"version":$v,"writer":"$winner"}""",
+        s"v$v content does not match its winner: $content vs $winner")
+    }
+    // no sidecar artifacts of ANY kind: no tmp, no claim
+    import scala.jdk.CollectionConverters._
+    val strays = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(f => f.contains(".tmp-") || f.endsWith(".claim")).toSeq
+    assert(strays.isEmpty, s"conditional put must leave no sidecars: $strays")
+  }
+
+  test("conditional-put backend: the full versioned-table stress end to end") {
+    spark.conf.set("spark.graft.commit.store", "condput")
+    try stress(tmp(), writers = 8, commitsEach = 5)
+    finally spark.conf.unset("spark.graft.commit.store")
+  }
+
+  test("injectable store: a writer paused before its put reports the lost race") {
+    val dir = Files.createTempDirectory("injrace")
+    val dest = dir.resolve("v1.json")
+    val gate = new CountDownLatch(1)
+    val paused = new graft.ops.CommitStore.Injectable(
+      graft.ops.CommitStore.ConditionalPut,
+      () => assert(gate.await(10, TimeUnit.SECONDS)))
+    val resA = new java.util.concurrent.atomic.AtomicReference[java.lang.Boolean]()
+    val t = new Thread(() =>
+      resA.set(paused.putIfAbsent(dest, "A".getBytes("UTF-8"))))
+    t.start()
+    // B publishes while A is paused between deciding and putting — the
+    // precondition must make A's late put report false, never clobber
+    assert(graft.ops.CommitStore.ConditionalPut
+      .putIfAbsent(dest, "B".getBytes("UTF-8")))
+    gate.countDown(); t.join(10000)
+    assert(resA.get() != null && !resA.get().booleanValue(),
+      "the paused writer must lose, not double-win")
+    assert(new String(Files.readAllBytes(dest), "UTF-8") == "B")
+  }
+
   test("claim fallback: a late claimant must not overwrite a published winner") {
     // The no-hardlink fallback's original shape deleted the claim after
     // publishing, so a slower racer could createFile(claim) AFTER the
