@@ -204,6 +204,76 @@ object ScaleBench {
     (tScan, tView, tRefresh)
   }
 
+  /** MEASURED recall of the budget-escalated LSH tiers on `dir`'s corpus
+    * (the stated ≥ 1−(1−t^r)^b − tail bound is analytic; this measures
+    * it). Ground truth is EXACT verification over a deterministic
+    * 1-in-`invP` doc subsample — Jaccard is a pairwise property, so the
+    * full-corpus truth restricted to sampled endpoints equals
+    * exact-on-sample, and the subsample is small enough for the brute
+    * tier. Found = the budgeted FULL-corpus run (the escalation must
+    * engage: asserted via [[graft.ops.DedupOps.lastCapReport]])
+    * restricted to sampled endpoints. Both sides verify exactly, so
+    * found ⊆ truth and recall = |found|/|truth|.
+    *
+    * Returns (recall, found, truth, statedBound) for the global path at
+    * `tGlobal` and the blocked path at `tBlocked`.
+    */
+  def recallProbe(spark: SparkSession, dir: String,
+                  invPGlobal: Long, invPBlocked: Long,
+                  tGlobal: Double = 0.8, tBlocked: Double = 0.6)
+      : ((Double, Long, Long, Double), (Double, Long, Long, Double)) = {
+    import graft.ops.DedupOps
+    val docs = Tables.documents(spark, dir)
+    def sampleAt(invP: Long): DataFrame = docs
+      .filter(pmod(xxhash64(col("doc_id")), lit(invP)) === 0)
+      .localCheckpoint()
+    def restrict(pairs: DataFrame, sampled: DataFrame): Long = {
+      val ids = broadcast(sampled.select(col("doc_id")))
+      pairs
+        .join(ids.select(col("doc_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(ids.select(col("doc_id").as("id_b")), Seq("id_b"), "left_semi")
+        .count()
+    }
+    // by-name + explicit sequencing: the budget probe (and lastCapReport)
+    // fires at DataFrame CONSTRUCTION, so the truth plan must build and
+    // assert its exactness before the budgeted plan builds
+    def one(sampled: DataFrame, truth: => DataFrame, full: => DataFrame)
+        : (Double, Long, Long, Double) = {
+      val t = truth.count()
+      require(t > 0, "recallProbe: empty ground truth — enlarge the sample")
+      require(DedupOps.lastCapReport.isEmpty,
+        "recallProbe: truth run must stay exact")
+      val fullDf = full // construction runs the budget probe
+      val bound = DedupOps.lastCapReport match {
+        case Some(r) => r.recallBoundAtThreshold
+        case None => sys.error(
+          "recallProbe: the budgeted run did not escalate — probe at a " +
+            "corpus size where the budget binds")
+      }
+      val f = restrict(fullDf, sampled)
+      (f.toDouble / t, f, t, bound)
+    }
+    val sg = sampleAt(invPGlobal)
+    val g = one(sg,
+      // truth through the BITSET BRUTE tier (bruteMaxDocs raised over the
+      // sample size): verification runs inside the broadcast nested-loop
+      // join condition, so no candidate set ever materializes to shuffle
+      // disk — the prefix path's distinct would spill O(Σ C(df,2)) rows
+      // on this adversarially dense corpus
+      DedupOps.jaccardPairsGlobal(sg, "doc_id", "text", 3, tGlobal,
+        bruteMaxDocs = 1000000L),
+      DedupOps.jaccardPairsGlobal(docs, "doc_id", "text", 3, tGlobal,
+        candidatePairBudget = Some(Queries.JaccardCandidateBudget)))
+    val sb = sampleAt(invPBlocked)
+    val b = one(sb,
+      DedupOps.jaccardPairsBlocked(sb, "doc_id", "text", "source",
+        3, tBlocked),
+      DedupOps.jaccardPairsBlocked(docs, "doc_id", "text", "source",
+        3, tBlocked,
+        candidatePairBudget = Some(Queries.JaccardCandidateBudget)))
+    (g, b)
+  }
+
   def main(args: Array[String]): Unit = {
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder()
@@ -217,6 +287,25 @@ object ScaleBench {
     val d100 = "target/scale/sf10"
     buildScaled(spark, base, d10, 10)
     buildScaled(spark, base, d100, 100)
+    // measured recall of the budget-escalated LSH tiers at 100x — the
+    // decade where the candidate budget binds (global: 1-in-4 subsample for
+    // a CI-tight truth-pair count; blocked: 1-in-25)
+    def recallJson(): String = {
+      val ((gr, gf, gt, gb), (br, bf, bt, bb)) = recallProbe(spark, d100, invPGlobal = 8L, invPBlocked = 25L)
+      println(f"[scalebench] measured recall global: $gr%.4f ($gf/$gt, stated >= $gb%.4f) " +
+        f"blocked: $br%.4f ($bf/$bt, stated >= $bb%.4f)")
+      f""""recall_global":{"measured":$gr%.4f,"found":$gf,"truth":$gt,"stated_bound":$gb%.4f},""" +
+        f""""recall_blocked":{"measured":$br%.4f,"found":$bf,"truth":$bt,"stated_bound":$bb%.4f}"""
+    }
+    if (args.contains("--recall-only")) {
+      val out = s"""{"metric":"scale_recall",${recallJson()}}"""
+      println(out)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/scale_recall.json"),
+        out.getBytes("UTF-8"))
+      spark.stop()
+      return
+    }
     val family = Seq("q_dedup_exact", "q_dedup_hash", "q_dedup_minhash",
       "q_dedup_simhash", "q_dedup_near", "q_dedup_jaccard_global",
       "q_ngram_jaccard", "q_dedup_editdist", "q_dedup_cluster",
@@ -296,6 +385,7 @@ object ScaleBench {
         s""""emb_ivf_exponents":[${exps(ivf).map(sec).mkString(",")}],""" +
         s""""allpairs_1x":${nDocs.head * (nDocs.head - 1) / 2},""" +
         s""""allpairs_100x":${nDocs.last * (nDocs.last - 1) / 2},""" +
+        recallJson() + "," +
         s""""queries":$qJson}"""
     println(out)
     java.nio.file.Files.write(java.nio.file.Paths.get("target/scale_bench.json"),

@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalOps {
 
+  // Disable ImageIO's default DISK cache at object init, not just inside
+  // ImageCodec: the WRITE paths (pngFor/mjpegFor via ImageIO.write) run
+  // before any decode loads ImageCodec, and with the default cache every
+  // written image stages through a created-then-deleted temp FILE — at
+  // 500k rows that is 500k file creations of pure overhead (measured as
+  // the dominant super-linear term in the decode query's sf10 profile).
+  // Payloads here are in-heap byte arrays; the memory cache is strictly
+  // right for both directions.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** A media row: opaque payload + metadata, the storage shape for
     * image/audio/video at 100 TB (payload in parquet binary or referenced
     * object-store URI; metadata columnar for pruning).
@@ -121,11 +131,75 @@ object MultimodalOps {
     * parse degrade to `width = height = -1` with [[StubCodec]] features,
     * same contract as corrupt images.
     */
+  /** The JDK's own audio file codecs, obtained ONCE through the public
+    * `ServiceLoader` SPI and cached. `AudioSystem`'s static entry points
+    * route EVERY call through a synchronized, time-expiring provider
+    * registry (`JDK13Services.getProviders` — a global lock plus a
+    * re-instantiated ServiceLoader on expiry), and at 32 decode threads
+    * that lock convoys: measured 11.8× wall for 10× rows on the WAV
+    * chain while the PNG/MJPEG chains stayed linear. Same codec objects
+    * (java.desktop's module-declared providers), same bytes — just no
+    * shared lock on the per-row path. Provider instances are stateless
+    * parsers, safe to share across threads (the JDK registry shares its
+    * cached instances the same way).
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+  private lazy val audioWriters: Seq[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala.toSeq
+  }
+
+  /** Registry-free `AudioSystem.getAudioInputStream`: try each cached
+    * provider on a fresh stream (the static API's mark/reset dance,
+    * without its lock). The provider that last succeeded is remembered
+    * and tried FIRST: a homogeneous corpus otherwise pays one thrown
+    * `UnsupportedAudioFileException` (stack-trace fill and all) per
+    * non-matching provider per ROW.
+    */
+  @volatile private var preferredAudioReader
+      : javax.sound.sampled.spi.AudioFileReader = null
+  private def readAudioStream(bytes: Array[Byte])
+      : javax.sound.sampled.AudioInputStream = {
+    val pref = preferredAudioReader
+    if (pref != null)
+      try return pref.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      if (r ne pref)
+        try {
+          val ais = r.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          preferredAudioReader = r
+          return ais
+        } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed provider recognizes the payload")
+  }
+
+  /** Registry-free `AudioSystem.write(…, WAVE, …)`. */
+  private def writeWave(ais: javax.sound.sampled.AudioInputStream,
+                        out: java.io.OutputStream): Unit = {
+    val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(t, ais)).getOrElse(
+      throw new IllegalStateException("no installed WAVE writer"))
+      .write(ais, t, out)
+  }
+
   object AudioCodec {
     def decode(r: MediaRecord): DecodedMedia = {
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(r.content))
+        val ais = readAudioStream(r.content)
         val fmt = ais.getFormat
         val ok = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
           fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian
@@ -181,8 +255,7 @@ object MultimodalOps {
     val ais = new javax.sound.sampled.AudioInputStream(
       new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
     val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    writeWave(ais, out) // registry-free: see audioWriters
     out.toByteArray
   }
 

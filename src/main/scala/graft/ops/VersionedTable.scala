@@ -3994,11 +3994,39 @@ object VersionedTable {
           !versions(spark, dir).contains(m.restoreOf)))
       if (needsBase) writeCheckpoint(spark, dir, v)
     }
-    val referenced = keep.flatMap { v =>
-      val mf = readMeta(spark, dir, v)
+    // the reference set for orphan detection: driver set below the prune
+    // threshold (common case), DISTRIBUTED relation above it — a 10⁶-file
+    // table must not materialize per-kept-version path sets on the driver
+    // just to plan a vacuum; only the ORPHANS (typically few) collect.
+    val keepMetas = keep.map(v => v -> readMeta(spark, dir, v))
+    val distributedRefs =
+      keepMetas.exists(_._2.numFiles > distributedPruneThreshold(spark))
+    lazy val referenced: Set[String] = keepMetas.flatMap { case (v, mf) =>
       val all = materializeFiles(spark, dir, v) ++ mf.patches.flatten
       all.map(_.path) ++ all.flatMap(_.blooms.values) ++ mf.dvs
     }.toSet
+    lazy val referencedDf: DataFrame = {
+      import spark.implicits._
+      keepMetas.map { case (v, mf) =>
+        // patch chains + dv sidecar lists are O(chain) — driver-small
+        val extras = (mf.patches.flatten.map(_.path) ++
+          mf.patches.flatten.flatMap(_.blooms.values) ++ mf.dvs).toDF("p")
+        filesDF(spark, dir, v)
+          .select(explode(array_union(array(col("path")),
+            map_values(col("blooms")))).as("p"))
+          .unionByName(extras)
+      }.reduce(_ unionByName _).distinct()
+    }
+    def orphansOf(candidates: Seq[String]): Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else if (!distributedRefs) candidates.filterNot(referenced).toSet
+      else {
+        import spark.implicits._
+        // anti-join on the cluster; ONLY the orphans come back
+        candidates.toDF("p")
+          .join(referencedDf, Seq("p"), "left_anti")
+          .as[String].collect().toSet
+      }
     drop.foreach { v =>
       fs.delete(manifestPath(dir, v), false)
       fs.delete(ckptPath(dir, v), true) // superseded by the kept bases
@@ -4034,24 +4062,37 @@ object VersionedTable {
     }
     val dataRoot = new Path(dir, "data")
     if (!fs.exists(dataRoot)) return 0
+    lastVacuumMode = if (distributedRefs) "distributed" else "local"
     var deleted = 0
-    fs.listStatus(dataRoot).foreach { cd =>
-      if (cd.isDirectory) {
-        val commitRel = s"data/${cd.getPath.getName}"
-        def isData(n: String): Boolean =
-          n.endsWith(".parquet") || n.endsWith(".bloom")
-        fs.listStatus(cd.getPath).foreach { f =>
-          val rel = s"$commitRel/${f.getPath.getName}"
-          if (isData(f.getPath.getName) && !referenced(rel)) {
-            fs.delete(f.getPath, false)
-            deleted += 1
-          } else if (f.getPath.getName.contains(".bloom.tmp-"))
-            fs.delete(f.getPath, false) // dead sidecar attempt, never referenced
-        }
-        if (fs.listStatus(cd.getPath).forall(st => !isData(st.getPath.getName)))
-          fs.delete(cd.getPath, true) // only markers (_SUCCESS etc.) remain
+    def isData(n: String): Boolean =
+      n.endsWith(".parquet") || n.endsWith(".bloom")
+    val commitDirs = fs.listStatus(dataRoot).filter(_.isDirectory)
+    // ONE orphan decision across all commit dirs (one Spark job in the
+    // distributed tier), then the deletions
+    val candidates = commitDirs.flatMap { cd =>
+      fs.listStatus(cd.getPath).collect {
+        case f if isData(f.getPath.getName) =>
+          s"data/${cd.getPath.getName}/${f.getPath.getName}"
       }
+    }.toSeq
+    val orphans = orphansOf(candidates)
+    commitDirs.foreach { cd =>
+      fs.listStatus(cd.getPath).foreach { f =>
+        val rel = s"data/${cd.getPath.getName}/${f.getPath.getName}"
+        if (isData(f.getPath.getName) && orphans(rel)) {
+          fs.delete(f.getPath, false)
+          deleted += 1
+        } else if (f.getPath.getName.contains(".bloom.tmp-"))
+          fs.delete(f.getPath, false) // dead sidecar attempt, never referenced
+      }
+      if (fs.listStatus(cd.getPath).forall(st => !isData(st.getPath.getName)))
+        fs.delete(cd.getPath, true) // only markers (_SUCCESS etc.) remain
     }
     deleted
   }
+
+  /** Spec instrumentation: which reference-set tier the last [[vacuum]]
+    * planned through ("local" driver set / "distributed" anti-join).
+    */
+  @volatile private[graft] var lastVacuumMode: String = ""
 }

@@ -159,6 +159,75 @@ class VtableScaleSpec extends SparkSuite {
     assert(ts.cols("k") == ((0L, Some("-3"), Some("49999"))))
   }
 
+  test("10^6-file table: distributed prune, touched-file detection, stats, vacuum planning") {
+    // the next metadata decade past the 50k spec: one MILLION registered
+    // entries through checkpointed replay. Everything data-proportional
+    // must run as a Spark job — pruning, touched-file detection, the
+    // stats fold, and (new this round) vacuum's reference set — with the
+    // driver collecting only survivors/orphans.
+    val dir = tmp()
+    VT.create(row1(-1L, "r1"), dir, Seq("k"))
+    VT.commitAppend(row1(-2L, "r2"), dir)
+    def entry(i: Int) = VT.FileEntry(f"ext/f$i%07d.parquet", 1L,
+      Map("k" -> VT.ColStat("BIGINT", Some(i.toString), Some(i.toString), 0L)))
+    var v = 0L
+    val tBuild0 = System.nanoTime()
+    (0 until 10).foreach { b =>
+      v = VT.commitAddFiles(spark, dir,
+        (b * 100000 until (b + 1) * 100000).map(entry))
+    }
+    val tBuild = (System.nanoTime() - tBuild0) / 1e9
+    assert(VT.readMeta(spark, dir, v).numFiles == 1000002L)
+    // O(delta) commit cost is independent of the million entries
+    val va = VT.commitAppend(row1(-3L, "r3"), dir)
+    assert(manifestLen(dir, va) < 20000,
+      s"append manifest must stay O(delta) bytes at 10^6 files: ${manifestLen(dir, va)}")
+    // pruning: distributed, exact survivors out of a million candidates
+    VT.lastPruneMode = ""
+    val tPrune0 = System.nanoTime()
+    val survivors = VT.pruneForSpec(spark, dir,
+      Seq(("k", Some(lit(777123L)), Some(lit(777125L)))), Seq.empty)
+    val tPrune = (System.nanoTime() - tPrune0) / 1e9
+    assert(VT.lastPruneMode == "distributed")
+    assert(survivors.toSet == Set("ext/f0777123.parquet",
+      "ext/f0777124.parquet", "ext/f0777125.parquet"))
+    // stats fold: one Spark job, exact over the synthetic million
+    val tStats0 = System.nanoTime()
+    val ts = VT.tableStats(spark, dir)
+    val tStats = (System.nanoTime() - tStats0) / 1e9
+    assert(ts.rows == 1000003L && ts.exact)
+    assert(ts.cols("k") == ((0L, Some("-3"), Some("999999"))))
+    // touched-file detection on a merge: distributed, rewrites only the
+    // real files (the synthetic entries exist solely as metadata)
+    VT.lastTouchedMode = ""
+    VT.commitMerge(Seq((-1L, "R1", false)).toDF("k", "s", "del"),
+      dir, Seq("k"), Seq.empty, $"del")
+    assert(VT.lastTouchedMode == "distributed")
+    assert(VT.readWhere(spark, dir, $"k" <= -1L)
+      .as[(Long, String)].collect().toSet ==
+      Set(-1L -> "R1", -2L -> "r2", -3L -> "r3"))
+    // vacuum planning: the reference set must NOT materialize a million
+    // paths on the driver — the orphan decision is a distributed
+    // anti-join, and the losers' real bytes still reclaim exactly
+    val tVac0 = System.nanoTime()
+    VT.lastVacuumMode = ""
+    val reclaimed = VT.vacuum(spark, dir, keepVersions = 1)
+    val tVac = (System.nanoTime() - tVac0) / 1e9
+    assert(VT.lastVacuumMode == "distributed",
+      "a 10^6-file vacuum must plan its reference set distributed")
+    assert(reclaimed >= 1, "the merge's pre-image file must reclaim")
+    assert(VT.readWhere(spark, dir, $"k" <= -1L)
+      .as[(Long, String)].collect().toSet ==
+      Set(-1L -> "R1", -2L -> "r2", -3L -> "r3"),
+      "vacuum must not touch a referenced byte")
+    // pruning still exact after the vacuum checkpoint rewrite
+    assert(VT.pruneForSpec(spark, dir,
+      Seq(("k", Some(lit(5L)), Some(lit(5L)))), Seq.empty) ==
+      Seq("ext/f0000005.parquet"))
+    info(f"10^6-file walls: build=$tBuild%.1f s prune=$tPrune%.2f s " +
+      f"stats=$tStats%.2f s vacuum=$tVac%.2f s")
+  }
+
   test("a stats-less registered file blocks metadata-only answers but not reads") {
     val dir = tmp()
     VT.create(row1(1L, "a"), dir, Seq("k"))
