@@ -452,8 +452,12 @@ object ViewOps {
         // Fast path: SUM/COUNT distribute over signs, so the refresh folds
         // the window's file-level ±1 rows directly — no per-key CDF
         // pairing, no key shuffle (see [[VersionedTable
-        // .signedRowsBetween]]). Patch-chain windows (None) fall back to
-        // the keyed feed, which handles merge-on-read exactly.
+        // .signedRowsBetween]]). Deletion-vector windows COMPOSE into the
+        // signed encoding (r17 — newly-dead positions retract at −1,
+        // revived at +1; a bare file diff would fold an EMPTY delta and
+        // silently advance the cursor past the deletes). Patch-chain
+        // windows (None) fall back to the keyed feed, which handles
+        // merge-on-read exactly.
         val delta = VT.signedRowsBetween(spark, srcDir, lastSrcV, srcV) match {
           case Some(signed) =>
             requireIntegralMeasures(signed.schema, measures, "refreshAggView")

@@ -107,6 +107,34 @@ class VtableSkippingSpec extends SparkSuite {
     assert(df.count() == 21L)
   }
 
+  test("filter over a DV-folded read prunes the BASE scan; answer stays exact") {
+    // r17: the DV fold's base relation is now tagged (so the MV rewrite
+    // can recognize the fold) — which also lets zone-map skipping fire on
+    // it. Pruning under the fold is sound: the sidecar anti-join only
+    // removes rows, so skipping files that cannot satisfy the predicate
+    // is the same set algebra as on a bare scan.
+    val dir = tmp(); mkTable(dir)
+    VT.commitDeleteDv(spark, dir, $"k" === 20L)
+    val df = VT.read(spark, dir).filter($"k" >= 10L && $"k" <= 30L)
+    val got = df.as[(Long, String)].collect().toSet
+    assert(got == (10L to 30L).filter(_ != 20L)
+      .map(k => (k, (k % 7).toString)).toSet,
+      "DV fold + pruning must keep the exact answer")
+    // the fold is a join, so AQE hides the physical scans pre-execution;
+    // the skipping rule rewrites the LOGICAL relation, so probe there.
+    // 4 base files + 1 sidecar: the base relation must have shrunk
+    val logical = df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.relation.isInstanceOf[
+            org.apache.spark.sql.execution.datasources.HadoopFsRelation] =>
+        lr.relation.asInstanceOf[
+          org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.inputFiles.length
+    }
+    assert(logical.exists(_ < 4),
+      s"expected the DV base scan pruned (<4 files), got $logical")
+  }
+
   test("filter over a patch chain stays exact (base tag under the fold)") {
     val dir = tmp(); mkTable(dir)
     VT.commitPatch(Seq((10L, "patched", false), (1000L, "new", false))
