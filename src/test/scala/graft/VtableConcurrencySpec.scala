@@ -253,6 +253,30 @@ class VtableConcurrencySpec extends SparkSuite {
     finally spark.conf.unset("spark.graft.commit.store")
   }
 
+  test("rename backend: second put refuses, bytes intact, tmp reclaimed") {
+    val dir = Files.createTempDirectory("renstore")
+    val fs = new org.apache.hadoop.fs.Path(dir.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val store = new graft.ops.RenameStore(fs)
+    val dest = dir.resolve("v1.json")
+    assert(store.putIfAbsent(dest, "A".getBytes("UTF-8")))
+    assert(!store.putIfAbsent(dest, "B".getBytes("UTF-8")),
+      "an existing destination must refuse the second publish")
+    assert(new String(Files.readAllBytes(dest), "UTF-8") == "A")
+    import scala.jdk.CollectionConverters._
+    val strays = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.contains(".tmp-")).toSeq
+    assert(strays.isEmpty, s"loser tmp must reclaim: $strays")
+    // end-to-end through the conf on a real table
+    spark.conf.set("spark.graft.commit.store", "rename")
+    try {
+      val t = tmp()
+      VT.create(Seq((1L, 1L)).toDF("w", "b").coalesce(1), t, Seq("w"))
+      VT.commitAppend(Seq((2L, 2L)).toDF("w", "b").coalesce(1), t)
+      assert(VT.read(spark, t).count() == 2L)
+    } finally spark.conf.unset("spark.graft.commit.store")
+  }
+
   test("injectable store: a writer paused before its put reports the lost race") {
     val dir = Files.createTempDirectory("injrace")
     val dest = dir.resolve("v1.json")
