@@ -180,7 +180,7 @@ object Bench {
     // "calibration" = the sentinel spin timings (equal ⇒ quiet host; a
     // spike ⇒ contention window); "retimed" = steady outliers re-sampled.
     val coldSuspectJson = coldSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val common = s""""unit":"sec","headline":"cold","steady_sec":${sec(steadyTotal)},"robust_sec":${sec(robustTotal)},"cold_suspect":$coldSuspectJson,"calibration":$calJson,"retimed":$retimedJson,"n_queries":${cold.size},"failed":$failedJson,"over_budget":$overJson,"sf":"$sfDir""""
+    val common = s""""unit":"sec","headline":"cold","steady_sec":${sec(steadyTotal)},"robust_sec":${sec(robustTotal)},"cold_suspect":$coldSuspectJson,"calibration":$calJson,"retimed":$retimedJson,"n_queries":${cold.size},"failed":$failedJson,"over_budget":$overJson,"budget_sec":$budgetSec,"sf":"$sfDir""""
     // Full two-pass per-query detail goes to a FILE: the driver's log tail
     // truncates at ~2000 chars, which in r6 cut the per-query map to ~75 of
     // 128 entries and left steady drift unattributable from the artifact.

@@ -488,7 +488,7 @@ object DedupOps {
             // sqrt(t(1-t)/k) — one-sided tail <= 0.0013 at J=t) makes
             // sub-threshold bucket pairs die during condition evaluation
             // instead of materializing into the distinct.
-            val (bands, r) = resolveLshShape(spark2)
+            val (bands, r) = resolveLshShape(spark2, threshold)
             val k = bands * r
             val bandBound = 1.0 - math.pow(1.0 - math.pow(threshold, r), bands)
             val estTail = 0.0013
@@ -508,14 +508,8 @@ object DedupOps {
               "above it")
             val sigs = docs.select(col("id"),
               minhashSignature(col("sh"), k).as("sig"))
-            val banded = bandExplode(sigs, k, bands)
-            banded.as("a").join(banded.as("b"),
-                col("a.band") === col("b.band") &&
-                  col("a.bhash") === col("b.bhash") &&
-                  col("a.id") < col("b.id") &&
-                  minhashEstimate(col("a.sig"), col("b.sig"), k) >= margin)
-              .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-              .distinct()
+            escalatedLshCandidates(sigs, bands, r, margin,
+              blockKeyed = false)
           }
       }
     }
@@ -562,10 +556,95 @@ object DedupOps {
   val CandidateBudgetConf = "spark.graft.dedup.candidatePairBudget"
 
   /** LSH escalation shape knobs (k = bands × rowsPerBand minhashes).
-    * Defaults 12×5: see the tier comment in [[jaccardPairsGlobal]].
+    * Unset (the default), the shape is THRESHOLD-ADAPTIVE: see
+    * [[resolveLshShape]].
     */
   val LshBandsConf = "spark.graft.dedup.lsh.bands"
   val LshRowsConf = "spark.graft.dedup.lsh.rowsPerBand"
+
+  /** Minimum at-threshold recall the adaptive shape must bound
+    * (default 0.9): [[resolveLshShape]] picks the sharpest (bands, rows)
+    * split of k=60 minhashes whose band-collision bound
+    * `1-(1-t^r)^b` minus the est-filter tail clears this.
+    */
+  val LshTargetRecallConf = "spark.graft.dedup.lsh.targetRecall"
+
+  /** Band-group chunking for the budget-ESCALATED candidate joins:
+    * `auto` (default, ~4 bands per chunk) | an int chunk count | `1` to
+    * disable. Chunks run SEQUENTIALLY (each materialized before the next
+    * starts), so the concurrent working set of the banded self-join +
+    * pair distinct divides by the chunk count — the knob that sets the
+    * suite's executor-memory floor. Output is byte-identical to
+    * unchunked (spec-pinned): a pair colliding in two band groups
+    * appears in both chunk outputs and the final dedup restores the
+    * exact unchunked pair set.
+    */
+  val LshBandChunksConf = "spark.graft.dedup.lsh.bandChunks"
+
+  private[graft] def resolveBandChunks(spark: SparkSession, bands: Int): Int = {
+    val n = spark.conf.getOption(LshBandChunksConf).map(_.trim)
+        .filterNot(v => v.isEmpty || v.equalsIgnoreCase("auto")) match {
+      case Some(v) => v.toInt
+      case None => (bands + 3) / 4 // ~4 bands per chunk
+    }
+    require(n >= 1, s"$LshBandChunksConf must be >= 1, got $n")
+    math.min(n, bands)
+  }
+
+  /** Shared escalated-tier candidate generator over (id[, blk], sig)
+    * signatures — the banded self-join both budget-escalated paths run,
+    * band-chunked per [[LshBandChunksConf]]. The unchunked join's
+    * per-task working set (hot-band bucket pairs streaming through the
+    * candidate distinct) was the measured per-suite memory floor at
+    * 100× (executor OOM at 20 g); chunking divides it by the chunk
+    * count at the cost of one extra narrow pass per chunk over the
+    * pinned signatures. Pair-set equality chunked == unchunked is
+    * spec-pinned (DedupSpec).
+    */
+  private def escalatedLshCandidates(sigs: DataFrame, bands: Int, r: Int,
+                                     margin: Double,
+                                     blockKeyed: Boolean): DataFrame = {
+    val spark = sigs.sparkSession
+    val k = bands * r
+    val nChunks = resolveBandChunks(spark, bands)
+    // explode only bands [lo, hi) — the hash seed stays the TRUE band
+    // index, so a chunk's (band, bhash) keys are exactly the unchunked
+    // keys restricted to its bands
+    def bandedOf(src: DataFrame, lo: Int, hi: Int): DataFrame = {
+      val keep = Seq(col("id"), col("sig")) ++
+        (if (blockKeyed) Seq(col("blk")) else Nil)
+      src.select(keep :+ posexplode(array((lo until hi).map(bd =>
+          hash(slice(col("sig"), bd * r + 1, r), lit(bd))): _*))
+        .as(Seq("band", "bhash")): _*)
+    }
+    def candsOf(banded: DataFrame): DataFrame = {
+      val base = col("a.band") === col("b.band") &&
+        col("a.bhash") === col("b.bhash") && col("a.id") < col("b.id") &&
+        minhashEstimate(col("a.sig"), col("b.sig"), k) >= margin
+      val cond = if (blockKeyed) col("a.blk") === col("b.blk") && base
+                 else base
+      banded.as("a").join(banded.as("b"), cond)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+    }
+    if (nChunks <= 1) candsOf(bandedOf(sigs, 0, bands))
+    else {
+      // signatures materialized ONCE (narrow: id + k longs); each chunk
+      // re-explodes only ITS bands from the pinned relation
+      val pinned = sigs.localCheckpoint()
+      val bounds = (0 to nChunks).map(i => i * bands / nChunks)
+      (0 until nChunks).map { i =>
+        // eager localCheckpoint is the sequencing point: chunk i's join
+        // completes (and its working set is released) before chunk i+1
+        // starts — concurrent memory is ONE chunk's join + distinct
+        candsOf(bandedOf(pinned, bounds(i), bounds(i + 1))).localCheckpoint()
+      }.reduce(_ unionByName _)
+        // cross-chunk dedup over skinny 16-byte id pairs: a pair
+        // colliding in band groups i and j appears in both chunk
+        // outputs; this restores the exact unchunked candidate set
+        .dropDuplicates("id_a", "id_b")
+    }
+  }
 
   /** (effective budget, source label): conf beats argument. */
   private[graft] def resolveCandidateBudget(spark: SparkSession,
@@ -577,12 +656,39 @@ object DedupOps {
       case None => (arg, "arg")
     }
 
-  private[graft] def resolveLshShape(spark: SparkSession): (Int, Int) = {
-    val bands = spark.conf.getOption(LshBandsConf).map(_.trim.toInt).getOrElse(12)
-    val r = spark.conf.getOption(LshRowsConf).map(_.trim.toInt).getOrElse(5)
-    require(bands >= 1 && r >= 1,
-      s"$LshBandsConf/$LshRowsConf must be >= 1, got bands=$bands rows=$r")
-    (bands, r)
+  /** The escalated tiers' (bands, rowsPerBand). Explicit confs win;
+    * otherwise THRESHOLD-ADAPTIVE over k=60 minhashes: the sharpest
+    * (largest-r, least band noise) divisor split {5×12, 4×15, 3×20,
+    * 2×30, 1×60} whose at-threshold recall bound `1-(1-t^r)^b` minus
+    * the est-filter tail clears [[LshTargetRecallConf]] (default 0.9).
+    * At t=0.8 this picks the classic 12×5 (bound 0.990 — unchanged);
+    * at t=0.6, where 12×5 only bounds 0.62 and loses a third of true
+    * pairs, it picks 20×3 (bound 0.991) — sub-threshold noise is held
+    * by the in-join est filter, which margins on the FULL k=60
+    * signature and is independent of the band split.
+    */
+  private[graft] def resolveLshShape(spark: SparkSession,
+                                     threshold: Double): (Int, Int) = {
+    (spark.conf.getOption(LshBandsConf).map(_.trim.toInt),
+     spark.conf.getOption(LshRowsConf).map(_.trim.toInt)) match {
+      case (Some(bands), Some(r)) =>
+        require(bands >= 1 && r >= 1,
+          s"$LshBandsConf/$LshRowsConf must be >= 1, got bands=$bands rows=$r")
+        (bands, r)
+      case (b, ro) =>
+        require(b.isEmpty && ro.isEmpty,
+          s"$LshBandsConf and $LshRowsConf must be set together (or neither)")
+        val target =
+          spark.conf.getOption(LshTargetRecallConf).map(_.trim.toDouble)
+            .getOrElse(0.9)
+        val estTail = 0.0013
+        val k = 60
+        (5 to 1 by -1).iterator.filter(k % _ == 0).map(r => (k / r, r))
+          .find { case (bands, r) =>
+            1.0 - math.pow(1.0 - math.pow(threshold, r), bands) - estTail >=
+              target }
+          .getOrElse((k, 1)) // r=1 maximizes the bound; take it even short
+    }
   }
 
   /** Token-universe cap for the bitset verification path: ⌈U/64⌉ longs per
@@ -638,7 +744,7 @@ object DedupOps {
         val total = if (row.isNullAt(0)) 0L else row.getLong(0)
         if (total <= budget) { lastCapReport = None; false }
         else {
-          val (bands, r) = resolveLshShape(df.sparkSession)
+          val (bands, r) = resolveLshShape(df.sparkSession, threshold)
           val k = bands * r
           val bound = 1.0 - math.pow(1.0 - math.pow(threshold, r), bands) - 0.0013
           lastCapReport = Some(CapReport(candidatesBefore = total,
@@ -654,7 +760,7 @@ object DedupOps {
         }
     }
     if (overBudget) {
-      val (bands, r) = resolveLshShape(df.sparkSession)
+      val (bands, r) = resolveLshShape(df.sparkSession, threshold)
       val k = bands * r
       val margin = math.max(0.0, threshold -
         3.0 * math.sqrt(threshold * (1 - threshold) / k) - 1.0 / k)
@@ -665,14 +771,8 @@ object DedupOps {
       val pinned = docs.localCheckpoint()
       val sigs = pinned.select(col("id"), col("blk"),
         minhashSignature(col("sh"), k).as("sig"))
-      val banded = sigs.select(col("id"), col("blk"), col("sig"),
-        posexplode(lshBandHashes(col("sig"), bands, r)).as(Seq("band", "bhash")))
-      val cands = banded.as("a").join(banded.as("b"),
-          col("a.blk") === col("b.blk") && col("a.band") === col("b.band") &&
-            col("a.bhash") === col("b.bhash") && col("a.id") < col("b.id") &&
-            minhashEstimate(col("a.sig"), col("b.sig"), k) >= margin)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-        .distinct()
+      val cands = escalatedLshCandidates(sigs, bands, r, margin,
+        blockKeyed = true)
       return cands
         .join(pinned.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
         .join(pinned.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

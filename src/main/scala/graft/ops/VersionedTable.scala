@@ -567,7 +567,14 @@ object VersionedTable {
     spark.flatMap(_.conf.getOption("spark.graft.commit.store"))
         .map(_.trim.toLowerCase).getOrElse("auto") match {
       case "auto" => if (local) CommitStore.HardLink else new RenameStore(fs)
-      case "hardlink" => CommitStore.HardLink
+      case "hardlink" =>
+        require(local,
+          "spark.graft.commit.store=hardlink: the hard-link CAS backend is " +
+            "path-addressable (local) — on a non-local FileSystem it would " +
+            "strip the scheme/authority and 'publish' to a driver-local " +
+            "path while the remote table never gains the version; use " +
+            "auto/rename (or an SDK-backed CommitStore) instead")
+        CommitStore.HardLink
       case "rename" => new RenameStore(fs)
       case "condput" =>
         require(local,
@@ -630,6 +637,19 @@ object VersionedTable {
     */
   private[graft] val metaReadCount = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Operator guidance for a manifest that stays unreadable. Under the
+    * conditional-put backend (CREATE_NEW is the write — no tmp, no claim)
+    * a writer crashing mid-write leaves a visible torn vN.json that makes
+    * every future putIfAbsent for that version lose, permanently wedging
+    * it; unlike the claim protocol there is no named stale claim to
+    * delete, so the recovery step must be spelled out here.
+    */
+  private def tornManifestRecovery: String =
+    "Recovery: if a writer crashed mid-publish (condput backend writes " +
+      "in place), delete the torn manifest file and re-run the commit — " +
+      "its version number will be retaken; the crashed writer's data " +
+      "files are orphans that vacuum reclaims."
+
   private[graft] def readMeta(spark: SparkSession, dir: String, version: Long): ManifestMeta = {
     metaReadCount.incrementAndGet()
     val fs = fsOf(spark, dir)
@@ -661,10 +681,12 @@ object VersionedTable {
             attempt += 1; Thread.sleep(20L * attempt)
           case Right(_) => throw new IllegalStateException(
             s"VersionedTable: manifest $p is empty or truncated after " +
-              "retries — torn beyond the publish window, or corrupt")
+              "retries — torn beyond the publish window, or corrupt. " +
+              tornManifestRecovery)
           case Left(e) => throw new IllegalStateException(
             s"VersionedTable: manifest $p failed to parse after retries — " +
-              "torn beyond the publish window, or corrupt", e)
+              "torn beyond the publish window, or corrupt. " +
+              tornManifestRecovery, e)
         }
       }
       parsed
@@ -4012,8 +4034,13 @@ object VersionedTable {
         val extras = (mf.patches.flatten.map(_.path) ++
           mf.patches.flatten.flatMap(_.blooms.values) ++ mf.dvs).toDF("p")
         filesDF(spark, dir, v)
+          // coalesce: a checkpoint written before the blooms column
+          // existed schema-fills NULL, and array_union(x, NULL) is NULL —
+          // without it explode emits ZERO rows and the file's own path
+          // drops out of the reference set, so vacuum would delete a
+          // live data file
           .select(explode(array_union(array(col("path")),
-            map_values(col("blooms")))).as("p"))
+            coalesce(map_values(col("blooms")), array()))).as("p"))
           .unionByName(extras)
       }.reduce(_ unionByName _).distinct()
     }

@@ -89,10 +89,39 @@ object VtableViewRewrite extends Rule[LogicalPlan] {
       dvSidecarFiles(c)
     // the optimizer's inferred null-filter on the join keys: dropping
     // null-keyed sidecar rows never changes anti-join semantics (null
-    // keys match nothing), and the identity check is on the FILE set
-    case Filter(f, c) if f.references.forall(r => dvKeyNames(r.name)) =>
-      dvSidecarFiles(c)
+    // keys match nothing), and the identity check is on the FILE set.
+    // ONLY IsNotNull conjuncts qualify — any other predicate over the
+    // keys (e.g. __vt_pos > 100) selects a sidecar SUBSET, which is a
+    // different dv state than the tagged one and must refuse.
+    case Filter(f, c) if conjuncts(f).forall {
+        case IsNotNull(a: AttributeReference) => dvKeyNames(a.name)
+        case _ => false
+      } => dvSidecarFiles(c)
     case _ => None
+  }
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case o => Seq(o)
+  }
+
+  /** The canonical DV-fold condition and nothing else: a conjunction of
+    * EXACTLY two EqualTo predicates, each equating two same-named
+    * attributes — one per reserved dv key, exactly one side from the
+    * sidecar plan. A same-keyed but non-canonical predicate (inequality,
+    * extra conjunct, one key only, cross-named equality) computes a
+    * DIFFERENT anti-join than the tagged dv state folds, and recognizing
+    * it would rewrite a query to an answer it doesn't equal.
+    */
+  private def isCanonicalDvJoin(cond: Expression, right: LogicalPlan): Boolean = {
+    val cs = conjuncts(cond)
+    val bound = cs.collect {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name == b.name && dvKeyNames(a.name) &&
+            (right.outputSet.contains(a) ^ right.outputSet.contains(b)) =>
+        a.name
+    }
+    cs.size == 2 && bound.size == 2 && bound.toSet == dvKeyNames
   }
 
   /** Pass-through Projects, at most one Filter, and at most one
@@ -119,8 +148,7 @@ object VtableViewRewrite extends Rule[LogicalPlan] {
       case Filter(f, c) if cond.isEmpty => strip(c, Some(f), dv)
       case org.apache.spark.sql.catalyst.plans.logical.Join(l, r,
           org.apache.spark.sql.catalyst.plans.LeftAnti, jc, _)
-          if dv.isEmpty && jc.exists(_.references.filter(r.outputSet.contains)
-            .map(_.name).toSet == dvKeyNames) =>
+          if dv.isEmpty && jc.exists(isCanonicalDvJoin(_, r)) =>
         dvSidecarFiles(r).flatMap(files => strip(l, cond, Some(files)))
       case _ => None
     }

@@ -48,11 +48,9 @@ object DecodeProfile {
     val mjp = () => MultimodalOps.synthesizeVideo(
       docs.filter(col("doc_id") % 3 === 2), "doc_id")
 
-    def lenOf(ds: org.apache.spark.sql.Dataset[MultimodalOps.MediaRecord]): Long = {
+    def lenOf(ds: org.apache.spark.sql.Dataset[MultimodalOps.MediaRecord]): Long =
       ds.map(_.content.length.toLong)(org.apache.spark.sql.Encoders.scalaLong)
-        .toDF("n").agg(sum("n")).head()
-      ds.sparkSession.emptyDataFrame.count() // force nothing extra; return marker
-    }
+        .toDF("n").agg(sum("n")).head().getLong(0)
     time("synth_png")(lenOf(png()))
     time("synth_wav")(lenOf(wav()))
     time("synth_mjpeg")(lenOf(mjp()))

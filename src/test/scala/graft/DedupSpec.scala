@@ -194,16 +194,16 @@ class DedupSpec extends SparkSuite {
     val rep = DedupOps.lastCapReport
     assert(rep.nonEmpty, "a binding budget must be REPORTED, never silent")
     assert(rep.get.candidatesBefore > 20000L && rep.get.budget == 20000L &&
-      rep.get.bands == 12 && rep.get.rowsPerBand == 5 &&
-      rep.get.recallBoundAtThreshold > 0.6,
+      rep.get.bands == 20 && rep.get.rowsPerBand == 3 &&
+      rep.get.recallBoundAtThreshold > 0.9,
       s"report must state the escalation + recall bound: ${rep.get}")
     // precision 1.0: verification is exact, so capped ⊆ exact always
     assert(capped.subsetOf(exact),
       s"budgeted tier emitted a non-pair: ${(capped -- exact).take(3)}")
-    // sampled-recall contract on this fixture: LSH candidates (12 bands x
-    // 5 rows) find a J=t pair w.p. >= 1-(1-t^5)^12 - est tail — ~0.62 at
-    // exactly t=0.6, 0.99 at t=0.8; the fixture's pair Jaccards spread
-    // from the 0.6 threshold up, so the aggregate recall sits between
+    // sampled-recall contract on this fixture: the threshold-adaptive
+    // shape at t=0.6 is 20 bands x 3 rows — a J=t pair is found w.p.
+    // >= 1-(1-t^3)^20 - est tail ~ 0.99; the fixture's pair Jaccards
+    // spread from the 0.6 threshold up, so the aggregate recall sits above
     val recall = capped.size.toDouble / exact.size
     info(f"budgeted-tier recall on fixture: $recall%.3f " +
       s"(${capped.size}/${exact.size}), report=${rep.get}")
@@ -249,7 +249,7 @@ class DedupSpec extends SparkSuite {
     val rep = DedupOps.lastCapReport
     assert(rep.nonEmpty, "a binding blocked budget must be REPORTED")
     assert(rep.get.candidatesBefore > 1000L && rep.get.budget == 1000L &&
-      rep.get.bands == 12 && rep.get.rowsPerBand == 5,
+      rep.get.bands == 20 && rep.get.rowsPerBand == 3,
       s"report must state the escalation: ${rep.get}")
     assert(capped.subsetOf(exact),
       s"budgeted blocked tier emitted a non-pair: ${(capped -- exact).take(3)}")
@@ -259,6 +259,38 @@ class DedupSpec extends SparkSuite {
     assert(recall >= rep.get.recallBoundAtThreshold,
       f"recall $recall%.3f fell below the stated at-threshold bound " +
         f"${rep.get.recallBoundAtThreshold}%.3f")
+  }
+
+  test("band-chunked escalation == unchunked: identical pair sets, both paths") {
+    // the chunk count is a pure MEMORY knob — candidate generation is
+    // deterministic (minhash + band hashes + est filter), so any chunking
+    // of the bands must produce the exact unchunked pair set
+    val sample = docs.limit(400).cache()
+    def runGlobal() =
+      DedupOps.jaccardPairsGlobal(sample, "doc_id", "text", 3, 0.6,
+          bruteMaxDocs = 0L, candidatePairBudget = Some(20000L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def runBlocked() =
+      DedupOps.jaccardPairsBlocked(sample, "doc_id", "text", "source", 3, 0.6,
+          candidatePairBudget = Some(1000L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      spark.conf.set(DedupOps.LshBandChunksConf, "1")
+      val g1 = runGlobal()
+      val b1 = runBlocked()
+      assert(g1.nonEmpty && b1.nonEmpty)
+      spark.conf.set(DedupOps.LshBandChunksConf, "4")
+      assert(runGlobal() == g1,
+        "4-chunk global escalation must equal the unchunked pair set")
+      assert(runBlocked() == b1,
+        "4-chunk blocked escalation must equal the unchunked pair set")
+      // auto (the default) and a chunk count above the band count both
+      // resolve to valid chunkings of the same band set
+      spark.conf.set(DedupOps.LshBandChunksConf, "auto")
+      assert(runGlobal() == g1)
+      spark.conf.set(DedupOps.LshBandChunksConf, "99")
+      assert(runBlocked() == b1)
+    } finally spark.conf.unset(DedupOps.LshBandChunksConf)
   }
 
   test("candidate budget conf: session knob beats the argument, names itself, 'off' disables") {
