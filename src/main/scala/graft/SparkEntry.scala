@@ -1254,6 +1254,44 @@ private[graft] object Queries {
       |QUALIFY COUNT(*) OVER (PARTITION BY lang) > 1
       |ORDER BY doc_id""".stripMargin
 
+  /** Cluster resolution through the SQL surface: the same adversarial
+    * chain graph as [[dedupCluster]], but built as a SQL view and resolved
+    * with the `graft_components` TVF — near-dup removal expressible
+    * end-to-end in SQL like the rest of the engine. Oracle: the DuckDB
+    * recursive-CTE transitive closure (the [[dedupNear]] oracle shape).
+    */
+  def componentsSql(s: SparkSession, d: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.documents(s, d).createOrReplaceTempView("cc_docs")
+    s.sql(
+      """CREATE OR REPLACE TEMP VIEW cc_edges AS
+        |SELECT prev AS src, doc_id AS dst FROM (
+        |  SELECT doc_id,
+        |    LAG(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS prev
+        |  FROM cc_docs)
+        |WHERE prev IS NOT NULL""".stripMargin)
+    s.sql(
+      """SELECT node AS doc_id, component AS cluster_id
+        |FROM graft_components('cc_edges', 'src', 'dst')
+        |ORDER BY doc_id""".stripMargin)
+  }
+
+  private val componentsSqlOracle =
+    """WITH RECURSIVE e0 AS (
+      | SELECT prev AS src, doc_id AS dst FROM (
+      |  SELECT doc_id,
+      |   LAG(doc_id) OVER (PARTITION BY lang ORDER BY doc_id) AS prev
+      |  FROM documents)
+      | WHERE prev IS NOT NULL),
+      |e AS (SELECT src AS a, dst AS b FROM e0
+      |      UNION ALL SELECT dst, src FROM e0),
+      |reach(node, label) AS (
+      | SELECT a, a FROM e
+      | UNION
+      | SELECT e.b, r.label FROM reach r JOIN e ON e.a = r.node)
+      |SELECT node AS doc_id, MIN(label) AS cluster_id
+      |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin
+
   /** End-to-end near-dup REMOVAL: exact Jaccard pairs (≥0.8 on 3-shingles)
     * → connected components → keep the smallest doc_id per cluster plus all
     * untouched docs. The oracle recomputes the same pipeline in DuckDB,
@@ -4831,6 +4869,7 @@ private[graft] object Queries {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_jaccard_global" -> (dedupJaccardGlobal _),
     "q_dedup_cluster" -> (dedupCluster _),
+    "q_components_sql" -> (componentsSql _),
     "q_dedup_near" -> (dedupNear _),
     "q_dedup_editdist" -> (dedupEditdist _),
     "q_dedup_embedding" -> (dedupEmbedding _),
@@ -5004,6 +5043,7 @@ private[graft] object Queries {
     "q_ngram_jaccard" -> ngramJaccardSql,
     "q_dedup_jaccard_global" -> dedupJaccardGlobalSql,
     "q_dedup_cluster" -> dedupClusterSql,
+    "q_components_sql" -> componentsSqlOracle,
     "q_dedup_near" -> dedupNearSql,
     "q_dedup_editdist" -> dedupEditdistSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,

@@ -212,9 +212,33 @@ object GraftFunctions {
       .queryExecution.analyzed
   }
 
+  /** `graft_components('<edges-table-or-view>', '<srcCol>', '<dstCol>')`:
+    * connected components of the named edge relation as a
+    * (node, component) SQL relation ([[graft.ops.GraphOps
+    * .connectedComponents]] — alternating large-star/small-star,
+    * O(log² n) rounds, size-gated driver union-find tier). Makes near-dup
+    * cluster resolution expressible end-to-end in SQL like the rest of
+    * the engine: pairs view → components → anti-join back to the corpus.
+    * One row per distinct node appearing in an edge; `component` is the
+    * smallest node id in its component.
+    */
+  private def componentsPlan(es: Seq[Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(es.size == 3,
+      "graft_components takes ('edgesTableOrView', 'srcCol', 'dstCol')")
+    val spark = SparkSession.active
+    val edges = spark.table(
+      litString(es.head, "graft_components: edges table/view"))
+    graft.ops.GraphOps.connectedComponents(edges,
+        litString(es(1), "graft_components: srcCol"),
+        litString(es(2), "graft_components: dstCol"))
+      .queryExecution.analyzed
+  }
+
   private val tableFns: Seq[(String,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
     Seq("graft_vtable" -> (vtablePlan _),
+      "graft_components" -> (componentsPlan _),
       "graft_vtable_history" -> (vtableHistoryPlan _),
       "graft_vtable_changes" -> (vtableChangesPlan _),
       "graft_vtable_stats" -> (vtableStatsPlan _),

@@ -99,6 +99,43 @@ object CommitStore {
       inner.putIfAbsent(dest, bytes)
     }
   }
+
+  /** The transient failure class a real object store throws: 503
+    * SlowDown, throttling, connection reset. Retryable by contract —
+    * [[graft.ops.VersionedTable]]'s publish path retries these with
+    * bounded backoff; anything else propagates.
+    */
+  final class RetryableStoreException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Fault-injection wrapper (spec-only): a deterministic schedule of
+    * retryable failures around the inner put. `failBefore(n)` on the
+    * n-th call (0-based) throws BEFORE delegating — the put never
+    * happened; `failAfter(n)` delegates FIRST and then throws — the
+    * write landed but the response was lost, the ambiguous outcome an
+    * object-store client must disambiguate on retry (S3's "503 after
+    * the PUT committed"). Call count is observable for convergence
+    * assertions.
+    */
+  final class Flaky(inner: CommitStore,
+                    failBefore: Long => Boolean = _ => false,
+                    failAfter: Long => Boolean = _ => false)
+      extends CommitStore {
+    val calls = new java.util.concurrent.atomic.AtomicLong()
+    override def name: String = s"flaky(${inner.name})"
+    override def putIfAbsent(dest: java.nio.file.Path,
+                             bytes: Array[Byte]): Boolean = {
+      val n = calls.getAndIncrement()
+      if (failBefore(n))
+        throw new RetryableStoreException(
+          s"injected 503 before put (call $n)")
+      val won = inner.putIfAbsent(dest, bytes)
+      if (failAfter(n))
+        throw new RetryableStoreException(
+          s"injected lost response after put (call $n, won=$won)")
+      won
+    }
+  }
 }
 
 /** HDFS-style backend: write a sibling tmp through the (raw) filesystem,

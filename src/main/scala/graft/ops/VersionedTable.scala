@@ -541,7 +541,7 @@ object VersionedTable {
     val won = publishLockFor(dir).synchronized {
       store match {
         case r: RenameStore => r.putIfAbsentHadoop(dest, bytes)
-        case s => s.putIfAbsent(
+        case s => putIfAbsentWithRetry(s,
           java.nio.file.Paths.get(dest.toUri.getPath), bytes)
       }
     }
@@ -551,6 +551,48 @@ object VersionedTable {
           "this writer lost the race; re-read and retry (its data files are " +
           "orphaned and will be reclaimed by vacuum)")
   }
+
+  /** Bounded-retry wrapper around the store's conditional put: real
+    * object stores throw retryable 503/SlowDown responses, and a failure
+    * surfacing AFTER the PUT landed is indistinguishable from one before
+    * it — so when a retry finds the destination already present, the
+    * writer reads it back and claims victory iff the bytes are its OWN
+    * (manifests embed commit timestamps and UUID-named data files, so
+    * two writers' bytes only collide when the published STATE is
+    * byte-identical anyway — idempotent either way). Different bytes =
+    * a concurrent writer won: report the lost race immediately.
+    * Bounded attempts; the last retryable failure rethrows when
+    * exhausted — never a silent maybe-published.
+    */
+  private[graft] def putIfAbsentWithRetry(store: CommitStore,
+      dest: java.nio.file.Path, bytes: Array[Byte],
+      attempts: Int = 5): Boolean = {
+    var i = 0
+    var last: CommitStore.RetryableStoreException = null
+    while (i < attempts) {
+      try {
+        return store.putIfAbsent(dest, bytes)
+      } catch {
+        case e: CommitStore.RetryableStoreException =>
+          last = e; i += 1
+          try {
+            if (java.nio.file.Files.exists(dest)) {
+              return java.util.Arrays.equals(
+                java.nio.file.Files.readAllBytes(dest), bytes)
+            }
+          } catch { case _: java.io.IOException => () /* probe raced; retry */ }
+          if (i < attempts) Thread.sleep(5L << i) // 10..80 ms exp backoff
+      }
+    }
+    throw last
+  }
+
+  /** Spec hook: when set, [[writeManifest]] publishes through THIS store
+    * instead of the conf-resolved one — how fault-injection specs route
+    * a [[CommitStore.Flaky]] under the full commit path without a conf
+    * surface for a test-only store.
+    */
+  @volatile private[graft] var commitStoreOverride: Option[CommitStore] = None
 
   /** Resolve the commit-publication backend: `spark.graft.commit.store`
     * = `auto` (default — hard-link CAS on local filesystems, no-overwrite
@@ -562,6 +604,7 @@ object VersionedTable {
     */
   private[graft] def commitStoreFor(spark: Option[SparkSession],
                                     fs: org.apache.hadoop.fs.FileSystem): CommitStore = {
+    commitStoreOverride.foreach(s => return s)
     val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
     spark.flatMap(_.conf.getOption("spark.graft.commit.store"))

@@ -58,6 +58,8 @@ class ContractSpec extends SparkSuite {
       "q_dedup_jaccard_global", // corpus/universe counts for tier choice
       "q_dedup_near",           // localCheckpoint per CC round
       "q_dedup_cluster",        // localCheckpoint per CC round
+      "q_components_sql",       // graft_components TVF resolves at analysis
+                                // (CC rounds run when the plan is built)
       "q_similarity_ivf",       // k×dim centroid collect per Lloyd round
       "q_similarity_lsh",       // k×dim projection collect
       "q_dedup_embedding",      // corpus count for the brute/IVF tier choice

@@ -298,6 +298,77 @@ class VtableConcurrencySpec extends SparkSuite {
     assert(new String(Files.readAllBytes(dest), "UTF-8") == "B")
   }
 
+  test("flaky store: retryable failures before the put converge, bounded") {
+    val dir = Files.createTempDirectory("flaky1")
+    val dest = dir.resolve("v1.json")
+    // first two attempts 503 before the PUT; third lands
+    val st = new graft.ops.CommitStore.Flaky(
+      graft.ops.CommitStore.ConditionalPut, failBefore = _ < 2)
+    assert(VT.putIfAbsentWithRetry(st, dest, "A".getBytes("UTF-8")))
+    assert(st.calls.get() == 3, s"expected 3 attempts, got ${st.calls.get()}")
+    assert(new String(Files.readAllBytes(dest), "UTF-8") == "A")
+    // exhausted: an always-failing store rethrows the LAST retryable
+    // failure — never a silent maybe-published
+    val dead = new graft.ops.CommitStore.Flaky(
+      graft.ops.CommitStore.ConditionalPut, failBefore = _ => true)
+    intercept[graft.ops.CommitStore.RetryableStoreException] {
+      VT.putIfAbsentWithRetry(dead, dir.resolve("v2.json"),
+        "B".getBytes("UTF-8"), attempts = 3)
+    }
+    assert(dead.calls.get() == 3, "attempts must be bounded")
+    assert(!Files.exists(dir.resolve("v2.json")))
+  }
+
+  test("flaky store: a response lost AFTER the put resolves to this writer's win") {
+    // the S3 ambiguity: the PUT committed but the 503 ate the response.
+    // The retry finds dest present with the writer's OWN bytes — that is
+    // a win, not a lost race, and must not publish twice.
+    val dir = Files.createTempDirectory("flaky2")
+    val dest = dir.resolve("v1.json")
+    val st = new graft.ops.CommitStore.Flaky(
+      graft.ops.CommitStore.ConditionalPut, failAfter = _ == 0)
+    assert(VT.putIfAbsentWithRetry(st, dest, "MINE".getBytes("UTF-8")),
+      "own-bytes readback must resolve the ambiguous outcome to a win")
+    assert(new String(Files.readAllBytes(dest), "UTF-8") == "MINE")
+    import scala.jdk.CollectionConverters._
+    assert(Files.list(dir).iterator().asScala.toSeq.size == 1,
+      "no second object may appear (double publish)")
+    // and when the readback shows ANOTHER writer's bytes, it is a loss
+    val dest2 = dir.resolve("v2.json")
+    assert(graft.ops.CommitStore.ConditionalPut
+      .putIfAbsent(dest2, "THEIRS".getBytes("UTF-8")))
+    val st2 = new graft.ops.CommitStore.Flaky(
+      graft.ops.CommitStore.ConditionalPut, failBefore = _ == 0)
+    assert(!VT.putIfAbsentWithRetry(st2, dest2, "MINE".getBytes("UTF-8")),
+      "foreign bytes on readback = lost race, reported immediately")
+    assert(new String(Files.readAllBytes(dest2), "UTF-8") == "THEIRS")
+  }
+
+  test("flaky store end-to-end: commits converge under injected 503s, history serializable") {
+    val t = tmp()
+    // every third call 503s before the put, every seventh loses the
+    // response after it — a hostile-but-retryable object store
+    val st = new graft.ops.CommitStore.Flaky(
+      graft.ops.CommitStore.ConditionalPut,
+      failBefore = n => n % 3 == 1, failAfter = n => n % 7 == 5)
+    VT.commitStoreOverride = Some(st)
+    try {
+      VT.create(Seq((0L, 0L)).toDF("w", "b").coalesce(1), t, Seq("w"))
+      (1 to 10).foreach { b =>
+        VT.withCommitRetry(attempts = 20) {
+          VT.commitAppend(Seq((1L, b.toLong)).toDF("w", "b").coalesce(1), t,
+            txn = Some("flaky-writer" -> b.toLong))
+        }
+      }
+    } finally VT.commitStoreOverride = None
+    assert(st.calls.get() > 11, "the injection schedule must have fired")
+    assert(VT.versions(spark, t) == (1L to 11L),
+      "history must be dense despite injected faults")
+    val got = VT.read(spark, t).as[(Long, Long)].collect().toSet
+    assert(got == (0 to 10).map(b => (if (b == 0) 0L else 1L, b.toLong)).toSet,
+      "every batch exactly once — no lost update, no double-apply")
+  }
+
   test("claim fallback: a late claimant must not overwrite a published winner") {
     // The no-hardlink fallback's original shape deleted the claim after
     // publishing, so a slower racer could createFile(claim) AFTER the
