@@ -287,6 +287,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    def sec(v: Double) = f"$v%.3f"
     val d10 = "target/scale/sf1"
     val d100 = "target/scale/sf10"
     buildScaled(spark, base, d10, 10)
@@ -300,6 +301,66 @@ object ScaleBench {
         f"blocked: $br%.4f ($bf/$bt, stated >= $bb%.4f)")
       f""""recall_global":{"measured":$gr%.4f,"found":$gf,"truth":$gt,"stated_bound":$gb%.4f},""" +
         f""""recall_blocked":{"measured":$br%.4f,"found":$bf,"truth":$bt,"stated_bound":$bb%.4f}"""
+    }
+    // THIRD decade (5M docs / 2M embeddings): the 100 TB posture rests
+    // on exponents measured to 500k docs; this mode extends the ladder
+    // one more decade for the families whose scale path must flatten it
+    // — the budget-escalated Jaccard pair (the escalation is precisely
+    // what must hold the exponent near 1), banded MinHash-LSH, and the
+    // IVF similarity family. Separate mode: ~1k-partition build + long
+    // timed runs; emits target/scale_decade3.json with per-query
+    // third-decade exponents and the budget-escalation trace
+    // (lastCapReport) for the escalated queries.
+    if (args.contains("--third-decade")) {
+      val d1000 = "target/scale/sf100"
+      buildScaled(spark, base, d1000, 1000)
+      val qs = Seq("q_dedup_minhash", "q_dedup_jaccard_global",
+        "q_ngram_jaccard", "q_dedup_embedding_ivf", "q_similarity_ivf")
+      def timed(name: String, dir: String): (Double, Option[String]) = {
+        val fn = SparkEntry.queries(name)
+        graft.ops.DedupOps.lastCapReport = None
+        fn(spark, dir).count() // warm
+        val cap = graft.ops.DedupOps.lastCapReport.map(r =>
+          s"""{"candidates_before":${r.candidatesBefore},"budget":${r.budget},""" +
+            s""""bands":${r.bands},"rows_per_band":${r.rowsPerBand},""" +
+            f""""recall_bound":${r.recallBoundAtThreshold}%.4f}""")
+        spark.catalog.clearCache()
+        System.gc()
+        val t0 = System.nanoTime()
+        fn(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, cap)
+      }
+      val rows3 = qs.map { q =>
+        val (t100, _) = timed(q, d100)
+        println(f"[scalebench] decade3 $q t100x=$t100%.1f s")
+        val (t1000, cap) = timed(q, d1000)
+        val exp3 = math.log10(math.max(t1000, 1e-3) / math.max(t100, 1e-3))
+        println(f"[scalebench] decade3 $q t1000x=$t1000%.1f s exp3=$exp3%.2f" +
+          cap.map(c => s" cap=$c").getOrElse(""))
+        (q, t100, t1000, exp3, cap)
+      }
+      val lsh3 = Seq(d100, d1000).map(lshCandidates(spark, _))
+      val ivf3 = Seq(d100, d1000).map(ivfCandidates(spark, _))
+      def dexp(v: Seq[Long]): String =
+        sec(math.log10(math.max(v(1), 1).toDouble / math.max(v(0), 1)))
+      val qj = rows3.map { case (q, t100, t1000, e, cap) =>
+        s""""$q":{"t100x":${sec(t100)},"t1000x":${sec(t1000)},""" +
+          s""""exp3":${sec(e)}${cap.map(c => s""","cap":$c""").getOrElse("")}}"""
+      }.mkString("{", ",", "}")
+      val nd = Seq(d100, d1000).map(d =>
+        spark.read.parquet(s"$d/documents.parquet").count())
+      val out = s"""{"metric":"scale_decade3","docs":[${nd.mkString(",")}],""" +
+        s""""lsh_candidates":[${lsh3.mkString(",")}],""" +
+        s""""lsh_exponent3":${dexp(lsh3)},""" +
+        s""""emb_ivf_candidates":[${ivf3.mkString(",")}],""" +
+        s""""emb_ivf_exponent3":${dexp(ivf3)},""" +
+        s""""queries":$qj}"""
+      println(out)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/scale_decade3.json"),
+        out.getBytes("UTF-8"))
+      spark.stop()
+      return
     }
     if (args.contains("--recall-only")) {
       val out = s"""{"metric":"scale_recall",${recallJson()}}"""
@@ -341,7 +402,6 @@ object ScaleBench {
       fn(spark, dir).count()
       (System.nanoTime() - t0) / 1e9
     }
-    def sec(v: Double) = f"$v%.3f"
     val rows = family.map { q =>
       val t1 = time(q, base)
       val t10 = time(q, d10)

@@ -506,10 +506,15 @@ object DedupOps {
               f"$margin%.3f); verification stays exact (precision 1.0), " +
               f"per-pair recall at J=$threshold >= $bound%.6f and higher " +
               "above it")
-            val sigs = docs.select(col("id"),
+            // pin the shingled docs: the per-chunk verification joins
+            // would otherwise re-run the full corpus shingle pass twice
+            // per chunk
+            val pinnedDocs = docs.localCheckpoint()
+            val sigs = pinnedDocs.select(col("id"),
               minhashSignature(col("sh"), k).as("sig"))
-            escalatedLshCandidates(sigs, bands, r, margin,
-              blockKeyed = false)
+            return escalatedLshPairs(sigs, bands, r, margin,
+              blockKeyed = false,
+              verify = verifyJaccard(pinnedDocs, threshold))
           }
       }
     }
@@ -523,13 +528,7 @@ object DedupOps {
     // SLOWER here: when prefixes prune weakly the candidate join's row
     // WIDTH dominates, so skinny 16-byte candidates win; the bitset path
     // lives in jaccardPairsBlocked where rows pass through one block join.)
-    cands
-      .join(docs.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        graft.functions.VectorExpressions
-          .jaccardSortedGE(col("sh_a"), col("sh_b"), threshold).as("jac"))
-      .filter(col("jac") >= threshold)
+    verifyJaccard(docs, threshold)(cands)
   }
 
   /** How the candidate budget bound on the LAST budgeted
@@ -591,19 +590,43 @@ object DedupOps {
     math.min(n, bands)
   }
 
-  /** Shared escalated-tier candidate generator over (id[, blk], sig)
-    * signatures — the banded self-join both budget-escalated paths run,
-    * band-chunked per [[LshBandChunksConf]]. The unchunked join's
-    * per-task working set (hot-band bucket pairs streaming through the
-    * candidate distinct) was the measured per-suite memory floor at
-    * 100× (executor OOM at 20 g); chunking divides it by the chunk
-    * count at the cost of one extra narrow pass per chunk over the
-    * pinned signatures. Pair-set equality chunked == unchunked is
-    * spec-pinned (DedupSpec).
+  /** The exact-verification tail both Jaccard pair paths share: attach
+    * each candidate's shingle arrays from `base` (must carry (id, sh)),
+    * compute exact Jaccard with the sorted merge-scan kernel, keep
+    * `>= threshold`. Precision 1.0 by construction.
     */
-  private def escalatedLshCandidates(sigs: DataFrame, bands: Int, r: Int,
-                                     margin: Double,
-                                     blockKeyed: Boolean): DataFrame = {
+  private def verifyJaccard(base: DataFrame, threshold: Double)
+                           (cands: DataFrame): DataFrame =
+    cands
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions
+          .jaccardSortedGE(col("sh_a"), col("sh_b"), threshold).as("jac"))
+      .filter(col("jac") >= threshold)
+
+  /** Shared escalated tier both budget-escalated paths run: the banded
+    * self-join + per-chunk EXACT verification, band-chunked per
+    * [[LshBandChunksConf]]. Two measured 100× pathologies motivate the
+    * chunking, and both divide by the chunk count:
+    *  - the unchunked banded join's per-task working set (hot-band
+    *    bucket pairs streaming through the candidate distinct) was the
+    *    per-suite MEMORY floor (executor OOM at 20 g);
+    *  - the verification join shuffles each candidate's shingle arrays
+    *    (~KBs per row), so verifying the full candidate set in one job
+    *    was the per-suite DISK floor (spill exhaustion at the
+    *    recall-raising 20×3 shape, whose noisier bands admit ~3× the
+    *    candidates of 12×5).
+    * Each chunk is verified and materialized (eager localCheckpoint =
+    * the sequencing point) before the next starts, so the concurrent
+    * working set — heap AND spill — is one chunk's; verified pairs are
+    * tiny. A pair colliding in two band groups verifies in both chunks
+    * (same exact jac) and the final dedup restores exactly the
+    * unchunked pair set — spec-pinned in DedupSpec.
+    */
+  private def escalatedLshPairs(sigs: DataFrame, bands: Int, r: Int,
+                                margin: Double, blockKeyed: Boolean,
+                                verify: DataFrame => DataFrame): DataFrame = {
     val spark = sigs.sparkSession
     val k = bands * r
     val nChunks = resolveBandChunks(spark, bands)
@@ -627,22 +650,28 @@ object DedupOps {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
     }
-    if (nChunks <= 1) candsOf(bandedOf(sigs, 0, bands))
+    if (nChunks <= 1) verify(candsOf(bandedOf(sigs, 0, bands)))
     else {
       // signatures materialized ONCE (narrow: id + k longs); each chunk
       // re-explodes only ITS bands from the pinned relation
       val pinned = sigs.localCheckpoint()
       val bounds = (0 to nChunks).map(i => i * bands / nChunks)
+      // every candidate verifies EXACTLY once across chunks: chunk i
+      // anti-joins its candidates against all earlier chunks' (a skinny
+      // 16-byte-row join) before paying the wide verification — without
+      // this a high-J pair colliding in every band would verify once
+      // per chunk (measured 14× wall blowup at 100×)
+      var seen: DataFrame = null
       (0 until nChunks).map { i =>
-        // eager localCheckpoint is the sequencing point: chunk i's join
-        // completes (and its working set is released) before chunk i+1
-        // starts — concurrent memory is ONE chunk's join + distinct
-        candsOf(bandedOf(pinned, bounds(i), bounds(i + 1))).localCheckpoint()
+        val c = candsOf(bandedOf(pinned, bounds(i), bounds(i + 1)))
+        val fresh = (if (seen == null) c
+                     else c.join(seen, Seq("id_a", "id_b"), "left_anti"))
+          .localCheckpoint()
+        seen = if (seen == null) fresh else seen.unionByName(fresh)
+        verify(fresh).localCheckpoint()
       }.reduce(_ unionByName _)
-        // cross-chunk dedup over skinny 16-byte id pairs: a pair
-        // colliding in band groups i and j appears in both chunk
-        // outputs; this restores the exact unchunked candidate set
-        .dropDuplicates("id_a", "id_b")
+      // fresh sets are disjoint by construction — the union IS the
+      // verified pair set of the unchunked run, no final dedup needed
     }
   }
 
@@ -657,15 +686,18 @@ object DedupOps {
     }
 
   /** The escalated tiers' (bands, rowsPerBand). Explicit confs win;
-    * otherwise THRESHOLD-ADAPTIVE over k=60 minhashes: the sharpest
-    * (largest-r, least band noise) divisor split {5×12, 4×15, 3×20,
-    * 2×30, 1×60} whose at-threshold recall bound `1-(1-t^r)^b` minus
-    * the est-filter tail clears [[LshTargetRecallConf]] (default 0.9).
-    * At t=0.8 this picks the classic 12×5 (bound 0.990 — unchanged);
-    * at t=0.6, where 12×5 only bounds 0.62 and loses a third of true
-    * pairs, it picks 20×3 (bound 0.991) — sub-threshold noise is held
-    * by the in-join est filter, which margins on the FULL k=60
-    * signature and is independent of the band split.
+    * otherwise THRESHOLD-ADAPTIVE: pick the LARGEST r (steepest
+    * S-curve — at equal recall, larger r admits strictly fewer
+    * sub-threshold collisions) whose minimal band count
+    * `b_min = ⌈ln(1−target−tail)/ln(1−t^r)⌉` keeps the signature
+    * budget k = r·b ≤ 128 minhashes; bands never drop below the k=60
+    * divisor default ⌊60/r⌋, so high thresholds keep their sharper
+    * established shapes. Examples at the default target 0.9:
+    * t=0.8 → 12×5 (k=60, bound 0.990 — the classic shape, unchanged);
+    * t=0.6 → 17×4 (k=68, bound 0.904) — where 12×5 bounds only 0.62
+    * and loses a third of true pairs; t=0.5 → 20×3 (k=60, bound
+    * 0.930). Sub-threshold noise beyond the bands is held by the
+    * in-join est filter, which margins on the FULL k-minhash signature.
     */
   private[graft] def resolveLshShape(spark: SparkSession,
                                      threshold: Double): (Int, Int) = {
@@ -682,12 +714,16 @@ object DedupOps {
           spark.conf.getOption(LshTargetRecallConf).map(_.trim.toDouble)
             .getOrElse(0.9)
         val estTail = 0.0013
-        val k = 60
-        (5 to 1 by -1).iterator.filter(k % _ == 0).map(r => (k / r, r))
-          .find { case (bands, r) =>
-            1.0 - math.pow(1.0 - math.pow(threshold, r), bands) - estTail >=
-              target }
-          .getOrElse((k, 1)) // r=1 maximizes the bound; take it even short
+        val need = math.min(target + estTail, 0.999999)
+        (5 to 1 by -1).iterator.map { r =>
+          val tr = math.pow(threshold, r)
+          val bMin =
+            if (tr >= 1.0) 1
+            else math.max(1, math.ceil(
+              math.log(1.0 - need) / math.log(1.0 - tr)).toInt)
+          (math.max(bMin, 60 / r), r)
+        }.find { case (bands, r) => bands * r <= 128 }
+          .getOrElse((60, 1)) // r=1 maximizes the bound; take it even short
     }
   }
 
@@ -771,15 +807,8 @@ object DedupOps {
       val pinned = docs.localCheckpoint()
       val sigs = pinned.select(col("id"), col("blk"),
         minhashSignature(col("sh"), k).as("sig"))
-      val cands = escalatedLshCandidates(sigs, bands, r, margin,
-        blockKeyed = true)
-      return cands
-        .join(pinned.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-        .join(pinned.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-        .select(col("id_a"), col("id_b"),
-          graft.functions.VectorExpressions
-            .jaccardSortedGE(col("sh_a"), col("sh_b"), threshold).as("jac"))
-        .filter(col("jac") >= threshold)
+      return escalatedLshPairs(sigs, bands, r, margin, blockKeyed = true,
+        verify = verifyJaccard(pinned, threshold))
     }
     // size-band rejection shared by both exact tiers: |A∩B| ≤ min sizes,
     // so J ≥ t needs b.sz ≥ ⌈a.sz·t⌉ (and symmetrically) — two long

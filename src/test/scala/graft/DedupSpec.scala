@@ -194,15 +194,15 @@ class DedupSpec extends SparkSuite {
     val rep = DedupOps.lastCapReport
     assert(rep.nonEmpty, "a binding budget must be REPORTED, never silent")
     assert(rep.get.candidatesBefore > 20000L && rep.get.budget == 20000L &&
-      rep.get.bands == 20 && rep.get.rowsPerBand == 3 &&
+      rep.get.bands == 17 && rep.get.rowsPerBand == 4 &&
       rep.get.recallBoundAtThreshold > 0.9,
       s"report must state the escalation + recall bound: ${rep.get}")
     // precision 1.0: verification is exact, so capped ⊆ exact always
     assert(capped.subsetOf(exact),
       s"budgeted tier emitted a non-pair: ${(capped -- exact).take(3)}")
     // sampled-recall contract on this fixture: the threshold-adaptive
-    // shape at t=0.6 is 20 bands x 3 rows — a J=t pair is found w.p.
-    // >= 1-(1-t^3)^20 - est tail ~ 0.99; the fixture's pair Jaccards
+    // shape at t=0.6 is 17 bands x 4 rows — a J=t pair is found w.p.
+    // >= 1-(1-t^4)^17 - est tail ~ 0.90; the fixture's pair Jaccards
     // spread from the 0.6 threshold up, so the aggregate recall sits above
     val recall = capped.size.toDouble / exact.size
     info(f"budgeted-tier recall on fixture: $recall%.3f " +
@@ -249,7 +249,7 @@ class DedupSpec extends SparkSuite {
     val rep = DedupOps.lastCapReport
     assert(rep.nonEmpty, "a binding blocked budget must be REPORTED")
     assert(rep.get.candidatesBefore > 1000L && rep.get.budget == 1000L &&
-      rep.get.bands == 20 && rep.get.rowsPerBand == 3,
+      rep.get.bands == 17 && rep.get.rowsPerBand == 4,
       s"report must state the escalation: ${rep.get}")
     assert(capped.subsetOf(exact),
       s"budgeted blocked tier emitted a non-pair: ${(capped -- exact).take(3)}")
