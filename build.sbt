@@ -39,4 +39,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // G1 GCLocker starvation mitigation (JDK-8192647): 32 executor threads
+  // in JNI critical sections (lz4/zstd shuffle codecs) can starve a
+  // tiny allocation into a spurious OOM ("Retried waiting for GCLocker
+  // too often allocating 4 words") on constrained heaps — raise the
+  // retry budget from its default 2
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=128",
 )

@@ -62,6 +62,15 @@ object Bench {
     // (seconds, completed): the caller must see a throw DIRECTLY — the old
     // infer-from-failed.size-growth guard missed a query that had already
     // failed once and threw again on its re-timing run
+    // Per-query hygiene (opt-in, SPARK_GRAFT_PER_QUERY_GC=1): a GC after
+    // every query lets the ContextCleaner reap orphaned localCheckpoint
+    // blocks BETWEEN queries instead of only between passes — the knob
+    // for constrained-heap runs, where ~170 queries' accumulated scratch
+    // otherwise lands as heap pressure on whichever heavy query runs
+    // last. OUTSIDE the timed window, and recorded in the JSON line
+    // (`per_query_gc`) so artifacts using it are self-describing and
+    // never silently compared against default-methodology runs.
+    val perQueryGc = sys.env.get("SPARK_GRAFT_PER_QUERY_GC").contains("1")
     def runOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok =
@@ -70,7 +79,9 @@ object Bench {
           if (!failed.contains(name)) failed += name
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val t = (System.nanoTime() - t0) / 1e9
+      if (perQueryGc) System.gc()
+      (t, ok)
     }
     // SPARK_GRAFT_QUERIES: optional comma-separated subset — big-SF runs
     // (sf10) budget-cap a documented slice instead of the whole suite
@@ -180,7 +191,7 @@ object Bench {
     // "calibration" = the sentinel spin timings (equal ⇒ quiet host; a
     // spike ⇒ contention window); "retimed" = steady outliers re-sampled.
     val coldSuspectJson = coldSuspect.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val common = s""""unit":"sec","headline":"cold","steady_sec":${sec(steadyTotal)},"robust_sec":${sec(robustTotal)},"cold_suspect":$coldSuspectJson,"calibration":$calJson,"retimed":$retimedJson,"n_queries":${cold.size},"failed":$failedJson,"over_budget":$overJson,"budget_sec":$budgetSec,"sf":"$sfDir""""
+    val common = s""""unit":"sec","headline":"cold","steady_sec":${sec(steadyTotal)},"robust_sec":${sec(robustTotal)},"cold_suspect":$coldSuspectJson,"calibration":$calJson,"retimed":$retimedJson,"n_queries":${cold.size},"failed":$failedJson,"over_budget":$overJson,"budget_sec":$budgetSec,"per_query_gc":$perQueryGc,"sf":"$sfDir""""
     // Full two-pass per-query detail goes to a FILE: the driver's log tail
     // truncates at ~2000 chars, which in r6 cut the per-query map to ~75 of
     // 128 entries and left steady drift unattributable from the artifact.

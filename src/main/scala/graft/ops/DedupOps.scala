@@ -508,8 +508,10 @@ object DedupOps {
               "above it")
             // pin the shingled docs: the per-chunk verification joins
             // would otherwise re-run the full corpus shingle pass twice
-            // per chunk
-            val pinnedDocs = docs.localCheckpoint()
+            // per chunk. DISK_ONLY — dedup scratch must not hold heap
+            // (see escalatedLshPairs)
+            val pinnedDocs = docs.localCheckpoint(eager = true,
+              org.apache.spark.storage.StorageLevel.DISK_ONLY)
             val sigs = pinnedDocs.select(col("id"),
               minhashSignature(col("sh"), k).as("sig"))
             return escalatedLshPairs(sigs, bands, r, margin,
@@ -650,11 +652,18 @@ object DedupOps {
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
         .distinct()
     }
+    // DISK_ONLY scratch: the escalated tier runs on exactly the corpora
+    // big enough to trip the budget, inside suites whose earlier queries
+    // already hold heap — its pinned relations (shingled docs, k-long
+    // signatures, candidate ids) must not compete for executor heap with
+    // its own sorts. Local-disk reads re-deserialize, a cost the chunk
+    // structure amortizes (each pin is read ≤ 2× per chunk).
+    val scratch = org.apache.spark.storage.StorageLevel.DISK_ONLY
     if (nChunks <= 1) verify(candsOf(bandedOf(sigs, 0, bands)))
     else {
       // signatures materialized ONCE (narrow: id + k longs); each chunk
       // re-explodes only ITS bands from the pinned relation
-      val pinned = sigs.localCheckpoint()
+      val pinned = sigs.localCheckpoint(eager = true, scratch)
       val bounds = (0 to nChunks).map(i => i * bands / nChunks)
       // every candidate verifies EXACTLY once across chunks: chunk i
       // anti-joins its candidates against all earlier chunks' (a skinny
@@ -666,9 +675,9 @@ object DedupOps {
         val c = candsOf(bandedOf(pinned, bounds(i), bounds(i + 1)))
         val fresh = (if (seen == null) c
                      else c.join(seen, Seq("id_a", "id_b"), "left_anti"))
-          .localCheckpoint()
+          .localCheckpoint(eager = true, scratch)
         seen = if (seen == null) fresh else seen.unionByName(fresh)
-        verify(fresh).localCheckpoint()
+        verify(fresh).localCheckpoint(eager = true, scratch)
       }.reduce(_ unionByName _)
       // fresh sets are disjoint by construction — the union IS the
       // verified pair set of the unchunked run, no final dedup needed
@@ -803,8 +812,10 @@ object DedupOps {
       // one execution per side, like the bitset tier: the signature pass
       // and BOTH verification joins would otherwise re-run the full
       // corpus re-shingle — two extra passes on precisely the corpora
-      // big enough to trip the budget
-      val pinned = docs.localCheckpoint()
+      // big enough to trip the budget. DISK_ONLY: dedup scratch must not
+      // hold heap (see escalatedLshPairs)
+      val pinned = docs.localCheckpoint(eager = true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
       val sigs = pinned.select(col("id"), col("blk"),
         minhashSignature(col("sh"), k).as("sig"))
       return escalatedLshPairs(sigs, bands, r, margin, blockKeyed = true,
