@@ -314,6 +314,12 @@ object ScaleBench {
     if (args.contains("--third-decade")) {
       val d1000 = "target/scale/sf100"
       buildScaled(spark, base, d1000, 1000)
+      // finer chunking at this scale: one band-group's shuffle + verify
+      // scratch for 5M docs is ~the host's whole free disk at the
+      // default ~4-bands/chunk — 2 bands/chunk halves the peak; recorded
+      // in the artifact (band_chunks) so the exponents are attributable
+      val bandChunks = sys.env.getOrElse("SPARK_GRAFT_BAND_CHUNKS", "6")
+      spark.conf.set(graft.ops.DedupOps.LshBandChunksConf, bandChunks)
       val qs = Seq("q_dedup_minhash", "q_dedup_jaccard_global",
         "q_ngram_jaccard", "q_dedup_embedding_ivf", "q_similarity_ivf")
       def timed(name: String, dir: String): (Double, Option[String]) = {
@@ -350,6 +356,7 @@ object ScaleBench {
       val nd = Seq(d100, d1000).map(d =>
         spark.read.parquet(s"$d/documents.parquet").count())
       val out = s"""{"metric":"scale_decade3","docs":[${nd.mkString(",")}],""" +
+        s""""band_chunks":$bandChunks,""" +
         s""""lsh_candidates":[${lsh3.mkString(",")}],""" +
         s""""lsh_exponent3":${dexp(lsh3)},""" +
         s""""emb_ivf_candidates":[${ivf3.mkString(",")}],""" +

@@ -506,17 +506,22 @@ object DedupOps {
               f"$margin%.3f); verification stays exact (precision 1.0), " +
               f"per-pair recall at J=$threshold >= $bound%.6f and higher " +
               "above it")
-            // pin the shingled docs: the per-chunk verification joins
-            // would otherwise re-run the full corpus shingle pass twice
-            // per chunk. DISK_ONLY — dedup scratch must not hold heap
-            // (see escalatedLshPairs)
-            val pinnedDocs = docs.localCheckpoint(eager = true,
-              org.apache.spark.storage.StorageLevel.DISK_ONLY)
-            val sigs = pinnedDocs.select(col("id"),
-              minhashSignature(col("sh"), k).as("sig"))
-            return escalatedLshPairs(sigs, bands, r, margin,
+            // pin RAW text, not shingle arrays (see verifyJaccardRaw):
+            // ~10× slimmer scratch and verify-join rows; signatures
+            // shingle inline in one pass. DISK_ONLY — dedup scratch
+            // must not hold heap (see escalatedLshPairs)
+            val raw = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+              .localCheckpoint(eager = true,
+                org.apache.spark.storage.StorageLevel.DISK_ONLY)
+            val sigs = raw.select(col("id"), minhashSignature(
+              sortedShingles(col("txt"), n), k).as("sig"))
+            val pairs = escalatedLshPairs(sigs, bands, r, margin,
               blockKeyed = false,
-              verify = verifyJaccard(pinnedDocs, threshold))
+              verify = verifyJaccardRaw(raw, n, threshold))
+            // chunked mode materialized every verified chunk — the raw
+            // pin is consumed; single-chunk mode still needs it
+            if (resolveBandChunks(spark2, bands) > 1) raw.unpersist()
+            return pairs
           }
       }
     }
@@ -607,6 +612,28 @@ object DedupOps {
           .jaccardSortedGE(col("sh_a"), col("sh_b"), threshold).as("jac"))
       .filter(col("jac") >= threshold)
 
+  /** The escalated tiers' verification tail, from RAW text: `base`
+    * carries (id, txt) and the shingle arrays are recomputed INSIDE the
+    * verify projection (same deterministic kernel — identical jac).
+    * Rationale: per-doc shingle arrays are ~10× the raw text (every
+    * n-gram repeats n characters plus array overhead), and the verify
+    * joins shuffle base rows per candidate — at the 5M-doc decade the
+    * shingle-pinned variant's scratch (pin + two SMJ sorts of wide
+    * rows) exhausted local disk, while shingling twice per VERIFIED
+    * candidate is codegen-cheap and proportional to the (small)
+    * candidate count.
+    */
+  private def verifyJaccardRaw(base: DataFrame, n: Int, threshold: Double)
+                              (cands: DataFrame): DataFrame =
+    cands
+      .join(base.select(col("id").as("id_a"), col("txt").as("t_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("txt").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.functions.VectorExpressions.jaccardSortedGE(
+          sortedShingles(col("t_a"), n), sortedShingles(col("t_b"), n),
+          threshold).as("jac"))
+      .filter(col("jac") >= threshold)
+
   /** Shared escalated tier both budget-escalated paths run: the banded
     * self-join + per-chunk EXACT verification, band-chunked per
     * [[LshBandChunksConf]]. Two measured 100× pathologies motivate the
@@ -671,16 +698,32 @@ object DedupOps {
       // this a high-J pair colliding in every band would verify once
       // per chunk (measured 14× wall blowup at 100×)
       var seen: DataFrame = null
-      (0 until nChunks).map { i =>
+      val freshPins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      val out = (0 until nChunks).map { i =>
         val c = candsOf(bandedOf(pinned, bounds(i), bounds(i + 1)))
         val fresh = (if (seen == null) c
                      else c.join(seen, Seq("id_a", "id_b"), "left_anti"))
           .localCheckpoint(eager = true, scratch)
+        freshPins += fresh
         seen = if (seen == null) fresh else seen.unionByName(fresh)
-        verify(fresh).localCheckpoint(eager = true, scratch)
+        val v = verify(fresh).localCheckpoint(eager = true, scratch)
+        // reap chunk i's shuffle files BEFORE chunk i+1 writes its own:
+        // the checkpoint above dropped the last references to this
+        // chunk's shuffle dependencies, but the ContextCleaner only
+        // deletes the files after a driver GC notices — left to the
+        // default periodic GC, nChunks × tens-of-GB of dead shuffle
+        // accumulates and exhausts local disk at the 5M-doc decade
+        System.gc()
+        v
       }.reduce(_ unionByName _)
       // fresh sets are disjoint by construction — the union IS the
-      // verified pair set of the unchunked run, no final dedup needed
+      // verified pair set of the unchunked run, no final dedup needed.
+      // Everything below fed only the (now-materialized) verified
+      // chunks: release the scratch blocks eagerly rather than holding
+      // disk until the Datasets are GC'd
+      freshPins.foreach(_.unpersist())
+      pinned.unpersist()
+      out
     }
   }
 
@@ -811,15 +854,19 @@ object DedupOps {
         3.0 * math.sqrt(threshold * (1 - threshold) / k) - 1.0 / k)
       // one execution per side, like the bitset tier: the signature pass
       // and BOTH verification joins would otherwise re-run the full
-      // corpus re-shingle — two extra passes on precisely the corpora
-      // big enough to trip the budget. DISK_ONLY: dedup scratch must not
-      // hold heap (see escalatedLshPairs)
-      val pinned = docs.localCheckpoint(eager = true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val sigs = pinned.select(col("id"), col("blk"),
-        minhashSignature(col("sh"), k).as("sig"))
-      return escalatedLshPairs(sigs, bands, r, margin, blockKeyed = true,
-        verify = verifyJaccard(pinned, threshold))
+      // corpus source scan — two extra passes on precisely the corpora
+      // big enough to trip the budget. RAW text, DISK_ONLY: see
+      // verifyJaccardRaw / escalatedLshPairs
+      val raw = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+          col(textCol).as("txt"))
+        .localCheckpoint(eager = true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val sigs = raw.select(col("id"), col("blk"), minhashSignature(
+        sortedShingles(col("txt"), n), k).as("sig"))
+      val pairs = escalatedLshPairs(sigs, bands, r, margin, blockKeyed = true,
+        verify = verifyJaccardRaw(raw, n, threshold))
+      if (resolveBandChunks(df.sparkSession, bands) > 1) raw.unpersist()
+      return pairs
     }
     // size-band rejection shared by both exact tiers: |A∩B| ≤ min sizes,
     // so J ≥ t needs b.sz ≥ ⌈a.sz·t⌉ (and symmetrically) — two long
