@@ -483,6 +483,35 @@ object VecKernels {
     eq.toDouble / n.toDouble
   }
 
+  /** [[sigEqFrac]] with an early-exit floor: the exact fraction when it
+    * is `>= floor`, else -1.0. The banded joins evaluate this once per
+    * ENUMERATED bucket pair — for the dominant sub-threshold pairs
+    * (equal-rate ≈ their true Jaccard, well under the floor) the exit
+    * fires once the remaining components can no longer reach the floor,
+    * ~halfway through the signature. Same conservative-slack discipline
+    * as [[jaccardSortedGE]]: `floor·n` computed in doubles can land one
+    * ulp above the exact rational, so the exit under-fires rather than
+    * discarding a pair whose fraction equals the floor exactly; the
+    * final exact division decides survivors. n=0 returns NaN exactly
+    * like sigEqFrac's 0/0 (and NaN sorts above any floor in Spark's
+    * double ordering, so filters keep it — unreachable for fixed-k
+    * signatures, pinned only for drop-in equivalence).
+    */
+  def sigEqFracGE(a: ArrayData, b: ArrayData, floor: Double): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return Double.NaN
+    val need = floor * n - 1e-6
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      else if (eq + (n - i - 1) < need) return -1.0
+      i += 1
+    }
+    val f = eq.toDouble / n.toDouble
+    if (f >= floor) f else -1.0
+  }
+
   /** 64-bit SimHash over a token array: per-token xxhash64 (seed 42, same
     * as Spark's builtin), ±1 vote per bit, sign → bit.
     */

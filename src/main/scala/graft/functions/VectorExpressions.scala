@@ -357,6 +357,23 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** [[SigEqFrac]] with an early-exit floor: the exact fraction when
+    * `>= floor`, else -1.0 — see [[VecKernels.sigEqFracGE]].
+    */
+  case class SigEqFracGE(left: Expression, right: Expression, floor: Double)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullIntolerant: Boolean = true
+    override def prettyName: String = "graft_sig_eq_frac_ge"
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      VecKernels.sigEqFracGE(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], floor)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.functions.VecKernels.sigEqFracGE($a, $b, $floor);")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   /** 64-bit SimHash of a token array (xxhash64 seed 42 per token). */
   case class SimHash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -460,6 +477,8 @@ object VectorExpressions {
   def wordNgrams(a: Column, n: Int): Column = GraftShim.column(WordNgrams(e(a), n))
   def minhashSig(a: Column, k: Int): Column = GraftShim.column(MinHashSig(e(a), k))
   def sigEqFrac(a: Column, b: Column): Column = GraftShim.column(SigEqFrac(e(a), e(b)))
+  def sigEqFracGE(a: Column, b: Column, floor: Double): Column =
+    GraftShim.column(SigEqFracGE(e(a), e(b), floor))
   def simhash64(a: Column): Column = GraftShim.column(SimHash64(e(a)))
   def rhpBuckets(a: Column, bits: Int, tables: Int): Column =
     GraftShim.column(RhpBuckets(e(a), bits, tables))

@@ -155,23 +155,16 @@ object DedupOps {
     * batch's one shingling pass with the cross-pairs half.
     */
   def minhashLshPairsFromSignatures(sigs: DataFrame, k: Int = 64, bands: Int = 16,
-                                    threshold: Double = 0.5): DataFrame = {
-    val withBands = bandExplode(sigs, k, bands)
-    val a = withBands.alias("a")
-    val b = withBands.alias("b")
+                                    threshold: Double = 0.5): DataFrame =
     // Verify BEFORE deduplicating: the estimator is a cheap native kernel,
     // so re-evaluating it once per agreeing band costs less than shuffling
     // both 8·k-byte signatures through dropDuplicates. The surviving rows
     // are (long, long, double) — the dedup shuffle moves 24-byte rows.
-    a.join(b,
-        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        minhashEstimate(col("a.sig"), col("b.sig"), k).as("est_jaccard"))
-      .filter(col("est_jaccard") >= threshold)
+    // Hot buckets are salted (see bandedCandidatePairs) so no single task
+    // owns a boilerplate cluster's C(m,2) enumeration.
+    bandedCandidatePairs(bandExplode(sigs, k, bands), Nil, threshold)
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b", "est_jaccard")
-  }
 
   /** The FULL daily ingest round over a persisted signature table, as one
     * call: read the corpus's stored signatures, emit every near-dup pair
@@ -597,6 +590,93 @@ object DedupOps {
     math.min(n, bands)
   }
 
+  /** Hot-bucket salt threshold for the banded SELF-joins: a (band,
+    * bhash) bucket with more than this many members splits into
+    * ~this-many-member sub-groups before the join (see
+    * [[bandedCandidatePairs]]). `off`/`0` disables salting. Default
+    * 8192: C(8192,2) ≈ 3.4e7 estimator evaluations per join cell, a
+    * few seconds of one task — the straggler ceiling. Below the
+    * threshold nothing changes shape, so organically-bucketed corpora
+    * never pay the histogram broadcast's explode.
+    */
+  val SaltBucketRowsConf = "spark.graft.dedup.lsh.saltBucketRows"
+
+  private[graft] def resolveSaltBucketRows(spark: SparkSession): Option[Long] =
+    spark.conf.getOption(SaltBucketRowsConf).map(_.trim) match {
+      case Some(v) if v.equalsIgnoreCase("off") || v == "0" => None
+      case Some(v) =>
+        val s = v.toLong
+        require(s >= 2, s"$SaltBucketRowsConf must be >= 2 (or off/0), got $s")
+        Some(s)
+      case None => Some(8192L)
+    }
+
+  /** Every unordered candidate pair the banded buckets admit, with the
+    * pair's signature estimate, floor-filtered: the single-task-safe
+    * replacement for the naive banded self-join
+    * `banded.as("a").join(banded.as("b"), keys && a.id < b.id)`.
+    *
+    * The naive join's weakness at scale is the HOT bucket: every pair of
+    * a bucket's m members enumerates inside ONE task (the bucket's key
+    * lands in one shuffle partition — AQE's skew split cannot divide a
+    * single key group's C(m,2) pair space), so one boilerplate cluster
+    * of 10⁵ near-identical docs pins a core for hours while 31 idle.
+    * Measured on the 5M-doc decade: a 680 s straggler inside the
+    * estimator with the other 31 threads parked.
+    *
+    * Fix: a broadcast histogram finds buckets over
+    * [[SaltBucketRowsConf]] members; their members get a deterministic
+    * sub-id u = hash(id) mod g (g ≈ m/S) and the join runs per
+    * sub-group PAIR — the triangle cover: the left side replicates a
+    * member under cells (p=u, q=u..g−1), the right side under
+    * (p=0..u, q=u), so an unordered pair with sub-ids (u₁ ≤ u₂) meets
+    * in EXACTLY the (u₁, u₂) cell and each cell's ≈S×S pair space is
+    * its own shuffle key. Same admitted pair set, same estimates
+    * (spec-pinned salted == unsalted); the enumeration just spreads
+    * over ~C(g,2)+g keys instead of one. Cold buckets keep g=1 (a
+    * single (0,0) cell — no replication). Pairs are canonicalized
+    * least/greatest since a p<q cell sees them in hash order, and the
+    * per-cell `p==q ⇒ id<id` guard dedups within-cell mirrors; the
+    * estimator floor applies with the early-exit kernel
+    * ([[graft.functions.VecKernels.sigEqFracGE]]).
+    */
+  private[graft] def bandedCandidatePairs(banded: DataFrame,
+      extraKeys: Seq[String], estFloor: Double): DataFrame = {
+    val spark = banded.sparkSession
+    val keyNames = extraKeys ++ Seq("band", "bhash")
+    val keys = keyNames.map(col)
+    def pairsOf(a: DataFrame, b: DataFrame, cellKeys: Seq[String],
+                extraCond: Column): DataFrame =
+      a.as("a").join(b.as("b"),
+          cellKeys.map(c => col(s"a.$c") === col(s"b.$c")).reduce(_ && _) &&
+            extraCond)
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"),
+          graft.functions.VectorExpressions.sigEqFracGE(
+            col("a.sig"), col("b.sig"), estFloor).as("est_jaccard"))
+        .filter(col("est_jaccard") >= estFloor)
+    resolveSaltBucketRows(spark) match {
+      case None =>
+        // salting off: the naive self-join (id order IS the canonical
+        // order, so least/greatest in pairsOf is a no-op)
+        pairsOf(banded, banded, keyNames, col("a.id") < col("b.id"))
+      case Some(s) =>
+        val hot = banded.groupBy(keys: _*).count()
+          .filter(col("count") > s)
+          .select(keys :+
+            ceil(col("count") / lit(s.toDouble)).cast("int").as("__g"): _*)
+        val withU = banded.join(broadcast(hot), keyNames, "left")
+          .withColumn("__g", coalesce(col("__g"), lit(1)))
+          .withColumn("__u", pmod(xxhash64(col("id")), col("__g")).cast("int"))
+        val aSide = withU.withColumn("__p", col("__u"))
+          .withColumn("__q", explode(sequence(col("__u"), col("__g") - 1)))
+        val bSide = withU.withColumn("__q", col("__u"))
+          .withColumn("__p", explode(sequence(lit(0), col("__u"))))
+        pairsOf(aSide, bSide, keyNames ++ Seq("__p", "__q"),
+          col("a.__p") < col("a.__q") || col("a.id") < col("b.id"))
+    }
+  }
+
   /** The exact-verification tail both Jaccard pair paths share: attach
     * each candidate's shingle arrays from `base` (must carry (id, sh)),
     * compute exact Jaccard with the sorted merge-scan kernel, keep
@@ -669,16 +749,14 @@ object DedupOps {
           hash(slice(col("sig"), bd * r + 1, r), lit(bd))): _*))
         .as(Seq("band", "bhash")): _*)
     }
-    def candsOf(banded: DataFrame): DataFrame = {
-      val base = col("a.band") === col("b.band") &&
-        col("a.bhash") === col("b.bhash") && col("a.id") < col("b.id") &&
-        minhashEstimate(col("a.sig"), col("b.sig"), k) >= margin
-      val cond = if (blockKeyed) col("a.blk") === col("b.blk") && base
-                 else base
-      banded.as("a").join(banded.as("b"), cond)
-        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    // hot-bucket-salted banded self-join (see bandedCandidatePairs): a
+    // boilerplate cluster's bucket must not pin one task on C(m,2)
+    // estimator evaluations while the rest of the executor idles
+    def candsOf(banded: DataFrame): DataFrame =
+      bandedCandidatePairs(banded,
+          if (blockKeyed) Seq("blk") else Nil, margin)
+        .select(col("id_a"), col("id_b"))
         .distinct()
-    }
     // DISK_ONLY scratch: the escalated tier runs on exactly the corpora
     // big enough to trip the budget, inside suites whose earlier queries
     // already hold heap — its pinned relations (shingled docs, k-long

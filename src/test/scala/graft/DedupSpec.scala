@@ -293,6 +293,72 @@ class DedupSpec extends SparkSuite {
     } finally spark.conf.unset(DedupOps.LshBandChunksConf)
   }
 
+  test("hot-bucket salting == unsalted: identical pairs and estimates, all paths") {
+    // the salt threshold is a pure PARALLELISM knob — the triangle cover
+    // (left side under cells (u, u..g-1), right side under (0..u, u))
+    // meets every unordered bucket pair exactly once, so any threshold
+    // must reproduce the unsalted join's pair set and estimates. salt=2
+    // forces every bucket through the sub-group path (g = ceil(m/2)).
+    val sample = docs.limit(400).cache()
+    def runPlain() =
+      DedupOps.minhashLshPairs(sample, "doc_id", "text",
+          n = 3, k = 64, bands = 8, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def runGlobal() =
+      DedupOps.jaccardPairsGlobal(sample, "doc_id", "text", 3, 0.6,
+          bruteMaxDocs = 0L, candidatePairBudget = Some(20000L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def runBlocked() =
+      DedupOps.jaccardPairsBlocked(sample, "doc_id", "text", "source", 3, 0.6,
+          candidatePairBudget = Some(1000L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    try {
+      spark.conf.set(DedupOps.SaltBucketRowsConf, "off")
+      val p0 = runPlain(); val g0 = runGlobal(); val b0 = runBlocked()
+      assert(p0.nonEmpty && g0.nonEmpty && b0.nonEmpty)
+      spark.conf.set(DedupOps.SaltBucketRowsConf, "2")
+      assert(runPlain() == p0,
+        "fully-salted plain LSH must equal the unsalted pair set")
+      assert(runGlobal() == g0,
+        "fully-salted global escalation must equal the unsalted pair set")
+      assert(runBlocked() == b0,
+        "fully-salted blocked escalation must equal the unsalted pair set")
+      // the default threshold leaves test-sized buckets unsalted (g=1
+      // single cell) — same set through the degenerate cover
+      spark.conf.unset(DedupOps.SaltBucketRowsConf)
+      assert(runPlain() == p0)
+    } finally spark.conf.unset(DedupOps.SaltBucketRowsConf)
+  }
+
+  test("sigEqFracGE == (sigEqFrac when >= floor else -1): exhaustive over seeded signatures") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.VecKernels
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 2000) {
+      val n = 1 + rnd.nextInt(80)
+      val a = Array.fill(n)(rnd.nextLong())
+      // force a controlled equal-rate so floors land on both sides
+      val b = a.map(v => if (rnd.nextDouble() < trial % 11 / 10.0) v else rnd.nextLong())
+      val (aa, bb) = (new GenericArrayData(a), new GenericArrayData(b))
+      val frac = VecKernels.sigEqFrac(aa, bb)
+      for (floor <- Seq(0.0, 0.3, frac - 1e-9, frac, frac + 1e-9, 0.73, 1.0)) {
+        val got = VecKernels.sigEqFracGE(aa, bb, floor)
+        val want = if (frac >= floor) frac else -1.0
+        assert(got == want,
+          s"trial=$trial n=$n floor=$floor frac=$frac got=$got")
+      }
+    }
+    // boundary floors with exact rational hits: every eq/n grid point
+    for (n <- Seq(1, 4, 60, 68); eq <- 0 to n) {
+      val a = Array.tabulate(n)(i => i.toLong)
+      val b = Array.tabulate(n)(i => if (i < eq) i.toLong else -1L - i)
+      val (aa, bb) = (new GenericArrayData(a), new GenericArrayData(b))
+      val floor = eq.toDouble / n
+      assert(VecKernels.sigEqFracGE(aa, bb, floor) == floor,
+        s"exact-hit floor must survive: eq=$eq n=$n")
+    }
+  }
+
   test("candidate budget conf: session knob beats the argument, names itself, 'off' disables") {
     val sample = docs.limit(400).cache()
     def runGlobal(budget: Option[Long]) =
