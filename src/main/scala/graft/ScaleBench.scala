@@ -320,8 +320,16 @@ object ScaleBench {
       // in the artifact (band_chunks) so the exponents are attributable
       val bandChunks = sys.env.getOrElse("SPARK_GRAFT_BAND_CHUNKS", "6")
       spark.conf.set(graft.ops.DedupOps.LshBandChunksConf, bandChunks)
-      val qs = Seq("q_dedup_minhash", "q_dedup_jaccard_global",
-        "q_ngram_jaccard", "q_dedup_embedding_ivf", "q_similarity_ivf")
+      // candidate counts first and queries cheap→expensive: every line
+      // streams to the log as it lands, so a wall-clock-bounded run
+      // still yields the full candidate ladder and the cheap families
+      // before the big Jaccard pair queries start
+      val lsh3 = Seq(d100, d1000).map(lshCandidates(spark, _))
+      val ivf3 = Seq(d100, d1000).map(ivfCandidates(spark, _))
+      println(s"[scalebench] decade3 lsh_candidates=${lsh3.mkString(",")} " +
+        s"ivf_candidates=${ivf3.mkString(",")}")
+      val qs = Seq("q_dedup_minhash", "q_dedup_embedding_ivf",
+        "q_similarity_ivf", "q_dedup_jaccard_global", "q_ngram_jaccard")
       def timed(name: String, dir: String): (Double, Option[String]) = {
         val fn = SparkEntry.queries(name)
         graft.ops.DedupOps.lastCapReport = None
@@ -345,8 +353,6 @@ object ScaleBench {
           cap.map(c => s" cap=$c").getOrElse(""))
         (q, t100, t1000, exp3, cap)
       }
-      val lsh3 = Seq(d100, d1000).map(lshCandidates(spark, _))
-      val ivf3 = Seq(d100, d1000).map(ivfCandidates(spark, _))
       def dexp(v: Seq[Long]): String =
         sec(math.log10(math.max(v(1), 1).toDouble / math.max(v(0), 1)))
       val qj = rows3.map { case (q, t100, t1000, e, cap) =>

@@ -611,6 +611,17 @@ object DedupOps {
       case None => Some(8192L)
     }
 
+  /** Catalyst-stats gate for the hot-bucket probe (bytes): corpora whose
+    * banded relation estimates below this never pay the probe's
+    * histogram job. Calibrated against the shipped fixtures' optimized
+    * stats (sf0.1 ≈ 170 KB, 50k docs ≈ 2 MB, 500k docs ≈ 24 MB): the
+    * default 8 MB engages from ~200k docs — below that the naive join's
+    * worst case is seconds, above it an unprobed hot bucket is the
+    * difference between 258 s and 1165 s (measured, 500k docs). `0`
+    * probes always (the spec hook).
+    */
+  val SaltProbeMinBytesConf = "spark.graft.dedup.lsh.saltProbeMinBytes"
+
   /** Every unordered candidate pair the banded buckets admit, with the
     * pair's signature estimate, floor-filtered: the single-task-safe
     * replacement for the naive banded self-join
@@ -624,21 +635,35 @@ object DedupOps {
     * Measured on the 5M-doc decade: a 680 s straggler inside the
     * estimator with the other 31 threads parked.
     *
-    * Fix: a broadcast histogram finds buckets over
-    * [[SaltBucketRowsConf]] members; their members get a deterministic
-    * sub-id u = hash(id) mod g (g ≈ m/S) and the join runs per
-    * sub-group PAIR — the triangle cover: the left side replicates a
-    * member under cells (p=u, q=u..g−1), the right side under
-    * (p=0..u, q=u), so an unordered pair with sub-ids (u₁ ≤ u₂) meets
-    * in EXACTLY the (u₁, u₂) cell and each cell's ≈S×S pair space is
-    * its own shuffle key. Same admitted pair set, same estimates
-    * (spec-pinned salted == unsalted); the enumeration just spreads
-    * over ~C(g,2)+g keys instead of one. Cold buckets keep g=1 (a
-    * single (0,0) cell — no replication). Pairs are canonicalized
-    * least/greatest since a p<q cell sees them in hash order, and the
-    * per-cell `p==q ⇒ id<id` guard dedups within-cell mirrors; the
-    * estimator floor applies with the early-exit kernel
-    * ([[graft.functions.VecKernels.sigEqFracGE]]).
+    * Fix, in three stages so cold corpora pay nothing:
+    *  1. GATE — skip everything when the banded relation's Catalyst
+    *     size estimate is under [[SaltProbeMinBytesConf]] (suite-scale
+    *     corpora keep the exact pre-salting plan, zero overhead).
+    *  2. PROBE — one eager histogram job collects the buckets over
+    *     [[SaltBucketRowsConf]] members (bounded: ≤ rows/S of them).
+    *     Same eager-at-construction discipline as the candidate-budget
+    *     probe. No hot buckets → the naive plan again; the probe job
+    *     was the only cost.
+    *  3. SALT — the driver-built hot list (tiny) broadcast-joins onto
+    *     the banded rows (the in-plan histogram alternative would
+    *     recompute the full signature pass per join side — measured 3×
+    *     on a hot-free corpus). Hot members get a deterministic sub-id
+    *     u = hash(id) mod g (g ≈ m/S) and the join runs per sub-group
+    *     PAIR — the triangle cover: the left side replicates a member
+    *     under cells (p=u, q=u..g−1), the right side under (p=0..u,
+    *     q=u), so an unordered pair with sub-ids (u₁ ≤ u₂) meets in
+    *     EXACTLY the (u₁, u₂) cell and each cell's ≈S×S pair space is
+    *     its own shuffle key. Cold buckets keep g=1 (a single (0,0)
+    *     cell — no replication). Pairs are canonicalized
+    *     least/greatest since a p<q cell sees them in hash order, and
+    *     the per-cell `p==q ⇒ id<id` guard dedups within-cell mirrors.
+    *
+    * Same admitted pair set, same estimates on every route
+    * (spec-pinned salted == unsalted); the estimator floor applies
+    * with the early-exit kernel
+    * ([[graft.functions.VecKernels.sigEqFracGE]]). Measured at 500k
+    * docs, 16×4 banding, t=0.5 (190.5M true pairs): naive 1165 s,
+    * salted 258 s — the hot cells spread instead of straggling.
     */
   private[graft] def bandedCandidatePairs(banded: DataFrame,
       extraKeys: Seq[String], estFloor: Double): DataFrame = {
@@ -655,16 +680,33 @@ object DedupOps {
           graft.functions.VectorExpressions.sigEqFracGE(
             col("a.sig"), col("b.sig"), estFloor).as("est_jaccard"))
         .filter(col("est_jaccard") >= estFloor)
+    // salting off / gated / hot-free: the naive self-join (id order IS
+    // the canonical order, so least/greatest in pairsOf is a no-op)
+    def naive = pairsOf(banded, banded, keyNames, col("a.id") < col("b.id"))
     resolveSaltBucketRows(spark) match {
-      case None =>
-        // salting off: the naive self-join (id order IS the canonical
-        // order, so least/greatest in pairsOf is a no-op)
-        pairsOf(banded, banded, keyNames, col("a.id") < col("b.id"))
+      case None => naive
       case Some(s) =>
-        val hot = banded.groupBy(keys: _*).count()
-          .filter(col("count") > s)
-          .select(keys :+
-            ceil(col("count") / lit(s.toDouble)).cast("int").as("__g"): _*)
+        val minBytes = spark.conf.getOption(SaltProbeMinBytesConf)
+          .map(_.trim.toLong).getOrElse(8L << 20)
+        if (banded.queryExecution.optimizedPlan.stats.sizeInBytes < minBytes)
+          return naive
+        val hotRows = banded.groupBy(keys: _*).count()
+          .filter(col("count") > s).collect()
+        if (hotRows.isEmpty) return naive
+        val gs = hotRows.map(r =>
+          math.ceil(r.getLong(keyNames.length).toDouble / s).toInt)
+        println(s"[graft] bandedCandidatePairs: salting ${hotRows.length} " +
+          s"hot bucket(s) over $s rows (max sub-groups ${gs.max}) — " +
+          "triangle-cover cells replace single-task enumeration")
+        val keySchema = org.apache.spark.sql.types.StructType(
+          banded.select(keys: _*).schema.fields :+
+            org.apache.spark.sql.types.StructField("__g",
+              org.apache.spark.sql.types.IntegerType, nullable = false))
+        val hotLocal = hotRows.toSeq.zip(gs).map { case (r, g) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.init :+ g)
+        }
+        import scala.jdk.CollectionConverters._
+        val hot = spark.createDataFrame(hotLocal.asJava, keySchema)
         val withU = banded.join(broadcast(hot), keyNames, "left")
           .withColumn("__g", coalesce(col("__g"), lit(1)))
           .withColumn("__u", pmod(xxhash64(col("id")), col("__g")).cast("int"))

@@ -316,6 +316,9 @@ class DedupSpec extends SparkSuite {
       spark.conf.set(DedupOps.SaltBucketRowsConf, "off")
       val p0 = runPlain(); val g0 = runGlobal(); val b0 = runBlocked()
       assert(p0.nonEmpty && g0.nonEmpty && b0.nonEmpty)
+      // probe gate at 0 so the test-sized corpus reaches the probe, and
+      // salt=2 so the probe finds hot buckets (g = ceil(m/2)) on all paths
+      spark.conf.set(DedupOps.SaltProbeMinBytesConf, "0")
       spark.conf.set(DedupOps.SaltBucketRowsConf, "2")
       assert(runPlain() == p0,
         "fully-salted plain LSH must equal the unsalted pair set")
@@ -323,11 +326,15 @@ class DedupSpec extends SparkSuite {
         "fully-salted global escalation must equal the unsalted pair set")
       assert(runBlocked() == b0,
         "fully-salted blocked escalation must equal the unsalted pair set")
-      // the default threshold leaves test-sized buckets unsalted (g=1
-      // single cell) — same set through the degenerate cover
+      // default gate (8 MB) leaves test-sized corpora on the naive plan —
+      // same set, probe never runs
+      spark.conf.unset(DedupOps.SaltProbeMinBytesConf)
       spark.conf.unset(DedupOps.SaltBucketRowsConf)
       assert(runPlain() == p0)
-    } finally spark.conf.unset(DedupOps.SaltBucketRowsConf)
+    } finally {
+      spark.conf.unset(DedupOps.SaltProbeMinBytesConf)
+      spark.conf.unset(DedupOps.SaltBucketRowsConf)
+    }
   }
 
   test("sigEqFracGE == (sigEqFrac when >= floor else -1): exhaustive over seeded signatures") {
