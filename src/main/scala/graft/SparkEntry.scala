@@ -4638,6 +4638,26 @@ private[graft] object Queries {
     """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
       |FROM supplier ORDER BY s_suppkey""".stripMargin
 
+  /** Avro round-trip through the engine's own DSv2 source/sink
+    * (`graft-avro`, sources/AvroSource.scala — the distribution ships
+    * Avro core but not the spark-avro connector, so the engine provides
+    * the format itself): distributed write (one container file per task,
+    * staged-rename commit), schema-inferred read-back over sync-marker
+    * splits. `o_orderdate` pins the timestamp-micros logical-type
+    * mapping both directions.
+    */
+  def scanAvro(s: SparkSession, d: String): DataFrame = {
+    val dir = fixtureDir(d, "avro_roundtrip")
+    ord(s, d)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"))
+      .write.format("graft-avro").mode("overwrite").save(dir)
+    s.read.format("graft-avro").load(dir).orderBy("o_orderkey")
+  }
+
+  private val scanAvroSql =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** `binaryFile` ingest — the entry point of a multimodal pipeline:
     * raw files on disk become (path, length, content) rows with the
     * payload as an opaque binary column, globbed server-side
@@ -4957,6 +4977,7 @@ private[graft] object Queries {
     "q_quantile_sketch" -> (quantileSketchQ _),
     "q_scan_orc" -> (scanOrc _),
     "q_scan_xml" -> (scanXml _),
+    "q_scan_avro" -> (scanAvro _),
     "q_scan_binary" -> (scanBinary _),
     "q_scan_http" -> (scanHttp _),
     "q_scan_http_offset" -> (scanHttpOffset _),
@@ -5123,6 +5144,7 @@ private[graft] object Queries {
     "q_explode_outer" -> explodeOuterSql,
     "q_scan_orc" -> scanOrcSql,
     "q_scan_xml" -> scanXmlSql,
+    "q_scan_avro" -> scanAvroSql,
     "q_scan_binary" -> scanBinarySql,
     "q_scan_http" -> scanHttpSql,
     "q_scan_http_offset" -> scanHttpOffsetSql,

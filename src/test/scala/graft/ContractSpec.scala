@@ -105,7 +105,7 @@ class ContractSpec extends SparkSuite {
       "q_join_advised",    // profile scalars (rows/distinct/top-1) feed the advisor
       // scan queries write their fixture on first use + scalar watermark cuts
       "q_scan_csv", "q_scan_jsonl", "q_scan_corrupt", "q_scan_orc", "q_scan_xml",
-      "q_scan_binary",
+      "q_scan_binary", "q_scan_avro",
       "q_scan_paged", "q_scan_http", "q_scan_http_offset", "q_scan_http_agg",
       "q_scan_pushdown", "q_zorder_scan")
 
