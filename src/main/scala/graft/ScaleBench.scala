@@ -344,20 +344,36 @@ object ScaleBench {
         fn(spark, dir).count()
         ((System.nanoTime() - t0) / 1e9, cap)
       }
+      // a single leg failing (the 5M-doc ngram leg once exhausted the
+      // HOST's free disk mid-shuffle) must not lose the whole artifact:
+      // record the leg as dnf and keep going
       val rows3 = qs.map { q =>
-        val (t100, _) = timed(q, d100)
-        println(f"[scalebench] decade3 $q t100x=$t100%.1f s")
-        val (t1000, cap) = timed(q, d1000)
-        val exp3 = math.log10(math.max(t1000, 1e-3) / math.max(t100, 1e-3))
-        println(f"[scalebench] decade3 $q t1000x=$t1000%.1f s exp3=$exp3%.2f" +
-          cap.map(c => s" cap=$c").getOrElse(""))
-        (q, t100, t1000, exp3, cap)
+        try {
+          val (t100, _) = timed(q, d100)
+          println(f"[scalebench] decade3 $q t100x=$t100%.1f s")
+          val (t1000, cap) = timed(q, d1000)
+          val exp3 = math.log10(math.max(t1000, 1e-3) / math.max(t100, 1e-3))
+          println(f"[scalebench] decade3 $q t1000x=$t1000%.1f s exp3=$exp3%.2f" +
+            cap.map(c => s" cap=$c").getOrElse(""))
+          (q, Some((t100, t1000, exp3)), cap, None: Option[String])
+        } catch {
+          case e: Throwable =>
+            val msg = e.getMessage match {
+              case null => e.getClass.getSimpleName
+              case m => m.linesIterator.next().take(160)
+            }
+            println(s"[scalebench] decade3 $q DNF: $msg")
+            (q, None, None, Some(msg))
+        }
       }
       def dexp(v: Seq[Long]): String =
         sec(math.log10(math.max(v(1), 1).toDouble / math.max(v(0), 1)))
-      val qj = rows3.map { case (q, t100, t1000, e, cap) =>
-        s""""$q":{"t100x":${sec(t100)},"t1000x":${sec(t1000)},""" +
-          s""""exp3":${sec(e)}${cap.map(c => s""","cap":$c""").getOrElse("")}}"""
+      val qj = rows3.map {
+        case (q, Some((t100, t1000, e)), cap, _) =>
+          s""""$q":{"t100x":${sec(t100)},"t1000x":${sec(t1000)},""" +
+            s""""exp3":${sec(e)}${cap.map(c => s""","cap":$c""").getOrElse("")}}"""
+        case (q, None, _, err) =>
+          s""""$q":{"dnf":"${err.getOrElse("").replace("\"", "'")}"}"""
       }.mkString("{", ",", "}")
       val nd = Seq(d100, d1000).map(d =>
         spark.read.parquet(s"$d/documents.parquet").count())
