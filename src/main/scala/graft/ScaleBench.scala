@@ -285,6 +285,8 @@ object ScaleBench {
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.ui.enabled", "false")
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.fs.FastLocalFileSystem].getName)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     def sec(v: Double) = f"$v%.3f"
@@ -346,38 +348,71 @@ object ScaleBench {
       }
       // a single leg failing (the 5M-doc ngram leg once exhausted the
       // HOST's free disk mid-shuffle) must not lose the whole artifact:
-      // record the leg as dnf and keep going
-      val rows3 = qs.map { q =>
-        try {
-          val (t100, _) = timed(q, d100)
-          println(f"[scalebench] decade3 $q t100x=$t100%.1f s")
-          val (t1000, cap) = timed(q, d1000)
-          val exp3 = math.log10(math.max(t1000, 1e-3) / math.max(t100, 1e-3))
-          println(f"[scalebench] decade3 $q t1000x=$t1000%.1f s exp3=$exp3%.2f" +
-            cap.map(c => s" cap=$c").getOrElse(""))
-          (q, Some((t100, t1000, exp3)), cap, None: Option[String])
-        } catch {
+      // record the leg as dnf and keep going. Each of the two timed runs
+      // is caught independently so a 1000x failure still records the
+      // measured t100x (+cap trace). Only NonFatal throws are recorded as
+      // a clean dnf; a fatal JVM error (OutOfMemoryError etc.) marks the
+      // whole artifact degraded — walls measured after it ran in a
+      // possibly compromised JVM and must not read as valid.
+      var fatalSeen: Option[String] = None
+      def errHead(e: Throwable): String = {
+        val raw = Option(e.getMessage).getOrElse("")
+        val head = raw.linesIterator.toSeq.headOption.getOrElse("")
+        val base = if (head.isEmpty) e.getClass.getSimpleName else head.take(160)
+        // JSON-safe: strip control chars, escape backslash, swap quotes
+        base.replace("\\", "/").replace("\"", "'").filter(c => c >= ' ')
+      }
+      def tryLeg(q: String, dir: String, label: String): Either[String, (Double, Option[String])] =
+        try Right(timed(q, dir))
+        catch {
+          case e if scala.util.control.NonFatal(e) =>
+            val msg = errHead(e)
+            println(s"[scalebench] decade3 $q $label DNF: $msg")
+            Left(msg)
           case e: Throwable =>
-            val msg = e.getMessage match {
-              case null => e.getClass.getSimpleName
-              case m => m.linesIterator.next().take(160)
+            val msg = errHead(e)
+            fatalSeen = fatalSeen.orElse(Some(s"$q $label: $msg"))
+            println(s"[scalebench] decade3 $q $label FATAL (artifact degraded): $msg")
+            Left(msg)
+        }
+      val rows3 = qs.map { q =>
+        tryLeg(q, d100, "t100x") match {
+          case Left(msg) => (q, None, None, None, Some(msg))
+          case Right((t100, _)) =>
+            println(f"[scalebench] decade3 $q t100x=$t100%.1f s")
+            tryLeg(q, d1000, "t1000x") match {
+              case Right((t1000, cap)) =>
+                val exp3 = math.log10(math.max(t1000, 1e-3) / math.max(t100, 1e-3))
+                println(f"[scalebench] decade3 $q t1000x=$t1000%.1f s exp3=$exp3%.2f" +
+                  cap.map(c => s" cap=$c").getOrElse(""))
+                (q, Some((t100, t1000, exp3)), cap, None, None: Option[String])
+              case Left(msg) =>
+                // keep the measured 100x wall beside the dnf, plus whatever
+                // escalation trace the failed 1000x attempt got far enough
+                // to record (lastCapReport was reset at its start)
+                val cap100 = graft.ops.DedupOps.lastCapReport.map(r =>
+                  s"""{"candidates_before":${r.candidatesBefore},"budget":${r.budget},""" +
+                    s""""bands":${r.bands},"rows_per_band":${r.rowsPerBand},""" +
+                    f""""recall_bound":${r.recallBoundAtThreshold}%.4f}""")
+                (q, None, cap100, Some(t100), Some(msg))
             }
-            println(s"[scalebench] decade3 $q DNF: $msg")
-            (q, None, None, Some(msg))
         }
       }
       def dexp(v: Seq[Long]): String =
         sec(math.log10(math.max(v(1), 1).toDouble / math.max(v(0), 1)))
       val qj = rows3.map {
-        case (q, Some((t100, t1000, e)), cap, _) =>
+        case (q, Some((t100, t1000, e)), cap, _, _) =>
           s""""$q":{"t100x":${sec(t100)},"t1000x":${sec(t1000)},""" +
             s""""exp3":${sec(e)}${cap.map(c => s""","cap":$c""").getOrElse("")}}"""
-        case (q, None, _, err) =>
-          s""""$q":{"dnf":"${err.getOrElse("").replace("\"", "'")}"}"""
+        case (q, None, cap, t100, err) =>
+          s""""$q":{${t100.map(t => s""""t100x":${sec(t)},""").getOrElse("")}""" +
+            s""""dnf":"${err.getOrElse("")}"""" +
+            s"""${cap.map(c => s""","cap":$c""").getOrElse("")}}"""
       }.mkString("{", ",", "}")
       val nd = Seq(d100, d1000).map(d =>
         spark.read.parquet(s"$d/documents.parquet").count())
       val out = s"""{"metric":"scale_decade3","docs":[${nd.mkString(",")}],""" +
+        fatalSeen.map(f => s""""degraded":"${f.replace("\\", "/").replace("\"", "'").filter(_ >= ' ')}",""").getOrElse("") +
         s""""band_chunks":$bandChunks,""" +
         s""""lsh_candidates":[${lsh3.mkString(",")}],""" +
         s""""lsh_exponent3":${dexp(lsh3)},""" +

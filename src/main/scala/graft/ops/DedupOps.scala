@@ -775,22 +775,31 @@ object DedupOps {
     * (same exact jac) and the final dedup restores exactly the
     * unchunked pair set — spec-pinned in DedupSpec.
     */
+  /** Banded explode over minhash signatures for bands [lo, hi): one row
+    * per (id, band) with `bhash` = hash of the band's signature slice,
+    * seeded by the TRUE band index — so a chunk's (band, bhash) keys are
+    * exactly the unchunked keys restricted to its bands. Shared by
+    * [[escalatedLshPairs]] and the plan-capture tool
+    * (graft.tools.ExplainDedupStages) so committed stage plans are
+    * constructed by the same code path that runs in production.
+    */
+  private[graft] def bandedExplode(src: DataFrame, r: Int, lo: Int, hi: Int,
+                                   extraCols: Seq[String] = Nil): DataFrame = {
+    val keep = Seq(col("id"), col("sig")) ++ extraCols.map(col)
+    src.select(keep :+ posexplode(array((lo until hi).map(bd =>
+        hash(slice(col("sig"), bd * r + 1, r), lit(bd))): _*))
+      .as(Seq("band", "bhash")): _*)
+  }
+
   private def escalatedLshPairs(sigs: DataFrame, bands: Int, r: Int,
                                 margin: Double, blockKeyed: Boolean,
                                 verify: DataFrame => DataFrame): DataFrame = {
     val spark = sigs.sparkSession
     val k = bands * r
     val nChunks = resolveBandChunks(spark, bands)
-    // explode only bands [lo, hi) — the hash seed stays the TRUE band
-    // index, so a chunk's (band, bhash) keys are exactly the unchunked
-    // keys restricted to its bands
-    def bandedOf(src: DataFrame, lo: Int, hi: Int): DataFrame = {
-      val keep = Seq(col("id"), col("sig")) ++
-        (if (blockKeyed) Seq(col("blk")) else Nil)
-      src.select(keep :+ posexplode(array((lo until hi).map(bd =>
-          hash(slice(col("sig"), bd * r + 1, r), lit(bd))): _*))
-        .as(Seq("band", "bhash")): _*)
-    }
+    def bandedOf(src: DataFrame, lo: Int, hi: Int): DataFrame =
+      bandedExplode(src, r, lo, hi,
+        extraCols = if (blockKeyed) Seq("blk") else Nil)
     // hot-bucket-salted banded self-join (see bandedCandidatePairs): a
     // boilerplate cluster's bucket must not pin one task on C(m,2)
     // estimator evaluations while the rest of the executor idles

@@ -1248,7 +1248,11 @@ object VersionedTable {
     val written = fs.listStatus(outDir).toSeq.map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .map(n => s"$rel/$n")
-    if (spark.read.schema(dvSchema).parquet(outDir.toString).isEmpty) {
+    // emptiness from the footers just written (driver metadata reads over
+    // the already-listed files) — not a Spark job re-reading the output
+    val dvRows = written.map(p => FooterStats.rowCount(
+      new Path(dir, p), spark.sparkContext.hadoopConfiguration)).sum
+    if (dvRows == 0L) {
       fs.delete(outDir, true)
       return cur.version
     }
@@ -1338,7 +1342,11 @@ object VersionedTable {
     val writtenDv = fs.listStatus(outDir).toSeq.map(_.getPath.getName)
       .filter(n => n.endsWith(".parquet") && !n.startsWith("."))
       .map(n => s"$rel/$n")
-    if (spark.read.schema(dvSchema).parquet(outDir.toString).isEmpty) {
+    // emptiness from the footers just written (driver metadata reads over
+    // the already-listed files) — not a Spark job re-reading the output
+    val dvRows = writtenDv.map(p => FooterStats.rowCount(
+      new Path(dir, p), spark.sparkContext.hadoopConfiguration)).sum
+    if (dvRows == 0L) {
       fs.delete(outDir, true)
       return cur.version
     }

@@ -42,12 +42,10 @@ object ExplainDedupStages {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val sigs = graft.ops.DedupOps
       .minhashSignatures(docs, "doc_id", "text", n = 3, k = k)
-    // the exact banded shape escalatedLshPairs.bandedOf(src, 0, bands)
-    // explodes: hash of each band's signature slice, seeded by the band
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map(bd =>
-        hash(slice(col("sig"), bd * r + 1, r), lit(bd))): _*))
-        .as(Seq("band", "bhash")))
+    // the exact banded shape escalatedLshPairs explodes — built by the
+    // SAME production code path (DedupOps.bandedExplode), so the captured
+    // stage plan cannot silently diverge from what actually runs
+    val banded = graft.ops.DedupOps.bandedExplode(sigs, r, 0, bands)
     def dump(name: String, confs: Seq[(String, String)]): Unit = {
       confs.foreach { case (key, v) => spark.conf.set(key, v) }
       val df = graft.ops.DedupOps

@@ -12,6 +12,10 @@ object SparkTestSession {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the whole suite runs through the NIO-chmod local FS — the same
+      // impl the bench/verify sessions wire (graft.fs.FastLocalFileSystem)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.fs.FastLocalFileSystem].getName)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
