@@ -77,8 +77,9 @@ object DedupOps {
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, k: Int = 64): DataFrame =
-    df.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), n), k).as("sig"))
+    ScanSpread.spread(df.select(col(idCol).as("id"), col(textCol).as("__t")),
+        col("id"))
+      .select(col("id"), minhashSignature(shingles(col("__t"), n), k).as("sig"))
 
   /** (id, sig) → (id, sig, band, bhash) band explode — the (band, hash)
     * equi-join key both LSH joins shuffle on.
@@ -340,8 +341,9 @@ object DedupOps {
                          bruteMaxDocs: Long = BruteForceMaxDocs,
                          maxBitsetUniverse: Long = MaxBitsetUniverse,
                          candidatePairBudget: Option[Long] = None): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      sortedShingles(col(textCol), n).as("sh"))
+    val docs = ScanSpread.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"), sortedShingles(col("__t"), n).as("sh"))
     // Cost-based tier choice, same spirit as Spark picking broadcast vs
     // shuffle joins from size stats: when the corpus is small enough that
     // N² cheap verifications beat the prefix join's machinery AND the
@@ -934,8 +936,9 @@ object DedupOps {
                           threshold: Double = 0.6,
                           maxBitsetUniverse: Long = MaxBitsetUniverse,
                           candidatePairBudget: Option[Long] = None): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      sortedShingles(col(textCol), n).as("sh"))
+    val docs = ScanSpread.spread(df.select(col(idCol).as("id"),
+        col(blockCol).as("blk"), col(textCol).as("__t")), col("id"))
+      .select(col("id"), col("blk"), sortedShingles(col("__t"), n).as("sh"))
     // CANDIDATE BUDGET (opt-in), the blocked twin of the global path's:
     // within-block all-pairs is quadratic in the block size BY SEMANTICS,
     // so on a corpus whose blocks grow with it the evaluated-pair total
@@ -1092,8 +1095,9 @@ object DedupOps {
     */
   private def simhashBlockedPairs(df: DataFrame, idCol: String, textCol: String,
                                   maxDistance: Int, keys: Seq[Column]): DataFrame = {
-    val withHash = df.select(col(idCol).as("id"),
-      simhash(TextOps.tokens(col(textCol))).as("sh"))
+    val withHash = ScanSpread.spread(
+        df.select(col(idCol).as("id"), col(textCol).as("__t")), col("id"))
+      .select(col("id"), simhash(TextOps.tokens(col("__t"))).as("sh"))
     val blocked = withHash.select(col("id"), col("sh"),
       posexplode(array(keys: _*)).as(Seq("q", "block")))
     blocked.as("a").join(blocked.as("b"),
@@ -1132,7 +1136,8 @@ object DedupOps {
     // is constant so a length-L string's i-th variant and a length-(L−1)
     // string's identity variant still collide when equal.
     // i = 0..len: delete char at position i+1; i = len yields the identity
-    val keyed = df.select(col(idCol).as("id"), s.as("s"),
+    val src = ScanSpread.spread(df.select(col(idCol), col(strCol)), col(idCol))
+    val keyed = src.select(col(idCol).as("id"), s.as("s"),
       explode(array_distinct(expr(
         s"transform(sequence(0, length($strCol)), i -> " +
           s"xxhash64(concat(substring($strCol, 1, i), substring($strCol, i + 2, length($strCol)))))")))
