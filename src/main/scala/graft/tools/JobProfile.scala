@@ -29,10 +29,19 @@ object JobProfile {
       override def onJobStart(e: SparkListenerJobStart): Unit = {
         val desc = Option(e.properties)
           .flatMap(p => Option(p.getProperty("spark.job.description")))
-        // stage name carries the action call site ("parquet at Foo.scala:12")
-        val site = desc.orElse(e.stageInfos.lastOption.map(_.name)).getOrElse("?")
+        // stage name carries the action call site ("parquet at Foo.scala:12");
+        // for AQE-materialized stages it is an executor-pool frame, so fall
+        // back to the first graft frame in the stage details (full call site)
+        val graftFrame = e.stageInfos.iterator
+          .flatMap(_.details.linesIterator)
+          .find(l => l.contains("graft.") && !l.contains("JobProfile"))
+          .map(_.trim.stripPrefix("at "))
+        val site = desc
+          .orElse(e.stageInfos.lastOption.map(_.name).filterNot(_.contains("withThreadLocal")))
+          .orElse(graftFrame)
+          .getOrElse(e.stageInfos.lastOption.map(_.name).getOrElse("?"))
         val tasks = e.stageInfos.map(_.numTasks).sum
-        open(e.jobId) = J(e.jobId, System.nanoTime(), site.take(90), tasks)
+        open(e.jobId) = J(e.jobId, System.nanoTime(), site.take(110), tasks)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         open.remove(e.jobId).foreach(j => done.add((j, System.nanoTime())))
