@@ -351,18 +351,30 @@ object DedupOps {
     // popcounts (a 48-byte-per-doc broadcast nested loop). Past either
     // bound, the AllPairs/PPJoin prefix filter is the path that scales.
     val nDocs = docs.count()
+    // the prefix tier's input: the raw pipeline, or — when the brute
+    // probe ran but the universe overflowed the dictionary — the already
+    // materialized small relation (bounded), saving the re-scan
+    var prefixInput = docs
     if (nDocs <= bruteMaxDocs) {
-      // probe cost is bounded: it only runs on <= bruteMaxDocs corpora
-      val toks = docs.select(explode(col("sh")).as("tok")).distinct().persist()
+      // probe cost is bounded: it only runs on <= bruteMaxDocs corpora.
+      // Pin the shingled relation ONCE (bounded: ≤ bruteMaxDocs rows of
+      // (id, sh)) — the universe probe and the bitset attachment below
+      // would otherwise each re-run the scan + shingle kernel, and at
+      // this corpus size the per-pass fixed cost (scan + spread shuffle
+      // + kernel) is a measurable fraction of the whole query. The
+      // prefix tier never pins: its input is unbounded.
+      val small = docs.localCheckpoint()
+      val toks = small.select(explode(col("sh")).as("tok")).distinct().persist()
       val universe = toks.count()
       if (universe <= maxBitsetUniverse) {
         // localCheckpoint: a self-join re-executes its subtree per side, so
         // without materialization the explode→dict-join→groupBy pipeline
         // would run twice. The checkpointed relation is 48 B/doc (id, sz,
         // ⌈U/64⌉-word bitset) — bounded by bruteMaxDocs, trivially resident.
-        val withBits = attachBitsets(docs, Seq("id"), toks, universe)
+        val withBits = attachBitsets(small, Seq("id"), toks, universe)
           .select(col("id"), size(col("ids")).as("sz"), col("bits"))
           .localCheckpoint()
+        small.unpersist()
         // size-band ints reject most pairs before any popcount runs
         // (And evaluates left to right). The jac projection + filter below
         // gets optimizer-pushed INTO the join condition
@@ -391,8 +403,9 @@ object DedupOps {
           .filter(col("jac") >= threshold)
       }
       toks.unpersist()
+      prefixInput = small
     }
-    val docsSz = docs.withColumn("sz", size(col("sh")))
+    val docsSz = prefixInput.withColumn("sz", size(col("sh")))
     val tokens = docsSz.select(col("id"), col("sz"), explode(col("sh")).as("tok"))
     // global document frequency (shingles are distinct per doc)
     val tokDf = tokens.groupBy("tok").agg(count(lit(1)).as("tdf"))
@@ -949,9 +962,9 @@ object DedupOps {
     // (blk, band, bhash)) with exact verification — precision 1.0, the
     // same logged sampled-recall contract (≥ 1-(1-t^5)^12 − est tail at
     // J = t), no silent caps.
-    val overBudget = resolveCandidateBudget(df.sparkSession,
+    val (overBudget, smallPin) = resolveCandidateBudget(df.sparkSession,
         candidatePairBudget) match {
-      case (None, _) => lastCapReport = None; false
+      case (None, _) => lastCapReport = None; (false, None)
       case (Some(budget), budgetSource) =>
         // null-keyed rows never join (`a.blk === b.blk` skips nulls), so
         // the histogram must not count their pseudo-block toward the
@@ -959,10 +972,24 @@ object DedupOps {
         // a corpus whose REAL evaluated-pair total is under budget
         val row = docs.filter(col("blk").isNotNull)
           .groupBy("blk").agg(count(lit(1)).as("c"))
-          .agg(sum((col("c") * (col("c") - lit(1)) / 2).cast("long")).as("t"))
+          .agg(sum((col("c") * (col("c") - lit(1)) / 2).cast("long")).as("t"),
+            sum(col("c")).as("nd"))
           .first()
         val total = if (row.isNullAt(0)) 0L else row.getLong(0)
-        if (total <= budget) { lastCapReport = None; false }
+        if (total <= budget) {
+          lastCapReport = None
+          // bounded corpus under budget: pin the shingled joinable rows
+          // ONCE — the universe probes and the bitset attachment below
+          // would each re-run the scan + shingle kernel otherwise, and at
+          // this size the per-pass fixed cost is a measurable fraction of
+          // the query. Dropping null-block rows here is exact: they can
+          // never satisfy `a.blk === b.blk`. Unbounded corpora never pin.
+          val nd = if (row.isNullAt(1)) 0L else row.getLong(1)
+          val pin = if (nd <= BruteForceMaxDocs)
+            Some(docs.filter(col("blk").isNotNull).localCheckpoint())
+          else None
+          (false, pin)
+        }
         else {
           val (bands, r) = resolveLshShape(df.sparkSession, threshold)
           val k = bands * r
@@ -976,7 +1003,7 @@ object DedupOps {
             s"generator to within-block MinHash-LSH ($bands bands x $r " +
             f"rows); verification stays exact (precision 1.0), per-pair " +
             f"recall at J=$threshold >= $bound%.6f and higher above it")
-          true
+          (true, None)
         }
     }
     if (overBudget) {
@@ -1018,10 +1045,11 @@ object DedupOps {
     // than a 1000-doc sample's, so when even the sample overflows the cap
     // the full-corpus distinct aggregation (a whole extra pass at 100 TB)
     // is skipped and the merge-scan path starts immediately.
-    val sampleUniverse = docs.limit(1000)
+    val exactIn = smallPin.getOrElse(docs)
+    val sampleUniverse = exactIn.limit(1000)
       .select(explode(col("sh")).as("tok")).distinct().count()
     if (sampleUniverse <= maxBitsetUniverse) {
-      val toks = docs.select(explode(col("sh")).as("tok")).distinct().persist()
+      val toks = exactIn.select(explode(col("sh")).as("tok")).distinct().persist()
       val universe = toks.count()
       if (universe <= maxBitsetUniverse) {
         // dictionary collected once (bounded by the cap); block rows carry
@@ -1029,15 +1057,16 @@ object DedupOps {
         // per-pair verify is popcounts — see jaccardPairsGlobal.
         // localCheckpoint: the block self-join would otherwise execute the
         // explode→dict-join→groupBy pipeline once per side.
-        val withBits = attachBitsets(docs, Seq("id", "blk"), toks, universe)
+        val withBits = attachBitsets(exactIn, Seq("id", "blk"), toks, universe)
           .select(col("id"), col("blk"), size(col("ids")).as("sz"), col("bits"))
           .localCheckpoint()
+        smallPin.foreach(_.unpersist())
         return pairsOf(withBits,
           graft.functions.VectorExpressions.bitsetJaccard(col("a.bits"), col("b.bits")))
       }
       toks.unpersist()
     }
-    pairsOf(docs.withColumn("sz", size(col("sh"))),
+    pairsOf(exactIn.withColumn("sz", size(col("sh"))),
       graft.functions.VectorExpressions
         .jaccardSortedGE(col("a.sh"), col("b.sh"), threshold))
   }
