@@ -50,7 +50,7 @@ object Bench {
       .config("spark.hadoop.fs.file.impl",
         classOf[graft.fs.FastLocalFileSystem].getName)
       .config("spark.shuffle.sort.bypassMergeThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "1"))
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "200"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warmup: touch every table (file listing, parquet footers, reader JIT)
